@@ -1,0 +1,76 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Cloud SQL MySQL CSV export writes NULL as an unterminated `"N` (escaped
+  * `\N`); the reference's cleaner repairs lines one at a time
+  * (reference: app/csv-cleaner/main.py:21-27, README.md:3). We reproduce
+  * the same transform distributed: `spark.read.text` → per-line rewrite →
+  * parse with an explicit schema. No driver-side loops; each partition
+  * streams its lines, so the transform scales linearly with input splits.
+  */
+object DirtyCsv {
+
+  /** Exact per-line repair the reference applies:
+    * `'"N,'` → `','` anywhere, and a trailing `',"N'` → `','`
+    * (app/csv-cleaner/main.py:25-26 operates on lines that still carry
+    * their `\n`; we receive lines without the newline, so the second
+    * replace anchors at end-of-line). Known reference corruption case —
+    * a legit `"N,` inside quoted data is also rewritten — preserved
+    * bug-for-bug for golden parity.
+    */
+  def repairLine(line: String): String = {
+    val mid = line.replace("\"N,", ",")
+    if (mid.endsWith(",\"N")) mid.dropRight(2) else mid
+  }
+
+  /** Distributed equivalent of repairLine over a raw text read.
+    * Built from codegen'd expressions (no UDF): regexp_replace for the
+    * mid-field marker, a second anchored replace for the trailing one.
+    */
+  def repairColumnExpr(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(regexp_replace(c, "\"N,", ","), ",\"N$", ",")
+
+  /** Read a dirty (headerless, quoted, `"N`-null) CSV with an explicit
+    * schema: text scan → line repair → from_csv parse → flatten.
+    * Empty fields become NULL under the nullable schema, matching the
+    * reference's load semantics (headerless + explicit schema,
+    * app/bq-importer/main.py:26-28).
+    */
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val raw = spark.read.text(path)
+    val repaired = raw.select(repairColumnExpr(col("value")).as("line"))
+    val parsed = repaired.select(
+      from_csv(
+        col("line"),
+        schema,
+        Map("header" -> "false", "nullValue" -> "", "emptyValue" -> "")
+      ).as("r")
+    )
+    parsed.select(schema.fieldNames.map(f => col(s"r.`$f`").as(f)).toIndexedSeq: _*)
+  }
+
+  /** Repair a dirty CSV to a clean CSV directory (the cleaner stage's data
+    * branch as a distributed file→file transform).
+    */
+  def repairToCleanCsv(spark: SparkSession, inPath: String, outPath: String): Unit =
+    spark.read
+      .text(inPath)
+      .select(repairColumnExpr(col("value")).as("value"))
+      .write
+      .mode("overwrite")
+      .text(outPath)
+
+  /** Write a DataFrame as headerless quoted CSV (the exporter's on-the-wire
+    * format, reference: export_table.py:9-16).
+    */
+  def writeHeaderless(df: DataFrame, path: String): Unit =
+    df.write
+      .mode("overwrite")
+      .option("header", "false")
+      .option("quoteAll", "true")
+      .option("nullValue", "")
+      .csv(path)
+}
