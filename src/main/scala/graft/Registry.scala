@@ -1,0 +1,22 @@
+package graft
+
+/** Central capability registry: every operator family from SURVEY.md §2 that
+  * is implemented registers exactly one (or more) [[Q]] here. SparkEntry's
+  * driver contract (`queries` / `oracleSql`) is derived from this list, so a
+  * query cannot exist without being visible to the correctness gate.
+  */
+object Registry {
+  lazy val all: Seq[Q] =
+    graft.queries.Relational.queries ++
+      graft.queries.Scalars.queries ++
+      graft.queries.PipelineQueries.queries ++
+      graft.queries.Events.queries ++
+      graft.ext.TextQueries.queries ++
+      graft.ext.DedupQueries.queries ++
+      graft.ext.SimilarityQueries.queries ++
+      graft.ext.MultimodalQueries.queries
+
+  lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
+
+  lazy val headline: Seq[Q] = all.filter(_.headline)
+}

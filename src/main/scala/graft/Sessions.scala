@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared SparkSession factory for the driver-run mains (Verify/Bench) and
+  * tests: local[N] with N shuffle partitions (sized to the local core
+  * count, not the 200 default — on a real cluster this is set per job),
+  * AQE on, UTC session time, graft extensions registered.
+  */
+object Sessions {
+
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def build(appName: String, cores: String = cpus): SparkSession = {
+    val s = SparkSession
+      .builder()
+      .appName(appName)
+      .master(s"local[$cores]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config(
+        "spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "127.0.0.1")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

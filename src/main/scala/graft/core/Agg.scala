@@ -8,29 +8,42 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   *
   * A plain `sum(double)` is order-dependent (floating-point addition is not
   * associative), so a Spark partial-aggregate tree and a single-threaded
-  * oracle can disagree in the last bits — enough to flip a rounded digit.
-  * Casting each row to DECIMAL first makes the cast the only rounding step
-  * (deterministic per row: same double → same decimal in any engine), and
-  * the decimal sum is exact and order-independent. Casting the final sum
-  * back to double is again a single deterministic rounding. The same
-  * pattern in the DuckDB oracle yields bit-identical doubles.
+  * oracle can disagree in the last bits. Worse, `CAST(double AS DECIMAL)`
+  * itself diverges between engines: Spark converts via the exact binary
+  * expansion (BigDecimal) while DuckDB scales in floating point, so values
+  * near a rounding boundary can go either way.
   *
-  * At scale this costs nothing extra: decimal sum is still a partial+final
-  * hash aggregate with map-side combine; only the accumulator type changes.
+  * The portable fixed-point recipe used here does every step in double
+  * space with identical IEEE ops in both engines:
+  *
+  *   1. per row: `round(x * 10000)` — one double multiply + one
+  *      half-away-from-zero round (Java HALF_UP on exact midpoints equals
+  *      C `std::round` for either sign);
+  *   2. exact integer sum (decimal accumulator in Spark, HUGEINT in
+  *      DuckDB) — order-independent, no overflow;
+  *   3. one final integer→double conversion and one divide by 1e4.
+  *
+  * Same bits out of both engines, at the cost of quantizing inputs to 4
+  * decimals. At scale this is still a partial+final hash aggregate with
+  * map-side combine; only the accumulator type changes.
   */
 object Agg {
 
-  /** Exact, order-independent sum of a double column: per-row cast to
-    * DECIMAL(28,4), exact decimal sum, single cast back to double.
+  private val Scale = 10000.0
+
+  /** Order-independent, cross-engine-deterministic sum of a double column
+    * (quantized to 4 decimals).
     */
-  def dsum(c: Column): Column = sum(c.cast(DecimalType(28, 4))).cast(DoubleType)
+  def dsum(c: Column): Column =
+    (sum(round(c * Scale).cast(DecimalType(38, 0))).cast(DoubleType) / Scale)
 
   /** Deterministic average built from dsum / count (single final division). */
-  def davg(c: Column): Column = (dsum(c) / count(c)).cast(DoubleType)
+  def davg(c: Column): Column =
+    (dsum(c) / count(c)).cast(DoubleType)
 
-  /** SQL (DuckDB) text of the same expressions, for oracle parity. */
+  /** DuckDB SQL text of the same expressions, for oracle parity. */
   def dsumSql(expr: String): String =
-    s"CAST(SUM(CAST(($expr) AS DECIMAL(28,4))) AS DOUBLE)"
+    s"(CAST(SUM(CAST(ROUND(($expr) * 10000) AS HUGEINT)) AS DOUBLE) / 10000)"
   def davgSql(expr: String): String =
-    s"CAST(CAST(SUM(CAST(($expr) AS DECIMAL(28,4))) AS DOUBLE) / COUNT($expr) AS DOUBLE)"
+    s"(${dsumSql(expr)} / COUNT($expr))"
 }

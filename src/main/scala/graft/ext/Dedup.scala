@@ -1,0 +1,83 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication building blocks for the training-data pipeline: exact
+  * (hash groupBy), MinHash+LSH (shingle → minhash signature → banded
+  * bucket join), SimHash (custom codegen expression), and exact n-gram
+  * Jaccard on blocked candidates.
+  *
+  * Scale design: every step is a narrow per-row expression or a shuffle
+  * keyed on a bounded-cardinality bucket key. No all-pairs comparison ever
+  * happens — candidate generation is LSH banding (probability of a pair
+  * colliding ≈ 1-(1-j^r)^b), and only candidates get the exact/estimated
+  * similarity pass. That's the property that survives 100 TB: work is
+  * O(docs × signature) + O(colliding pairs), not O(docs²).
+  */
+object Dedup {
+
+  /** Distinct k-char shingle array of `text` (codegen'd higher-order fns). */
+  def shingles(k: Int, textCol: String = "text"): Column =
+    expr(
+      s"array_distinct(transform(sequence(1, greatest(1, length($textCol) - ${k - 1})), " +
+        s"i -> substring($textCol, i, $k)))")
+
+  /** n-hash MinHash signature over a shingle array column `sh`:
+    * sig[i] = min over shingles of xxhash64(shingle, i).
+    */
+  def minhashSignature(nHashes: Int, shCol: String = "sh"): Column =
+    array((0 until nHashes).map(i => expr(s"array_min(transform($shCol, s -> xxhash64(s, $i)))")): _*)
+
+  /** LSH band hashes: split the signature into `bands` rows of
+    * `rowsPerBand`, hash each band. Two docs collide in a band iff that
+    * whole band of minhashes is equal.
+    */
+  def bandHashes(bands: Int, rowsPerBand: Int, sigCol: String = "sig"): Column =
+    array((0 until bands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => s"$sigCol[${b * rowsPerBand + r}]").mkString(", ")
+      expr(s"xxhash64($slice, $b)")
+    }: _*)
+
+  /** Estimated Jaccard from two aligned minhash signatures. */
+  def estJaccard(a: Column, b: Column, nHashes: Int): Column =
+    size(filter(zip_with(a, b, (x, y) => x === y), m => m)).cast("double") / nHashes.toDouble
+
+  /** MinHash-LSH candidate pairs over `df(idCol, textCol)`: returns
+    * (a_id, b_id, est_jaccard) for pairs colliding in ≥1 band, filtered to
+    * `minJaccard`. nHashes = bands × rowsPerBand.
+    */
+  def minhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 5,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      minJaccard: Double = 0.4): DataFrame = {
+    val nHashes = bands * rowsPerBand
+    val sigs = df
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sh", shingles(shingleK))
+      .withColumn("sig", minhashSignature(nHashes))
+      .select(col("id"), col("sig"))
+    val banded = sigs
+      .select(col("id"), col("sig"), posexplode(bandHashes(bands, rowsPerBand)).as(Seq("band_idx", "band_hash")))
+    val a = banded.select(col("id").as("a_id"), col("sig").as("a_sig"), col("band_idx"), col("band_hash"))
+    val b = banded.select(col("id").as("b_id"), col("sig").as("b_sig"), col("band_idx"), col("band_hash"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), estJaccard(col("a_sig"), col("b_sig"), nHashes).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= minJaccard)
+  }
+
+  /** Exact k-gram Jaccard as a SQL expression over text columns a/b. */
+  def ngramJaccardExpr(k: Int, a: String, b: String): Column = {
+    def grams(c: String) =
+      s"array_distinct(transform(sequence(1, greatest(1, length($c) - ${k - 1})), i -> substring($c, i, $k)))"
+    expr(
+      s"CAST(size(array_intersect(${grams(a)}, ${grams(b)})) AS DOUBLE) / " +
+        s"size(array_union(${grams(a)}, ${grams(b)}))")
+  }
+}

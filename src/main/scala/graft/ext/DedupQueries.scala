@@ -1,0 +1,107 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.core.Tables
+
+/** Registered dedup queries — exact dedup (oracle: DISTINCT/GROUP BY),
+  * blocked near-dup candidates with exact n-gram Jaccard (oracle: DuckDB
+  * list algebra), and MinHash-LSH / SimHash variants (hash-seed-specific,
+  * so rows-only checked here and property-tested in ScalaTest).
+  */
+object DedupQueries {
+
+  val queries: Seq[Q] = Seq(
+    Q(
+      "q_dedup_exact",
+      (s, d) =>
+        Tables(s, d, "documents")
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(col("text")).as("n_unique"))
+          .orderBy("lang"),
+      Some(
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+          "CAST(COUNT(DISTINCT text) AS BIGINT) AS n_unique " +
+          "FROM documents GROUP BY lang ORDER BY lang")
+    ),
+    Q(
+      "q_dedup_rep",
+      // Exact dedup keeping a deterministic representative (min doc_id) per
+      // text group — the hash-partitioned groupBy pattern that replaces
+      // dropDuplicates' arbitrary survivor at scale.
+      (s, d) =>
+        Tables(s, d, "documents")
+          .groupBy(col("text"))
+          .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+          .select(col("doc_id"), col("n_copies"))
+          .orderBy("doc_id"),
+      Some(
+        "SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_copies " +
+          "FROM documents GROUP BY text ORDER BY doc_id")
+    ),
+    Q(
+      "q_dedup_ngram_jaccard",
+      // Near-dup detection: block on (lang, 50-char prefix) — bounded
+      // buckets, no all-pairs — then exact 3-gram Jaccard on candidates.
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("text"), substring(col("text"), 1, 50).as("blk"))
+        val a = docs.select(col("doc_id").as("a_id"), col("lang"), col("blk"), col("text").as("a_text"))
+        val b = docs.select(col("doc_id").as("b_id"), col("lang"), col("blk"), col("text").as("b_text"))
+        a.join(b, Seq("lang", "blk"))
+          .filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"), Dedup.ngramJaccardExpr(3, "a_text", "b_text").as("jac"))
+          .filter(col("jac") >= 0.3)
+          .orderBy("a_id", "b_id")
+      },
+      Some(
+        "WITH docs AS (SELECT doc_id, lang, text, substring(text, 1, 50) AS blk, " +
+          "list_distinct(list_transform(generate_series(1, greatest(1, length(text) - 2)), " +
+          "i -> substring(text, i, 3))) AS grams FROM documents), " +
+          "cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
+          "CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / " +
+          "len(list_distinct(list_concat(a.grams, b.grams))) AS jac " +
+          "FROM docs a JOIN docs b ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id) " +
+          "SELECT a_id, b_id, jac FROM cand WHERE jac >= 0.3 ORDER BY a_id, b_id")
+    ),
+    Q(
+      "q_dedup_minhash",
+      // MinHash-LSH near-dup pairs: 32 hashes, 8 bands × 4 — candidates
+      // only from band collisions (no cross join). Hash-seed-specific →
+      // rows-only check here; recall vs exact Jaccard is property-tested.
+      (s, d) =>
+        Dedup
+          .minhashPairs(Tables(s, d, "documents"), "doc_id", "text")
+          .orderBy("a_id", "b_id"),
+      None
+    ),
+    Q(
+      "q_dedup_simhash",
+      // SimHash fingerprints via the custom codegen expression
+      // (graft.functions.SimHash64): near-dup pairs = same 16-bit chunk
+      // (banding) AND Hamming distance <= 12 of the 64-bit fingerprint.
+      (s, d) => {
+        val fp = Tables(s, d, "documents")
+          .select(col("doc_id"), expr("simhash64(text)").as("fp"))
+        val chunks = fp.select(
+          col("doc_id"),
+          col("fp"),
+          posexplode(
+            array((0 until 4).map(i => expr(s"(fp >> ${i * 16}) & 65535")): _*))
+            .as(Seq("chunk_idx", "chunk")))
+        val a = chunks.select(col("doc_id").as("a_id"), col("fp").as("a_fp"), col("chunk_idx"), col("chunk"))
+        val b = chunks.select(col("doc_id").as("b_id"), col("fp").as("b_fp"), col("chunk_idx"), col("chunk"))
+        a.join(b, Seq("chunk_idx", "chunk"))
+          .filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"), expr("bit_count(a_fp ^ b_fp)").as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 12)
+          .orderBy("a_id", "b_id")
+      },
+      None
+    )
+  )
+}

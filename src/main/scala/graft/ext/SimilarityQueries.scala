@@ -1,0 +1,65 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.core.{Agg, Tables}
+
+/** Registered similarity/embedding queries. Brute-force cosine and the
+  * per-dimension embedding aggregate are differentially verified against
+  * DuckDB's list functions; the LSH variant and centroid UDAF are
+  * hash/float-order specific and property-tested in ScalaTest instead.
+  */
+object SimilarityQueries {
+
+  val queries: Seq[Q] = Seq(
+    Q(
+      "q_sim_bruteforce",
+      // Exact cosine top-3 for the first 10 vectors. Double arithmetic with
+      // a sequential fold matches DuckDB's list_dot_product ordering.
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        Similarity
+          .bruteForceTopK(emb.filter(col("vec_id") < 10), emb, 3)
+          .orderBy("q_id", "rank")
+      },
+      Some(
+        "WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10), " +
+          "c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings), " +
+          "s AS (SELECT q_id, n_id, list_dot_product(qv, cv) / " +
+          "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos " +
+          "FROM q CROSS JOIN c WHERE q_id <> n_id), " +
+          "r AS (SELECT q_id, n_id, cos, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank FROM s) " +
+          "SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 3 ORDER BY q_id, rank")
+    ),
+    Q(
+      "q_sim_lsh",
+      // Scale path: sign-LSH banding (2 bands × 8 bits, fixed-seed
+      // hyperplanes) → candidates → exact re-score. Recall vs brute force
+      // is property-tested in SimilaritySpec.
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        Similarity
+          .lshTopK(emb.filter(col("vec_id") < 10), emb, 3)
+          .orderBy("q_id", "rank")
+      },
+      None
+    ),
+    Q(
+      "q_embed_agg",
+      // Per-(label, dimension) aggregate over the embedding column — the
+      // distributed centroid building block (sum; the divide-by-count
+      // happens in the UDAF variant).
+      (s, d) =>
+        Tables(s, d, "embeddings")
+          .select(col("label"), posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+          .groupBy(col("label"), col("pos").cast("long").as("pos"))
+          .agg(Agg.dsum(col("v")).as("sum_v"))
+          .orderBy("label", "pos"),
+      Some(
+        "SELECT label, CAST(gs - 1 AS BIGINT) AS pos, " + Agg.dsumSql("CAST(v AS DOUBLE)") + " AS sum_v " +
+          "FROM (SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS gs FROM embeddings) " +
+          "GROUP BY label, pos ORDER BY label, pos")
+    )
+  )
+}

@@ -1,0 +1,117 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.core.{Agg, Tables}
+
+/** Text-analysis operators over `documents` — the training-data-pipeline
+  * extension family (north star §X): token counting (whitespace + regex
+  * tokenizer), quality scoring (stopword/alpha ratios), n-gram language ID
+  * heuristic, and content fingerprinting. All pure codegen'd expressions —
+  * linear scans that parallelize trivially at 100 TB.
+  */
+object TextQueries {
+
+  /** Whitespace token count as a column expression (shared with oracle). */
+  private val nTokens = size(split(col("text"), " ")).cast("long")
+
+  val queries: Seq[Q] = Seq(
+    Q(
+      "q_text_stats",
+      (s, d) =>
+        Tables(s, d, "documents")
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            Agg.davg(nTokens.cast("double")).as("avg_tokens"),
+            sum(col("n_chars")).as("total_chars"),
+            max(col("n_chars")).as("max_chars"))
+          .orderBy("lang"),
+      Some(
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+          Agg.davgSql("CAST(len(string_split(text, ' ')) AS DOUBLE)") + " AS avg_tokens, " +
+          "CAST(SUM(n_chars) AS BIGINT) AS total_chars, CAST(MAX(n_chars) AS BIGINT) AS max_chars " +
+          "FROM documents GROUP BY lang ORDER BY lang")
+    ),
+    Q(
+      "q_token_count",
+      // BPE-ish regex tokenizer: letter runs, digit runs, single other
+      // non-space chars — summed per source.
+      (s, d) =>
+        Tables(s, d, "documents")
+          .select(
+            col("source"),
+            expr("size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0))")
+              .cast("long")
+              .as("n_tok"))
+          .groupBy(col("source"))
+          .agg(sum(col("n_tok")).as("total_tokens"), count(lit(1)).as("n_docs"))
+          .orderBy("source"),
+      Some(
+        "SELECT source, CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_tokens, " +
+          "CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source ORDER BY source")
+    ),
+    Q(
+      "q_quality_score",
+      // Per-doc quality signals: token count, stopword ratio, alphanumeric
+      // ratio — single deterministic divisions, bit-identical both engines.
+      (s, d) =>
+        Tables(s, d, "documents")
+          .select(
+            col("doc_id"),
+            nTokens.as("n_tok"),
+            (expr("size(filter(split(text, ' '), w -> w IN ('the', 'a', 'of', 'and')))").cast("double") /
+              nTokens.cast("double")).as("stop_ratio"),
+            (length(regexp_replace(col("text"), "[^A-Za-z0-9]", "")).cast("double") /
+              length(col("text")).cast("double")).as("alpha_ratio"))
+          .orderBy("doc_id"),
+      Some(
+        "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, " +
+          "CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a', 'of', 'and'))) AS DOUBLE) / " +
+          "CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio, " +
+          "CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE) / " +
+          "CAST(length(text) AS DOUBLE) AS alpha_ratio " +
+          "FROM documents ORDER BY doc_id")
+    ),
+    Q(
+      "q_lang_id",
+      // Stopword-hit language-ID heuristic (deterministic scoring; the
+      // synthetic corpus is one wordlist, so the heuristic — not label
+      // recovery — is the verified artifact).
+      (s, d) =>
+        Tables(s, d, "documents")
+          .select(
+            col("doc_id"),
+            expr("size(filter(split(text, ' '), w -> w IN ('the', 'a', 'of')))").cast("long").as("en_hits"),
+            expr("size(filter(split(text, ' '), w -> w IN ('le', 'la', 'et')))").cast("long").as("fr_hits"))
+          .withColumn(
+            "pred_lang",
+            when(col("fr_hits") > col("en_hits"), "fr")
+              .when(col("en_hits") > 0, "en")
+              .otherwise("und"))
+          .orderBy("doc_id"),
+      Some(
+        "WITH h AS (SELECT doc_id, " +
+          "CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a', 'of'))) AS BIGINT) AS en_hits, " +
+          "CAST(len(list_filter(string_split(text, ' '), w -> w IN ('le', 'la', 'et'))) AS BIGINT) AS fr_hits " +
+          "FROM documents) " +
+          "SELECT doc_id, en_hits, fr_hits, CASE WHEN fr_hits > en_hits THEN 'fr' " +
+          "WHEN en_hits > 0 THEN 'en' ELSE 'und' END AS pred_lang FROM h ORDER BY doc_id")
+    ),
+    Q(
+      "q_fingerprint",
+      // Content fingerprint: md5 of the normalized (lowercased,
+      // space-collapsed) text — the exact-dedup key at scale.
+      (s, d) =>
+        Tables(s, d, "documents")
+          .select(
+            col("doc_id"),
+            md5(regexp_replace(lower(col("text")), "\\s+", " ").cast("binary")).as("fp"))
+          .orderBy("doc_id"),
+      Some(
+        "SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp " +
+          "FROM documents ORDER BY doc_id")
+    )
+  )
+}

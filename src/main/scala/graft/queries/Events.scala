@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Q
+import graft.core.{Agg, Tables}
+
+/** Time/window operators over the `events` table — SURVEY.md §2.5
+  * (sessionization), §2.3 (as-of join), §2.8 (tumbling/sliding windows,
+  * retention). Batch forms of the same expressions Structured Streaming
+  * uses (`window`/`session_window` work identically under `readStream` +
+  * watermark — see graft.streaming).
+  */
+object Events {
+
+  /** events.ts is written as parquet TIMESTAMP(NANOS); Spark's TimestampType
+    * is microseconds. Depending on reader config the column surfaces as a
+    * nanosecond long or a timestamp — normalize to TimestampType (µs,
+    * truncating), which is also what DuckDB yields when casting
+    * TIMESTAMP_NS → TIMESTAMP.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = Tables(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
+
+  private val dsumVal: Column = Agg.dsum(col("value"))
+
+  val queries: Seq[Q] = Seq(
+    Q(
+      "q_tumbling_window",
+      // 1-hour tumbling windows — the Structured Streaming aggregation
+      // shape, batch mode. Window start ≡ date_trunc('hour').
+      (s, d) =>
+        events(s, d)
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"), dsumVal.as("sum_value"))
+          .select(col("window.start").cast("timestamp_ntz").as("hour_start"), col("event_type"), col("cnt"), col("sum_value"))
+          .orderBy("hour_start", "event_type"),
+      Some(
+        "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type, " +
+          "CAST(COUNT(*) AS BIGINT) AS cnt, " + Agg.dsumSql("value") + " AS sum_value " +
+          "FROM events GROUP BY 1, 2 ORDER BY 1, 2")
+    ),
+    Q(
+      "q_sliding_window",
+      // 1-hour windows sliding every 30 min: each event lands in exactly 2
+      // windows, starts aligned to 30-min epoch boundaries.
+      (s, d) =>
+        events(s, d)
+          .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+          .agg(count(lit(1)).as("cnt"), dsumVal.as("sum_value"))
+          .select(col("window.start").cast("timestamp_ntz").as("win_start"), col("cnt"), col("sum_value"))
+          .orderBy("win_start"),
+      Some(
+        "WITH w AS (" +
+          "SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000) AS win_start, value FROM events " +
+          "UNION ALL " +
+          "SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000 - 1800000000) AS win_start, value FROM events" +
+          ") SELECT win_start, CAST(COUNT(*) AS BIGINT) AS cnt, " +
+          Agg.dsumSql("value") + " AS sum_value FROM w GROUP BY win_start ORDER BY win_start")
+    ),
+    Q(
+      "q_session_window",
+      // 30-min-gap sessionization per user (session_window — batch form of
+      // the streaming stateful session op). Session start = min event ts;
+      // a gap of exactly 30:00 starts a new session in both engines.
+      (s, d) =>
+        events(s, d)
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"), dsumVal.as("total_value"))
+          .select(
+            col("user_id"),
+            col("session_window.start").cast("timestamp_ntz").as("session_start"),
+            col("n_events"),
+            col("total_value"))
+          .orderBy("user_id", "session_start"),
+      Some(
+        "WITH g AS (SELECT user_id, ts, value, " +
+          "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL " +
+          "OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE " +
+          "THEN 1 ELSE 0 END AS brk FROM events), " +
+          "sess AS (SELECT user_id, ts, value, " +
+          "SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM g) " +
+          "SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS session_start, " +
+          "CAST(COUNT(*) AS BIGINT) AS n_events, " + Agg.dsumSql("value") + " AS total_value " +
+          "FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start")
+    ),
+    Q(
+      "q_asof_join",
+      // As-of join: for every purchase, the latest view (<= purchase ts) by
+      // the same user. Spark-first plan: union both sides + running
+      // last(_, ignoreNulls) window — ONE shuffle on user_id, no range
+      // cross-product (SURVEY §2.3 as-of row). Oracle uses DuckDB's native
+      // ASOF LEFT JOIN.
+      (s, d) => {
+        val e = events(s, d)
+        val trades = e
+          .filter(col("event_type") === "purchase")
+          .select(
+            col("user_id"), col("ts"), lit(1).as("is_trade"), col("event_id"),
+            lit(null).cast("timestamp").as("q_ts"), lit(null).cast("double").as("q_value"))
+        val quotes = e
+          .filter(col("event_type") === "view")
+          .select(
+            col("user_id"), col("ts"), lit(0).as("is_trade"), lit(null).cast("long").as("event_id"),
+            col("ts").as("q_ts"), col("value").as("q_value"))
+        val w = Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("is_trade"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        trades
+          .unionByName(quotes)
+          .select(
+            col("user_id"), col("ts"), col("is_trade"), col("event_id"),
+            last(col("q_ts"), ignoreNulls = true).over(w).as("view_ts"),
+            last(col("q_value"), ignoreNulls = true).over(w).as("view_value"))
+          .filter(col("is_trade") === 1)
+          .select(col("event_id"), col("user_id"), col("ts").cast("timestamp_ntz").as("ts"), col("view_ts").cast("timestamp_ntz").as("view_ts"), col("view_value"))
+          .orderBy("event_id")
+      },
+      Some(
+        "SELECT t.event_id, t.user_id, CAST(t.ts AS TIMESTAMP) AS ts, " +
+          "CAST(q.ts AS TIMESTAMP) AS view_ts, q.value AS view_value " +
+          "FROM (SELECT * FROM events WHERE event_type = 'purchase') t " +
+          "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') q " +
+          "ON t.user_id = q.user_id AND t.ts >= q.ts ORDER BY t.event_id")
+    ),
+    Q(
+      "q_retention",
+      // Retention cutoff (main.tf:72-79 lifecycle semantics): keep only the
+      // trailing 7 days relative to the dataset's max ts; daily rollup.
+      (s, d) => {
+        val e = events(s, d)
+        val mx = e.agg(max(col("ts")).as("mx"))
+        e.crossJoin(broadcast(mx))
+          .filter(col("ts") >= col("mx") - expr("INTERVAL 7 DAYS"))
+          .groupBy(col("ts").cast("date").as("day"))
+          .agg(count(lit(1)).as("cnt"), dsumVal.as("sum_value"))
+          .orderBy("day")
+      },
+      Some(
+        "SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS cnt, " +
+          Agg.dsumSql("value") + " AS sum_value FROM events " +
+          "WHERE ts >= (SELECT MAX(ts) FROM events) - INTERVAL 7 DAY " +
+          "GROUP BY 1 ORDER BY 1")
+    )
+  )
+}

@@ -46,7 +46,7 @@ object DirtyCsv {
       from_csv(
         col("line"),
         schema,
-        Map("header" -> "false", "nullValue" -> "", "emptyValue" -> "")
+        Map("nullValue" -> "", "emptyValue" -> "")
       ).as("r")
     )
     parsed.select(schema.fieldNames.map(f => col(s"r.`$f`").as(f)).toIndexedSeq: _*)
@@ -63,8 +63,9 @@ object DirtyCsv {
       .mode("overwrite")
       .text(outPath)
 
-  /** Write a DataFrame as headerless quoted CSV (the exporter's on-the-wire
-    * format, reference: export_table.py:9-16).
+  /** Write a DataFrame as headerless quoted CSV in the POST-CLEAN format
+    * (NULL as empty field — what the cleaner emits, not the dirty wire
+    * format; for that see [[writeDirty]]).
     */
   def writeHeaderless(df: DataFrame, path: String): Unit =
     df.write
@@ -73,4 +74,22 @@ object DirtyCsv {
       .option("quoteAll", "true")
       .option("nullValue", "")
       .csv(path)
+
+  /** Write the Cloud SQL MySQL DIRTY wire format: every field quoted,
+    * `"` doubled inside fields, and NULL encoded as the broken unterminated
+    * `"N` marker this module exists to repair (reference: README.md:3,
+    * app/csv-cleaner/main.py:21-27). Built from codegen'd expressions so
+    * fixture generation scales like any other write.
+    */
+  def writeDirty(df: DataFrame, path: String): Unit = {
+    val fields = df.schema.fieldNames.map { f =>
+      val v = col(s"`$f`").cast("string")
+      when(v.isNull, lit("\"N"))
+        .otherwise(concat(lit("\""), regexp_replace(v, "\"", "\"\""), lit("\"")))
+    }
+    df.select(concat_ws(",", fields.toIndexedSeq: _*).as("value"))
+      .write
+      .mode("overwrite")
+      .text(path)
+  }
 }

@@ -1,0 +1,34 @@
+package graft
+
+/** Registry smoke: every registered query runs on sf0.001 and returns a
+  * sane result; names are unique; oracle coverage stays high.
+  */
+class RegistrySpec extends SparkSpec {
+
+  test("registry names are unique and non-empty") {
+    val names = Registry.all.map(_.name)
+    assert(names.nonEmpty && names.distinct.size == names.size)
+  }
+
+  test("every query runs on sf0.001 and returns rows") {
+    val failures = Registry.all.flatMap { q =>
+      try {
+        val n = q.run(spark, sf()).count()
+        if (n > 0) None else Some(s"${q.name}: 0 rows")
+      } catch {
+        case e: Throwable => Some(s"${q.name}: ${e.getMessage}")
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("entry() flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("most queries carry a DuckDB oracle (differential gate coverage)") {
+    val withOracle = Registry.all.count(_.oracle.isDefined)
+    assert(withOracle.toDouble / Registry.all.size >= 0.75,
+      s"$withOracle/${Registry.all.size} oracles")
+  }
+}

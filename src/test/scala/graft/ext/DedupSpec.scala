@@ -1,0 +1,94 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.SimHash
+import org.apache.spark.unsafe.types.UTF8String
+
+/** MinHash-LSH recall vs exact Jaccard, SimHash properties, and the custom
+  * simhash64 Catalyst expression (interpreted + codegen paths).
+  */
+class DedupSpec extends SparkSpec {
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat sleeps on the warm mat near the door"
+
+  private def corpus = {
+    import spark.implicits._
+    Seq(
+      (0L, base),
+      (1L, base.replace("warm", "cold")), // near-dup of 0
+      (2L, base), // exact dup of 0
+      (3L, "completely different text about spark query engines and shuffles"),
+      (4L, "another unrelated document mentioning parquet files and predicate pushdown"))
+      .toDF("doc_id", "text")
+  }
+
+  test("minhashPairs finds exact and near dups, not unrelated pairs") {
+    val pairs = Dedup
+      .minhashPairs(corpus, "doc_id", "text", minJaccard = 0.4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(pairs.contains((0L, 2L)), "exact dup must collide in every band")
+    assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 2L)), "near dup should collide")
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(3L) || Set(a, b).contains(4L) },
+      "unrelated docs must not pair")
+  }
+
+  test("exact duplicate has estimated jaccard 1.0") {
+    val est = Dedup
+      .minhashPairs(corpus, "doc_id", "text")
+      .filter(col("a_id") === 0 && col("b_id") === 2)
+      .select("est_jaccard")
+      .collect()
+    assert(est.nonEmpty && est.head.getDouble(0) == 1.0)
+  }
+
+  test("ngramJaccardExpr: identical → 1.0, disjoint → 0.0") {
+    import spark.implicits._
+    val df = Seq(("abcabc", "abcabc"), ("aaaa", "zzzz")).toDF("a_text", "b_text")
+    val jacs = df.select(Dedup.ngramJaccardExpr(3, "a_text", "b_text").as("j"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(jacs == Seq(1.0, 0.0))
+  }
+
+  test("SimHash: equal texts → equal fingerprints; near texts → small hamming") {
+    val a = SimHash.compute(UTF8String.fromString(base))
+    val a2 = SimHash.compute(UTF8String.fromString(base))
+    val near = SimHash.compute(UTF8String.fromString(base.replace("warm", "cold")))
+    val far = SimHash.compute(UTF8String.fromString("totally different words entirely unrelated"))
+    assert(a == a2)
+    assert(SimHash.hamming(a, near) <= 16)
+    assert(SimHash.hamming(a, far) > 16)
+  }
+
+  test("simhash64 expression (codegen path) matches the Scala function") {
+    import spark.implicits._
+    val texts = Seq(base, "one two three", "", "  spaced   out  ")
+    val viaExpr = texts.toDF("text")
+      .select(expr("simhash64(text)").as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaExpr == texts.map(t => SimHash.compute(UTF8String.fromString(t))))
+  }
+
+  test("minhash LSH recall vs exact 3-gram jaccard on real documents (sf0.001)") {
+    val docs = graft.core.Tables(spark, sf(), "documents").select("doc_id", "text")
+    // ground truth: exact jaccard >= 0.6 among prefix-blocked candidates
+    val blocked = docs.withColumn("blk", substring(col("text"), 1, 30))
+    val a = blocked.select(col("doc_id").as("a_id"), col("blk"), col("text").as("a_text"))
+    val b = blocked.select(col("doc_id").as("b_id"), col("blk"), col("text").as("b_text"))
+    val truth = a.join(b, "blk")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), Dedup.ngramJaccardExpr(3, "a_text", "b_text").as("j"))
+      .filter(col("j") >= 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = Dedup.minhashPairs(docs, "doc_id", "text", minJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (truth.nonEmpty) {
+      val recall = truth.count(found.contains).toDouble / truth.size
+      assert(recall >= 0.5, s"recall $recall over ${truth.size} true pairs")
+    }
+  }
+}

@@ -1,0 +1,51 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Brute-force cosine correctness on hand-checkable vectors, and LSH
+  * recall against brute force on the real embeddings table.
+  */
+class SimilaritySpec extends SparkSpec {
+
+  test("bruteForceTopK ranks by cosine correctly on known vectors") {
+    import spark.implicits._
+    // 0 is the query; 1 is identical direction, 2 orthogonal, 3 opposite.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(2.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity
+      .bruteForceTopK(vecs.filter(col("vec_id") === 0), vecs, 3)
+      .orderBy("rank")
+      .collect()
+    assert(top.map(_.getAs[Long]("n_id")).toSeq == Seq(1L, 2L, 3L))
+    assert(math.abs(top(0).getAs[Double]("cos") - 1.0) < 1e-12)
+    assert(math.abs(top(1).getAs[Double]("cos")) < 1e-12)
+    assert(math.abs(top(2).getAs[Double]("cos") + 1.0) < 1e-12)
+  }
+
+  test("LSH top-k recall >= 0.5 vs brute force on embeddings (sf0.001)") {
+    val emb = graft.core.Tables(spark, sf(), "embeddings")
+    val queries = emb.filter(col("vec_id") < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(queries, emb, 3))
+    val approx = pairs(Similarity.lshTopK(queries, emb, 3))
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall $recall (${approx.size} approx vs ${exact.size} exact)")
+  }
+
+  test("signature is deterministic across invocations") {
+    import spark.implicits._
+    val planes = Similarity.hyperplanes(16, 4)
+    val df = Seq((1L, Array(0.5f, -0.25f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    def sig() = df.select(
+      Similarity.signature(col("embedding").cast("array<double>"), planes).as("s"))
+      .collect().head.getLong(0)
+    assert(sig() == sig())
+    assert(Similarity.hyperplanes(16, 4) == planes, "fixed seed → same planes")
+  }
+}

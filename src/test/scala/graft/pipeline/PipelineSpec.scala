@@ -1,0 +1,111 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.core.SchemaColumn
+
+/** Golden end-to-end pipeline tests (SURVEY §5.2 families 2 and 5): dirty
+  * CSV + .schema in → BQ JSON + cleaned CSV + loaded table out; overwrite
+  * idempotency; saveAsTable truncate semantics; retention sweep.
+  */
+class PipelineSpec extends SparkSpec {
+
+  private def freshLayout(date: String = "2024-01-01"): Pipeline.Layout =
+    Pipeline.Layout(java.nio.file.Files.createTempDirectory("pipe").toString, date)
+
+  private def usersDf = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    Seq(
+      (1L, Some("alice"), Some(12.5), Some("2020-01-01 10:00:00")),
+      (2L, None, None, None),
+      (3L, Some("carol"), Some(3.25), Some("2020-02-02 00:00:00")))
+      .toDF("id", "name", "amount", "created_at")
+      .withColumn("created_at", col("created_at").cast("timestamp_ntz"))
+  }
+
+  private val usersTypes = Seq(
+    SchemaColumn("id", "bigint"),
+    SchemaColumn("name", "varchar(25)"),
+    SchemaColumn("amount", "double"),
+    SchemaColumn("created_at", "datetime"))
+
+  test("schema stage emits reference-shaped BQ JSON (golden)") {
+    val layout = freshLayout()
+    SchemaFile.write(spark, layout.schemaFile("users"), usersTypes)
+    val json = Pipeline.cleanSchemaStage(spark, layout, "users")
+    assert(json ==
+      """[{"name": "id", "type": "INTEGER", "mode": "NULLABLE"}, """ +
+        """{"name": "name", "type": "STRING", "mode": "NULLABLE"}, """ +
+        """{"name": "amount", "type": "FLOAT", "mode": "NULLABLE"}, """ +
+        """{"name": "created_at", "type": "DATETIME", "mode": "NULLABLE"}]""")
+  }
+
+  test("full pipeline loads the table losslessly (incl. NULL row)") {
+    val layout = freshLayout()
+    val out = Pipeline.runTable(spark, usersDf, usersTypes, layout, "users").orderBy("id")
+    assert(out.schema == StructType(Seq(
+      StructField("id", LongType, nullable = true),
+      StructField("name", StringType, nullable = true),
+      StructField("amount", DoubleType, nullable = true),
+      StructField("created_at", TimestampNTZType, nullable = true))))
+    val rows = out.collect()
+    assert(rows.length == 3)
+    assert(rows(0).getAs[String]("name") == "alice")
+    assert(rows(1) == Row(2L, null, null, null))
+    assert(rows(2).getAs[Double]("amount") == 3.25)
+  }
+
+  test("pipeline is idempotent: run twice → identical table") {
+    val layout = freshLayout()
+    Pipeline.runTable(spark, usersDf, usersTypes, layout, "users")
+    val first = spark.read.parquet(layout.warehouse("users")).orderBy("id").collect().toSeq
+    Pipeline.runTable(spark, usersDf, usersTypes, layout, "users")
+    val second = spark.read.parquet(layout.warehouse("users")).orderBy("id").collect().toSeq
+    assert(first == second)
+  }
+
+  test("loadToTable: WRITE_TRUNCATE semantics via saveAsTable overwrite") {
+    val layout = freshLayout()
+    Pipeline.exportStage(spark, usersDf, usersTypes, layout, "users_tbl")
+    Pipeline.cleanSchemaStage(spark, layout, "users_tbl")
+    Pipeline.cleanDataStage(spark, layout, "users_tbl")
+    val n1 = Pipeline.loadToTable(spark, layout, "users_tbl")
+    val n2 = Pipeline.loadToTable(spark, layout, "users_tbl") // truncate, not append
+    assert(n1 == 3 && n2 == 3)
+    assert(spark.table("users_tbl").count() == 3)
+    spark.sql("DROP TABLE users_tbl")
+  }
+
+  test("retention sweep deletes only dated dirs older than cutoff") {
+    val root = java.nio.file.Files.createTempDirectory("ret").toString
+    for (date <- Seq("2024-01-01", "2024-02-20", "2024-03-01")) {
+      val l = Pipeline.Layout(root, date)
+      SchemaFile.writeText(spark, s"${l.cleanCsv("t")}/part-0", "x")
+    }
+    val deleted = Pipeline.retentionSweep(spark, root, java.time.LocalDate.parse("2024-03-10"), days = 32)
+    // cutoff = 2024-02-07: only 2024-01-01 is older
+    assert(deleted.size == 1 && deleted.head.endsWith("2024-01-01"))
+    val remaining = new java.io.File(s"$root/clean/csv").list().toSet
+    assert(remaining == Set("2024-02-20", "2024-03-01"))
+  }
+
+  test("SchemaFile round-trips quoted names and preserves order") {
+    val layout = freshLayout()
+    val cols = Seq(
+      SchemaColumn("big id", "bigint"),
+      SchemaColumn("amount/total", "decimal(10,2)"),
+      SchemaColumn("comma,name", "varchar(5)"))
+    SchemaFile.write(spark, layout.schemaFile("x"), cols)
+    assert(SchemaFile.read(spark, layout.schemaFile("x")) == cols)
+  }
+
+  test("SchemaFile.parseLine handles quotes, commas, escaped quotes") {
+    assert(SchemaFile.parseLine("\"a\",\"int\"") == Seq("a", "int"))
+    assert(SchemaFile.parseLine("\"a,b\",\"t\"") == Seq("a,b", "t"))
+    assert(SchemaFile.parseLine("\"say \"\"hi\"\"\",\"t\"") == Seq("say \"hi\"", "t"))
+    assert(SchemaFile.parseLine("plain,unquoted") == Seq("plain", "unquoted"))
+  }
+}

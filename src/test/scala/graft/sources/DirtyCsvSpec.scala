@@ -1,0 +1,100 @@
+package graft.sources
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** repairLine edge cases from FIXTURES.md §A3 (incl. the reference's known
+  * corruption case), expression/driver-function parity, and the dirty-CSV
+  * read path under an explicit schema.
+  */
+class DirtyCsvSpec extends SparkSpec {
+
+  import DirtyCsv._
+
+  test("repairLine: NULL in middle fields") {
+    assert(repairLine(""""2","N,"N,"bob"""") == """"2",,,"bob"""")
+  }
+
+  test("repairLine: NULL in last field (line-end anchored)") {
+    assert(repairLine(""""2","bob","N""") == """"2","bob",""")
+  }
+
+  test("repairLine: NULL in first field") {
+    assert(repairLine(""""N,"20","carol"""") == ""","20","carol"""")
+  }
+
+  test("repairLine: clean line untouched") {
+    val clean = """"1","10","alice","hello, world""""
+    assert(repairLine(clean) == clean)
+  }
+
+  test("repairLine: legit \"N inside quoted data is corrupted (bug-for-bug)") {
+    // reference behavior (app/csv-cleaner/main.py:25-26): the naive replace
+    // also rewrites a genuine `"N,` inside a quoted string.
+    assert(repairLine(""""carol","line with "N, inside"""") == """"carol","line with  inside"""")
+  }
+
+  test("repairColumnExpr matches repairLine on all fixture lines") {
+    import spark.implicits._
+    val lines = Seq(
+      """"2","N,"N,"N,"bob","N""",
+      """"N,"20","3.25","N,"x"""",
+      """"1","10","alice","hello, world"""",
+      """"carol","line with "N, inside"""",
+      "",
+      """"N""")
+    val viaExpr = lines.toDF("value")
+      .select(repairColumnExpr(col("value")).as("v"))
+      .collect().map(_.getString(0)).toSeq
+    assert(viaExpr == lines.map(repairLine))
+  }
+
+  test("read: dirty CSV → typed rows with NULLs (FIXTURES A3 shape)") {
+    val dir = java.nio.file.Files.createTempDirectory("dirtycsv").toString
+    val fixture = Seq(
+      """"1","12.50","2020-01-01 10:00:00","alice"""",
+      """"2","N,"N,"N""",
+      """"N,"3.25","2020-02-02 00:00:00","carol"""").mkString("\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/users.csv"), fixture)
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = true),
+      StructField("amount", DoubleType, nullable = true),
+      StructField("created_at", TimestampNTZType, nullable = true),
+      StructField("name", StringType, nullable = true)))
+    val rows = read(spark, s"$dir/users.csv", schema).orderBy("name").collect()
+    assert(rows.length == 3)
+    val byName = rows.map(r => Option(r.getAs[String]("name")) -> r).toMap
+    assert(byName(Some("alice")).getAs[Long]("id") == 1L)
+    assert(byName(Some("alice")).getAs[Double]("amount") == 12.50)
+    assert(byName(Some("carol")).isNullAt(0)) // first-field NULL
+    val bob = byName(None) // all-null tail row: name was trailing "N
+    assert(bob.isNullAt(1) && bob.isNullAt(2) && bob.isNullAt(3))
+    assert(bob.getAs[Long]("id") == 2L)
+  }
+
+  test("writeDirty → repair → read round-trips values including NULLs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dirtyrt").toString
+    val src = Seq(
+      (1L, Some("alice"), Some(711.56)),
+      (2L, None, None),
+      (3L, Some("quote\"inside"), Some(-0.25))).toDF("id", "name", "amount")
+    DirtyCsv.writeDirty(src, s"$dir/dirty")
+    DirtyCsv.repairToCleanCsv(spark, s"$dir/dirty", s"$dir/clean")
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = true),
+      StructField("name", StringType, nullable = true),
+      StructField("amount", DoubleType, nullable = true)))
+    val back = spark.read.schema(schema)
+      .option("quote", "\"").option("escape", "\"").option("nullValue", "")
+      .csv(s"$dir/clean")
+      .orderBy("id").collect()
+    assert(back.toSeq == Seq(
+      Row(1L, "alice", 711.56),
+      Row(2L, null, null),
+      Row(3L, "quote\"inside", -0.25)))
+  }
+}

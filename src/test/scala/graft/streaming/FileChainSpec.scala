@@ -1,0 +1,74 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Streaming stage-chaining parity (SURVEY §2.8): file-arrival clean →
+  * load with Trigger.AvailableNow, checkpointed incremental processing,
+  * idempotent overwrite loads, and the batch run guard.
+  */
+class FileChainSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = true),
+    StructField("name", StringType, nullable = true)))
+
+  test("clean stage repairs arriving files; checkpoint skips already-seen files") {
+    val root = Files.createTempDirectory("chain").toString
+    val in = s"$root/in"; val out = s"$root/out"; val ck = s"$root/ck"
+    Files.createDirectories(Paths.get(in))
+    Files.writeString(Paths.get(s"$in/a.csv"), "\"1\",\"N,\"x\"\n\"2\",\"alice\",\"N")
+    FileChain.cleanStage(spark, in, out, ck)
+    def cleanLines() =
+      spark.read.text(out).collect().map(_.getString(0)).toSet
+    assert(cleanLines() == Set("\"1\",,\"x\"", "\"2\",\"alice\","))
+    // second file arrives; re-run processes ONLY the new file
+    Files.writeString(Paths.get(s"$in/b.csv"), "\"3\",\"N,\"y\"")
+    FileChain.cleanStage(spark, in, out, ck)
+    assert(cleanLines() == Set("\"1\",,\"x\"", "\"2\",\"alice\",", "\"3\",,\"y\""))
+    // re-run with nothing new: no duplicates (exactly-once via checkpoint)
+    FileChain.cleanStage(spark, in, out, ck)
+    assert(spark.read.text(out).count() == 3)
+  }
+
+  test("load stage: streamed CSVs → truncate-overwrite warehouse parquet") {
+    val root = Files.createTempDirectory("load").toString
+    val in = s"$root/clean"; val tgt = s"$root/warehouse/t"; val ck = s"$root/ck"
+    Files.createDirectories(Paths.get(in))
+    Files.writeString(Paths.get(s"$in/t1.csv"), "\"1\",\"alice\"\n\"2\",\"bob\"")
+    FileChain.loadStage(spark, in, schema, tgt, ck)
+    assert(spark.read.parquet(tgt).count() == 2)
+    // late file: next AvailableNow run loads only the new data (overwrite
+    // semantics per batch — WRITE_TRUNCATE parity)
+    Files.writeString(Paths.get(s"$in/t2.csv"), "\"3\",\"carol\"")
+    FileChain.loadStage(spark, in, schema, tgt, ck)
+    val names = spark.read.parquet(tgt).collect().map(_.getString(1)).toSet
+    assert(names == Set("carol"))
+  }
+
+  test("run guard: batch_no beyond max aborts (reference main.py:32-38)") {
+    RunGuard.check(RunGuard.BatchMsg(Seq("a"), batchNo = 5, maxBatches = 5)) // ok
+    intercept[IllegalStateException] {
+      RunGuard.check(RunGuard.BatchMsg(Seq("a"), batchNo = 6, maxBatches = 5))
+    }
+  }
+
+  test("time-budget split publishes continuation with incremented batch_no") {
+    val msg = RunGuard.BatchMsg(Seq("t1", "t2", "t3"), 1, 8)
+    val (done, cont) = RunGuard.splitForBudget(
+      List("t1", "t2", "t3"), budgetMs = 100, (_: String) => 60L, msg)
+    assert(done == List("t1"))
+    assert(cont.exists(c => c.batchNo == 2 && c.tables == Seq("t2", "t3")))
+    val (all, none) = RunGuard.splitForBudget(List("t1"), 1000, (_: String) => 1L, msg)
+    assert(all == List("t1") && none.isEmpty)
+  }
+
+  test("payload format: comma-joined, consumed LIFO") {
+    val msg = RunGuard.BatchMsg(Seq("users", "user__field_a"), 1, 8)
+    assert(msg.payload == "users,user__field_a")
+    assert(msg.payload.split(",").toList.reverse.head == "user__field_a")
+  }
+}
