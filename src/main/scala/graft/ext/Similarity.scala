@@ -65,7 +65,7 @@ object Similarity {
     * signature band with the query; exact cosine re-scoring on candidates.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              bands: Int = 2, bitsPerBand: Int = 8): DataFrame = {
+              bands: Int = 8, bitsPerBand: Int = 4): DataFrame = {
     val planes = hyperplanes(bands * bitsPerBand, 64)
     def prep(df: DataFrame, idAs: String, vecAs: String): DataFrame = {
       val v = col("embedding").cast("array<double>")

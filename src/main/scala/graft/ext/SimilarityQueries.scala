@@ -34,7 +34,7 @@ object SimilarityQueries {
     ),
     Q(
       "q_sim_lsh",
-      // Scale path: sign-LSH banding (2 bands × 8 bits, fixed-seed
+      // Scale path: sign-LSH banding (8 bands × 4 bits, fixed-seed
       // hyperplanes) → candidates → exact re-score. Recall vs brute force
       // is property-tested in SimilaritySpec.
       (s, d) => {

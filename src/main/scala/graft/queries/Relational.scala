@@ -192,14 +192,20 @@ object Relational {
     ),
     Q(
       "q_join_anti",
+      // anti-join against a filtered build side (customers with no
+      // high-value order) — non-empty at every scale factor.
       (s, d) =>
         t(s, d, "customer")
-          .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+          .join(
+            t(s, d, "orders").filter(col("o_totalprice") > 450000),
+            col("c_custkey") === col("o_custkey"),
+            "left_anti")
           .select(col("c_custkey"), col("c_name"))
           .orderBy("c_custkey"),
       Some(
         "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS " +
-          "(SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey")
+          "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 450000) " +
+          "ORDER BY c_custkey")
     ),
     Q(
       "q_join_cross",

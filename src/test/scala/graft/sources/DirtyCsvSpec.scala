@@ -33,8 +33,8 @@ class DirtyCsvSpec extends SparkSpec {
 
   test("repairLine: legit \"N inside quoted data is corrupted (bug-for-bug)") {
     // reference behavior (app/csv-cleaner/main.py:25-26): the naive replace
-    // also rewrites a genuine `"N,` inside a quoted string.
-    assert(repairLine(""""carol","line with "N, inside"""") == """"carol","line with  inside"""")
+    // also rewrites a genuine `"N,` inside a quoted string (to a comma).
+    assert(repairLine(""""carol","line with "N, inside"""") == """"carol","line with , inside"""")
   }
 
   test("repairColumnExpr matches repairLine on all fixture lines") {
