@@ -10,6 +10,7 @@ object Registry {
     graft.queries.Relational.queries ++
       graft.queries.Scalars.queries ++
       graft.queries.PipelineQueries.queries ++
+      graft.queries.JdbcQueries.queries ++
       graft.queries.Events.queries ++
       graft.ext.TextQueries.queries ++
       graft.ext.DedupQueries.queries ++

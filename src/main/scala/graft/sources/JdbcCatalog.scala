@@ -1,0 +1,135 @@
+package graft.sources
+
+import java.sql.DriverManager
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.SchemaColumn
+
+/** JDBC catalog operators — the reference's stage-1/2 database surface
+  * (SURVEY.md §2.1 rows 1-3) against a real JDBC database:
+  *
+  *   - table discovery: the configurable metadata query over the system
+  *     catalog (reference: app/cloud-sql-query-runner/main.py:37-57,
+  *     query text variables.tf:72-75)
+  *   - column introspection in ordinal order
+  *     (app/cloud-sql-exporter/main.py:53-55)
+  *   - full-table scan via Spark's JDBC source
+  *     (app/cloud-sql-exporter/main.py:65, export_table.py:5-34)
+  *
+  * No MySQL exists in this environment; Apache Derby (embedded, ships with
+  * Spark) stands in. Discovery/scan go through `spark.read.format("jdbc")`
+  * — the engine-side plan is identical for any JDBC URL; swapping in
+  * `jdbc:mysql://...` changes only the URL and catalog query text. Column
+  * introspection uses driver-side `DatabaseMetaData` (bytes of metadata
+  * per table, exactly like the reference's driver-side schema query).
+  *
+  * Scale note: `fullTableScan` accepts partitioning bounds so the data
+  * read fans out over `numPartitions` concurrent JDBC cursors — the knob
+  * that matters when the source table is large.
+  */
+object JdbcCatalog {
+
+  /** Run an arbitrary catalog/discovery SQL through the Spark JDBC source
+    * (whole-query pushdown — the query executes inside the database, as in
+    * the reference where MySQL runs the discovery SELECT).
+    */
+  def queryJdbc(spark: SparkSession, url: String, query: String): DataFrame =
+    spark.read
+      .format("jdbc")
+      .option("url", url)
+      .option("query", query)
+      .load()
+
+  /** The canonical discovery query shape (README.md:27) against Derby's
+    * system catalog: user tables whose name matches LIKE/IN predicates.
+    */
+  def discoverTables(spark: SparkSession, url: String, likePattern: String, inList: Seq[String]): DataFrame = {
+    val inSql = inList.map(s => s"'$s'").mkString(", ")
+    queryJdbc(
+      spark,
+      url,
+      "SELECT LOWER(t.TABLENAME) AS table_name FROM SYS.SYSTABLES t " +
+        s"WHERE t.TABLETYPE = 'T' AND (LOWER(t.TABLENAME) LIKE '$likePattern' " +
+        s"OR LOWER(t.TABLENAME) IN ($inSql))")
+      .toDF("table_name") // Derby uppercases the projected alias
+  }
+
+  /** Ordinal-ordered (name, declared type) columns of a table — the
+    * `.schema` export feed. Driver-side JDBC metadata (not row data).
+    */
+  def introspectColumns(url: String, table: String): Seq[SchemaColumn] = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getColumns(null, null, table.toUpperCase, null)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, SchemaColumn)]
+      while (rs.next()) {
+        buf += ((rs.getInt("ORDINAL_POSITION"),
+          SchemaColumn(rs.getString("COLUMN_NAME").toLowerCase, rs.getString("TYPE_NAME").toLowerCase)))
+      }
+      buf.sortBy(_._1).map(_._2).toSeq
+    } finally conn.close()
+  }
+
+  /** Full-table scan; with bounds, fans out over numPartitions parallel
+    * JDBC cursors (`partitionColumn` range splits).
+    */
+  def fullTableScan(
+      spark: SparkSession,
+      url: String,
+      table: String,
+      partitionColumn: Option[(String, Long, Long, Int)] = None): DataFrame = {
+    val base = spark.read
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+    partitionColumn
+      .fold(base) { case (c, lo, hi, n) =>
+        base
+          .option("partitionColumn", c)
+          .option("lowerBound", lo)
+          .option("upperBound", hi)
+          .option("numPartitions", n)
+      }
+      .load()
+  }
+
+  /** Build a deterministic embedded Derby database mimicking the
+    * reference's MySQL layout (users + user__field_* tables), for the
+    * registered discovery/scan queries and tests.
+    */
+  def seedDemoDb(dbDir: String): String = {
+    val url = s"jdbc:derby:$dbDir;create=true"
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      val existing = {
+        val rs = conn.getMetaData.getTables(null, "APP", null, Array("TABLE"))
+        val b = scala.collection.mutable.Set.empty[String]
+        while (rs.next()) b += rs.getString("TABLE_NAME")
+        b
+      }
+      def ensure(ddl: String, name: String): Unit =
+        if (!existing.contains(name.toUpperCase)) st.executeUpdate(ddl)
+      ensure(
+        "CREATE TABLE users (id BIGINT, name VARCHAR(32), balance DOUBLE, created_at TIMESTAMP)",
+        "users")
+      ensure("CREATE TABLE user__field_a (id BIGINT, v VARCHAR(8))", "user__field_a")
+      ensure("CREATE TABLE user__field_b (id BIGINT, v VARCHAR(8))", "user__field_b")
+      ensure("CREATE TABLE orders_x (id BIGINT)", "orders_x")
+      val cnt = st.executeQuery("SELECT COUNT(*) AS c FROM users")
+      cnt.next()
+      if (cnt.getInt("c") == 0) {
+        val ins = conn.prepareStatement("INSERT INTO users VALUES (?, ?, ?, ?)")
+        for (i <- 1 to 50) {
+          ins.setLong(1, i.toLong)
+          ins.setString(2, s"user_$i")
+          ins.setDouble(3, i * 1.5)
+          ins.setTimestamp(4, java.sql.Timestamp.valueOf(f"2024-01-${(i % 28) + 1}%02d 00:00:00"))
+          ins.executeUpdate()
+        }
+      }
+    } finally conn.close()
+    s"jdbc:derby:$dbDir"
+  }
+}
