@@ -12,6 +12,13 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Note on local parallelism: the driver-generated test parquet has ONE
+    * row group per file, so the scan stage runs as a single task (parquet
+    * cannot split below row-group granularity). Measured here, inserting a
+    * repartition to spread the work costs more than the single-task scan
+    * saves at these sizes — so we keep the plan clean. Real multi-file /
+    * multi-row-group data splits at the source and parallelizes natively.
+    */
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 

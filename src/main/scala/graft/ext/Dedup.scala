@@ -23,11 +23,23 @@ object Dedup {
       s"array_distinct(transform(sequence(1, greatest(1, length($textCol) - ${k - 1})), " +
         s"i -> substring($textCol, i, $k)))")
 
-  /** n-hash MinHash signature over a shingle array column `sh`:
-    * sig[i] = min over shingles of xxhash64(shingle, i).
+  /** n-hash MinHash signatures for `df(idCol, textCol)` via ONE shingle
+    * explode + a 32-accumulator min hash-aggregate. Computing the mins as
+    * per-row array expressions instead would re-evaluate the shingle array
+    * once per hash (Catalyst inlines the shared projection) — measured 20×
+    * slower. This shape is also the scale path: narrow explode, partial
+    * mins map-side, single shuffle on id.
     */
-  def minhashSignature(nHashes: Int, shCol: String = "sh"): Column =
-    array((0 until nHashes).map(i => expr(s"array_min(transform($shCol, s -> xxhash64(s, $i)))")): _*)
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String, shingleK: Int, nHashes: Int): DataFrame = {
+    val exploded = df
+      .select(col(idCol).as("id"), explode(shingles(shingleK, textCol)).as("s"))
+    exploded
+      .groupBy(col("id"))
+      .agg(
+        min(expr("xxhash64(s, 0)")).as("m0"),
+        (1 until nHashes).map(i => min(expr(s"xxhash64(s, $i)")).as(s"m$i")): _*)
+      .select(col("id"), array((0 until nHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
 
   /** LSH band hashes: split the signature into `bands` rows of
     * `rowsPerBand`, hash each band. Two docs collide in a band iff that
@@ -56,11 +68,7 @@ object Dedup {
       rowsPerBand: Int = 4,
       minJaccard: Double = 0.4): DataFrame = {
     val nHashes = bands * rowsPerBand
-    val sigs = df
-      .select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sh", shingles(shingleK))
-      .withColumn("sig", minhashSignature(nHashes))
-      .select(col("id"), col("sig"))
+    val sigs = minhashSignatures(df, idCol, textCol, shingleK, nHashes)
     val banded = sigs
       .select(col("id"), col("sig"), posexplode(bandHashes(bands, rowsPerBand)).as(Seq("band_idx", "band_hash")))
     val a = banded.select(col("id").as("a_id"), col("sig").as("a_sig"), col("band_idx"), col("band_hash"))

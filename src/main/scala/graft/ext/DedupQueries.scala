@@ -25,7 +25,8 @@ object DedupQueries {
       Some(
         "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
           "CAST(COUNT(DISTINCT text) AS BIGINT) AS n_unique " +
-          "FROM documents GROUP BY lang ORDER BY lang")
+          "FROM documents GROUP BY lang ORDER BY lang"),
+      headline = true
     ),
     Q(
       "q_dedup_rep",
@@ -76,7 +77,8 @@ object DedupQueries {
         Dedup
           .minhashPairs(Tables(s, d, "documents"), "doc_id", "text")
           .orderBy("a_id", "b_id"),
-      None
+      None,
+      headline = true
     ),
     Q(
       "q_dedup_simhash",

@@ -30,7 +30,8 @@ object SimilarityQueries {
           "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos " +
           "FROM q CROSS JOIN c WHERE q_id <> n_id), " +
           "r AS (SELECT q_id, n_id, cos, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank FROM s) " +
-          "SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 3 ORDER BY q_id, rank")
+          "SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 3 ORDER BY q_id, rank"),
+      headline = true
     ),
     Q(
       "q_sim_lsh",

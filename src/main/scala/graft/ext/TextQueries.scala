@@ -32,7 +32,8 @@ object TextQueries {
         "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
           Agg.davgSql("CAST(len(string_split(text, ' ')) AS DOUBLE)") + " AS avg_tokens, " +
           "CAST(SUM(n_chars) AS BIGINT) AS total_chars, CAST(MAX(n_chars) AS BIGINT) AS max_chars " +
-          "FROM documents GROUP BY lang ORDER BY lang")
+          "FROM documents GROUP BY lang ORDER BY lang"),
+      headline = true
     ),
     Q(
       "q_token_count",

@@ -91,7 +91,8 @@ object Events {
           "SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM g) " +
           "SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS session_start, " +
           "CAST(COUNT(*) AS BIGINT) AS n_events, " + Agg.dsumSql("value") + " AS total_value " +
-          "FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start")
+          "FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start"),
+      headline = true
     ),
     Q(
       "q_asof_join",

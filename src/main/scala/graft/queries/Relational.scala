@@ -59,7 +59,8 @@ object Relational {
       Some(
         "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem " +
           "WHERE (l_returnflag = 'R' OR l_linestatus = 'F') AND l_quantity > 30 " +
-          "ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag")
+          "ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag"),
+      headline = true
     ),
     Q(
       "q_filter_in",
@@ -404,7 +405,8 @@ object Relational {
           "FIRST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
           "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price " +
           "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) " +
-          "ORDER BY o_custkey, o_orderkey")
+          "ORDER BY o_custkey, o_orderkey"),
+      headline = true
     ),
     Q(
       "q_window_frame",
@@ -450,7 +452,8 @@ object Relational {
           .limit(10),
       Some(
         "SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
-          "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10")
+          "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"),
+      headline = true
     ),
     Q(
       "q_sort_multi",
