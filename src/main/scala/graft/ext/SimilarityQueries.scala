@@ -47,6 +47,21 @@ object SimilarityQueries {
       None
     ),
     Q(
+      "q_centroid_udaf",
+      // Typed Aggregator (§2.9 UDAF surface): per-label centroid vector.
+      // Float-sum order varies with partitioning → rows-only check here;
+      // exact values pinned in SimilaritySpec on a tiny fixture.
+      (s, d) => {
+        import s.implicits._
+        Tables(s, d, "embeddings")
+          .groupBy(col("label"))
+          .agg(udaf(CentroidAgg).apply(col("embedding")).as("centroid"))
+          .select(col("label"), col("centroid"))
+          .orderBy("label")
+      },
+      None
+    ),
+    Q(
       "q_embed_agg",
       // Per-(label, dimension) aggregate over the embedding column — the
       // distributed centroid building block (sum; the divide-by-count

@@ -38,6 +38,21 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall $recall (${approx.size} approx vs ${exact.size} exact)")
   }
 
+  test("CentroidAgg computes exact per-group means") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.udaf
+    val df = Seq(
+      (1, Seq(1.0f, 2.0f)),
+      (1, Seq(3.0f, 6.0f)),
+      (2, Seq(10.0f, 0.0f))).toDF("label", "embedding")
+    val rows = df.groupBy($"label")
+      .agg(udaf(CentroidAgg).apply($"embedding").as("centroid"))
+      .orderBy("label")
+      .collect()
+    assert(rows(0).getSeq[Double](1) == Seq(2.0, 4.0))
+    assert(rows(1).getSeq[Double](1) == Seq(10.0, 0.0))
+  }
+
   test("signature is deterministic across invocations") {
     import spark.implicits._
     val planes = Similarity.hyperplanes(16, 4)

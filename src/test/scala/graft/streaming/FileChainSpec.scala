@@ -49,6 +49,51 @@ class FileChainSpec extends SparkSpec {
     assert(names == Set("carol"))
   }
 
+  test("streaming windowed agg with watermark finalizes windows and drops late data") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Files.createTempDirectory("wm").toString
+    val in = s"$root/in"; val out = s"$root/out"; val ck = s"$root/ck"
+    Files.createDirectories(Paths.get(in))
+    val evSchema = StructType(Seq(
+      StructField("ts", StringType, nullable = true),
+      StructField("v", LongType, nullable = true)))
+    def run(): Unit = {
+      val q = spark.readStream
+        .schema(evSchema)
+        .csv(in)
+        .select(col("ts").cast("timestamp").as("ts"), col("v"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(sum(col("v")).as("total"))
+        .select(col("window.start").as("win"), col("total"))
+        .writeStream
+        .outputMode("append") // append emits only watermark-finalized windows
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // batch 1: events in hour-0 plus one at 01:10 → watermark 01:00 →
+    // hour-0 window finalized on the NEXT run
+    Files.writeString(Paths.get(s"$in/b1.csv"),
+      "2024-01-01 00:05:00,1\n2024-01-01 00:20:00,2\n2024-01-01 01:10:00,10")
+    run()
+    // batch 2: a LATE hour-0 event (00:30, behind the 01:00 watermark —
+    // must be dropped) plus one at 02:30 advancing the watermark past
+    // hour-1
+    Files.writeString(Paths.get(s"$in/b2.csv"),
+      "2024-01-01 00:30:00,100\n2024-01-01 02:30:00,20")
+    run()
+    run() // flush: finalize hour-1 under the advanced watermark
+    val got = spark.read.parquet(out)
+      .collect().map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    assert(got("2024-01-01 00:00:00.0") == 3L, s"late 00:30 event must be dropped: $got")
+    assert(got("2024-01-01 01:00:00.0") == 10L, got.toString)
+  }
+
   test("run guard: batch_no beyond max aborts (reference main.py:32-38)") {
     RunGuard.check(RunGuard.BatchMsg(Seq("a"), batchNo = 5, maxBatches = 5)) // ok
     intercept[IllegalStateException] {
