@@ -81,6 +81,34 @@ object DedupQueries {
       headline = true
     ),
     Q(
+      "q_minhash_union",
+      // Sketch merge: per-language minhash signature of the UNION of all
+      // documents' shingle sets (elementwise-min UDAF over per-doc
+      // signatures) + cross-language similarity estimate vs 'en'.
+      (s, d) => {
+        import org.apache.spark.sql.functions.udaf
+        val sigs = Dedup
+          .minhashSignatures(
+            Tables(s, d, "documents").select(col("doc_id"), col("lang"), col("text")),
+            "doc_id", "text", shingleK = 5, nHashes = 32)
+          .join(
+            Tables(s, d, "documents").select(col("doc_id").as("id"), col("lang")),
+            Seq("id"))
+        val unioned = sigs
+          .groupBy(col("lang"))
+          .agg(udaf(MinHashUnionAgg).apply(col("sig")).as("union_sig"))
+        val en = unioned.filter(col("lang") === "en")
+          .select(col("union_sig").as("en_sig"))
+        unioned
+          .crossJoin(broadcast(en))
+          .select(
+            col("lang"),
+            Dedup.estJaccard(col("union_sig"), col("en_sig"), 32).as("est_jaccard_vs_en"))
+          .orderBy("lang")
+      },
+      None
+    ),
+    Q(
       "q_dedup_simhash",
       // SimHash fingerprints via the custom codegen expression
       // (graft.functions.SimHash64): near-dup pairs = same 16-bit chunk

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util.Base64
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.RunGuard.BatchMsg
+
+/** File-based control topic — the Pub/Sub work-queue re-expressed
+  * (SURVEY §2.1 "message sink/source", reference publish:
+  * app/cloud-sql-query-runner/main.py:59-65, consume:
+  * app/cloud-sql-exporter/main.py:29-33).
+  *
+  * Message format parity: the payload is base64 of the comma-joined table
+  * list (the reference's wire encoding) plus string attributes batch_no /
+  * max_batches, one message per file. Batch consumption is LIFO per the
+  * exporter's `pop()` loop; streaming consumption is a checkpointed
+  * `readStream.text` over the topic directory — Spark's new-file
+  * detection IS the object-finalize trigger semantics.
+  */
+object MessageQueue {
+
+  /** Publish a batch message to a topic directory (one file per message,
+    * monotonically named so arrival order is recoverable).
+    */
+  def publish(topicDir: String, msg: BatchMsg): String = {
+    Files.createDirectories(Paths.get(topicDir))
+    val b64 = Base64.getEncoder.encodeToString(msg.payload.getBytes(StandardCharsets.UTF_8))
+    val line = s"$b64,${msg.batchNo},${msg.maxBatches}"
+    val name = f"msg-${System.nanoTime()}%020d.txt"
+    Files.writeString(Paths.get(s"$topicDir/$name"), line)
+    name
+  }
+
+  /** Decode one wire line back to a BatchMsg (base64 payload + attrs). */
+  def decode(line: String): BatchMsg = {
+    val Array(b64, no, max) = line.split(",", 3)
+    val payload = new String(Base64.getDecoder.decode(b64), StandardCharsets.UTF_8)
+    BatchMsg(payload.split(",").toSeq.filter(_.nonEmpty), no.toInt, max.toInt)
+  }
+
+  /** Batch-consume all pending messages, oldest first; tables within each
+    * message in LIFO order (reference pop() semantics).
+    */
+  def consumeAll(topicDir: String): Seq[BatchMsg] = {
+    val dir = Paths.get(topicDir)
+    if (!Files.exists(dir)) Seq.empty
+    else {
+      val files = Files.list(dir).iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, BatchMsg)]
+      while (files.hasNext) {
+        val f = files.next()
+        if (f.getFileName.toString.startsWith("msg-"))
+          buf += ((f.getFileName.toString, decode(Files.readString(f))))
+      }
+      buf.sortBy(_._1).map { case (_, m) => m.copy(tables = m.tables.reverse) }.toSeq
+    }
+  }
+
+  /** Streaming consume: checkpointed file stream over the topic dir —
+    * each new message file becomes a row (payload decoded, attrs split).
+    */
+  def readStreamed(spark: SparkSession, topicDir: String): DataFrame =
+    spark.readStream
+      .format("text")
+      .load(topicDir)
+      .select(split(col("value"), ",", 3).as("parts"))
+      .select(
+        unbase64(col("parts").getItem(0)).cast("string").as("payload"),
+        col("parts").getItem(1).cast("int").as("batch_no"),
+        col("parts").getItem(2).cast("int").as("max_batches"))
+}

@@ -1,0 +1,38 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom stateful streaming op (SURVEY §2.8 "stateful ops"):
+  * per-user running event counts via `flatMapGroupsWithState` — state (the
+  * cumulative count) persists in the checkpointed state store across
+  * micro-batches and across `Trigger.AvailableNow` runs.
+  *
+  * Used where built-ins can't express the state machine; the session
+  * windows the reference's extension needs are done with the built-in
+  * `session_window` (see graft.queries.Events) — this demonstrates the
+  * escape hatch.
+  */
+object Stateful {
+
+  final case class UserEvent(user_id: Long, event_type: String)
+  final case class UserCount(user_id: Long, cumulative: Long, batch_events: Int)
+
+  def updateCount(
+      userId: Long,
+      events: Iterator[UserEvent],
+      state: GroupState[Long]): Iterator[UserCount] = {
+    val n = events.size
+    val total = state.getOption.getOrElse(0L) + n
+    state.update(total)
+    Iterator.single(UserCount(userId, total, n))
+  }
+
+  /** Running per-user counts over a stream of UserEvent. */
+  def runningCounts(spark: SparkSession, events: Dataset[UserEvent]): Dataset[UserCount] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(updateCount)
+  }
+}

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.core.SchemaColumn
+import graft.pipeline.Pipeline
+import graft.sources.JdbcCatalog
+import graft.streaming.RunGuard.BatchMsg
+
+/** Message-queue wire parity, stateful streaming, and the EP1 end-to-end
+  * trace: discovery (JDBC) → publish table list → LIFO consume → per-table
+  * pipeline → warehouse (SURVEY §3 EP1 without process boundaries).
+  */
+class QueueAndStateSpec extends SparkSpec {
+
+  test("message round-trips the reference wire format (base64 payload + attrs)") {
+    val topic = Files.createTempDirectory("topic").toString
+    MessageQueue.publish(topic, BatchMsg(Seq("users", "user__field_a"), 1, 8))
+    MessageQueue.publish(topic, BatchMsg(Seq("t3"), 2, 8))
+    val msgs = MessageQueue.consumeAll(topic)
+    assert(msgs.size == 2)
+    // oldest message first; tables LIFO within it (exporter pop() order)
+    assert(msgs.head.tables == Seq("user__field_a", "users"))
+    assert(msgs.head.batchNo == 1 && msgs.head.maxBatches == 8)
+    assert(msgs(1).tables == Seq("t3"))
+  }
+
+  test("streamed consume decodes payload and attributes") {
+    val topic = Files.createTempDirectory("topic2").toString
+    MessageQueue.publish(topic, BatchMsg(Seq("a", "b"), 3, 5))
+    val out = Files.createTempDirectory("qout").toString
+    val q = MessageQueue.readStreamed(spark, topic)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", s"$out-ck")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.read.parquet(out).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[String]("payload") == "a,b")
+    assert(rows.head.getAs[Int]("batch_no") == 3)
+    assert(rows.head.getAs[Int]("max_batches") == 5)
+  }
+
+  test("flatMapGroupsWithState: running counts persist across AvailableNow runs") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("state").toString
+    val in = s"$root/in"; val out = s"$root/out"; val ck = s"$root/ck"
+    Files.createDirectories(Paths.get(in))
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_type", StringType)))
+    def run(): Unit = {
+      val events = spark.readStream.schema(schema).csv(in).as[Stateful.UserEvent]
+      val q = Stateful.runningCounts(spark, events)
+        .writeStream.format("parquet").outputMode("append")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    Files.writeString(Paths.get(s"$in/b1.csv"), "1,click\n1,view\n2,click")
+    run()
+    Files.writeString(Paths.get(s"$in/b2.csv"), "1,purchase")
+    run()
+    val byBatch = spark.read.parquet(out).as[Stateful.UserCount].collect()
+      .groupBy(_.user_id).view.mapValues(_.map(_.cumulative).sorted.toSeq).toMap
+    assert(byBatch(2L) == Seq(1L))
+    assert(byBatch(1L) == Seq(2L, 3L), s"state must carry 2 -> 3 across runs: $byBatch")
+  }
+
+  test("EP1 end-to-end: JDBC discovery -> publish -> consume -> pipeline -> warehouse") {
+    val url = JdbcCatalog.seedDemoDb(
+      Files.createTempDirectory("derby-ep1").toString + "/db")
+    // stage 1: discovery + publish (query_runner parity)
+    val discovered = JdbcCatalog
+      .discoverTables(spark, url, "user__field%", Seq("users"))
+      .collect().map(_.getString(0)).sorted.toSeq
+    val topic = Files.createTempDirectory("ep1topic").toString
+    MessageQueue.publish(topic, BatchMsg(discovered, 1, 8))
+    // stage 2-4 per consumed table (exporter/cleaner/importer parity)
+    val layout = Pipeline.Layout(Files.createTempDirectory("ep1wh").toString, "2024-02-02")
+    val msg = MessageQueue.consumeAll(topic).head
+    RunGuard.check(msg)
+    msg.tables.foreach { table =>
+      val df = JdbcCatalog.fullTableScan(spark, url, table)
+      val cols = JdbcCatalog.introspectColumns(url, table)
+      Pipeline.runTable(spark, df, cols, layout, table)
+    }
+    // users came through the full dirty-CSV path losslessly
+    val users = spark.read.parquet(layout.warehouse("users"))
+    assert(users.count() == 50)
+    assert(users.schema("id").dataType == LongType) // bigint -> INTEGER -> long
+    assert(users.filter(col("name") === "user_7").count() == 1)
+    assert(msg.tables.contains("user__field_a") && msg.tables.contains("users"))
+  }
+}
