@@ -108,6 +108,26 @@ object Pipeline {
     loadStage(spark, layout, table)
   }
 
+  /** Dated-partition warehouse load (SURVEY §1.1 "dated partition
+    * namespace"): append each run under `export_date=<date>` with DYNAMIC
+    * partition overwrite — re-running a date replaces only that date's
+    * partition (per-partition WRITE_TRUNCATE), other dates untouched.
+    * Readers filtering on export_date get static partition pruning.
+    */
+  def loadPartitioned(spark: SparkSession, layout: Layout, table: String, warehousePath: String): Unit = {
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      readClean(spark, layout, table)
+        .withColumn("export_date", lit(layout.date))
+        .write
+        .mode(SaveMode.Overwrite)
+        .partitionBy("export_date")
+        .parquet(warehousePath)
+    finally prev.fold(spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+  }
+
   /** Retention sweep (main.tf:72-79 — 32-day lifecycle delete): list dated
     * partition dirs under staging/clean and drop those older than the
     * cutoff. Returns deleted dir paths.

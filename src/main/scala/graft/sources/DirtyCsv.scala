@@ -63,28 +63,10 @@ object DirtyCsv {
       .mode("overwrite")
       .text(outPath)
 
-  /** Write a DataFrame as headerless quoted CSV in the POST-CLEAN format
-    * (NULL as empty field — what the cleaner emits, not the dirty wire
-    * format; for that see [[writeDirty]]).
-    */
-  def writeHeaderless(df: DataFrame, path: String): Unit =
-    df.write
-      .mode("overwrite")
-      .option("header", "false")
-      .option("quoteAll", "true")
-      .option("nullValue", "")
-      .csv(path)
-
-  /** Write the Cloud SQL MySQL DIRTY wire format: every field quoted,
-    * `"` doubled inside fields, and NULL encoded as the broken unterminated
-    * `"N` marker this module exists to repair (reference: README.md:3,
-    * app/csv-cleaner/main.py:21-27). Built from codegen'd expressions so
-    * fixture generation scales like any other write.
-    */
-  def writeDirty(df: DataFrame, path: String): Unit = {
+  private def writeQuotedLines(df: DataFrame, path: String, nullToken: String): Unit = {
     val fields = df.schema.fieldNames.map { f =>
       val v = col(s"`$f`").cast("string")
-      when(v.isNull, lit("\"N"))
+      when(v.isNull, lit(nullToken))
         .otherwise(concat(lit("\""), regexp_replace(v, "\"", "\"\""), lit("\"")))
     }
     df.select(concat_ws(",", fields.toIndexedSeq: _*).as("value"))
@@ -92,4 +74,22 @@ object DirtyCsv {
       .mode("overwrite")
       .text(path)
   }
+
+  /** Write a DataFrame as headerless quoted CSV in the POST-CLEAN format:
+    * values quoted, NULL as an UNQUOTED empty field — exactly what the
+    * cleaner's `"N,` → `,` rewrite produces (Spark's csv writer cannot
+    * express quoted-values-but-unquoted-nulls, hence the expression path).
+    * For the dirty wire format see [[writeDirty]].
+    */
+  def writeHeaderless(df: DataFrame, path: String): Unit =
+    writeQuotedLines(df, path, nullToken = "")
+
+  /** Write the Cloud SQL MySQL DIRTY wire format: every field quoted,
+    * `"` doubled inside fields, and NULL encoded as the broken unterminated
+    * `"N` marker this module exists to repair (reference: README.md:3,
+    * app/csv-cleaner/main.py:21-27). Built from codegen'd expressions so
+    * fixture generation scales like any other write.
+    */
+  def writeDirty(df: DataFrame, path: String): Unit =
+    writeQuotedLines(df, path, nullToken = "\"N")
 }

@@ -92,6 +92,58 @@ class PipelineSpec extends SparkSpec {
     assert(remaining == Set("2024-02-20", "2024-03-01"))
   }
 
+  test("dated partitions: dynamic overwrite per date + partition pruning") {
+    import org.apache.spark.sql.functions.col
+    val wh = java.nio.file.Files.createTempDirectory("whpart").toString + "/users"
+    def loadDate(date: String): Unit = {
+      val l = Pipeline.Layout(java.nio.file.Files.createTempDirectory("pd").toString, date)
+      Pipeline.exportStage(spark, usersDf, usersTypes, l, "users")
+      Pipeline.cleanSchemaStage(spark, l, "users")
+      Pipeline.cleanDataStage(spark, l, "users")
+      Pipeline.loadPartitioned(spark, l, "users", wh)
+    }
+    loadDate("2024-01-01")
+    loadDate("2024-01-02")
+    loadDate("2024-01-02") // idempotent re-run of ONE date
+    val all = spark.read.parquet(wh)
+    assert(all.count() == 6) // 3 rows x 2 dates, re-run did not duplicate
+    // partition pruning reaches the scan
+    val pruned = all.filter(col("export_date") === "2024-01-01")
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(pruned.count() == 3)
+    assert(scan.contains("PartitionFilters") && scan.contains("export_date"), scan.take(400))
+  }
+
+  test("writeHeaderless emits the cleaner's post-clean CSV format") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("hdrless").toString + "/out"
+    graft.sources.DirtyCsv.writeHeaderless(
+      Seq((1L, Some("a"), Some(1.5)), (2L, None, None)).toDF("id", "name", "amount"), dir)
+    val lines = spark.read.text(dir).collect().map(_.getString(0)).sorted.toSeq
+    // quoted fields, NULL as empty (post-clean format, not the "N wire form)
+    assert(lines == Seq("\"1\",\"a\",\"1.5\"", "\"2\",,"))
+  }
+
+  test("retry backoff: reference schedule shape + bounded attempts") {
+    val sched = graft.streaming.Retry.backoffSchedule(8)
+    assert(sched.size == 8)
+    for ((s, i) <- sched.zipWithIndex) {
+      assert(s >= math.pow(2, i) && s < math.pow(2, i) + 1.0, s"attempt $i: $s")
+    }
+    assert(graft.streaming.Retry.backoffSchedule(8) == sched) // deterministic
+    var calls = 0
+    val slept = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val r = graft.streaming.Retry.withBackoff(maxAttempts = 5, sleeper = d => slept += d) { () =>
+      calls += 1
+      if (calls < 3) sys.error("not ready") else "done"
+    }
+    assert(r == Right("done") && calls == 3 && slept.size == 2)
+    val fail = graft.streaming.Retry.withBackoff(maxAttempts = 2, sleeper = _ => ()) { () =>
+      sys.error("always")
+    }
+    assert(fail.isLeft)
+  }
+
   test("SchemaFile round-trips quoted names and preserves order") {
     val layout = freshLayout()
     val cols = Seq(
