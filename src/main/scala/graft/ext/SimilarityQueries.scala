@@ -47,6 +47,34 @@ object SimilarityQueries {
       None
     ),
     Q(
+      "q_dedup_embed",
+      // Embedding-cosine near-dup detection: block on the label column
+      // (cluster id) so candidate pairs are per-bucket, not all-pairs —
+      // then exact cosine >= 0.3 (the synthetic
+      // labels are weak cosine clusters; same shape, lower threshold). At scale the block key comes from
+      // coarse quantization (IVF) or sign-LSH (q_sim_lsh); the join and
+      // re-score shape is identical.
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+          .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+        val a = e.select(col("vec_id").as("a_id"), col("label"), col("v").as("av"))
+        val b = e.select(col("vec_id").as("b_id"), col("label"), col("v").as("bv"))
+        a.join(b, Seq("label"))
+          .filter(col("a_id") < col("b_id"))
+          .select(col("label"), col("a_id"), col("b_id"),
+            Similarity.cosine(col("av"), col("bv")).as("cos"))
+          .filter(col("cos") >= 0.3)
+          .orderBy("a_id", "b_id")
+      },
+      Some(
+        "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) " +
+          "SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id, " +
+          "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos " +
+          "FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id " +
+          "WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3 " +
+          "ORDER BY a_id, b_id")
+    ),
+    Q(
       "q_centroid_udaf",
       // Typed Aggregator (§2.9 UDAF surface): per-label centroid vector.
       // Float-sum order varies with partitioning → rows-only check here;
