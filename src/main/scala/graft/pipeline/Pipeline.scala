@@ -27,6 +27,13 @@ import graft.sources.DirtyCsv
   */
 object Pipeline {
 
+  object Layout {
+    /** Run-date partition key from the wall clock — `date.today()` parity
+      * (app/cloud-sql-exporter/main.py:9,58,68).
+      */
+    def today(root: String): Layout = Layout(root, java.time.LocalDate.now().toString)
+  }
+
   final case class Layout(root: String, date: String) {
     def dirtyCsv(table: String): String = s"$root/staging/exports/$date/$table.csv"
     def schemaFile(table: String): String = s"$root/staging/schemas/$date/$table.schema"

@@ -49,12 +49,14 @@ object Scalars {
             substring(col("p_name"), 1, 3).as("pre3"),
             concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
             length(col("p_name")).cast("long").as("name_len"),
-            regexp_replace(col("p_name"), "a", "@").as("subbed"))
+            regexp_replace(col("p_name"), "a", "@").as("subbed"),
+            format_string("%s#%05d", col("p_brand"), col("p_partkey")).as("sku"))
           .orderBy("p_partkey"),
       Some(
         "SELECT p_partkey, UPPER(p_name) AS uname, string_split(p_name, ' ')[1] AS word1, " +
           "substring(p_name, 1, 3) AS pre3, concat_ws('|', p_brand, p_type) AS brand_type, " +
-          "CAST(LENGTH(p_name) AS BIGINT) AS name_len, regexp_replace(p_name, 'a', '@', 'g') AS subbed " +
+          "CAST(LENGTH(p_name) AS BIGINT) AS name_len, regexp_replace(p_name, 'a', '@', 'g') AS subbed, " +
+          "printf('%s#%05d', p_brand, p_partkey) AS sku " +
           "FROM part ORDER BY p_partkey")
     ),
     Q(

@@ -94,6 +94,40 @@ class FileChainSpec extends SparkSpec {
     assert(got("2024-01-01 01:00:00.0") == 10L, got.toString)
   }
 
+  test("streaming sessionization: session_window + watermark over a file stream") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Files.createTempDirectory("ssw").toString
+    val in = s"$root/in"; val out = s"$root/out"; val ck = s"$root/ck"
+    Files.createDirectories(Paths.get(in))
+    val evSchema = StructType(Seq(
+      StructField("ts", StringType), StructField("user", LongType), StructField("v", LongType)))
+    def run(): Unit = {
+      val q = spark.readStream.schema(evSchema).csv(in)
+        .select(col("ts").cast("timestamp").as("ts"), col("user"), col("v"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
+        .select(col("session_window.start").as("start"), col("user"), col("n"), col("total"))
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // user 1: two events 10 min apart (one session), then a gap > 30 min
+    // (second session); a final late-clock event pushes the watermark so
+    // earlier sessions finalize.
+    Files.writeString(Paths.get(s"$in/b1.csv"),
+      "2024-01-01 00:00:00,1,1\n2024-01-01 00:10:00,1,2\n2024-01-01 01:00:00,1,5")
+    run()
+    Files.writeString(Paths.get(s"$in/b2.csv"), "2024-01-01 03:00:00,1,9")
+    run(); run()
+    val rows = spark.read.parquet(out)
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(2), r.getLong(3))).toSet
+    assert(rows.contains(("2024-01-01 00:00:00.0", 2L, 3L)), s"merged first session: $rows")
+    assert(rows.contains(("2024-01-01 01:00:00.0", 1L, 5L)), s"gap split second session: $rows")
+  }
+
   test("run guard: batch_no beyond max aborts (reference main.py:32-38)") {
     RunGuard.check(RunGuard.BatchMsg(Seq("a"), batchNo = 5, maxBatches = 5)) // ok
     intercept[IllegalStateException] {
