@@ -26,6 +26,12 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * Same bits out of both engines, at the cost of quantizing inputs to 4
   * decimals. At scale this is still a partial+final hash aggregate with
   * map-side combine; only the accumulator type changes.
+  *
+  * Supported value domain: finite doubles with |x| < ~9e14 (so x*10000
+  * stays exactly summable; the decimal/HUGEINT accumulators never
+  * overflow). NaN/Infinity are outside the contract — Spark's non-ANSI
+  * decimal cast nulls them (dropping them from the sum) while DuckDB's
+  * HUGEINT cast raises; filter them upstream if the data can contain them.
   */
 object Agg {
 

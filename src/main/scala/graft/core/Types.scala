@@ -104,10 +104,13 @@ final case class SchemaColumn(name: String, mysqlType: String) {
 
 /** BigQuery-format JSON schema document codec.
   *
-  * Render shape matches the reference byte-for-byte
+  * Render shape STRUCTURALLY matches the reference
   * (app/csv-cleaner/main.py:40-45): an array of
-  * `{"name": n, "type": t, "mode": "NULLABLE"}` objects. Every column is
-  * forced NULLABLE (main.py:41).
+  * `{"name": n, "type": t, "mode": "NULLABLE"}` objects, every column
+  * forced NULLABLE (main.py:41). Whitespace differs — the reference
+  * pretty-prints multi-line; we emit one line (both forms are accepted by
+  * BigQuery and by [[SchemaDoc.parseJson]]), so golden tests compare
+  * structure, not bytes.
   */
 object SchemaDoc {
 

@@ -20,6 +20,11 @@ object DirtyCsv {
     * replace anchors at end-of-line). Known reference corruption case —
     * a legit `"N,` inside quoted data is also rewritten — preserved
     * bug-for-bug for golden parity.
+    *
+    * Deliberate deviation: on a final line with no trailing newline the
+    * reference's literal `,"N\n` replace would NOT fire; our end-anchored
+    * replace repairs it anyway (the correct outcome — a trailing NULL on
+    * the last row loads as NULL instead of a stray `"N` string).
     */
   def repairLine(line: String): String = {
     val mid = line.replace("\"N,", ",")
