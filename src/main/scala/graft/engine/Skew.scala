@@ -1,0 +1,42 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation (SURVEY §4 / builder scale notes): when one grouping
+  * key dominates, a single reducer receives most rows. Salting splits each
+  * hot key into `saltBuckets` sub-keys for a first partial aggregate, then
+  * re-aggregates the (small) salted results — two shuffles, but the heavy
+  * one is uniform. AQE's skew-join handling covers joins; this covers
+  * aggregations whose partials don't combine map-side well (e.g. exact
+  * distinct structures, collect-style aggs).
+  *
+  * The helper is algebra-preserving for aggregates expressible as a
+  * (merge ∘ partial) pair — sums/counts/min/max — which callers pass
+  * explicitly.
+  */
+object Skew {
+
+  /** Two-stage salted aggregation:
+    * stage 1 groups by (keys, salt) computing `partials`;
+    * stage 2 groups by keys computing `merges` over the stage-1 columns.
+    * Salt is deterministic (hash of all columns mod buckets), so results
+    * are reproducible.
+    */
+  def saltedAgg(
+      df: DataFrame,
+      keys: Seq[String],
+      saltBuckets: Int,
+      partials: Seq[Column],
+      merges: Seq[Column]): DataFrame = {
+    val salted = df.withColumn(
+      "_salt",
+      pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(saltBuckets)))
+    val stage1 = salted
+      .groupBy((keys :+ "_salt").map(col): _*)
+      .agg(partials.head, partials.tail: _*)
+    stage1
+      .groupBy(keys.map(col): _*)
+      .agg(merges.head, merges.tail: _*)
+  }
+}

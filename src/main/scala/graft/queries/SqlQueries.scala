@@ -1,0 +1,57 @@
+package graft.queries
+
+import graft.Q
+import graft.engine.QueryRunner
+
+/** Delegated-SQL queries: the SQL text IS the query definition, executed
+  * by Spark SQL through [[QueryRunner]] and replayed verbatim by the
+  * DuckDB oracle — the dialect-shared subset (ANSI joins, CTEs,
+  * correlated/EXISTS subqueries, window + limit) is identical text in
+  * both engines, which is the strongest possible parity statement for the
+  * reference's arbitrary-SELECT surface.
+  */
+object SqlQueries {
+
+  /** SQL that is valid and semantically identical in Spark SQL + DuckDB. */
+  private def shared(name: String, sql: String, headline: Boolean = false): Q =
+    Q(name, (s, d) => QueryRunner.run(s, d, sql), Some(sql), headline)
+
+  val queries: Seq[Q] = Seq(
+    shared(
+      "q_sql_shipping",
+      // TPC-H Q3 flavor: multi-join + group + order + limit, pure SQL.
+      "SELECT o_orderkey, CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS revenue, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_items " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "JOIN lineitem ON l_orderkey = o_orderkey " +
+        "WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'O' " +
+        "GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 20"
+    ),
+    shared(
+      "q_sql_cte",
+      "WITH nation_cust AS (" +
+        "SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_cust FROM customer " +
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name), " +
+        "nation_supp AS (" +
+        "SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_supp FROM supplier " +
+        "JOIN nation ON s_nationkey = n_nationkey GROUP BY n_name) " +
+        "SELECT c.n_name, c.n_cust, s.n_supp FROM nation_cust c " +
+        "LEFT JOIN nation_supp s ON c.n_name = s.n_name ORDER BY c.n_name"
+    ),
+    shared(
+      "q_sql_correlated",
+      // correlated scalar subquery: orders above 1.8x their customer's
+      // average (fixed-point avg so the boundary compare is deterministic).
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders o " +
+        "WHERE o_totalprice > (SELECT (CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS DOUBLE) / 10000) / COUNT(*) * 1.8 " +
+        "FROM orders i WHERE i.o_custkey = o.o_custkey) " +
+        "ORDER BY o_orderkey"
+    ),
+    shared(
+      "q_sql_exists",
+      "SELECT p_partkey, p_name FROM part p WHERE EXISTS (" +
+        "SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 49) " +
+        "ORDER BY p_partkey"
+    )
+  )
+}

@@ -1,0 +1,67 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.{Agg, Tables}
+
+/** Delegated-SQL runner, salted aggregation equivalence, and bucketed
+  * co-located joins (shuffle elimination asserted in the plan).
+  */
+class EngineSpec extends SparkSpec {
+
+  test("QueryRunner executes arbitrary SQL over the corpus views") {
+    val df = QueryRunner.run(spark, sf(),
+      "SELECT COUNT(*) AS n FROM lineitem WHERE l_quantity > 25")
+    assert(df.collect().head.getLong(0) > 0)
+  }
+
+  test("salted aggregation equals direct aggregation (skew mitigation)") {
+    val li = Tables(spark, sf(), "lineitem")
+    val direct = li.groupBy(col("l_returnflag"))
+      .agg(Agg.dsum(col("l_quantity")).as("s"), count(lit(1)).as("n"))
+      .orderBy("l_returnflag").collect().toSeq
+    val salted = Skew.saltedAgg(
+      li,
+      keys = Seq("l_returnflag"),
+      saltBuckets = 8,
+      partials = Seq(Agg.dsum(col("l_quantity")).as("ps"), count(lit(1)).as("pn")),
+      merges = Seq(
+        Agg.dsum(col("ps")).as("s"),
+        sum(col("pn")).as("n")))
+      .orderBy("l_returnflag").collect().toSeq
+    assert(salted == direct)
+  }
+
+  test("bucketed tables join without a shuffle (co-located join)") {
+    val o = Tables(spark, sf(), "orders")
+    val l = Tables(spark, sf(), "lineitem")
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("orders_bkt")
+    l.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("lineitem_bkt")
+    // disable auto-broadcast so the join would otherwise need a shuffle
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("orders_bkt")
+        .join(spark.table("lineitem_bkt"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // bucketed join inputs need no Exchange: the ONLY shuffle in the
+      // whole plan is the final aggregate's (unbucketed would have 3)
+      val exchanges = "Exchange".r.findAllIn(plan).size
+      assert(exchanges <= 1, s"expected at most 1 Exchange (agg), got $exchanges:\n${plan.take(1500)}")
+      // correctness unchanged vs unbucketed
+      val expect = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+        .orderBy("o_orderstatus").collect().toSeq
+      assert(joined.orderBy("o_orderstatus").collect().toSeq == expect)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+    }
+  }
+}
