@@ -1,0 +1,94 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor — the coarse-quantizer
+  * scale path alongside sign-LSH ([[Similarity.lshTopK]]):
+  *
+  *   1. train k coarse centroids with a deterministic k-means (seeded
+  *      initial picks, fixed iteration count — no RNG at query time);
+  *   2. assign every corpus vector to its nearest centroid (the inverted
+  *      list / bucket) — a narrow map, materialized once;
+  *   3. a query probes only its `nprobe` nearest buckets and re-scores
+  *      exactly within them.
+  *
+  * Scale shape: centroids are tiny (k × dim doubles, broadcast literal);
+  * assignment is linear; the probe join is keyed on bucket id so each
+  * query touches ~nprobe/k of the corpus. Only the centroid table ever
+  * reaches the driver (k rows), never data.
+  */
+object Ivf {
+
+  /** Squared L2 distance between a vector column and a literal centroid. */
+  private def dist2(v: Column, centroid: Seq[Double]): Column =
+    aggregate(
+      zip_with(v, array(centroid.map(lit): _*), (x, y) => (x - y) * (x - y)),
+      lit(0.0),
+      (acc, d) => acc + d)
+
+  /** Bucket assignment column: index of the nearest centroid. */
+  def assignExpr(v: Column, centroids: Seq[Seq[Double]]): Column = {
+    val dists = array(centroids.map(c => dist2(v, c)): _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Deterministic k-means: initial centroids are the vectors whose ids
+    * hash lowest (spread, reproducible), then `iters` Lloyd rounds. Only
+    * k centroid vectors are ever collected to the driver.
+    */
+  def train(spark: SparkSession, corpus: DataFrame, k: Int, iters: Int = 3): Seq[Seq[Double]] = {
+    val vecs = corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    var centroids: Seq[Seq[Double]] = vecs
+      .orderBy(xxhash64(col("vec_id")))
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Double](1).toIndexedSeq)
+      .toSeq
+    for (_ <- 0 until iters) {
+      val assigned = vecs.withColumn("bucket", assignExpr(col("v"), centroids))
+      val means = assigned
+        .select(col("bucket"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("bucket"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("bucket"))
+        .agg(map_from_arrays(collect_list(col("pos")), collect_list(col("m"))).as("dims"))
+        .collect()
+        .map { r =>
+          val dims = r.getMap[Int, Double](1)
+          (r.getInt(0), (0 until dims.size).map(dims).toIndexedSeq)
+        }
+        .toMap
+      centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
+    }
+    centroids
+  }
+
+  /** Materialize the inverted index: corpus + bucket id. */
+  def index(corpus: DataFrame, centroids: Seq[Seq[Double]]): DataFrame =
+    corpus
+      .select(col("vec_id").as("n_id"), col("embedding").cast("array<double>").as("cv"))
+      .withColumn("bucket", assignExpr(col("cv"), centroids))
+
+  /** IVF top-k: probe the `nprobe` nearest buckets per query, exact cosine
+    * re-score within them.
+    */
+  def topK(queries: DataFrame, indexed: DataFrame, centroids: Seq[Seq[Double]], k: Int, nprobe: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("qv"))
+    val dists = array(centroids.map(c => dist2(col("qv"), c)): _*)
+    val probes = q
+      .select(col("q_id"), col("qv"), posexplode(dists).as(Seq("bucket", "d2")))
+      .withColumn("probe_rank", row_number().over(Window.partitionBy(col("q_id")).orderBy(col("d2"), col("bucket"))))
+      .filter(col("probe_rank") <= nprobe)
+      .select(col("q_id"), col("qv"), col("bucket"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    broadcast(probes)
+      .join(indexed, Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), Similarity.cosine(col("qv"), col("cv")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("cos"))
+  }
+}

@@ -47,6 +47,21 @@ object SimilarityQueries {
       None
     ),
     Q(
+      "q_sim_ivf",
+      // IVF scale path: deterministic k-means coarse quantizer (k=16,
+      // 3 Lloyd rounds), nprobe=4 probe + exact re-score. Recall vs brute
+      // force property-tested in SimilaritySpec; k-means float averaging
+      // is partition-order sensitive → rows-only here.
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val centroids = Ivf.train(s, emb, k = 16)
+        val indexed = Ivf.index(emb, centroids)
+        Ivf.topK(emb.filter(col("vec_id") < 10), indexed, centroids, k = 3, nprobe = 4)
+          .orderBy("q_id", "rank")
+      },
+      None
+    ),
+    Q(
       "q_dedup_embed",
       // Embedding-cosine near-dup detection: block on the label column
       // (cluster id) so candidate pairs are per-bucket, not all-pairs —

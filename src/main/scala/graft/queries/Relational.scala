@@ -297,6 +297,26 @@ object Relational {
           "CAST(COUNT(*) AS BIGINT) AS n_ord FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")
     ),
     Q(
+      "q_percentile",
+      // Exact interpolated percentiles (both engines use type-7 linear
+      // interpolation; the sorted-neighbor interpolation is a single
+      // deterministic float expression).
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            expr("percentile(l_quantity, 0.25)").as("p25"),
+            expr("percentile(l_quantity, 0.5)").as("p50"),
+            expr("percentile(l_quantity, 0.75)").as("p75"),
+            expr("percentile(l_extendedprice, 0.9)").as("price_p90"))
+          .orderBy("l_returnflag"),
+      Some(
+        "SELECT l_returnflag, quantile_cont(l_quantity, 0.25) AS p25, " +
+          "quantile_cont(l_quantity, 0.5) AS p50, quantile_cont(l_quantity, 0.75) AS p75, " +
+          "quantile_cont(l_extendedprice, 0.9) AS price_p90 " +
+          "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")
+    ),
+    Q(
       "q_approx_distinct",
       // HLL++ sketch — the 100 TB path for distinct counts; approximate by
       // design, so no SQL oracle (driver records rows-only).

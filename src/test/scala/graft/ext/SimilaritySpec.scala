@@ -38,6 +38,20 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall $recall (${approx.size} approx vs ${exact.size} exact)")
   }
 
+  test("IVF top-k recall >= 0.4 vs brute force on embeddings (sf0.001)") {
+    val emb = graft.core.Tables(spark, sf(), "embeddings")
+    val queries = emb.filter(col("vec_id") < 20)
+    val centroids = Ivf.train(spark, emb, k = 16)
+    assert(centroids.size == 16 && centroids.forall(_.size == 64))
+    val indexed = Ivf.index(emb, centroids)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(queries, emb, 3))
+    val approx = pairs(Ivf.topK(queries, indexed, centroids, k = 3, nprobe = 4))
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall $recall (${approx.size} approx vs ${exact.size} exact)")
+  }
+
   test("CentroidAgg computes exact per-group means") {
     import spark.implicits._
     import org.apache.spark.sql.functions.udaf
