@@ -71,11 +71,28 @@ object Multimodal {
     media.mapPartitions(_.map(decodeStub))
   }
 
+  /** Resize plan for an image-ish item: fit into a `target`×`target` box
+    * preserving aspect ratio (integer arithmetic, deterministic). The
+    * actual pixel resample is the stubbed decode step; this computes the
+    * geometry a real resizer would apply.
+    */
+  def resizePlan(feats: DataFrame, target: Int = 224): DataFrame = {
+    val scaleNum = lit(target)
+    val longSide = greatest(col("width"), col("height"))
+    feats.select(
+      col("doc_id"),
+      col("width"),
+      col("height"),
+      ((col("width") * scaleNum) / longSide).cast("int").as("out_w"),
+      ((col("height") * scaleNum) / longSide).cast("int").as("out_h"))
+  }
+
   /** Frame sampling: one row per sampled frame index (stride so ≤8 frames
     * per item) — the explode pattern a video pipeline feeds to encoders.
     */
   def sampleFrames(feats: DataFrame, maxFrames: Int = 8): DataFrame = {
-    val stride = greatest(lit(1), (col("n_frames") / maxFrames).cast("int"))
+    // ceiling division: floor(n/max) would allow up to 2*max-1 samples
+    val stride = greatest(lit(1), ((col("n_frames") + maxFrames - 1) / maxFrames).cast("int"))
     feats
       .select(
         col("doc_id"),

@@ -1,0 +1,45 @@
+package graft.pipeline
+
+import graft.Sessions
+import graft.sources.JdbcCatalog
+import graft.streaming.{MessageQueue, RunGuard}
+import graft.streaming.RunGuard.BatchMsg
+
+/** Runnable EP1 entrypoint — what an external scheduler (the reference's
+  * Cloud Scheduler cron, main.tf:46-56) invokes per run:
+  * discovery → publish table list → guarded consume → per-table
+  * export/clean/load → row-count report.
+  *
+  * Usage: runMain graft.pipeline.PipelineMain [workRoot] [jdbcUrl]
+  * (defaults: temp dir + a seeded embedded Derby demo database)
+  */
+object PipelineMain {
+  def main(args: Array[String]): Unit = {
+    val root = args.headOption.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-pipeline-run").toString)
+    val spark = Sessions.build("graft-pipeline")
+    val url = args.lift(1).getOrElse(JdbcCatalog.seedDemoDb(s"$root/derbydb"))
+
+    // stage 1 — discovery (query_runner parity) + publish
+    val tables = JdbcCatalog
+      .discoverTables(spark, url, "user__field%", Seq("users"))
+      .collect().map(_.getString(0)).sorted.toSeq
+    val topic = s"$root/topic"
+    MessageQueue.publish(topic, BatchMsg(tables, batchNo = 1, maxBatches = 8))
+    println(s"[pipeline] discovered: ${tables.mkString(",")}")
+
+    // stages 2-4 — guarded consume, per-table pipeline (LIFO)
+    val layout = Pipeline.Layout.today(root)
+    MessageQueue.consumeAll(topic).foreach { msg =>
+      RunGuard.check(msg)
+      msg.tables.foreach { table =>
+        val df = JdbcCatalog.fullTableScan(spark, url, table)
+        val cols = JdbcCatalog.introspectColumns(url, table)
+        val loaded = Pipeline.runTable(spark, df, cols, layout, table)
+        println(s"[pipeline] loaded $table: ${loaded.count()} rows") // main.py:41-43 parity
+      }
+    }
+    Pipeline.retentionSweep(spark, root, java.time.LocalDate.now())
+    spark.stop()
+  }
+}

@@ -48,6 +48,22 @@ object SqlQueries {
         "ORDER BY o_orderkey"
     ),
     shared(
+      "q_sql_minmax_decode",
+      // delegated scalar surface in shared dialect: CASE, casts, string
+      // ops, date extraction inside one aggregate query.
+      "SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS yr, " +
+        "CASE WHEN o_orderstatus = 'F' THEN 'final' WHEN o_orderstatus = 'O' THEN 'open' ELSE 'other' END AS status, " +
+        "CAST(COUNT(*) AS BIGINT) AS n, MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price " +
+        "FROM orders GROUP BY yr, status ORDER BY yr, status"
+    ),
+    shared(
+      "q_sql_in_subquery",
+      // uncorrelated IN subquery (semi-join rewrite by both planners).
+      "SELECT s_suppkey, s_name FROM supplier WHERE s_nationkey IN (" +
+        "SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE r_name = 'ASIA') ORDER BY s_suppkey"
+    ),
+    shared(
       "q_sql_exists",
       "SELECT p_partkey, p_name FROM part p WHERE EXISTS (" +
         "SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 49) " +
