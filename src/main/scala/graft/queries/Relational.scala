@@ -297,6 +297,27 @@ object Relational {
           "CAST(COUNT(*) AS BIGINT) AS n_ord FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")
     ),
     Q(
+      "q_pivot",
+      // Pivot aggregation with pinned pivot values (deterministic column
+      // set — never let pivot discover values at scale, that's an extra
+      // distinct pass over the fact table).
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(count(lit(1)))
+          // absent combinations pivot to NULL; COUNT(CASE...) yields 0
+          .select(
+            col("l_returnflag"),
+            coalesce(col("F"), lit(0L)).as("n_f"),
+            coalesce(col("O"), lit(0L)).as("n_o"))
+          .orderBy("l_returnflag"),
+      Some(
+        "SELECT l_returnflag, CAST(COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT) AS n_f, " +
+          "CAST(COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT) AS n_o " +
+          "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")
+    ),
+    Q(
       "q_percentile",
       // Exact interpolated percentiles (both engines use type-7 linear
       // interpolation; the sorted-neighbor interpolation is a single

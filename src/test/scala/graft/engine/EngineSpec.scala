@@ -33,6 +33,31 @@ class EngineSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("dynamic partition pruning fires on a partitioned warehouse join") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("dpp").toString + "/events_by_day"
+    // partitioned fact: events bucketed into day partitions
+    graft.queries.Events.events(spark, sf())
+      .withColumn("day", col("ts").cast("date"))
+      .write.mode("overwrite").partitionBy("day").parquet(wh)
+    val fact = spark.read.parquet(wh)
+    // dim as a FILE source with a selective filter (DPP requires a
+    // filterable scan on the pruning side, not a local relation)
+    val dimPath = java.nio.file.Files.createTempDirectory("dppdim").toString + "/days"
+    fact.select(col("day")).distinct()
+      .withColumn("idx", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("day"))))
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("idx") <= 2).select(col("day").as("d"))
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    val joined = fact.join(dim, fact("day") === dim("d"))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamicpruning subquery in the scan:\n${plan.take(1200)}")
+    assert(joined.collect().map(_.getLong(1)).sum > 0)
+  }
+
   test("bucketed tables join without a shuffle (co-located join)") {
     val o = Tables(spark, sf(), "orders")
     val l = Tables(spark, sf(), "lineitem")
