@@ -49,6 +49,22 @@ class FileChainSpec extends SparkSpec {
     assert(names == Set("carol"))
   }
 
+  test("EP3 chain: dirty arrival -> clean stream -> load stream -> warehouse") {
+    val root = Files.createTempDirectory("ep3").toString
+    val dirty = s"$root/staging"; val clean = s"$root/clean"; val tgt = s"$root/wh/users"
+    Files.createDirectories(Paths.get(dirty))
+    // dirty wire format: trailing "N null markers
+    Files.writeString(Paths.get(s"$dirty/users.csv"),
+      "\"1\",\"alice\"\n\"2\",\"N\n\"3\",\"carol\"")
+    Files.writeString(Paths.get(s"$dirty/users2.csv"), "\"4\",\"N")
+    FileChain.cleanStage(spark, dirty, clean, s"$root/ck1")
+    FileChain.loadStage(spark, clean, schema, tgt, s"$root/ck2")
+    val rows = spark.read.parquet(tgt).orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(rows(1).isNullAt(1) && rows(3).isNullAt(1)) // "N repaired to NULL
+    assert(rows(0).getString(1) == "alice" && rows(2).getString(1) == "carol")
+  }
+
   test("streaming windowed agg with watermark finalizes windows and drops late data") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.Trigger
