@@ -68,6 +68,11 @@ object Dedup {
       rowsPerBand: Int = 4,
       minJaccard: Double = 0.4): DataFrame = {
     val nHashes = bands * rowsPerBand
+    // NOTE: persisting sigs here was measured 3x SLOWER at sf0.1 — the
+    // InMemoryTableScan breaks whole-stage codegen around the banded
+    // self-join, which outweighs recomputing the (cheap-per-row) signature
+    // subtree on the broadcast side. Recompute wins; at cluster scale the
+    // band join is a shuffle join and the exchange is reused instead.
     val sigs = minhashSignatures(df, idCol, textCol, shingleK, nHashes)
     val banded = sigs
       .select(col("id"), col("sig"), posexplode(bandHashes(bands, rowsPerBand)).as(Seq("band_idx", "band_hash")))
