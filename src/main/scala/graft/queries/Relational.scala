@@ -412,14 +412,17 @@ object Relational {
             row_number().over(w).as("rn"),
             rank().over(w).as("rnk"),
             dense_rank().over(w).as("drnk"),
-            ntile(4).over(wg).as("quartile"))
+            ntile(4).over(wg).as("quartile"),
+            percent_rank().over(w).as("pct_rnk"),
+            cume_dist().over(w).as("cume"))
           .orderBy("c_custkey")
       },
       Some(
         "SELECT c_custkey, c_mktsegment, c_acctbal, " +
           "CAST(ROW_NUMBER() OVER w AS INT) AS rn, CAST(RANK() OVER w AS INT) AS rnk, " +
           "CAST(DENSE_RANK() OVER w AS INT) AS drnk, " +
-          "CAST(NTILE(4) OVER (ORDER BY c_custkey) AS INT) AS quartile " +
+          "CAST(NTILE(4) OVER (ORDER BY c_custkey) AS INT) AS quartile, " +
+          "PERCENT_RANK() OVER w AS pct_rnk, CUME_DIST() OVER w AS cume " +
           "FROM customer WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) " +
           "ORDER BY c_custkey")
     ),
@@ -506,6 +509,22 @@ object Relational {
       Some(
         "SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem " +
           "ORDER BY l_shipdate DESC, l_orderkey, l_linenumber LIMIT 100")
+    ),
+    Q(
+      "q_union_all",
+      // bag-semantics union (Spark union == SQL UNION ALL)
+      (s, d) =>
+        t(s, d, "customer")
+          .select(col("c_nationkey").as("nk"), lit("cust").as("src"))
+          .union(t(s, d, "supplier").select(col("s_nationkey").as("nk"), lit("supp").as("src")))
+          .groupBy(col("nk"), col("src"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("nk", "src"),
+      Some(
+        "SELECT nk, src, CAST(COUNT(*) AS BIGINT) AS n FROM (" +
+          "SELECT c_nationkey AS nk, 'cust' AS src FROM customer " +
+          "UNION ALL SELECT s_nationkey AS nk, 'supp' AS src FROM supplier) " +
+          "GROUP BY nk, src ORDER BY nk, src")
     ),
     Q(
       "q_union",

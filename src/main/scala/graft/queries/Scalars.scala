@@ -193,6 +193,41 @@ object Scalars {
           ") AS t(path) ORDER BY path")
     ),
     Q(
+      "q_explode",
+      // generator/UDTF family: posexplode of a token array, differential
+      // against DuckDB unnest + generate_subscripts.
+      (s, d) =>
+        t(s, d, "part")
+          .select(col("p_partkey"), posexplode(split(col("p_name"), " ")).as(Seq("pos", "word")))
+          .select(col("p_partkey"), col("pos").cast("long").as("pos"), col("word"))
+          .orderBy("p_partkey", "pos"),
+      Some(
+        "SELECT p_partkey, CAST(generate_subscripts(string_split(p_name, ' '), 1) - 1 AS BIGINT) AS pos, " +
+          "unnest(string_split(p_name, ' ')) AS word " +
+          "FROM part ORDER BY p_partkey, pos")
+    ),
+    Q(
+      "q_array_fns",
+      // array scalar surface: contains / length / sorted / indexed access.
+      (s, d) => {
+        val words = split(col("p_name"), " ")
+        t(s, d, "part")
+          .select(
+            col("p_partkey"),
+            array_contains(words, "blue").as("has_blue"),
+            size(words).cast("long").as("n_words"),
+            array_join(array_sort(words), "_").as("sorted_words"),
+            words.getItem(0).as("first_word"))
+          .orderBy("p_partkey")
+      },
+      Some(
+        "SELECT p_partkey, list_contains(string_split(p_name, ' '), 'blue') AS has_blue, " +
+          "CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words, " +
+          "list_aggregate(list_sort(string_split(p_name, ' ')), 'string_agg', '_') AS sorted_words, " +
+          "string_split(p_name, ' ')[1] AS first_word " +
+          "FROM part ORDER BY p_partkey")
+    ),
+    Q(
       "q_json_build",
       // Schema-doc JSON build/parse (csv-cleaner/main.py:40-45 emit,
       // bq-importer/main.py:26 parse): to_json → get_json_object round-trip.
