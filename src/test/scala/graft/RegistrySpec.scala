@@ -11,14 +11,23 @@ class RegistrySpec extends SparkSpec {
   }
 
   test("every query runs on sf0.001 and returns rows") {
-    val failures = Registry.all.flatMap { q =>
-      try {
-        val n = q.run(spark, sf()).count()
-        if (n > 0) None else Some(s"${q.name}: 0 rows")
-      } catch {
-        case e: Throwable => Some(s"${q.name}: ${e.getMessage}")
-      }
-    }
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val failures = Await.result(
+      Future.sequence(Registry.all.map { q =>
+        Future {
+          try {
+            val n = q.run(spark, sf()).count()
+            if (n > 0) None else Some(s"${q.name}: 0 rows")
+          } catch {
+            case e: Throwable => Some(s"${q.name}: ${e.getMessage}")
+          }
+        }
+      }),
+      Duration.Inf).flatten
+    pool.shutdown()
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
