@@ -57,6 +57,21 @@ object PipelineQueries {
       |"notes","text"
       |""".stripMargin
 
+  /** Expected CORRECT-mode translation of A1: the quirks fixed —
+    * decimal keeps NUMERIC, timestamp stays TIMESTAMP (SURVEY §7.4
+    * correct-by-default decision; compat mode preserves the bugs).
+    */
+  val usersSchemaCorrectExpected: Seq[(Int, String, String, String)] = Seq(
+    (1, "id", "INTEGER", "NULLABLE"),
+    (2, "big_id", "INTEGER", "NULLABLE"),
+    (3, "amount_and_total", "NUMERIC", "NULLABLE"),
+    (4, "score", "FLOAT", "NULLABLE"),
+    (5, "created_at", "DATETIME", "NULLABLE"),
+    (6, "birth_date", "DATE", "NULLABLE"),
+    (7, "updated_at", "TIMESTAMP", "NULLABLE"),
+    (8, "name", "STRING", "NULLABLE"),
+    (9, "notes", "STRING", "NULLABLE"))
+
   /** Expected compat-mode translation of A1 (FIXTURES §A2). */
   val usersSchemaExpected: Seq[(Int, String, String, String)] = Seq(
     (1, "id", "INTEGER", "NULLABLE"),
@@ -153,6 +168,29 @@ object PipelineQueries {
       Some(
         "SELECT * FROM (VALUES " +
           usersSchemaExpected
+            .map { case (o, n, t, m) => s"($o,'$n','$t','$m')" }
+            .mkString(", ") +
+          ") AS t(ordinal, name, bq_type, mode) ORDER BY ordinal")
+    ),
+    Q(
+      "q_schema_translate_correct",
+      // Same stage-2 translation in CORRECT mode (compat=false): the
+      // reference's lossy quirks fixed (NUMERIC kept, TIMESTAMP kept).
+      (s, d) => {
+        import s.implicits._
+        val root = tmpRoot(d)
+        val path = s"$root/fixtures/users_correct.schema"
+        SchemaFile.writeText(s, path, usersSchemaFixture)
+        val cols = SchemaFile.read(s, path)
+        val fields = graft.core.SchemaDoc.fromColumns(cols, compat = false)
+        fields.zipWithIndex
+          .map { case (f, i) => (i + 1, f.name, f.tpe.name, "NULLABLE") }
+          .toDF("ordinal", "name", "bq_type", "mode")
+          .orderBy("ordinal")
+      },
+      Some(
+        "SELECT * FROM (VALUES " +
+          usersSchemaCorrectExpected
             .map { case (o, n, t, m) => s"($o,'$n','$t','$m')" }
             .mkString(", ") +
           ") AS t(ordinal, name, bq_type, mode) ORDER BY ordinal")

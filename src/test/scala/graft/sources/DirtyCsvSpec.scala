@@ -75,6 +75,28 @@ class DirtyCsvSpec extends SparkSpec {
     assert(bob.getAs[Long]("id") == 2L)
   }
 
+  test("malformed lines degrade to NULL-padded rows, never crash") {
+    val dir = java.nio.file.Files.createTempDirectory("malformed").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/bad.csv"),
+      Seq(
+        """"1","ok","2.5"""",        // well-formed
+        """"2","short"""",          // too few fields -> trailing nulls
+        """"3","long","1.0","xx"""", // too many fields -> extras dropped
+        """not,quoted,at all""",     // unquoted -> still parses positionally
+        """"x","bad types here","zz"""" // type mismatch -> null cells
+      ).mkString("\n"))
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = true),
+      StructField("name", StringType, nullable = true),
+      StructField("amount", DoubleType, nullable = true)))
+    val rows = read(spark, s"$dir/bad.csv", schema).collect()
+    assert(rows.length == 5) // PERMISSIVE: every line becomes a row
+    val byName = rows.map(r => r.getAs[String]("name")).toSet
+    assert(byName.contains("ok") && byName.contains("short"))
+    assert(rows.forall(r => !r.anyNull || r.toSeq.exists(_ != null)))
+  }
+
   test("writeDirty → repair → read round-trips values including NULLs") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("dirtyrt").toString
