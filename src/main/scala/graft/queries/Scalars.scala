@@ -101,6 +101,60 @@ object Scalars {
           "FROM lineitem ORDER BY l_orderkey, l_linenumber, absdev, floor_price, disc_pct, sqrt_qty")
     ),
     Q(
+      "q_date_arith",
+      // date arithmetic: day/month offsets, month-end, truncation round-trip
+      (s, d) =>
+        t(s, d, "orders")
+          .select(
+            col("o_orderkey"),
+            date_add(col("o_orderdate").cast("date"), 30).as("plus30d"),
+            add_months(col("o_orderdate").cast("date"), 2).as("plus2mo"),
+            last_day(col("o_orderdate").cast("date")).as("month_end"),
+            (col("o_orderdate").cast("date") - expr("INTERVAL 1 WEEK")).cast("date").as("minus1w"))
+          .orderBy("o_orderkey"),
+      Some(
+        "SELECT o_orderkey, CAST(o_orderdate AS DATE) + 30 AS plus30d, " +
+          "CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2mo, " +
+          "last_day(CAST(o_orderdate AS DATE)) AS month_end, " +
+          "CAST(CAST(o_orderdate AS DATE) - INTERVAL 1 WEEK AS DATE) AS minus1w " +
+          "FROM orders ORDER BY o_orderkey")
+    ),
+    Q(
+      "q_string_pad",
+      (s, d) =>
+        t(s, d, "nation")
+          .select(
+            col("n_nationkey"),
+            lpad(col("n_name"), 20, "*").as("padded"),
+            rpad(col("n_name"), 20, ".").as("rpadded"),
+            trim(lit("  x  ")).as("trimmed"),
+            reverse(col("n_name")).as("rev"))
+          .orderBy("n_nationkey"),
+      Some(
+        "SELECT n_nationkey, lpad(n_name, 20, '*') AS padded, rpad(n_name, 20, '.') AS rpadded, " +
+          "trim('  x  ') AS trimmed, reverse(n_name) AS rev FROM nation ORDER BY n_nationkey")
+    ),
+    Q(
+      "q_levenshtein",
+      // edit-distance near-dup on brand-blocked part-name pairs — the
+      // string-metric dedup family, bounded buckets (no all-pairs).
+      (s, d) => {
+        val p = t(s, d, "part").select(col("p_partkey"), col("p_brand"), col("p_name"))
+        val a = p.select(col("p_partkey").as("a_id"), col("p_brand"), col("p_name").as("a_name"))
+        val b = p.select(col("p_partkey").as("b_id"), col("p_brand"), col("p_name").as("b_name"))
+        a.join(b, Seq("p_brand"))
+          .filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"), levenshtein(col("a_name"), col("b_name")).cast("long").as("lev"))
+          .filter(col("lev") <= 3)
+          .orderBy("a_id", "b_id")
+      },
+      Some(
+        "SELECT a.p_partkey AS a_id, b.p_partkey AS b_id, " +
+          "CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev " +
+          "FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey " +
+          "WHERE levenshtein(a.p_name, b.p_name) <= 3 ORDER BY a_id, b_id")
+    ),
+    Q(
       "q_typemap_case",
       // The reference's entire type system as a CASE chain
       // (datatype_to_bq.py:6-14), quirks intact: DATETIME before DATE,
