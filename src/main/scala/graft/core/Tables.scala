@@ -22,14 +22,4 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
-  def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
-  def customer(s: SparkSession, d: String): DataFrame  = apply(s, d, "customer")
-  def supplier(s: SparkSession, d: String): DataFrame  = apply(s, d, "supplier")
-  def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = apply(s, d, "events")
-  def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }
