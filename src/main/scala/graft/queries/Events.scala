@@ -132,7 +132,8 @@ object Events {
           "CAST(q.ts AS TIMESTAMP) AS view_ts, q.value AS view_value " +
           "FROM (SELECT * FROM events WHERE event_type = 'purchase') t " +
           "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') q " +
-          "ON t.user_id = q.user_id AND t.ts >= q.ts ORDER BY t.event_id")
+          "ON t.user_id = q.user_id AND t.ts >= q.ts ORDER BY t.event_id"),
+      headline = true
     ),
     Q(
       "q_retention",

@@ -16,8 +16,10 @@ object SqlQueries {
   private def shared(name: String, sql: String, headline: Boolean = false): Q =
     Q(name, (s, d) => QueryRunner.run(s, d, sql), Some(sql), headline)
 
+  private def sharedHeadline(name: String, sql: String): Q = shared(name, sql, headline = true)
+
   val queries: Seq[Q] = Seq(
-    shared(
+    sharedHeadline(
       "q_sql_shipping",
       // TPC-H Q3 flavor: multi-join + group + order + limit, pure SQL.
       "SELECT o_orderkey, CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS revenue, " +
