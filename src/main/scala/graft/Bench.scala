@@ -39,11 +39,13 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = times.map { case (k, v) => s"${jstr(k)}:${"%.3f".format(v)}" }.mkString("{", ",", "}")
+    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON.
+    def num(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = times.map { case (k, v) => s"${jstr(k)}:${num(v)}" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = times.values.sum
     val line =
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}"""
     println(line)
     Files.writeString(Paths.get("BENCH_LOCAL.json"), line + "\n")
     spark.stop()

@@ -20,8 +20,12 @@ object Skew {
   /** Two-stage salted aggregation:
     * stage 1 groups by (keys, salt) computing `partials`;
     * stage 2 groups by keys computing `merges` over the stage-1 columns.
-    * Salt is deterministic (hash of all columns mod buckets), so results
-    * are reproducible.
+    * The salt mixes a per-row id so FULLY IDENTICAL duplicate rows — the
+    * classic hot-key shape — still spread across buckets; content hashing
+    * alone would send them all to one bucket. Salt assignment is therefore
+    * not stable across runs, but the FINAL result is: stage 2 merges over
+    * all buckets, and the (merge ∘ partial) contract makes the composition
+    * salt-independent.
     */
   def saltedAgg(
       df: DataFrame,
@@ -31,7 +35,7 @@ object Skew {
       merges: Seq[Column]): DataFrame = {
     val salted = df.withColumn(
       "_salt",
-      pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(saltBuckets)))
+      pmod(hash(monotonically_increasing_id()), lit(saltBuckets)))
     val stage1 = salted
       .groupBy((keys :+ "_salt").map(col): _*)
       .agg(partials.head, partials.tail: _*)

@@ -93,14 +93,17 @@ object SimilarityQueries {
       "q_centroid_udaf",
       // Typed Aggregator (§2.9 UDAF surface): per-label centroid vector.
       // Float-sum order varies with partitioning → rows-only check here;
-      // exact values pinned in SimilaritySpec on a tiny fixture.
+      // exact values pinned in SimilaritySpec on a tiny fixture. Output is
+      // flattened to scalar (label, pos, centroid_v) rows — the driver's
+      // comparator sorts result columns and can't hash array cells.
       (s, d) => {
         import s.implicits._
         Tables(s, d, "embeddings")
           .groupBy(col("label"))
           .agg(udaf(CentroidAgg).apply(col("embedding")).as("centroid"))
-          .select(col("label"), col("centroid"))
-          .orderBy("label")
+          .select(col("label"), posexplode(col("centroid")).as(Seq("pos", "centroid_v")))
+          .select(col("label"), col("pos").cast("long").as("pos"), col("centroid_v"))
+          .orderBy("label", "pos")
       },
       None
     ),

@@ -108,11 +108,17 @@ object Events {
           .select(
             col("user_id"), col("ts"), lit(1).as("is_trade"), col("event_id"),
             lit(null).cast("timestamp").as("q_ts"), lit(null).cast("double").as("q_value"))
+        // Dedupe views to one row per (user_id, ts) — max event_id wins —
+        // so duplicate view timestamps resolve by a rule BOTH engines
+        // share (the oracle dedupes identically with arg_max) instead of
+        // partition-order-dependent last().
         val quotes = e
           .filter(col("event_type") === "view")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max_by(col("value"), col("event_id")).as("q_value"))
           .select(
             col("user_id"), col("ts"), lit(0).as("is_trade"), lit(null).cast("long").as("event_id"),
-            col("ts").as("q_ts"), col("value").as("q_value"))
+            col("ts").as("q_ts"), col("q_value"))
         val w = Window
           .partitionBy(col("user_id"))
           .orderBy(col("ts"), col("is_trade"))
@@ -131,7 +137,8 @@ object Events {
         "SELECT t.event_id, t.user_id, CAST(t.ts AS TIMESTAMP) AS ts, " +
           "CAST(q.ts AS TIMESTAMP) AS view_ts, q.value AS view_value " +
           "FROM (SELECT * FROM events WHERE event_type = 'purchase') t " +
-          "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') q " +
+          "ASOF LEFT JOIN (SELECT user_id, ts, arg_max(value, event_id) AS value " +
+          "FROM events WHERE event_type = 'view' GROUP BY user_id, ts) q " +
           "ON t.user_id = q.user_id AND t.ts >= q.ts ORDER BY t.event_id"),
       headline = true
     ),

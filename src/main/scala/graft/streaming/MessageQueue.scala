@@ -43,9 +43,14 @@ object MessageQueue {
   }
 
   /** Batch-consume all pending messages, oldest first; tables within each
-    * message in LIFO order (reference pop() semantics).
+    * message in LIFO order (reference pop() semantics). Consumed files are
+    * acked by moving them to a SIBLING `<topicDir>.processed` directory
+    * (sibling, not subdir, so `readStreamed`'s file listing over the topic
+    * never sees them) — re-running a consumer against the same topic drains
+    * nothing, i.e. real at-most-once semantics rather than relying on the
+    * downstream loads' overwrite idempotency. Pass ack=false to peek.
     */
-  def consumeAll(topicDir: String): Seq[BatchMsg] = {
+  def consumeAll(topicDir: String, ack: Boolean = true): Seq[BatchMsg] = {
     val dir = Paths.get(topicDir)
     if (!Files.exists(dir)) Seq.empty
     else {
@@ -55,6 +60,14 @@ object MessageQueue {
         val f = files.next()
         if (f.getFileName.toString.startsWith("msg-"))
           buf += ((f.getFileName.toString, decode(Files.readString(f))))
+      }
+      if (ack && buf.nonEmpty) {
+        val processed = dir.resolveSibling(dir.getFileName.toString + ".processed")
+        Files.createDirectories(processed)
+        buf.foreach { case (name, _) =>
+          Files.move(dir.resolve(name), processed.resolve(name),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
       }
       buf.sortBy(_._1).map { case (_, m) => m.copy(tables = m.tables.reverse) }.toSeq
     }

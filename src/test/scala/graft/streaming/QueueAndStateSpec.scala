@@ -28,6 +28,12 @@ class QueueAndStateSpec extends SparkSpec {
     assert(msgs.head.tables == Seq("user__field_a", "users"))
     assert(msgs.head.batchNo == 1 && msgs.head.maxBatches == 8)
     assert(msgs(1).tables == Seq("t3"))
+    // consume acks: a second drain sees an empty topic (at-most-once)
+    assert(MessageQueue.consumeAll(topic).isEmpty)
+    // ...but peek (ack=false) would have left them in place
+    MessageQueue.publish(topic, BatchMsg(Seq("t4"), 3, 8))
+    assert(MessageQueue.consumeAll(topic, ack = false).size == 1)
+    assert(MessageQueue.consumeAll(topic).size == 1)
   }
 
   test("streamed consume decodes payload and attributes") {
