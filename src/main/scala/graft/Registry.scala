@@ -9,6 +9,7 @@ object Registry {
   lazy val all: Seq[Q] =
     graft.queries.Relational.queries ++
       graft.queries.Scalars.queries ++
+      graft.queries.Structured.queries ++
       graft.queries.SqlQueries.queries ++
       graft.queries.PipelineQueries.queries ++
       graft.queries.JdbcQueries.queries ++

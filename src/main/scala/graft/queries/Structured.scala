@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Q
+import graft.core.Tables
+
+/** Nested types, deterministic sampling, and exact statistical moments —
+  * round-3 widening of the relational surface (SURVEY §2.2/§2.4/§2.7).
+  *
+  * Struct/map queries exercise Spark's nested-type functions (struct
+  * build/extract, array-of-struct access, map build/lookup/keys) but emit
+  * FLAT scalar columns, so the DuckDB oracle can state the equivalent
+  * result relationally without dialect-specific nested syntax — the gate
+  * compares values, not plans.
+  *
+  * The moments query extends the `graft.core.Agg` fixed-point recipe to
+  * second-order statistics: every sum (Σx, Σx², Σxy …) is an exact integer
+  * in both engines, cast to double ONCE, and the closed-form variance /
+  * correlation formulas are written with identical structure on both sides
+  * so each IEEE operation matches bit-for-bit. At scale each query is a
+  * single partial+final hash aggregate (map-side combine on all sums).
+  */
+object Structured {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  val queries: Seq[Q] = Seq(
+    Q(
+      "q_struct_ops",
+      // Struct build → field extraction → array-of-struct element access.
+      (s, d) =>
+        t(s, d, "orders")
+          .select(
+            col("o_orderkey"),
+            struct(col("o_custkey").as("cust"), col("o_totalprice").as("total")).as("od"),
+            array(
+              struct(col("o_orderpriority").as("tag"), lit(1L).as("rank")),
+              struct(col("o_orderstatus").as("tag"), lit(2L).as("rank"))).as("tags"))
+          .select(
+            col("o_orderkey"),
+            col("od").getField("cust").as("cust"),
+            col("od").getField("total").as("total"),
+            element_at(col("tags"), 1).getField("tag").as("tag1"),
+            element_at(col("tags"), 2).getField("tag").as("tag2"),
+            size(col("tags")).cast("long").as("n_tags"),
+            when(col("od").getField("total") > 150000, lit("big"))
+              .otherwise(lit("small")).as("size_class"))
+          .orderBy("o_orderkey"),
+      Some(
+        "SELECT o_orderkey, o_custkey AS cust, o_totalprice AS total, " +
+          "o_orderpriority AS tag1, o_orderstatus AS tag2, CAST(2 AS BIGINT) AS n_tags, " +
+          "CASE WHEN o_totalprice > 150000 THEN 'big' ELSE 'small' END AS size_class " +
+          "FROM orders ORDER BY o_orderkey")
+    ),
+    Q(
+      "q_map_ops",
+      // Map build (insertion-ordered keys) → typed lookup → key listing.
+      (s, d) =>
+        t(s, d, "lineitem")
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            map(
+              lit("qty"), col("l_quantity"),
+              lit("disc"), col("l_discount")).as("m"))
+          .select(
+            col("l_orderkey"),
+            col("l_linenumber"),
+            element_at(col("m"), "qty").as("qty"),
+            element_at(col("m"), "disc").as("disc"),
+            try_element_at(col("m"), lit("missing")).as("missing"),
+            size(col("m")).cast("long").as("m_size"),
+            array_join(map_keys(col("m")), ",").as("m_keys"))
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some(
+        "SELECT l_orderkey, l_linenumber, l_quantity AS qty, l_discount AS disc, " +
+          "CAST(NULL AS DOUBLE) AS missing, CAST(2 AS BIGINT) AS m_size, " +
+          "'qty,disc' AS m_keys FROM lineitem ORDER BY l_orderkey, l_linenumber")
+    ),
+    Q(
+      "q_sample_hash",
+      // Deterministic ~8% sample: md5 of the key is identical in every
+      // engine and on every cluster size — unlike rand()/TABLESAMPLE, the
+      // sample is reproducible and embarrassingly parallel (pure per-row
+      // filter, no shuffle; predicate evaluates post-scan with column
+      // pruning intact). The standard trick for carving stable train/eval
+      // splits out of a 100 TB corpus.
+      (s, d) =>
+        t(s, d, "orders")
+          .filter(substring(md5(col("o_orderkey").cast("string")), 1, 2) < lit("14"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .orderBy("o_orderkey"),
+      Some(
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+          "WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '14' " +
+          "ORDER BY o_orderkey")
+    ),
+    Q(
+      "q_stats_moments", {
+        (s, d) =>
+          // Exact integer second-order sums (decimal in Spark, HUGEINT in
+          // DuckDB), one cast to double, then identical closed-form
+          // formulas — bit-deterministic stddev/variance/corr/covariance.
+          val x = round(col("l_quantity") * 10000).cast(DecimalType(38, 0))
+          val y = round(col("l_extendedprice") * 10000).cast(DecimalType(38, 0))
+          val agged = t(s, d, "lineitem")
+            .groupBy(col("l_returnflag"))
+            .agg(
+              count(lit(1)).as("n"),
+              sum(x).as("sx"), sum(y).as("sy"),
+              sum(x * x).as("sxx"), sum(x * y).as("sxy"), sum(y * y).as("syy"))
+          val n = col("n").cast("double")
+          val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+          val sxx = col("sxx").cast("double"); val sxy = col("sxy").cast("double")
+          val syy = col("syy").cast("double")
+          agged.select(
+            col("l_returnflag"),
+            col("n"),
+            (sx / n / lit(10000.0)).as("mean_qty"),
+            ((sxx - sx * sx / n) / (n - lit(1.0)) / lit(1.0e8)).as("var_qty"),
+            sqrt((sxx - sx * sx / n) / (n - lit(1.0)) / lit(1.0e8)).as("stddev_qty"),
+            ((n * sxy - sx * sy) /
+              (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))).as("corr_qp"),
+            ((sxy - sx * sy / n) / (n - lit(1.0)) / lit(1.0e8)).as("covar_qp"))
+            .orderBy("l_returnflag")
+      },
+      Some(
+        "WITH m AS (SELECT l_returnflag, COUNT(*) AS n, " +
+          "SUM(CAST(ROUND(l_quantity * 10000) AS HUGEINT)) AS sx, " +
+          "SUM(CAST(ROUND(l_extendedprice * 10000) AS HUGEINT)) AS sy, " +
+          "SUM(CAST(ROUND(l_quantity * 10000) AS HUGEINT) * CAST(ROUND(l_quantity * 10000) AS HUGEINT)) AS sxx, " +
+          "SUM(CAST(ROUND(l_quantity * 10000) AS HUGEINT) * CAST(ROUND(l_extendedprice * 10000) AS HUGEINT)) AS sxy, " +
+          "SUM(CAST(ROUND(l_extendedprice * 10000) AS HUGEINT) * CAST(ROUND(l_extendedprice * 10000) AS HUGEINT)) AS syy " +
+          "FROM lineitem GROUP BY l_returnflag) " +
+          "SELECT l_returnflag, n, " +
+          "CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0 AS mean_qty, " +
+          "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) / 1e8 AS var_qty, " +
+          "sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) / 1e8) AS stddev_qty, " +
+          "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+          "(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
+          "sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qp, " +
+          "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) / 1e8 AS covar_qp " +
+          "FROM m ORDER BY l_returnflag")
+    )
+  )
+}
