@@ -31,7 +31,19 @@ object Dedup {
     * mins map-side, single shuffle on id.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String, shingleK: Int, nHashes: Int): DataFrame = {
-    val exploded = df
+    // Hash-repartition the THIN (id, text) rows by id BEFORE the expensive
+    // explode: a document corpus often arrives in few/large splits (here:
+    // single-row-group parquet → 1-task scan), which would run the whole
+    // shingle+hash pipeline on one core. Spreading 5k-row inputs is ~free,
+    // unlocks full-cluster parallelism for the heavy part, and because the
+    // spread is HashPartitioning(id) the groupBy(id) below needs no second
+    // exchange. Explicit partition count keeps AQE from coalescing the
+    // tiny pre-explode exchange back to one partition.
+    val spread =
+      if (df.sparkSession.conf.get("graft.minhash.spread", "true").toBoolean)
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      else df
+    val exploded = spread
       .select(col(idCol).as("id"), explode(shingles(shingleK, textCol)).as("s"))
     exploded
       .groupBy(col("id"))
