@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.SimHash64
+import graft.functions.{DotProduct, SimHash64}
 
 /** SparkSessionExtensions hook: registers graft's custom Catalyst
   * expressions as SQL functions. Activate either via
@@ -19,5 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("simhash64"),
         new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
         (children: Seq[Expression]) => SimHash64(children.head)))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_dot"),
+        new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+        (children: Seq[Expression]) => DotProduct(children(0), children(1))))
   }
 }

@@ -18,8 +18,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two array<double> columns. */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential-fold dot product of two array<double> columns, via the
+    * native codegen expression [[graft.functions.DotProduct]] (identical
+    * bits to the HOF `aggregate(zip_with(...))` formulation — strict
+    * left-to-right accumulation — but a primitive loop per row instead of
+    * a per-element lambda expression tree; `dotHof` kept for the
+    * equivalence spec).
+    */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Reference HOF formulation (boxing-heavy; used to cross-check dot). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def cosine(a: Column, b: Column): Column =

@@ -27,6 +27,28 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(top(2).getAs[Double]("cos") + 1.0) < 1e-12)
   }
 
+  test("native graft_dot expression is bit-identical to the HOF fold, incl. null/mismatch") {
+    import spark.implicits._
+    val vecs = graft.core.Tables(spark, sf(), "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val paired = vecs.crossJoin(vecs.limit(3).select(col("v").as("w")))
+    val diffs = paired
+      .select(Similarity.dot(col("v"), col("w")).as("a"), Similarity.dotHof(col("v"), col("w")).as("b"))
+      .filter(col("a") =!= col("b")) // bit-exact: any IEEE divergence shows
+      .count()
+    assert(diffs == 0)
+    // null element and length mismatch both yield null in both versions
+    val edge = Seq(
+      (Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 2.0)),
+      (Seq[java.lang.Double](1.0), Seq[java.lang.Double](1.0, 2.0)))
+      .toDF("a", "b")
+      .select(
+        Similarity.dot(col("a"), col("b")).as("n1"),
+        Similarity.dotHof(col("a"), col("b")).as("n2"))
+      .collect()
+    assert(edge.forall(r => r.isNullAt(0) && r.isNullAt(1)))
+  }
+
   test("LSH top-k recall >= 0.5 vs brute force on embeddings (sf0.001)") {
     val emb = graft.core.Tables(spark, sf(), "embeddings")
     val queries = emb.filter(col("vec_id") < 20)
