@@ -113,6 +113,60 @@ object TextQueries {
       Some(
         "SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp " +
           "FROM documents ORDER BY doc_id")
+    ),
+    Q(
+      "q_ngram_freq",
+      // Corpus-wide top-20 word bigrams (vocabulary statistics): adjacent
+      // token pairs via zip_with over two shifted slices (empty-safe for
+      // <2-token docs), explode, count, deterministic (cnt DESC, bigram)
+      // tie-break. At scale: narrow explode + one count shuffle with
+      // map-side combine; top-k is TakeOrderedAndProject, no global sort.
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        val bigrams = zip_with(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => concat(a, lit(" "), b))
+        Tables(s, d, "documents")
+          .select(explode(bigrams).as("bigram"))
+          .groupBy(col("bigram"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("bigram"))
+          .limit(20)
+      },
+      Some(
+        "WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents), " +
+          "b AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1), " +
+          "i -> t[i] || ' ' || t[i+1])) AS bigram FROM toks) " +
+          "SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt FROM b " +
+          "GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20")
+    ),
+    Q(
+      "q_token_df",
+      // Document frequency: distinct tokens per doc → docs-per-token,
+      // with the N/df ratio (exact-integer division in double space — the
+      // log-free IDF core; ln() last-bit behavior differs across engines
+      // so the oracle-checked output stops at the deterministic ratio).
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val n = docs.agg(count(lit(1)).as("n"))
+        docs
+          .select(explode(array_distinct(split(col("text"), " "))).as("token"))
+          .groupBy(col("token"))
+          .agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(n))
+          .select(
+            col("token"), col("df"), col("n"),
+            (col("n").cast("double") / col("df").cast("double")).as("inv_df"))
+          .orderBy(col("df").desc, col("token"))
+          .limit(30)
+      },
+      Some(
+        "WITH tok AS (SELECT unnest(list_distinct(string_split(text, ' '))) AS token FROM documents), " +
+          "d AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY token), " +
+          "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents) " +
+          "SELECT token, df, n, CAST(n AS DOUBLE) / CAST(df AS DOUBLE) AS inv_df " +
+          "FROM d CROSS JOIN n ORDER BY df DESC, token LIMIT 30")
     )
   )
 }
