@@ -97,6 +97,53 @@ object Dedup {
       .filter(col("est_jaccard") >= minJaccard)
   }
 
+  /** Connected components by min-label propagation — the cluster step
+    * after near-dup pair detection (keep one doc per component). Each
+    * iteration: every node adopts the min of its own and its neighbors'
+    * labels — two shuffles (neighbor join + min agg); converges in
+    * O(component diameter) rounds, which for near-dup clusters is small.
+    * Labels persist per round to truncate lineage (else the plan doubles
+    * each iteration); the driver only reads the CHANGED COUNT — a control
+    * decision, not data — so the computation stays distributed. Same shape
+    * scales to 100 TB: it is label propagation à la GraphX/Pregel without
+    * the RDD API.
+    *
+    * @param nodes (id) one row per node
+    * @param edges (a, b) undirected pairs
+    * @return (id, comp) where comp = min node id of the component
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIters: Int = 15): DataFrame = {
+    // Persist the (possibly expensive) edge derivation — it is re-joined
+    // every round; without this the whole pair-detection subtree would
+    // recompute per iteration.
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .persist()
+    var labels = nodes.select(col("id"), col("id").as("comp")).persist()
+    labels.count()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIters) {
+      val nb = sym.join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), col("comp"))
+        .groupBy(col("id"))
+        .agg(min(col("comp")).as("nb_comp"))
+      val next = labels
+        .join(nb, Seq("id"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("nb_comp"), col("comp"))).as("comp"))
+        .persist()
+      changed = next
+        .join(labels.withColumnRenamed("comp", "prev"), Seq("id"))
+        .filter(col("comp") =!= col("prev"))
+        .count()
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
   /** Exact k-gram Jaccard as a SQL expression over text columns a/b. */
   def ngramJaccardExpr(k: Int, a: String, b: String): Column = {
     def grams(c: String) =

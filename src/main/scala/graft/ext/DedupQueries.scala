@@ -69,6 +69,44 @@ object DedupQueries {
           "SELECT a_id, b_id, jac FROM cand WHERE jac >= 0.3 ORDER BY a_id, b_id")
     ),
     Q(
+      "q_dedup_components",
+      // Cluster step after pair detection: connected components over the
+      // ngram-jaccard edge set (min-label propagation, O(diameter)
+      // rounds), emitting the canonical keep-one-per-cluster flag. Oracle
+      // replicates the closure with a recursive CTE.
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("text"), substring(col("text"), 1, 50).as("blk"))
+        val a = docs.select(col("doc_id").as("a_id"), col("lang"), col("blk"), col("text").as("a_text"))
+        val b = docs.select(col("doc_id").as("b_id"), col("lang"), col("blk"), col("text").as("b_text"))
+        val edges = a.join(b, Seq("lang", "blk"))
+          .filter(col("a_id") < col("b_id"))
+          .filter(Dedup.ngramJaccardExpr(3, "a_text", "b_text") >= 0.3)
+          .select(col("a_id").as("a"), col("b_id").as("b"))
+        val nodes = Tables(s, d, "documents").select(col("doc_id").as("id"))
+        Dedup.connectedComponents(nodes, edges)
+          .select(
+            col("id").as("doc_id"),
+            col("comp").as("component"),
+            (col("comp") === col("id")).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some(
+        "WITH RECURSIVE " +
+          "docs AS (SELECT doc_id, lang, text, substring(text, 1, 50) AS blk, " +
+          "list_distinct(list_transform(generate_series(1, greatest(1, length(text) - 2)), " +
+          "i -> substring(text, i, 3))) AS grams FROM documents), " +
+          "e AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM docs a JOIN docs b " +
+          "ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id " +
+          "WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / " +
+          "len(list_distinct(list_concat(a.grams, b.grams))) >= 0.3), " +
+          "sym AS (SELECT a_id AS src, b_id AS dst FROM e UNION ALL SELECT b_id, a_id FROM e), " +
+          "walk(id, comp) AS (SELECT doc_id, doc_id FROM documents " +
+          "UNION SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.id) " +
+          "SELECT id AS doc_id, CAST(MIN(comp) AS BIGINT) AS component, (MIN(comp) = id) AS keep " +
+          "FROM walk GROUP BY id ORDER BY doc_id")
+    ),
+    Q(
       "q_dedup_minhash",
       // MinHash-LSH near-dup pairs: 32 hashes, 8 bands × 4 — candidates
       // only from band collisions (no cross join). Hash-seed-specific →

@@ -73,6 +73,17 @@ class DedupSpec extends SparkSpec {
     assert(viaExpr == texts.map(t => SimHash.compute(UTF8String.fromString(t))))
   }
 
+  test("connectedComponents: chain merges transitively, singleton stays own label") {
+    import spark.implicits._
+    // 1-2-3 is a path (merges to 1 only via transitive propagation),
+    // 4-5 a pair, 6 a singleton.
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+    val comp = Dedup.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
   test("minhash LSH recall vs exact 3-gram jaccard on real documents (sf0.001)") {
     val docs = graft.core.Tables(spark, sf(), "documents").select("doc_id", "text")
     // ground truth: exact jaccard >= 0.6 among prefix-blocked candidates
