@@ -70,6 +70,15 @@ object SqlQueries {
       "SELECT p_partkey, p_name FROM part p WHERE EXISTS (" +
         "SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 49) " +
         "ORDER BY p_partkey"
+    ),
+    shared(
+      "q_sql_window",
+      // window function in delegated SQL text: per-customer top-2 orders
+      // by price (unique o_orderkey tiebreak keeps both engines' LIMIT
+      // deterministic).
+      "SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn " +
+        "FROM orders) t WHERE rn <= 2 ORDER BY o_custkey, rn"
     )
   )
 }

@@ -66,6 +66,38 @@ object FileChain {
       .start()
     q.awaitTermination()
   }
+
+  /** Streaming exact-dedup stage: drop rows whose key was already seen,
+    * with state BOUNDED by the watermark horizon — the ingest-time
+    * counterpart of q_dedup_exact. `dropDuplicatesWithinWatermark` keeps
+    * per-key state only until the watermark passes the key's event time,
+    * so state size is O(keys per horizon), not O(all keys ever) — the
+    * property that keeps a 100 TB/day ingest dedup from growing without
+    * bound. Dedup state survives restarts via the checkpoint.
+    */
+  def dedupStage(
+      spark: SparkSession,
+      inDir: String,
+      schema: StructType,
+      keyCols: Seq[String],
+      eventTimeCol: String,
+      watermarkDelay: String,
+      outDir: String,
+      checkpoint: String): Unit = {
+    val q = spark.readStream
+      .schema(schema)
+      .option("header", "false")
+      .csv(inDir)
+      .withWatermark(eventTimeCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }
 
 /** Continuation-batch run guard — the reference's runaway-loop protection

@@ -144,6 +144,25 @@ class FileChainSpec extends SparkSpec {
     assert(rows.contains(("2024-01-01 01:00:00.0", 1L, 5L)), s"gap split second session: $rows")
   }
 
+  test("streaming dedup stage: duplicate keys dropped across runs, state bounded by watermark") {
+    val root = Files.createTempDirectory("sdedup").toString
+    val in = s"$root/in"; val out = s"$root/out"; val ck = s"$root/ck"
+    Files.createDirectories(Paths.get(in))
+    val dedupSchema = StructType(Seq(
+      StructField("k", LongType, nullable = true),
+      StructField("ts", TimestampType, nullable = true)))
+    Files.writeString(Paths.get(s"$in/f1.csv"),
+      "1,2024-01-01T00:00:00\n1,2024-01-01T00:00:01\n2,2024-01-01T00:00:02")
+    FileChain.dedupStage(spark, in, dedupSchema, Seq("k"), "ts", "10 minutes", out, ck)
+    assert(spark.read.parquet(out).select("k").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // second run: a replay of key 1 within the horizon is dropped (state
+    // restored from checkpoint); a new key passes
+    Files.writeString(Paths.get(s"$in/f2.csv"),
+      "1,2024-01-01T00:00:03\n3,2024-01-01T00:00:04")
+    FileChain.dedupStage(spark, in, dedupSchema, Seq("k"), "ts", "10 minutes", out, ck)
+    assert(spark.read.parquet(out).select("k").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("run guard: batch_no beyond max aborts (reference main.py:32-38)") {
     RunGuard.check(RunGuard.BatchMsg(Seq("a"), batchNo = 5, maxBatches = 5)) // ok
     intercept[IllegalStateException] {
