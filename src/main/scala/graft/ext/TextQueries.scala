@@ -139,7 +139,8 @@ object TextQueries {
           "b AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1), " +
           "i -> t[i] || ' ' || t[i+1])) AS bigram FROM toks) " +
           "SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt FROM b " +
-          "GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20")
+          "GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20"),
+      headline = true
     ),
     Q(
       "q_token_df",

@@ -160,6 +160,51 @@ object Events {
           Agg.dsumSql("value") + " AS sum_value FROM events " +
           "WHERE ts >= (SELECT MAX(ts) FROM events) - INTERVAL 7 DAY " +
           "GROUP BY 1 ORDER BY 1")
+    ),
+    Q(
+      "q_funnel",
+      // Ordered 3-stage funnel (view → click after view → purchase after
+      // that click) with per-stage user counts and conversion rate. Three
+      // chained window mins over the SAME user partition — Catalyst plans
+      // one Exchange(user_id) with stacked Window operators, so funnel
+      // depth does not add shuffles. Timestamps compare at µs on both
+      // engines (events() truncates ns → µs; oracle casts TIMESTAMP_NS →
+      // TIMESTAMP).
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+        val staged = events(s, d)
+          .select(col("user_id"), col("ts"), col("event_type"))
+          .withColumn("first_view", min(when(col("event_type") === "view", col("ts"))).over(w))
+          .withColumn(
+            "first_click",
+            min(when(col("event_type") === "click" && col("ts") >= col("first_view"), col("ts"))).over(w))
+          .withColumn(
+            "first_purchase",
+            min(when(col("event_type") === "purchase" && col("ts") >= col("first_click"), col("ts"))).over(w))
+        staged
+          .select(col("user_id"), col("first_view"), col("first_click"), col("first_purchase"))
+          .distinct()
+          .agg(
+            count(lit(1)).as("n_users"),
+            count(col("first_view")).as("viewed"),
+            count(col("first_click")).as("clicked_after_view"),
+            count(col("first_purchase")).as("purchased_after_click"),
+            (count(col("first_purchase")).cast("double") / count(col("first_view")).cast("double"))
+              .as("conversion"))
+      },
+      Some(
+        "WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events), " +
+          "x AS (SELECT user_id, ts, event_type, " +
+          "MIN(CASE WHEN event_type = 'view' THEN ts END) OVER (PARTITION BY user_id) AS first_view FROM e), " +
+          "y AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND ts >= first_view THEN ts END) " +
+          "OVER (PARTITION BY user_id) AS first_click FROM x), " +
+          "z AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts >= first_click THEN ts END) " +
+          "OVER (PARTITION BY user_id) AS first_purchase FROM y), " +
+          "u AS (SELECT DISTINCT user_id, first_view, first_click, first_purchase FROM z) " +
+          "SELECT CAST(COUNT(*) AS BIGINT) AS n_users, CAST(COUNT(first_view) AS BIGINT) AS viewed, " +
+          "CAST(COUNT(first_click) AS BIGINT) AS clicked_after_view, " +
+          "CAST(COUNT(first_purchase) AS BIGINT) AS purchased_after_click, " +
+          "CAST(COUNT(first_purchase) AS DOUBLE) / CAST(COUNT(first_view) AS DOUBLE) AS conversion FROM u")
     )
   )
 }
