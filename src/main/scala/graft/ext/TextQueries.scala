@@ -168,6 +168,42 @@ object TextQueries {
           "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents) " +
           "SELECT token, df, n, CAST(n AS DOUBLE) / CAST(df AS DOUBLE) AS inv_df " +
           "FROM d CROSS JOIN n ORDER BY df DESC, token LIMIT 30")
+    ),
+    Q(
+      "q_curation",
+      // End-to-end corpus curation, composed from this family's verified
+      // pieces: quality gate (token count + alphanumeric ratio) → exact
+      // dedup (keep lowest doc_id per normalized-content fingerprint) →
+      // stable ~50% train split (md5 of the key, reproducible on any
+      // cluster) → per-(lang, source) survivor stats. Single pass +
+      // one fingerprint shuffle + one group shuffle at any scale.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val alphaRatio =
+          length(regexp_replace(col("text"), "[^A-Za-z0-9]", "")).cast("double") /
+            length(col("text")).cast("double")
+        val fp = md5(regexp_replace(lower(col("text")), "\\s+", " ").cast("binary"))
+        Tables(s, d, "documents")
+          .filter(nTokens >= 20 && alphaRatio >= 0.5)
+          .withColumn("rn", row_number().over(Window.partitionBy(fp).orderBy(col("doc_id"))))
+          .filter(col("rn") === 1)
+          .filter(substring(md5(col("doc_id").cast("string")), 1, 2) < lit("80"))
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+          .orderBy("lang", "source")
+      },
+      Some(
+        "WITH scored AS (SELECT doc_id, lang, source, text, n_chars, " +
+          "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, " +
+          "CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE) / " +
+          "CAST(length(text) AS DOUBLE) AS alpha_ratio FROM documents), " +
+          "ded AS (SELECT *, ROW_NUMBER() OVER (" +
+          "PARTITION BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) ORDER BY doc_id) AS rn " +
+          "FROM scored WHERE n_tok >= 20 AND alpha_ratio >= 0.5) " +
+          "SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+          "CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM ded " +
+          "WHERE rn = 1 AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80' " +
+          "GROUP BY lang, source ORDER BY lang, source")
     )
   )
 }
