@@ -162,6 +162,32 @@ object Events {
           "GROUP BY 1 ORDER BY 1")
     ),
     Q(
+      "q_window_range",
+      // Time-based RANGE frame: per event, count + deterministic sum of
+      // the trailing hour's events for the same user — the sliding
+      // aggregate shape that needs no self-join/explode. Frame bound on
+      // epoch SECONDS (truncating cast in both engines) so frame
+      // membership is integer-exact; count/sum are tie-insensitive.
+      (s, d) => {
+        import org.apache.spark.sql.types.{DecimalType, DoubleType}
+        val sec = col("ts").cast("long")
+        val w = Window.partitionBy(col("user_id")).orderBy(sec).rangeBetween(-3600, 0)
+        val fx = round(col("value") * 10000).cast(DecimalType(38, 0))
+        events(s, d)
+          .select(
+            col("event_id"), col("user_id"),
+            count(lit(1)).over(w).as("n_1h"),
+            (sum(fx).over(w).cast(DoubleType) / 10000).as("sum_1h"))
+          .orderBy("event_id")
+      },
+      Some(
+        "SELECT event_id, user_id, CAST(COUNT(*) OVER w AS BIGINT) AS n_1h, " +
+          "CAST(SUM(CAST(ROUND(value * 10000) AS HUGEINT)) OVER w AS DOUBLE) / 10000 AS sum_1h " +
+          "FROM events WINDOW w AS (PARTITION BY user_id " +
+          "ORDER BY CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT) " +
+          "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) ORDER BY event_id")
+    ),
+    Q(
       "q_funnel",
       // Ordered 3-stage funnel (view → click after view → purchase after
       // that click) with per-stage user counts and conversion rate. Three

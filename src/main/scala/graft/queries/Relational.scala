@@ -548,6 +548,29 @@ object Relational {
         "SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey FROM supplier ORDER BY nk")
     ),
     Q(
+      "q_unpivot",
+      // Wide→long melt (the inverse of q_pivot): three measure columns
+      // into (metric, val) rows via the native unpivot operator, then a
+      // deterministic per-metric rollup. Oracle states the same melt as
+      // UNION ALL — dialect-free and value-identical.
+      (s, d) =>
+        t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"), col("l_tax"))
+          .unpivot(
+            Array(col("l_orderkey"), col("l_linenumber")),
+            Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+            "metric", "val")
+          .groupBy(col("metric"))
+          .agg(graft.core.Agg.dsum(col("val")).as("total"), count(lit(1)).as("n"))
+          .orderBy("metric"),
+      Some(
+        "WITH u AS (SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem " +
+          "UNION ALL SELECT 'l_discount', l_discount FROM lineitem " +
+          "UNION ALL SELECT 'l_tax', l_tax FROM lineitem) " +
+          "SELECT metric, " + graft.core.Agg.dsumSql("val") + " AS total, " +
+          "CAST(COUNT(*) AS BIGINT) AS n FROM u GROUP BY metric ORDER BY metric")
+    ),
+    Q(
       "q_except",
       (s, d) =>
         t(s, d, "customer")
