@@ -184,7 +184,10 @@ object Events {
         "SELECT event_id, user_id, CAST(COUNT(*) OVER w AS BIGINT) AS n_1h, " +
           "CAST(SUM(CAST(ROUND(value * 10000) AS HUGEINT)) OVER w AS DOUBLE) / 10000 AS sum_1h " +
           "FROM events WINDOW w AS (PARTITION BY user_id " +
-          "ORDER BY CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT) " +
+          // floor(), not a bare BIGINT cast: DuckDB double→int casts ROUND
+          // half-away while Spark's timestamp→long cast truncates — rows
+          // with fractional seconds ≥ .5 would land one frame off.
+          "ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) " +
           "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) ORDER BY event_id")
     ),
     Q(
