@@ -1,7 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Custom stateful streaming op (SURVEY §2.8 "stateful ops"):
   * per-user running event counts via `flatMapGroupsWithState` — state (the
@@ -34,5 +34,39 @@ object Stateful {
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(updateCount)
+  }
+
+  /** Same state machine on the Spark 4 `transformWithState` API
+    * (StatefulProcessor + typed ValueState): the successor to
+    * flatMapGroupsWithState — explicit named state slots with per-slot
+    * encoders and TTL, timers, and schema-evolvable RocksDB-backed
+    * state. Requires
+    * `spark.sql.streaming.stateStore.providerClass = ...RocksDBStateStoreProvider`.
+    */
+  class RunningCountProcessor extends StatefulProcessor[Long, UserEvent, UserCount] {
+    @transient private var count: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long]("count", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[UserEvent],
+        timerValues: TimerValues): Iterator[UserCount] = {
+      val n = rows.size
+      val total = (if (count.exists()) count.get() else 0L) + n
+      count.update(total)
+      Iterator.single(UserCount(key, total, n))
+    }
+  }
+
+  /** runningCounts via transformWithState (state survives runs exactly as
+    * the flatMapGroupsWithState variant; spec asserts both agree).
+    */
+  def runningCountsTws(spark: SparkSession, events: Dataset[UserEvent]): Dataset[UserCount] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningCountProcessor, TimeMode.None(), OutputMode.Append())
   }
 }

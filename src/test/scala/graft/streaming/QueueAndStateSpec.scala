@@ -77,6 +77,42 @@ class QueueAndStateSpec extends SparkSpec {
     assert(byBatch(1L) == Seq(2L, 3L), s"state must carry 2 -> 3 across runs: $byBatch")
   }
 
+  test("transformWithState (Spark 4 API): same running counts, RocksDB state across runs") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("tws").toString
+    val in = s"$root/in"; val out = s"$root/out"; val ck = s"$root/ck"
+    Files.createDirectories(Paths.get(in))
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_type", StringType)))
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def run(): Unit = {
+        val events = spark.readStream.schema(schema).csv(in).as[Stateful.UserEvent]
+        val q = Stateful.runningCountsTws(spark, events)
+          .writeStream.format("parquet").outputMode("append")
+          .option("path", out).option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      Files.writeString(Paths.get(s"$in/b1.csv"), "1,click\n1,view\n2,click")
+      run()
+      Files.writeString(Paths.get(s"$in/b2.csv"), "1,purchase")
+      run()
+      val byBatch = spark.read.parquet(out).as[Stateful.UserCount].collect()
+        .groupBy(_.user_id).view.mapValues(_.map(_.cumulative).sorted.toSeq).toMap
+      assert(byBatch(2L) == Seq(1L))
+      assert(byBatch(1L) == Seq(2L, 3L), s"ValueState must carry 2 -> 3 across runs: $byBatch")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("EP1 end-to-end: JDBC discovery -> publish -> consume -> pipeline -> warehouse") {
     val url = JdbcCatalog.seedDemoDb(
       Files.createTempDirectory("derby-ep1").toString + "/db")
