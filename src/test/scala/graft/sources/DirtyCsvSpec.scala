@@ -119,4 +119,33 @@ class DirtyCsvSpec extends SparkSpec {
       Row(2L, null, null),
       Row(3L, "quote\"inside", -0.25)))
   }
+
+  test("fuzz: 200 seeded random values round-trip the dirty wire losslessly") {
+    import spark.implicits._
+    // Charset stresses the quoting/escaping/repair path: embedded quotes,
+    // commas, spaces, backslashes, empty strings, NULLs. 'N' is excluded —
+    // values forming the `"N,` marker hit the reference's own wire
+    // ambiguity, which we reproduce bug-for-bug (covered explicitly above).
+    val chars = "abcxyz\",\\ .;".toCharArray
+    val rnd = new scala.util.Random(42)
+    def randVal(): Option[String] =
+      if (rnd.nextInt(5) == 0) None
+      else Some(Seq.fill(rnd.nextInt(12))(chars(rnd.nextInt(chars.length))).mkString)
+    val rows = (1L to 200L).map(i => (i, randVal()))
+    val dir = java.nio.file.Files.createTempDirectory("dirtyfuzz").toString
+    DirtyCsv.writeDirty(rows.toDF("id", "name"), s"$dir/dirty")
+    DirtyCsv.repairToCleanCsv(spark, s"$dir/dirty", s"$dir/clean")
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = true),
+      StructField("name", StringType, nullable = true)))
+    val back = spark.read.schema(schema)
+      .option("quote", "\"").option("escape", "\"").option("nullValue", "")
+      .csv(s"$dir/clean")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    rows.foreach { case (i, v) =>
+      // empty string and NULL collapse on the wire (both → empty field)
+      val expected = v.filter(_.nonEmpty)
+      assert(back(i) == expected, s"row $i: wrote $v, read ${back(i)}")
+    }
+  }
 }
