@@ -72,6 +72,18 @@ object SqlQueries {
         "ORDER BY p_partkey"
     ),
     shared(
+      "q_sql_grouping",
+      // GROUPING SETS + GROUPING() disambiguation in shared SQL text;
+      // explicit NULLS FIRST because DuckDB defaults NULLS LAST on ASC
+      // while Spark defaults NULLS FIRST.
+      "SELECT o_orderstatus, o_orderpriority, " +
+        "CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status, " +
+        "CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio, " +
+        "CAST(COUNT(*) AS BIGINT) AS n " +
+        "FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) " +
+        "ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"
+    ),
+    shared(
       "q_sql_window",
       // window function in delegated SQL text: per-customer top-2 orders
       // by price (unique o_orderkey tiebreak keeps both engines' LIMIT
