@@ -233,7 +233,8 @@ object Events {
           "SELECT CAST(COUNT(*) AS BIGINT) AS n_users, CAST(COUNT(first_view) AS BIGINT) AS viewed, " +
           "CAST(COUNT(first_click) AS BIGINT) AS clicked_after_view, " +
           "CAST(COUNT(first_purchase) AS BIGINT) AS purchased_after_click, " +
-          "CAST(COUNT(first_purchase) AS DOUBLE) / CAST(COUNT(first_view) AS DOUBLE) AS conversion FROM u")
+          "CAST(COUNT(first_purchase) AS DOUBLE) / CAST(COUNT(first_view) AS DOUBLE) AS conversion FROM u"),
+      headline = true
     )
   )
 }

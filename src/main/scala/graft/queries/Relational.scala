@@ -548,6 +548,34 @@ object Relational {
         "SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey FROM supplier ORDER BY nk")
     ),
     Q(
+      "q_salted_agg",
+      // The skew-mitigation path under the differential gate: two-stage
+      // salted aggregation (graft.engine.Skew) must produce bit-identical
+      // results to a direct GROUP BY — partial fixed-point sums + counts
+      // per (key, salt), exact integer merge per key. The oracle is the
+      // plain one-stage SQL: algebra preservation IS the claim.
+      (s, d) => {
+        import org.apache.spark.sql.types.{DecimalType, DoubleType}
+        graft.engine.Skew
+          .saltedAgg(
+            t(s, d, "lineitem").select(col("l_returnflag"), col("l_quantity")),
+            keys = Seq("l_returnflag"),
+            saltBuckets = 8,
+            partials = Seq(
+              sum(round(col("l_quantity") * 10000).cast(DecimalType(38, 0))).as("psum"),
+              count(lit(1)).as("pn")),
+            merges = Seq(sum(col("psum")).as("ssum"), sum(col("pn")).as("n")))
+          .select(
+            col("l_returnflag"),
+            (col("ssum").cast(DoubleType) / 10000).as("sum_qty"),
+            col("n"))
+          .orderBy("l_returnflag")
+      },
+      Some(
+        "SELECT l_returnflag, " + graft.core.Agg.dsumSql("l_quantity") + " AS sum_qty, " +
+          "CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")
+    ),
+    Q(
       "q_unpivot",
       // Wide→long melt (the inverse of q_pivot): three measure columns
       // into (metric, val) rows via the native unpivot operator, then a
