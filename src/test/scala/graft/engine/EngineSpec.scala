@@ -33,6 +33,14 @@ class EngineSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("approx_count_distinct (HLL++, rsd=0.01) within 5% of exact") {
+    val orders = Tables(spark, sf(), "orders")
+    val exact = orders.select(countDistinct(col("o_custkey"))).collect().head.getLong(0)
+    val approx = orders.select(approx_count_distinct(col("o_custkey"), 0.01)).collect().head.getLong(0)
+    val relErr = math.abs(approx - exact).toDouble / exact
+    assert(relErr <= 0.05, s"HLL relative error $relErr (approx $approx vs exact $exact)")
+  }
+
   test("dynamic partition pruning fires on a partitioned warehouse join") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("dpp").toString + "/events_by_day"
