@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+/** Plan-shape regression guard: the PLANS.md audits, enforced. If a code
+  * change degrades a headline plan — loses column pruning or filter
+  * pushdown, turns the star join into a sort-merge join, materializes a
+  * global sort for top-k, or breaks whole-stage codegen around the
+  * flagship aggregate — a test fails, not a benchmark three rounds later.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def planString(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  // pre-AQE physical plan: AdaptiveSparkPlanExec hides its subtree from
+  // collect() until execution, but scan pruning/pushdown is already fixed
+  // in the initial plan.
+  private def scans(df: DataFrame): Seq[FileSourceScanExec] =
+    df.queryExecution.sparkPlan.collect { case s: FileSourceScanExec => s }
+
+  test("projection prunes the parquet scan to the selected columns") {
+    val df = Registry.byName("q_projection").run(spark, sf())
+    val scan = scans(df).head
+    val read = scan.requiredSchema.fieldNames.toSet
+    val out = df.schema.fieldNames.toSet
+    assert(read == out, s"scan reads $read but query outputs $out")
+  }
+
+  test("filters push down to the parquet scan") {
+    val df = Registry.byName("q_filter_conj").run(spark, sf())
+    val scan = scans(df).head
+    assert(scan.metadata.get("PushedFilters").exists(_ != "[]"),
+      s"no pushed filters on scan: ${scan.metadata.get("PushedFilters")}")
+  }
+
+  test("star join is all broadcast joins — the fact table never shuffles") {
+    val p = planString(Registry.byName("q_join_star").run(spark, sf()))
+    assert(p.contains("BroadcastHashJoin"), "expected broadcast hash joins")
+    assert(!p.contains("SortMergeJoin"), "fact-side sort-merge join crept in")
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val p = planString(Registry.byName("q_topk").run(spark, sf()))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k plan lost its heap operator:\n$p")
+  }
+
+  test("flagship aggregate stays inside whole-stage codegen") {
+    // codegen stages materialize only in the AQE-final plan — execute THIS
+    // df (a noop write would plan a separate query execution) and unwrap
+    // the adaptive root (its toString elides the finalized subtree)
+    val df = Registry.byName("q_agg_pricing").run(spark, sf())
+    df.collect()
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // FormattedMode stars operators inside WholeStageCodegen spans; both
+    // the partial and final aggregate must be starred
+    val codegenAggs = "\\* HashAggregate".r.findAllIn(p).size
+    assert(codegenAggs >= 2, s"aggregates fell out of codegen ($codegenAggs starred):\n$p")
+  }
+
+  test("as-of join plans exactly one data-sized exchange (no range cross-product)") {
+    val df = Registry.byName("q_asof_join").run(spark, sf())
+    val p = planString(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "as-of join degenerated to a cross-product strategy")
+  }
+}
