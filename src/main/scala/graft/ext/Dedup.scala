@@ -80,11 +80,14 @@ object Dedup {
       rowsPerBand: Int = 4,
       minJaccard: Double = 0.4): DataFrame = {
     val nHashes = bands * rowsPerBand
-    // NOTE: persisting sigs here was measured 3x SLOWER at sf0.1 — the
-    // InMemoryTableScan breaks whole-stage codegen around the banded
-    // self-join, which outweighs recomputing the (cheap-per-row) signature
-    // subtree on the broadcast side. Recompute wins; at cluster scale the
-    // band join is a shuffle join and the exchange is reused instead.
+    // NOTE: recompute-per-side is the measured winner for the sig subtree.
+    // persist() was 3x slower (InMemoryTableScan breaks whole-stage
+    // codegen around the banded self-join); snapshotting sigs to a temp
+    // parquet and re-reading also lost the interleaved A/B (2.50s vs
+    // 1.89s min-of-4 at sf0.1 — write barrier + two file scans cost more
+    // than recomputing the now-parallel explode). At cluster scale the
+    // band join becomes a shuffle join and exchange reuse removes the
+    // duplication anyway.
     val sigs = minhashSignatures(df, idCol, textCol, shingleK, nHashes)
     val banded = sigs
       .select(col("id"), col("sig"), posexplode(bandHashes(bands, rowsPerBand)).as(Seq("band_idx", "band_hash")))
