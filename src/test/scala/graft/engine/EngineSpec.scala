@@ -33,6 +33,39 @@ class EngineSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("AQE skew-join split fires on a hot key and preserves results") {
+    import spark.implicits._
+    // one hot key (0) carrying ~90% of rows, plus a uniform tail
+    val skewed = spark.range(0, 60000)
+      .select((when(col("id") % 10 =!= 0, col("id") % 1000).otherwise(0L)).as("k"),
+        col("id").as("payload"))
+    val dim = spark.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("v"))
+    val prev = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      // shrink thresholds so the hot partition qualifies at test scale;
+      // disable broadcast so a shuffle join (the skew-handled kind) plans
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // execute THIS df (count() would plan a separate query execution,
+      // leaving joined's adaptive plan unfinalized)
+      val joined = skewed.join(dim, Seq("k"))
+      assert(joined.collect().length == 60000)
+      val plan = joined.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(plan.contains("skew=true"), s"skew-join handling did not fire:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("approx_count_distinct (HLL++, rsd=0.01) within 5% of exact") {
     val orders = Tables(spark, sf(), "orders")
     val exact = orders.select(countDistinct(col("o_custkey"))).collect().head.getLong(0)
