@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-behavior probe: the bench testdata is single-row-group parquet
+  * (1-task scans), which hides the engine's real parallel throughput.
+  * This main replicates lineitem/orders `mult`× with shifted keys into
+  * multi-file parquet under /tmp, then times the flagship aggregate and
+  * the fact-fact join shape on BOTH layouts — measuring what actually
+  * matters at 100 TB: per-row cost once scans split properly.
+  *
+  * Usage: runMain graft.Stress [sfDir] [mult]
+  * Emits one JSON line: rows, seconds and Mrows/s per (layout, query).
+  */
+object Stress {
+
+  private def time[A](f: => A): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mult = args.lift(1).map(_.toInt).getOrElse(16)
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft-stress"
+    val spark: SparkSession = Sessions.build("graft-stress")
+    import spark.implicits._
+
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+
+    // replicate with disjoint key ranges per replica; repartition so the
+    // written parquet has many files → multi-task scans
+    def replicate(df: org.apache.spark.sql.DataFrame, keyCol: String): org.apache.spark.sql.DataFrame =
+      spark.range(mult).withColumnRenamed("id", "rep")
+        .crossJoin(df)
+        .withColumn(keyCol, col(keyCol) + col("rep") * 100000000L)
+        .drop("rep")
+    replicate(li, "l_orderkey").repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    replicate(ord, "o_orderkey").repartition(32).write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+    def pricing(dir: String): Double = time {
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          core.Agg.dsum(col("l_quantity")).as("sum_qty"),
+          core.Agg.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc"),
+          count(lit(1)).as("n"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    def factJoin(dir: String): Double = time {
+      val l = spark.read.parquet(s"$dir/lineitem.parquet")
+      val o = spark.read.parquet(s"$dir/orders.parquet")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), core.Agg.dsum(col("l_quantity")).as("sum_qty"))
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    val nBase = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    val nBig = spark.read.parquet(s"$out/lineitem.parquet").count()
+    // warm both paths once, then measure min-of-2
+    pricing(sfDir); pricing(out); factJoin(sfDir); factJoin(out)
+    val pBase = Seq(pricing(sfDir), pricing(sfDir)).min
+    val pBig = Seq(pricing(out), pricing(out)).min
+    val jBase = Seq(factJoin(sfDir), factJoin(sfDir)).min
+    val jBig = Seq(factJoin(out), factJoin(out)).min
+    def rate(n: Long, s: Double): Double = n / s / 1e6
+    val num = (v: Double) => "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    println(
+      s"""{"rows_base":$nBase,"rows_big":$nBig,"mult":$mult,""" +
+        s""""pricing_base_sec":${num(pBase)},"pricing_big_sec":${num(pBig)},""" +
+        s""""pricing_base_mrows_s":${num(rate(nBase, pBase))},"pricing_big_mrows_s":${num(rate(nBig, pBig))},""" +
+        s""""join_base_sec":${num(jBase)},"join_big_sec":${num(jBig)},""" +
+        s""""join_base_mrows_s":${num(rate(nBase, jBase))},"join_big_mrows_s":${num(rate(nBig, jBig))}}""")
+    spark.stop()
+  }
+}
