@@ -72,6 +72,20 @@ object SqlQueries {
         "ORDER BY p_partkey"
     ),
     shared(
+      "q_sql_values",
+      // inline VALUES table joined against real data — the literal-seed
+      // pattern delegated SQL uses for small dimension lookups.
+      "SELECT t.id, t.seg, o.cnt FROM (VALUES (1, 'BUILDING'), (2, 'MACHINERY')) AS t(id, seg) " +
+        "JOIN (SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS cnt " +
+        "FROM customer GROUP BY c_mktsegment) o ON t.seg = o.seg ORDER BY t.id"
+    ),
+    shared(
+      "q_sql_except_all",
+      // bag-semantics difference (keeps duplicate multiplicity).
+      "SELECT c_nationkey AS nk FROM customer EXCEPT ALL " +
+        "SELECT s_nationkey FROM supplier ORDER BY nk"
+    ),
+    shared(
       "q_sql_grouping",
       // GROUPING SETS + GROUPING() disambiguation in shared SQL text;
       // explicit NULLS FIRST because DuckDB defaults NULLS LAST on ASC
