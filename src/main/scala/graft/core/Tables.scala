@@ -18,7 +18,7 @@ object Tables {
     */
   private val spreadKey: Map[String, String] = Map(
     "customer" -> "c_custkey", "supplier" -> "s_suppkey", "part" -> "p_partkey",
-    "orders" -> "o_orderkey", "lineitem" -> "l_orderkey",
+    "orders" -> "o_orderkey", "lineitem" -> "l_orderkey", "events" -> "user_id",
     "documents" -> "doc_id", "embeddings" -> "vec_id")
 
   /** Note on local parallelism: the driver-generated test parquet has ONE

@@ -26,6 +26,13 @@ object Skew {
     * not stable across runs, but the FINAL result is: stage 2 merges over
     * all buckets, and the (merge ∘ partial) contract makes the composition
     * salt-independent.
+    *
+    * Task-retry safety: the id expression is nondeterministic, so Spark
+    * marks the stage-1 shuffle output INDETERMINATE and, on a fetch
+    * failure, ROLLS BACK and re-runs the whole map stage instead of
+    * recomputing single tasks against stale reducer fetches (the
+    * SPARK-23207 repartition fix, generalized by SPARK-25341) — a retry
+    * costs a stage re-run, never a wrong aggregate.
     */
   def saltedAgg(
       df: DataFrame,

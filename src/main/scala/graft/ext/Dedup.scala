@@ -115,7 +115,7 @@ object Dedup {
     * @param edges (a, b) undirected pairs
     * @return (id, comp) where comp = min node id of the component
     */
-  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIters: Int = 15): DataFrame = {
+  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIters: Int = 50): DataFrame = {
     // Persist the (possibly expensive) edge derivation — it is re-joined
     // every round; without this the whole pair-detection subtree would
     // recompute per iteration.
@@ -143,8 +143,18 @@ object Dedup {
       labels = next
       i += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds " +
+          s"($changed labels still changing) — a component's diameter exceeds " +
+          "maxIters; raise it (rounds needed = max component diameter)")
+    // localCheckpoint: truncates lineage like persist but its blocks are
+    // released by the ContextCleaner once unreferenced — no per-call cache
+    // leak; then drop the loop's explicit caches.
+    val out = labels.localCheckpoint(true)
+    labels.unpersist()
     sym.unpersist()
-    labels
+    out
   }
 
   /** Exact k-gram Jaccard as a SQL expression over text columns a/b. */

@@ -28,9 +28,13 @@ object PipelineMain {
     MessageQueue.publish(topic, BatchMsg(tables, batchNo = 1, maxBatches = 8))
     println(s"[pipeline] discovered: ${tables.mkString(",")}")
 
-    // stages 2-4 — guarded consume, per-table pipeline (LIFO)
+    // stages 2-4 — guarded consume, per-table pipeline (LIFO). Peek first,
+    // ack only after every load succeeds: a crash mid-run leaves the
+    // messages on the topic so a re-run reprocesses them (at-least-once;
+    // the truncate-overwrite loads make the replay idempotent). Ack-before-
+    // process would silently lose the batch on failure.
     val layout = Pipeline.Layout.today(root)
-    MessageQueue.consumeAll(topic).foreach { msg =>
+    MessageQueue.consumeAll(topic, ack = false).foreach { msg =>
       RunGuard.check(msg)
       msg.tables.foreach { table =>
         val df = JdbcCatalog.fullTableScan(spark, url, table)
@@ -39,6 +43,7 @@ object PipelineMain {
         println(s"[pipeline] loaded $table: ${loaded.count()} rows") // main.py:41-43 parity
       }
     }
+    MessageQueue.consumeAll(topic) // drain + ack now that the run succeeded
     Pipeline.retentionSweep(spark, root, java.time.LocalDate.now())
     spark.stop()
   }

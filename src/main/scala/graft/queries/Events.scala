@@ -108,14 +108,18 @@ object Events {
           .select(
             col("user_id"), col("ts"), lit(1).as("is_trade"), col("event_id"),
             lit(null).cast("timestamp").as("q_ts"), lit(null).cast("double").as("q_value"))
-        // Dedupe views to one row per (user_id, ts) — max event_id wins —
-        // so duplicate view timestamps resolve by a rule BOTH engines
-        // share (the oracle dedupes identically with arg_max) instead of
-        // partition-order-dependent last().
+        // Dedupe views to one row per (user_id, ts) — the value of the
+        // max-event_id row AMONG NON-NULL VALUES wins (null only if all
+        // are null) — via an ordered-struct max. This exactly mirrors
+        // DuckDB's arg_max (which skips null arguments); a plain max_by
+        // would return the newer row's NULL where arg_max returns the
+        // older non-null, diverging if values are ever null.
         val quotes = e
           .filter(col("event_type") === "view")
           .groupBy(col("user_id"), col("ts"))
-          .agg(max_by(col("value"), col("event_id")).as("q_value"))
+          .agg(
+            max(struct(col("value").isNotNull.as("nn"), col("event_id").as("eid"), col("value").as("v")))
+              .getField("v").as("q_value"))
           .select(
             col("user_id"), col("ts"), lit(0).as("is_trade"), lit(null).cast("long").as("event_id"),
             col("ts").as("q_ts"), col("q_value"))
