@@ -80,6 +80,49 @@ object Structured {
           "'qty,disc' AS m_keys FROM lineitem ORDER BY l_orderkey, l_linenumber")
     ),
     Q(
+      "q_histogram",
+      // Integer-binned value histogram (the profile/debug query every
+      // pipeline runs): floor division is exact in both engines, so bins
+      // and counts hash-match without any float recipe. One count shuffle
+      // with map-side combine at any scale.
+      (s, d) =>
+        t(s, d, "orders")
+          .select(floor(col("o_totalprice") / 20000).cast("long").as("bin"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("bin"),
+      Some(
+        "SELECT CAST(floor(o_totalprice / 20000) AS BIGINT) AS bin, " +
+          "CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY bin ORDER BY bin")
+    ),
+    Q(
+      "q_json_extract",
+      // JSON build → parse round-trip per engine: each engine renders its
+      // OWN json from the same row and extracts typed fields back; the
+      // compared output is the extracted values, so engine-specific JSON
+      // whitespace never enters the hash.
+      (s, d) =>
+        t(s, d, "orders")
+          .select(
+            col("o_orderkey"),
+            to_json(struct(
+              col("o_custkey").as("cust"),
+              col("o_orderstatus").as("status"),
+              struct(col("o_orderpriority").as("pr")).as("meta"))).as("j"))
+          .select(
+            col("o_orderkey"),
+            get_json_object(col("j"), "$.cust").cast("long").as("cust"),
+            get_json_object(col("j"), "$.status").as("status"),
+            get_json_object(col("j"), "$.meta.pr").as("pr"))
+          .orderBy("o_orderkey"),
+      Some(
+        "WITH j AS (SELECT o_orderkey, to_json(struct_pack(cust := o_custkey, " +
+          "status := o_orderstatus, meta := struct_pack(pr := o_orderpriority))) AS j FROM orders) " +
+          "SELECT o_orderkey, CAST(json_extract_string(j, '$.cust') AS BIGINT) AS cust, " +
+          "json_extract_string(j, '$.status') AS status, " +
+          "json_extract_string(j, '$.meta.pr') AS pr FROM j ORDER BY o_orderkey")
+    ),
+    Q(
       "q_sample_hash",
       // Deterministic ~8% sample: md5 of the key is identical in every
       // engine and on every cluster size — unlike rand()/TABLESAMPLE, the
