@@ -39,8 +39,8 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON.
-    def num(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // Locale.ROOT (via Timing): comma-decimal locales would emit invalid JSON.
+    def num(v: Double): String = Timing.fmt3(v)
     val qs = times.map { case (k, v) => s"${jstr(k)}:${num(v)}" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = times.values.sum

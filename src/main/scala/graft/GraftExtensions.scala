@@ -23,6 +23,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (
         FunctionIdentifier("graft_dot"),
         new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-        (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+        (children: Seq[Expression]) => {
+          if (children.size != 2)
+            throw new IllegalArgumentException(
+              s"graft_dot requires exactly 2 arguments (array<double>, array<double>), got ${children.size}")
+          DotProduct(children(0), children(1))
+        }))
   }
 }

@@ -15,9 +15,7 @@ import org.apache.spark.sql.functions._
   */
 object Stress {
 
-  private def time[A](f: => A): Double = {
-    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-  }
+  private def time(f: => Unit): Double = Timing.timeOf(f)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -66,7 +64,7 @@ object Stress {
     val jBase = Seq(factJoin(sfDir), factJoin(sfDir)).min
     val jBig = Seq(factJoin(out), factJoin(out)).min
     def rate(n: Long, s: Double): Double = n / s / 1e6
-    val num = (v: Double) => "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val num = (v: Double) => Timing.fmt3(v)
     println(
       s"""{"rows_base":$nBase,"rows_big":$nBig,"mult":$mult,""" +
         s""""pricing_base_sec":${num(pBase)},"pricing_big_sec":${num(pBig)},""" +

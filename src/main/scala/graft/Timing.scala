@@ -23,4 +23,12 @@ object Timing {
   }
 
   def fmt(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+
+  /** 3-decimal locale-safe formatting for machine-read JSON lines. */
+  def fmt3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+
+  /** Seconds taken by an arbitrary action (for non-registry workloads). */
+  def timeOf(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
 }

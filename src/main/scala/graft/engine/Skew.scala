@@ -20,29 +20,29 @@ object Skew {
   /** Two-stage salted aggregation:
     * stage 1 groups by (keys, salt) computing `partials`;
     * stage 2 groups by keys computing `merges` over the stage-1 columns.
-    * The salt mixes a per-row id so FULLY IDENTICAL duplicate rows — the
-    * classic hot-key shape — still spread across buckets; content hashing
-    * alone would send them all to one bucket. Salt assignment is therefore
-    * not stable across runs, but the FINAL result is: stage 2 merges over
-    * all buckets, and the (merge ∘ partial) contract makes the composition
-    * salt-independent.
     *
-    * Task-retry safety: the id expression is nondeterministic, so Spark
-    * marks the stage-1 shuffle output INDETERMINATE and, on a fetch
-    * failure, ROLLS BACK and re-runs the whole map stage instead of
-    * recomputing single tasks against stale reducer fetches (the
-    * SPARK-23207 repartition fix, generalized by SPARK-25341) — a retry
-    * costs a stage re-run, never a wrong aggregate.
+    * Default salt = hash of all columns mod buckets: DETERMINISTIC, so a
+    * retried stage-1 task reproduces the same (key, salt) routing and the
+    * result is exact under any failure pattern. Caveat: fully identical
+    * duplicate rows all hash to one bucket, so a hot key made of literal
+    * duplicates doesn't spread — pass spreadDuplicates=true to mix a
+    * per-row id into the salt. That spreads duplicates but the id is
+    * NONDETERMINISTIC: safe when `df` reads straight from a deterministic
+    * source (file scans — a retried task re-reads the same split in the
+    * same order), NOT safe if `df` sits downstream of a shuffle whose
+    * reduce-side row order can differ across task retries.
     */
   def saltedAgg(
       df: DataFrame,
       keys: Seq[String],
       saltBuckets: Int,
       partials: Seq[Column],
-      merges: Seq[Column]): DataFrame = {
-    val salted = df.withColumn(
-      "_salt",
-      pmod(hash(monotonically_increasing_id()), lit(saltBuckets)))
+      merges: Seq[Column],
+      spreadDuplicates: Boolean = false): DataFrame = {
+    val saltSource =
+      if (spreadDuplicates) hash(monotonically_increasing_id())
+      else hash(df.columns.map(col).toIndexedSeq: _*)
+    val salted = df.withColumn("_salt", pmod(saltSource, lit(saltBuckets)))
     val stage1 = salted
       .groupBy((keys :+ "_salt").map(col): _*)
       .agg(partials.head, partials.tail: _*)

@@ -143,11 +143,14 @@ object Dedup {
       labels = next
       i += 1
     }
-    if (changed > 0)
+    if (changed > 0) {
+      labels.unpersist() // don't pin caches on the failure path
+      sym.unpersist()
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters rounds " +
           s"($changed labels still changing) — a component's diameter exceeds " +
           "maxIters; raise it (rounds needed = max component diameter)")
+    }
     // localCheckpoint: truncates lineage like persist but its blocks are
     // released by the ContextCleaner once unreferenced — no per-call cache
     // leak; then drop the loop's explicit caches.

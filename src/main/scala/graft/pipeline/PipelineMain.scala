@@ -34,7 +34,8 @@ object PipelineMain {
     // the truncate-overwrite loads make the replay idempotent). Ack-before-
     // process would silently lose the batch on failure.
     val layout = Pipeline.Layout.today(root)
-    MessageQueue.consumeAll(topic, ack = false).foreach { msg =>
+    val peeked = MessageQueue.peekAll(topic)
+    peeked.foreach { case (_, msg) =>
       RunGuard.check(msg)
       msg.tables.foreach { table =>
         val df = JdbcCatalog.fullTableScan(spark, url, table)
@@ -43,7 +44,9 @@ object PipelineMain {
         println(s"[pipeline] loaded $table: ${loaded.count()} rows") // main.py:41-43 parity
       }
     }
-    MessageQueue.consumeAll(topic) // drain + ack now that the run succeeded
+    // ack EXACTLY the processed files — a message published mid-run stays
+    // on the topic for the next invocation
+    MessageQueue.ack(topic, peeked.map(_._1))
     Pipeline.retentionSweep(spark, root, java.time.LocalDate.now())
     spark.stop()
   }

@@ -107,7 +107,7 @@ object Events {
           .filter(col("event_type") === "purchase")
           .select(
             col("user_id"), col("ts"), lit(1).as("is_trade"), col("event_id"),
-            lit(null).cast("timestamp").as("q_ts"), lit(null).cast("double").as("q_value"))
+            lit(null).cast("struct<q_ts:timestamp,q_value:double>").as("q"))
         // Dedupe views to one row per (user_id, ts) — the value of the
         // max-event_id row AMONG NON-NULL VALUES wins (null only if all
         // are null) — via an ordered-struct max. This exactly mirrors
@@ -122,19 +122,25 @@ object Events {
               .getField("v").as("q_value"))
           .select(
             col("user_id"), col("ts"), lit(0).as("is_trade"), lit(null).cast("long").as("event_id"),
-            col("ts").as("q_ts"), col("q_value"))
+            struct(col("ts").as("q_ts"), col("q_value")).as("q"))
         val w = Window
           .partitionBy(col("user_id"))
           .orderBy(col("ts"), col("is_trade"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // (q_ts, q_value) travel as ONE nullable struct through the running
+        // last(): both output fields always come from the SAME view row —
+        // separate last() calls would skip a null q_value back to an older
+        // view while q_ts stayed newer (inconsistent pair vs ASOF).
         trades
           .unionByName(quotes)
           .select(
             col("user_id"), col("ts"), col("is_trade"), col("event_id"),
-            last(col("q_ts"), ignoreNulls = true).over(w).as("view_ts"),
-            last(col("q_value"), ignoreNulls = true).over(w).as("view_value"))
+            last(col("q"), ignoreNulls = true).over(w).as("vq"))
           .filter(col("is_trade") === 1)
-          .select(col("event_id"), col("user_id"), col("ts").cast("timestamp_ntz").as("ts"), col("view_ts").cast("timestamp_ntz").as("view_ts"), col("view_value"))
+          .select(
+            col("event_id"), col("user_id"), col("ts").cast("timestamp_ntz").as("ts"),
+            col("vq").getField("q_ts").cast("timestamp_ntz").as("view_ts"),
+            col("vq").getField("q_value").as("view_value"))
           .orderBy("event_id")
       },
       Some(

@@ -42,35 +42,55 @@ object MessageQueue {
     BatchMsg(payload.split(",").toSeq.filter(_.nonEmpty), no.toInt, max.toInt)
   }
 
-  /** Batch-consume all pending messages, oldest first; tables within each
-    * message in LIFO order (reference pop() semantics). Consumed files are
-    * acked by moving them to a SIBLING `<topicDir>.processed` directory
-    * (sibling, not subdir, so `readStreamed`'s file listing over the topic
-    * never sees them) — re-running a consumer against the same topic drains
-    * nothing, i.e. real at-most-once semantics rather than relying on the
-    * downstream loads' overwrite idempotency. Pass ack=false to peek.
+  /** Peek all pending messages WITH their file names, oldest first;
+    * tables within each message in LIFO order (reference pop()
+    * semantics). No ack — pair with [[ack]] after successful processing
+    * so a crash mid-batch leaves the messages for an idempotent replay.
     */
-  def consumeAll(topicDir: String, ack: Boolean = true): Seq[BatchMsg] = {
+  def peekAll(topicDir: String): Seq[(String, BatchMsg)] = {
     val dir = Paths.get(topicDir)
     if (!Files.exists(dir)) Seq.empty
     else {
-      val files = Files.list(dir).iterator()
+      val stream = Files.list(dir)
       val buf = scala.collection.mutable.ArrayBuffer.empty[(String, BatchMsg)]
-      while (files.hasNext) {
-        val f = files.next()
-        if (f.getFileName.toString.startsWith("msg-"))
-          buf += ((f.getFileName.toString, decode(Files.readString(f))))
-      }
-      if (ack && buf.nonEmpty) {
-        val processed = dir.resolveSibling(dir.getFileName.toString + ".processed")
-        Files.createDirectories(processed)
-        buf.foreach { case (name, _) =>
-          Files.move(dir.resolve(name), processed.resolve(name),
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      try {
+        val files = stream.iterator()
+        while (files.hasNext) {
+          val f = files.next()
+          if (f.getFileName.toString.startsWith("msg-"))
+            buf += ((f.getFileName.toString, decode(Files.readString(f))))
         }
-      }
-      buf.sortBy(_._1).map { case (_, m) => m.copy(tables = m.tables.reverse) }.toSeq
+      } finally stream.close() // Files.list holds a directory fd until closed
+      buf.sortBy(_._1).map { case (n, m) => (n, m.copy(tables = m.tables.reverse)) }.toSeq
     }
+  }
+
+  /** Ack EXACTLY the named message files by moving them to a SIBLING
+    * `<topicDir>.processed` directory (sibling, not subdir, so
+    * `readStreamed`'s file listing over the topic never sees them).
+    * Acking by name closes the publish window: a message that arrived
+    * after the peek stays on the topic for the next run.
+    */
+  def ack(topicDir: String, names: Seq[String]): Unit =
+    if (names.nonEmpty) {
+      val dir = Paths.get(topicDir)
+      val processed = dir.resolveSibling(dir.getFileName.toString + ".processed")
+      Files.createDirectories(processed)
+      names.foreach { name =>
+        val src = dir.resolve(name)
+        if (Files.exists(src))
+          Files.move(src, processed.resolve(name),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+
+  /** Batch-consume all pending messages: peek + (by default) ack those
+    * same files — at-most-once drain. Pass ack=false to just peek.
+    */
+  def consumeAll(topicDir: String, ack: Boolean = true): Seq[BatchMsg] = {
+    val peeked = peekAll(topicDir)
+    if (ack) this.ack(topicDir, peeked.map(_._1))
+    peeked.map(_._2)
   }
 
   /** Streaming consume: checkpointed file stream over the topic dir —

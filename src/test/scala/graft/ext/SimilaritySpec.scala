@@ -49,6 +49,15 @@ class SimilaritySpec extends SparkSpec {
     assert(edge.forall(r => r.isNullAt(0) && r.isNullAt(1)))
   }
 
+  test("graft_dot accepts raw float arrays (no caller cast) and widens exactly") {
+    import spark.implicits._
+    val r = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f)))
+      .toDF("a", "b")
+      .select(call_function("graft_dot", col("a"), col("b")).as("d"))
+      .collect().head.getDouble(0)
+    assert(r == 11.0)
+  }
+
   test("LSH top-k recall >= 0.5 vs brute force on embeddings (sf0.001)") {
     val emb = graft.core.Tables(spark, sf(), "embeddings")
     val queries = emb.filter(col("vec_id") < 20)
