@@ -141,6 +141,30 @@ object Structured {
           "ORDER BY o_orderkey")
     ),
     Q(
+      "q_fold_split",
+      // Deterministic k-fold assignment (cross-validation / sharded
+      // training splits): NTILE over the md5-of-key order gives
+      // equal-size folds that are identical on any engine and any
+      // cluster, unlike random splits. Output is the per-fold profile.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        t(s, d, "orders")
+          .withColumn(
+            "fold",
+            ntile(5).over(Window.orderBy(md5(col("o_orderkey").cast("string")))).cast("long"))
+          .groupBy(col("fold"))
+          .agg(
+            count(lit(1)).as("n"),
+            graft.core.Agg.dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("fold")
+      },
+      Some(
+        "WITH f AS (SELECT o_totalprice, CAST(NTILE(5) OVER (ORDER BY md5(CAST(o_orderkey AS VARCHAR))) AS BIGINT) AS fold FROM orders) " +
+          "SELECT fold, CAST(COUNT(*) AS BIGINT) AS n, " +
+          graft.core.Agg.dsumSql("o_totalprice") + " AS sum_price " +
+          "FROM f GROUP BY fold ORDER BY fold")
+    ),
+    Q(
       "q_stats_moments", {
         (s, d) =>
           // Exact integer second-order sums (decimal in Spark, HUGEINT in
