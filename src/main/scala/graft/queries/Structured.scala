@@ -144,8 +144,12 @@ object Structured {
       "q_fold_split",
       // Deterministic k-fold assignment (cross-validation / sharded
       // training splits): NTILE over the md5-of-key order gives
-      // equal-size folds that are identical on any engine and any
-      // cluster, unlike random splits. Output is the per-fold profile.
+      // EXACT-equal folds, identical on any engine/cluster. Scale note:
+      // an unpartitioned window is a single-partition sort — the price of
+      // exactness. At 100 TB use the embarrassingly-parallel hash-range
+      // split (q_sample_hash shape, thresholds at i/k) and accept ~equal
+      // folds; this query also exercises global NTILE, which the
+      // delegated-SQL surface must support regardless.
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         t(s, d, "orders")
