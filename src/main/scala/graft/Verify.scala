@@ -22,20 +22,34 @@ object Verify {
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
       f.delete(); ()
     }
+    // Each query runs under its own job group so a single hung query can
+    // be CANCELLED at the deadline instead of stalling the whole dump —
+    // one pathological plan must cost one missing row in the gate, not
+    // the round's entire correctness signal.
     val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      scala.concurrent.Future {
+      name -> scala.concurrent.Future {
+        spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
         deleteRec(new java.io.File(s"$outDir/$name"))
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
           deleteRec(new java.io.File(s"$outDir/$name"))
-        }
+        } finally spark.sparkContext.clearJobGroup()
       }
     }
-    scala.concurrent.Await.result(
-      scala.concurrent.Future.sequence(futures),
-      scala.concurrent.duration.Duration.Inf)
+    val deadline = System.nanoTime() + 30L * 60 * 1000000000L // 30 min overall
+    futures.foreach { case (name, f) =>
+      val remainingNs = math.max(1L, deadline - System.nanoTime())
+      try scala.concurrent.Await.result(
+        f, scala.concurrent.duration.Duration.fromNanos(remainingNs))
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          System.err.println(s"[verify] $name timed out — cancelling its jobs")
+          spark.sparkContext.cancelJobGroup(name)
+          deleteRec(new java.io.File(s"$outDir/$name"))
+      }
+    }
     pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
