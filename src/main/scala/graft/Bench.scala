@@ -8,8 +8,17 @@ import java.nio.file.{Files, Paths}
   * `noop` sink — unlike count(), that materializes every column without
   * collecting to the driver. Failures are reported per-query under
   * "errors", never as fake timings.
+  *
+  * Each query is sampled SAMPLES times in the same JVM and the per-query
+  * MIN is reported (total = sum of mins). A single sample under transient
+  * box load once recorded a 31× phantom slowdown on the heaviest query;
+  * the min over a few same-JVM runs is the only statistic that tracks the
+  * code, not the neighbours. The JSON carries "samples" so readers know
+  * the protocol.
   */
 object Bench {
+  private val Samples = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.build("graft-bench")
@@ -25,14 +34,20 @@ object Bench {
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     targets.foreach { q =>
-      val t0 = System.nanoTime()
-      try {
-        q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-        times(q.name) = (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          errors(q.name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      var best = Double.MaxValue
+      var i = 0
+      while (i < Samples && !errors.contains(q.name)) {
+        val t0 = System.nanoTime()
+        try {
+          q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            errors(q.name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        }
+        i += 1
       }
+      if (!errors.contains(q.name)) times(q.name) = best
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -45,7 +60,7 @@ object Bench {
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = times.values.sum
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","samples":$Samples,"queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}"""
     println(line)
     Files.writeString(Paths.get("BENCH_LOCAL.json"), line + "\n")
     spark.stop()

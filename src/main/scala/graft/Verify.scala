@@ -25,17 +25,24 @@ object Verify {
     // Each query runs under its own job group so a single hung query can
     // be CANCELLED at the deadline instead of stalling the whole dump —
     // one pathological plan must cost one missing row in the gate, not
-    // the round's entire correctness signal.
+    // the round's entire correctness signal. `cancelled` closes the gap
+    // for futures still QUEUED at their deadline: cancelJobGroup can't
+    // reach a query that hasn't called setJobGroup yet, so without the
+    // check such a query would start after its timeout, re-create the
+    // output the main thread just deleted, and race spark.stop().
+    val cancelled = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
       name -> scala.concurrent.Future {
-        spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
-        deleteRec(new java.io.File(s"$outDir/$name"))
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        if (!cancelled.contains(name)) {
+          spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
           deleteRec(new java.io.File(s"$outDir/$name"))
-        } finally spark.sparkContext.clearJobGroup()
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+            deleteRec(new java.io.File(s"$outDir/$name"))
+          } finally spark.sparkContext.clearJobGroup()
+        }
       }
     }
     val deadline = System.nanoTime() + 30L * 60 * 1000000000L // 30 min overall
@@ -46,11 +53,15 @@ object Verify {
       catch {
         case _: java.util.concurrent.TimeoutException =>
           System.err.println(s"[verify] $name timed out — cancelling its jobs")
+          cancelled.add(name)
           spark.sparkContext.cancelJobGroup(name)
           deleteRec(new java.io.File(s"$outDir/$name"))
       }
     }
-    pool.shutdown()
+    // shutdownNow (not shutdown): drop any still-queued future so a
+    // timed-out-but-unstarted query can never run during the JSON dump.
+    pool.shutdownNow()
+    pool.awaitTermination(30, java.util.concurrent.TimeUnit.SECONDS)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

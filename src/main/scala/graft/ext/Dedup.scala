@@ -124,6 +124,10 @@ object Dedup {
       .persist()
     var labels = nodes.select(col("id"), col("id").as("comp")).persist()
     labels.count()
+    // `cached` tracks the PERSISTED frame backing `labels` — unpersist must
+    // be called on the exact Dataset that was persisted, not a projection
+    // over it, or the cache block leaks for the loop's lifetime.
+    var cached = labels
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIters) {
@@ -131,20 +135,26 @@ object Dedup {
         .select(col("dst").as("id"), col("comp"))
         .groupBy(col("id"))
         .agg(min(col("comp")).as("nb_comp"))
+      // Convergence detection is folded into the SAME pass that computes
+      // the new labels: a per-row `chg` flag summed by the materializing
+      // action, instead of a second join of next-vs-previous labels — one
+      // fewer shuffle join per round, and the changed-count (a control
+      // decision) is all that reaches the driver.
       val next = labels
         .join(nb, Seq("id"), "left")
-        .select(col("id"), least(col("comp"), coalesce(col("nb_comp"), col("comp"))).as("comp"))
+        .select(
+          col("id"),
+          least(col("comp"), coalesce(col("nb_comp"), col("comp"))).as("comp"),
+          (coalesce(col("nb_comp"), col("comp")) < col("comp")).cast("long").as("chg"))
         .persist()
-      changed = next
-        .join(labels.withColumnRenamed("comp", "prev"), Seq("id"))
-        .filter(col("comp") =!= col("prev"))
-        .count()
-      labels.unpersist()
-      labels = next
+      changed = next.agg(coalesce(sum(col("chg")), lit(0L))).first().getLong(0)
+      cached.unpersist()
+      cached = next
+      labels = next.select(col("id"), col("comp"))
       i += 1
     }
     if (changed > 0) {
-      labels.unpersist() // don't pin caches on the failure path
+      cached.unpersist() // don't pin caches on the failure path
       sym.unpersist()
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters rounds " +
@@ -155,7 +165,7 @@ object Dedup {
     // released by the ContextCleaner once unreferenced — no per-call cache
     // leak; then drop the loop's explicit caches.
     val out = labels.localCheckpoint(true)
-    labels.unpersist()
+    cached.unpersist()
     sym.unpersist()
     out
   }

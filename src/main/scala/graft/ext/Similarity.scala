@@ -19,11 +19,16 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Sequential-fold dot product of two array<double> columns, via the
-    * native codegen expression [[graft.functions.DotProduct]] (identical
-    * bits to the HOF `aggregate(zip_with(...))` formulation — strict
-    * left-to-right accumulation — but a primitive loop per row instead of
-    * a per-element lambda expression tree; `dotHof` kept for the
-    * equivalence spec).
+    * native codegen expression [[graft.functions.DotProduct]]. For
+    * array<double> inputs the bits are identical to the HOF
+    * `aggregate(zip_with(...))` formulation — strict left-to-right
+    * accumulation — but a primitive loop per row instead of a per-element
+    * lambda expression tree (`dotHof` kept for the equivalence spec).
+    * On raw array<float> the native kernel widens each element to double
+    * BEFORE multiplying (matching an up-front cast), while the HOF
+    * multiplies in float and widens per addition — different bits; cast
+    * to array<double> first when bit parity matters (all in-repo callers
+    * do).
     */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 

@@ -198,7 +198,8 @@ object Events {
           // half-away while Spark's timestamp→long cast truncates — rows
           // with fractional seconds ≥ .5 would land one frame off.
           "ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) " +
-          "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) ORDER BY event_id")
+          "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) ORDER BY event_id"),
+      headline = true
     ),
     Q(
       "q_funnel",

@@ -97,7 +97,7 @@ object SqlQueries {
         "FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) " +
         "ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"
     ),
-    shared(
+    sharedHeadline(
       "q_sql_window",
       // window function in delegated SQL text: per-customer top-2 orders
       // by price (unique o_orderkey tiebreak keeps both engines' LIMIT

@@ -169,6 +169,34 @@ object Structured {
           "FROM f GROUP BY fold ORDER BY fold")
     ),
     Q(
+      "q_fold_split_hash",
+      // The SCALE-SAFE k-fold: fold = (md5-prefix of the key) mod k — a
+      // pure per-row expression, embarrassingly parallel, no global sort
+      // or window anywhere (contrast q_fold_split's NTILE, which pays a
+      // single-partition sort for exactly-equal folds). Folds are only
+      // ~equal (65536 mod 5 skew ≈ 0.002%) — the tradeoff a 100 TB
+      // pipeline should take. Cross-engine bridge: Spark `conv(hex,16,10)`
+      // and DuckDB `CAST('0x'||hex AS BIGINT)` parse the same md5 prefix
+      // to the same integer.
+      (s, d) =>
+        t(s, d, "orders")
+          .withColumn(
+            "fold",
+            conv(substring(md5(col("o_orderkey").cast("string")), 1, 4), 16, 10)
+              .cast("long") % 5)
+          .groupBy(col("fold"))
+          .agg(
+            count(lit(1)).as("n"),
+            graft.core.Agg.dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("fold"),
+      Some(
+        "WITH f AS (SELECT o_totalprice, " +
+          "CAST(concat('0x', substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 4)) AS BIGINT) % 5 AS fold FROM orders) " +
+          "SELECT fold, CAST(COUNT(*) AS BIGINT) AS n, " +
+          graft.core.Agg.dsumSql("o_totalprice") + " AS sum_price " +
+          "FROM f GROUP BY fold ORDER BY fold")
+    ),
+    Q(
       "q_stats_moments", {
         (s, d) =>
           // Exact integer second-order sums (decimal in Spark, HUGEINT in

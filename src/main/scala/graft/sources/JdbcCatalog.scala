@@ -30,36 +30,57 @@ import graft.core.SchemaColumn
   */
 object JdbcCatalog {
 
+  /** Credentials reach the driver as CONNECTION OPTIONS, never spliced
+    * into the URL — the URL stays loggable and plan-printable. `auth`
+    * holds the values resolved through a [[CredentialSource]] at call
+    * time (reference: get_secret at connect, main.py:23-33).
+    */
+  private def withAuth(
+      r: org.apache.spark.sql.DataFrameReader,
+      auth: Option[JdbcAuth]): org.apache.spark.sql.DataFrameReader =
+    auth.fold(r)(a => r.option("user", a.user).option("password", a.password.reveal))
+
+  private def connect(url: String, auth: Option[JdbcAuth]): java.sql.Connection =
+    auth.fold(DriverManager.getConnection(url))(a =>
+      DriverManager.getConnection(url, a.user, a.password.reveal))
+
   /** Run an arbitrary catalog/discovery SQL through the Spark JDBC source
     * (whole-query pushdown — the query executes inside the database, as in
     * the reference where MySQL runs the discovery SELECT).
     */
-  def queryJdbc(spark: SparkSession, url: String, query: String): DataFrame =
-    spark.read
-      .format("jdbc")
-      .option("url", url)
-      .option("query", query)
-      .load()
+  def queryJdbc(spark: SparkSession, url: String, query: String, auth: Option[JdbcAuth] = None): DataFrame =
+    withAuth(
+      spark.read
+        .format("jdbc")
+        .option("url", url)
+        .option("query", query),
+      auth).load()
 
   /** The canonical discovery query shape (README.md:27) against Derby's
     * system catalog: user tables whose name matches LIKE/IN predicates.
     */
-  def discoverTables(spark: SparkSession, url: String, likePattern: String, inList: Seq[String]): DataFrame = {
+  def discoverTables(
+      spark: SparkSession,
+      url: String,
+      likePattern: String,
+      inList: Seq[String],
+      auth: Option[JdbcAuth] = None): DataFrame = {
     val inSql = inList.map(s => s"'$s'").mkString(", ")
     queryJdbc(
       spark,
       url,
       "SELECT LOWER(t.TABLENAME) AS table_name FROM SYS.SYSTABLES t " +
         s"WHERE t.TABLETYPE = 'T' AND (LOWER(t.TABLENAME) LIKE '$likePattern' " +
-        s"OR LOWER(t.TABLENAME) IN ($inSql))")
+        s"OR LOWER(t.TABLENAME) IN ($inSql))",
+      auth)
       .toDF("table_name") // Derby uppercases the projected alias
   }
 
   /** Ordinal-ordered (name, declared type) columns of a table — the
     * `.schema` export feed. Driver-side JDBC metadata (not row data).
     */
-  def introspectColumns(url: String, table: String): Seq[SchemaColumn] = {
-    val conn = DriverManager.getConnection(url)
+  def introspectColumns(url: String, table: String, auth: Option[JdbcAuth] = None): Seq[SchemaColumn] = {
+    val conn = connect(url, auth)
     try {
       val rs = conn.getMetaData.getColumns(null, null, table.toUpperCase, null)
       val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, SchemaColumn)]
@@ -78,11 +99,14 @@ object JdbcCatalog {
       spark: SparkSession,
       url: String,
       table: String,
-      partitionColumn: Option[(String, Long, Long, Int)] = None): DataFrame = {
-    val base = spark.read
-      .format("jdbc")
-      .option("url", url)
-      .option("dbtable", table)
+      partitionColumn: Option[(String, Long, Long, Int)] = None,
+      auth: Option[JdbcAuth] = None): DataFrame = {
+    val base = withAuth(
+      spark.read
+        .format("jdbc")
+        .option("url", url)
+        .option("dbtable", table),
+      auth)
     partitionColumn
       .fold(base) { case (c, lo, hi, n) =>
         base
@@ -131,5 +155,33 @@ object JdbcCatalog {
       }
     } finally conn.close()
     s"jdbc:derby:$dbDir"
+  }
+
+  /** [[seedDemoDb]] plus Derby BUILTIN authentication: after this returns,
+    * the database REQUIRES the given user/password and the returned URL
+    * contains neither — resolve them through a [[CredentialSource]] and
+    * pass [[JdbcAuth]] (the reference's secret-manager-at-connect shape).
+    */
+  def seedSecureDb(dbDir: String, user: String, password: Secret): String = {
+    val url = seedDemoDb(dbDir)
+    val conn = DriverManager.getConnection(url)
+    try {
+      val ps = conn.prepareStatement("CALL SYSCS_UTIL.SYSCS_SET_DATABASE_PROPERTY(?, ?)")
+      def set(k: String, v: String): Unit = {
+        ps.setString(1, k); ps.setString(2, v); ps.execute()
+      }
+      set("derby.authentication.provider", "BUILTIN")
+      set(s"derby.user.$user", password.reveal)
+      set("derby.connection.requireAuthentication", "true")
+      ps.close()
+    } finally conn.close()
+    // requireAuthentication takes effect at the next database BOOT —
+    // shut it down now; Derby signals successful shutdown via SQLException
+    // (SQLState 08006), so swallow exactly that.
+    try {
+      DriverManager.getConnection(s"$url;shutdown=true")
+      ()
+    } catch { case e: java.sql.SQLException if e.getSQLState == "08006" => () }
+    url
   }
 }

@@ -84,10 +84,12 @@ object MessageQueue {
       }
     }
 
-  /** Batch-consume all pending messages: peek + (by default) ack those
-    * same files — at-most-once drain. Pass ack=false to just peek.
+  /** Batch-consume all pending messages: peek + (when ack=true) ack those
+    * same files — at-most-once drain. `ack` is deliberately REQUIRED: a
+    * default once flipped silently from read-only to destructive drain,
+    * so every caller must now state which they mean.
     */
-  def consumeAll(topicDir: String, ack: Boolean = true): Seq[BatchMsg] = {
+  def consumeAll(topicDir: String, ack: Boolean): Seq[BatchMsg] = {
     val peeked = peekAll(topicDir)
     if (ack) this.ack(topicDir, peeked.map(_._1))
     peeked.map(_._2)

@@ -50,4 +50,46 @@ class JdbcCatalogSpec extends SparkSpec {
       .collect().head.get(0).toString.toLong
     assert(n == 30) // balances 1.5..75: ids 21..50 exceed 30
   }
+
+  // --- credential indirection (reference get_secret.py shape) ---
+
+  private lazy val securePw = "s3cret-Pw!42"
+  private lazy val secureUrl = JdbcCatalog.seedSecureDb(
+    java.nio.file.Files.createTempDirectory("derbysec").toString + "/db",
+    user = "appuser",
+    password = new Secret(securePw))
+
+  test("secured database refuses unauthenticated connections") {
+    val e = intercept[java.sql.SQLException](JdbcCatalog.introspectColumns(secureUrl, "users"))
+    assert(e.getSQLState == "08004") // Derby: connection authentication failure
+  }
+
+  test("discovery works with file-resolved creds; URL carries no password") {
+    assert(!secureUrl.contains(securePw) && !secureUrl.contains("appuser"))
+    val credFile = java.nio.file.Files.createTempFile("graft-creds", ".properties")
+    java.nio.file.Files.writeString(
+      credFile, s"# mounted secrets\ndb.user=appuser\ndb.password=$securePw\n")
+    val src = new CredentialSource.Chain(
+      new CredentialSource.Env(Map.empty), // env first; empty here → falls to file
+      new CredentialSource.PropsFile(credFile))
+    val auth = JdbcAuth.resolve(src, "db.user", "db.password")
+    // nothing printable leaks the secret
+    assert(!auth.toString.contains(securePw) && !auth.password.toString.contains(securePw))
+    val names = JdbcCatalog
+      .discoverTables(spark, secureUrl, "user__field%", Seq("users"), auth = Some(auth))
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(names == Seq("user__field_a", "user__field_b", "users"))
+    // the row-data path authenticates too (schema-qualified: BUILTIN's
+    // default schema is the user name, seeded tables live under APP)
+    assert(JdbcCatalog.fullTableScan(spark, secureUrl, "APP.users", auth = Some(auth)).count() == 50)
+  }
+
+  test("credential sources: env mangling, chain precedence, missing key") {
+    val env = new CredentialSource.Env(Map("DB_PASSWORD" -> "from-env"))
+    assert(env.resolve("db.password").contains(new Secret("from-env")))
+    val chain = new CredentialSource.Chain(env, CredentialSource.Static(Map("db.password" -> "from-file")))
+    assert(chain.resolve("db.password").contains(new Secret("from-env")))
+    val miss = intercept[IllegalArgumentException](chain.required("nope.key"))
+    assert(miss.getMessage.contains("nope.key") && !miss.getMessage.contains("from-env"))
+  }
 }

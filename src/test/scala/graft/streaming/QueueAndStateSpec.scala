@@ -22,18 +22,18 @@ class QueueAndStateSpec extends SparkSpec {
     val topic = Files.createTempDirectory("topic").toString
     MessageQueue.publish(topic, BatchMsg(Seq("users", "user__field_a"), 1, 8))
     MessageQueue.publish(topic, BatchMsg(Seq("t3"), 2, 8))
-    val msgs = MessageQueue.consumeAll(topic)
+    val msgs = MessageQueue.consumeAll(topic, ack = true)
     assert(msgs.size == 2)
     // oldest message first; tables LIFO within it (exporter pop() order)
     assert(msgs.head.tables == Seq("user__field_a", "users"))
     assert(msgs.head.batchNo == 1 && msgs.head.maxBatches == 8)
     assert(msgs(1).tables == Seq("t3"))
     // consume acks: a second drain sees an empty topic (at-most-once)
-    assert(MessageQueue.consumeAll(topic).isEmpty)
+    assert(MessageQueue.consumeAll(topic, ack = true).isEmpty)
     // ...but peek (ack=false) would have left them in place
     MessageQueue.publish(topic, BatchMsg(Seq("t4"), 3, 8))
     assert(MessageQueue.consumeAll(topic, ack = false).size == 1)
-    assert(MessageQueue.consumeAll(topic).size == 1)
+    assert(MessageQueue.consumeAll(topic, ack = true).size == 1)
   }
 
   test("streamed consume decodes payload and attributes") {
@@ -124,7 +124,7 @@ class QueueAndStateSpec extends SparkSpec {
     MessageQueue.publish(topic, BatchMsg(discovered, 1, 8))
     // stage 2-4 per consumed table (exporter/cleaner/importer parity)
     val layout = Pipeline.Layout(Files.createTempDirectory("ep1wh").toString, "2024-02-02")
-    val msg = MessageQueue.consumeAll(topic).head
+    val msg = MessageQueue.consumeAll(topic, ack = true).head
     RunGuard.check(msg)
     msg.tables.foreach { table =>
       val df = JdbcCatalog.fullTableScan(spark, url, table)
