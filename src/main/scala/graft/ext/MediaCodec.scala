@@ -1,0 +1,167 @@
+package graft.ext
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets.US_ASCII
+
+/** Pure-JVM builders and header parsers for three REAL, trivially
+  * parseable media container formats — no native codec libraries needed:
+  *
+  *   - BMP (BITMAPINFOHEADER, 24-bit) for images
+  *   - WAV (RIFF, 16-bit PCM) for audio
+  *   - Y4M (YUV4MPEG2, C420) for video — the plain-header raw-video
+  *     format ffmpeg/mpv consume
+  *
+  * Builders emit spec-valid files with deterministic pseudo-random
+  * content; parsers read GEOMETRY from the actual header bytes (width,
+  * height, frame/sample counts) exactly as a real ingest pipeline sniffs
+  * containers before handing payloads to a decoder. Parsing is strict
+  * enough to reject truncated/foreign payloads (None → caller falls back).
+  */
+object MediaCodec {
+
+  /** (kind, width, height, nFrames) read from real container headers. */
+  final case class Decoded(kind: String, width: Int, height: Int, nFrames: Int)
+
+  // Deterministic byte filler (LCG) — content entropy without Random.
+  private def fill(buf: Array[Byte], from: Int, seed: Long): Unit = {
+    var x = seed * 6364136223846793005L + 1442695040888963407L
+    var i = from
+    while (i < buf.length) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      buf(i) = (x >>> 56).toByte
+      i += 1
+    }
+  }
+
+  // ---- builders ----
+
+  /** Spec-valid 24-bit BMP: 14-byte file header + 40-byte
+    * BITMAPINFOHEADER, rows padded to 4 bytes.
+    */
+  def buildBmp(width: Int, height: Int, seed: Long): Array[Byte] = {
+    require(width > 0 && height > 0)
+    val rowSize = (width * 3 + 3) / 4 * 4
+    val size = 54 + rowSize * height
+    val b = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(size)
+      .putShort(0).putShort(0).putInt(54) // reserved ×2, pixel-data offset
+    b.putInt(40).putInt(width).putInt(height)
+      .putShort(1).putShort(24) // planes, bits-per-pixel
+      .putInt(0).putInt(rowSize * height) // BI_RGB, image size
+      .putInt(2835).putInt(2835).putInt(0).putInt(0) // 72 DPI, palette unused
+    val arr = b.array()
+    fill(arr, 54, seed)
+    arr
+  }
+
+  /** Spec-valid 16-bit PCM mono WAV (canonical 44-byte header). */
+  def buildWav(nSamples: Int, sampleRate: Int, seed: Long): Array[Byte] = {
+    require(nSamples > 0 && sampleRate > 0)
+    val dataSize = nSamples * 2 // mono, 16-bit → blockAlign 2
+    val b = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes(US_ASCII)).putInt(36 + dataSize).put("WAVE".getBytes(US_ASCII))
+    b.put("fmt ".getBytes(US_ASCII)).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2) // byte rate
+      .putShort(2).putShort(16) // block align, bits/sample
+    b.put("data".getBytes(US_ASCII)).putInt(dataSize)
+    val arr = b.array()
+    fill(arr, 44, seed)
+    arr
+  }
+
+  /** Spec-valid YUV4MPEG2 stream: ASCII stream header, then per frame a
+    * `FRAME\n` marker + w×h×3/2 bytes of C420 planes (w,h must be even).
+    */
+  def buildY4m(width: Int, height: Int, nFrames: Int, seed: Long): Array[Byte] = {
+    require(width > 0 && height > 0 && nFrames > 0 && width % 2 == 0 && height % 2 == 0)
+    val header = s"YUV4MPEG2 W$width H$height F25:1 Ip A1:1 C420\n".getBytes(US_ASCII)
+    val frameSize = width * height * 3 / 2
+    val out = new Array[Byte](header.length + nFrames * (6 + frameSize))
+    System.arraycopy(header, 0, out, 0, header.length)
+    val marker = "FRAME\n".getBytes(US_ASCII)
+    var f = 0
+    while (f < nFrames) {
+      val at = header.length + f * (6 + frameSize)
+      System.arraycopy(marker, 0, out, at, 6)
+      f += 1
+    }
+    fill(out, header.length + 6, seed) // frame markers are re-stamped below
+    f = 1
+    while (f < nFrames) { // fill() overwrote markers after the first frame
+      val at = header.length + f * (6 + frameSize)
+      System.arraycopy(marker, 0, out, at, 6)
+      f += 1
+    }
+    out
+  }
+
+  // ---- parsers ----
+
+  private def u16le(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def i32le(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+  private def tag(b: Array[Byte], i: Int, t: String): Boolean =
+    i + t.length <= b.length && t.indices.forall(j => b(i + j) == t.charAt(j).toByte)
+
+  /** Sniff the container magic and parse real header geometry. None for
+    * anything that isn't a well-formed BMP/WAV/Y4M payload.
+    */
+  def decode(payload: Array[Byte]): Option[Decoded] =
+    decodeBmp(payload).orElse(decodeWav(payload)).orElse(decodeY4m(payload))
+
+  private def decodeBmp(b: Array[Byte]): Option[Decoded] =
+    if (b.length >= 54 && tag(b, 0, "BM") && i32le(b, 14) >= 40)
+      // negative height = top-down row order; geometry is |height|
+      Some(Decoded("image", i32le(b, 18), math.abs(i32le(b, 22)), 1))
+    else None
+
+  private def decodeWav(b: Array[Byte]): Option[Decoded] =
+    if (b.length >= 44 && tag(b, 0, "RIFF") && tag(b, 8, "WAVE")) {
+      // chunk walk (chunks pad to even length): need fmt's blockAlign and
+      // data's size; sample frames = dataSize / blockAlign
+      var i = 12
+      var blockAlign = 0
+      var dataSize = -1
+      while (i + 8 <= b.length && (blockAlign == 0 || dataSize < 0)) {
+        val sz = i32le(b, i + 4)
+        if (tag(b, i, "fmt ") && sz >= 16) blockAlign = u16le(b, i + 20)
+        else if (tag(b, i, "data")) dataSize = sz
+        i += 8 + sz + (sz & 1)
+      }
+      if (blockAlign > 0 && dataSize >= 0) Some(Decoded("audio", 0, 0, dataSize / blockAlign))
+      else None
+    } else None
+
+  private def decodeY4m(b: Array[Byte]): Option[Decoded] =
+    if (tag(b, 0, "YUV4MPEG2 ")) {
+      val nl = b.indexOf('\n'.toByte)
+      if (nl < 0) None
+      else {
+        val params = new String(b, 0, nl, US_ASCII).split(' ').drop(1)
+        def num(prefix: Char): Option[Int] =
+          params.collectFirst { case p if p.nonEmpty && p.head == prefix && p.tail.forall(_.isDigit) => p.tail.toInt }
+        (num('W'), num('H')) match {
+          case (Some(w), Some(h)) if w > 0 && h > 0 =>
+            val frameSize = w * h * 3 / 2 // C420 (the only subsampling we emit)
+            var i = nl + 1
+            var frames = 0
+            var ok = true
+            while (ok && i < b.length) {
+              if (tag(b, i, "FRAME") ) {
+                val fnl = {
+                  var j = i + 5
+                  while (j < b.length && b(j) != '\n'.toByte) j += 1
+                  j
+                }
+                if (fnl + 1 + frameSize <= b.length) { frames += 1; i = fnl + 1 + frameSize }
+                else { ok = false } // truncated frame → malformed
+              } else ok = false
+            }
+            if (ok && frames > 0) Some(Decoded("video", w, h, frames)) else None
+          case _ => None
+        }
+      }
+    } else None
+}

@@ -6,14 +6,18 @@ import org.apache.spark.sql.functions._
 import graft.functions.SimHash
 
 /** Multimodal column plumbing: media (image/audio/video) travels as an
-  * opaque `binary` payload column with typed metadata alongside. The
-  * Spark-side structure — schema, typed Datasets, per-partition batched
-  * decode, frame-sample explode — is real and tested; the actual codec
-  * call is a STUB (this container has no image/audio libraries):
-  * `decodeStub` derives deterministic fake features from a content hash,
-  * clearly marked below. Swapping in a real decoder changes one function.
+  * opaque `binary` payload column with typed metadata alongside, and the
+  * decode step parses REAL container formats in pure JVM — BMP for
+  * images, RIFF/WAV for audio, YUV4MPEG2 for video (see [[MediaCodec]]).
+  * [[mediaTable]] synthesizes spec-valid payload bytes per document with
+  * geometry derived deterministically from doc_id, so the differential
+  * oracle can verify the decoded features arithmetically while the Spark
+  * side actually round-trips them through container headers. Payloads in
+  * a format we don't parse fall back to `decodeStub` (hash-derived
+  * features, clearly marked) instead of failing the batch — the behavior
+  * an ingest pipeline wants for the long tail of containers.
   *
-  * Scale design: decode runs via mapPartitions so a real decoder would
+  * Scale design: decode runs via mapPartitions so a heavier decoder would
   * amortize per-batch init (model load, codec context) across each
   * partition's rows — the same shape `mapInPandas` gives Python.
   */
@@ -32,10 +36,22 @@ object Multimodal {
       n_frames: Int,
       content_hash: Long)
 
-  /** STUB decoder — no media libs in this environment. Features are
-    * derived from an FNV-1a content hash so they are deterministic and
-    * distribution-shaped like real metadata. A real implementation would
-    * decode `payload` here (per-partition codec reuse).
+  /** Real decode: sniff the container magic and read geometry from the
+    * actual header bytes ([[MediaCodec.decode]]); unknown containers fall
+    * back to the stub rather than poisoning the batch.
+    */
+  def decode(m: MediaIn): MediaFeat =
+    MediaCodec.decode(m.payload) match {
+      case Some(d) =>
+        MediaFeat(
+          m.doc_id, d.kind, m.payload.length.toLong, d.width, d.height, d.nFrames,
+          SimHash.fnv1a(m.payload, 0, m.payload.length))
+      case None => decodeStub(m)
+    }
+
+  /** STUB fallback for containers [[MediaCodec]] doesn't parse. Features
+    * are derived from an FNV-1a content hash so they are deterministic and
+    * distribution-shaped like real metadata.
     */
   def decodeStub(m: MediaIn): MediaFeat = {
     val h = SimHash.fnv1a(m.payload, 0, m.payload.length)
@@ -49,26 +65,37 @@ object Multimodal {
     MediaFeat(m.doc_id, m.kind, m.payload.length.toLong, w, ht, frames, h)
   }
 
-  /** documents.text reinterpreted as opaque payload bytes — stands in for
-    * a real binary media column; the plumbing downstream is unchanged.
+  /** Synthesize a REAL media payload per document — spec-valid BMP / WAV
+    * / Y4M bytes (kind by doc_id mod 3) with geometry that is a pure
+    * arithmetic function of doc_id. These formulas are mirrored verbatim
+    * by the q_multimodal_features oracle, so the decode path is verified
+    * end-to-end: builder → container bytes → header parse → features.
+    * Dimensions stay small (≤64px, ≤1.6k samples, ≤5 frames) so the
+    * corpus-wide payload volume is bounded.
     */
   def mediaTable(spark: SparkSession, docs: DataFrame): Dataset[MediaIn] = {
     import spark.implicits._
-    docs
-      .select(
-        col("doc_id"),
-        element_at(array(lit("image"), lit("audio"), lit("video")), (col("doc_id") % 3 + 1).cast("int"))
-          .as("kind"),
-        encode(col("text"), "UTF-8").as("payload"))
-      .as[MediaIn]
+    docs.select(col("doc_id")).as[Long].map { id =>
+      (id % 3) match {
+        case 0 =>
+          MediaIn(id, "image", MediaCodec.buildBmp(
+            16 + (id % 48).toInt, 16 + (id % 27).toInt, id))
+        case 1 =>
+          MediaIn(id, "audio", MediaCodec.buildWav(
+            800 + (id % 800).toInt, 8000, id))
+        case _ =>
+          MediaIn(id, "video", MediaCodec.buildY4m(
+            16 + (id % 4).toInt * 8, 8 + (id % 2).toInt * 8, 1 + (id % 5).toInt, id))
+      }
+    }
   }
 
-  /** Batched feature extraction: mapPartitions so a real decoder's
-    * per-partition init cost amortizes. Stateless stub today.
+  /** Batched feature extraction: mapPartitions so a heavier decoder's
+    * per-partition init cost amortizes across each partition's rows.
     */
   def extractFeatures(spark: SparkSession, media: Dataset[MediaIn]): Dataset[MediaFeat] = {
     import spark.implicits._
-    media.mapPartitions(_.map(decodeStub))
+    media.mapPartitions(_.map(decode))
   }
 
   /** Resize plan for an image-ish item: fit into a `target`×`target` box
@@ -79,7 +106,8 @@ object Multimodal {
   def resizePlan(feats: DataFrame, target: Int = 224): DataFrame = {
     val scaleNum = lit(target)
     val longSide = greatest(col("width"), col("height"))
-    feats.select(
+    feats.filter(col("width") > 0 && col("height") > 0) // audio has no geometry
+      .select(
       col("doc_id"),
       col("width"),
       col("height"),

@@ -6,9 +6,12 @@ import graft.Q
 import graft.core.Tables
 
 /** Registered multimodal queries: binary-column metadata (differentially
-  * verified — octet length + SHA-256 agree with DuckDB) and the stubbed
-  * decode/feature/frame-sample pipeline (rows-only; the stub is
-  * deterministic so ScalaTest pins exact values).
+  * verified — octet length + SHA-256 agree with DuckDB) and the REAL
+  * decode pipeline: payloads are spec-valid BMP/WAV/Y4M bytes whose
+  * geometry is an arithmetic function of doc_id, the Spark side parses
+  * the actual container headers, and the oracle recomputes the expected
+  * features from the same formulas — builder and parser must agree
+  * byte-for-byte on the container layout for the hash to match.
   */
 object MultimodalQueries {
 
@@ -28,17 +31,41 @@ object MultimodalQueries {
     ),
     Q(
       "q_multimodal_features",
-      // Binary payload → typed mapPartitions decode (stubbed) → features.
+      // Binary payload → mapPartitions container-header decode → features.
+      // content_hash is FNV-over-bytes (not SQL-expressible) so the query
+      // projects the oracle-checkable columns; the hash is spec-pinned.
       (s, d) => {
         val media = Multimodal.mediaTable(s, Tables(s, d, "documents"))
-        Multimodal.extractFeatures(s, media).toDF().orderBy("doc_id")
+        Multimodal.extractFeatures(s, media).toDF()
+          .select(
+            col("doc_id"), col("kind"), col("n_bytes"),
+            col("width"), col("height"), col("n_frames"))
+          .orderBy("doc_id")
       },
-      None
+      // Mirrors mediaTable's geometry formulas and the exact container
+      // overheads: BMP = 54 header + 4-byte-padded rows; WAV = 44-byte
+      // canonical header + 2 bytes/sample; Y4M = ASCII stream header +
+      // per-frame "FRAME\n" + w*h*3/2 C420 bytes.
+      Some(
+        "WITH m AS (SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS k, " +
+          "16 + CAST(doc_id % 48 AS INTEGER) AS iw, 16 + CAST(doc_id % 27 AS INTEGER) AS ih, " +
+          "800 + CAST(doc_id % 800 AS INTEGER) AS an, " +
+          "16 + CAST(doc_id % 4 AS INTEGER) * 8 AS vw, 8 + CAST(doc_id % 2 AS INTEGER) * 8 AS vh, " +
+          "1 + CAST(doc_id % 5 AS INTEGER) AS vf FROM documents) " +
+          "SELECT doc_id, " +
+          "CASE k WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, " +
+          "CAST(CASE k WHEN 0 THEN 54 + ih * ((iw * 3 + 3) // 4 * 4) " +
+          "WHEN 1 THEN 44 + an * 2 " +
+          "ELSE length('YUV4MPEG2 W' || CAST(vw AS VARCHAR) || ' H' || CAST(vh AS VARCHAR) || ' F25:1 Ip A1:1 C420') + 1 + vf * (6 + vw * vh * 3 // 2) END AS BIGINT) AS n_bytes, " +
+          "CAST(CASE k WHEN 0 THEN iw WHEN 1 THEN 0 ELSE vw END AS INTEGER) AS width, " +
+          "CAST(CASE k WHEN 0 THEN ih WHEN 1 THEN 0 ELSE vh END AS INTEGER) AS height, " +
+          "CAST(CASE k WHEN 0 THEN 1 WHEN 1 THEN an ELSE vf END AS INTEGER) AS n_frames " +
+          "FROM m ORDER BY doc_id")
     ),
     Q(
       "q_multimodal_frames",
-      // Frame-sample explode over the (stub-)decoded features: per-kind
-      // frame counts — the fan-out a video encoder stage would consume.
+      // Frame-sample explode over the decoded features: per-kind frame
+      // counts — the fan-out a video encoder stage would consume.
       (s, d) => {
         val media = Multimodal.mediaTable(s, Tables(s, d, "documents"))
         val feats = Multimodal.extractFeatures(s, media).toDF()
@@ -48,7 +75,18 @@ object MultimodalQueries {
           .agg(count(lit(1)).as("n_sampled_frames"), countDistinct(col("doc_id")).as("n_items"))
           .orderBy("kind")
       },
-      None
+      // sampled-per-item = floor((fr-1)/ceil(fr/8)) + 1, from the same
+      // per-kind frame-count formulas as the features oracle.
+      Some(
+        "WITH m AS (SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS k, " +
+          "CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 1 " +
+          "WHEN 1 THEN 800 + CAST(doc_id % 800 AS INTEGER) " +
+          "ELSE 1 + CAST(doc_id % 5 AS INTEGER) END AS fr FROM documents), " +
+          "s AS (SELECT doc_id, k, (fr - 1) // ((fr + 7) // 8) + 1 AS sampled FROM m) " +
+          "SELECT CASE k WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, " +
+          "CAST(SUM(sampled) AS BIGINT) AS n_sampled_frames, " +
+          "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_items " +
+          "FROM s GROUP BY 1 ORDER BY 1")
     )
   )
 }

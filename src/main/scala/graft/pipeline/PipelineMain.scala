@@ -17,8 +17,19 @@ object PipelineMain {
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse(
       java.nio.file.Files.createTempDirectory("graft-pipeline-run").toString)
+    // Single-flight: a second run scheduled while one is in flight yields
+    // cleanly, like the reference's 409-means-already-running path
+    // (main.py:87-92) — it must NOT interleave loads with the holder.
+    val ran = RunLock.singleFlight(root) {
+      run(root, args.lift(1))
+    }
+    if (ran.isEmpty)
+      println("[pipeline] another run holds the lock — exiting (conflict)")
+  }
+
+  private def run(root: String, urlArg: Option[String]): Unit = {
     val spark = Sessions.build("graft-pipeline")
-    val url = args.lift(1).getOrElse(JdbcCatalog.seedDemoDb(s"$root/derbydb"))
+    val url = urlArg.getOrElse(JdbcCatalog.seedDemoDb(s"$root/derbydb"))
 
     // stage 1 — discovery (query_runner parity) + publish
     val tables = JdbcCatalog

@@ -4,9 +4,9 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-/** Multimodal plumbing: deterministic stub decode, resize geometry, frame
-  * sampling bounds — the Spark-side structure that stays when a real
-  * decoder replaces the stub.
+/** Multimodal decode: real container round-trips (hand-pinned BMP/WAV/Y4M
+  * geometry), stub fallback for foreign payloads, resize geometry, frame
+  * sampling bounds.
   */
 class MultimodalSpec extends SparkSpec {
 
@@ -15,25 +15,55 @@ class MultimodalSpec extends SparkSpec {
     Multimodal.extractFeatures(spark, media).toDF()
   }
 
-  test("decode stub is deterministic and total over the corpus") {
+  test("hand-built 2x2 BMP: exact bytes and parsed geometry") {
+    val bmp = MediaCodec.buildBmp(2, 2, seed = 99L)
+    // 54-byte header + 2 rows of 2*3=6 px bytes padded to 8
+    assert(bmp.length == 54 + 2 * 8)
+    assert(bmp(0) == 'B'.toByte && bmp(1) == 'M'.toByte)
+    assert((bmp(2) & 0xff) == 70) // little-endian file size, low byte
+    assert(MediaCodec.decode(bmp).contains(MediaCodec.Decoded("image", 2, 2, 1)))
+  }
+
+  test("hand-built WAV: canonical header, sample-frame count from chunks") {
+    val wav = MediaCodec.buildWav(nSamples = 100, sampleRate = 8000, seed = 1L)
+    assert(wav.length == 44 + 200)
+    assert(new String(wav.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(MediaCodec.decode(wav).contains(MediaCodec.Decoded("audio", 0, 0, 100)))
+  }
+
+  test("hand-built Y4M: header geometry + counted FRAME markers") {
+    val y4m = MediaCodec.buildY4m(width = 4, height = 2, nFrames = 3, seed = 7L)
+    val header = "YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420\n"
+    assert(new String(y4m.slice(0, header.length), "US-ASCII") == header)
+    assert(y4m.length == header.length + 3 * (6 + 4 * 2 * 3 / 2))
+    assert(MediaCodec.decode(y4m).contains(MediaCodec.Decoded("video", 4, 2, 3)))
+  }
+
+  test("foreign/truncated payloads fall back to the stub, never throw") {
+    assert(MediaCodec.decode("just some text".getBytes("UTF-8")).isEmpty)
+    assert(MediaCodec.decode(Array[Byte]('B', 'M', 1)).isEmpty) // truncated BMP
+    val m = Multimodal.MediaIn(5L, "image", "not a container".getBytes("UTF-8"))
+    val f = Multimodal.decode(m)
+    assert(f.doc_id == 5L && f.width >= 16 && f.n_frames == 1) // stub shape
+  }
+
+  test("decode is deterministic and kind matches the container sniff") {
     val a = feats.orderBy("doc_id").collect().toSeq
     val b = feats.orderBy("doc_id").collect().toSeq
     assert(a == b)
     assert(a.size == 500) // sf0.001 documents
-    assert(a.forall(r => r.getAs[Int]("width") >= 16 && r.getAs[Int]("n_frames") >= 1))
+    a.foreach { r =>
+      val (kind, w, fr) = (r.getAs[String]("kind"), r.getAs[Int]("width"), r.getAs[Int]("n_frames"))
+      val id = r.getAs[Long]("doc_id")
+      assert(kind == Seq("image", "audio", "video")((id % 3).toInt)) // sniffed == declared
+      if (kind == "audio") assert(w == 0 && fr >= 800)
+      else assert(w >= 16 && fr >= 1)
+    }
   }
 
-  test("payload bytes round the real binary column path") {
-    val media = Multimodal.mediaTable(spark, graft.core.Tables(spark, sf(), "documents"))
-    val row = media.filter(col("doc_id") === 0).collect().head
-    val text = graft.core.Tables(spark, sf(), "documents")
-      .filter(col("doc_id") === 0).collect().head.getAs[String]("text")
-    assert(new String(row.payload, "UTF-8") == text)
-    assert(Set("image", "audio", "video").contains(row.kind))
-  }
-
-  test("resize geometry fits the target box preserving aspect") {
+  test("resize geometry fits the target box preserving aspect (visual kinds)") {
     val plans = Multimodal.resizePlan(feats).collect()
+    assert(plans.nonEmpty)
     plans.foreach { r =>
       val (w, h, ow, oh) = (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
       assert(ow <= 224 && oh <= 224, s"$w x $h -> $ow x $oh")

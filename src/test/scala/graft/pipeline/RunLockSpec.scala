@@ -1,0 +1,59 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.core.SchemaColumn
+
+/** Single-flight run-lock semantics (reference 409-conflict path):
+  * interleaved runs — one executes, one yields; crash release; stale
+  * takeover; and table state identical to exactly one run.
+  */
+class RunLockSpec extends SparkSpec {
+
+  private def tmpRoot = Files.createTempDirectory("runlock").toString
+
+  test("two interleaved runs: second yields, table state = one run") {
+    import spark.implicits._
+    val root = tmpRoot
+    val layout = Pipeline.Layout(root, "2024-03-03")
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val cols = Seq(SchemaColumn("id", "bigint"), SchemaColumn("v", "varchar(8)"))
+    var secondRan = false
+    val first = RunLock.singleFlight(root) {
+      // while the first run is mid-flight, a concurrently scheduled run
+      // arrives and must yield without touching the warehouse
+      val second = RunLock.singleFlight(root) { secondRan = true; "second" }
+      assert(second.isEmpty)
+      Pipeline.runTable(spark, df, cols, layout, "items").count()
+    }
+    assert(first.contains(2L) && !secondRan)
+    // exactly one run's worth of state, and the lock is released
+    assert(spark.read.parquet(layout.warehouse("items")).count() == 2)
+    assert(!Files.exists(java.nio.file.Paths.get(root, ".graft-run.lock")))
+  }
+
+  test("lock releases on the failure path too") {
+    val root = tmpRoot
+    intercept[RuntimeException] {
+      RunLock.singleFlight(root) { throw new RuntimeException("boom") }
+    }
+    assert(RunLock.singleFlight(root)(41 + 1).contains(42))
+  }
+
+  test("fresh lock blocks; stale lock (crashed holder) is taken over") {
+    val root = tmpRoot
+    val held = RunLock.tryAcquire(root)
+    assert(held.isDefined)
+    // fresh lock from a live holder: not stealable even with a tiny TTL
+    // guarding a different scheduler — age is 0ms here
+    assert(RunLock.tryAcquire(root, staleAfterMillis = 60000).isEmpty)
+    // simulate a crashed holder: lock file mtime far in the past
+    Files.setLastModifiedTime(
+      held.get.path,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 100000))
+    val takeover = RunLock.tryAcquire(root, staleAfterMillis = 60000)
+    assert(takeover.isDefined)
+    takeover.get.close()
+  }
+}
