@@ -37,6 +37,19 @@ object Stress {
     replicate(li, "l_orderkey").repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
     replicate(ord, "o_orderkey").repartition(32).write.mode("overwrite").parquet(s"$out/orders.parquet")
 
+    // Documents replicated with distinct ids but IDENTICAL texts — the
+    // minhash worst case: every LSH band bucket holds mult× members, so
+    // the band self-join's per-bucket work grows quadratically. Written
+    // in BOTH layouts to separate the scan-parallelism effect (1 file =
+    // 1-task explode unless pre-spread) from the join-skew effect.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val docsBig = spark.range(mult).withColumnRenamed("id", "rep")
+      .crossJoin(docs)
+      .withColumn("doc_id", col("doc_id") + col("rep") * 10000000L)
+      .drop("rep")
+    docsBig.repartition(32).write.mode("overwrite").parquet(s"$out/documents32.parquet")
+    docsBig.coalesce(1).write.mode("overwrite").parquet(s"$out/documents1.parquet")
+
     def pricing(dir: String): Double = time {
       spark.read.parquet(s"$dir/lineitem.parquet")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -55,14 +68,39 @@ object Stress {
         .write.format("noop").mode("overwrite").save()
     }
 
+    def minhash(path: String): Double = time {
+      ext.Dedup.minhashPairs(spark.read.parquet(path), "doc_id", "text")
+        .write.format("noop").mode("overwrite").save()
+    }
+    // The production mitigation for replicated corpora: exact-dedup gate
+    // (hash groupBy, keep min-id representative) BEFORE the LSH join —
+    // collapses the quadratic per-bucket pair work back to unique texts.
+    def minhashDedupFirst(path: String): Double = time {
+      val uniq = spark.read.parquet(path)
+        .groupBy(xxhash64(col("text")).as("th"))
+        .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
+        .drop("th")
+      ext.Dedup.minhashPairs(uniq, "doc_id", "text")
+        .write.format("noop").mode("overwrite").save()
+    }
+    val mhBasePath = s"$sfDir/documents.parquet"
+    val mh1Path = s"$out/documents1.parquet"
+    val mh32Path = s"$out/documents32.parquet"
+
     val nBase = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     val nBig = spark.read.parquet(s"$out/lineitem.parquet").count()
+    val nDocsBig = spark.read.parquet(mh32Path).count()
     // warm both paths once, then measure min-of-2
     pricing(sfDir); pricing(out); factJoin(sfDir); factJoin(out)
     val pBase = Seq(pricing(sfDir), pricing(sfDir)).min
     val pBig = Seq(pricing(out), pricing(out)).min
     val jBase = Seq(factJoin(sfDir), factJoin(sfDir)).min
     val jBig = Seq(factJoin(out), factJoin(out)).min
+    minhash(mhBasePath)
+    val mhBase = Seq(minhash(mhBasePath), minhash(mhBasePath)).min
+    val mh1 = Seq(minhash(mh1Path), minhash(mh1Path)).min
+    val mh32 = Seq(minhash(mh32Path), minhash(mh32Path)).min
+    val mhDedup = Seq(minhashDedupFirst(mh32Path), minhashDedupFirst(mh32Path)).min
     def rate(n: Long, s: Double): Double = n / s / 1e6
     val num = (v: Double) => Timing.fmt3(v)
     println(
@@ -70,7 +108,10 @@ object Stress {
         s""""pricing_base_sec":${num(pBase)},"pricing_big_sec":${num(pBig)},""" +
         s""""pricing_base_mrows_s":${num(rate(nBase, pBase))},"pricing_big_mrows_s":${num(rate(nBig, pBig))},""" +
         s""""join_base_sec":${num(jBase)},"join_big_sec":${num(jBig)},""" +
-        s""""join_base_mrows_s":${num(rate(nBase, jBase))},"join_big_mrows_s":${num(rate(nBig, jBig))}}""")
+        s""""join_base_mrows_s":${num(rate(nBase, jBase))},"join_big_mrows_s":${num(rate(nBig, jBig))},""" +
+        s""""docs_big":$nDocsBig,"minhash_base_sec":${num(mhBase)},""" +
+        s""""minhash_big_1file_sec":${num(mh1)},"minhash_big_32file_sec":${num(mh32)},""" +
+        s""""minhash_big_dedupfirst_sec":${num(mhDedup)}}""")
     spark.stop()
   }
 }
