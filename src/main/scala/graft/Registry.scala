@@ -17,7 +17,8 @@ object Registry {
       graft.ext.TextQueries.queries ++
       graft.ext.DedupQueries.queries ++
       graft.ext.SimilarityQueries.queries ++
-      graft.ext.MultimodalQueries.queries
+      graft.ext.MultimodalQueries.queries ++
+      graft.ext.CorpusQueries.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

@@ -1,0 +1,187 @@
+package graft.ext
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.core.Tables
+
+/** Corpus-preparation operators a large-scale training-data pipeline runs
+  * between raw ingest and tokenization — round-4 widening:
+  *
+  *   - PII redaction (regex scrub + audit counts)
+  *   - overlapping text chunking (context-window sharding)
+  *   - per-document top-terms (tf-idf-shaped ranking in exact integers)
+  *   - greedy context-window packing, hash-bucketed for parallelism
+  *   - SCD-1 merge/upsert (the warehouse MERGE the reference's
+  *     WRITE_TRUNCATE loads sidestep)
+  *
+  * Scale shape of each: narrow per-row expressions, or one shuffle keyed
+  * on doc/bucket/order key; no global sorts, no driver-side data.
+  */
+object CorpusQueries {
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\+[0-9][0-9-]+"
+
+  val queries: Seq[Q] = Seq(
+    Q(
+      "q_redact_pii",
+      // Regex PII scrub with audit counts. The corpus text is synthetic
+      // word salad, so a deterministic email+phone tail is appended per
+      // row FIRST — the redactor then has real matches to find, and the
+      // oracle rebuilds the same string. Patterns stay in the common
+      // Java-regex/RE2 subset (no backrefs/lookaround) so both engines
+      // match identically; md5 of the redacted text proves byte equality
+      // without shipping the text. Pure per-row codegen — linear at any
+      // scale.
+      (s, d) => {
+        val synth = concat(
+          col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.org or +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+        Tables(s, d, "documents")
+          .select(col("doc_id"), synth.as("synth"))
+          .select(
+            col("doc_id"),
+            size(regexp_extract_all(col("synth"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+            size(regexp_extract_all(col("synth"), lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+            md5(regexp_replace(
+              regexp_replace(col("synth"), EmailRe, "<EMAIL>"),
+              PhoneRe, "<PHONE>").cast("binary")).as("redacted_md5"))
+          .orderBy("doc_id")
+      },
+      Some(
+        "WITH s AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+          "'@mail.example.org or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS synth FROM documents) " +
+          "SELECT doc_id, " +
+          "CAST(len(regexp_extract_all(synth, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails, " +
+          "CAST(len(regexp_extract_all(synth, '\\+[0-9][0-9-]+')) AS BIGINT) AS n_phones, " +
+          "md5(regexp_replace(regexp_replace(synth, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+          "'\\+[0-9][0-9-]+', '<PHONE>', 'g')) AS redacted_md5 " +
+          "FROM s ORDER BY doc_id")
+    ),
+    Q(
+      "q_chunk_text",
+      // Overlapping character chunking (size 200, stride 150) — the
+      // context-window sharding step before tokenization. One generator
+      // explode per doc, chunk content carried as md5 so the gate checks
+      // bytes without megabyte rows. Embarrassingly parallel; chunk count
+      // per doc is bounded by doc length, so no skew beyond text length.
+      (s, d) =>
+        Tables(s, d, "documents")
+          .select(
+            col("doc_id"),
+            posexplode(expr(
+              "transform(sequence(1, greatest(1, CAST(length(text) AS INT)), 150), " +
+                "s -> md5(CAST(substring(text, s, 200) AS BINARY)))")))
+          .select(
+            col("doc_id"),
+            col("pos").cast("long").as("chunk_idx"),
+            col("col").as("chunk_md5"))
+          .orderBy("doc_id", "chunk_idx"),
+      Some(
+        "SELECT doc_id, (s - 1) // 150 AS chunk_idx, md5(substring(text, s, 200)) AS chunk_md5 " +
+          "FROM documents, unnest(generate_series(1, greatest(1, length(text)), 150)) AS t(s) " +
+          "ORDER BY doc_id, chunk_idx")
+    ),
+    Q(
+      "q_top_terms",
+      // Per-document top-3 terms, tf-idf-shaped without floats: rank by
+      // term frequency desc, corpus document-frequency asc (rarer wins
+      // ties), token asc — all exact integers, so the ranking is
+      // bit-identical in any engine. Plan: one explode, two hash aggs
+      // (doc-level tf, corpus-level df), a join keyed on token, and a
+      // per-doc window — every stage partitions on bounded keys.
+      (s, d) => {
+        val tok = Tables(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+          .filter(col("token") =!= "")
+        val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+        val df = tok.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("tf").desc, col("df").asc, col("token").asc)
+        tf.join(df, "token")
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 3)
+          .select(col("doc_id"), col("rnk"), col("token"), col("tf"), col("df"))
+          .orderBy("doc_id", "rnk")
+      },
+      Some(
+        "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), " +
+          "tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM tok WHERE token <> '' GROUP BY 1, 2), " +
+          "df AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tok WHERE token <> '' GROUP BY 1), " +
+          "rk AS (SELECT tf.doc_id, tf.token, tf.tf, df.df, " +
+          "CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, df.df ASC, tf.token) AS BIGINT) AS rnk " +
+          "FROM tf JOIN df USING (token)) " +
+          "SELECT doc_id, rnk, token, tf, df FROM rk WHERE rnk <= 3 ORDER BY doc_id, rnk")
+    ),
+    Q(
+      "q_pack_sequences",
+      // Greedy context-window packing (4096-token windows) made parallel:
+      // docs hash into 32 independent buckets, a per-bucket running token
+      // sum assigns each doc to pack floor(cum_before/4096) — the
+      // sequential greedy scan runs per bucket, not globally, so packing
+      // scales out while staying deterministic (md5 order inside the
+      // bucket). The exact-global-greedy variant would be a single
+      // partition, same tradeoff as q_fold_split's NTILE.
+      (s, d) => {
+        val dd = Tables(s, d, "documents").select(
+          col("doc_id"),
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("long") % 32).as("bucket"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          md5(col("doc_id").cast("string")).as("ord"))
+        val w = Window.partitionBy(col("bucket")).orderBy(col("ord"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        dd.withColumn("cum", sum(col("n_tok")).over(w))
+          .groupBy(col("bucket"), expr("(cum - n_tok) DIV 4096").as("pack_id"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
+          .orderBy("bucket", "pack_id")
+      },
+      Some(
+        "WITH d AS (SELECT doc_id, CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 32 AS bucket, " +
+          "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, md5(CAST(doc_id AS VARCHAR)) AS ord FROM documents), " +
+          "c AS (SELECT bucket, doc_id, n_tok, SUM(n_tok) OVER (PARTITION BY bucket ORDER BY ord " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d) " +
+          // CAST: cum is SUM(BIGINT) → HUGEINT in DuckDB; // keeps HUGEINT
+          "SELECT bucket, CAST((cum - n_tok) // 4096 AS BIGINT) AS pack_id, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+          "CAST(SUM(n_tok) AS BIGINT) AS total_tokens FROM c GROUP BY 1, 2 ORDER BY 1, 2")
+    ),
+    Q(
+      "q_merge_upsert",
+      // SCD-1 MERGE (upsert) without a MERGE statement: source rows win
+      // over target rows on key collision via a row_number over
+      // (key, source-first) — update + insert + keep in ONE shuffle keyed
+      // on the merge key. This is the scale-safe MERGE plan (Delta/Iceberg
+      // do the same join-shaped thing); +10 price delta and status 'U'
+      // mark updated rows observably.
+      (s, d) => {
+        val o = Tables(s, d, "orders")
+        val target = o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val source = o.filter(col("o_orderkey") % 3 === 0)
+          .select(
+            col("o_orderkey"),
+            lit("U").as("o_orderstatus"),
+            (col("o_totalprice") + 10).as("o_totalprice"))
+        val w = Window.partitionBy(col("o_orderkey")).orderBy(col("is_src").desc)
+        source.withColumn("is_src", lit(1))
+          .unionByName(target.withColumn("is_src", lit(0)))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(
+            col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+            col("is_src").cast("long").as("from_source"))
+          .orderBy("o_orderkey")
+      },
+      Some(
+        "WITH target AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 2 = 0), " +
+          "src AS (SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 10 AS o_totalprice FROM orders WHERE o_orderkey % 3 = 0), " +
+          "u AS (SELECT *, 1 AS is_src FROM src UNION ALL SELECT *, 0 AS is_src FROM target), " +
+          "m AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY is_src DESC) AS rn FROM u) " +
+          "SELECT o_orderkey, o_orderstatus, o_totalprice, CAST(is_src AS BIGINT) AS from_source " +
+          "FROM m WHERE rn = 1 ORDER BY o_orderkey")
+    )
+  )
+}
