@@ -98,11 +98,20 @@ object CorpusQueries {
           .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
           .filter(col("token") =!= "")
         val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-        val df = tok.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
-        val w = Window.partitionBy(col("doc_id"))
-          .orderBy(col("tf").desc, col("df").asc, col("token").asc)
-        tf.join(df, "token")
-          .withColumn("rnk", row_number().over(w).cast("long"))
+        // df as a WINDOW count over tf (one row per doc×token ⇒ count
+        // per token = distinct docs), not a groupBy+self-join: the
+        // corpus is scanned+exploded ONCE and the plan is one linear
+        // pipeline of exchanges (doc,token → token → doc) — a join
+        // formulation re-runs the explode on the df branch because the
+        // pruned aggregate no longer canonicalizes with tf's exchange.
+        val ranked = tf
+          .withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
+          .withColumn(
+            "rnk",
+            row_number().over(
+              Window.partitionBy(col("doc_id"))
+                .orderBy(col("tf").desc, col("df").asc, col("token").asc)).cast("long"))
+        ranked
           .filter(col("rnk") <= 3)
           .select(col("doc_id"), col("rnk"), col("token"), col("tf"), col("df"))
           .orderBy("doc_id", "rnk")
