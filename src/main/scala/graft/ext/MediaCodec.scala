@@ -79,18 +79,11 @@ object MediaCodec {
     val frameSize = width * height * 3 / 2
     val out = new Array[Byte](header.length + nFrames * (6 + frameSize))
     System.arraycopy(header, 0, out, 0, header.length)
+    fill(out, header.length, seed)
     val marker = "FRAME\n".getBytes(US_ASCII)
     var f = 0
-    while (f < nFrames) {
-      val at = header.length + f * (6 + frameSize)
-      System.arraycopy(marker, 0, out, at, 6)
-      f += 1
-    }
-    fill(out, header.length + 6, seed) // frame markers are re-stamped below
-    f = 1
-    while (f < nFrames) { // fill() overwrote markers after the first frame
-      val at = header.length + f * (6 + frameSize)
-      System.arraycopy(marker, 0, out, at, 6)
+    while (f < nFrames) { // stamp markers over the filled content
+      System.arraycopy(marker, 0, out, header.length + f * (6 + frameSize), 6)
       f += 1
     }
     out
@@ -124,13 +117,20 @@ object MediaCodec {
       var i = 12
       var blockAlign = 0
       var dataSize = -1
-      while (i + 8 <= b.length && (blockAlign == 0 || dataSize < 0)) {
+      var wellFormed = true
+      while (wellFormed && i + 8 <= b.length && (blockAlign == 0 || dataSize < 0)) {
         val sz = i32le(b, i + 4)
-        if (tag(b, i, "fmt ") && sz >= 16) blockAlign = u16le(b, i + 20)
-        else if (tag(b, i, "data")) dataSize = sz
-        i += 8 + sz + (sz & 1)
+        // a negative declared size means a foreign/corrupt payload — and
+        // would stall the walk (i would stop advancing); bail to None
+        if (sz < 0) wellFormed = false
+        else {
+          if (tag(b, i, "fmt ") && sz >= 16) blockAlign = u16le(b, i + 20)
+          else if (tag(b, i, "data")) dataSize = sz
+          i += 8 + sz + (sz & 1)
+        }
       }
-      if (blockAlign > 0 && dataSize >= 0) Some(Decoded("audio", 0, 0, dataSize / blockAlign))
+      if (wellFormed && blockAlign > 0 && dataSize >= 0)
+        Some(Decoded("audio", 0, 0, dataSize / blockAlign))
       else None
     } else None
 
@@ -140,10 +140,18 @@ object MediaCodec {
       if (nl < 0) None
       else {
         val params = new String(b, 0, nl, US_ASCII).split(' ').drop(1)
+        // digit cap ≤ 8 keeps toInt total (no NumberFormatException on a
+        // foreign header like W99999999999 — reject to None instead)
         def num(prefix: Char): Option[Int] =
-          params.collectFirst { case p if p.nonEmpty && p.head == prefix && p.tail.forall(_.isDigit) => p.tail.toInt }
+          params.collectFirst {
+            case p if p.length >= 2 && p.length <= 9 && p.head == prefix && p.tail.forall(_.isDigit) =>
+              p.tail.toInt
+          }
         (num('W'), num('H')) match {
-          case (Some(w), Some(h)) if w > 0 && h > 0 =>
+          // 16384px cap: bounds w*h*3/2 far below Int overflow, which
+          // would otherwise turn the frame scan negative (walk backwards
+          // / accept garbage geometry) on crafted headers
+          case (Some(w), Some(h)) if w > 0 && h > 0 && w <= 16384 && h <= 16384 =>
             val frameSize = w * h * 3 / 2 // C420 (the only subsampling we emit)
             var i = nl + 1
             var frames = 0

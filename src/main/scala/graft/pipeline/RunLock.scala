@@ -26,9 +26,13 @@ object RunLock {
   /** Try to take the lock. None = another run holds it — the caller should
     * exit cleanly (the reference's 409 path). A lock older than
     * `staleAfterMillis` (default 6h — well past the reference's 72-min max
-    * run envelope) is presumed crashed and taken over: the stale file is
-    * deleted and the create retried ONCE; if a rival run wins that race,
-    * its CREATE_NEW succeeds and ours still yields — never two holders.
+    * run envelope) is presumed crashed and taken over. The takeover is a
+    * RENAME of the stale file to a unique tombstone, not a delete: rename
+    * has one winner (the source vanishes for every rival), so a racer can
+    * never delete the lock a takeover winner just re-created — with a
+    * blind deleteIfExists two racers could both end up holding. The
+    * rename winner then retries CREATE_NEW once; if yet another fresh
+    * acquirer beat it to the create, it still yields — never two holders.
     */
   def tryAcquire(workRoot: String, staleAfterMillis: Long = 6L * 3600 * 1000): Option[Held] = {
     val path = lockPath(workRoot)
@@ -46,10 +50,15 @@ object RunLock {
           val age = System.currentTimeMillis() - Files.getLastModifiedTime(path).toMillis
           age > staleAfterMillis
         } catch { case _: java.io.IOException => false } // holder just released → retry below
-      if (stale || !Files.exists(path)) {
-        if (stale) { Files.deleteIfExists(path); () }
-        create()
-      } else None
+      if (stale) {
+        val tombstone = path.resolveSibling(
+          s".graft-run.lock.stale-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+        val wonTakeover =
+          try { Files.move(path, tombstone); Files.deleteIfExists(tombstone); true }
+          catch { case _: java.io.IOException => false } // a rival moved it first
+        if (wonTakeover) create() else None
+      } else if (!Files.exists(path)) create()
+      else None
     }
   }
 
