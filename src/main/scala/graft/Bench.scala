@@ -47,7 +47,11 @@ object Bench {
         }
         i += 1
       }
-      if (!errors.contains(q.name)) times(q.name) = best
+      // A query that succeeded on an earlier sample but threw on a later
+      // one (transient/flaky failure) keeps its valid minimum timing AND
+      // the error — silently dropping the timing would shrink "total" and
+      // read as a speedup when comparing BENCH jsons across rounds.
+      if (best < Double.MaxValue) times(q.name) = best
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {

@@ -42,6 +42,14 @@ object Verify {
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
             deleteRec(new java.io.File(s"$outDir/$name"))
           } finally spark.sparkContext.clearJobGroup()
+          // Close the start-vs-cancel race: a future that passed the
+          // `cancelled` check just before the main thread's deadline fired
+          // has no job group registered yet, so cancelJobGroup missed it
+          // and it re-created the output the main thread deleted. The main
+          // thread adds to `cancelled` BEFORE deleting, so re-checking
+          // after the write guarantees one of the two deletes sees it.
+          if (cancelled.contains(name))
+            deleteRec(new java.io.File(s"$outDir/$name"))
         }
       }
     }
@@ -61,7 +69,15 @@ object Verify {
     // shutdownNow (not shutdown): drop any still-queued future so a
     // timed-out-but-unstarted query can never run during the JSON dump.
     pool.shutdownNow()
-    pool.awaitTermination(30, java.util.concurrent.TimeUnit.SECONDS)
+    val terminated = pool.awaitTermination(30, java.util.concurrent.TimeUnit.SECONDS)
+    if (!terminated)
+      System.err.println("[verify] worker pool did not terminate within 30s — " +
+        "a straggler may still be running; re-deleting cancelled outputs")
+    // Whether or not the pool drained, sweep every cancelled query's output
+    // one last time: a straggler that finished its write between the main
+    // thread's delete and here must not leave a stale parquet for the
+    // compare. (Its own post-write re-check covers the reverse order.)
+    cancelled.forEach(name => deleteRec(new java.io.File(s"$outDir/$name")))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -121,8 +121,12 @@ object MediaCodec {
       while (wellFormed && i + 8 <= b.length && (blockAlign == 0 || dataSize < 0)) {
         val sz = i32le(b, i + 4)
         // a negative declared size means a foreign/corrupt payload — and
-        // would stall the walk (i would stop advancing); bail to None
-        if (sz < 0) wellFormed = false
+        // would stall the walk (i would stop advancing); a declared size
+        // past the payload end would wrap `i` negative via Int overflow
+        // (8 + 0x7FFFFFF0 < 0) and index the array at a negative offset on
+        // the next pass — both bail to None. `b.length - i - 8` cannot
+        // overflow (i ≥ 12, guarded ≤ b.length - 8).
+        if (sz < 0 || sz > b.length - i - 8) wellFormed = false
         else {
           if (tag(b, i, "fmt ") && sz >= 16) blockAlign = u16le(b, i + 20)
           else if (tag(b, i, "data")) dataSize = sz

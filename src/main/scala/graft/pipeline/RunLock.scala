@@ -14,11 +14,21 @@ import java.nio.file.{Files, Path, Paths, StandardOpenOption}
   */
 object RunLock {
 
-  /** A held lock; releasing deletes the lock file. AutoCloseable so a
-    * `Using`/try-finally releases on the failure path too.
+  /** A held lock; releasing deletes the lock file — but ONLY if the file
+    * still carries this holder's unique token. A holder that legitimately
+    * outlives the stale TTL and gets usurped must not delete the usurper's
+    * lock on exit (which would let a third run start concurrently); with
+    * the token check its close() sees foreign content and leaves it alone.
+    * AutoCloseable so a `Using`/try-finally releases on the failure path.
     */
-  final class Held private[RunLock] (val path: Path) extends AutoCloseable {
-    def close(): Unit = { Files.deleteIfExists(path); () }
+  final class Held private[RunLock] (val path: Path, token: String) extends AutoCloseable {
+    def close(): Unit = {
+      val stillMine =
+        try new String(Files.readAllBytes(path), "UTF-8") == token
+        catch { case _: java.io.IOException => false } // already gone/unreadable
+      if (stillMine) Files.deleteIfExists(path)
+      ()
+    }
   }
 
   private def lockPath(workRoot: String): Path = Paths.get(workRoot, ".graft-run.lock")
@@ -37,28 +47,55 @@ object RunLock {
   def tryAcquire(workRoot: String, staleAfterMillis: Long = 6L * 3600 * 1000): Option[Held] = {
     val path = lockPath(workRoot)
     Files.createDirectories(path.getParent)
-    val content =
-      s"pid=${ProcessHandle.current().pid()}\nacquired=${java.time.Instant.now()}\n"
+    // pid + nonce: a unique token per acquire attempt, so ownership is
+    // VERIFIABLE — takeover checks it stole the lock it observed stale
+    // (not a fresh one created in the age-check→move window), and close()
+    // deletes only a file still carrying this token.
+    val token =
+      s"pid=${ProcessHandle.current().pid()}\nnonce=${java.util.UUID.randomUUID()}\n" +
+        s"acquired=${java.time.Instant.now()}\n"
     def create(): Option[Held] =
       try {
-        Files.write(path, content.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
-        Some(new Held(path))
+        Files.write(path, token.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+        Some(new Held(path, token))
       } catch { case _: java.nio.file.FileAlreadyExistsException => None }
     create().orElse {
-      val stale =
+      // Snapshot content + age together: the takeover below must prove it
+      // moved THIS observed-stale lock, not a newer one.
+      val observed: Option[String] =
         try {
           val age = System.currentTimeMillis() - Files.getLastModifiedTime(path).toMillis
-          age > staleAfterMillis
-        } catch { case _: java.io.IOException => false } // holder just released → retry below
-      if (stale) {
-        val tombstone = path.resolveSibling(
-          s".graft-run.lock.stale-${ProcessHandle.current().pid()}-${System.nanoTime()}")
-        val wonTakeover =
-          try { Files.move(path, tombstone); Files.deleteIfExists(tombstone); true }
-          catch { case _: java.io.IOException => false } // a rival moved it first
-        if (wonTakeover) create() else None
-      } else if (!Files.exists(path)) create()
-      else None
+          if (age > staleAfterMillis) Some(new String(Files.readAllBytes(path), "UTF-8"))
+          else None
+        } catch { case _: java.io.IOException => None } // holder just released → retry below
+      observed match {
+        case Some(staleContent) =>
+          val tombstone = path.resolveSibling(
+            s".graft-run.lock.stale-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+          val wonTakeover =
+            try {
+              Files.move(path, tombstone)
+              // Verify the victim: if the moved file's content differs from
+              // the observed-stale snapshot, the presumed-dead holder
+              // released and a FRESH acquirer re-created the lock inside
+              // the age-check→move window — we just stole a live lock.
+              // Repair by moving it back (path can't have been re-created:
+              // rename made us the only one who thinks it's free, and a
+              // rival create() in the gap makes the move-back fail, which
+              // still yields) and stand down.
+              val victim = new String(Files.readAllBytes(tombstone), "UTF-8")
+              if (victim == staleContent) { Files.deleteIfExists(tombstone); true }
+              else {
+                try Files.move(tombstone, path)
+                catch { case _: java.io.IOException => Files.deleteIfExists(tombstone) }
+                false
+              }
+            }
+            catch { case _: java.io.IOException => false } // a rival moved it first
+          if (wonTakeover) create() else None
+        case None if !Files.exists(path) => create()
+        case None => None
+      }
     }
   }
 

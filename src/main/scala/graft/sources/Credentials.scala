@@ -12,9 +12,13 @@ final class Secret(private val value: String) {
   def reveal: String = value
   override def toString: String = "Secret(****)"
   override def equals(o: Any): Boolean = o match {
-    // constant-time compare: equality checks must not leak length/prefix
+    // Compare SHA-256 digests, not the raw bytes: isEqual is constant-time
+    // only for EQUAL-length inputs (it returns immediately on a length
+    // mismatch), so digesting first — fixed 32-byte output — is what makes
+    // "no length/prefix leak" actually hold.
     case s: Secret =>
-      java.security.MessageDigest.isEqual(value.getBytes("UTF-8"), s.value.getBytes("UTF-8"))
+      def d(v: String) = java.security.MessageDigest.getInstance("SHA-256").digest(v.getBytes("UTF-8"))
+      java.security.MessageDigest.isEqual(d(value), d(s.value))
     case _ => false
   }
   override def hashCode: Int = 17 // deliberately constant — no value-derived bits escape
