@@ -9,15 +9,63 @@ import java.nio.file.{Files, Paths}
   * collecting to the driver. Failures are reported per-query under
   * "errors", never as fake timings.
   *
-  * Each query is sampled SAMPLES times in the same JVM and the per-query
-  * MIN is reported (total = sum of mins). A single sample under transient
-  * box load once recorded a 31× phantom slowdown on the heaviest query;
-  * the min over a few same-JVM runs is the only statistic that tracks the
-  * code, not the neighbours. The JSON carries "samples" so readers know
-  * the protocol.
+  * Sampling protocol (v3, "interleaved passes"): the WHOLE suite is run
+  * SAMPLES times and the per-query MIN across passes is reported (total =
+  * sum of mins). Round 3 recorded a 31× phantom on the heaviest query from
+  * transient box load; round 4's min-of-3 CONSECUTIVE samples still
+  * recorded 70× on the last two queries because a multi-minute load spike
+  * covered all three back-to-back samples. Interleaving spreads a query's
+  * samples across the full bench window, so a spike must cover the entire
+  * window to poison a min. Two fixed-work noise probes run before each
+  * pass and are reported verbatim ("probe1_sec" single-thread,
+  * "probe32_sec" across 32 threads): on a quiet box each pass's probes are
+  * flat; inflated probes in pass k say "the box, not the code" for any
+  * query whose pass-k sample is the slow one. "queries_all" carries every
+  * sample so a reader can audit which passes were contaminated.
   */
 object Bench {
   private val Samples = 3
+
+  /** Fixed-work mixing loop (SplitMix64 finalizer flavour): ~100ms of
+    * pure register arithmetic on a quiet core, no allocation, no memory
+    * traffic — wall time inflates 1:1 with CPU oversubscription.
+    */
+  private def mixWork(iters: Long, seed: Long): Long = {
+    var h = seed; var i = 0L
+    while (i < iters) {
+      h += 0x9E3779B97F4A7C15L
+      var z = h
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      h ^= z ^ (z >>> 31)
+      i += 1
+    }
+    h
+  }
+  private val ProbeIters = 40_000_000L
+
+  /** Seconds for one single-threaded fixed-work unit. */
+  private def probe1(): Double = {
+    val t0 = System.nanoTime()
+    val h = mixWork(ProbeIters, 42L)
+    val dt = (System.nanoTime() - t0) / 1e9
+    if (h == 0L) println() // keep the loop un-eliminable
+    dt
+  }
+
+  /** Seconds for 32 threads each running the same fixed-work unit —
+    * measures effective parallel capacity (the thing the heavy queries
+    * depend on): quiet 32-core box ≈ probe1; contended box ≫ probe1.
+    */
+  private def probe32(): Double = {
+    val t0 = System.nanoTime()
+    val threads = (0 until 32).map { i =>
+      new Thread(() => { if (mixWork(ProbeIters, i.toLong) == 0L) println() })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -31,28 +79,33 @@ object Bench {
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case _: Throwable => () }
 
-    val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val samples = scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    targets.foreach { q =>
-      var best = Double.MaxValue
-      var i = 0
-      while (i < Samples && !errors.contains(q.name)) {
-        val t0 = System.nanoTime()
-        try {
-          q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-          best = math.min(best, (System.nanoTime() - t0) / 1e9)
-        } catch {
-          case e: Throwable =>
-            errors(q.name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+    val p1 = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val p32 = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var pass = 0
+    while (pass < Samples) {
+      p1 += probe1()
+      p32 += probe32()
+      targets.foreach { q =>
+        // A query that errored once is skipped for the rest of the run but
+        // KEEPS any valid earlier timings — silently dropping them would
+        // shrink "total" and read as a speedup across rounds.
+        if (!errors.contains(q.name)) {
+          val t0 = System.nanoTime()
+          try {
+            q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+            samples(q.name) = samples.getOrElse(q.name, Nil) :+ (System.nanoTime() - t0) / 1e9
+          } catch {
+            case e: Throwable =>
+              errors(q.name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          }
         }
-        i += 1
       }
-      // A query that succeeded on an earlier sample but threw on a later
-      // one (transient/flaky failure) keeps its valid minimum timing AND
-      // the error — silently dropping the timing would shrink "total" and
-      // read as a speedup when comparing BENCH jsons across rounds.
-      if (best < Double.MaxValue) times(q.name) = best
+      pass += 1
     }
+    val times = samples.map { case (k, v) => k -> v.min }
+
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -60,11 +113,15 @@ object Bench {
       } + "\""
     // Locale.ROOT (via Timing): comma-decimal locales would emit invalid JSON.
     def num(v: Double): String = Timing.fmt3(v)
+    def arr(vs: Seq[Double]): String = vs.map(num).mkString("[", ",", "]")
     val qs = times.map { case (k, v) => s"${jstr(k)}:${num(v)}" }.mkString("{", ",", "}")
+    val qsAll = samples.map { case (k, v) => s"${jstr(k)}:${arr(v)}" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = times.values.sum
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","samples":$Samples,"queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","samples":$Samples,""" +
+        s""""protocol":"interleaved-passes","probe1_sec":${arr(p1.toSeq)},"probe32_sec":${arr(p32.toSeq)},""" +
+        s""""queries":$qs,"queries_all":$qsAll,"errors":$errs,"sf":${jstr(sfDir)}}"""
     println(line)
     Files.writeString(Paths.get("BENCH_LOCAL.json"), line + "\n")
     spark.stop()
