@@ -191,6 +191,80 @@ object CorpusQueries {
           "m AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY is_src DESC) AS rn FROM u) " +
           "SELECT o_orderkey, o_orderstatus, o_totalprice, CAST(is_src AS BIGINT) AS from_source " +
           "FROM m WHERE rn = 1 ORDER BY o_orderkey")
+    ),
+    Q(
+      "q_decontaminate",
+      // Benchmark decontamination: flag training docs whose word 5-grams
+      // overlap a held-out eval set (the standard pre-training hygiene
+      // pass). Eval membership is a stable md5 split (~6% of docs); the
+      // eval side's distinct grams form a small index that BROADCASTs, so
+      // the train side — the 100 TB side — is one narrow explode + a
+      // broadcast semi-shaped join + one per-doc count. No shuffle ever
+      // carries the corpus; only (doc_id, hit) pairs reach the agg.
+      // Short docs (<5 tokens) contribute zero grams by construction
+      // (typed empty array, NOT a truncated gram — Spark's sequence(1,0)
+      // descends rather than yielding empty, so the guard is explicit).
+      (s, d) => {
+        val grams = expr(
+          "case when size(split(text, ' ')) < 5 then cast(array() as array<string>) " +
+            "else array_distinct(transform(sequence(1, size(split(text, ' ')) - 4), " +
+            "i -> array_join(slice(split(text, ' '), i, 5), ' '))) end")
+        val g = Tables(s, d, "documents").select(
+          col("doc_id"),
+          (substring(md5(col("doc_id").cast("string")), 1, 2) < "10").as("is_eval"),
+          grams.as("grams"))
+        val evalGrams = g.filter(col("is_eval"))
+          .select(explode(col("grams")).as("gram")).distinct()
+        val train = g.filter(!col("is_eval"))
+          .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
+            explode(col("grams")).as("gram"))
+        train.join(broadcast(evalGrams), Seq("gram"))
+          .groupBy(col("doc_id"), col("n_grams"))
+          .agg(count(lit(1)).as("hits"))
+          .select(col("doc_id"), col("hits"), col("n_grams"),
+            (col("hits").cast("double") / col("n_grams").cast("double")).as("contamination"))
+          .orderBy(col("hits").desc, col("doc_id"))
+      },
+      Some(
+        "WITH g AS (SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '10' AS is_eval, " +
+          "CASE WHEN len(string_split(text, ' ')) < 5 THEN CAST([] AS VARCHAR[]) " +
+          "ELSE list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 4), " +
+          "i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))) END AS grams FROM documents), " +
+          "e AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE is_eval), " +
+          "t AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams, unnest(grams) AS gram FROM g WHERE NOT is_eval) " +
+          "SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS hits, n_grams, " +
+          "CAST(COUNT(*) AS DOUBLE) / CAST(n_grams AS DOUBLE) AS contamination " +
+          "FROM t JOIN e USING (gram) GROUP BY t.doc_id, n_grams " +
+          "ORDER BY hits DESC, doc_id")
+    ),
+    Q(
+      "q_shuffle_shards",
+      // Deterministic global shuffle into training shards: shard = md5
+      // bucket of the key, within-shard order = an INDEPENDENT salted md5
+      // (so shard assignment and order are uncorrelated), position =
+      // row_number inside the shard. This is the reproducible
+      // shuffle-before-training op: embarrassingly parallel across
+      // shards, identical on any cluster size or engine — rand() could
+      // never pass this oracle. At 100 TB the same plan writes each
+      // shard's partition directly (partitionBy(shard) + sortWithinPartitions).
+      (s, d) => {
+        val shard = (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 8).as("shard")
+        val ord = md5(concat(lit("shuffle:"), col("doc_id").cast("string"))).as("ord")
+        Tables(s, d, "documents")
+          .select(col("doc_id"), shard, ord)
+          .withColumn(
+            "pos",
+            row_number().over(
+              Window.partitionBy(col("shard")).orderBy(col("ord"), col("doc_id"))).cast("long"))
+          .select(col("shard"), col("pos"), col("doc_id"))
+          .orderBy("shard", "pos")
+      },
+      Some(
+        "WITH s AS (SELECT doc_id, CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 8 AS shard, " +
+          "md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS ord FROM documents) " +
+          "SELECT shard, CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS BIGINT) AS pos, doc_id " +
+          "FROM s ORDER BY shard, pos")
     )
   )
 }
