@@ -22,6 +22,13 @@ import java.nio.file.{Files, Paths}
   * flat; inflated probes in pass k say "the box, not the code" for any
   * query whose pass-k sample is the slow one. "queries_all" carries every
   * sample so a reader can audit which passes were contaminated.
+  *
+  * JSON contract note: "queries" and "errors" are NOT disjoint. A query
+  * that succeeds on an early pass and errors on a later one appears in
+  * BOTH — its min over the valid samples under "queries" (dropping them
+  * would shrink "total" and read as a phantom speedup across rounds) and
+  * its failure under "errors". Readers must not treat presence in
+  * "errors" as "no timing exists".
   */
 object Bench {
   private val Samples = 3

@@ -17,16 +17,37 @@ object RunLock {
   /** A held lock; releasing deletes the lock file — but ONLY if the file
     * still carries this holder's unique token. A holder that legitimately
     * outlives the stale TTL and gets usurped must not delete the usurper's
-    * lock on exit (which would let a third run start concurrently); with
-    * the token check its close() sees foreign content and leaves it alone.
+    * lock on exit (which would let a third run start concurrently). The
+    * ownership re-check is ATOMIC, same rename-verify shape as takeover:
+    * rename the lock aside, verify the moved content is ours, then delete.
+    * Rename has one winner, so a takeover racing this close() either moved
+    * the file first (our move throws → nothing left to release) or loses
+    * its own move — a plain read-then-delete had a window where close()
+    * could delete a usurper's fresh lock right at the staleness boundary.
     * AutoCloseable so a `Using`/try-finally releases on the failure path.
     */
   final class Held private[RunLock] (val path: Path, token: String) extends AutoCloseable {
     def close(): Unit = {
-      val stillMine =
-        try new String(Files.readAllBytes(path), "UTF-8") == token
-        catch { case _: java.io.IOException => false } // already gone/unreadable
-      if (stillMine) Files.deleteIfExists(path)
+      val tomb = path.resolveSibling(
+        s".graft-run.lock.closing-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+      try {
+        Files.move(path, tomb)
+        val content = new String(Files.readAllBytes(tomb), "UTF-8")
+        if (content == token) Files.deleteIfExists(tomb)
+        else {
+          // We were usurped and just moved the usurper's live lock aside:
+          // put it back. If a rival created a new lock in the gap the
+          // move-back fails — leave the tombstone in place as an audit
+          // marker (see the takeover comment for the same tradeoff).
+          try { Files.move(tomb, path); () }
+          catch {
+            case _: java.io.IOException =>
+              System.err.println(
+                s"[RunLock] close(): usurped lock could not be restored; " +
+                  s"tombstone left at $tomb for audit")
+          }
+        }
+      } catch { case _: java.io.IOException => () } // already gone/usurped — nothing to release
       ()
     }
   }
@@ -86,8 +107,20 @@ object RunLock {
               val victim = new String(Files.readAllBytes(tombstone), "UTF-8")
               if (victim == staleContent) { Files.deleteIfExists(tombstone); true }
               else {
-                try Files.move(tombstone, path)
-                catch { case _: java.io.IOException => Files.deleteIfExists(tombstone) }
+                try { Files.move(tombstone, path); () }
+                catch {
+                  case _: java.io.IOException =>
+                    // RESIDUAL WINDOW (known, narrow): we stole a LIVE lock
+                    // and a rival create() beat the move-back, so the fresh
+                    // holder runs without a lock file while the rival also
+                    // holds one — a brief possible overlap. Deleting the
+                    // tombstone here would make that overlap invisible;
+                    // leave it as an audit marker and log loudly instead.
+                    System.err.println(
+                      s"[RunLock] takeover repair failed: stole a live lock and a rival " +
+                        s"re-created $path before move-back; possible run overlap — " +
+                        s"victim content preserved at $tombstone")
+                }
                 false
               }
             }

@@ -56,4 +56,25 @@ class RunLockSpec extends SparkSpec {
     assert(takeover.isDefined)
     takeover.get.close()
   }
+
+  test("usurped holder's close() restores the usurper's lock, not deletes it") {
+    val root = tmpRoot
+    val held = RunLock.tryAcquire(root).get
+    Files.setLastModifiedTime(
+      held.path,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 100000))
+    val usurper = RunLock.tryAcquire(root, staleAfterMillis = 60000)
+    assert(usurper.isDefined)
+    // the original holder exits late: its close() must atomically detect
+    // the foreign token and put the usurper's lock back in place
+    held.close()
+    assert(Files.exists(held.path))
+    // the usurper still holds — a third scheduled run yields
+    assert(RunLock.tryAcquire(root, staleAfterMillis = 60000).isEmpty)
+    usurper.get.close()
+    assert(!Files.exists(held.path))
+    // no stray closing tombstones left behind on either path
+    val strays = Files.list(java.nio.file.Paths.get(root)).toArray.map(_.toString)
+    assert(!strays.exists(_.contains(".graft-run.lock")))
+  }
 }
