@@ -18,7 +18,8 @@ object Registry {
       graft.ext.DedupQueries.queries ++
       graft.ext.SimilarityQueries.queries ++
       graft.ext.MultimodalQueries.queries ++
-      graft.ext.CorpusQueries.queries
+      graft.ext.CorpusQueries.queries ++
+      graft.ext.QualityQueries.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

@@ -1,0 +1,197 @@
+package graft.ext
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.core.{Agg, Tables}
+
+/** Document-quality and corpus-composition operators — the filter/score
+  * family a pre-training pipeline runs between ingest and tokenization
+  * (round-6 widening):
+  *
+  *   - Gopher-style repetition filters (duplicate-word fraction, most
+  *     frequent bigram share) with a pass/fail gate
+  *   - unigram surprisal scoring (the log-free perplexity proxy: corpus
+  *     inverse token probability, deterministically aggregated)
+  *   - URL component extraction + per-host rollup (`parse_url`)
+  *   - deterministic source-mixture sampling (per-source keep rates via
+  *     content hash — reproducible on any cluster size)
+  *
+  * Scale shape: narrow per-row expressions or one shuffle keyed on
+  * doc_id/token/host; the only joins are keyed on bounded-cardinality
+  * columns. Nothing driver-side.
+  */
+object QualityQueries {
+
+  private val toks = split(col("text"), " ")
+
+  val queries: Seq[Q] = Seq(
+    Q(
+      "q_gopher_quality",
+      // Repetition filters from the Gopher/MassiveText cleaning recipe:
+      // duplicate-word fraction (1 - distinct/total, a pure per-row array
+      // expression — no shuffle) and the most-frequent-bigram share of the
+      // doc (explode → per-doc bigram counts → window top-1, shuffles
+      // keyed on doc_id). A doc passes when both are under threshold.
+      // Ratios are single double divisions — bit-identical cross-engine.
+      (s, d) => {
+        val perDoc = Tables(s, d, "documents").select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_tok"),
+          (lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
+            .as("dup_word_frac"))
+        val bigrams = Tables(s, d, "documents")
+          .select(
+            col("doc_id"),
+            explode(zip_with(
+              slice(toks, lit(1), size(toks) - 1),
+              slice(toks, lit(2), size(toks) - 1),
+              (a, b) => concat(a, lit(" "), b))).as("bigram"))
+          .groupBy(col("doc_id"), col("bigram"))
+          .agg(count(lit(1)).as("cnt"))
+        val top = bigrams
+          .withColumn(
+            "rn",
+            row_number().over(
+              Window.partitionBy(col("doc_id")).orderBy(col("cnt").desc, col("bigram").asc)))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("bigram").as("top_bigram"), col("cnt").as("top_bigram_cnt"))
+        perDoc
+          .join(top, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"),
+            col("n_tok"),
+            col("dup_word_frac"),
+            coalesce(col("top_bigram"), lit("")).as("top_bigram"),
+            coalesce(col("top_bigram_cnt"), lit(0L)).as("top_bigram_cnt"),
+            (coalesce(col("top_bigram_cnt"), lit(0L)).cast("double") * 2.0 /
+              col("n_tok").cast("double")).as("top_bigram_frac"))
+          .withColumn(
+            "pass_gopher",
+            col("dup_word_frac") <= 0.85 && col("top_bigram_frac") <= 0.18)
+          .orderBy("doc_id")
+      },
+      Some(
+        "WITH perdoc AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, " +
+          "1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / " +
+          "CAST(len(string_split(text, ' ')) AS DOUBLE) AS dup_word_frac FROM documents), " +
+          "bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(string_split(text, ' ')) - 1), " +
+          "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS bigram FROM documents), " +
+          "cnts AS (SELECT doc_id, bigram, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY 1, 2), " +
+          "top AS (SELECT doc_id, bigram AS top_bigram, cnt AS top_bigram_cnt, " +
+          "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bigram ASC) AS rn FROM cnts) " +
+          "SELECT p.doc_id, p.n_tok, p.dup_word_frac, " +
+          "COALESCE(t.top_bigram, '') AS top_bigram, COALESCE(t.top_bigram_cnt, 0) AS top_bigram_cnt, " +
+          "CAST(COALESCE(t.top_bigram_cnt, 0) AS DOUBLE) * 2.0 / CAST(p.n_tok AS DOUBLE) AS top_bigram_frac, " +
+          "p.dup_word_frac <= 0.85 AND (CAST(COALESCE(t.top_bigram_cnt, 0) AS DOUBLE) * 2.0 / CAST(p.n_tok AS DOUBLE)) <= 0.18 AS pass_gopher " +
+          "FROM perdoc p LEFT JOIN (SELECT * FROM top WHERE rn = 1) t USING (doc_id) ORDER BY doc_id")
+    ),
+    Q(
+      "q_unigram_score",
+      // Unigram surprisal proxy: mean corpus inverse token probability
+      // per document. ln() differs between engines in the last bits (same
+      // reason q_token_df stops at the ratio), so the score stays in
+      // exact-ratio space: r(t) = T / c(t), aggregated with the
+      // fixed-point dsum recipe (Agg scaladoc) — order-independent and
+      // bit-identical cross-engine. Plan at scale: one explode, one token
+      // hash-agg, one join keyed on token (AQE broadcasts the vocab when
+      // it fits), one doc_id hash-agg. The corpus is never collected.
+      (s, d) => {
+        val tok = Tables(s, d, "documents")
+          .select(col("doc_id"), explode(toks).as("token"))
+          .filter(col("token") =!= "")
+        val counts = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
+        val total = counts.agg(sum(col("c")).as("t"))
+        tok
+          .join(counts, Seq("token"))
+          .crossJoin(broadcast(total))
+          .select(col("doc_id"), (col("t").cast("double") / col("c").cast("double")).as("r"))
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_tok"),
+            Agg.davg(col("r")).as("avg_surprisal"))
+          .orderBy("doc_id")
+      },
+      Some(
+        "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), " +
+          "tk AS (SELECT doc_id, token FROM tok WHERE token <> ''), " +
+          "cnts AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM tk GROUP BY 1), " +
+          "tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cnts) " +
+          "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok, " +
+          Agg.davgSql("CAST(t AS DOUBLE) / CAST(c AS DOUBLE)") + " AS avg_surprisal " +
+          "FROM tk JOIN cnts USING (token) CROSS JOIN tot GROUP BY doc_id ORDER BY doc_id")
+    ),
+    Q(
+      "q_url_extract",
+      // URL component extraction + per-host rollup. The corpus has no URL
+      // column, so a deterministic URL is derived per row first (the
+      // oracle rebuilds the same string); the verified artifact is the
+      // extraction semantics: parse_url HOST/PATH/QUERY-param on the Spark
+      // side vs plain regexp extraction in DuckDB — two independent
+      // implementations agreeing byte-for-byte. Per-host rollup is one
+      // hash-agg keyed on host (bounded cardinality).
+      (s, d) => {
+        val url = concat(
+          lit("https://"), col("source"), lit(".example.org/docs/"), col("lang"),
+          lit("/"), col("doc_id").cast("string"),
+          lit("?ref=train&id="), col("doc_id").cast("string"))
+        Tables(s, d, "documents")
+          .select(
+            col("doc_id"),
+            parse_url(url, lit("HOST")).as("host"),
+            parse_url(url, lit("PATH")).as("path"),
+            parse_url(url, lit("QUERY"), lit("ref")).as("ref"))
+          .groupBy(col("host"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(col("path")).as("n_paths"),
+            min(col("ref")).as("ref"))
+          .orderBy("host")
+      },
+      Some(
+        "WITH u AS (SELECT doc_id, 'https://' || source || '.example.org/docs/' || lang || '/' || " +
+          "CAST(doc_id AS VARCHAR) || '?ref=train&id=' || CAST(doc_id AS VARCHAR) AS url FROM documents), " +
+          "p AS (SELECT doc_id, regexp_extract(url, 'https://([^/]+)/', 1) AS host, " +
+          "regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path, " +
+          "regexp_extract(url, '[?&]ref=([^&]*)', 1) AS ref FROM u) " +
+          "SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+          "CAST(COUNT(DISTINCT path) AS BIGINT) AS n_paths, MIN(ref) AS ref " +
+          "FROM p GROUP BY host ORDER BY host")
+    ),
+    Q(
+      "q_mix_sample",
+      // Deterministic source-mixture sampling: each source family gets a
+      // target keep rate (upweight curated sources, downsample the crawl
+      // tail) and rows are kept by md5-prefix threshold — reproducible on
+      // any cluster size or engine, unlike rand(). The keep decision is a
+      // pure per-row expression; the audit rollup is one hash-agg keyed on
+      // source. At 100 TB this is the data-mixing step before training.
+      (s, d) => {
+        val srcNum = regexp_extract(col("source"), "([0-9]+)$", 1).cast("int")
+        val rateHex = when(srcNum < 5, lit("ff"))       // keep ~100%
+          .when(srcNum < 10, lit("80"))                 // keep ~50%
+          .otherwise(lit("40"))                         // keep ~25%
+        val keep = substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 2) < rateHex
+        Tables(s, d, "documents")
+          .select(col("source"), keep.cast("long").as("kept"))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_total"),
+            sum(col("kept")).as("n_kept"))
+          .withColumn(
+            "kept_frac",
+            col("n_kept").cast("double") / col("n_total").cast("double"))
+          .orderBy("source")
+      },
+      Some(
+        "WITH k AS (SELECT source, CASE WHEN substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 2) < " +
+          "(CASE WHEN CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) < 5 THEN 'ff' " +
+          "WHEN CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) < 10 THEN '80' ELSE '40' END) " +
+          "THEN 1 ELSE 0 END AS kept FROM documents) " +
+          "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total, CAST(SUM(kept) AS BIGINT) AS n_kept, " +
+          "CAST(SUM(kept) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS kept_frac " +
+          "FROM k GROUP BY source ORDER BY source")
+    )
+  )
+}
