@@ -19,7 +19,8 @@ object Registry {
       graft.ext.SimilarityQueries.queries ++
       graft.ext.MultimodalQueries.queries ++
       graft.ext.CorpusQueries.queries ++
-      graft.ext.QualityQueries.queries
+      graft.ext.QualityQueries.queries ++
+      graft.ext.EmbedQueries.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 
