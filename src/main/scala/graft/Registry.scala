@@ -14,6 +14,7 @@ object Registry {
       graft.queries.PipelineQueries.queries ++
       graft.queries.JdbcQueries.queries ++
       graft.queries.Events.queries ++
+      graft.queries.Partitioned.queries ++
       graft.ext.TextQueries.queries ++
       graft.ext.DedupQueries.queries ++
       graft.ext.SimilarityQueries.queries ++

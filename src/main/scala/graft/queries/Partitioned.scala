@@ -1,0 +1,76 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.core.{Agg, Tables}
+
+/** Partition-layout operators: the write-side partitioning strategy and the
+  * read-side pruning it buys. At 100 TB the single highest-leverage layout
+  * decision is partitioning fact tables by a date-derived key — a filter or
+  * dim-join on that key then skips whole directories instead of reading and
+  * discarding rows. Two pruning modes both verified here:
+  *
+  *   - STATIC partition pruning: a literal predicate on the partition
+  *     column never touches excluded partitions' files;
+  *   - DYNAMIC partition pruning (DPP): when the predicate lives on the
+  *     OTHER side of a join (a filtered dim), Catalyst inserts a runtime
+  *     subquery filter on the fact scan, reusing the join's broadcast —
+  *     the fact side prunes at execution time without a manual IN-list.
+  *
+  * Plan shape enforced in PlanAuditSpec (`dynamicpruningexpression` on the
+  * fact scan's PartitionFilters).
+  */
+object Partitioned {
+
+  /** lineitem re-laid-out as a ship-month-partitioned table (the layout a
+    * 100 TB warehouse would maintain as the canonical copy), in a fresh
+    * temp dir per call. ~83 month partitions over the 1995-2001 range.
+    */
+  private def shipMonthLayout(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val tmp = Files.createTempDirectory("graft_dpp").toString
+    Tables(s, d, "lineitem")
+      .withColumn("ship_ym", date_format(col("l_shipdate"), "yyyy-MM"))
+      .write
+      .mode("overwrite")
+      .partitionBy("ship_ym")
+      .parquet(tmp)
+    tmp
+  }
+
+  val queries: Seq[Q] = Seq(
+    Q(
+      "q_partition_prune",
+      // Dim-driven month filter over the partitioned fact: the month list
+      // comes from a DIFFERENT table's scan (orders in 1997), so the fact
+      // can only be pruned at runtime — this is the DPP path. The join is
+      // a broadcast (12 dim rows) and the fact scan's PartitionFilters
+      // carry the dynamic subquery. Output is a per-month rollup with the
+      // fixed-point sum recipe.
+      (s, d) => {
+        val layout = shipMonthLayout(s, d)
+        val fact = s.read.parquet(layout)
+        val dim = Tables(s, d, "orders")
+          .filter(year(col("o_orderdate")) === 1997)
+          .select(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+          .distinct()
+        fact
+          .join(dim, fact("ship_ym") === dim("ym"))
+          .groupBy(col("ship_ym"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            Agg.dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("ship_ym")
+      },
+      Some(
+        "WITH dim AS (SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS ym FROM orders " +
+          "WHERE year(o_orderdate) = 1997), " +
+          "f AS (SELECT strftime(l_shipdate, '%Y-%m') AS ship_ym, l_quantity FROM lineitem) " +
+          "SELECT ship_ym, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+          Agg.dsumSql("l_quantity") + " AS sum_qty " +
+          "FROM f JOIN dim ON f.ship_ym = dim.ym GROUP BY ship_ym ORDER BY ship_ym")
+    )
+  )
+}

@@ -60,6 +60,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(codegenAggs >= 2, s"aggregates fell out of codegen ($codegenAggs starred):\n$p")
   }
 
+  test("dim-join over the partitioned fact triggers dynamic partition pruning") {
+    val df = Registry.byName("q_partition_prune").run(spark, sf())
+    val scan = scans(df).find(_.relation.partitionSchema.nonEmpty)
+    assert(scan.isDefined, "no partitioned scan in the plan")
+    val pf = scan.get.partitionFilters.map(_.toString).mkString(";")
+    assert(pf.contains("dynamicpruning"),
+      s"fact scan's PartitionFilters carry no dynamic pruning subquery: $pf")
+  }
+
   test("as-of join plans exactly one data-sized exchange (no range cross-product)") {
     val df = Registry.byName("q_asof_join").run(spark, sf())
     val p = planString(df)
