@@ -347,6 +347,26 @@ object Relational {
       None
     ),
     Q(
+      "q_approx_percentile",
+      // Mergeable quantile sketch (Greenwald-Khanna via approx_percentile,
+      // accuracy 10000) — the 100 TB path for percentiles: partial
+      // sketches merge associatively, so no global sort ever happens
+      // (q_percentile's exact interpolation is the small-data oracle
+      // sibling). Approximate by design → rows-only; the error bound vs
+      // exact is asserted in EngineSpec.
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)")
+              .as("p"))
+          .select(
+            col("l_returnflag"),
+            col("p")(0).as("p50"), col("p")(1).as("p95"), col("p")(2).as("p99"))
+          .orderBy("l_returnflag"),
+      None
+    ),
+    Q(
       "q_string_agg",
       (s, d) =>
         t(s, d, "customer")

@@ -66,6 +66,19 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile within 2% of the exact percentile") {
+    val li = Tables(spark, sf(), "lineitem")
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.95)").as("e"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val approx = graft.Registry.byName("q_approx_percentile").run(spark, sf())
+      .collect().map(r => r.getAs[String]("l_returnflag") -> r.getAs[Double]("p95")).toMap
+    approx.foreach { case (k, a) =>
+      val relErr = math.abs(a - exact(k)) / exact(k)
+      assert(relErr <= 0.02, s"flag $k: approx p95 $a vs exact ${exact(k)} (err $relErr)")
+    }
+  }
+
   test("approx_count_distinct (HLL++, rsd=0.01) within 5% of exact") {
     val orders = Tables(spark, sf(), "orders")
     val exact = orders.select(countDistinct(col("o_custkey"))).collect().head.getLong(0)
@@ -128,6 +141,38 @@ class EngineSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       spark.sql("DROP TABLE IF EXISTS orders_bkt")
       spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+    }
+  }
+
+  test("runtime bloom filter injects on a selective shuffle join") {
+    // Row-level sibling of DPP: when the selective filter sits on the
+    // build side of a SHUFFLE join over unpartitioned data, Catalyst can
+    // inject a bloom-filter semi-filter on the probe side so most rows
+    // die before the exchange. Thresholds are production-scale by
+    // default; shrink them so the optimization fires at test size — the
+    // assertion is the mechanism, the sizing argument lives at 100 TB.
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      val l = Tables(spark, sf(), "lineitem")
+      val p = Tables(spark, sf(), "part").filter(col("p_partkey") % 100 === 0)
+      val joined = l.join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain") && optimized.contains("bloom_filter_agg"),
+        s"no runtime bloom filter in the optimized plan:\n${optimized.take(1500)}")
+      assert(joined.collect().map(_.getLong(1)).sum > 0)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
   }
 }

@@ -1,0 +1,51 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Stream-stream interval join: in-window clicks match, out-of-window and
+  * keyless clicks don't.
+  */
+class StreamJoinSpec extends SparkSpec {
+
+  test("attribution joins clicks to impressions within the window only") {
+    val root = Files.createTempDirectory("ssj").toString
+    val impDir = s"$root/imp"; val clkDir = s"$root/clk"
+    val out = s"$root/out"; val ck = s"$root/ck"
+    Files.createDirectories(Paths.get(impDir))
+    Files.createDirectories(Paths.get(clkDir))
+
+    // impression for ad 1 at 00:00 and ad 3 at 00:00
+    Files.writeString(Paths.get(s"$impDir/i1.csv"),
+      "1,2024-01-01 00:00:00\n3,2024-01-01 00:00:00")
+    // clicks: ad 1 at 00:05 (in window), ad 1 at 00:50 (outside the
+    // 20-minute window), ad 2 at 00:05 (no impression)
+    Files.writeString(Paths.get(s"$clkDir/c1.csv"),
+      "1,2024-01-01 00:05:00\n1,2024-01-01 00:50:00\n2,2024-01-01 00:05:00")
+
+    val impSchema = StructType(Seq(
+      StructField("ad_id", LongType), StructField("ts_raw", StringType)))
+    val clkSchema = StructType(Seq(
+      StructField("ad_id", LongType), StructField("ts_raw", StringType)))
+    val imps = spark.readStream.schema(impSchema).csv(impDir)
+      .select(col("ad_id"), col("ts_raw").cast("timestamp").as("ts"))
+    val clks = spark.readStream.schema(clkSchema).csv(clkDir)
+      .select(col("ad_id"), col("ts_raw").cast("timestamp").as("click_ts"))
+
+    val q = StreamJoin.attribution(imps, clks, windowMinutes = 20)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2).toString)).toSet
+    assert(got == Set((1L, "2024-01-01 00:05:00.0")),
+      s"expected exactly the in-window ad-1 click, got $got")
+  }
+}
