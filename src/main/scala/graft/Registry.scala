@@ -15,6 +15,7 @@ object Registry {
       graft.queries.JdbcQueries.queries ++
       graft.queries.Events.queries ++
       graft.queries.Partitioned.queries ++
+      graft.queries.Incremental.queries ++
       graft.ext.TextQueries.queries ++
       graft.ext.DedupQueries.queries ++
       graft.ext.SimilarityQueries.queries ++

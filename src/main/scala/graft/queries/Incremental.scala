@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.core.{Agg, Tables}
+
+/** Incremental-maintenance operators: the two primitives a warehouse uses
+  * to avoid full recomputation when new data lands.
+  *
+  *   - snapshot diff (CDC extraction): full-outer join of old vs new
+  *     snapshot on the key → insert / update / delete row classes;
+  *   - incremental aggregate refresh: merge yesterday's partial aggregate
+  *     state with today's delta batch — associative partials (count, sum)
+  *     re-aggregate without touching the base data.
+  *
+  * Scale shape: both are one shuffle keyed on the merge key; the diff
+  * never materializes either snapshot on the driver, and the refresh
+  * reads only the delta plus the (much smaller) aggregate state.
+  */
+object Incremental {
+
+  val queries: Seq[Q] = Seq(
+    Q(
+      "q_snapshot_diff",
+      // CDC diff between two deterministic snapshots of orders: the "old"
+      // snapshot drops keys % 7 == 0 and carries original prices; the
+      // "new" snapshot drops keys % 5 == 0 and bumps prices on keys
+      // % 3 == 0. Full-outer join on the key classifies every row as
+      // insert (old absent), delete (new absent), update (both present,
+      // value changed) or unchanged — the extraction step feeding any
+      // downstream CDC consumer. One shuffle on the key; change counts
+      // roll up per class.
+      (s, d) => {
+        val o = Tables(s, d, "orders")
+        val oldSnap = o.filter(col("o_orderkey") % 7 =!= 0)
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("old_price"))
+        val newSnap = o.filter(col("o_orderkey") % 5 =!= 0)
+          .select(
+            col("o_orderkey").as("k"),
+            when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 1.0)
+              .otherwise(col("o_totalprice")).as("new_price"))
+        oldSnap
+          .join(newSnap, Seq("k"), "full_outer")
+          .select(
+            col("k"),
+            when(col("old_price").isNull, "insert")
+              .when(col("new_price").isNull, "delete")
+              .when(col("old_price") =!= col("new_price"), "update")
+              .otherwise("unchanged").as("change"))
+          .groupBy(col("change"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("change")
+      },
+      Some(
+        "WITH oldsnap AS (SELECT o_orderkey AS k, o_totalprice AS old_price FROM orders WHERE o_orderkey % 7 <> 0), " +
+          "newsnap AS (SELECT o_orderkey AS k, CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0 " +
+          "ELSE o_totalprice END AS new_price FROM orders WHERE o_orderkey % 5 <> 0), " +
+          "d AS (SELECT COALESCE(o.k, n.k) AS k, CASE WHEN o.k IS NULL THEN 'insert' " +
+          "WHEN n.k IS NULL THEN 'delete' WHEN o.old_price <> n.new_price THEN 'update' " +
+          "ELSE 'unchanged' END AS change FROM oldsnap o FULL OUTER JOIN newsnap n ON o.k = n.k) " +
+          "SELECT change, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY change ORDER BY change")
+    ),
+    Q(
+      "q_incremental_agg",
+      // Incremental aggregate refresh: the base partition (orders before
+      // 1999) is pre-aggregated into per-status partial state (n, qsum);
+      // the delta batch (1999 onward) aggregates alone and MERGES with
+      // the state — counts add, fixed-point sums add. The oracle computes
+      // the same totals from scratch over the full table, proving the
+      // merge path is lossless. At 100 TB the base state is a few rows
+      // per group; only the delta is ever re-scanned.
+      (s, d) => {
+        val o = Tables(s, d, "orders")
+        def partial(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy(col("o_orderstatus"))
+            .agg(
+              count(lit(1)).as("n"),
+              // keep the partial in exact integer space (the dsum recipe's
+              // step 2) so merging partials stays order-independent
+              sum(round(col("o_totalprice") * 10000).cast("decimal(38,0)")).as("fx"))
+        val base = partial(o.filter(year(col("o_orderdate")) < 1999))
+        val delta = partial(o.filter(year(col("o_orderdate")) >= 1999))
+        base.unionByName(delta)
+          .groupBy(col("o_orderstatus"))
+          .agg(sum(col("n")).as("n_orders"), sum(col("fx")).as("fx"))
+          .select(
+            col("o_orderstatus"),
+            col("n_orders"),
+            (col("fx").cast("double") / 10000).as("total_price"))
+          .orderBy("o_orderstatus")
+      },
+      Some(
+        "SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders, " +
+          Agg.dsumSql("o_totalprice") + " AS total_price " +
+          "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    )
+  )
+}
