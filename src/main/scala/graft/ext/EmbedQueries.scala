@@ -63,7 +63,8 @@ object EmbedQueries {
           "e AS (SELECT vec_id, CAST(len(v) AS BIGINT) AS n_dims, scale, " +
           "list_transform(v, x -> abs(x - least(greatest(floor(x / scale + 0.5), -127.0), 127.0) * scale)) AS errv FROM s) " +
           "SELECT vec_id, n_dims, scale, list_max(errv) AS max_abs_err, " +
-          "list_dot_product(errv, errv) AS sq_err FROM e ORDER BY vec_id")
+          "list_dot_product(errv, errv) AS sq_err FROM e ORDER BY vec_id"),
+      headline = true
     ),
     Q(
       "q_semdedup",

@@ -120,7 +120,8 @@ object QualityQueries {
           "tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cnts) " +
           "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok, " +
           Agg.davgSql("CAST(t AS DOUBLE) / CAST(c AS DOUBLE)") + " AS avg_surprisal " +
-          "FROM tk JOIN cnts USING (token) CROSS JOIN tot GROUP BY doc_id ORDER BY doc_id")
+          "FROM tk JOIN cnts USING (token) CROSS JOIN tot GROUP BY doc_id ORDER BY doc_id"),
+      headline = true
     ),
     Q(
       "q_url_extract",
