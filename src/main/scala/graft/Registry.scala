@@ -22,7 +22,8 @@ object Registry {
       graft.ext.MultimodalQueries.queries ++
       graft.ext.CorpusQueries.queries ++
       graft.ext.QualityQueries.queries ++
-      graft.ext.EmbedQueries.queries
+      graft.ext.EmbedQueries.queries ++
+      graft.ext.MonitorQueries.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

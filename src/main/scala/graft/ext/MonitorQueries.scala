@@ -1,0 +1,109 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Q
+import graft.core.{Agg, Tables}
+
+/** Corpus-monitoring operators — the drift/outlier checks a production
+  * data pipeline runs per ingest batch (round-6 widening):
+  *
+  *   - per-source token-distribution drift vs the corpus (chi-square over
+  *     the top-K vocabulary) — catches a source whose content shifted;
+  *   - per-language document-length outliers (z-score from exact-integer
+  *     moments) — catches truncation/concatenation bugs upstream.
+  *
+  * Determinism: probabilities and chi-square terms are double divisions of
+  * exact integer counts; the only cross-row double sum goes through the
+  * fixed-point dsum recipe (scaled 1e6 so the quantum sits far below the
+  * signal); sqrt is IEEE-correctly-rounded in both engines.
+  *
+  * Scale shape: one explode feeds a (source, token) hash-agg; the
+  * chi-square grid is sources x topK — both bounded dims, so the final
+  * agg is tiny regardless of corpus size. No global windows, no driver
+  * data.
+  */
+object MonitorQueries {
+
+  val queries: Seq[Q] = Seq(
+    Q(
+      "q_source_drift",
+      (s, d) => {
+        val st = Tables(s, d, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("token"))
+          .filter(col("token") =!= "")
+          .groupBy(col("source"), col("token"))
+          .agg(count(lit(1)).as("c_st"))
+        val ct = st.groupBy(col("token")).agg(sum(col("c_st")).as("c_t"))
+        val top = ct.orderBy(col("c_t").desc, col("token")).limit(50)
+        val totS = st.groupBy(col("source")).agg(sum(col("c_st")).as("tot_s"))
+        val total = ct.agg(sum(col("c_t")).as("t_all"))
+        // fixed vocab grid: a source MISSING a top token still contributes
+        // (0 - p)^2 / p — an inner join would silently drop exactly the
+        // rows that signal the largest drift
+        val grid = totS.crossJoin(broadcast(top)).crossJoin(broadcast(total))
+        val joined = grid.join(st, Seq("source", "token"), "left")
+        val pS = coalesce(col("c_st"), lit(0L)).cast("double") / col("tot_s").cast("double")
+        val p = col("c_t").cast("double") / col("t_all").cast("double")
+        val term = (pS - p) * (pS - p) / p
+        joined
+          .groupBy(col("source"))
+          .agg((Agg.dsum(term * 1e6) / 1e6).as("chi2_top50"))
+          .orderBy("source")
+      },
+      Some(
+        "WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents), " +
+          "st AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c_st FROM tok WHERE token <> '' GROUP BY 1, 2), " +
+          "ct AS (SELECT token, CAST(SUM(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1), " +
+          "top AS (SELECT token, c_t FROM ct ORDER BY c_t DESC, token LIMIT 50), " +
+          "tots AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS tot_s FROM st GROUP BY 1), " +
+          "total AS (SELECT CAST(SUM(c_t) AS BIGINT) AS t_all FROM ct), " +
+          "grid AS (SELECT source, token, c_t, tot_s, t_all FROM tots CROSS JOIN top CROSS JOIN total), " +
+          "terms AS (SELECT g.source, " +
+          "power(CAST(COALESCE(st.c_st, 0) AS DOUBLE) / CAST(g.tot_s AS DOUBLE) - " +
+          "CAST(g.c_t AS DOUBLE) / CAST(g.t_all AS DOUBLE), 2) / " +
+          "(CAST(g.c_t AS DOUBLE) / CAST(g.t_all AS DOUBLE)) AS term " +
+          "FROM grid g LEFT JOIN st ON g.source = st.source AND g.token = st.token) " +
+          "SELECT source, " + Agg.dsumSql("term * 1e6") + " / 1e6 AS chi2_top50 " +
+          "FROM terms GROUP BY source ORDER BY source")
+    ),
+    Q(
+      "q_outlier_docs",
+      // Length outliers per language: exact-integer first/second moments
+      // (token counts need no quantization), closed-form mean/stddev,
+      // z = (len - mean) / std — flag |z| > 2. Exactly the
+      // q_stats_moments recipe applied to quality monitoring.
+      (s, d) => {
+        val len = size(split(col("text"), " ")).cast("long")
+        val docs = Tables(s, d, "documents").select(col("doc_id"), col("lang"), len.as("n_tok"))
+        val x = col("n_tok").cast(DecimalType(38, 0))
+        val m = docs.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(x * x).as("sxx"))
+        val nD = col("n").cast("double")
+        val sx = col("sx").cast("double"); val sxx = col("sxx").cast("double")
+        val stats = m.select(
+          col("lang"),
+          (sx / nD).as("mean_len"),
+          sqrt((sxx - sx * sx / nD) / (nD - 1.0)).as("std_len"))
+        docs
+          .join(broadcast(stats), Seq("lang"))
+          .withColumn("z", (col("n_tok").cast("double") - col("mean_len")) / col("std_len"))
+          .filter(abs(col("z")) > 2.0)
+          .select(col("doc_id"), col("lang"), col("n_tok"), col("z"))
+          .orderBy("doc_id")
+      },
+      Some(
+        "WITH docs AS (SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents), " +
+          "m AS (SELECT lang, COUNT(*) AS n, SUM(CAST(n_tok AS HUGEINT)) AS sx, " +
+          "SUM(CAST(n_tok AS HUGEINT) * CAST(n_tok AS HUGEINT)) AS sxx FROM docs GROUP BY lang), " +
+          "stats AS (SELECT lang, CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_len, " +
+          "sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / " +
+          "(CAST(n AS DOUBLE) - 1.0)) AS std_len FROM m) " +
+          "SELECT doc_id, docs.lang, n_tok, " +
+          "(CAST(n_tok AS DOUBLE) - mean_len) / std_len AS z " +
+          "FROM docs JOIN stats ON docs.lang = stats.lang " +
+          "WHERE abs((CAST(n_tok AS DOUBLE) - mean_len) / std_len) > 2.0 ORDER BY doc_id")
+    )
+  )
+}
