@@ -246,6 +246,53 @@ object Events {
           "CAST(COUNT(first_purchase) AS BIGINT) AS purchased_after_click, " +
           "CAST(COUNT(first_purchase) AS DOUBLE) / CAST(COUNT(first_view) AS DOUBLE) AS conversion FROM u"),
       headline = true
+    ),
+    Q(
+      "q_gap_fill",
+      // Time-series gap filling + forward fill: build each user's daily
+      // date spine with sequence() (no calendar table, no cross join to a
+      // global range — each user's spine spans only their own activity),
+      // left-join the daily rollup, and carry the last known value across
+      // missing days with last(ignoreNulls) over an ordered window. The
+      // standard feature-engineering densification step. One shuffle on
+      // user_id, reused by the spine explode, join, and window.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = events(s, d).filter(col("user_id") < 10)
+        val daily = ev
+          .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+          .agg(count(lit(1)).as("n_events"), dsumVal.as("day_value"))
+        val spine = daily
+          .groupBy(col("user_id"))
+          .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+          .select(
+            col("user_id"),
+            explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine
+          .join(daily, Seq("user_id", "day"), "left")
+          .select(
+            col("user_id"),
+            col("day"),
+            coalesce(col("n_events"), lit(0L)).as("n_events"),
+            last(col("day_value"), ignoreNulls = true).over(w).as("filled_value"),
+            col("day_value").isNull.as("is_gap"))
+          .orderBy("user_id", "day")
+      },
+      Some(
+        "WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day, value FROM events WHERE user_id < 10), " +
+          "daily AS (SELECT user_id, day, CAST(COUNT(*) AS BIGINT) AS n_events, " +
+          Agg.dsumSql("value") + " AS day_value FROM e GROUP BY 1, 2), " +
+          "bounds AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1), " +
+          "spine AS (SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), " +
+          "CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM bounds), " +
+          "j AS (SELECT s.user_id, s.day, COALESCE(d.n_events, 0) AS n_events, d.day_value " +
+          "FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day) " +
+          "SELECT user_id, day, n_events, " +
+          "last_value(day_value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value, " +
+          "day_value IS NULL AS is_gap FROM j ORDER BY user_id, day")
     )
   )
 }
