@@ -94,6 +94,46 @@ object Incremental {
         "SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders, " +
           Agg.dsumSql("o_totalprice") + " AS total_price " +
           "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    ),
+    Q(
+      "q_schema_evolution",
+      // Schema-evolution read: an old batch (2 columns) and a new batch
+      // (3 columns — o_orderpriority added) land in the same dataset dir;
+      // mergeSchema unions the footers so old rows surface the new column
+      // as NULL. The oracle derives the same union from the base table —
+      // proving the evolved read loses nothing and invents nothing. Note
+      // for 100 TB: schema merge reads every file footer, so production
+      // tables should pin the merged schema in a catalog; the READ
+      // semantics verified here are what that catalog must reproduce.
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_evo").toString
+        val o = Tables(s, d, "orders")
+        o.filter(year(col("o_orderdate")) < 1998)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .write.mode("overwrite").parquet(s"$tmp/batch=1")
+        o.filter(year(col("o_orderdate")) >= 1998)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+          .write.mode("overwrite").parquet(s"$tmp/batch=2")
+        s.read.option("mergeSchema", "true").parquet(tmp)
+          .groupBy(col("batch"))
+          .agg(
+            count(lit(1)).as("n"),
+            count(col("o_orderpriority")).as("n_with_priority"),
+            countDistinct(col("o_orderpriority")).as("n_priorities"))
+          .select(
+            col("batch").cast("long").as("batch"),
+            col("n"), col("n_with_priority"), col("n_priorities"))
+          .orderBy("batch")
+      },
+      Some(
+        "WITH evo AS (SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority, 1 AS batch " +
+          "FROM orders WHERE year(o_orderdate) < 1998 " +
+          "UNION ALL SELECT o_orderkey, o_totalprice, o_orderpriority, 2 AS batch " +
+          "FROM orders WHERE year(o_orderdate) >= 1998) " +
+          "SELECT CAST(batch AS BIGINT) AS batch, CAST(COUNT(*) AS BIGINT) AS n, " +
+          "CAST(COUNT(o_orderpriority) AS BIGINT) AS n_with_priority, " +
+          "CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities " +
+          "FROM evo GROUP BY batch ORDER BY batch")
     )
   )
 }

@@ -105,6 +105,18 @@ object SqlQueries {
       "SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice, " +
         "CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn " +
         "FROM orders) t WHERE rn <= 2 ORDER BY o_custkey, rn"
+    ),
+    shared(
+      "q_sql_lateral",
+      // LATERAL correlated derived table — per-nation top-3 customers by
+      // account balance, the decorrelated-apply shape (Spark plans it as
+      // a window/joined subquery, DuckDB as a lateral join; identical
+      // text, identical rows).
+      "SELECT n_name, t.c_name, t.c_acctbal FROM nation, " +
+        "LATERAL (SELECT c_name, c_acctbal FROM customer " +
+        "WHERE c_nationkey = n_nationkey " +
+        "ORDER BY c_acctbal DESC, c_name LIMIT 3) t " +
+        "ORDER BY n_name, t.c_acctbal DESC, t.c_name"
     )
   )
 }
