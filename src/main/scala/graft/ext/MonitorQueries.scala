@@ -72,7 +72,8 @@ object MonitorQueries {
       "q_outlier_docs",
       // Length outliers per language: exact-integer first/second moments
       // (token counts need no quantization), closed-form mean/stddev,
-      // z = (len - mean) / std — flag |z| > 2. Exactly the
+      // z = (len - mean) / std — flag |z| > 1.75 (the synthetic lengths are near-uniform, so a
+      // production 3-sigma bar flags nothing at small SF). Exactly the
       // q_stats_moments recipe applied to quality monitoring.
       (s, d) => {
         val len = size(split(col("text"), " ")).cast("long")
@@ -89,7 +90,7 @@ object MonitorQueries {
         docs
           .join(broadcast(stats), Seq("lang"))
           .withColumn("z", (col("n_tok").cast("double") - col("mean_len")) / col("std_len"))
-          .filter(abs(col("z")) > 2.0)
+          .filter(abs(col("z")) > 1.75)
           .select(col("doc_id"), col("lang"), col("n_tok"), col("z"))
           .orderBy("doc_id")
       },
@@ -103,7 +104,7 @@ object MonitorQueries {
           "SELECT doc_id, docs.lang, n_tok, " +
           "(CAST(n_tok AS DOUBLE) - mean_len) / std_len AS z " +
           "FROM docs JOIN stats ON docs.lang = stats.lang " +
-          "WHERE abs((CAST(n_tok AS DOUBLE) - mean_len) / std_len) > 2.0 ORDER BY doc_id")
+          "WHERE abs((CAST(n_tok AS DOUBLE) - mean_len) / std_len) > 1.75 ORDER BY doc_id")
     )
   )
 }
