@@ -23,7 +23,8 @@ object Registry {
       graft.ext.CorpusQueries.queries ++
       graft.ext.QualityQueries.queries ++
       graft.ext.EmbedQueries.queries ++
-      graft.ext.MonitorQueries.queries
+      graft.ext.MonitorQueries.queries ++
+      graft.ext.SketchQueries.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 
