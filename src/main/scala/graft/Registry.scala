@@ -16,6 +16,7 @@ object Registry {
       graft.queries.Events.queries ++
       graft.queries.Partitioned.queries ++
       graft.queries.Incremental.queries ++
+      graft.queries.Behavior.queries ++
       graft.ext.TextQueries.queries ++
       graft.ext.DedupQueries.queries ++
       graft.ext.SimilarityQueries.queries ++

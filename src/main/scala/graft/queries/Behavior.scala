@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Q
+
+/** User-behavior operators over the `events` stream — the sequence/cohort
+  * shapes a training-data pipeline runs when the corpus is event logs
+  * rather than documents (round-6 widening):
+  *
+  *   - per-user ordered history construction (the "build the interaction
+  *     sequence per entity" step before sequence-model training);
+  *   - weekly cohort retention (first-seen week × offset grid);
+  *   - event-type transition matrix (first-order Markov counts).
+  *
+  * Determinism: every ordering is total — (ts at µs, event_id) — so
+  * collect-then-sort, window lag, and string_agg agree bit-for-bit with
+  * the oracle; probabilities are single double divisions of exact counts.
+  *
+  * Scale shape: each query is ONE shuffle keyed on user_id (history,
+  * transitions) or the small (cohort_week, offset) grid; per-user state is
+  * bounded by that user's activity, never the corpus. No global sorts
+  * besides the presentation ORDER BY.
+  */
+object Behavior {
+
+  val queries: Seq[Q] = Seq(
+    Q(
+      "q_user_history",
+      // Ordered per-user event sequence: collect_list is order-free, so
+      // the sequence is made deterministic by sorting the collected
+      // structs on (ts, event_id) — struct comparison is field-order
+      // lexicographic, exactly the oracle's ORDER BY inside string_agg.
+      // The path ships as md5 so the gate checks bytes without megabyte
+      // rows. One hash-agg keyed on user_id; per-user list size is that
+      // user's event count — the standard sequence-construction plan.
+      (s, d) => {
+        val seq0 = array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type"))))
+        Events
+          .events(s, d)
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            min(col("ts")).cast("timestamp_ntz").as("first_ts"),
+            max(col("ts")).cast("timestamp_ntz").as("last_ts"),
+            md5(array_join(transform(seq0, x => x("event_type")), ">").cast("binary")).as("path_md5"))
+          .orderBy("user_id")
+      },
+      Some(
+        "WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events) " +
+          "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, " +
+          "min(ts) AS first_ts, max(ts) AS last_ts, " +
+          "md5(string_agg(event_type, '>' ORDER BY ts, event_id)) AS path_md5 " +
+          "FROM e GROUP BY user_id ORDER BY user_id")
+    ),
+    Q(
+      "q_cohort",
+      // Weekly cohort retention: cohort = Monday of the user's first-seen
+      // week (window min per user — the corpus is scanned once, no
+      // self-join), offset = whole weeks since (both sides Monday-truncated
+      // so the day diff is an exact multiple of 7). Output is the
+      // (cohort_week × offset) grid with distinct-user and event counts —
+      // bounded by weeks², tiny at any corpus size.
+      (s, d) => {
+        val e = Events.events(s, d)
+        val firstTs = min(col("ts")).over(Window.partitionBy(col("user_id")))
+        e.withColumn("cohort_week", date_trunc("week", firstTs))
+          .withColumn(
+            "week_offset",
+            (datediff(date_trunc("week", col("ts")), col("cohort_week")) / 7).cast("long"))
+          .groupBy(col("cohort_week"), col("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+          .select(
+            col("cohort_week").cast("timestamp_ntz").as("cohort_week"),
+            col("week_offset"), col("n_users"), col("n_events"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some(
+        "WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events), " +
+          "f AS (SELECT user_id, ts, min(ts) OVER (PARTITION BY user_id) AS first_ts FROM e), " +
+          "c AS (SELECT user_id, date_trunc('week', first_ts) AS cohort_week, " +
+          "CAST(date_diff('day', date_trunc('week', first_ts), date_trunc('week', ts)) // 7 AS BIGINT) AS week_offset FROM f) " +
+          "SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week, week_offset, " +
+          "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users, CAST(COUNT(*) AS BIGINT) AS n_events " +
+          "FROM c GROUP BY 1, 2 ORDER BY 1, 2")
+    ),
+    Q(
+      "q_transition",
+      // First-order Markov transition matrix over event types: lag(1)
+      // within (user, total time order), count per (prev, next), and the
+      // row-conditional probability via a window sum over prev — one
+      // double division of exact counts. Plan: one shuffle on user_id for
+      // the lag, one hash-agg on the tiny (prev, next) grid.
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Events
+          .events(s, d)
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type").as("next_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn(
+            "p",
+            col("n").cast("double") /
+              sum(col("n")).over(Window.partitionBy(col("prev_type"))).cast("double"))
+          .select(col("prev_type"), col("next_type"), col("n"), col("p"))
+          .orderBy("prev_type", "next_type")
+      },
+      Some(
+        "WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events), " +
+          "l AS (SELECT event_type AS next_type, " +
+          "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM e), " +
+          "t AS (SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n FROM l " +
+          "WHERE prev_type IS NOT NULL GROUP BY 1, 2) " +
+          "SELECT prev_type, next_type, n, " +
+          "CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p " +
+          "FROM t ORDER BY prev_type, next_type")
+    )
+  )
+}

@@ -12,7 +12,10 @@ import graft.core.{Agg, Tables}
   *     snapshot on the key → insert / update / delete row classes;
   *   - incremental aggregate refresh: merge yesterday's partial aggregate
   *     state with today's delta batch — associative partials (count, sum)
-  *     re-aggregate without touching the base data.
+  *     re-aggregate without touching the base data;
+  *   - SCD-2 history build: turn a change log into validity intervals
+  *     (valid_from / valid_to / is_current) via lead() — the type-2
+  *     dimension the reference's WRITE_TRUNCATE loads throw away.
   *
   * Scale shape: both are one shuffle keyed on the merge key; the diff
   * never materializes either snapshot on the driver, and the refresh
@@ -134,6 +137,51 @@ object Incremental {
           "CAST(COUNT(o_orderpriority) AS BIGINT) AS n_with_priority, " +
           "CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities " +
           "FROM evo GROUP BY batch ORDER BY batch")
+    ),
+    Q(
+      "q_scd2",
+      // SCD-2 (type-2 dimension) history build from a change log: orders
+      // is read as "customer priority changed on this date"; last write
+      // per (customer, day) wins (row_number over o_orderkey desc), then
+      // lead(valid_from) over the customer's date order closes each
+      // interval — NULL valid_to marks the current version. Two windows,
+      // both partitioned on the dimension key, so the plan is one shuffle
+      // on custkey; no interval self-join. This is the history table the
+      // reference's WRITE_TRUNCATE reload cannot express.
+      (s, d) => {
+        val o = Tables(s, d, "orders")
+        val perDay = o
+          .withColumn(
+            "rn",
+            row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy(col("o_custkey"), col("o_orderdate"))
+                .orderBy(col("o_orderkey").desc)))
+          .filter(col("rn") === 1)
+          .select(
+            col("o_custkey").as("custkey"),
+            col("o_orderdate").as("valid_from"),
+            col("o_orderpriority").as("priority"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("custkey")).orderBy(col("valid_from"))
+        perDay
+          .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+          .withColumn("version", row_number().over(w).cast("long"))
+          .select(
+            col("custkey"), col("version"), col("priority"),
+            col("valid_from"), col("valid_to"),
+            col("valid_to").isNull.as("is_current"))
+          .orderBy("custkey", "version")
+      },
+      Some(
+        "WITH perday AS (SELECT o_custkey AS custkey, o_orderdate AS valid_from, o_orderpriority AS priority, " +
+          "ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn FROM orders), " +
+          "s AS (SELECT custkey, valid_from, priority FROM perday WHERE rn = 1), " +
+          "v AS (SELECT custkey, valid_from, priority, " +
+          "lead(valid_from) OVER (PARTITION BY custkey ORDER BY valid_from) AS valid_to, " +
+          "CAST(ROW_NUMBER() OVER (PARTITION BY custkey ORDER BY valid_from) AS BIGINT) AS version FROM s) " +
+          "SELECT custkey, version, priority, valid_from, valid_to, valid_to IS NULL AS is_current " +
+          "FROM v ORDER BY custkey, version")
     )
   )
 }
