@@ -17,6 +17,7 @@ object Registry {
       graft.queries.Partitioned.queries ++
       graft.queries.Incremental.queries ++
       graft.queries.Behavior.queries ++
+      graft.queries.Formats.queries ++
       graft.ext.TextQueries.queries ++
       graft.ext.DedupQueries.queries ++
       graft.ext.SimilarityQueries.queries ++

@@ -14,6 +14,9 @@ import graft.core.Tables
   *     drop all but one of each within-cluster near-duplicate set
   *     (Abbas et al. 2023 shape: cluster → pairwise-within-cluster →
   *     keep-first)
+  *   - product quantization ([[Pq]]): per-subspace codebooks compress
+  *     each vector to M small codes, with an exact reconstruction-error
+  *     audit
   *
   * Scale shape: quantization is a pure per-row expression pipeline (no
   * shuffle at all); SemDeDup joins only within cluster buckets — the
@@ -83,6 +86,20 @@ object EmbedQueries {
         // nothing here — same shape, lower bar.
         SemDedup.perClusterAudit(SemDedup.dropFlags(s, emb, k = 16, tau = 0.3))
           .orderBy("cluster")
+      },
+      None
+    ),
+    Q(
+      "q_pq_encode",
+      // Product quantization: 4 subspaces × 16-entry codebooks (PQ4×4bit)
+      // over the embedding corpus — each vector compresses to 4 nibbles.
+      // Codebook training is the deterministic Ivf k-means per subspace;
+      // encoding is a pure per-row expression. Registered rows-only (the
+      // Lloyd means are float partition-order sensitive, same as
+      // q_sim_ivf); PqSpec pins the exact-reconstruction invariant.
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        Pq.audit(Pq.encode(emb, Pq.train(s, emb, m = 4, k = 16)))
       },
       None
     )

@@ -193,6 +193,38 @@ object QualityQueries {
           "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total, CAST(SUM(kept) AS BIGINT) AS n_kept, " +
           "CAST(SUM(kept) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS kept_frac " +
           "FROM k GROUP BY source ORDER BY source")
+    ),
+    Q(
+      "q_temperature_mix",
+      // Temperature-scaled mixture weights (the multilingual/multi-source
+      // resampling rule, T = 0.5): w_s ∝ n_s^0.5, so small sources are
+      // upweighted relative to their natural share. sqrt is IEEE
+      // correctly-rounded in both engines; the cross-source normalizer
+      // (a handful of rows) goes through the fixed-point dsum recipe so
+      // the divisions see the same bits. planned_docs = floor(w_s * 10k
+      // budget) in exact double space. Two tiny aggregates over the
+      // per-source counts — the corpus is scanned once.
+      (s, d) => {
+        val counts = Tables(s, d, "documents")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("w_raw", sqrt(col("n_docs").cast("double")))
+        val norm = counts.agg(Agg.dsum(col("w_raw")).as("w_total"))
+        counts
+          .crossJoin(broadcast(norm))
+          .withColumn("weight", col("w_raw") / col("w_total"))
+          .select(
+            col("source"), col("n_docs"), col("weight"),
+            floor(col("weight") * 10000.0).cast("long").as("planned_docs"))
+          .orderBy("source")
+      },
+      Some(
+        "WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+          "sqrt(CAST(COUNT(*) AS DOUBLE)) AS w_raw FROM documents GROUP BY source), " +
+          "t AS (SELECT " + Agg.dsumSql("w_raw") + " AS w_total FROM c) " +
+          "SELECT source, n_docs, w_raw / w_total AS weight, " +
+          "CAST(floor(w_raw / w_total * 10000.0) AS BIGINT) AS planned_docs " +
+          "FROM c CROSS JOIN t ORDER BY source")
     )
   )
 }

@@ -71,6 +71,42 @@ object Partitioned {
           "SELECT ship_ym, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
           Agg.dsumSql("l_quantity") + " AS sum_qty " +
           "FROM f JOIN dim ON f.ship_ym = dim.ym GROUP BY ship_ym ORDER BY ship_ym")
+    ),
+    Q(
+      "q_zorder",
+      // Z-order (Morton) clustering key: interleave the low 16 bits of two
+      // dimensions so that range-sorting on ONE value co-locates rows that
+      // are close in BOTH — the multi-dimensional data-skipping layout
+      // (Delta/Iceberg OPTIMIZE ZORDER). The audit groups rows by coarse
+      // z-bucket (top 6 bits) and shows each bucket spans a narrow range
+      // of BOTH dimensions — the property that makes parquet min/max
+      // pruning work on either filter column after a
+      // repartitionByRange(zvalue) + sortWithinPartitions(zvalue) write.
+      // Exact integer bit arithmetic — identical in any engine.
+      (s, d) => {
+        val z =
+          "aggregate(transform(sequence(0, 15), i -> " +
+            "shiftleft(shiftright(x, i) & 1, 2*i) + shiftleft(shiftright(y, i) & 1, 2*i+1)), " +
+            "CAST(0 AS BIGINT), (acc, t) -> acc + t)"
+        Tables(s, d, "lineitem")
+          .select(
+            (col("l_partkey") % 65536).as("x"),
+            (col("l_suppkey") % 65536).as("y"))
+          .withColumn("zval", expr(z))
+          .groupBy((col("zval") / 67108864L).cast("long").as("z_bucket")) // top 6 of 32 bits
+          .agg(
+            count(lit(1)).as("n_rows"),
+            min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+            min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+          .orderBy("z_bucket")
+      },
+      Some(
+        "WITH b AS (SELECT l_partkey % 65536 AS x, l_suppkey % 65536 AS y FROM lineitem), " +
+          "z AS (SELECT x, y, CAST(list_sum(list_transform(range(0, 16), i -> " +
+          "(((x >> i) & 1) << (2*i)) + (((y >> i) & 1) << (2*i+1)))) AS BIGINT) AS zval FROM b) " +
+          "SELECT CAST(zval // 67108864 AS BIGINT) AS z_bucket, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+          "min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y " +
+          "FROM z GROUP BY 1 ORDER BY 1")
     )
   )
 }

@@ -52,4 +52,44 @@ class EmbedSpec extends SparkSpec {
       assert(r.getAs[Long]("n_dropped") < r.getAs[Long]("n_vecs"))
     }
   }
+
+  test("pq reconstructs exactly when every vector is its own codebook entry") {
+    // k = corpus size with all-distinct vectors: the deterministic k-means
+    // init picks every vector, Lloyd keeps each as its own centroid (each
+    // point is distance-0 to itself), so PQ encoding must reconstruct with
+    // zero squared error in every subspace.
+    import spark.implicits._
+    val vecs = (0 until 8).map { i =>
+      (i.toLong, Array.tabulate(8)(j => (i * 8 + j).toFloat / 10f))
+    }
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val books = Pq.train(spark, corpus, m = 2, k = 8)
+    assert(books.size == 2 && books.forall(_.size == 8))
+    val enc = Pq.encode(corpus, books).collect()
+    assert(enc.length == 16) // 8 vectors × 2 subspaces
+    enc.foreach { r =>
+      val err = r.getAs[Double]("err2")
+      assert(err == 0.0, s"vec ${r.get(0)} subspace ${r.get(1)}: err2 $err != 0")
+      val code = r.getAs[Int]("code")
+      assert(code >= 0 && code < 8)
+    }
+    // distinct vectors must land on distinct codes per subspace
+    val perM = enc.groupBy(_.getAs[Int]("m"))
+    perM.values.foreach(rows => assert(rows.map(_.getAs[Int]("code")).distinct.length == 8))
+  }
+
+  test("pq audit on the corpus: full coverage, bounded codes, finite error") {
+    val emb = graft.core.Tables(spark, sf(), "embeddings")
+    val n = emb.count()
+    val audit = graft.Registry.byName("q_pq_encode").run(spark, sf()).collect()
+    assert(audit.length == 4)
+    audit.foreach { r =>
+      assert(r.getAs[Long]("n_vecs") == n)
+      val used = r.getAs[Long]("codes_used")
+      assert(used >= 2 && used <= 16, s"subspace ${r.get(0)} used $used codes")
+      val mse = r.getAs[Double]("mse")
+      assert(!mse.isNaN && mse >= 0.0)
+      assert(r.getAs[Double]("max_err2") >= mse)
+    }
+  }
 }
