@@ -29,9 +29,21 @@ import java.nio.file.{Files, Paths}
   * would shrink "total" and read as a phantom speedup across rounds) and
   * its failure under "errors". Readers must not treat presence in
   * "errors" as "no timing exists".
+  *
+  * Rescue passes (v4): after the interleaved passes, the top-5 queries by
+  * current min — the ones that dominate "total" AND whose long runtimes
+  * make every sample likely to overlap a load spike — get up to 2 extra
+  * timed runs each (probes recorded before each rescue pass, early-stop
+  * when a pass improves their summed mins by <5%, hard wall-clock cap so
+  * a contended box can't stretch the bench unboundedly). Rescue samples
+  * append to "queries_all", so per-query sample counts may exceed
+  * "samples"; "rescue_passes" records how many ran.
   */
 object Bench {
   private val Samples = 3
+  private val RescueTop = 5
+  private val MaxRescuePasses = 2
+  private val RescueWallCapSec = 720.0
 
   /** Fixed-work mixing loop (SplitMix64 finalizer flavour): ~100ms of
     * pure register arithmetic on a quiet core, no allocation, no memory
@@ -111,6 +123,37 @@ object Bench {
       }
       pass += 1
     }
+
+    val runStart = System.nanoTime()
+    def elapsedSinceMainSec: Double = (System.nanoTime() - runStart) / 1e9
+    var rescuePasses = 0
+    var improved = true
+    while (rescuePasses < MaxRescuePasses && improved && elapsedSinceMainSec < RescueWallCapSec) {
+      val mins = samples.map { case (k, v) => k -> v.min }
+      val suspects = mins.toSeq.sortBy(-_._2).take(RescueTop).map(_._1)
+        .filterNot(errors.contains)
+      if (suspects.isEmpty) improved = false
+      else {
+        val before = suspects.map(mins).sum
+        p1 += probe1()
+        p32 += probe32()
+        suspects.foreach { name =>
+          val q = targets.find(_.name == name).get
+          val t0 = System.nanoTime()
+          try {
+            q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+            samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+          } catch {
+            case e: Throwable =>
+              errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          }
+        }
+        val after = suspects.map(n => samples(n).min).sum
+        improved = after < before * 0.95
+        rescuePasses += 1
+      }
+    }
+
     val times = samples.map { case (k, v) => k -> v.min }
 
     def jstr(s: String): String =
@@ -126,7 +169,7 @@ object Bench {
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = times.values.sum
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","samples":$Samples,""" +
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","samples":$Samples,"rescue_passes":$rescuePasses,""" +
         s""""protocol":"interleaved-passes","probe1_sec":${arr(p1.toSeq)},"probe32_sec":${arr(p32.toSeq)},""" +
         s""""queries":$qs,"queries_all":$qsAll,"errors":$errs,"sf":${jstr(sfDir)}}"""
     println(line)
