@@ -170,6 +170,47 @@ object DedupQueries {
           .orderBy("a_id", "b_id")
       },
       None
+    ),
+    Q(
+      "q_line_dedup",
+      // C4-style sub-document (line-level) exact dedup: the corpus is cut
+      // into non-overlapping 5-token segments (the "line" analogue for
+      // the synthetic text), and only the FIRST occurrence of each
+      // distinct segment survives — first = lowest (doc_id, seg_idx), the
+      // same deterministic keep rule C4 applies per three-sentence span.
+      // Plan: one explode, one window keyed on the segment text (high
+      // cardinality — scale-safe), one per-doc rollup. At 100 TB the
+      // segment window is a hash shuffle on the segment, never a global
+      // sort.
+      (s, d) => {
+        val segs = expr(
+          "transform(sequence(0, greatest(CAST(ceil(size(split(text, ' ')) / 5.0) AS INT), 1) - 1), " +
+            "i -> array_join(slice(split(text, ' '), i * 5 + 1, 5), ' '))")
+        val exploded = Tables(s, d, "documents")
+          .select(col("doc_id"), posexplode(segs).as(Seq("seg_idx", "seg")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("seg")).orderBy(col("doc_id"), col("seg_idx"))
+        exploded
+          .withColumn("kept", (row_number().over(w) === 1).cast("long"))
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_segs"),
+            sum(col("kept")).as("n_kept"))
+          .withColumn(
+            "kept_frac",
+            col("n_kept").cast("double") / col("n_segs").cast("double"))
+          .orderBy("doc_id")
+      },
+      Some(
+        "WITH segs AS (SELECT doc_id, i AS seg_idx, " +
+          "array_to_string(string_split(text, ' ')[(5*i+1):(5*i+5)], ' ') AS seg " +
+          "FROM documents, unnest(generate_series(0, " +
+          "greatest(CAST(ceil(len(string_split(text, ' ')) / 5.0) AS INT), 1) - 1)) AS t(i)), " +
+          "k AS (SELECT doc_id, CASE WHEN ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) = 1 " +
+          "THEN 1 ELSE 0 END AS kept FROM segs) " +
+          "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs, CAST(SUM(kept) AS BIGINT) AS n_kept, " +
+          "CAST(SUM(kept) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS kept_frac " +
+          "FROM k GROUP BY doc_id ORDER BY doc_id")
     )
   )
 }

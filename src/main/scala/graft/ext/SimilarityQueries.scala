@@ -122,6 +122,32 @@ object SimilarityQueries {
         "SELECT label, CAST(gs - 1 AS BIGINT) AS pos, " + Agg.dsumSql("CAST(v AS DOUBLE)") + " AS sum_v " +
           "FROM (SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS gs FROM embeddings) " +
           "GROUP BY label, pos ORDER BY label, pos")
+    ),
+    Q(
+      "q_sim_truncate",
+      // Matryoshka-style truncated retrieval: search on only the FIRST 16
+      // of 64 dimensions — the memory/4 fast pass a tiered ANN stack runs
+      // before full-dimension re-scoring. Same exact-cosine plan as
+      // q_sim_bruteforce, sliced, and oracled the same way (the DuckDB
+      // differential IS the correctness check). Note: on matryoshka-
+      // TRAINED embeddings the truncated top-k approximates the full
+      // top-k; the synthetic fixture has no such nesting, so no overlap
+      // property is asserted — only exactness of the truncated search.
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+          .withColumn("embedding", slice(col("embedding").cast("array<double>"), 1, 16))
+        Similarity
+          .bruteForceTopK(emb.filter(col("vec_id") < 10), emb, 3)
+          .orderBy("q_id", "rank")
+      },
+      Some(
+        "WITH q AS (SELECT vec_id AS q_id, (CAST(embedding AS DOUBLE[]))[1:16] AS qv FROM embeddings WHERE vec_id < 10), " +
+          "c AS (SELECT vec_id AS n_id, (CAST(embedding AS DOUBLE[]))[1:16] AS cv FROM embeddings), " +
+          "s AS (SELECT q_id, n_id, list_dot_product(qv, cv) / " +
+          "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos " +
+          "FROM q CROSS JOIN c WHERE q_id <> n_id), " +
+          "r AS (SELECT q_id, n_id, cos, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank FROM s) " +
+          "SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 3 ORDER BY q_id, rank")
     )
   )
 }

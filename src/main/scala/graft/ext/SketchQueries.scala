@@ -65,6 +65,41 @@ object SketchQueries {
           .agg(count(lit(1)).as("top5_found"))
       },
       None
+    ),
+    Q(
+      "q_hll_union",
+      // Mergeable sketch COLUMNS (Spark 4 DataSketches HLL): one HLL
+      // sketch per source persists as a binary column, and the corpus
+      // distinct-token count is re-derived by UNIONING the stored
+      // sketches — no second scan of the data. This is the incremental
+      // pattern for 100 TB distinct-count maintenance: per-partition
+      // sketches are tiny, associative, and re-aggregable at any
+      // granularity. Insertion-order independent, but the estimate is
+      // sketch-parameterized → rows-only; SketchSpec pins the error
+      // bounds against exact counts.
+      (s, d) => {
+        val tok = Tables(s, d, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("token"))
+          .filter(col("token") =!= "")
+        val perSource = tok
+          .groupBy(col("source"))
+          .agg(
+            hll_sketch_agg(col("token"), lit(12)).as("sk"),
+            countDistinct(col("token")).as("exact_distinct"))
+        val rows = perSource.select(
+          col("source"),
+          hll_sketch_estimate(col("sk")).as("est_distinct"),
+          col("exact_distinct"))
+        val merged = perSource
+          .agg(hll_union_agg(col("sk"), lit(false)).as("sk"))
+          .crossJoin(tok.agg(countDistinct(col("token")).as("exact_distinct")))
+          .select(
+            lit("__union__").as("source"),
+            hll_sketch_estimate(col("sk")).as("est_distinct"),
+            col("exact_distinct"))
+        rows.unionByName(merged).orderBy("source")
+      },
+      None
     )
   )
 }

@@ -30,4 +30,31 @@ class SketchSpec extends SparkSpec {
     val got = graft.Registry.byName("q_freq_items").run(spark, sf()).collect()
     assert(got.head.getLong(0) == 5L, s"freqItems missed a true top-5 token: $got")
   }
+
+  test("hll sketch columns estimate within the lgK=12 error bound, merged and per-source") {
+    // lgK=12 → relative standard error ~1.04/sqrt(4096) ≈ 1.6%; assert 5%
+    // (3 sigma) for every per-source row AND the union row — the union
+    // must not degrade accuracy (sketch merge is lossless for HLL).
+    val rows = graft.Registry.byName("q_hll_union").run(spark, sf()).collect()
+    assert(rows.length >= 2)
+    assert(rows.exists(_.getString(0) == "__union__"))
+    rows.foreach { r =>
+      val est = r.getAs[Long]("est_distinct").toDouble
+      val exact = r.getAs[Long]("exact_distinct").toDouble
+      assert(math.abs(est - exact) <= 0.05 * exact + 1.0,
+        s"${r.getString(0)}: HLL estimate $est vs exact $exact")
+    }
+  }
+
+  test("truncated retrieval returns exactly k ranked rows per query with valid cosines") {
+    val rows = graft.Registry.byName("q_sim_truncate").run(spark, sf()).collect()
+    val perQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(perQ.nonEmpty)
+    perQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.sameElements(1 to rs.length), s"query $q ranks")
+      val cs = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, s"query $q not cos-descending")
+      assert(cs.forall(c => c >= -1.0000001 && c <= 1.0000001))
+    }
+  }
 }
