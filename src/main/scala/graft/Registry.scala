@@ -18,6 +18,7 @@ object Registry {
       graft.queries.Incremental.queries ++
       graft.queries.Behavior.queries ++
       graft.queries.Formats.queries ++
+      graft.queries.Graph.queries ++
       graft.ext.TextQueries.queries ++
       graft.ext.DedupQueries.queries ++
       graft.ext.SimilarityQueries.queries ++

@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.core.{Agg, Tables}
+
+/** Graph analytics beyond near-dup connected components
+  * (`graft.ext.Dedup.connectedComponents`): deterministic fixed-iteration
+  * PageRank over the supplier→part shipment graph derived from lineitem.
+  *
+  * Iterative dataflow shape: each round is one join (edges × ranks, keyed
+  * on src) plus one hash-agg (contributions keyed on dst) — the classic
+  * Pregel-as-joins plan. Rounds are FIXED (3), so the whole computation is
+  * one linear Catalyst plan with no driver-side convergence loop; ranks
+  * never leave the cluster. Cross-engine determinism: the per-target
+  * contribution sum is the only float reduction, and it goes through the
+  * fixed-point dsum recipe each round, so both engines see identical
+  * doubles every iteration (simplified PageRank: dangling-node mass is
+  * not redistributed — identically in both engines).
+  */
+object Graph {
+
+  private val Damping = 0.85
+  private val Iters = 3
+
+  val queries: Seq[Q] = Seq(
+    Q(
+      "q_pagerank",
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+          .select(
+            concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
+            concat(lit("p"), col("l_partkey").cast("string")).as("dst"))
+          .distinct()
+        val nodes = li.select(col("src").as("id"))
+          .union(li.select(col("dst").as("id")))
+          .distinct()
+        // one driver scalar (node count) — a control decision, not data
+        val n = nodes.count().toDouble
+        val outdeg = li.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        var ranks = nodes.withColumn("r", lit(1.0 / n))
+        for (_ <- 1 to Iters) {
+          val contrib = li
+            .join(ranks, li("src") === ranks("id"))
+            .join(outdeg, "src")
+            .select(col("dst").as("id"), (col("r") / col("deg").cast("double")).as("c"))
+            .groupBy(col("id"))
+            .agg(Agg.dsum(col("c")).as("csum"))
+          ranks = nodes
+            .join(contrib, Seq("id"), "left")
+            .select(
+              col("id"),
+              // 0.15 spelled directly: (1.0 - 0.85) is 0.15000000000000002
+              // in IEEE doubles but exactly 0.15 in DuckDB's decimal
+              // literal arithmetic — the one-ulp difference would leak
+              // into every rank
+              (lit(0.15 / n) + lit(Damping) * coalesce(col("csum"), lit(0.0))).as("r"))
+        }
+        ranks.orderBy(col("r").desc, col("id")).limit(20)
+      },
+      Some {
+        def iter(prev: String, out: String) =
+          s"c$out AS (SELECT dst AS id, " + Agg.dsumSql("r / CAST(deg AS DOUBLE)") +
+            s" AS csum FROM e JOIN r$prev ON e.src = r$prev.id JOIN od USING (src) GROUP BY dst), " +
+            s"r$out AS (SELECT nodes.id, 0.15 / n + 0.85 * COALESCE(csum, 0.0) AS r " +
+            s"FROM nodes CROSS JOIN nn LEFT JOIN c$out ON nodes.id = c$out.id), "
+        "WITH e AS (SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src, " +
+          "'p' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem), " +
+          "nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e), " +
+          "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes), " +
+          "od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src), " +
+          "r0 AS (SELECT id, 1.0 / n AS r FROM nodes CROSS JOIN nn), " +
+          iter("0", "1") + iter("1", "2") +
+          iter("2", "3").stripSuffix(", ") + " " +
+          "SELECT id, r FROM r3 ORDER BY r DESC, id LIMIT 20"
+      }
+    )
+  )
+}

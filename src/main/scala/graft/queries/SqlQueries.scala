@@ -117,6 +117,19 @@ object SqlQueries {
         "WHERE c_nationkey = n_nationkey " +
         "ORDER BY c_acctbal DESC, c_name LIMIT 3) t " +
         "ORDER BY n_name, t.c_acctbal DESC, t.c_name"
+    ),
+    shared(
+      "q_sql_try_cast",
+      // Error-tolerant casts — TRY_CAST yields NULL instead of failing on
+      // malformed input in BOTH dialects (Spark ANSI mode would otherwise
+      // throw; DuckDB's CAST always throws). The probe set exercises
+      // valid, junk-suffixed, and out-of-range numerics through one
+      // identical text.
+      "SELECT part, TRY_CAST(part AS BIGINT) AS as_int, TRY_CAST(part AS DOUBLE) AS as_dbl " +
+        "FROM (SELECT p_brand AS part FROM part UNION ALL " +
+        "SELECT CAST(p_size AS STRING) FROM part UNION ALL " +
+        "SELECT '99999999999999999999999' UNION ALL SELECT '12.5x') t " +
+        "GROUP BY part ORDER BY part"
     )
   )
 }
