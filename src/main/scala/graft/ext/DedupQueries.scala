@@ -210,7 +210,8 @@ object DedupQueries {
           "THEN 1 ELSE 0 END AS kept FROM segs) " +
           "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs, CAST(SUM(kept) AS BIGINT) AS n_kept, " +
           "CAST(SUM(kept) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS kept_frac " +
-          "FROM k GROUP BY doc_id ORDER BY doc_id")
+          "FROM k GROUP BY doc_id ORDER BY doc_id"),
+      headline = true
     )
   )
 }

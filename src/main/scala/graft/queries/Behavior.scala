@@ -52,7 +52,8 @@ object Behavior {
           "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, " +
           "min(ts) AS first_ts, max(ts) AS last_ts, " +
           "md5(string_agg(event_type, '>' ORDER BY ts, event_id)) AS path_md5 " +
-          "FROM e GROUP BY user_id ORDER BY user_id")
+          "FROM e GROUP BY user_id ORDER BY user_id"),
+      headline = true
     ),
     Q(
       "q_cohort",

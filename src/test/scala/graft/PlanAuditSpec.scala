@@ -75,4 +75,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "as-of join degenerated to a cross-product strategy")
   }
+
+  test("user-history sequence agg is one user-keyed exchange, no global sort") {
+    val df = Registry.byName("q_user_history").run(spark, sf())
+    val p = planString(df)
+    // one hash exchange on user_id feeds the sort-free collect+array_sort
+    // agg; the only Sort allowed is the presentation ORDER BY (top level)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 user_id exchange, got $exchanges:\n$p")
+  }
+
+  test("line dedup shuffles on the segment, never cross-joins") {
+    val df = Registry.byName("q_line_dedup").run(spark, sf())
+    val p = planString(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("hashpartitioning(seg"),
+      s"segment window lost its seg-keyed exchange:\n$p")
+  }
+
+  test("pagerank plans no cross-product and keeps ranks distributed") {
+    val df = Registry.byName("q_pagerank").run(spark, sf())
+    val p = planString(df)
+    assert(!p.contains("CartesianProduct"), "pagerank degenerated to a cross-product")
+    assert(p.contains("TakeOrderedAndProject"), "final top-20 lost its heap operator")
+  }
 }
