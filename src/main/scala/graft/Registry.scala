@@ -19,6 +19,7 @@ object Registry {
       graft.queries.Behavior.queries ++
       graft.queries.Formats.queries ++
       graft.queries.Graph.queries ++
+      graft.queries.Audits.queries ++
       graft.ext.TextQueries.queries ++
       graft.ext.DedupQueries.queries ++
       graft.ext.SimilarityQueries.queries ++

@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.core.Tables
+
+/** Declarative data-quality expectations (the dbt-test / Deequ shape): a
+  * constraint set — uniqueness, not-null, referential integrity, value
+  * range, accepted set — evaluated in ONE pass plus one anti-join, each
+  * emitting a violation count and a pass flag. This is the validation
+  * gate a pipeline runs between ingest and load; the reference pipeline
+  * loads blind (WRITE_TRUNCATE with no checks), so this is the guard a
+  * production replacement adds first.
+  *
+  * Scale shape: the five scalar checks share a single scan (conditional
+  * sums + one count-distinct); referential integrity is one anti-join
+  * keyed on the FK. Output is one row per constraint regardless of data
+  * size. One constraint (priority accepted-set) is deliberately too
+  * narrow so the FAILING path is exercised, not just green checkmarks.
+  */
+object Audits {
+
+  val queries: Seq[Q] = Seq(
+    Q(
+      "q_expectations",
+      (s, d) => {
+        val o = Tables(s, d, "orders")
+        val scalars = o.agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("o_orderkey")).as("n_keys"),
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_cust"),
+          sum(when(col("o_totalprice") < 0.0, 1L).otherwise(0L)).as("neg_price"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+            .as("bad_priority"))
+        val fk = o
+          .join(Tables(s, d, "customer"), o("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("fk_viol"))
+        scalars
+          .crossJoin(fk)
+          .select(explode(array(
+            struct(lit("o_custkey_fk_customer").as("constraint_name"), col("fk_viol").as("n_violations")),
+            struct(lit("o_custkey_not_null").as("constraint_name"), col("null_cust").as("n_violations")),
+            struct(lit("o_orderkey_unique").as("constraint_name"), (col("n") - col("n_keys")).as("n_violations")),
+            struct(lit("o_orderpriority_in_set").as("constraint_name"), col("bad_priority").as("n_violations")),
+            struct(lit("o_totalprice_nonnegative").as("constraint_name"), col("neg_price").as("n_violations"))))
+            .as("c"))
+          .select(
+            col("c.constraint_name"),
+            col("c.n_violations"),
+            (col("c.n_violations") === 0L).as("pass"))
+          .orderBy("constraint_name")
+      },
+      Some(
+        "WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys, " +
+          "CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_cust, " +
+          "CAST(SUM(CASE WHEN o_totalprice < 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_price, " +
+          "CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS bad_priority " +
+          "FROM orders), " +
+          "f AS (SELECT CAST(COUNT(*) AS BIGINT) AS fk_viol FROM orders o " +
+          "LEFT JOIN customer c ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL), " +
+          "u AS (SELECT 'o_custkey_fk_customer' AS constraint_name, fk_viol AS n_violations FROM f " +
+          "UNION ALL SELECT 'o_custkey_not_null', null_cust FROM a " +
+          "UNION ALL SELECT 'o_orderkey_unique', n - n_keys FROM a " +
+          "UNION ALL SELECT 'o_orderpriority_in_set', bad_priority FROM a " +
+          "UNION ALL SELECT 'o_totalprice_nonnegative', neg_price FROM a) " +
+          "SELECT constraint_name, n_violations, n_violations = 0 AS pass " +
+          "FROM u ORDER BY constraint_name")
+    )
+  )
+}

@@ -243,6 +243,59 @@ object Structured {
           "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) / 1e8 AS covar_qp " +
           "FROM m ORDER BY l_returnflag"),
       headline = true
+    ),
+    Q(
+      "q_stratified",
+      // EXACT-count stratified sampling: exactly 50 customers per market
+      // segment, chosen by rank over a deterministic md5 order — the
+      // third sampling primitive alongside rate-based (q_mix_sample) and
+      // threshold-based (q_sample_hash). Guaranteed quota per stratum,
+      // reproducible anywhere; one shuffle keyed on the (bounded) stratum
+      // column. Use when the downstream consumer needs fixed class sizes
+      // (eval sets, per-language calibration samples).
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("c_mktsegment"))
+          .orderBy(md5(concat(lit("strat:"), col("c_custkey").cast("string"))), col("c_custkey"))
+        t(s, d, "customer")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 50)
+          .select(col("c_mktsegment"), col("rn").cast("long").as("rn"), col("c_custkey"))
+          .orderBy("c_mktsegment", "rn")
+      },
+      Some(
+        "WITH r AS (SELECT c_mktsegment, c_custkey, " +
+          "CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment " +
+          "ORDER BY md5('strat:' || CAST(c_custkey AS VARCHAR)), c_custkey) AS BIGINT) AS rn FROM customer) " +
+          "SELECT c_mktsegment, rn, c_custkey FROM r WHERE rn <= 50 ORDER BY c_mktsegment, rn")
+    ),
+    Q(
+      "q_skyline",
+      // 2D skyline (Pareto frontier, minimize both): an order is on the
+      // frontier iff no earlier row in (price asc, date asc) order has
+      // date <= its date — computed with ONE exclusive-frame running min
+      // instead of the naive O(n²) dominance self-join. Strict dominance;
+      // lexicographic-first survives among ties. The staircase shape that
+      // data-selection frontiers (cost vs quality) use. The global sort is
+      // inherent to the 1-pass skyline; at 100 TB run it per partition key
+      // or on the (tiny) per-bucket pre-frontiers, which compose.
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("o_totalprice").asc, col("o_orderdate").asc, col("o_orderkey").asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+          .withColumn("prev_min_date", min(col("o_orderdate")).over(w))
+          .filter(col("prev_min_date").isNull || col("o_orderdate") < col("prev_min_date"))
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+          .orderBy("o_totalprice")
+      },
+      Some(
+        "WITH r AS (SELECT o_orderkey, o_totalprice, o_orderdate, " +
+          "min(o_orderdate) OVER (ORDER BY o_totalprice, o_orderdate, o_orderkey " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_min_date FROM orders) " +
+          "SELECT o_orderkey, o_totalprice, o_orderdate FROM r " +
+          "WHERE prev_min_date IS NULL OR o_orderdate < prev_min_date ORDER BY o_totalprice")
     )
   )
 }
