@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, SimHash64}
+import graft.functions.{DotProduct, SimHash64, ZOrderExpr}
 
 /** SparkSessionExtensions hook: registers graft's custom Catalyst
   * expressions as SQL functions. Activate either via
@@ -28,6 +28,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             throw new IllegalArgumentException(
               s"graft_dot requires exactly 2 arguments (array<double>, array<double>), got ${children.size}")
           DotProduct(children(0), children(1))
+        }))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_zorder"),
+        new ExpressionInfo(classOf[ZOrderExpr].getName, "graft_zorder"),
+        (children: Seq[Expression]) => {
+          if (children.size != 2)
+            throw new IllegalArgumentException(
+              s"graft_zorder requires exactly 2 arguments (bigint, bigint), got ${children.size}")
+          ZOrderExpr(children(0), children(1))
         }))
   }
 }

@@ -82,17 +82,16 @@ object Partitioned {
       // of BOTH dimensions — the property that makes parquet min/max
       // pruning work on either filter column after a
       // repartitionByRange(zvalue) + sortWithinPartitions(zvalue) write.
-      // Exact integer bit arithmetic — identical in any engine.
+      // Exact integer bit arithmetic — identical in any engine. The key
+      // is computed by the codegen'd graft_zorder expression (magic-mask
+      // Morton spread, graft.functions.ZOrder); ZOrderSpec pins it
+      // bit-equal to the 16-term HOF fold the oracle mirrors.
       (s, d) => {
-        val z =
-          "aggregate(transform(sequence(0, 15), i -> " +
-            "shiftleft(shiftright(x, i) & 1, 2*i) + shiftleft(shiftright(y, i) & 1, 2*i+1)), " +
-            "CAST(0 AS BIGINT), (acc, t) -> acc + t)"
         Tables(s, d, "lineitem")
           .select(
             (col("l_partkey") % 65536).as("x"),
             (col("l_suppkey") % 65536).as("y"))
-          .withColumn("zval", expr(z))
+          .withColumn("zval", expr("graft_zorder(x, y)"))
           .groupBy((col("zval") / 67108864L).cast("long").as("z_bucket")) // top 6 of 32 bits
           .agg(
             count(lit(1)).as("n_rows"),
