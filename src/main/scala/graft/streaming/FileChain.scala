@@ -98,6 +98,48 @@ object FileChain {
       .start()
     q.awaitTermination()
   }
+
+  /** Validation stage with dead-letter routing: rows passing `validRow`
+    * continue to `outDir`, failures land in `quarantineDir` with the
+    * rejection reason attached — the bad-row path the reference pipeline
+    * lacks (a malformed CSV line would fail its whole BigQuery load job;
+    * here it costs one quarantined row, and the quarantine dir is itself
+    * a replayable file source once the bug upstream is fixed). Each side
+    * writes mode=Overwrite into a batch-id-keyed directory, so a replayed
+    * micro-batch (crash between the two writes) overwrites its own output
+    * instead of duplicating it — idempotent routing without a
+    * transactional sink.
+    */
+  def validateStage(
+      spark: SparkSession,
+      inDir: String,
+      schema: StructType,
+      validRow: org.apache.spark.sql.Column,
+      reason: org.apache.spark.sql.Column,
+      outDir: String,
+      quarantineDir: String,
+      checkpoint: String): Unit = {
+    val q = spark.readStream
+      .schema(schema)
+      .option("header", "false")
+      .csv(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val flagged = batch.withColumn("__ok", validRow).persist()
+        try {
+          flagged.filter(col("__ok")).drop("__ok")
+            .write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$batchId")
+          val bad = flagged.filter(!col("__ok")).drop("__ok")
+          if (!bad.isEmpty)
+            bad.withColumn("reject_reason", reason)
+              .write.mode(SaveMode.Overwrite).parquet(s"$quarantineDir/batch=$batchId")
+        } finally { flagged.unpersist(); () }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }
 
 /** Continuation-batch run guard — the reference's runaway-loop protection

@@ -185,4 +185,27 @@ class FileChainSpec extends SparkSpec {
     assert(msg.payload == "users,user__field_a")
     assert(msg.payload.split(",").toList.reverse.head == "user__field_a")
   }
+
+  test("validate stage routes bad rows to quarantine with a reason, good rows onward") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("dlq").toString
+    val in = s"$root/in"; val out = s"$root/ok"; val dlq = s"$root/quarantine"
+    Files.createDirectories(Paths.get(in))
+    Files.writeString(Paths.get(s"$in/a.csv"), "\"1\",\"alice\"\n\"\",\"noid\"\n\"3\",\"\"")
+    val valid = col("id").isNotNull && col("name").isNotNull && length(col("name")) > 0
+    val reason = when(col("id").isNull, "null_id").otherwise("empty_name")
+    FileChain.validateStage(spark, in, schema, valid, reason, out, dlq, s"$root/ck")
+    val ok = spark.read.parquet(out).collect()
+    assert(ok.map(_.getString(1)).toSet == Set("alice"))
+    val bad = spark.read.parquet(dlq).collect()
+    assert(bad.length == 2)
+    val reasons = bad.map(r => Option(r.getAs[String]("name")).getOrElse("") -> r.getAs[String]("reject_reason")).toMap
+    assert(reasons("noid") == "null_id")
+    assert(reasons("") == "empty_name")
+    // a second identical run must not duplicate either side (checkpointed
+    // source + per-batch overwrite dirs)
+    FileChain.validateStage(spark, in, schema, valid, reason, out, dlq, s"$root/ck")
+    assert(spark.read.parquet(out).count() == 1)
+    assert(spark.read.parquet(dlq).count() == 2)
+  }
 }
