@@ -50,4 +50,22 @@ object Skew {
       .groupBy(keys.map(col): _*)
       .agg(merges.head, merges.tail: _*)
   }
+
+  /** Salted equi-join for a skewed LEFT side: each left row gets a
+    * deterministic salt in [0, saltBuckets), the (smaller) right side is
+    * replicated once per salt value, and the join runs on (key, salt) —
+    * the hot key's rows spread over `saltBuckets` reducers instead of one.
+    * Result is EXACTLY the plain inner join (each left row meets each
+    * matching right row exactly once, at its own salt). Cost: right side
+    * ×saltBuckets — the standard trade when AQE's skew splitting can't
+    * kick in (e.g. the skewed side is already partitioned by the join key
+    * for a later stage).
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String, saltBuckets: Int): DataFrame = {
+    val l = left.withColumn(
+      "_salt", pmod(hash(left.columns.map(col).toIndexedSeq: _*), lit(saltBuckets)))
+    val r = right.withColumn(
+      "_salt", explode(array((0 until saltBuckets).map(lit): _*)))
+    l.join(r, Seq(key, "_salt")).drop("_salt")
+  }
 }

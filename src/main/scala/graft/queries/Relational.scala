@@ -596,6 +596,60 @@ object Relational {
           "CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")
     ),
     Q(
+      "q_salted_join",
+      // Salted skew-join (graft.engine.Skew.saltedJoin): the fact side
+      // spreads each join key over 8 salt buckets, the dim side is
+      // replicated ×8, and the join runs on (key, salt) — exactness vs
+      // the plain join is the oracle's claim, the same algebra-
+      // preservation statement as q_salted_agg. Reach for this when one
+      // key dominates and AQE skew-split can't apply.
+      (s, d) => {
+        val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+        val o = t(s, d, "orders")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+        graft.engine.Skew
+          .saltedJoin(li, o, "l_orderkey", saltBuckets = 8)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), graft.core.Agg.dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("o_orderstatus")
+      },
+      Some(
+        "SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, " +
+          graft.core.Agg.dsumSql("l_quantity") + " AS sum_qty " +
+          "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+          "GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    ),
+    Q(
+      "q_bitmap_distinct",
+      // EXACT mergeable distinct counts via bitmap aggregates (the
+      // roaring-bitmap pattern): per (flag, bucket) bitmaps OR-merge both
+      // upward (corpus row) and sideways (per flag) without rescanning —
+      // the exact counterpart of the HLL sketch column (q_hll_union),
+      // for when the distinct space is dense integers and exactness is
+      // required. Verified against plain COUNT(DISTINCT) — merge
+      // losslessness IS the oracle claim.
+      (s, d) => {
+        val li = t(s, d, "lineitem").select(col("l_returnflag").as("flag"), col("l_partkey"))
+        val bm = li
+          .groupBy(col("flag"), expr("bitmap_bucket_number(l_partkey)").as("bucket"))
+          .agg(expr("bitmap_construct_agg(bitmap_bit_position(l_partkey))").as("bm"))
+        val perFlag = bm.groupBy(col("flag"))
+          .agg(sum(expr("bitmap_count(bm)")).as("n_distinct"))
+        val overall = bm
+          .groupBy(col("bucket"))
+          .agg(expr("bitmap_or_agg(bm)").as("bm"))
+          .agg(sum(expr("bitmap_count(bm)")).as("n_distinct"))
+          .select(lit("__all__").as("flag"), col("n_distinct"))
+        perFlag.unionByName(overall).orderBy("flag")
+      },
+      Some(
+        "SELECT flag, n_distinct FROM (" +
+          "SELECT l_returnflag AS flag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_distinct " +
+          "FROM lineitem GROUP BY 1 " +
+          "UNION ALL SELECT '__all__', CAST(COUNT(DISTINCT l_partkey) AS BIGINT) FROM lineitem) t " +
+          "ORDER BY flag")
+    ),
+    Q(
       "q_unpivot",
       // Wide→long melt (the inverse of q_pivot): three measure columns
       // into (metric, val) rows via the native unpivot operator, then a
