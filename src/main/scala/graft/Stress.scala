@@ -87,6 +87,51 @@ object Stress {
     val mh1Path = s"$out/documents1.parquet"
     val mh32Path = s"$out/documents32.parquet"
 
+    // Z-order data-skipping probe: the SAME replicated lineitem written
+    // (a) hash-spread (no clustering) and (b) range-partitioned + sorted
+    // by graft_zorder(l_partkey, l_suppkey). A 2-dim box filter then
+    // relies on parquet row-group min/max stats: the z-ordered layout
+    // keeps BOTH columns' ranges narrow per row group, so the scan skips
+    // most of the table; the unclustered layout overlaps the box in every
+    // row group and reads everything. Measured by the scan's actual
+    // numOutputRows (rows surviving row-group pruning + pushed filters).
+    val liBig = spark.read.parquet(s"$out/lineitem.parquet")
+    liBig.write.mode("overwrite").parquet(s"$out/lineitem_nocluster.parquet")
+    liBig
+      .withColumn("zval", expr("graft_zorder(l_partkey, l_suppkey)"))
+      .repartitionByRange(32, col("zval"))
+      .sortWithinPartitions("zval")
+      .drop("zval")
+      .write.mode("overwrite").parquet(s"$out/lineitem_zorder.parquet")
+
+    def boxDf(dir: String) =
+      spark.read.parquet(dir)
+        .filter(col("l_partkey").between(1000, 2000) && col("l_suppkey").between(100, 200))
+        .agg(count(lit(1)).as("n"), core.Agg.dsum(col("l_quantity")).as("sum_qty"))
+    def scanOutputRows(df: org.apache.spark.sql.DataFrame): Long = {
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      // AQE hides executed subtrees: AdaptiveSparkPlanExec exposes the
+      // final plan via executedPlan, and each QueryStageExec hides its
+      // subtree behind .plan (not .children) — walk both explicitly
+      def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+        case q: QueryStageExec => q +: allNodes(q.plan)
+        case _ => p +: p.children.flatMap(allNodes)
+      }
+      allNodes(df.queryExecution.executedPlan)
+        .collect { case s: FileSourceScanExec => s.metrics("numOutputRows").value }
+        .sum
+    }
+    def boxProbe(dir: String): (Double, Long, Long) = {
+      val df = boxDf(dir)
+      val result = df.collect().head.getLong(0)
+      val scanned = scanOutputRows(df)
+      val t = Seq(time(boxDf(dir).write.format("noop").mode("overwrite").save()),
+        time(boxDf(dir).write.format("noop").mode("overwrite").save())).min
+      (t, scanned, result)
+    }
+
     val nBase = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     val nBig = spark.read.parquet(s"$out/lineitem.parquet").count()
     val nDocsBig = spark.read.parquet(mh32Path).count()
@@ -101,6 +146,9 @@ object Stress {
     val mh1 = Seq(minhash(mh1Path), minhash(mh1Path)).min
     val mh32 = Seq(minhash(mh32Path), minhash(mh32Path)).min
     val mhDedup = Seq(minhashDedupFirst(mh32Path), minhashDedupFirst(mh32Path)).min
+    val (zNoT, zNoScan, zNoRes) = boxProbe(s"$out/lineitem_nocluster.parquet")
+    val (zT, zScan, zRes) = boxProbe(s"$out/lineitem_zorder.parquet")
+    require(zNoRes == zRes, s"z-order layout changed the box-filter result: $zNoRes vs $zRes")
     def rate(n: Long, s: Double): Double = n / s / 1e6
     val num = (v: Double) => Timing.fmt3(v)
     println(
@@ -111,7 +159,10 @@ object Stress {
         s""""join_base_mrows_s":${num(rate(nBase, jBase))},"join_big_mrows_s":${num(rate(nBig, jBig))},""" +
         s""""docs_big":$nDocsBig,"minhash_base_sec":${num(mhBase)},""" +
         s""""minhash_big_1file_sec":${num(mh1)},"minhash_big_32file_sec":${num(mh32)},""" +
-        s""""minhash_big_dedupfirst_sec":${num(mhDedup)}}""")
+        s""""minhash_big_dedupfirst_sec":${num(mhDedup)},""" +
+        s""""zorder_box_matches":$zRes,"zorder_scan_rows_nocluster":$zNoScan,""" +
+        s""""zorder_scan_rows_zorder":$zScan,"zorder_box_sec_nocluster":${num(zNoT)},""" +
+        s""""zorder_box_sec_zorder":${num(zT)}}""")
     spark.stop()
   }
 }

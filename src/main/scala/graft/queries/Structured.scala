@@ -245,6 +245,26 @@ object Structured {
       headline = true
     ),
     Q(
+      "q_variant",
+      // Spark 4 VARIANT ingestion of semi-structured payloads: parse_json
+      // into the binary variant encoding once, then typed variant_get
+      // path extraction — the columnar-shredding-friendly way to carry
+      // heterogeneous JSON through a 100 TB pipeline (parse once, extract
+      // many, no per-query string re-parse). A missing path yields NULL,
+      // not an error, in both engines.
+      (s, d) =>
+        Events.events(s, d)
+          .select(col("event_id"), parse_json(col("props")).as("v"))
+          .select(
+            col("event_id"),
+            expr("variant_get(v, '$.k', 'bigint')").as("k"),
+            expr("variant_get(v, '$.missing', 'string')").as("missing"))
+          .orderBy("event_id"),
+      Some(
+        "SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k, " +
+          "props->>'$.missing' AS missing FROM events ORDER BY event_id")
+    ),
+    Q(
       "q_stratified",
       // EXACT-count stratified sampling: exactly 50 customers per market
       // segment, chosen by rank over a deterministic md5 order — the
