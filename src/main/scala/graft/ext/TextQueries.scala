@@ -204,6 +204,18 @@ object TextQueries {
           "CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM ded " +
           "WHERE rn = 1 AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80' " +
           "GROUP BY lang, source ORDER BY lang, source")
+    ),
+    Q(
+      "q_bpe_train",
+      // Distributed BPE vocabulary induction (ext/Bpe): 6 merge rounds
+      // over the deduplicated word vocabulary, each round = one
+      // pair-count hash-agg + a 1-row driver argmax + a fold-based
+      // symbol rewrite. Deterministic (count desc, pair lexicographic
+      // ties) but the merge loop is not SQL-expressible in one statement
+      // -> rows-only; BpeSpec pins the learned merges against the
+      // hand-computed Sennrich reference on a fixture.
+      (s, d) => Bpe.train(s, Tables(s, d, "documents"), "text", merges = 6),
+      None
     )
   )
 }
