@@ -86,6 +86,12 @@ object SqlQueries {
         "SELECT s_nationkey FROM supplier ORDER BY nk"
     ),
     shared(
+      "q_sql_intersect_all",
+      // bag-semantics intersection (min multiplicity per value).
+      "SELECT c_nationkey AS nk FROM customer INTERSECT ALL " +
+        "SELECT s_nationkey FROM supplier ORDER BY nk"
+    ),
+    shared(
       "q_sql_grouping",
       // GROUPING SETS + GROUPING() disambiguation in shared SQL text;
       // explicit NULLS FIRST because DuckDB defaults NULLS LAST on ASC
