@@ -212,6 +212,48 @@ object DedupQueries {
           "CAST(SUM(kept) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS kept_frac " +
           "FROM k GROUP BY doc_id ORDER BY doc_id"),
       headline = true
+    ),
+    Q(
+      "q_exact_substr",
+      // ExactSubstr-style cross-document substring overlap (the Lee et
+      // al. 2022 dedup signal, shingled): every OVERLAPPING 10-token
+      // window is fingerprinted (md5 — the rolling-hash analogue with a
+      // portable hash), a window is "repeated" when its fingerprint
+      // occurs in more than one document, and each doc reports its
+      // repeated-span fraction. Plan: one explode, one fingerprint-keyed
+      // hash-agg (distinct docs per fp), one fp-keyed join back, one
+      // per-doc rollup — fingerprint cardinality ~ corpus tokens, so
+      // every shuffle key is near-uniform. The suffix-array formulation
+      // is single-machine; this shingle form is the one that shards.
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        val wins = expr(
+          "transform(sequence(1, size(split(text, ' ')) - 9), " +
+            "i -> md5(CAST(array_join(slice(split(text, ' '), i, 10), ' ') AS BINARY)))")
+        val w = Tables(s, d, "documents")
+          .filter(size(toks) >= 10)
+          .select(col("doc_id"), explode(wins).as("fp"))
+        val fpDocs = w.groupBy(col("fp"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+        w.join(fpDocs, Seq("fp"))
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_windows"),
+            sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_repeated"))
+          .withColumn(
+            "repeated_frac",
+            col("n_repeated").cast("double") / col("n_windows").cast("double"))
+          .orderBy("doc_id")
+      },
+      Some(
+        "WITH w AS (SELECT doc_id, md5(array_to_string(string_split(text, ' ')[i:i+9], ' ')) AS fp " +
+          "FROM documents, unnest(generate_series(1, len(string_split(text, ' ')) - 9)) AS t(i) " +
+          "WHERE len(string_split(text, ' ')) >= 10), " +
+          "fd AS (SELECT fp, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd FROM w GROUP BY fp) " +
+          "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows, " +
+          "CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated, " +
+          "CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS repeated_frac " +
+          "FROM w JOIN fd USING (fp) GROUP BY doc_id ORDER BY doc_id")
     )
   )
 }

@@ -105,6 +105,53 @@ object MonitorQueries {
           "(CAST(n_tok AS DOUBLE) - mean_len) / std_len AS z " +
           "FROM docs JOIN stats ON docs.lang = stats.lang " +
           "WHERE abs((CAST(n_tok AS DOUBLE) - mean_len) / std_len) > 1.75 ORDER BY doc_id")
+    ),
+    Q(
+      "q_embed_drift",
+      // Embedding-space drift between two corpus halves (old = even ids,
+      // new = odd — the batch-over-batch comparison a serving pipeline
+      // runs when the upstream encoder or data mix changes): per-label
+      // centroids of each half via the fixed-point davg per dimension,
+      // then the cosine between old and new centroids — a sequential
+      // fold over pos-ordered dims, so both engines see identical doubles
+      // end to end. Drift ~1.0 = stable; the synthetic halves are iid so
+      // values sit near 1. Plan: one explode → (label, half, pos)
+      // hash-agg → per-(label, half) array build → 10-row join.
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val e = emb.select(
+          col("label"),
+          (col("vec_id") % 2 === 0).as("is_old"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+        val cent = e.groupBy(col("label"), col("is_old"), col("pos"))
+          .agg(Agg.davg(col("x")).as("m"))
+        val arrs = cent.groupBy(col("label"), col("is_old"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("m")))),
+            x => x("m")).as("c"))
+        val old = arrs.filter(col("is_old")).select(col("label"), col("c").as("c_old"))
+        val neu = arrs.filter(!col("is_old")).select(col("label"), col("c").as("c_new"))
+        val counts = emb.groupBy(col("label")).agg(
+          sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_old"),
+          sum(when(col("vec_id") % 2 =!= 0, 1L).otherwise(0L)).as("n_new"))
+        old.join(neu, "label").join(counts, "label")
+          .select(
+            col("label"), col("n_old"), col("n_new"),
+            Similarity.cosine(col("c_old"), col("c_new")).as("centroid_cos"))
+          .orderBy("label")
+      },
+      Some(
+        "WITH e AS (SELECT label, vec_id % 2 = 0 AS is_old, gs - 1 AS pos, CAST(v AS DOUBLE) AS x " +
+          "FROM (SELECT label, vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS gs FROM embeddings)), " +
+          "cent AS (SELECT label, is_old, pos, " + Agg.davgSql("x") + " AS m FROM e GROUP BY 1, 2, 3), " +
+          "arrs AS (SELECT label, is_old, list(m ORDER BY pos) AS c FROM cent GROUP BY 1, 2), " +
+          "o AS (SELECT label, c AS c_old FROM arrs WHERE is_old), " +
+          "n AS (SELECT label, c AS c_new FROM arrs WHERE NOT is_old), " +
+          "cnt AS (SELECT label, CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_old, " +
+          "CAST(SUM(CASE WHEN vec_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_new FROM embeddings GROUP BY label) " +
+          "SELECT label, n_old, n_new, " +
+          "list_dot_product(c_old, c_new) / (sqrt(list_dot_product(c_old, c_old)) * sqrt(list_dot_product(c_new, c_new))) AS centroid_cos " +
+          "FROM o JOIN n USING (label) JOIN cnt USING (label) ORDER BY label")
     )
   )
 }
