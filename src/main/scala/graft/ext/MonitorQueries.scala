@@ -152,6 +152,51 @@ object MonitorQueries {
           "SELECT label, n_old, n_new, " +
           "list_dot_product(c_old, c_new) / (sqrt(list_dot_product(c_old, c_old)) * sqrt(list_dot_product(c_new, c_new))) AS centroid_cos " +
           "FROM o JOIN n USING (label) JOIN cnt USING (label) ORDER BY label")
+    ),
+    Q(
+      "q_ts_anomaly",
+      // Time-series volume anomaly per event type: hourly counts, then a
+      // z-score against that type's own hourly distribution (exact
+      // integer first/second moments over the hour grid — the
+      // q_stats_moments recipe on a time series). Every hour is emitted
+      // with its score and an |z| > 2 flag, so the monitor's output is
+      // audit-ready rather than empty-when-healthy. Two hash-aggs, both
+      // on bounded keys (hour grid × types); no windows over raw events.
+      (s, d) => {
+        val hourly = graft.queries.Events.events(s, d)
+          .groupBy(
+            date_trunc("hour", col("ts")).as("hour"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val x = col("n").cast(DecimalType(38, 0))
+        val stats = hourly.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_hours"), sum(x).as("sx"), sum(x * x).as("sxx"))
+          .select(
+            col("event_type"),
+            (col("sx").cast("double") / col("n_hours").cast("double")).as("mean_n"),
+            sqrt((col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double") /
+              col("n_hours").cast("double")) / (col("n_hours").cast("double") - 1.0)).as("std_n"))
+        hourly
+          .join(broadcast(stats), Seq("event_type"))
+          .withColumn("z", (col("n").cast("double") - col("mean_n")) / col("std_n"))
+          .select(
+            col("hour").cast("timestamp_ntz").as("hour"),
+            col("event_type"), col("n"), col("z"),
+            (abs(col("z")) > 2.0).as("flagged"))
+          .orderBy("hour", "event_type")
+      },
+      Some(
+        "WITH hourly AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type, " +
+          "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), " +
+          "m AS (SELECT event_type, COUNT(*) AS n_hours, SUM(CAST(n AS HUGEINT)) AS sx, " +
+          "SUM(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) AS sxx FROM hourly GROUP BY event_type), " +
+          "stats AS (SELECT event_type, CAST(sx AS DOUBLE) / CAST(n_hours AS DOUBLE) AS mean_n, " +
+          "sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n_hours AS DOUBLE)) / " +
+          "(CAST(n_hours AS DOUBLE) - 1.0)) AS std_n FROM m) " +
+          "SELECT CAST(hour AS TIMESTAMP) AS hour, hourly.event_type, n, " +
+          "(CAST(n AS DOUBLE) - mean_n) / std_n AS z, " +
+          "abs((CAST(n AS DOUBLE) - mean_n) / std_n) > 2.0 AS flagged " +
+          "FROM hourly JOIN stats ON hourly.event_type = stats.event_type ORDER BY 1, 2")
     )
   )
 }
