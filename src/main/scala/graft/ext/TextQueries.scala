@@ -206,6 +206,68 @@ object TextQueries {
           "GROUP BY lang, source ORDER BY lang, source")
     ),
     Q(
+      "q_curation_v2",
+      // Round-6 curation composition, chaining the newer verified pieces
+      // (q_curation chains the round-3 ones): Gopher duplicate-word gate
+      // (per-row array algebra) → LINE-level dedup survival (5-token
+      // segments, global keep-first — the q_line_dedup machinery, docs
+      // must retain >= 40% first-occurrence segments) → per-source
+      // rollup with temperature-scaled mixture weights over the
+      // SURVIVORS (sqrt share, fixed-point normalizer). Three stages,
+      // three shuffle keys (segment, doc, source) — each bounded or
+      // near-uniform, so the composition inherits every piece's scale
+      // argument.
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        val dupFrac =
+          lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks).cast("double")
+        val gated = Tables(s, d, "documents")
+          .filter(size(toks) >= 10 && dupFrac <= 0.9)
+          .select(col("doc_id"), col("source"), size(toks).cast("long").as("n_tok"))
+        val segs = expr(
+          "transform(sequence(0, greatest(CAST(ceil(size(split(text, ' ')) / 5.0) AS INT), 1) - 1), " +
+            "i -> array_join(slice(split(text, ' '), i * 5 + 1, 5), ' '))")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("seg")).orderBy(col("doc_id"), col("seg_idx"))
+        val keptFrac = Tables(s, d, "documents")
+          .select(col("doc_id"), posexplode(segs).as(Seq("seg_idx", "seg")))
+          .withColumn("kept", (row_number().over(w) === 1).cast("long"))
+          .groupBy(col("doc_id"))
+          .agg((sum(col("kept")).cast("double") / count(lit(1)).cast("double")).as("kept_frac"))
+        val survivors = gated
+          .join(keptFrac, Seq("doc_id"))
+          .filter(col("kept_frac") >= 0.4)
+        val perSource = survivors.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+          .withColumn("w_raw", sqrt(col("n_docs").cast("double")))
+        val norm = perSource.agg(Agg.dsum(col("w_raw")).as("w_total"))
+        perSource
+          .crossJoin(broadcast(norm))
+          .select(
+            col("source"), col("n_docs"), col("n_tokens"),
+            (col("w_raw") / col("w_total")).as("weight"))
+          .orderBy("source")
+      },
+      Some(
+        "WITH gated AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok " +
+          "FROM documents WHERE len(string_split(text, ' ')) >= 10 AND " +
+          "1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / " +
+          "CAST(len(string_split(text, ' ')) AS DOUBLE) <= 0.9), " +
+          "segs AS (SELECT doc_id, i AS seg_idx, " +
+          "array_to_string(string_split(text, ' ')[(5*i+1):(5*i+5)], ' ') AS seg " +
+          "FROM documents, unnest(generate_series(0, " +
+          "greatest(CAST(ceil(len(string_split(text, ' ')) / 5.0) AS INT), 1) - 1)) AS t(i)), " +
+          "kf AS (SELECT doc_id, CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE) / " +
+          "CAST(COUNT(*) AS DOUBLE) AS kept_frac FROM (SELECT doc_id, " +
+          "ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn FROM segs) GROUP BY doc_id), " +
+          "surv AS (SELECT gated.* FROM gated JOIN kf USING (doc_id) WHERE kept_frac >= 0.4), " +
+          "ps AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens, " +
+          "sqrt(CAST(COUNT(*) AS DOUBLE)) AS w_raw FROM surv GROUP BY source), " +
+          "t AS (SELECT " + Agg.dsumSql("w_raw") + " AS w_total FROM ps) " +
+          "SELECT source, n_docs, n_tokens, w_raw / w_total AS weight " +
+          "FROM ps CROSS JOIN t ORDER BY source")
+    ),
+    Q(
       "q_bpe_train",
       // Distributed BPE vocabulary induction (ext/Bpe): 6 merge rounds
       // over the deduplicated word vocabulary, each round = one
