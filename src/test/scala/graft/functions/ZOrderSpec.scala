@@ -19,6 +19,24 @@ class ZOrderSpec extends SparkSpec {
     assert(ZOrder.interleave16(0x10000L, 0L) == 0L)
   }
 
+  test("interleave16 is invertible: de-interleaving recovers both inputs") {
+    def deinterleave(z: Long): (Long, Long) = {
+      var x = 0L; var y = 0L; var i = 0
+      while (i < 16) {
+        x |= ((z >> (2 * i)) & 1L) << i
+        y |= ((z >> (2 * i + 1)) & 1L) << i
+        i += 1
+      }
+      (x, y)
+    }
+    val rnd = new scala.util.Random(11)
+    (1 to 2000).foreach { _ =>
+      val x = rnd.nextLong().abs % 65536
+      val y = rnd.nextLong().abs % 65536
+      assert(deinterleave(ZOrder.interleave16(x, y)) == ((x, y)), s"not invertible at ($x, $y)")
+    }
+  }
+
   test("graft_zorder expression is bit-equal to the HOF fold under codegen") {
     import spark.implicits._
     val hof =
