@@ -102,6 +102,25 @@ object EmbedQueries {
         Pq.audit(Pq.encode(emb, Pq.train(s, emb, m = 4, k = 16)))
       },
       None
+    ),
+    Q(
+      "q_pq_adc",
+      // PQ search via asymmetric distance computation: queries carry
+      // 8×16 distance tables, corpus vectors are matched through their
+      // stored codes alone — top-10 approximate-L2 neighbors for the
+      // first 10 vectors. m=8 (not the encoder demo's 4): the synthetic
+      // embeddings are near-random, so 16-bit codes recall ~0.14 while
+      // 32-bit codes reach ~0.3 (15x over the 0.02 chance floor) —
+      // measured at sf0.01, asserted in EmbedSpec. Rows-only (k-means
+      // float means).
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val books = Pq.train(s, emb, m = 8, k = 16)
+        val enc = Pq.encode(emb, books).select(col("vec_id"), col("m"), col("code"))
+        Pq.adcTopK(emb.filter(col("vec_id") < 10), enc, books, k = 10)
+          .orderBy("q_id", "rank")
+      },
+      None
     )
   )
 }

@@ -64,6 +64,48 @@ object Pq {
       .select(col("vec_id"), col("s.m").as("m"), col("s.code").as("code"), col("s.err2").as("err2"))
   }
 
+  /** ADC (asymmetric distance computation) top-k — the IVF-PQ serving
+    * path: each query precomputes, per subspace, the 16 squared distances
+    * from its own subvector to every codebook entry (the "distance
+    * table"); a corpus vector's approximate distance is then just M table
+    * lookups summed over its stored codes — the original floats are never
+    * touched. Plan: queries (with their tables) BROADCAST against the
+    * (vec_id, m, code) code table, one lookup expression per row, one
+    * (q_id, vec_id) hash-agg, one per-query top-k window. The corpus side
+    * carries only codes — at 100 TB that is the entire point of PQ.
+    */
+  def adcTopK(queries: DataFrame, encoded: DataFrame, books: Seq[Seq[Seq[Double]]], k: Int): DataFrame = {
+    val dim = books.map(_.head.size).sum
+    val sub = dim / books.size
+    val v = col("embedding").cast("array<double>")
+    // tables: array over m of array over code of ||q_m - book_m[code]||²
+    val tables = array(books.zipWithIndex.map { case (cb, j) =>
+      val subv = slice(col("qv"), j * sub + 1, sub)
+      array(cb.map { c =>
+        aggregate(
+          zip_with(subv, array(c.map(lit): _*), (x, y) => (x - y) * (x - y)),
+          lit(0.0),
+          (acc, e) => acc + e)
+      }: _*)
+    }: _*)
+    val q = queries
+      .select(col("vec_id").as("q_id"), v.as("qv"))
+      .withColumn("tables", tables)
+      .select(col("q_id"), col("tables"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("adist2").asc, col("vec_id").asc)
+    broadcast(q)
+      .join(encoded, col("q_id") =!= col("vec_id"))
+      .select(
+        col("q_id"), col("vec_id"),
+        element_at(element_at(col("tables"), col("m") + 1), col("code") + 1).as("term"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("term")).as("adist2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("adist2"))
+  }
+
   /** Per-subspace audit rollup (small, stable output for the rows-only
     * gate): vectors encoded, codebook entries actually used, mean/max
     * squared reconstruction error.
