@@ -99,4 +99,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "pagerank degenerated to a cross-product")
     assert(p.contains("TakeOrderedAndProject"), "final top-20 lost its heap operator")
   }
+
+  test("substring-overlap dedup joins only on the fingerprint, never all-pairs") {
+    val df = Registry.byName("q_exact_substr").run(spark, sf())
+    val p = planString(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "fingerprint join degenerated to a cross-product")
+    assert(p.contains("hashpartitioning(fp"), s"fp-keyed exchange missing:\n$p")
+  }
+
+  test("zorder audit reads only the two key columns from the fact scan") {
+    val df = Registry.byName("q_zorder").run(spark, sf())
+    val read = scans(df).head.requiredSchema.fieldNames.toSet
+    assert(read == Set("l_partkey", "l_suppkey"), s"scan reads $read")
+  }
+
+  test("salted join spreads the key without a cross-product") {
+    val df = Registry.byName("q_salted_join").run(spark, sf())
+    val p = planString(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("_salt"), "salt column vanished from the join plan")
+  }
 }
