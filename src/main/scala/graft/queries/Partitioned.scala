@@ -106,6 +106,63 @@ object Partitioned {
           "SELECT CAST(zval // 67108864 AS BIGINT) AS z_bucket, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
           "min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y " +
           "FROM z GROUP BY 1 ORDER BY 1")
+    ),
+    Q(
+      "q_bucketed_join",
+      // Co-located (bucketed) join: both sides are written `bucketBy(8,
+      // orderkey)` + sortBy into managed tables, so each scan reports
+      // hash-clustered output partitioning on the join key and the
+      // sort-merge join — AND the orderkey rollup above it — need NO
+      // shuffle at all (PlanAuditSpec asserts zero hashpartitioning
+      // exchanges). This is the other canonical 100 TB layout lever next
+      // to date partitioning: pre-bucket the fact and its biggest
+      // co-joined table on the join key once at write time, and every
+      // subsequent join/agg on that key skips its exchange entirely. The
+      // merge hint keeps the demonstration honest at test sizes where the
+      // dim side would otherwise broadcast.
+      (s, d) => {
+        s.sql("CREATE DATABASE IF NOT EXISTS graft_buckets")
+        // The warehouse dir outlives the in-memory catalog across JVMs, so
+        // a leftover table location turns overwrite into a failing CREATE;
+        // drop through the catalog, then clear any orphaned location.
+        for (t <- Seq("lineitem_b", "orders_b")) {
+          s.sql(s"DROP TABLE IF EXISTS graft_buckets.$t")
+          val loc = java.nio.file.Paths.get(
+            new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath,
+            "graft_buckets.db", t)
+          if (java.nio.file.Files.exists(loc)) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+          }
+        }
+        Tables(s, d, "lineitem")
+          .select("l_orderkey", "l_quantity", "l_extendedprice")
+          .write.mode("overwrite")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable("graft_buckets.lineitem_b")
+        Tables(s, d, "orders")
+          .select("o_orderkey", "o_totalprice")
+          .write.mode("overwrite")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable("graft_buckets.orders_b")
+        val l = s.table("graft_buckets.lineitem_b")
+        val o = s.table("graft_buckets.orders_b")
+        l.hint("merge")
+          .join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderkey"))
+          .agg(
+            count(lit(1)).as("n_items"),
+            Agg.dsum(col("l_quantity")).as("sum_qty"),
+            max(col("o_totalprice")).as("total_price"))
+          .orderBy("o_orderkey")
+      },
+      Some(
+        "SELECT o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items, " +
+          Agg.dsumSql("l_quantity") + " AS sum_qty, " +
+          "max(o_totalprice) AS total_price " +
+          "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+          "GROUP BY o_orderkey ORDER BY o_orderkey")
     )
   )
 }

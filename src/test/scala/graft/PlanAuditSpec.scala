@@ -114,6 +114,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(read == Set("l_partkey", "l_suppkey"), s"scan reads $read")
   }
 
+  test("bucketed join runs shuffle-free: no hash exchange anywhere in the plan") {
+    val df = Registry.byName("q_bucketed_join").run(spark, sf())
+    val p = planString(df)
+    assert(p.contains("SortMergeJoin"), s"bucketed join lost its sort-merge shape:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed join/agg shuffled — co-location lost:\n$p")
+    assert(p.contains("Bucketed: true"), s"scan did not use the bucketed layout:\n$p")
+  }
+
   test("salted join spreads the key without a cross-product") {
     val df = Registry.byName("q_salted_join").run(spark, sf())
     val p = planString(df)
