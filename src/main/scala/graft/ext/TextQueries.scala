@@ -278,6 +278,26 @@ object TextQueries {
       // hand-computed Sennrich reference on a fixture.
       (s, d) => Bpe.train(s, Tables(s, d, "documents"), "text", merges = 6),
       None
+    ),
+    Q(
+      "q_bpe_encode",
+      // Tokenizer serving path: train 6 merges, then encode the corpus
+      // with them (ext/Bpe.encode — fold once per distinct word, join
+      // occurrences back to the encoded vocab). Merge list depends on the
+      // trainer's loop -> rows-only; BpeSpec pins encode token counts on
+      // the Sennrich fixture AND the corpus-wide invariant that
+      // sum(n_tokens) equals the trainer's <total_symbols> audit row.
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val merges = Bpe.train(s, docs, "text", merges = 6)
+          .filter(col("left") =!= "<total_symbols>")
+          .orderBy(col("merge_rank"))
+          .collect()
+          .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
+          .toSeq
+        Bpe.encode(docs, "text", merges)
+      },
+      None
     )
   )
 }

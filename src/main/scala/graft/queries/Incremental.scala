@@ -182,6 +182,54 @@ object Incremental {
           "CAST(ROW_NUMBER() OVER (PARTITION BY custkey ORDER BY valid_from) AS BIGINT) AS version FROM s) " +
           "SELECT custkey, version, priority, valid_from, valid_to, valid_to IS NULL AS is_current " +
           "FROM v ORDER BY custkey, version")
+    ),
+    Q(
+      "q_erasure_cascade",
+      // Right-to-be-forgotten cascade: a tombstone set of customers
+      // (deterministic predicate stands in for the deletion-request feed)
+      // propagates through the foreign-key chain customer → orders →
+      // lineitem via semi-joins, and the query emits the per-table purge
+      // audit a compliance run must log. Scale shape: the tombstone set
+      // and the purged-orderkey set are tiny relative to the facts, so
+      // both semi-joins broadcast; each fact is scanned once and nothing
+      // but counts leaves the executors. The same semi-join frontier,
+      // flipped to anti-joins, IS the purged rewrite — auditing and
+      // deleting share one plan shape.
+      (s, d) => {
+        val victims = Tables(s, d, "customer")
+          .filter(col("c_custkey") % 97 === 0)
+          .select(col("c_custkey"))
+        val orders = Tables(s, d, "orders")
+        val purgedOrders = orders
+          .join(victims, orders("o_custkey") === victims("c_custkey"), "left_semi")
+          .select(col("o_orderkey"))
+        val lineitem = Tables(s, d, "lineitem")
+        val purgedItems = lineitem
+          .join(purgedOrders, lineitem("l_orderkey") === purgedOrders("o_orderkey"), "left_semi")
+        def audit(name: String, total: org.apache.spark.sql.DataFrame,
+            purged: org.apache.spark.sql.DataFrame) =
+          total.agg(count(lit(1)).as("rows_before"))
+            .crossJoin(purged.agg(count(lit(1)).as("rows_purged")))
+            .select(
+              lit(name).as("table_name"), col("rows_before"), col("rows_purged"),
+              (col("rows_before") - col("rows_purged")).as("rows_after"))
+        audit("customer", Tables(s, d, "customer"), victims)
+          .unionAll(audit("lineitem", lineitem, purgedItems))
+          .unionAll(audit("orders", orders, purgedOrders))
+          .orderBy("table_name")
+      },
+      Some(
+        "WITH victims AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0), " +
+          "po AS (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM victims)), " +
+          "a AS (" +
+          "SELECT 'customer' AS table_name, (SELECT COUNT(*) FROM customer) AS rows_before, " +
+          "(SELECT COUNT(*) FROM victims) AS rows_purged " +
+          "UNION ALL SELECT 'lineitem', (SELECT COUNT(*) FROM lineitem), " +
+          "(SELECT COUNT(*) FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM po)) " +
+          "UNION ALL SELECT 'orders', (SELECT COUNT(*) FROM orders), " +
+          "(SELECT COUNT(*) FROM orders WHERE o_custkey IN (SELECT c_custkey FROM victims))) " +
+          "SELECT table_name, rows_before, rows_purged, rows_before - rows_purged AS rows_after " +
+          "FROM a ORDER BY table_name")
     )
   )
 }

@@ -38,6 +38,32 @@ class BpeSpec extends SparkSpec {
     assert(df.collect().head.getSeq[String](0) == Seq("aa", "a"))
   }
 
+  test("encode matches hand-computed token counts on the Sennrich fixture") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "low lower"),   // low -> [lo,w] 2; lower -> [lo,w,e,r] 4
+      (2L, "newest widest") // newest -> [n,e,w,est] 4; widest -> [w,i,d,est] 4
+    ).toDF("doc_id", "text")
+    val out = Bpe.encode(docs, "text", Seq(("e", "s"), ("es", "t"), ("l", "o")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L, 6L), (2L, 2L, 8L)))
+  }
+
+  test("corpus encode token total equals the trainer's symbol audit") {
+    // the trainer's <total_symbols> row is the frequency-weighted symbol
+    // count over the deduped vocab; encoding the same corpus with the
+    // same merges must land on exactly that many tokens
+    val docs = graft.core.Tables(spark, sf(), "documents")
+    val trained = Bpe.train(spark, docs, "text", merges = 4).collect()
+    val audit = trained.find(_.getAs[String]("left") == "<total_symbols>").get.getAs[Long]("n")
+    val merges = trained.filter(_.getAs[String]("left") != "<total_symbols>")
+      .sortBy(_.getAs[Int]("merge_rank"))
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+    val total = Bpe.encode(docs, "text", merges)
+      .agg(sum(col("n_tokens"))).collect().head.getLong(0)
+    assert(total == audit, s"encode total $total != trainer audit $audit")
+  }
+
   test("corpus training produces the requested merges with positive counts") {
     val out = graft.Registry.byName("q_bpe_train").run(spark, sf()).collect()
     assert(out.length == 7) // 6 merges + audit row
