@@ -163,6 +163,50 @@ object Partitioned {
           "max(o_totalprice) AS total_price " +
           "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
           "GROUP BY o_orderkey ORDER BY o_orderkey")
+    ),
+    Q(
+      "q_compaction",
+      // Small-file compaction planner — the lakehouse maintenance op that
+      // keeps a partitioned 100 TB table scannable (thousands of tiny
+      // ingest files per partition wreck scan parallelism and NameNode /
+      // object-store listing). The file inventory here is derived
+      // deterministically from lineitem (one "file" per ship-month ×
+      // orderkey-shard, sized by its row count); the plan assigns files
+      // to target-sized rewrite bins with a running-sum window — bin =
+      // floor((cumsum − size) / target) over files ordered largest-first
+      // — so planning is ONE window pass over file METADATA (rows =
+      // files, not data), and the rewrite that consumes it reads each
+      // input file exactly once. No driver-side loop: at a million files
+      // this is still a single shuffle keyed on the partition.
+      (s, d) => {
+        val target = 256.0
+        val files = Tables(s, d, "lineitem")
+          .groupBy(
+            date_format(col("l_shipdate"), "yyyy-MM").as("ship_ym"),
+            (col("l_orderkey") % 24).as("file_id"))
+          .agg(count(lit(1)).as("size_kb"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("ship_ym"))
+          .orderBy(col("size_kb").desc, col("file_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        files
+          .withColumn(
+            "bin_id",
+            floor((sum(col("size_kb")).over(w) - col("size_kb")) / target))
+          .groupBy(col("ship_ym"), col("bin_id"))
+          .agg(count(lit(1)).as("n_files"), sum(col("size_kb")).as("bin_kb"))
+          .orderBy("ship_ym", "bin_id")
+      },
+      Some(
+        "WITH files AS (SELECT strftime(l_shipdate, '%Y-%m') AS ship_ym, " +
+          "l_orderkey % 24 AS file_id, CAST(COUNT(*) AS BIGINT) AS size_kb " +
+          "FROM lineitem GROUP BY 1, 2), " +
+          "b AS (SELECT ship_ym, size_kb, CAST(FLOOR((SUM(size_kb) OVER " +
+          "(PARTITION BY ship_ym ORDER BY size_kb DESC, file_id ROWS UNBOUNDED PRECEDING) " +
+          "- size_kb) / 256.0) AS BIGINT) AS bin_id FROM files) " +
+          "SELECT ship_ym, bin_id, CAST(COUNT(*) AS BIGINT) AS n_files, " +
+          "CAST(SUM(size_kb) AS BIGINT) AS bin_kb " +
+          "FROM b GROUP BY 1, 2 ORDER BY 1, 2")
     )
   )
 }
