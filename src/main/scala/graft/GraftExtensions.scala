@@ -39,5 +39,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               s"graft_zorder requires exactly 2 arguments (bigint, bigint), got ${children.size}")
           ZOrderExpr(children(0), children(1))
         }))
+    // Opt-in COUNT(DISTINCT) → HLL++ rewrite; no-op unless the session
+    // sets graft.approx.distinct=true (see ApproxDistinctRewrite).
+    ext.injectOptimizerRule(_ => graft.engine.ApproxDistinctRewrite)
   }
 }

@@ -175,4 +175,32 @@ class EngineSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("approx-distinct rewrite swaps COUNT(DISTINCT) for HLL++ only under the flag") {
+    val li = Tables(spark, sf(), "lineitem")
+    def q = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("d"))
+    val exact = q.orderBy("l_returnflag").collect().map(r => (r.getString(0), r.getLong(1)))
+    // flag off: plan keeps the exact distinct aggregate
+    assert(!q.queryExecution.optimizedPlan.toString.contains("approx_count_distinct"))
+    spark.conf.set(ApproxDistinctRewrite.Flag, "true")
+    try {
+      val rewritten = q
+      val plan = rewritten.queryExecution.optimizedPlan.toString
+      assert(plan.contains("approx_count_distinct"),
+        s"rewrite did not fire under the flag:\n${plan.take(1500)}")
+      // schema unchanged (long, same name); estimates within HLL's 5% rsd
+      // envelope (generous 3x margin so the test never flakes)
+      val approx = rewritten.orderBy("l_returnflag").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      assert(approx.map(_._1).toSeq == exact.map(_._1).toSeq)
+      exact.zip(approx).foreach { case ((_, e), (_, a)) =>
+        assert(math.abs(a - e).toDouble / e <= 0.15, s"estimate $a vs exact $e")
+      }
+      // multi-arg distinct counts must NOT rewrite (exact semantics kept)
+      val multi = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey"), col("l_suppkey")).as("d"))
+      assert(!multi.queryExecution.optimizedPlan.toString.contains("approx_count_distinct"))
+    } finally spark.conf.unset(ApproxDistinctRewrite.Flag)
+  }
 }
