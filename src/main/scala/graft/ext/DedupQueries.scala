@@ -12,6 +12,50 @@ import graft.core.Tables
   */
 object DedupQueries {
 
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  /** Ground-truth near-dup pairs: exact 3-gram Jaccard >= 0.6 among
+    * 30-char-prefix-blocked candidates (the same truth set DedupSpec uses;
+    * oracle-computable in DuckDB list algebra). Blocking keeps the exact
+    * side O(bucket²), not O(docs²).
+    */
+  private def truthPairs(s: SparkSession, d: String): DataFrame = {
+    val blocked = Tables(s, d, "documents")
+      .select(col("doc_id"), col("text"), substring(col("text"), 1, 30).as("blk"))
+    val a = blocked.select(col("doc_id").as("a_id"), col("blk"), col("text").as("a_text"))
+    val b = blocked.select(col("doc_id").as("b_id"), col("blk"), col("text").as("b_text"))
+    a.join(b, Seq("blk"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(Dedup.ngramJaccardExpr(3, "a_text", "b_text") >= 0.6)
+      .select(col("a_id"), col("b_id"))
+  }
+
+  /** DuckDB side of [[truthPairs]]'s pair count. */
+  private val truthCountSql =
+    "WITH docs AS (SELECT doc_id, substring(text, 1, 30) AS blk, " +
+      "list_distinct(list_transform(generate_series(1, greatest(1, length(text) - 2)), " +
+      "i -> substring(text, i, 3))) AS grams FROM documents) " +
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs, true AS recall_ge_floor " +
+      "FROM docs a JOIN docs b ON a.blk = b.blk AND a.doc_id < b.doc_id " +
+      "WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / " +
+      "len(list_distinct(list_concat(a.grams, b.grams))) >= 0.6"
+
+  /** Reduce a candidate-pair result to (n_true_pairs, recall_ge_floor):
+    * the exact pair count differentially checked vs DuckDB, the recall of
+    * `found` over the truth set gated at `floor`.
+    */
+  private def pairRecallGate(truth: DataFrame, found: DataFrame, floor: Double): DataFrame = {
+    val hits = truth
+      .join(found.select(col("a_id"), col("b_id")), Seq("a_id", "b_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    truth.agg(count(lit(1)).as("n_true_pairs"))
+      .crossJoin(hits)
+      .select(
+        col("n_true_pairs"),
+        (col("n_hit").cast("double") >= col("n_true_pairs").cast("double") * floor)
+          .as("recall_ge_floor"))
+  }
+
   val queries: Seq[Q] = Seq(
     Q(
       "q_dedup_exact",
@@ -109,48 +153,99 @@ object DedupQueries {
     Q(
       "q_dedup_minhash",
       // MinHash-LSH near-dup pairs: 32 hashes, 8 bands × 4 — candidates
-      // only from band collisions (no cross join). Hash-seed-specific →
-      // rows-only check here; recall vs exact Jaccard is property-tested.
+      // only from band collisions (no cross join). The pair set is
+      // hash-seed-specific, so the gated output is the recall invariant:
+      // LSH pairs (est_jaccard >= 0.3) must recover >= 50% of the exact
+      // blocked Jaccard-0.6 truth set (DedupSpec's floor), whose size the
+      // oracle recomputes exactly in DuckDB list algebra.
       (s, d) =>
-        Dedup
-          .minhashPairs(Tables(s, d, "documents"), "doc_id", "text")
-          .orderBy("a_id", "b_id"),
-      None,
+        pairRecallGate(
+          truthPairs(s, d),
+          Dedup.minhashPairs(Tables(s, d, "documents"), "doc_id", "text", minJaccard = 0.3),
+          floor = 0.5),
+      Some(truthCountSql),
       headline = true
     ),
     Q(
       "q_minhash_union",
       // Sketch merge: per-language minhash signature of the UNION of all
       // documents' shingle sets (elementwise-min UDAF over per-doc
-      // signatures) + cross-language similarity estimate vs 'en'.
+      // signatures) + cross-language similarity estimate vs 'en'. Gated
+      // via two invariants per language: (1) the UDAF's union signature
+      // must EXACTLY equal the declarative elementwise-min (longs — the
+      // union algebra is order-free, so equality is exact, not
+      // approximate); (2) the 32-hash Jaccard estimate vs 'en' must sit
+      // within ±0.35 (4σ at n=32) of the EXACT union-shingle-set Jaccard,
+      // which both engines compute independently — exact_jaccard_vs_en is
+      // a real float differential vs the DuckDB oracle.
       (s, d) => {
         import org.apache.spark.sql.functions.udaf
+        val docs = Tables(s, d, "documents").select(col("doc_id"), col("lang"), col("text"))
         val sigs = Dedup
-          .minhashSignatures(
-            Tables(s, d, "documents").select(col("doc_id"), col("lang"), col("text")),
-            "doc_id", "text", shingleK = 5, nHashes = 32)
-          .join(
-            Tables(s, d, "documents").select(col("doc_id").as("id"), col("lang")),
-            Seq("id"))
+          .minhashSignatures(docs, "doc_id", "text", shingleK = 5, nHashes = 32)
+          .join(docs.select(col("doc_id").as("id"), col("lang")), Seq("id"))
         val unioned = sigs
           .groupBy(col("lang"))
           .agg(udaf(MinHashUnionAgg).apply(col("sig")).as("union_sig"))
-        val en = unioned.filter(col("lang") === "en")
-          .select(col("union_sig").as("en_sig"))
-        unioned
-          .crossJoin(broadcast(en))
+        // invariant 1: UDAF union == elementwise min, exactly
+        val exprMin = sigs
+          .select(col("lang"), posexplode(col("sig")).as(Seq("pos", "h")))
+          .groupBy(col("lang"), col("pos"))
+          .agg(min(col("h")).as("he"))
+        val udafEq = unioned
+          .select(col("lang"), posexplode(col("union_sig")).as(Seq("pos", "hu")))
+          .join(exprMin, Seq("lang", "pos"))
+          .groupBy(col("lang"))
+          .agg(bool_and(col("hu") === col("he")).as("udaf_eq_expr"))
+        // exact union 5-shingle sets per language, Jaccard vs 'en'
+        val sh = docs
+          .select(col("lang"), explode(Dedup.shingles(5)).as("s"))
+          .distinct()
+        val enSet = sh.filter(col("lang") === "en").select(col("s"))
+        val enSize = enSet.agg(count(lit(1)).as("en_n"))
+        val sizes = sh.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        val inter = sh.join(enSet, Seq("s"), "left_semi")
+          .groupBy(col("lang")).agg(count(lit(1)).as("ix"))
+        val exact = sizes
+          .join(inter, Seq("lang"), "left")
+          .crossJoin(broadcast(enSize))
           .select(
             col("lang"),
-            Dedup.estJaccard(col("union_sig"), col("en_sig"), 32).as("est_jaccard_vs_en"))
+            (coalesce(col("ix"), lit(0L)).cast("double") /
+              (col("n") + col("en_n") - coalesce(col("ix"), lit(0L))).cast("double"))
+              .as("exact_jaccard_vs_en"))
+        val en = unioned.filter(col("lang") === "en").select(col("union_sig").as("en_sig"))
+        unioned
+          .crossJoin(broadcast(en))
+          .select(col("lang"), Dedup.estJaccard(col("union_sig"), col("en_sig"), 32).as("est"))
+          .join(exact, Seq("lang"))
+          .join(udafEq, Seq("lang"))
+          .select(
+            col("lang"),
+            col("exact_jaccard_vs_en"),
+            col("udaf_eq_expr"),
+            (abs(col("est") - col("exact_jaccard_vs_en")) <= 0.35).as("est_close"))
           .orderBy("lang")
       },
-      None
+      Some(
+        "WITH sh AS (SELECT DISTINCT lang, s FROM (SELECT lang, substring(text, i, 5) AS s " +
+          "FROM documents, unnest(generate_series(1, greatest(1, length(text) - 4))) AS t(i))), " +
+          "sz AS (SELECT lang, COUNT(*) AS n FROM sh GROUP BY lang), " +
+          "en AS (SELECT s FROM sh WHERE lang = 'en'), " +
+          "ix AS (SELECT sh.lang, COUNT(*) AS i FROM sh JOIN en USING (s) GROUP BY sh.lang) " +
+          "SELECT sz.lang, CAST(COALESCE(ix.i, 0) AS DOUBLE) / " +
+          "(sz.n + (SELECT COUNT(*) FROM en) - COALESCE(ix.i, 0)) AS exact_jaccard_vs_en, " +
+          "true AS udaf_eq_expr, true AS est_close " +
+          "FROM sz LEFT JOIN ix ON sz.lang = ix.lang ORDER BY sz.lang")
     ),
     Q(
       "q_dedup_simhash",
       // SimHash fingerprints via the custom codegen expression
       // (graft.functions.SimHash64): near-dup pairs = same 16-bit chunk
       // (banding) AND Hamming distance <= 12 of the 64-bit fingerprint.
+      // DuckDB can't express simhash64, so the gated output is the recall
+      // invariant over the same oracle-computable truth set as
+      // q_dedup_minhash.
       (s, d) => {
         val fp = Tables(s, d, "documents")
           .select(col("doc_id"), expr("simhash64(text)").as("fp"))
@@ -162,14 +257,14 @@ object DedupQueries {
             .as(Seq("chunk_idx", "chunk")))
         val a = chunks.select(col("doc_id").as("a_id"), col("fp").as("a_fp"), col("chunk_idx"), col("chunk"))
         val b = chunks.select(col("doc_id").as("b_id"), col("fp").as("b_fp"), col("chunk_idx"), col("chunk"))
-        a.join(b, Seq("chunk_idx", "chunk"))
+        val found = a.join(b, Seq("chunk_idx", "chunk"))
           .filter(col("a_id") < col("b_id"))
           .select(col("a_id"), col("b_id"), expr("bit_count(a_fp ^ b_fp)").as("hamming"))
           .distinct()
           .filter(col("hamming") <= 12)
-          .orderBy("a_id", "b_id")
+        pairRecallGate(truthPairs(s, d), found, floor = 0.5)
       },
-      None
+      Some(truthCountSql)
     ),
     Q(
       "q_line_dedup",

@@ -74,53 +74,99 @@ object EmbedQueries {
       // SemDeDup: deterministic k-means (Ivf.train, seeded picks, fixed
       // rounds) buckets the corpus; within each cluster a vector is
       // DROPPED when a lower-id cluster-mate sits within cosine >= tau.
-      // The kept set is therefore pairwise < tau inside every cluster
-      // (property-tested in EmbedSpec). Per-cluster audit rollup only —
-      // k-means float averaging is partition-order sensitive, so this is
-      // registered rows-only like q_sim_ivf. At scale: the candidate join
-      // is keyed on cluster id, never all-pairs.
+      // k-means float averaging is partition-order sensitive, so the
+      // gated output is the algorithm's defining INVARIANT reduced to a
+      // row: the kept set must be pairwise < tau inside every cluster,
+      // and every vector is assigned exactly once (n_vecs differential).
+      // At scale: the candidate join is keyed on cluster id, never
+      // all-pairs.
       (s, d) => {
         val emb = Tables(s, d, "embeddings")
         // tau = 0.3 matches q_dedup_embed: the synthetic labels are weak
         // cosine clusters, so a production-ish 0.9x threshold drops
         // nothing here — same shape, lower bar.
-        SemDedup.perClusterAudit(SemDedup.dropFlags(s, emb, k = 16, tau = 0.3))
-          .orderBy("cluster")
+        val flags = SemDedup.dropFlags(s, emb, k = 16, tau = 0.3)
+        val kept = flags.filter(!col("dropped"))
+          .join(emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v")), Seq("vec_id"))
+        val a = kept.select(col("cluster"), col("vec_id").as("a_id"), col("v").as("av"))
+        val b = kept.select(col("cluster"), col("vec_id").as("b_id"), col("v").as("bv"))
+        val pairOk = a.join(b, Seq("cluster"))
+          .filter(col("a_id") < col("b_id"))
+          .agg(coalesce(
+            bool_and(Similarity.cosine(col("av"), col("bv")) < 0.3),
+            lit(true)).as("kept_pairwise_lt_tau"))
+        flags.agg(count(lit(1)).as("n_vecs")).crossJoin(pairOk)
       },
-      None
+      Some(
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs, " +
+          "true AS kept_pairwise_lt_tau FROM embeddings")
     ),
     Q(
       "q_pq_encode",
       // Product quantization: 4 subspaces × 16-entry codebooks (PQ4×4bit)
       // over the embedding corpus — each vector compresses to 4 nibbles.
       // Codebook training is the deterministic Ivf k-means per subspace;
-      // encoding is a pure per-row expression. Registered rows-only (the
-      // Lloyd means are float partition-order sensitive, same as
-      // q_sim_ivf); PqSpec pins the exact-reconstruction invariant.
+      // encoding is a pure per-row expression. The Lloyd means are float
+      // partition-order sensitive, so the gated output is the encoding
+      // contract per subspace: every vector encoded (n_vecs is a real
+      // differential), codes in [0, k), at most k codes used, and finite
+      // non-negative reconstruction error. PqSpec pins the
+      // exact-reconstruction invariant on a fixture.
       (s, d) => {
         val emb = Tables(s, d, "embeddings")
-        Pq.audit(Pq.encode(emb, Pq.train(s, emb, m = 4, k = 16)))
+        Pq.encode(emb, Pq.train(s, emb, m = 4, k = 16))
+          .groupBy(col("m"))
+          .agg(
+            count(lit(1)).as("n_vecs"),
+            bool_and(col("code") >= 0 && col("code") < 16).as("codes_in_range"),
+            (countDistinct(col("code")) <= 16).as("codes_le_k"),
+            bool_and(col("err2") >= 0.0 && !isnan(col("err2"))).as("err2_ok"))
+          .orderBy("m")
       },
-      None
+      Some(
+        "SELECT CAST(t.m AS INTEGER) AS m, " +
+          "(SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_vecs, " +
+          "true AS codes_in_range, true AS codes_le_k, true AS err2_ok " +
+          "FROM (VALUES (0), (1), (2), (3)) t(m) ORDER BY m")
     ),
     Q(
       "q_pq_adc",
-      // PQ search via asymmetric distance computation: queries carry
-      // 8×16 distance tables, corpus vectors are matched through their
-      // stored codes alone — top-10 approximate-L2 neighbors for the
-      // first 10 vectors. m=8 (not the encoder demo's 4): the synthetic
-      // embeddings are near-random, so 16-bit codes recall ~0.14 while
-      // 32-bit codes reach ~0.3 (15x over the 0.02 chance floor) —
-      // measured at sf0.01, asserted in EmbedSpec. Rows-only (k-means
-      // float means).
+      // PQ search via asymmetric distance computation + exact re-rank:
+      // queries carry 8×16 distance tables, corpus vectors are matched
+      // through their stored codes alone; the ADC shortlist (64) is then
+      // exactly re-ranked ([[Pq.adcRerankTopK]]) — the FAISS-style
+      // serving shape where the full-corpus pass never touches floats.
+      // k-means float means are partition-order sensitive, so the gated
+      // output is recall@10 vs the in-plan exact L2 top-10, floor 0.5
+      // (EmbedSpec asserts the same floor).
       (s, d) => {
         val emb = Tables(s, d, "embeddings")
-        val books = Pq.train(s, emb, m = 8, k = 16)
+        val queries = emb.filter(col("vec_id") < 10)
+        val books = Pq.train(s, emb, m = 8, k = 16, iters = 6)
         val enc = Pq.encode(emb, books).select(col("vec_id"), col("m"), col("code"))
-        Pq.adcTopK(emb.filter(col("vec_id") < 10), enc, books, k = 10)
-          .orderBy("q_id", "rank")
+        val approx = Pq.adcRerankTopK(queries, enc, books, emb, k = 10, shortlist = 64)
+        // exact L2 top-10 (broadcast × corpus — the deliberate exact side)
+        val v = col("embedding").cast("array<double>")
+        val q = queries.select(col("vec_id").as("q_id"), v.as("qv"))
+        val c = emb.select(col("vec_id").as("n_id"), v.as("cv"))
+        val d2 =
+          Similarity.dot(col("qv"), col("qv")) + Similarity.dot(col("cv"), col("cv")) -
+            lit(2.0) * Similarity.dot(col("qv"), col("cv"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id")).orderBy(col("d2").asc, col("n_id").asc)
+        val exact = broadcast(q).crossJoin(c)
+          .filter(col("q_id") =!= col("n_id"))
+          .select(col("q_id"), col("n_id"), d2.as("d2"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+        SimilarityQueries.recallGate(
+          exact,
+          approx.select(col("q_id"), col("vec_id").as("n_id")),
+          floor = 0.5)
       },
-      None
+      Some(
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS recall_ge_floor " +
+          "FROM embeddings WHERE vec_id < 10")
     )
   )
 }

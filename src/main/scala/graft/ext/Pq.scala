@@ -30,8 +30,11 @@ object Pq {
       (acc, e) => acc + e)
   }
 
-  /** Train M codebooks of k entries each over dim/M-sized subvectors. */
-  def train(spark: SparkSession, corpus: DataFrame, m: Int, k: Int): Seq[Seq[Seq[Double]]] = {
+  /** Train M codebooks of k entries each over dim/M-sized subvectors.
+    * `iters` Lloyd rounds per sub-quantizer (more rounds than the coarse
+    * IVF default: sub-codebook quality directly bounds ADC recall).
+    */
+  def train(spark: SparkSession, corpus: DataFrame, m: Int, k: Int, iters: Int = 3): Seq[Seq[Seq[Double]]] = {
     val dim = corpus
       .select(size(col("embedding")).as("d")).limit(1).collect().head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
@@ -42,7 +45,7 @@ object Pq {
         corpus.select(
           col("vec_id"),
           slice(col("embedding").cast("array<double>"), j * sub + 1, sub).as("embedding")),
-        k)
+        k, iters)
     }
   }
 
@@ -104,6 +107,43 @@ object Pq {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("vec_id"), col("adist2"))
+  }
+
+  /** ADC-shortlist → exact re-rank: the serving-quality upgrade over pure
+    * ADC. Stage 1 runs [[adcTopK]] for a `shortlist` much larger than k —
+    * still codes-only, so the 100 TB corpus scan never touches floats;
+    * stage 2 joins ONLY the shortlisted (q_id, vec_id) pairs back to the
+    * original vectors for an exact L2 re-rank. Cost: the exact pass reads
+    * |queries| × shortlist vectors — independent of corpus size — which is
+    * why FAISS-style deployments always re-rank a PQ shortlist. Exact
+    * distance uses the sequential-fold kernel (graft_dot), so the re-ranked
+    * order is deterministic across partitionings.
+    */
+  def adcRerankTopK(
+      queries: DataFrame,
+      encoded: DataFrame,
+      books: Seq[Seq[Seq[Double]]],
+      corpus: DataFrame,
+      k: Int,
+      shortlist: Int): DataFrame = {
+    val cand = adcTopK(queries, encoded, books, shortlist)
+      .select(col("q_id"), col("vec_id"))
+    val v = col("embedding").cast("array<double>")
+    val q = queries.select(col("vec_id").as("q_id"), v.as("qv"))
+    val c = corpus.select(col("vec_id"), v.as("cv"))
+    // ||q-c||² = q·q + c·c − 2 q·c, all three via the deterministic fold
+    val d2 =
+      Similarity.dot(col("qv"), col("qv")) + Similarity.dot(col("cv"), col("cv")) -
+        lit(2.0) * Similarity.dot(col("qv"), col("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("d2").asc, col("vec_id").asc)
+    cand
+      .join(c, Seq("vec_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"), d2.as("d2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("d2"))
   }
 
   /** Per-subspace audit rollup (small, stable output for the rows-only

@@ -12,6 +12,26 @@ import graft.core.{Agg, Tables}
   */
 object SimilarityQueries {
 
+  /** Reduce an approximate top-k result to its driver-gateable invariant:
+    * overall recall vs the exact top-k (computed in-plan) must clear
+    * `floor`. Output is (n_queries, recall_ge_floor) — n_queries is a real
+    * differential (the oracle derives it from the embeddings table), the
+    * boolean flips when an ANN regression drops recall. Both inputs are
+    * (q_id, rank, n_id, …)-shaped.
+    */
+  def recallGate(exact: org.apache.spark.sql.DataFrame, approx: org.apache.spark.sql.DataFrame,
+                 floor: Double): org.apache.spark.sql.DataFrame = {
+    val e = exact.select(col("q_id"), col("n_id"))
+    val hits = e.join(approx.select(col("q_id"), col("n_id")), Seq("q_id", "n_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    e.agg(countDistinct(col("q_id")).as("n_queries"), count(lit(1)).as("n_exact"))
+      .crossJoin(hits)
+      .select(
+        col("n_queries"),
+        (col("n_hit").cast("double") >= col("n_exact").cast("double") * floor)
+          .as("recall_ge_floor"))
+  }
+
   val queries: Seq[Q] = Seq(
     Q(
       "q_sim_bruteforce",
@@ -36,30 +56,42 @@ object SimilarityQueries {
     Q(
       "q_sim_lsh",
       // Scale path: sign-LSH banding (8 bands × 4 bits, fixed-seed
-      // hyperplanes) → candidates → exact re-score. Recall vs brute force
-      // is property-tested in SimilaritySpec.
+      // hyperplanes) → candidates → exact re-score. The candidate set is
+      // hash-specific, so the gated output is the recall invariant vs the
+      // in-plan exact top-3 (floor 0.5, matching SimilaritySpec) — an LSH
+      // regression flips the boolean and fails the driver gate.
       (s, d) => {
         val emb = Tables(s, d, "embeddings")
-        Similarity
-          .lshTopK(emb.filter(col("vec_id") < 10), emb, 3)
-          .orderBy("q_id", "rank")
+        val q = emb.filter(col("vec_id") < 10)
+        recallGate(
+          Similarity.bruteForceTopK(q, emb, 3),
+          Similarity.lshTopK(q, emb, 3),
+          floor = 0.5)
       },
-      None
+      Some(
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS recall_ge_floor " +
+          "FROM embeddings WHERE vec_id < 10")
     ),
     Q(
       "q_sim_ivf",
       // IVF scale path: deterministic k-means coarse quantizer (k=16,
-      // 3 Lloyd rounds), nprobe=4 probe + exact re-score. Recall vs brute
-      // force property-tested in SimilaritySpec; k-means float averaging
-      // is partition-order sensitive → rows-only here.
+      // 3 Lloyd rounds), nprobe=4 probe + exact re-score. k-means float
+      // averaging is partition-order sensitive, so the gated output is the
+      // recall invariant vs exact top-3 (floor 0.4, matching
+      // SimilaritySpec).
       (s, d) => {
         val emb = Tables(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") < 10)
         val centroids = Ivf.train(s, emb, k = 16)
         val indexed = Ivf.index(emb, centroids)
-        Ivf.topK(emb.filter(col("vec_id") < 10), indexed, centroids, k = 3, nprobe = 4)
-          .orderBy("q_id", "rank")
+        recallGate(
+          Similarity.bruteForceTopK(q, emb, 3),
+          Ivf.topK(q, indexed, centroids, k = 3, nprobe = 4),
+          floor = 0.4)
       },
-      None
+      Some(
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS recall_ge_floor " +
+          "FROM embeddings WHERE vec_id < 10")
     ),
     Q(
       "q_dedup_embed",
@@ -92,20 +124,36 @@ object SimilarityQueries {
     Q(
       "q_centroid_udaf",
       // Typed Aggregator (§2.9 UDAF surface): per-label centroid vector.
-      // Float-sum order varies with partitioning → rows-only check here;
-      // exact values pinned in SimilaritySpec on a tiny fixture. Output is
-      // flattened to scalar (label, pos, centroid_v) rows — the driver's
-      // comparator sorts result columns and can't hash array cells.
+      // Float-sum order varies with partitioning, so the gated output is
+      // the EQUIVALENCE invariant: the UDAF's centroid must match the
+      // declarative expression form (posexplode → per-dim avg) to 1e-9
+      // relative on every (label, dim) cell. n_labels/n_dims are real
+      // differentials vs the oracle; exact values on a tiny fixture are
+      // pinned in SimilaritySpec.
       (s, d) => {
         import s.implicits._
-        Tables(s, d, "embeddings")
+        val emb = Tables(s, d, "embeddings")
+        val viaUdaf = emb
           .groupBy(col("label"))
           .agg(udaf(CentroidAgg).apply(col("embedding")).as("centroid"))
-          .select(col("label"), posexplode(col("centroid")).as(Seq("pos", "centroid_v")))
-          .select(col("label"), col("pos").cast("long").as("pos"), col("centroid_v"))
-          .orderBy("label", "pos")
+          .select(col("label"), posexplode(col("centroid")).as(Seq("pos", "cu")))
+        val viaExpr = emb
+          .select(col("label"), posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+          .groupBy(col("label"), col("pos"))
+          .agg(avg(col("v")).as("ce"))
+        viaUdaf
+          .join(viaExpr, Seq("label", "pos"))
+          .agg(
+            countDistinct(col("label")).as("n_labels"),
+            (max(col("pos")) + 1).cast("long").as("n_dims"),
+            coalesce(
+              bool_and(abs(col("cu") - col("ce")) <= greatest(abs(col("ce")), lit(1.0)) * 1e-9),
+              lit(false)).as("udaf_matches_expr"))
       },
-      None
+      Some(
+        "SELECT CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels, " +
+          "CAST(MAX(len(embedding)) AS BIGINT) AS n_dims, " +
+          "true AS udaf_matches_expr FROM embeddings")
     ),
     Q(
       "q_embed_agg",

@@ -11,9 +11,12 @@ import graft.core.Tables
   * union (q_minhash_union). Sketches are THE 100 TB answer for frequency
   * questions: fixed-size state, associative merges, one pass.
   *
-  * Both are approximate/seeded → rows-only in the gate; error bounds are
-  * asserted in SketchSpec (CMS never underestimates; freqItems finds
-  * every true heavy hitter).
+  * The sketch estimates are seed/parameter-specific, so each registered
+  * query outputs its INVARIANT instead of the raw estimate: the exact side
+  * (a real differential vs the DuckDB oracle) plus the sketch's published
+  * error contract reduced to a boolean. A broken sketch flips the boolean
+  * and fails the driver gate; SketchSpec additionally pins the numeric
+  * bounds.
   */
 object SketchQueries {
 
@@ -28,43 +31,67 @@ object SketchQueries {
       .select(explode(split(col("text"), " ")).as("token"))
       .filter(col("token") =!= "")
     val sketch = tok.stat.countMinSketch("token", eps = 0.001, confidence = 0.99, seed = 42)
-    val probes = tok.select(col("token")).distinct()
+    // exact probe counts: 5 alphabetically-first tokens + the stream total
+    // (both oracle-computable); only 5 probe rows reach the driver.
+    val probes = tok.groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
       .orderBy("token").limit(5)
-      .as[String].collect().toSeq
-    probes.map(t => (t, sketch.estimateCount(t))).toDF("token", "cms_estimate")
+      .as[(String, Long)].collect().toSeq
+    val total = sketch.totalCount
+    probes
+      .map { case (t, exact) =>
+        val est = sketch.estimateCount(t)
+        // CMS one-sided contract: exact <= est <= exact + eps * total
+        (t, exact, est >= exact && est <= exact + (0.001 * total).ceil.toLong)
+      }
+      .toDF("token", "exact_cnt", "cms_within_bound")
       .orderBy("token")
   }
 
   val queries: Seq[Q] = Seq(
     Q(
       "q_countmin",
-      // eps=0.001 → estimate <= true + 0.001 * total (one-sided error);
-      // hash-seed-specific → rows-only, bound proven in SketchSpec.
+      // Gate = exact probe counts (differential) + the one-sided CMS error
+      // contract (eps=0.001 → est ∈ [exact, exact + 0.001·total]).
       (s, d) => countMinEstimates(s, d),
-      None
+      Some(
+        "WITH t2 AS (SELECT token FROM (SELECT unnest(string_split(text, ' ')) AS token " +
+          "FROM documents) WHERE token <> ''), " +
+          "p AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM t2 " +
+          "GROUP BY token ORDER BY token LIMIT 5) " +
+          "SELECT token, exact_cnt, true AS cms_within_bound FROM p ORDER BY token")
     ),
     Q(
       "q_freq_items",
-      // Misra-Gries-style frequent items over the token stream: every
-      // token with frequency above the support threshold is guaranteed
-      // present (false positives possible — the one-sided contract,
-      // asserted in SketchSpec). Output is the deterministic sorted list
-      // size + membership flags for the known corpus heavy hitters.
+      // Misra-Gries-style frequent items over the token stream. The
+      // one-sided contract: every token with true frequency above the
+      // support threshold is guaranteed present (false positives allowed).
+      // Gate = the exact count of heavy tokens at 2× the support level
+      // (margin against the threshold edge; oracle-computable) + "all of
+      // them were surfaced" as a boolean.
       (s, d) => {
-        import s.implicits._
         val tok = Tables(s, d, "documents")
           .select(explode(split(col("text"), " ")).as("token"))
           .filter(col("token") =!= "")
         val found = tok.stat.freqItems(Seq("token"), support = 0.01)
           .select(explode(col("token_freqItems")).as("token"))
-        // reduce to a stable scalar shape: how many of the TRUE top-5
-        // exact heavy hitters the sketch surfaced (must be all 5)
-        val top5 = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
-          .orderBy(col("c").desc, col("token")).limit(5).select(col("token"))
-        top5.join(found, Seq("token"), "left_semi")
-          .agg(count(lit(1)).as("top5_found"))
+          .withColumn("found", lit(true))
+        val total = tok.agg(count(lit(1)).as("n_tok"))
+        val heavy = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
+          .crossJoin(broadcast(total))
+          .filter(col("c").cast("double") > col("n_tok").cast("double") * 0.02)
+        heavy
+          .join(found, Seq("token"), "left")
+          .agg(
+            count(lit(1)).as("n_heavy"),
+            coalesce(bool_and(coalesce(col("found"), lit(false))), lit(true))
+              .as("all_heavy_found"))
       },
-      None
+      Some(
+        "WITH t2 AS (SELECT token FROM (SELECT unnest(string_split(text, ' ')) AS token " +
+          "FROM documents) WHERE token <> '') " +
+          "SELECT CAST(COUNT(*) AS BIGINT) AS n_heavy, true AS all_heavy_found FROM " +
+          "(SELECT token FROM t2 GROUP BY token " +
+          "HAVING COUNT(*) > 0.02 * (SELECT COUNT(*) FROM t2))")
     ),
     Q(
       "q_hll_union",
@@ -74,13 +101,15 @@ object SketchQueries {
       // sketches — no second scan of the data. This is the incremental
       // pattern for 100 TB distinct-count maintenance: per-partition
       // sketches are tiny, associative, and re-aggregable at any
-      // granularity. Insertion-order independent, but the estimate is
-      // sketch-parameterized → rows-only; SketchSpec pins the error
-      // bounds against exact counts.
+      // granularity. Gate = exact distinct counts per source and for the
+      // union (differential) + the lgK=12 error contract (rsd ≈ 1.6%;
+      // gated at 5% ≈ 3σ) as a boolean.
       (s, d) => {
         val tok = Tables(s, d, "documents")
           .select(col("source"), explode(split(col("text"), " ")).as("token"))
           .filter(col("token") =!= "")
+        def estOk = (abs(col("est").cast("double") / col("exact_distinct").cast("double") - 1.0) <= 0.05)
+          .as("est_ok")
         val perSource = tok
           .groupBy(col("source"))
           .agg(
@@ -88,18 +117,27 @@ object SketchQueries {
             countDistinct(col("token")).as("exact_distinct"))
         val rows = perSource.select(
           col("source"),
-          hll_sketch_estimate(col("sk")).as("est_distinct"),
-          col("exact_distinct"))
+          col("exact_distinct"),
+          hll_sketch_estimate(col("sk")).as("est"))
         val merged = perSource
           .agg(hll_union_agg(col("sk"), lit(false)).as("sk"))
           .crossJoin(tok.agg(countDistinct(col("token")).as("exact_distinct")))
           .select(
             lit("__union__").as("source"),
-            hll_sketch_estimate(col("sk")).as("est_distinct"),
-            col("exact_distinct"))
-        rows.unionByName(merged).orderBy("source")
+            col("exact_distinct"),
+            hll_sketch_estimate(col("sk")).as("est"))
+        rows.unionByName(merged)
+          .select(col("source"), col("exact_distinct"), estOk)
+          .orderBy("source")
       },
-      None
+      Some(
+        "WITH tok AS (SELECT source, token FROM (SELECT source, " +
+          "unnest(string_split(text, ' ')) AS token FROM documents) WHERE token <> ''), " +
+          "per AS (SELECT source, CAST(COUNT(DISTINCT token) AS BIGINT) AS exact_distinct, " +
+          "true AS est_ok FROM tok GROUP BY source), " +
+          "u AS (SELECT '__union__' AS source, CAST(COUNT(DISTINCT token) AS BIGINT) AS exact_distinct, " +
+          "true AS est_ok FROM tok) " +
+          "SELECT * FROM per UNION ALL SELECT * FROM u ORDER BY source")
     )
   )
 }

@@ -269,35 +269,63 @@ object TextQueries {
     ),
     Q(
       "q_bpe_train",
-      // Distributed BPE vocabulary induction (ext/Bpe): 6 merge rounds
-      // over the deduplicated word vocabulary, each round = one
-      // pair-count hash-agg + a 1-row driver argmax + a fold-based
-      // symbol rewrite. Deterministic (count desc, pair lexicographic
-      // ties) but the merge loop is not SQL-expressible in one statement
-      // -> rows-only; BpeSpec pins the learned merges against the
-      // hand-computed Sennrich reference on a fixture.
-      (s, d) => Bpe.train(s, Tables(s, d, "documents"), "text", merges = 6),
-      None
+      // Distributed BPE vocabulary induction (ext/Bpe): the merge loop is
+      // not SQL-expressible, so the driver gate runs the trainer on the
+      // PUBLISHED reference corpus — the classic Sennrich et al. 2016
+      // fixture (low×5 lower×2 newest×6 widest×3) — whose 6 merges and
+      // frequency-weighted symbol total are hand-derivable and oracled as
+      // literal VALUES. Ties break (count desc, pair lexicographic):
+      // round 1 (e,s)/(s,t) tie at 9 → "e s"; round 5 (e,w)/(n,e)/
+      // (w,est) tie at 6 → "e w". Corpus-scale training is exercised by
+      // q_bpe_encode (same trainer, sf corpus).
+      (s, d) => {
+        import s.implicits._
+        val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+          Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+        Bpe.train(s, Seq(text).toDF("text"), "text", merges = 6)
+          .orderBy("merge_rank")
+      },
+      Some(
+        "SELECT CAST(merge_rank AS INTEGER) AS merge_rank, \"left\", \"right\", " +
+          "CAST(n AS BIGINT) AS n FROM (VALUES " +
+          "(1, 'e', 's', 9), (2, 'es', 't', 9), (3, 'l', 'o', 7), (4, 'lo', 'w', 7), " +
+          "(5, 'e', 'w', 6), (6, 'ew', 'est', 6), (7, '<total_symbols>', '', 35)" +
+          ") t(merge_rank, \"left\", \"right\", n) ORDER BY merge_rank")
     ),
     Q(
       "q_bpe_encode",
-      // Tokenizer serving path: train 6 merges, then encode the corpus
-      // with them (ext/Bpe.encode — fold once per distinct word, join
-      // occurrences back to the encoded vocab). Merge list depends on the
-      // trainer's loop -> rows-only; BpeSpec pins encode token counts on
-      // the Sennrich fixture AND the corpus-wide invariant that
-      // sum(n_tokens) equals the trainer's <total_symbols> audit row.
+      // Tokenizer serving path at corpus scale: train 6 merges on the sf
+      // corpus, then encode it (ext/Bpe.encode — fold once per distinct
+      // word, join occurrences back to the encoded vocab). The merge list
+      // depends on the trainer's loop, so the gated output is the
+      // conservation invariant: doc and word totals are exact
+      // differentials vs the oracle, the corpus token total must equal
+      // the trainer's <total_symbols> audit (trainer and encoder agree),
+      // and every word yields >= 1 token.
       (s, d) => {
         val docs = Tables(s, d, "documents")
-        val merges = Bpe.train(s, docs, "text", merges = 6)
-          .filter(col("left") =!= "<total_symbols>")
-          .orderBy(col("merge_rank"))
-          .collect()
+        val trained = Bpe.train(s, docs, "text", merges = 6).collect()
+        val merges = trained
+          .filter(_.getAs[String]("left") != "<total_symbols>")
+          .sortBy(_.getAs[Int]("merge_rank"))
           .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
           .toSeq
+        val totalSyms = trained
+          .find(_.getAs[String]("left") == "<total_symbols>")
+          .map(_.getAs[Long]("n"))
+          .getOrElse(-1L)
         Bpe.encode(docs, "text", merges)
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_words")).as("total_words"),
+            (sum(col("n_tokens")) === lit(totalSyms)).as("tokens_eq_train_audit"),
+            bool_and(col("n_tokens") >= col("n_words")).as("tokens_ge_words"))
       },
-      None
+      Some(
+        "WITH w AS (SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x <> '')) AS nw " +
+          "FROM documents) " +
+          "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(nw) AS BIGINT) AS total_words, " +
+          "true AS tokens_eq_train_audit, true AS tokens_ge_words FROM w WHERE nw > 0")
     )
   )
 }

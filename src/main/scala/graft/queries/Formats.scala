@@ -29,7 +29,7 @@ object Formats {
       // Parquet → ORC → aggregate. Timestamps cross the ORC boundary
       // (o_orderdate min/max below) — the type most formats corrupt.
       (s, d) => {
-        val tmp = Files.createTempDirectory("graft_orc").toString
+        val tmp = graft.core.Tmp.dir("graft_orc")
         Tables(s, d, "orders")
           .filter(col("o_totalprice") > 1000.0)
           .write.mode("overwrite").orc(tmp)
@@ -56,7 +56,7 @@ object Formats {
       // schema (no inference pass — at 100 TB schema inference is a full
       // extra scan).
       (s, d) => {
-        val tmp = Files.createTempDirectory("graft_jsonl").toString
+        val tmp = graft.core.Tmp.dir("graft_jsonl")
         Tables(s, d, "part")
           .select(to_json(struct(
             col("p_partkey"), col("p_brand"), col("p_retailprice"), col("p_size"))).as("value"))

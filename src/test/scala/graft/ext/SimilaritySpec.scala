@@ -108,4 +108,19 @@ class SimilaritySpec extends SparkSpec {
     assert(sig() == sig())
     assert(Similarity.hyperplanes(16, 4) == planes, "fixed seed → same planes")
   }
+
+  test("recall gate flips to false when the approx result degrades") {
+    import spark.implicits._
+    // a deliberately-broken ANN result must FAIL the driver gate, not
+    // just a spec — this is the regression-sensitivity proof for the
+    // invariant-query pattern
+    val exact = Seq((1L, 1, 2L), (1L, 2, 3L), (2L, 1, 4L), (2L, 2, 5L))
+      .toDF("q_id", "rank", "n_id")
+    val degraded = Seq((1L, 1, 9L), (1L, 2, 8L), (2L, 1, 7L), (2L, 2, 6L))
+      .toDF("q_id", "rank", "n_id")
+    val good = SimilarityQueries.recallGate(exact, exact, 0.5).collect().head
+    assert(good.getAs[Long]("n_queries") == 2L && good.getAs[Boolean]("recall_ge_floor"))
+    val bad = SimilarityQueries.recallGate(exact, degraded, 0.5).collect().head
+    assert(!bad.getAs[Boolean]("recall_ge_floor"), "gate failed to flip on zero recall")
+  }
 }

@@ -28,7 +28,10 @@ class SketchSpec extends SparkSpec {
 
   test("freqItems surfaces every true heavy hitter above support") {
     val got = graft.Registry.byName("q_freq_items").run(spark, sf()).collect()
-    assert(got.head.getLong(0) == 5L, s"freqItems missed a true top-5 token: $got")
+    assert(got.length == 1)
+    assert(got.head.getAs[Long]("n_heavy") >= 1L, s"no heavy tokens in fixture: ${got.head}")
+    assert(got.head.getAs[Boolean]("all_heavy_found"),
+      s"freqItems missed a >2%-frequency token: ${got.head}")
   }
 
   test("hll sketch columns estimate within the lgK=12 error bound, merged and per-source") {
@@ -39,10 +42,9 @@ class SketchSpec extends SparkSpec {
     assert(rows.length >= 2)
     assert(rows.exists(_.getString(0) == "__union__"))
     rows.foreach { r =>
-      val est = r.getAs[Long]("est_distinct").toDouble
-      val exact = r.getAs[Long]("exact_distinct").toDouble
-      assert(math.abs(est - exact) <= 0.05 * exact + 1.0,
-        s"${r.getString(0)}: HLL estimate $est vs exact $exact")
+      assert(r.getAs[Long]("exact_distinct") > 0L)
+      assert(r.getAs[Boolean]("est_ok"),
+        s"${r.getString(0)}: HLL estimate outside the 5% gate (exact ${r.getAs[Long]("exact_distinct")})")
     }
   }
 
