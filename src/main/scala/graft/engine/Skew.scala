@@ -62,10 +62,23 @@ object Skew {
     * for a later stage).
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String, saltBuckets: Int): DataFrame = {
+    // Salt from a per-row id, NOT a content hash: fully-duplicate rows of a
+    // hot key must still spread across buckets (a content hash sends them
+    // all to one reducer — the exact skew this exists to fix), and hash()
+    // is unsupported on MapType columns. The id is nondeterministic across
+    // task retries, which is SAFE here: the salt only routes a left row to
+    // one right replica — every salt value yields the identical joined row,
+    // so retried tasks produce the same output under any salt. (Contrast
+    // saltedAgg's spreadDuplicates note, where the same argument holds per
+    // partial.) The salt column name is namespaced to avoid clobbering a
+    // user `_salt`.
+    val saltCol = "__graft_salt"
+    require(!left.columns.contains(saltCol) && !right.columns.contains(saltCol),
+      s"input already has a $saltCol column")
     val l = left.withColumn(
-      "_salt", pmod(hash(left.columns.map(col).toIndexedSeq: _*), lit(saltBuckets)))
+      saltCol, pmod(hash(monotonically_increasing_id()), lit(saltBuckets)))
     val r = right.withColumn(
-      "_salt", explode(array((0 until saltBuckets).map(lit): _*)))
-    l.join(r, Seq(key, "_salt")).drop("_salt")
+      saltCol, explode(array((0 until saltBuckets).map(lit): _*)))
+    l.join(r, Seq(key, saltCol)).drop(saltCol)
   }
 }

@@ -174,11 +174,20 @@ object MonitorQueries {
           .select(
             col("event_type"),
             (col("sx").cast("double") / col("n_hours").cast("double")).as("mean_n"),
-            sqrt((col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double") /
-              col("n_hours").cast("double")) / (col("n_hours").cast("double") - 1.0)).as("std_n"))
+            // guard the degenerate series identically to the oracle: a
+            // single-hour type has no sample variance (n_hours−1 = 0 would
+            // be a 0-division → NaN), and a constant series has std 0 —
+            // both must yield NULL z, not NaN/Inf (NaN would also diverge
+            // between engines in the compare)
+            when(col("n_hours") > 1,
+              sqrt((col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double") /
+                col("n_hours").cast("double")) / (col("n_hours").cast("double") - 1.0)))
+              .otherwise(lit(null).cast("double")).as("std_n"))
         hourly
           .join(broadcast(stats), Seq("event_type"))
-          .withColumn("z", (col("n").cast("double") - col("mean_n")) / col("std_n"))
+          .withColumn("z",
+            (col("n").cast("double") - col("mean_n")) /
+              when(col("std_n") === 0.0, lit(null).cast("double")).otherwise(col("std_n")))
           .select(
             col("hour").cast("timestamp_ntz").as("hour"),
             col("event_type"), col("n"), col("z"),
@@ -191,11 +200,12 @@ object MonitorQueries {
           "m AS (SELECT event_type, COUNT(*) AS n_hours, SUM(CAST(n AS HUGEINT)) AS sx, " +
           "SUM(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) AS sxx FROM hourly GROUP BY event_type), " +
           "stats AS (SELECT event_type, CAST(sx AS DOUBLE) / CAST(n_hours AS DOUBLE) AS mean_n, " +
+          "CASE WHEN n_hours > 1 THEN " +
           "sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n_hours AS DOUBLE)) / " +
-          "(CAST(n_hours AS DOUBLE) - 1.0)) AS std_n FROM m) " +
+          "(CAST(n_hours AS DOUBLE) - 1.0)) ELSE NULL END AS std_n FROM m) " +
           "SELECT CAST(hour AS TIMESTAMP) AS hour, hourly.event_type, n, " +
-          "(CAST(n AS DOUBLE) - mean_n) / std_n AS z, " +
-          "abs((CAST(n AS DOUBLE) - mean_n) / std_n) > 2.0 AS flagged " +
+          "(CAST(n AS DOUBLE) - mean_n) / nullif(std_n, 0) AS z, " +
+          "abs((CAST(n AS DOUBLE) - mean_n) / nullif(std_n, 0)) > 2.0 AS flagged " +
           "FROM hourly JOIN stats ON hourly.event_type = stats.event_type ORDER BY 1, 2")
     )
   )

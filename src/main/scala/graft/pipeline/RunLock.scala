@@ -14,6 +14,34 @@ import java.nio.file.{Files, Path, Paths, StandardOpenOption}
   */
 object RunLock {
 
+  /** Test-only interleaving hook, called at the named race points
+    * ("close-moved-aside", "takeover-observed", "takeover-moved-aside")
+    * so specs can force a rival's action INSIDE the otherwise
+    * nanosecond-wide windows. No-op in production.
+    */
+  @volatile private[pipeline] var interleaveHook: (String, Path) => Unit = (_, _) => ()
+
+  /** Leftover repair tombstones under `workRoot` — each records a window
+    * where a repair failed and two runs MAY have overlapped (the loud-log
+    * paths below). Operators/monitors poll this instead of scraping logs:
+    * a non-empty result after a pipeline cycle means the overlap actually
+    * happened and the affected loads should be audited (they are
+    * idempotent truncate-overwrites, so re-running the table is the fix).
+    */
+  def overlapAudit(workRoot: String): Seq[Path] = {
+    val dir = Paths.get(workRoot)
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      val s = Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(p => p.getFileName.toString.startsWith(".graft-run.lock."))
+          .toSeq
+      } finally s.close()
+    }
+  }
+
   /** A held lock; releasing deletes the lock file — but ONLY if the file
     * still carries this holder's unique token. A holder that legitimately
     * outlives the stale TTL and gets usurped must not delete the usurper's
@@ -32,6 +60,7 @@ object RunLock {
         s".graft-run.lock.closing-${ProcessHandle.current().pid()}-${System.nanoTime()}")
       try {
         Files.move(path, tomb)
+        interleaveHook("close-moved-aside", path)
         val content = new String(Files.readAllBytes(tomb), "UTF-8")
         if (content == token) Files.deleteIfExists(tomb)
         else {
@@ -89,6 +118,7 @@ object RunLock {
           if (age > staleAfterMillis) Some(new String(Files.readAllBytes(path), "UTF-8"))
           else None
         } catch { case _: java.io.IOException => None } // holder just released → retry below
+      observed.foreach(_ => interleaveHook("takeover-observed", path))
       observed match {
         case Some(staleContent) =>
           val tombstone = path.resolveSibling(
@@ -96,6 +126,7 @@ object RunLock {
           val wonTakeover =
             try {
               Files.move(path, tombstone)
+              interleaveHook("takeover-moved-aside", path)
               // Verify the victim: if the moved file's content differs from
               // the observed-stale snapshot, the presumed-dead holder
               // released and a FRESH acquirer re-created the lock inside

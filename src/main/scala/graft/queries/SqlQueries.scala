@@ -125,6 +125,48 @@ object SqlQueries {
         "ORDER BY n_name, t.c_acctbal DESC, t.c_name"
     ),
     shared(
+      "q_sql_small_qty_rev",
+      // TPC-H Q17 flavor: correlated scalar AGGREGATE subquery against the
+      // same (outer) table — the classic decorrelation-to-aggregate-join
+      // rewrite both planners must perform. Quantities are integral
+      // doubles, so AVG is exact (integer sum < 2^53 / count, one
+      // division) and the boundary compare is deterministic; revenue uses
+      // the fixed-point sum recipe.
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n_small, " +
+        "CAST(SUM(CAST(ROUND(l_extendedprice * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS revenue " +
+        "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey " +
+        "WHERE p.p_brand = 'Brand#1' AND l.l_quantity < " +
+        "(SELECT CAST(0.5 AS DOUBLE) * AVG(i.l_quantity) FROM lineitem i WHERE i.l_partkey = l.l_partkey)"
+    ),
+    shared(
+      "q_sql_dominant_supplier",
+      // TPC-H Q20 flavor: correlated scalar aggregate inside HAVING inside
+      // an IN subquery — suppliers carrying >15% of any single part's
+      // total shipped quantity. Forces decorrelation of an aggregate
+      // correlated on a GROUP BY column, nested under a semi-join.
+      "SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey IN (" +
+        "SELECT l.l_suppkey FROM lineitem l GROUP BY l.l_suppkey, l.l_partkey " +
+        "HAVING SUM(l.l_quantity) > (SELECT CAST(0.15 AS DOUBLE) * SUM(i.l_quantity) " +
+        "FROM lineitem i WHERE i.l_partkey = l.l_partkey)) " +
+        "ORDER BY s_suppkey"
+    ),
+    shared(
+      "q_sql_last_shipper",
+      // TPC-H Q21 flavor: EXISTS + NOT EXISTS chain, both correlated to
+      // the outer lineitem row — suppliers who shipped the strictly-last
+      // line of a multi-supplier finalized order. Exercises nested
+      // null-aware anti-join decorrelation over the same fact table.
+      "SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait " +
+        "FROM supplier s JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey " +
+        "JOIN orders o ON o.o_orderkey = l1.l_orderkey " +
+        "WHERE o.o_orderstatus = 'F' " +
+        "AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey " +
+        "AND l2.l_suppkey <> l1.l_suppkey) " +
+        "AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey " +
+        "AND l3.l_suppkey <> l1.l_suppkey AND l3.l_shipdate > l1.l_shipdate) " +
+        "GROUP BY s.s_name ORDER BY numwait DESC, s.s_name"
+    ),
+    shared(
       "q_sql_try_cast",
       // Error-tolerant casts — TRY_CAST yields NULL instead of failing on
       // malformed input in BOTH dialects (Spark ANSI mode would otherwise

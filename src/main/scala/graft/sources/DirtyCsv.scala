@@ -43,18 +43,47 @@ object DirtyCsv {
     * Empty fields become NULL under the nullable schema, matching the
     * reference's load semantics (headerless + explicit schema,
     * app/bq-importer/main.py:26-28).
+    *
+    * `multiLine = true` handles quoted fields carrying EMBEDDED NEWLINES
+    * (MySQL text columns can export them) — a case the reference's
+    * line-streamed cleaner (app/csv-cleaner/main.py:23-27) silently
+    * corrupts, since its per-line rewrite cannot see record boundaries.
+    * The multiLine path repairs each file as a whole (`wholetext` — the
+    * `"N` markers never span a line, so the same replaces apply with a
+    * (?m) end-of-line anchor) and parses with Spark's multiLine csv
+    * reader. Scale note: multiLine csv is per-file, not per-split
+    * (records can cross split boundaries), so throughput is bounded by
+    * file count — keep the default line-streamed path unless embedded
+    * newlines actually occur, and chunk exports into many files when
+    * they do.
     */
-  def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
-    val raw = spark.read.text(path)
-    val repaired = raw.select(repairColumnExpr(col("value")).as("line"))
-    val parsed = repaired.select(
-      from_csv(
-        col("line"),
-        schema,
-        Map("nullValue" -> "", "emptyValue" -> "")
-      ).as("r")
-    )
-    parsed.select(schema.fieldNames.map(f => col(s"r.`$f`").as(f)).toIndexedSeq: _*)
+  def read(spark: SparkSession, path: String, schema: StructType,
+           multiLine: Boolean = false): DataFrame = {
+    if (multiLine) {
+      val tmp = graft.core.Tmp.dir("graft_dirtycsv")
+      spark.read.option("wholetext", "true").text(path)
+        .select(
+          regexp_replace(regexp_replace(col("value"), "\"N,", ","), "(?m),\"N$", ",")
+            .as("value"))
+        .write.mode("overwrite").text(tmp)
+      spark.read
+        .options(Map(
+          "multiLine" -> "true", "nullValue" -> "", "emptyValue" -> "",
+          "quote" -> "\"", "escape" -> "\"")) // wire doubles quotes, not backslash-escapes
+        .schema(schema)
+        .csv(tmp)
+    } else {
+      val raw = spark.read.text(path)
+      val repaired = raw.select(repairColumnExpr(col("value")).as("line"))
+      val parsed = repaired.select(
+        from_csv(
+          col("line"),
+          schema,
+          Map("nullValue" -> "", "emptyValue" -> "")
+        ).as("r")
+      )
+      parsed.select(schema.fieldNames.map(f => col(s"r.`$f`").as(f)).toIndexedSeq: _*)
+    }
   }
 
   /** Repair a dirty CSV to a clean CSV directory (the cleaner stage's data

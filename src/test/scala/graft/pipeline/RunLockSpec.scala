@@ -76,5 +76,64 @@ class RunLockSpec extends SparkSpec {
     // no stray closing tombstones left behind on either path
     val strays = Files.list(java.nio.file.Paths.get(root)).toArray.map(_.toString)
     assert(!strays.exists(_.contains(".graft-run.lock")))
+    assert(RunLock.overlapAudit(root).isEmpty)
+  }
+
+  test("forced interleaving: rival create inside close()'s move-back window leaves an audit tombstone") {
+    val root = tmpRoot
+    val held = RunLock.tryAcquire(root).get
+    Files.setLastModifiedTime(
+      held.path,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 100000))
+    val usurper = RunLock.tryAcquire(root, staleAfterMillis = 60000)
+    assert(usurper.isDefined)
+    // force a rival's CREATE_NEW exactly between close()'s move-aside and
+    // its move-back — the nanosecond window a wall-clock test can't hit
+    try {
+      RunLock.interleaveHook = (stage, path) =>
+        if (stage == "close-moved-aside")
+          Files.write(path, "rival\n".getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE_NEW)
+      held.close()
+    } finally RunLock.interleaveHook = (_, _) => ()
+    // the rival's fresh lock must be intact (not deleted, not overwritten)
+    assert(new String(Files.readAllBytes(held.path), "UTF-8") == "rival\n")
+    // and the failed repair is OBSERVABLE: the usurper's lock content is
+    // preserved in a tombstone surfaced by overlapAudit
+    val audit = RunLock.overlapAudit(root)
+    assert(audit.nonEmpty, "failed move-back left no audit tombstone")
+    assert(audit.exists(p => new String(Files.readAllBytes(p), "UTF-8").contains("pid=")))
+  }
+
+  test("forced interleaving: takeover that stole a live lock stands down and leaves an audit tombstone") {
+    val root = tmpRoot
+    val held = RunLock.tryAcquire(root).get
+    Files.setLastModifiedTime(
+      held.path,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 100000))
+    // stage 1 (after the stale snapshot): the presumed-dead holder
+    // releases and a FRESH acquirer re-creates the lock;
+    // stage 2 (after the takeover's move-aside): yet another rival
+    // re-creates the path, so the repair move-back must fail
+    try {
+      RunLock.interleaveHook = (stage, path) => stage match {
+        case "takeover-observed" =>
+          Files.delete(path)
+          Files.write(path, "fresh-holder\n".getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE_NEW)
+        case "takeover-moved-aside" =>
+          Files.write(path, "rival\n".getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE_NEW)
+        case _ => ()
+      }
+      // the takeover must detect the live steal (content mismatch) and
+      // yield — never become a second holder
+      assert(RunLock.tryAcquire(root, staleAfterMillis = 60000).isEmpty)
+    } finally RunLock.interleaveHook = (_, _) => ()
+    // rival's lock intact, stolen live lock preserved for audit
+    assert(new String(Files.readAllBytes(held.path), "UTF-8") == "rival\n")
+    val audit = RunLock.overlapAudit(root)
+    assert(audit.nonEmpty, "failed takeover repair left no audit tombstone")
+    assert(audit.exists(p => new String(Files.readAllBytes(p), "UTF-8") == "fresh-holder\n"))
   }
 }
