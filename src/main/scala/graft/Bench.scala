@@ -38,12 +38,48 @@ import java.nio.file.{Files, Paths}
   * a contended box can't stretch the bench unboundedly). Rescue samples
   * append to "queries_all", so per-query sample counts may exceed
   * "samples"; "rescue_passes" records how many ran.
+  *
+  * Split-layout tier (v5): the driver fixture stores each table as ONE
+  * parquet row group, so every main-tier scan is a single task and the
+  * timings are fixed-floor dominated — measured ~13× below the same
+  * plan's throughput on a splittable layout (PLANS.md). The bench
+  * therefore rewrites every table as a 32-file layout (identical rows)
+  * and re-times the headliners over it: "queries_split" (min of 2
+  * interleaved passes), "total_split", and "mrows_per_sec_split" =
+  * primary-input Mrows/s per headline — the number comparable to a
+  * multi-split deployment. Probes continue to interleave, appending to
+  * the same probe arrays.
+  *
+  * PROTOCOL VERSIONING: "protocol" names the sampling scheme
+  * ("interleaved-passes-v5"); totals are comparable ONLY within the same
+  * protocol string — v4 added rescue passes (which lower exactly the mins
+  * that dominate "total") and v5 re-defined q_dedup_minhash as its
+  * recall-gate form, so cross-version deltas partially reflect protocol,
+  * not engine, changes.
   */
 object Bench {
   private val Samples = 3
   private val RescueTop = 5
   private val MaxRescuePasses = 2
   private val RescueWallCapSec = 720.0
+  private val SplitPasses = 2
+  private val SplitFiles = 32
+
+  /** Primary scanned table per headline — the denominator input for the
+    * split tier's Mrows/s (the table whose rows the query must read end
+    * to end; dims joined on the side don't count).
+    */
+  private val primaryTable: Map[String, String] = Map(
+    "q_filter_conj" -> "lineitem", "q_join_star" -> "lineitem",
+    "q_agg_pricing" -> "lineitem", "q_stats_moments" -> "lineitem",
+    "q_sql_shipping" -> "lineitem",
+    "q_window_lag" -> "orders", "q_topk" -> "orders", "q_sql_window" -> "orders",
+    "q_session_window" -> "events", "q_asof_join" -> "events",
+    "q_window_range" -> "events", "q_funnel" -> "events", "q_user_history" -> "events",
+    "q_text_stats" -> "documents", "q_ngram_freq" -> "documents",
+    "q_dedup_exact" -> "documents", "q_dedup_minhash" -> "documents",
+    "q_line_dedup" -> "documents", "q_unigram_score" -> "documents",
+    "q_sim_bruteforce" -> "embeddings", "q_quantize_embed" -> "embeddings")
 
   /** Fixed-work mixing loop (SplitMix64 finalizer flavour): ~100ms of
     * pure register arithmetic on a quiet core, no allocation, no memory
@@ -156,6 +192,54 @@ object Bench {
 
     val times = samples.map { case (k, v) => k -> v.min }
 
+    // ---- split-layout tier (v5) ----
+    val splitSamples = scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
+    val splitRows = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val splitSetup: Option[String] =
+      try {
+        val dir = graft.core.Tmp.dir("graft_bench_split")
+        graft.core.Tables.all.foreach { t =>
+          spark.read.parquet(s"$sfDir/$t.parquet")
+            .repartition(SplitFiles)
+            .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+        }
+        graft.core.Tables.all.foreach { t =>
+          splitRows(t) = spark.read.parquet(s"$dir/$t.parquet").count()
+        }
+        Some(dir)
+      } catch {
+        case e: Throwable =>
+          errors("__split_setup__") =
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          None
+      }
+    splitSetup.foreach { dir =>
+      var sp = 0
+      while (sp < SplitPasses) {
+        p1 += probe1()
+        p32 += probe32()
+        targets.foreach { q =>
+          if (!errors.contains(s"split:${q.name}")) {
+            val t0 = System.nanoTime()
+            try {
+              q.run(spark, dir).write.format("noop").mode("overwrite").save()
+              splitSamples(q.name) =
+                splitSamples.getOrElse(q.name, Nil) :+ (System.nanoTime() - t0) / 1e9
+            } catch {
+              case e: Throwable =>
+                errors(s"split:${q.name}") =
+                  Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+            }
+          }
+        }
+        sp += 1
+      }
+    }
+    val splitTimes = splitSamples.map { case (k, v) => k -> v.min }
+    val splitMrows = splitTimes.flatMap { case (k, t) =>
+      primaryTable.get(k).flatMap(splitRows.get).map(rows => k -> rows / 1e6 / t)
+    }
+
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -168,10 +252,18 @@ object Bench {
     val qsAll = samples.map { case (k, v) => s"${jstr(k)}:${arr(v)}" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = times.values.sum
+    val sq = splitTimes.map { case (k, v) => s"${jstr(k)}:${num(v)}" }.mkString("{", ",", "}")
+    val sqAll = splitSamples.map { case (k, v) => s"${jstr(k)}:${arr(v)}" }.mkString("{", ",", "}")
+    val sMrows = splitMrows.map { case (k, v) => s"${jstr(k)}:${num(v)}" }.mkString("{", ",", "}")
+    val splitTotal = splitTimes.values.sum
     val line =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","samples":$Samples,"rescue_passes":$rescuePasses,""" +
-        s""""protocol":"interleaved-passes","probe1_sec":${arr(p1.toSeq)},"probe32_sec":${arr(p32.toSeq)},""" +
-        s""""queries":$qs,"queries_all":$qsAll,"errors":$errs,"sf":${jstr(sfDir)}}"""
+        s""""protocol":"interleaved-passes-v5","note":"queries/errors keysets may overlap (timed-then-errored); totals comparable only within one protocol string",""" +
+        s""""probe1_sec":${arr(p1.toSeq)},"probe32_sec":${arr(p32.toSeq)},""" +
+        s""""queries":$qs,"queries_all":$qsAll,""" +
+        s""""split_files":$SplitFiles,"split_passes":$SplitPasses,"total_split":${num(splitTotal)},""" +
+        s""""queries_split":$sq,"queries_split_all":$sqAll,"mrows_per_sec_split":$sMrows,""" +
+        s""""errors":$errs,"sf":${jstr(sfDir)}}"""
     println(line)
     Files.writeString(Paths.get("BENCH_LOCAL.json"), line + "\n")
     spark.stop()

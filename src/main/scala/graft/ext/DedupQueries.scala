@@ -20,13 +20,28 @@ object DedupQueries {
     * side O(bucket²), not O(docs²).
     */
   private def truthPairs(s: SparkSession, d: String): DataFrame = {
-    val blocked = Tables(s, d, "documents")
-      .select(col("doc_id"), col("text"), substring(col("text"), 1, 30).as("blk"))
-    val a = blocked.select(col("doc_id").as("a_id"), col("blk"), col("text").as("a_text"))
-    val b = blocked.select(col("doc_id").as("b_id"), col("blk"), col("text").as("b_text"))
+    // grams materialize per DOC before the join (ngramJaccardExpr inline
+    // would rebuild both gram arrays per candidate pair — 4× the array
+    // construction for the same answer); the thin (id, text) rows are
+    // hash-spread BEFORE the O(len²) array_distinct so the gram build uses
+    // every core instead of the fixture's single row-group task — same
+    // remediation as minhashSignatures
+    val docs = Tables(s, d, "documents")
+    val spread = docs.repartition(
+      docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+    val blocked = spread
+      .select(
+        col("doc_id"),
+        substring(col("text"), 1, 30).as("blk"),
+        expr("array_distinct(transform(sequence(1, greatest(1, length(text) - 2)), " +
+          "i -> substring(text, i, 3)))").as("grams"))
+    val a = blocked.select(col("doc_id").as("a_id"), col("blk"), col("grams").as("a_g"))
+    val b = blocked.select(col("doc_id").as("b_id"), col("blk"), col("grams").as("b_g"))
     a.join(b, Seq("blk"))
       .filter(col("a_id") < col("b_id"))
-      .filter(Dedup.ngramJaccardExpr(3, "a_text", "b_text") >= 0.6)
+      .filter(
+        size(array_intersect(col("a_g"), col("b_g"))).cast("double") /
+          size(array_union(col("a_g"), col("b_g"))) >= 0.6)
       .select(col("a_id"), col("b_id"))
   }
 
@@ -44,17 +59,21 @@ object DedupQueries {
     * the exact pair count differentially checked vs DuckDB, the recall of
     * `found` over the truth set gated at `floor`.
     */
-  private def pairRecallGate(truth: DataFrame, found: DataFrame, floor: Double): DataFrame = {
-    val hits = truth
-      .join(found.select(col("a_id"), col("b_id")), Seq("a_id", "b_id"), "left_semi")
-      .agg(count(lit(1)).as("n_hit"))
-    truth.agg(count(lit(1)).as("n_true_pairs"))
-      .crossJoin(hits)
+  private def pairRecallGate(truth: DataFrame, found: DataFrame, floor: Double): DataFrame =
+    // single pass over the (expensive) truth set: left-join the candidate
+    // pairs and count total + hits in ONE aggregate — a semi-join +
+    // separate count would evaluate the truth subtree twice
+    truth
+      .join(
+        found.select(col("a_id"), col("b_id")).withColumn("__hit", lit(true)),
+        Seq("a_id", "b_id"), "left")
+      .agg(
+        count(lit(1)).as("n_true_pairs"),
+        coalesce(sum(col("__hit").cast("long")), lit(0L)).as("n_hit"))
       .select(
         col("n_true_pairs"),
         (col("n_hit").cast("double") >= col("n_true_pairs").cast("double") * floor)
           .as("recall_ge_floor"))
-  }
 
   val queries: Seq[Q] = Seq(
     Q(

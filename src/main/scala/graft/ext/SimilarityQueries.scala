@@ -20,17 +20,22 @@ object SimilarityQueries {
     * (q_id, rank, n_id, …)-shaped.
     */
   def recallGate(exact: org.apache.spark.sql.DataFrame, approx: org.apache.spark.sql.DataFrame,
-                 floor: Double): org.apache.spark.sql.DataFrame = {
-    val e = exact.select(col("q_id"), col("n_id"))
-    val hits = e.join(approx.select(col("q_id"), col("n_id")), Seq("q_id", "n_id"), "left_semi")
-      .agg(count(lit(1)).as("n_hit"))
-    e.agg(countDistinct(col("q_id")).as("n_queries"), count(lit(1)).as("n_exact"))
-      .crossJoin(hits)
+                 floor: Double): org.apache.spark.sql.DataFrame =
+    // single pass over the (expensive) exact side: left-join the approx
+    // top-k (distinct (q_id, n_id) by construction) and fold totals + hits
+    // into one aggregate, so the exact subtree is evaluated once
+    exact.select(col("q_id"), col("n_id"))
+      .join(
+        approx.select(col("q_id"), col("n_id")).withColumn("__hit", lit(true)),
+        Seq("q_id", "n_id"), "left")
+      .agg(
+        countDistinct(col("q_id")).as("n_queries"),
+        count(lit(1)).as("n_exact"),
+        coalesce(sum(col("__hit").cast("long")), lit(0L)).as("n_hit"))
       .select(
         col("n_queries"),
         (col("n_hit").cast("double") >= col("n_exact").cast("double") * floor)
           .as("recall_ge_floor"))
-  }
 
   val queries: Seq[Q] = Seq(
     Q(

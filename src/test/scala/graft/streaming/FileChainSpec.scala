@@ -208,4 +208,42 @@ class FileChainSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 1)
     assert(spark.read.parquet(dlq).count() == 2)
   }
+
+  test("crash recovery: a run killed mid-batch resumes to exactly the single-run state") {
+    import org.apache.spark.sql.functions._
+    // Kill the run BETWEEN validateStage's two writes: the good-rows write
+    // lands, then the quarantine write crashes (its target path is
+    // pre-created as a plain FILE, so the parquet mkdir throws). The
+    // checkpoint never commits the batch, so the resumed run must REPLAY
+    // it — the batch-id-keyed overwrite makes the replay idempotent and
+    // the final state identical to a never-crashed run.
+    val root = Files.createTempDirectory("crash").toString
+    val in = s"$root/in"; val out = s"$root/out"; val dlq = s"$root/dlq"
+    Files.createDirectories(Paths.get(in))
+    Files.writeString(Paths.get(s"$in/r.csv"),
+      "\"1\",\"alice\"\n\"2\",\"\"\n\"3\",\"bob\"\n\"4\",\"\"")
+    val valid = col("name").isNotNull && col("name") =!= ""
+    val reason = lit("empty_name")
+    Files.writeString(Paths.get(dlq), "not a directory") // the crash plant
+    intercept[Exception] {
+      FileChain.validateStage(spark, in, schema, valid, reason, out, dlq, s"$root/ck")
+    }
+    // mid-batch wreckage: good rows already written, batch uncommitted
+    assert(spark.read.parquet(out).count() == 2)
+    // operator fixes the fault and resumes with the SAME checkpoint
+    Files.delete(Paths.get(dlq))
+    FileChain.validateStage(spark, in, schema, valid, reason, out, dlq, s"$root/ck")
+    // exactly-once: the replayed batch overwrote its own partial output
+    val okNames = spark.read.parquet(out).collect().map(_.getString(1)).sorted.toSeq
+    assert(okNames == Seq("alice", "bob"), s"good side after recovery: $okNames")
+    assert(spark.read.parquet(dlq).count() == 2)
+    // and equals a never-crashed single run on the same input
+    val out2 = s"$root/out2"; val dlq2 = s"$root/dlq2"
+    FileChain.validateStage(spark, in, schema, valid, reason, out2, dlq2, s"$root/ck_fresh")
+    assert(spark.read.parquet(out2).collect().map(_.getString(1)).sorted.toSeq == okNames)
+    assert(spark.read.parquet(dlq2).count() == 2)
+    // a further resume with nothing new changes nothing
+    FileChain.validateStage(spark, in, schema, valid, reason, out, dlq, s"$root/ck")
+    assert(spark.read.parquet(out).count() == 2 && spark.read.parquet(dlq).count() == 2)
+  }
 }
