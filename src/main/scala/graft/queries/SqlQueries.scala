@@ -167,6 +167,45 @@ object SqlQueries {
         "GROUP BY s.s_name ORDER BY numwait DESC, s.s_name"
     ),
     shared(
+      "q_sql_not_in",
+      // NOT IN subquery — the null-aware anti-join: semantically distinct
+      // from NOT EXISTS when the subquery can yield NULL, so the planner
+      // must emit a null-aware (not plain) anti join. o_custkey is
+      // non-null here; the shape still forces the null-aware plan.
+      "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN (" +
+        "SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0) " +
+        "ORDER BY c_custkey"
+    ),
+    shared(
+      "q_sql_scalar_select",
+      // correlated scalar subqueries in the SELECT list (two of them,
+      // different tables) — decorrelates to two aggregate left joins.
+      "SELECT n_name, " +
+        "CAST((SELECT COUNT(*) FROM customer WHERE c_nationkey = n_nationkey) AS BIGINT) AS n_cust, " +
+        "CAST((SELECT COUNT(*) FROM supplier WHERE s_nationkey = n_nationkey) AS BIGINT) AS n_supp " +
+        "FROM nation ORDER BY n_name"
+    ),
+    shared(
+      "q_sql_having_global",
+      // uncorrelated scalar subquery inside HAVING: groups above a tenth
+      // of the global row count — one broadcast scalar against the
+      // aggregate, in identical text.
+      "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n FROM orders " +
+        "GROUP BY o_orderpriority " +
+        "HAVING COUNT(*) > (SELECT COUNT(*) FROM orders) / 10.0 " +
+        "ORDER BY o_orderpriority"
+    ),
+    shared(
+      "q_sql_recursive",
+      // WITH RECURSIVE in shared dialect (Spark 4 + DuckDB): generate the
+      // 1..50 quantity domain recursively and profile lineitem against it
+      // — the recursive-union plan both engines must fixed-point.
+      "WITH RECURSIVE q(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM q WHERE n < 50) " +
+        "SELECT n, CAST(COUNT(l_orderkey) AS BIGINT) AS cnt " +
+        "FROM q LEFT JOIN lineitem ON l_quantity = CAST(n AS DOUBLE) " +
+        "GROUP BY n ORDER BY n"
+    ),
+    shared(
       "q_sql_try_cast",
       // Error-tolerant casts — TRY_CAST yields NULL instead of failing on
       // malformed input in BOTH dialects (Spark ANSI mode would otherwise

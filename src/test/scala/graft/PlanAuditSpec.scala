@@ -129,4 +129,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
     assert(p.contains("_salt"), "salt column vanished from the join plan")
   }
+
+  test("recall gates never plan an unbroadcast cartesian product") {
+    // The gate queries combine an approximate path with an in-plan exact
+    // side. The exact sides deliberately use broadcast nested-loop joins
+    // (tiny query set × corpus — NOT a serving path); what must never
+    // appear is an UNBROADCAST cartesian, which would mean a candidate
+    // stage degenerated to all-pairs.
+    Seq("q_dedup_minhash", "q_dedup_simhash", "q_sim_lsh", "q_sim_ivf", "q_pq_adc")
+      .foreach { n =>
+        val p = planString(Registry.byName(n).run(spark, sf()))
+        assert(!p.contains("CartesianProduct"),
+          s"$n degenerated to an unbroadcast cartesian product")
+      }
+  }
+
+  test("minhash recall gate: both the LSH side and the truth side join on bounded keys") {
+    val p = planString(Registry.byName("q_dedup_minhash").run(spark, sf()))
+    // candidate generation joins on (band_idx, band_hash); the truth side
+    // on the 30-char prefix block — every join in this gate is an equi
+    // join, so no nested-loop join of any kind should survive planning
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "minhash gate planned a nested-loop join")
+    assert(p.contains("band_hash"), "LSH band key vanished from the join plan")
+  }
 }
