@@ -87,6 +87,24 @@ object Stress {
     val mh1Path = s"$out/documents1.parquet"
     val mh32Path = s"$out/documents32.parquet"
 
+    // Round-7 gate truth side under the same duplicated-corpus worst case:
+    // identical texts share identical 30-char prefix blocks, so the
+    // blocked exact-Jaccard pair stage is quadratic in the duplication
+    // factor — and the remediation is identical to the LSH one (exact
+    // dedup first).
+    def truthGate(path: String): Double = time {
+      ext.DedupQueries.truthPairsOf(spark.read.parquet(path).select("doc_id", "text"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    def truthGateDedupFirst(path: String): Double = time {
+      val uniq = spark.read.parquet(path)
+        .groupBy(xxhash64(col("text")).as("th"))
+        .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
+        .drop("th")
+      ext.DedupQueries.truthPairsOf(uniq)
+        .write.format("noop").mode("overwrite").save()
+    }
+
     // Z-order data-skipping probe: the SAME replicated lineitem written
     // (a) hash-spread (no clustering) and (b) range-partitioned + sorted
     // by graft_zorder(l_partkey, l_suppkey). A 2-dim box filter then
@@ -146,6 +164,10 @@ object Stress {
     val mh1 = Seq(minhash(mh1Path), minhash(mh1Path)).min
     val mh32 = Seq(minhash(mh32Path), minhash(mh32Path)).min
     val mhDedup = Seq(minhashDedupFirst(mh32Path), minhashDedupFirst(mh32Path)).min
+    truthGate(mhBasePath)
+    val tgBase = Seq(truthGate(mhBasePath), truthGate(mhBasePath)).min
+    val tgBig = Seq(truthGate(mh32Path), truthGate(mh32Path)).min
+    val tgDedup = Seq(truthGateDedupFirst(mh32Path), truthGateDedupFirst(mh32Path)).min
     val (zNoT, zNoScan, zNoRes) = boxProbe(s"$out/lineitem_nocluster.parquet")
     val (zT, zScan, zRes) = boxProbe(s"$out/lineitem_zorder.parquet")
     require(zNoRes == zRes, s"z-order layout changed the box-filter result: $zNoRes vs $zRes")
@@ -160,6 +182,8 @@ object Stress {
         s""""docs_big":$nDocsBig,"minhash_base_sec":${num(mhBase)},""" +
         s""""minhash_big_1file_sec":${num(mh1)},"minhash_big_32file_sec":${num(mh32)},""" +
         s""""minhash_big_dedupfirst_sec":${num(mhDedup)},""" +
+        s""""truth_base_sec":${num(tgBase)},"truth_big_32file_sec":${num(tgBig)},""" +
+        s""""truth_big_dedupfirst_sec":${num(tgDedup)},""" +
         s""""zorder_box_matches":$zRes,"zorder_scan_rows_nocluster":$zNoScan,""" +
         s""""zorder_scan_rows_zorder":$zScan,"zorder_box_sec_nocluster":${num(zNoT)},""" +
         s""""zorder_box_sec_zorder":${num(zT)}}""")

@@ -19,14 +19,27 @@ object DedupQueries {
     * oracle-computable in DuckDB list algebra). Blocking keeps the exact
     * side O(bucket²), not O(docs²).
     */
-  private def truthPairs(s: SparkSession, d: String): DataFrame = {
+  private def truthPairs(s: SparkSession, d: String): DataFrame =
+    truthPairsOf(Tables(s, d, "documents"))
+
+  /** Blocked exact-Jaccard pair set over an arbitrary (doc_id, text)
+    * frame — exposed for [[graft.Stress]]'s duplicated-corpus worst-case
+    * measurement. SCALE HAZARD (same class as the LSH bucket blowup
+    * measured in round 6): identical duplicated texts share identical
+    * prefix blocks, so per-bucket pair work grows quadratically in the
+    * duplication factor. The pipeline-ordering remediation is the same —
+    * exact-dedup (hash groupBy, keep one representative) BEFORE any
+    * near-dup truth/candidate stage; measured in Stress as
+    * truth_big_dedupfirst_sec.
+    */
+  private[graft] def truthPairsOf(docsIn: DataFrame): DataFrame = {
     // grams materialize per DOC before the join (ngramJaccardExpr inline
     // would rebuild both gram arrays per candidate pair — 4× the array
     // construction for the same answer); the thin (id, text) rows are
     // hash-spread BEFORE the O(len²) array_distinct so the gram build uses
     // every core instead of the fixture's single row-group task — same
     // remediation as minhashSignatures
-    val docs = Tables(s, d, "documents")
+    val docs = docsIn
     val spread = docs.repartition(
       docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
     val blocked = spread

@@ -35,9 +35,12 @@ class RegistrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("most queries carry a DuckDB oracle (differential gate coverage)") {
-    val withOracle = Registry.all.count(_.oracle.isDefined)
-    assert(withOracle.toDouble / Registry.all.size >= 0.75,
-      s"$withOracle/${Registry.all.size} oracles")
+  test("EVERY query carries a DuckDB oracle (differential gate coverage is total)") {
+    // Round 7 eliminated the rows-only class: hash-seed / float-order
+    // specific operators register invariant-shaped outputs with literal
+    // or exact-side oracles instead of opting out. A new query without an
+    // oracle is a gate regression — make it an invariant query.
+    val missing = Registry.all.filter(_.oracle.isEmpty).map(_.name)
+    assert(missing.isEmpty, s"queries without oracle: ${missing.mkString(", ")}")
   }
 }
