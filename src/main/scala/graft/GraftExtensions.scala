@@ -42,5 +42,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Opt-in COUNT(DISTINCT) → HLL++ rewrite; no-op unless the session
     // sets graft.approx.distinct=true (see ApproxDistinctRewrite).
     ext.injectOptimizerRule(_ => graft.engine.ApproxDistinctRewrite)
+    // Custom whole-operator plan (§2.9 tier c): per-key top-k via bounded
+    // heaps. The strategy only fires on the TopKPerKey node; the opt-in
+    // rewrite (graft.topk.rewrite=true) turns the row_number()<=K window
+    // pattern into that node.
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

@@ -20,6 +20,7 @@ object Registry {
       graft.queries.Formats.queries ++
       graft.queries.Graph.queries ++
       graft.queries.Audits.queries ++
+      graft.queries.TopKQueries.queries ++
       graft.ext.TextQueries.queries ++
       graft.ext.DedupQueries.queries ++
       graft.ext.SimilarityQueries.queries ++

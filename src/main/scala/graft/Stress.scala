@@ -105,6 +105,35 @@ object Stress {
         .write.format("noop").mode("overwrite").save()
     }
 
+    // Custom top-k operator vs the Window row_number form at 9.6M rows:
+    // same semantics, same input — Window shuffles every row then fully
+    // sorts each key; TopKPerKey's map-side partial caps the shuffle at
+    // k rows per key per mapper and replaces the sort with bounded heaps.
+    def topkChild(dir: String, keyName: String) =
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col(keyName), col("l_orderkey"), col("l_extendedprice"))
+    def topkWindow(dir: String, keyName: String): Double = time {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(keyName))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"))
+      topkChild(dir, keyName)
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("rn") <= 3)
+        .write.format("noop").mode("overwrite").save()
+    }
+    def topkCustom(dir: String, keyName: String): Double = time {
+      import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+      val child = topkChild(dir, keyName).queryExecution.analyzed
+      val key = child.output.find(_.name == keyName).get
+      val price = child.output.find(_.name == "l_extendedprice").get
+      val ok = child.output.find(_.name == "l_orderkey").get
+      org.apache.spark.sql.GraftShim
+        .ofRows(spark, graft.plans.TopKPerKey(
+          Seq(key), Seq(SortOrder(price, Descending), SortOrder(ok, Ascending)),
+          3, graft.plans.TopKPerKey.rankAttribute(), child))
+        .write.format("noop").mode("overwrite").save()
+    }
+
     // Z-order data-skipping probe: the SAME replicated lineitem written
     // (a) hash-spread (no clustering) and (b) range-partitioned + sorted
     // by graft_zorder(l_partkey, l_suppkey). A 2-dim box filter then
@@ -168,6 +197,14 @@ object Stress {
     val tgBase = Seq(truthGate(mhBasePath), truthGate(mhBasePath)).min
     val tgBig = Seq(truthGate(mh32Path), truthGate(mh32Path)).min
     val tgDedup = Seq(truthGateDedupFirst(mh32Path), truthGateDedupFirst(mh32Path)).min
+    // many small keys (~20k parts × ~480 rows) AND few hot keys
+    // (3 returnflags × 3.2M rows — the sort-dominated worst case)
+    topkWindow(out, "l_partkey"); topkCustom(out, "l_partkey") // warm both forms
+    val tkWin = Seq(topkWindow(out, "l_partkey"), topkWindow(out, "l_partkey")).min
+    val tkCustom = Seq(topkCustom(out, "l_partkey"), topkCustom(out, "l_partkey")).min
+    topkWindow(out, "l_returnflag"); topkCustom(out, "l_returnflag")
+    val tkWinHot = Seq(topkWindow(out, "l_returnflag"), topkWindow(out, "l_returnflag")).min
+    val tkCustomHot = Seq(topkCustom(out, "l_returnflag"), topkCustom(out, "l_returnflag")).min
     val (zNoT, zNoScan, zNoRes) = boxProbe(s"$out/lineitem_nocluster.parquet")
     val (zT, zScan, zRes) = boxProbe(s"$out/lineitem_zorder.parquet")
     require(zNoRes == zRes, s"z-order layout changed the box-filter result: $zNoRes vs $zRes")
@@ -184,6 +221,8 @@ object Stress {
         s""""minhash_big_dedupfirst_sec":${num(mhDedup)},""" +
         s""""truth_base_sec":${num(tgBase)},"truth_big_32file_sec":${num(tgBig)},""" +
         s""""truth_big_dedupfirst_sec":${num(tgDedup)},""" +
+        s""""topk_window_sec":${num(tkWin)},"topk_custom_sec":${num(tkCustom)},""" +
+        s""""topk_window_hot_sec":${num(tkWinHot)},"topk_custom_hot_sec":${num(tkCustomHot)},""" +
         s""""zorder_box_matches":$zRes,"zorder_scan_rows_nocluster":$zNoScan,""" +
         s""""zorder_scan_rows_zorder":$zScan,"zorder_box_sec_nocluster":${num(zNoT)},""" +
         s""""zorder_box_sec_zorder":${num(zT)}}""")

@@ -1,0 +1,131 @@
+package graft.plans
+
+import org.apache.spark.sql.{GraftShim, Row}
+import org.apache.spark.sql.catalyst.expressions.SortOrder
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The custom per-key top-k operator (logical node + rewrite rule +
+  * strategy + bounded-heap physical operators) must be a drop-in
+  * replacement for the row_number window pattern: identical rows AND
+  * ranks on real data, a partial → exchange → final plan shape, and the
+  * opt-in rewrite firing only on the exact pattern.
+  */
+class TopKSpec extends SparkSpec {
+
+  private def windowForm(k: Int) = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    graft.core.Tables(spark, sf(), "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
+  private def collectSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double, Int)] =
+    df.collect().map { r =>
+      (r.getAs[Number]("c_custkey").longValue, r.getAs[Number]("c_nationkey").longValue,
+        r.getAs[Double]("c_acctbal"), r.getAs[Number]("rn").intValue)
+    }.toSet
+
+  private def directForm(k: Int) = {
+    val child = graft.core.Tables(spark, sf(), "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      .queryExecution.analyzed
+    val key = child.output.find(_.name == "c_nationkey").get
+    val bal = child.output.find(_.name == "c_acctbal").get
+    val cust = child.output.find(_.name == "c_custkey").get
+    val order = Seq(
+      SortOrder(bal, org.apache.spark.sql.catalyst.expressions.Descending),
+      SortOrder(cust, org.apache.spark.sql.catalyst.expressions.Ascending))
+    GraftShim.ofRows(
+      spark,
+      TopKPerKey(Seq(key), order, k, TopKPerKey.rankAttribute(), child))
+  }
+
+  test("direct TopKPerKey node matches the window row_number form, ranks included") {
+    val expected = collectSet(windowForm(3))
+    val got = collectSet(directForm(3))
+    assert(got == expected, s"diff: ${(got diff expected) ++ (expected diff got)}")
+    assert(got.nonEmpty)
+  }
+
+  test("physical plan is partial -> exchange on keys -> final, no Window, no sort") {
+    val p = directForm(3).queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKeyPartial"), s"no map-side partial:\n$p")
+    assert(p.contains("TopKPerKeyFinal"), s"no final:\n$p")
+    assert(p.contains("hashpartitioning(c_nationkey"), s"no key exchange:\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("Sort "), s"full sort survived:\n$p")
+    // partial must sit BELOW the exchange (map side)
+    val partialIdx = p.indexOf("TopKPerKeyPartial")
+    val exchangeIdx = p.indexOf("Exchange")
+    assert(exchangeIdx >= 0 && exchangeIdx < partialIdx,
+      "partial is not below the exchange")
+  }
+
+  test("opt-in rewrite turns the window pattern into the custom operator and back off") {
+    val flag = TopKRewrite.Flag
+    try {
+      spark.conf.set(flag, "true")
+      val rewritten = windowForm(2)
+      val p = rewritten.queryExecution.executedPlan.toString
+      assert(p.contains("TopKPerKeyFinal"), s"rewrite did not fire:\n$p")
+      assert(!p.contains("WindowExec"))
+      // identical answer to the un-rewritten plan
+      spark.conf.set(flag, "false")
+      assert(collectSet(rewritten) == collectSet(windowForm(2)))
+    } finally spark.conf.set(flag, "false")
+    assert(!windowForm(2).queryExecution.executedPlan.toString.contains("TopKPerKey"),
+      "rewrite fired with the flag off")
+  }
+
+  test("rewrite leaves non-matching shapes alone (compound filter, rank function)") {
+    val flag = TopKRewrite.Flag
+    try {
+      spark.conf.set(flag, "true")
+      val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc)
+      // compound condition → not the exact pattern
+      val compound = graft.core.Tables(spark, sf(), "customer")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2 && col("c_acctbal") > 0)
+      assert(!compound.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+      // rank() (ties share ranks — different semantics) → untouched
+      val rk = graft.core.Tables(spark, sf(), "customer")
+        .withColumn("rn", rank().over(w))
+        .filter(col("rn") <= 2)
+      assert(!rk.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    } finally spark.conf.set(flag, "false")
+  }
+
+  test("k larger than every group returns all rows ranked; ties break by the total order") {
+    val all = collectSet(directForm(1000000))
+    val n = graft.core.Tables(spark, sf(), "customer").count()
+    assert(all.size == n, s"expected all $n rows, got ${all.size}")
+    // ranks within each key are exactly 1..groupSize
+    all.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._4).toSeq.sorted == (1 to rows.size))
+    }
+  }
+
+  test("group-by-key row counts cap at k") {
+    val byKey = directForm(2).collect().groupBy(_.getAs[Number]("c_nationkey").longValue)
+    assert(byKey.nonEmpty)
+    byKey.values.foreach(rows => assert(rows.length <= 2))
+  }
+
+  test("empty input yields empty output") {
+    import spark.implicits._
+    val child = Seq.empty[(Long, Double)].toDF("k", "v").queryExecution.analyzed
+    val key = child.output.find(_.name == "k").get
+    val v = child.output.find(_.name == "v").get
+    val df = GraftShim.ofRows(
+      spark,
+      TopKPerKey(
+        Seq(key),
+        Seq(SortOrder(v, org.apache.spark.sql.catalyst.expressions.Ascending)),
+        3, TopKPerKey.rankAttribute(), child))
+    assert(df.collect().isEmpty)
+  }
+}
