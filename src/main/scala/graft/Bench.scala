@@ -138,6 +138,22 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val p1 = scala.collection.mutable.ArrayBuffer.empty[Double]
     val p32 = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // ONE timing body for all three tiers (main passes, rescue passes,
+    // split tier) so the protocol cannot drift between them.
+    def timeOne(
+        q: Q,
+        dir: String,
+        into: scala.collection.mutable.LinkedHashMap[String, List[Double]],
+        errKey: String): Unit = {
+      val t0 = System.nanoTime()
+      try {
+        q.run(spark, dir).write.format("noop").mode("overwrite").save()
+        into(q.name) = into.getOrElse(q.name, Nil) :+ (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          errors(errKey) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      }
+    }
     var pass = 0
     while (pass < Samples) {
       p1 += probe1()
@@ -146,16 +162,7 @@ object Bench {
         // A query that errored once is skipped for the rest of the run but
         // KEEPS any valid earlier timings — silently dropping them would
         // shrink "total" and read as a speedup across rounds.
-        if (!errors.contains(q.name)) {
-          val t0 = System.nanoTime()
-          try {
-            q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-            samples(q.name) = samples.getOrElse(q.name, Nil) :+ (System.nanoTime() - t0) / 1e9
-          } catch {
-            case e: Throwable =>
-              errors(q.name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-          }
-        }
+        if (!errors.contains(q.name)) timeOne(q, sfDir, samples, q.name)
       }
       pass += 1
     }
@@ -174,15 +181,7 @@ object Bench {
         p1 += probe1()
         p32 += probe32()
         suspects.foreach { name =>
-          val q = targets.find(_.name == name).get
-          val t0 = System.nanoTime()
-          try {
-            q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-            samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
-          } catch {
-            case e: Throwable =>
-              errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-          }
+          timeOne(targets.find(_.name == name).get, sfDir, samples, name)
         }
         val after = suspects.map(n => samples(n).min).sum
         improved = after < before * 0.95
@@ -219,18 +218,10 @@ object Bench {
         p1 += probe1()
         p32 += probe32()
         targets.foreach { q =>
-          if (!errors.contains(s"split:${q.name}")) {
-            val t0 = System.nanoTime()
-            try {
-              q.run(spark, dir).write.format("noop").mode("overwrite").save()
-              splitSamples(q.name) =
-                splitSamples.getOrElse(q.name, Nil) :+ (System.nanoTime() - t0) / 1e9
-            } catch {
-              case e: Throwable =>
-                errors(s"split:${q.name}") =
-                  Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-            }
-          }
+          // deterministic failures from the main tier are not re-burned
+          // here; split-tier-specific failures key as split:<name>
+          if (!errors.contains(q.name) && !errors.contains(s"split:${q.name}"))
+            timeOne(q, dir, splitSamples, s"split:${q.name}")
         }
         sp += 1
       }

@@ -73,14 +73,17 @@ object Stress {
         .write.format("noop").mode("overwrite").save()
     }
     // The production mitigation for replicated corpora: exact-dedup gate
-    // (hash groupBy, keep min-id representative) BEFORE the LSH join —
-    // collapses the quadratic per-bucket pair work back to unique texts.
-    def minhashDedupFirst(path: String): Double = time {
-      val uniq = spark.read.parquet(path)
+    // (hash groupBy, keep min-id representative) BEFORE any near-dup
+    // candidate/truth stage — collapses the quadratic per-bucket pair work
+    // back to unique texts. ONE definition, shared by both dedup-first
+    // probes, so the A/B always compares the same pipeline.
+    def dedupFirst(path: String): org.apache.spark.sql.DataFrame =
+      spark.read.parquet(path)
         .groupBy(xxhash64(col("text")).as("th"))
         .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
         .drop("th")
-      ext.Dedup.minhashPairs(uniq, "doc_id", "text")
+    def minhashDedupFirst(path: String): Double = time {
+      ext.Dedup.minhashPairs(dedupFirst(path), "doc_id", "text")
         .write.format("noop").mode("overwrite").save()
     }
     val mhBasePath = s"$sfDir/documents.parquet"
@@ -97,11 +100,7 @@ object Stress {
         .write.format("noop").mode("overwrite").save()
     }
     def truthGateDedupFirst(path: String): Double = time {
-      val uniq = spark.read.parquet(path)
-        .groupBy(xxhash64(col("text")).as("th"))
-        .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
-        .drop("th")
-      ext.DedupQueries.truthPairsOf(uniq)
+      ext.DedupQueries.truthPairsOf(dedupFirst(path))
         .write.format("noop").mode("overwrite").save()
     }
 

@@ -62,23 +62,33 @@ object Skew {
     * for a later stage).
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String, saltBuckets: Int): DataFrame = {
-    // Salt from a per-row id, NOT a content hash: fully-duplicate rows of a
-    // hot key must still spread across buckets (a content hash sends them
-    // all to one reducer — the exact skew this exists to fix), and hash()
-    // is unsupported on MapType columns. The id is nondeterministic across
-    // task retries, which is SAFE here: the salt only routes a left row to
-    // one right replica — every salt value yields the identical joined row,
-    // so retried tasks produce the same output under any salt. (Contrast
-    // saltedAgg's spreadDuplicates note, where the same argument holds per
-    // partial.) The salt column name is namespaced to avoid clobbering a
-    // user `_salt`.
+    // Salt derivation must be RETRY-DETERMINISTIC: the salt is a shuffle
+    // key, and a map task re-executed after a fetch failure must assign
+    // every row the SAME salt, or completed reducers have consumed rows
+    // under the old assignment while re-fetching reducers see the new one
+    // — duplicated/dropped join rows (Spark only guards nondeterministic
+    // partitioning for round-robin repartition, SPARK-23207; a user salt
+    // column gets no such protection, so monotonically_increasing_id /
+    // rand are NOT safe here). Salt = xxhash64 over the partition id and
+    // every hashable column: stable across retries for deterministic
+    // sources (same split → same partition id and content), spreads
+    // identical duplicate rows that land in different partitions, and
+    // skips MapType columns (unhashable). Residual limitation, by design:
+    // byte-identical duplicate rows WITHIN one input partition share a
+    // bucket — a duplicate-heavy hot key spreads only as far as its
+    // duplicates spread across partitions. The salt column name is
+    // namespaced to avoid clobbering a user `_salt`.
     val saltCol = "__graft_salt"
     require(!left.columns.contains(saltCol) && !right.columns.contains(saltCol),
       s"input already has a $saltCol column")
+    val hashable = left.schema.fields.collect {
+      case f if !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] => col(f.name)
+    }.toIndexedSeq
     val l = left.withColumn(
-      saltCol, pmod(hash(monotonically_increasing_id()), lit(saltBuckets)))
+      saltCol,
+      pmod(xxhash64((spark_partition_id().cast("long") +: hashable): _*), lit(saltBuckets.toLong)))
     val r = right.withColumn(
-      saltCol, explode(array((0 until saltBuckets).map(lit): _*)))
+      saltCol, explode(array((0 until saltBuckets).map(l => lit(l.toLong)): _*)))
     l.join(r, Seq(key, saltCol)).drop(saltCol)
   }
 }

@@ -70,23 +70,12 @@ object DedupQueries {
 
   /** Reduce a candidate-pair result to (n_true_pairs, recall_ge_floor):
     * the exact pair count differentially checked vs DuckDB, the recall of
-    * `found` over the truth set gated at `floor`.
+    * `found` over the truth set gated at `floor`. Delegates to the shared
+    * single-pass fold ([[SimilarityQueries.recallFold]]).
     */
   private def pairRecallGate(truth: DataFrame, found: DataFrame, floor: Double): DataFrame =
-    // single pass over the (expensive) truth set: left-join the candidate
-    // pairs and count total + hits in ONE aggregate — a semi-join +
-    // separate count would evaluate the truth subtree twice
-    truth
-      .join(
-        found.select(col("a_id"), col("b_id")).withColumn("__hit", lit(true)),
-        Seq("a_id", "b_id"), "left")
-      .agg(
-        count(lit(1)).as("n_true_pairs"),
-        coalesce(sum(col("__hit").cast("long")), lit(0L)).as("n_hit"))
-      .select(
-        col("n_true_pairs"),
-        (col("n_hit").cast("double") >= col("n_true_pairs").cast("double") * floor)
-          .as("recall_ge_floor"))
+    SimilarityQueries.recallFold(
+      truth, found, Seq("a_id", "b_id"), floor, count(lit(1)), "n_true_pairs")
 
   val queries: Seq[Q] = Seq(
     Q(

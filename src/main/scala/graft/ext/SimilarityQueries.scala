@@ -12,30 +12,47 @@ import graft.core.{Agg, Tables}
   */
 object SimilarityQueries {
 
+  /** Shared recall fold: single pass over the (expensive) `truth` side —
+    * left-join the candidate set on `joinCols` (candidates must be
+    * distinct on those columns) and reduce totals + hits in ONE aggregate,
+    * so the truth subtree is evaluated once. Output is
+    * (totalName, recall_ge_floor): the total is the oracle-differential
+    * column, the boolean flips when a regression drops recall below
+    * `floor`. Used by both the ANN gates here and the dedup pair gates
+    * ([[DedupQueries]]).
+    */
+  def recallFold(
+      truth: org.apache.spark.sql.DataFrame,
+      found: org.apache.spark.sql.DataFrame,
+      joinCols: Seq[String],
+      floor: Double,
+      totalAgg: org.apache.spark.sql.Column,
+      totalName: String): org.apache.spark.sql.DataFrame =
+    truth
+      .join(
+        found.select(joinCols.map(col): _*).withColumn("__hit", lit(true)),
+        joinCols, "left")
+      .agg(
+        totalAgg.as(totalName),
+        count(lit(1)).as("__n_truth"),
+        coalesce(sum(col("__hit").cast("long")), lit(0L)).as("__n_hit"))
+      .select(
+        col(totalName),
+        (col("__n_hit").cast("double") >= col("__n_truth").cast("double") * floor)
+          .as("recall_ge_floor"))
+
   /** Reduce an approximate top-k result to its driver-gateable invariant:
     * overall recall vs the exact top-k (computed in-plan) must clear
     * `floor`. Output is (n_queries, recall_ge_floor) — n_queries is a real
-    * differential (the oracle derives it from the embeddings table), the
-    * boolean flips when an ANN regression drops recall. Both inputs are
-    * (q_id, rank, n_id, …)-shaped.
+    * differential (the oracle derives it from the embeddings table). Both
+    * inputs are (q_id, rank, n_id, …)-shaped.
     */
   def recallGate(exact: org.apache.spark.sql.DataFrame, approx: org.apache.spark.sql.DataFrame,
                  floor: Double): org.apache.spark.sql.DataFrame =
-    // single pass over the (expensive) exact side: left-join the approx
-    // top-k (distinct (q_id, n_id) by construction) and fold totals + hits
-    // into one aggregate, so the exact subtree is evaluated once
-    exact.select(col("q_id"), col("n_id"))
-      .join(
-        approx.select(col("q_id"), col("n_id")).withColumn("__hit", lit(true)),
-        Seq("q_id", "n_id"), "left")
-      .agg(
-        countDistinct(col("q_id")).as("n_queries"),
-        count(lit(1)).as("n_exact"),
-        coalesce(sum(col("__hit").cast("long")), lit(0L)).as("n_hit"))
-      .select(
-        col("n_queries"),
-        (col("n_hit").cast("double") >= col("n_exact").cast("double") * floor)
-          .as("recall_ge_floor"))
+    recallFold(
+      exact.select(col("q_id"), col("n_id")), approx,
+      Seq("q_id", "n_id"), floor,
+      countDistinct(col("q_id")), "n_queries")
 
   val queries: Seq[Q] = Seq(
     Q(

@@ -21,12 +21,16 @@ object RunLock {
     */
   @volatile private[pipeline] var interleaveHook: (String, Path) => Unit = (_, _) => ()
 
-  /** Leftover repair tombstones under `workRoot` — each records a window
-    * where a repair failed and two runs MAY have overlapped (the loud-log
-    * paths below). Operators/monitors poll this instead of scraping logs:
-    * a non-empty result after a pipeline cycle means the overlap actually
-    * happened and the affected loads should be audited (they are
-    * idempotent truncate-overwrites, so re-running the table is the fix).
+  /** Overlap markers under `workRoot` — each records a REPAIR FAILURE
+    * (the two loud-log paths below rename their tombstone to
+    * `.graft-run.lock.overlap-*`), i.e. a window where two runs may have
+    * overlapped. Operators/monitors poll this instead of scraping logs;
+    * the affected loads should be audited (they are idempotent
+    * truncate-overwrites, so re-running the table is the fix). Transient
+    * `closing-`/`stale-` tombstones from in-flight or killed-mid-close
+    * releases are deliberately EXCLUDED — a holder killed between its
+    * move-aside and delete leaves one without any second run existing,
+    * and the stale TTL already covers that case.
     */
   def overlapAudit(workRoot: String): Seq[Path] = {
     val dir = Paths.get(workRoot)
@@ -36,10 +40,22 @@ object RunLock {
       try {
         import scala.jdk.CollectionConverters._
         s.iterator().asScala
-          .filter(p => p.getFileName.toString.startsWith(".graft-run.lock."))
+          .filter(p => p.getFileName.toString.startsWith(".graft-run.lock.overlap-"))
           .toSeq
       } finally s.close()
     }
+  }
+
+  /** Best-effort promotion of a failed-repair tombstone to an overlap
+    * marker (what [[overlapAudit]] reports). Falls back to leaving the
+    * original tombstone if the rename fails — the loud log line is then
+    * the only signal.
+    */
+  private def markOverlap(tomb: Path, kind: String): Path = {
+    val marker = tomb.resolveSibling(
+      s".graft-run.lock.overlap-$kind-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+    try { Files.move(tomb, marker); marker }
+    catch { case _: java.io.IOException => tomb }
   }
 
   /** A held lock; releasing deletes the lock file — but ONLY if the file
@@ -71,9 +87,10 @@ object RunLock {
           try { Files.move(tomb, path); () }
           catch {
             case _: java.io.IOException =>
+              val marker = markOverlap(tomb, "close")
               System.err.println(
                 s"[RunLock] close(): usurped lock could not be restored; " +
-                  s"tombstone left at $tomb for audit")
+                  s"possible run overlap — marker at $marker")
           }
         }
       } catch { case _: java.io.IOException => () } // already gone/usurped — nothing to release
@@ -146,11 +163,12 @@ object RunLock {
                     // holder runs without a lock file while the rival also
                     // holds one — a brief possible overlap. Deleting the
                     // tombstone here would make that overlap invisible;
-                    // leave it as an audit marker and log loudly instead.
+                    // promote it to an overlapAudit marker and log loudly.
+                    val marker = markOverlap(tombstone, "steal")
                     System.err.println(
                       s"[RunLock] takeover repair failed: stole a live lock and a rival " +
                         s"re-created $path before move-back; possible run overlap — " +
-                        s"victim content preserved at $tombstone")
+                        s"victim content preserved at $marker")
                 }
                 false
               }

@@ -61,8 +61,18 @@ private[plans] object TopKHeaps {
   * partition (order within the partial is irrelevant — the final pass
   * re-ranks). This is the operator's scale lever: the shuffle above it
   * carries at most k·keys rows per mapper instead of the whole table.
-  * State is bounded at k rows per distinct key per partition — the same
-  * envelope as a map-side hash-agg partial.
+  *
+  * State is BOUNDED: when the per-partition heap map exceeds
+  * `graft.topk.partial.maxkeys` distinct keys, the current heaps are
+  * FLUSHED downstream and accumulation restarts — the same
+  * overflow-fallback a map-side hash-agg partial uses instead of
+  * spilling. Flushing is always correct (dropping a row from a full heap
+  * is final — k better rows exist in this partition — and emitting ≤ k
+  * survivors per key per flush epoch is merely a looser partial; the
+  * final pass re-filters), it only trades shuffle volume for memory on
+  * pathological key cardinality. Without this cap, row_number()<=1 over a
+  * near-unique key would buffer the whole partition where WindowExec's
+  * external sort would have spilled.
   */
 final case class TopKPerKeyPartialExec(
     keys: Seq[Expression],
@@ -80,14 +90,45 @@ final case class TopKPerKeyPartialExec(
     val keyExprs = keys
     val orderExprs = order
     val kk = k
+    val maxKeys = conf
+      .getConfString(TopKPerKeyPartialExec.MaxKeysFlag, "1000000").toInt
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ord = RowOrdering.create(orderExprs, childOutput)
       // identity unsafe projection: guarantee UnsafeRow output for the
       // exchange regardless of what the heap stored
       val out = UnsafeProjection.create(childOutput, childOutput)
-      TopKHeaps.accumulate(iter, keyProj, ord, kk)
-        .valuesIterator.flatMap(_.iterator).map(out)
+      new Iterator[InternalRow] {
+        private val heaps =
+          mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+        private val pending = mutable.Queue.empty[InternalRow]
+        private def flush(): Unit = {
+          heaps.valuesIterator.foreach(h => h.foreach(pending.enqueue(_)))
+          heaps.clear()
+        }
+        private def pump(): Unit = {
+          while (pending.isEmpty && iter.hasNext) {
+            val row = iter.next()
+            val key = keyProj(row)
+            heaps.get(key) match {
+              case Some(heap) =>
+                if (heap.size < kk) heap.enqueue(row.copy())
+                else if (ord.compare(row, heap.head) < 0) {
+                  heap.dequeue(); heap.enqueue(row.copy()); ()
+                }
+              case None =>
+                if (heaps.size >= maxKeys) flush()
+                val heap = new mutable.PriorityQueue[InternalRow]()(ord)
+                heap.enqueue(row.copy())
+                heaps.put(key.copy(), heap)
+                ()
+            }
+          }
+          if (pending.isEmpty && !iter.hasNext && heaps.nonEmpty) flush()
+        }
+        override def hasNext: Boolean = { pump(); pending.nonEmpty }
+        override def next(): InternalRow = { pump(); out(pending.dequeue()) }
+      }
     }, preservesPartitioning = true)
   }
 
@@ -95,10 +136,22 @@ final case class TopKPerKeyPartialExec(
     copy(child = newChild)
 }
 
+object TopKPerKeyPartialExec {
+  /** Distinct-key cap per partition before a partial flush. */
+  val MaxKeysFlag = "graft.topk.partial.maxkeys"
+}
+
 /** Final top-k merge: requires clustering on the keys (EnsureRequirements
   * inserts the hash exchange), re-accumulates the partials' survivors into
   * per-key heaps, then emits each key's rows best-first with their 1-based
   * rank appended — the same output shape as the Window row_number form.
+  *
+  * Working-set envelope: k rows per distinct key in the reduce partition —
+  * the input is already capped by the partials, and k·keys is strictly
+  * less than what WindowExec would sort for the same answer, but it is
+  * held in memory without a spill path. For extreme key cardinality where
+  * k·keys-per-reducer rows exceed executor memory, keep the (default-off)
+  * rewrite disabled and let the window form's external sort handle it.
   */
 final case class TopKPerKeyFinalExec(
     keys: Seq[Expression],

@@ -79,6 +79,18 @@ class RunLockSpec extends SparkSpec {
     assert(RunLock.overlapAudit(root).isEmpty)
   }
 
+  test("a closing tombstone from a holder killed mid-close is NOT reported as an overlap") {
+    val root = tmpRoot
+    // a holder killed between close()'s move-aside and delete leaves a
+    // closing-* tombstone with no second run in existence — overlapAudit
+    // must not raise a false alarm for it (the stale TTL covers recovery)
+    Files.writeString(
+      java.nio.file.Paths.get(root, ".graft-run.lock.closing-99-1"), "pid=99\n")
+    Files.writeString(
+      java.nio.file.Paths.get(root, ".graft-run.lock.stale-99-2"), "pid=99\n")
+    assert(RunLock.overlapAudit(root).isEmpty)
+  }
+
   test("forced interleaving: rival create inside close()'s move-back window leaves an audit tombstone") {
     val root = tmpRoot
     val held = RunLock.tryAcquire(root).get

@@ -115,6 +115,18 @@ class TopKSpec extends SparkSpec {
     byKey.values.foreach(rows => assert(rows.length <= 2))
   }
 
+  test("partial flush-on-overflow (maxkeys) preserves exact results") {
+    // Force constant flushing: a 2-key state cap against 25 nation keys
+    // means every partial epoch emits and restarts — the final must still
+    // produce exactly the window form's answer (flushing only loosens the
+    // partial's dedup, never correctness).
+    val flag = TopKPerKeyPartialExec.MaxKeysFlag
+    try {
+      spark.conf.set(flag, "2")
+      assert(collectSet(directForm(3)) == collectSet(windowForm(3)))
+    } finally spark.conf.unset(flag)
+  }
+
   test("empty input yields empty output") {
     import spark.implicits._
     val child = Seq.empty[(Long, Double)].toDF("k", "v").queryExecution.analyzed
