@@ -330,6 +330,39 @@ object DedupQueries {
       headline = true
     ),
     Q(
+      "q_fuzzy_join",
+      // Fuzzy (edit-distance) join — the entity-resolution primitive:
+      // names within Levenshtein 1..3 of each other. Scale shape: (1)
+      // dedup to DISTINCT names first (the vocabulary trick — the join
+      // runs over unique strings, not rows); (2) block on a cheap derived
+      // key (the last token) so candidates are per-bucket, never
+      // all-pairs; (3) exact Levenshtein only on candidates. Both engines
+      // implement the same classic DP edit distance, so the pair set is
+      // a real differential.
+      (s, d) => {
+        val n = Tables(s, d, "part")
+          .select(col("p_name").as("name")).distinct()
+          .withColumn("blk", element_at(split(col("name"), " "), -1))
+        val a = n.select(col("name").as("a_name"), col("blk"))
+        val b = n.select(col("name").as("b_name"), col("blk"))
+        a.join(b, Seq("blk"))
+          .filter(col("a_name") < col("b_name"))
+          .select(
+            col("a_name"), col("b_name"),
+            levenshtein(col("a_name"), col("b_name")).as("dist"))
+          .filter(col("dist").between(1, 3))
+          .orderBy("a_name", "b_name")
+      },
+      Some(
+        "WITH n AS (SELECT DISTINCT p_name AS name FROM part), " +
+          "b AS (SELECT name, string_split(name, ' ')[-1] AS blk FROM n) " +
+          "SELECT a.name AS a_name, b2.name AS b_name, " +
+          "CAST(levenshtein(a.name, b2.name) AS INT) AS dist " +
+          "FROM b a JOIN b b2 ON a.blk = b2.blk AND a.name < b2.name " +
+          "WHERE levenshtein(a.name, b2.name) BETWEEN 1 AND 3 " +
+          "ORDER BY a_name, b_name")
+    ),
+    Q(
       "q_exact_substr",
       // ExactSubstr-style cross-document substring overlap (the Lee et
       // al. 2022 dedup signal, shingled): every OVERLAPPING 10-token

@@ -66,6 +66,40 @@ object Audits {
           "UNION ALL SELECT 'o_totalprice_nonnegative', neg_price FROM a) " +
           "SELECT constraint_name, n_violations, n_violations = 0 AS pass " +
           "FROM u ORDER BY constraint_name")
+    ),
+    Q(
+      "q_replica_checksum",
+      // Replication-parity checksum — the audit the reference's
+      // CloudSQL→BigQuery copy never runs: an order-independent per-group
+      // row-set fingerprint both the source and the replica can compute
+      // independently; equal (n_rows, checksum) per group proves the copy
+      // row-for-row without moving data. Per-row hash = first 60 bits of
+      // md5 over a '|'-joined canonical string of the integer/char
+      // columns (md5 and integer→string are bit-identical across
+      // engines; doubles are deliberately excluded from the canonical
+      // form — their string form is not portable), summed mod 1e9+7 so
+      // 600k-row groups stay far from BIGINT overflow. Scale shape: one
+      // scan, one narrow hash-agg keyed on the group — the checksum is
+      // mergeable (sum), so partials combine map-side like any sum.
+      (s, d) => {
+        val h = expr(
+          "CAST(conv(substring(md5(concat_ws('|', " +
+            "CAST(l_orderkey AS STRING), CAST(l_partkey AS STRING), " +
+            "CAST(l_suppkey AS STRING), CAST(l_linenumber AS STRING), " +
+            "l_returnflag, l_linestatus, CAST(CAST(l_quantity AS BIGINT) AS STRING))), " +
+            "1, 15), 16, 10) AS BIGINT) % 1000000007")
+        Tables(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_rows"), sum(h).as("checksum"))
+          .orderBy("l_returnflag")
+      },
+      Some(
+        "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+          "CAST(SUM(CAST(('0x' || substring(md5(concat_ws('|', " +
+          "l_orderkey, l_partkey, l_suppkey, l_linenumber, " +
+          "l_returnflag, l_linestatus, CAST(l_quantity AS BIGINT))), " +
+          "1, 15)) AS BIGINT) % 1000000007) AS BIGINT) AS checksum " +
+          "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")
     )
   )
 }
