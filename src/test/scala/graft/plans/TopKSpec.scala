@@ -127,6 +127,33 @@ class TopKSpec extends SparkSpec {
     } finally spark.conf.unset(flag)
   }
 
+  test("randomized equivalence: custom operator == window form on seeded datasets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 3; k <- Seq(1, 3, 7)) {
+      // skewed keys (zipf-ish via min of two uniforms), duplicate values
+      // to exercise tie-breaking through the unique id column
+      val rows = Seq.fill(2000)(
+        (rnd.nextInt(rnd.nextInt(40) + 1).toLong, rnd.nextInt(25).toDouble, rnd.nextLong()))
+      val df = rows.toDF("key", "v", "id").repartition(7)
+      val w = Window.partitionBy(col("key")).orderBy(col("v").desc, col("id"))
+      val expected = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getInt(3))).toSet
+      val child = df.queryExecution.analyzed
+      val key = child.output.find(_.name == "key").get
+      val v = child.output.find(_.name == "v").get
+      val id = child.output.find(_.name == "id").get
+      val order = Seq(
+        SortOrder(v, org.apache.spark.sql.catalyst.expressions.Descending),
+        SortOrder(id, org.apache.spark.sql.catalyst.expressions.Ascending))
+      val got = GraftShim
+        .ofRows(spark, TopKPerKey(Seq(key), order, k, TopKPerKey.rankAttribute(), child))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getInt(3))).toSet
+      assert(got == expected,
+        s"trial $trial k=$k: ${(got diff expected).take(3)} vs ${(expected diff got).take(3)}")
+    }
+  }
+
   test("empty input yields empty output") {
     import spark.implicits._
     val child = Seq.empty[(Long, Double)].toDF("k", "v").queryExecution.analyzed
