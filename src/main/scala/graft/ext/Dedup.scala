@@ -170,6 +170,42 @@ object Dedup {
     out
   }
 
+  /** Blocked exact k-gram Jaccard candidate pairs — the shared shape for
+    * every exact near-dup stage: gram sets materialize once per ROW (an
+    * inline [[ngramJaccardExpr]] would rebuild both arrays per candidate
+    * pair), the thin rows hash-spread before the O(len²) array_distinct
+    * (single-row-group inputs would otherwise run it one-task), and
+    * candidates join only on the caller's block columns — O(bucket²),
+    * never O(docs²). Returns (a_id, b_id, jac >= minJac). The jac
+    * arithmetic (int sizes, one double division) is bit-identical to the
+    * inline expression form, so existing DuckDB oracles are unaffected.
+    */
+  def blockedJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      minJac: Double,
+      blockCols: Seq[(String, Column)]): DataFrame = {
+    val spread = docs.repartition(
+      docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+    val names = blockCols.map(_._1)
+    val withG = spread.select(
+      (col(idCol).as("id") +: blockCols.map { case (n, c) => c.as(n) }) :+
+        shingles(k, textCol).as("grams"): _*)
+    val a = withG.select(
+      (col("id").as("a_id") +: names.map(col)) :+ col("grams").as("a_g"): _*)
+    val b = withG.select(
+      (col("id").as("b_id") +: names.map(col)) :+ col("grams").as("b_g"): _*)
+    a.join(b, names)
+      .filter(col("a_id") < col("b_id"))
+      .select(
+        col("a_id"), col("b_id"),
+        (size(array_intersect(col("a_g"), col("b_g"))).cast("double") /
+          size(array_union(col("a_g"), col("b_g")))).as("jac"))
+      .filter(col("jac") >= minJac)
+  }
+
   /** Exact k-gram Jaccard as a SQL expression over text columns a/b. */
   def ngramJaccardExpr(k: Int, a: String, b: String): Column = {
     def grams(c: String) =

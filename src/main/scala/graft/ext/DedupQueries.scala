@@ -32,31 +32,12 @@ object DedupQueries {
     * near-dup truth/candidate stage; measured in Stress as
     * truth_big_dedupfirst_sec.
     */
-  private[graft] def truthPairsOf(docsIn: DataFrame): DataFrame = {
-    // grams materialize per DOC before the join (ngramJaccardExpr inline
-    // would rebuild both gram arrays per candidate pair — 4× the array
-    // construction for the same answer); the thin (id, text) rows are
-    // hash-spread BEFORE the O(len²) array_distinct so the gram build uses
-    // every core instead of the fixture's single row-group task — same
-    // remediation as minhashSignatures
-    val docs = docsIn
-    val spread = docs.repartition(
-      docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
-    val blocked = spread
-      .select(
-        col("doc_id"),
-        substring(col("text"), 1, 30).as("blk"),
-        expr("array_distinct(transform(sequence(1, greatest(1, length(text) - 2)), " +
-          "i -> substring(text, i, 3)))").as("grams"))
-    val a = blocked.select(col("doc_id").as("a_id"), col("blk"), col("grams").as("a_g"))
-    val b = blocked.select(col("doc_id").as("b_id"), col("blk"), col("grams").as("b_g"))
-    a.join(b, Seq("blk"))
-      .filter(col("a_id") < col("b_id"))
-      .filter(
-        size(array_intersect(col("a_g"), col("b_g"))).cast("double") /
-          size(array_union(col("a_g"), col("b_g"))) >= 0.6)
+  private[graft] def truthPairsOf(docsIn: DataFrame): DataFrame =
+    Dedup
+      .blockedJaccardPairs(
+        docsIn, "doc_id", "text", k = 3, minJac = 0.6,
+        blockCols = Seq("blk" -> substring(col("text"), 1, 30)))
       .select(col("a_id"), col("b_id"))
-  }
 
   /** DuckDB side of [[truthPairs]]'s pair count. */
   private val truthCountSql =
@@ -111,18 +92,14 @@ object DedupQueries {
     Q(
       "q_dedup_ngram_jaccard",
       // Near-dup detection: block on (lang, 50-char prefix) — bounded
-      // buckets, no all-pairs — then exact 3-gram Jaccard on candidates.
-      (s, d) => {
-        val docs = Tables(s, d, "documents")
-          .select(col("doc_id"), col("lang"), col("text"), substring(col("text"), 1, 50).as("blk"))
-        val a = docs.select(col("doc_id").as("a_id"), col("lang"), col("blk"), col("text").as("a_text"))
-        val b = docs.select(col("doc_id").as("b_id"), col("lang"), col("blk"), col("text").as("b_text"))
-        a.join(b, Seq("lang", "blk"))
-          .filter(col("a_id") < col("b_id"))
-          .select(col("a_id"), col("b_id"), Dedup.ngramJaccardExpr(3, "a_text", "b_text").as("jac"))
-          .filter(col("jac") >= 0.3)
-          .orderBy("a_id", "b_id")
-      },
+      // buckets, no all-pairs — then exact 3-gram Jaccard on candidates
+      // (shared blocked shape: grams materialize per row, spread scan).
+      (s, d) =>
+        Dedup
+          .blockedJaccardPairs(
+            Tables(s, d, "documents"), "doc_id", "text", k = 3, minJac = 0.3,
+            blockCols = Seq("lang" -> col("lang"), "blk" -> substring(col("text"), 1, 50)))
+          .orderBy("a_id", "b_id"),
       Some(
         "WITH docs AS (SELECT doc_id, lang, text, substring(text, 1, 50) AS blk, " +
           "list_distinct(list_transform(generate_series(1, greatest(1, length(text) - 2)), " +
@@ -140,13 +117,10 @@ object DedupQueries {
       // rounds), emitting the canonical keep-one-per-cluster flag. Oracle
       // replicates the closure with a recursive CTE.
       (s, d) => {
-        val docs = Tables(s, d, "documents")
-          .select(col("doc_id"), col("lang"), col("text"), substring(col("text"), 1, 50).as("blk"))
-        val a = docs.select(col("doc_id").as("a_id"), col("lang"), col("blk"), col("text").as("a_text"))
-        val b = docs.select(col("doc_id").as("b_id"), col("lang"), col("blk"), col("text").as("b_text"))
-        val edges = a.join(b, Seq("lang", "blk"))
-          .filter(col("a_id") < col("b_id"))
-          .filter(Dedup.ngramJaccardExpr(3, "a_text", "b_text") >= 0.3)
+        val edges = Dedup
+          .blockedJaccardPairs(
+            Tables(s, d, "documents"), "doc_id", "text", k = 3, minJac = 0.3,
+            blockCols = Seq("lang" -> col("lang"), "blk" -> substring(col("text"), 1, 50)))
           .select(col("a_id").as("a"), col("b_id").as("b"))
         val nodes = Tables(s, d, "documents").select(col("doc_id").as("id"))
         Dedup.connectedComponents(nodes, edges)
