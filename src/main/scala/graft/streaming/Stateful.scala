@@ -69,4 +69,47 @@ object Stateful {
       .groupByKey(_.user_id)
       .transformWithState(new RunningCountProcessor, TimeMode.None(), OutputMode.Append())
   }
+
+  final case class Scored(key: String, id: Long, score: Double)
+  final case class Leader(key: String, rank: Int, id: Long, score: Double)
+
+  /** Streaming per-key top-k — the stateful counterpart of the batch
+    * [[graft.plans.TopKPerKey]] operator: each key's state is the
+    * CURRENT top-k only (a bounded list, exactly the batch operator's
+    * per-key heap), updated per micro-batch and re-emitted whenever it
+    * changes. State size is k rows per live key regardless of stream
+    * length — the property that lets a leaderboard run forever. Ties
+    * break (score desc, id asc), matching the batch operator's
+    * determinism contract.
+    */
+  class TopKProcessor(k: Int) extends StatefulProcessor[String, Scored, Leader] {
+    @transient private var top: ValueState[List[(Double, Long)]] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      top = getHandle.getValueState[List[(Double, Long)]](
+        "top", Encoders.kryo[List[(Double, Long)]], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[Scored],
+        timerValues: TimerValues): Iterator[Leader] = {
+      val prev = if (top.exists()) top.get() else Nil
+      val merged = (prev ++ rows.map(r => (r.score, r.id)))
+        .sortBy { case (s, id) => (-s, id) }
+        .take(k)
+      if (merged == prev) Iterator.empty
+      else {
+        top.update(merged)
+        merged.iterator.zipWithIndex.map { case ((s, id), i) => Leader(key, i + 1, id, s) }
+      }
+    }
+  }
+
+  /** Per-key top-k leaderboard over a stream of Scored rows. */
+  def leaderboard(spark: SparkSession, scored: Dataset[Scored], k: Int): Dataset[Leader] = {
+    import spark.implicits._
+    scored
+      .groupByKey(_.key)
+      .transformWithState(new TopKProcessor(k), TimeMode.None(), OutputMode.Append())
+  }
 }

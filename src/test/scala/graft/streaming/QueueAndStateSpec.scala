@@ -113,6 +113,57 @@ class QueueAndStateSpec extends SparkSpec {
     }
   }
 
+  test("streaming per-key top-k leaderboard: bounded state, exact ranks across runs") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("leader").toString
+    val in = s"$root/in"; val out = s"$root/out"; val ck = s"$root/ck"
+    Files.createDirectories(Paths.get(in))
+    val schema = StructType(Seq(
+      StructField("key", StringType), StructField("id", LongType),
+      StructField("score", org.apache.spark.sql.types.DoubleType)))
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def run(): Unit = {
+        val scored = spark.readStream.schema(schema).csv(in).as[Stateful.Scored]
+        val q = Stateful.leaderboard(spark, scored, k = 2)
+          .writeStream.format("parquet").outputMode("append")
+          .option("path", out).option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      Files.writeString(Paths.get(s"$in/b1.csv"), "a,1,5.0\na,2,7.0\na,3,1.0\nb,4,2.0")
+      run()
+      // batch 2: a new leader for 'a' (evicts id=1), nothing new for 'b'
+      Files.writeString(Paths.get(s"$in/b2.csv"), "a,5,9.0\nb,6,1.0")
+      run()
+      val rows = spark.read.parquet(out).as[Stateful.Leader].collect()
+      // final emitted state per key = the LAST emission (append mode
+      // re-emits a key's board only when it changes); reconstruct by
+      // taking each key's latest full board: group emissions by content
+      val aBoards = rows.filter(_.key == "a").groupBy(r => r).keySet
+      // after batch 1: a -> [(2,7.0),(1,5.0)]; after batch 2: [(5,9.0),(2,7.0)]
+      assert(aBoards.exists(l => l.rank == 1 && l.id == 2 && l.score == 7.0))
+      assert(aBoards.exists(l => l.rank == 1 && l.id == 5 && l.score == 9.0))
+      assert(aBoards.exists(l => l.rank == 2 && l.id == 2 && l.score == 7.0))
+      // id=3 never ranked; id=1 only as rank 2 of the first board
+      assert(!rows.exists(r => r.id == 3))
+      assert(rows.filter(_.id == 1).forall(_.rank == 2))
+      // b changed in batch 2 (id=6 enters at rank 2); its batch-2 board
+      // is [(4,2.0),(6,1.0)]
+      val bRows = rows.filter(_.key == "b")
+      assert(bRows.exists(r => r.rank == 2 && r.id == 6))
+      assert(bRows.filter(_.rank == 1).forall(_.id == 4))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("EP1 end-to-end: JDBC discovery -> publish -> consume -> pipeline -> warehouse") {
     val url = JdbcCatalog.seedDemoDb(
       Files.createTempDirectory("derby-ep1").toString + "/db")
