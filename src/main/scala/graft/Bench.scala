@@ -79,7 +79,8 @@ object Bench {
     "q_text_stats" -> "documents", "q_ngram_freq" -> "documents",
     "q_dedup_exact" -> "documents", "q_dedup_minhash" -> "documents",
     "q_line_dedup" -> "documents", "q_unigram_score" -> "documents",
-    "q_sim_bruteforce" -> "embeddings", "q_quantize_embed" -> "embeddings")
+    "q_sim_bruteforce" -> "embeddings", "q_quantize_embed" -> "embeddings",
+    "q_topk_perkey" -> "customer")
 
   /** Fixed-work mixing loop (SplitMix64 finalizer flavour): ~100ms of
     * pure register arithmetic on a quiet core, no allocation, no memory

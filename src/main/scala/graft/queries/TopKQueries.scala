@@ -41,7 +41,8 @@ object TopKQueries {
           "SELECT c_custkey, c_nationkey, c_acctbal, " +
           "CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey " +
           "ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rn FROM customer) " +
-          "WHERE rn <= 3 ORDER BY c_nationkey, rn")
+          "WHERE rn <= 3 ORDER BY c_nationkey, rn"),
+      headline = true
     )
   )
 }
