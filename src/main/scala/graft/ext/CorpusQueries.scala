@@ -265,6 +265,32 @@ object CorpusQueries {
           "md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS ord FROM documents) " +
           "SELECT shard, CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS BIGINT) AS pos, doc_id " +
           "FROM s ORDER BY shard, pos")
+    ),
+    Q(
+      "q_dict_encode",
+      // Categorical dictionary encoding — the feature-prep primitive:
+      // dense integer codes assigned by descending frequency (value-asc
+      // tiebreak, so the dictionary is deterministic). Scale shape: one
+      // hash-agg over the data builds the dictionary; the unpartitioned
+      // ranking window runs over the DICTIONARY (bounded cardinality),
+      // never the rows — encoding the corpus is then one broadcast-join
+      // probe per row. Output is the mapping plus per-code mass, which is
+      // also the spec a serving side needs to decode.
+      (s, d) => {
+        val counts = Tables(s, d, "documents")
+          .groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n_rows"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_rows").desc, col("source"), col("lang"))
+        counts
+          .withColumn("code", (row_number().over(w) - 1).cast("int"))
+          .select(col("source"), col("lang"), col("code"), col("n_rows"))
+          .orderBy("source", "lang")
+      },
+      Some(
+        "SELECT source, lang, CAST(ROW_NUMBER() OVER (ORDER BY n_rows DESC, source, lang) - 1 AS INT) AS code, " +
+          "n_rows FROM (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_rows " +
+          "FROM documents GROUP BY source, lang) ORDER BY source, lang")
     )
   )
 }
