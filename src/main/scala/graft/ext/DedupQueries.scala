@@ -44,19 +44,41 @@ object DedupQueries {
     "WITH docs AS (SELECT doc_id, substring(text, 1, 30) AS blk, " +
       "list_distinct(list_transform(generate_series(1, greatest(1, length(text) - 2)), " +
       "i -> substring(text, i, 3))) AS grams FROM documents) " +
-      "SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs, true AS recall_ge_floor " +
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs, true AS recall_ge_floor, " +
+      "true AS candidates_subquadratic " +
       "FROM docs a JOIN docs b ON a.blk = b.blk AND a.doc_id < b.doc_id " +
       "WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / " +
       "len(list_distinct(list_concat(a.grams, b.grams))) >= 0.6"
 
-  /** Reduce a candidate-pair result to (n_true_pairs, recall_ge_floor):
-    * the exact pair count differentially checked vs DuckDB, the recall of
-    * `found` over the truth set gated at `floor`. Delegates to the shared
-    * single-pass fold ([[SimilarityQueries.recallFold]]).
+  /** Reduce a candidate-pair result to
+    * (n_true_pairs, recall_ge_floor, candidates_subquadratic): the exact
+    * pair count differentially checked vs DuckDB, the recall of `found`
+    * over the truth set gated at `floor`, AND an anti-degeneracy ceiling —
+    * a candidate generator that collapses toward all-pairs would pass any
+    * recall floor trivially, so the gate also requires
+    * |found| <= 10 × |docs| (sub-quadratic candidates per doc, the scale
+    * property LSH/banding exists to provide). Diverges from
+    * [[SimilarityQueries.recallFold]] deliberately: counting the found
+    * side needs a FULL OUTER join (the ANN gates don't — their approx
+    * side is structurally capped by rank <= k).
     */
-  private def pairRecallGate(truth: DataFrame, found: DataFrame, floor: Double): DataFrame =
-    SimilarityQueries.recallFold(
-      truth, found, Seq("a_id", "b_id"), floor, count(lit(1)), "n_true_pairs")
+  private[ext] def pairRecallGate(
+      truth: DataFrame, found: DataFrame, nDocs: DataFrame, floor: Double): DataFrame =
+    truth
+      .withColumn("__t", lit(true))
+      .join(
+        found.select(col("a_id"), col("b_id")).withColumn("__f", lit(true)),
+        Seq("a_id", "b_id"), "full_outer")
+      .agg(
+        coalesce(sum(col("__t").cast("long")), lit(0L)).as("n_true_pairs"),
+        coalesce(sum(col("__f").cast("long")), lit(0L)).as("n_found"),
+        coalesce(sum((col("__t") && col("__f")).cast("long")), lit(0L)).as("n_hit"))
+      .crossJoin(broadcast(nDocs))
+      .select(
+        col("n_true_pairs"),
+        (col("n_hit").cast("double") >= col("n_true_pairs").cast("double") * floor)
+          .as("recall_ge_floor"),
+        (col("n_found") <= col("n_docs") * 10L).as("candidates_subquadratic"))
 
   val queries: Seq[Q] = Seq(
     Q(
@@ -157,6 +179,7 @@ object DedupQueries {
         pairRecallGate(
           truthPairs(s, d),
           Dedup.minhashPairs(Tables(s, d, "documents"), "doc_id", "text", minJaccard = 0.3),
+          Tables(s, d, "documents").agg(count(lit(1)).as("n_docs")),
           floor = 0.5),
       Some(truthCountSql),
       headline = true
@@ -257,7 +280,10 @@ object DedupQueries {
           .select(col("a_id"), col("b_id"), expr("bit_count(a_fp ^ b_fp)").as("hamming"))
           .distinct()
           .filter(col("hamming") <= 12)
-        pairRecallGate(truthPairs(s, d), found, floor = 0.5)
+        pairRecallGate(
+          truthPairs(s, d), found,
+          Tables(s, d, "documents").agg(count(lit(1)).as("n_docs")),
+          floor = 0.5)
       },
       Some(truthCountSql)
     ),

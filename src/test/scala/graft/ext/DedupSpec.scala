@@ -102,4 +102,23 @@ class DedupSpec extends SparkSpec {
       assert(recall >= 0.5, s"recall $recall over ${truth.size} true pairs")
     }
   }
+
+  test("pair gate flags a degenerate all-pairs candidate generator") {
+    import spark.implicits._
+    // 30 docs → all-pairs = 435 > 10×30: perfect recall, but the
+    // sub-quadratic ceiling must flip — this is what stops a collapsed
+    // LSH (everything collides) from sailing through the recall floor
+    val ids = (1L to 30L)
+    val truth = Seq((1L, 2L), (3L, 4L)).toDF("a_id", "b_id")
+    val allPairs = (for (a <- ids; b <- ids if a < b) yield (a, b)).toDF("a_id", "b_id")
+    val nDocs = Seq(30L).toDF("n_docs")
+    val degenerate = DedupQueries.pairRecallGate(truth, allPairs, nDocs, 0.5).collect().head
+    assert(degenerate.getAs[Boolean]("recall_ge_floor"))
+    assert(!degenerate.getAs[Boolean]("candidates_subquadratic"),
+      "all-pairs candidates were not flagged")
+    // a healthy banded generator (the truth itself) passes both flags
+    val healthy = DedupQueries.pairRecallGate(truth, truth, nDocs, 0.5).collect().head
+    assert(healthy.getAs[Boolean]("recall_ge_floor") &&
+      healthy.getAs[Boolean]("candidates_subquadratic"))
+  }
 }
