@@ -267,6 +267,47 @@ object CorpusQueries {
           "FROM s ORDER BY shard, pos")
     ),
     Q(
+      "q_budget_alloc",
+      // Exact budget apportionment — "give me exactly B documents,
+      // proportional to source mass": largest-remainder (Hamilton)
+      // allocation in pure integer arithmetic, so the result is
+      // deterministic and sums to B exactly (floor shares + the
+      // top-remainder sources get the leftovers, remainder desc / source
+      // asc tiebreak). The training-mixture counterpart of temperature
+      // sampling when the budget must be EXACT. Scale shape: one
+      // hash-agg builds the per-source masses; everything after runs
+      // over the bounded source dictionary.
+      (s, d) => {
+        val B = 1000L
+        val counts = Tables(s, d, "documents")
+          .groupBy(col("source")).agg(count(lit(1)).as("n_rows"))
+        val tot = counts.agg(sum(col("n_rows")).as("total"))
+        val base = counts.crossJoin(broadcast(tot))
+          .withColumn("fl", expr(s"(n_rows * $B) div total"))
+          .withColumn("rem", col("n_rows") * B - col("fl") * col("total"))
+        val leftover = base.agg((lit(B) - sum(col("fl"))).as("leftover"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("rem").desc, col("source"))
+        base
+          .withColumn("rk", row_number().over(w))
+          .crossJoin(broadcast(leftover))
+          .select(
+            col("source"), col("n_rows"),
+            (col("fl") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+              .as("alloc_docs"))
+          .orderBy("source")
+      },
+      Some(
+        "WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows FROM documents GROUP BY source), " +
+          "t AS (SELECT SUM(n_rows) AS total FROM c), " +
+          "b AS (SELECT source, n_rows, (n_rows * 1000) // total AS fl, " +
+          "n_rows * 1000 - ((n_rows * 1000) // total) * total AS rem FROM c, t), " +
+          "l AS (SELECT 1000 - SUM(fl) AS leftover FROM b), " +
+          "r AS (SELECT b.*, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk FROM b) " +
+          "SELECT source, n_rows, CAST(fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc_docs " +
+          "FROM r, l ORDER BY source")
+    ),
+    Q(
       "q_dict_encode",
       // Categorical dictionary encoding — the feature-prep primitive:
       // dense integer codes assigned by descending frequency (value-asc
