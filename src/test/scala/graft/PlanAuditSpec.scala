@@ -147,10 +147,15 @@ class PlanAuditSpec extends SparkSpec {
   test("minhash recall gate: both the LSH side and the truth side join on bounded keys") {
     val p = planString(Registry.byName("q_dedup_minhash").run(spark, sf()))
     // candidate generation joins on (band_idx, band_hash); the truth side
-    // on the 30-char prefix block — every join in this gate is an equi
-    // join, so no nested-loop join of any kind should survive planning
-    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
-      "minhash gate planned a nested-loop join")
+    // on the 30-char prefix block — every DATA join in this gate is an
+    // equi join. The only nested-loop join allowed is the single-row
+    // broadcast cross that attaches the scalar n_docs ceiling; any BNLJ
+    // over the pair data itself would mean a candidate stage degenerated.
+    assert(!p.contains("CartesianProduct"), "minhash gate planned a cartesian product")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"expected at most the scalar n_docs broadcast cross, found $bnlj BNLJs")
     assert(p.contains("band_hash"), "LSH band key vanished from the join plan")
+    assert(p.contains("FullOuter") || p.contains("full_outer"),
+      "anti-degeneracy full-outer fold missing")
   }
 }
