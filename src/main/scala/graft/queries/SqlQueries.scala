@@ -206,6 +206,32 @@ object SqlQueries {
         "GROUP BY n ORDER BY n"
     ),
     shared(
+      "q_sql_count_bug",
+      // THE decorrelation "COUNT bug" (Kim 1982): a correlated
+      // COUNT(*) = 0 predicate — naive decorrelation to an inner join
+      // loses the zero-count groups entirely; the planner must produce
+      // an outer join + COALESCE shape. Both engines must agree on the
+      // orders with NO heavy lineitem.
+      "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_no_heavy_line " +
+        "FROM orders o WHERE (SELECT COUNT(*) FROM lineitem l " +
+        "WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45) = 0 " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    ),
+    shared(
+      "q_sql_not_in_null",
+      // Tri-valued NOT IN: one NULL in the subquery makes x NOT IN (...)
+      // UNKNOWN for every x, so the with-NULL count must be 0 while the
+      // NULL-filtered count is positive — the classic null-aware
+      // anti-join semantics trap, asserted as a one-row differential.
+      "SELECT " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM customer WHERE c_custkey NOT IN " +
+        "(SELECT CASE WHEN o_totalprice > 300000.0 THEN NULL ELSE o_custkey END " +
+        "FROM orders WHERE o_orderstatus = 'F')) AS n_with_null, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM customer WHERE c_custkey NOT IN " +
+        "(SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' " +
+        "AND o_totalprice <= 300000.0)) AS n_null_filtered"
+    ),
+    shared(
       "q_sql_try_cast",
       // Error-tolerant casts — TRY_CAST yields NULL instead of failing on
       // malformed input in BOTH dialects (Spark ANSI mode would otherwise
