@@ -81,6 +81,20 @@ class TopKSpec extends SparkSpec {
       "rewrite fired with the flag off")
   }
 
+  test("rewrite fires on the delegated-SQL subquery shape too") {
+    graft.engine.QueryRunner.registerViews(spark, sf())
+    try {
+      spark.conf.set(TopKRewrite.Flag, "true")
+      val df = spark.sql(
+        "SELECT * FROM (SELECT o_custkey, o_orderkey, " +
+          "ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn " +
+          "FROM orders) t WHERE rn <= 2")
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("TopKPerKeyFinal") && !p.contains("WindowExec"),
+        s"rewrite did not fire on SQL text:\n$p")
+    } finally spark.conf.set(TopKRewrite.Flag, "false")
+  }
+
   test("rewrite leaves non-matching shapes alone (compound filter, rank function)") {
     val flag = TopKRewrite.Flag
     try {
