@@ -217,6 +217,44 @@ object PipelineQueries {
       Some(
         "SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey, " +
           "c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey")
+    ),
+    Q(
+      "q_csv_roundtrip",
+      // Full dirty-wire round-trip, driver-gated: write supplier in the
+      // MySQL export format ([[DirtyCsv.writeDirty]] — quoted fields,
+      // doubled quotes, NULL as the broken unterminated `"N` marker),
+      // read it back through the repair+parse path, and aggregate. The
+      // oracle computes the same aggregates from the ORIGINAL table with
+      // the same injected-null rule, so header layout, quoting, the `"N`
+      // repair, and double→string→double round-tripping (Spark emits the
+      // shortest form that parses back bit-exactly) are all under the
+      // differential.
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val tmp = graft.core.Tmp.dir("graft_csvrt")
+        val src = Tables(s, d, "supplier")
+          .select(
+            col("s_suppkey"),
+            when(col("s_suppkey") % 7 === 0, lit(null: String))
+              .otherwise(col("s_name")).as("maybe_name"),
+            col("s_acctbal"))
+        graft.sources.DirtyCsv.writeDirty(src, tmp)
+        val schema = StructType(Seq(
+          StructField("s_suppkey", LongType),
+          StructField("maybe_name", StringType),
+          StructField("s_acctbal", DoubleType)))
+        graft.sources.DirtyCsv.read(s, tmp, schema)
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(when(col("maybe_name").isNull, 1L).otherwise(0L)).as("n_nulls"),
+            countDistinct(col("maybe_name")).as("n_names"),
+            graft.core.Agg.dsum(col("s_acctbal")).as("total_acctbal"))
+      },
+      Some(
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+          "CAST(SUM(CASE WHEN s_suppkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, " +
+          "CAST(COUNT(DISTINCT CASE WHEN s_suppkey % 7 <> 0 THEN s_name END) AS BIGINT) AS n_names, " +
+          graft.core.Agg.dsumSql("s_acctbal") + " AS total_acctbal FROM supplier")
     )
   )
 }
