@@ -308,6 +308,61 @@ object CorpusQueries {
           "FROM r, l ORDER BY source")
     ),
     Q(
+      "q_sample_exact",
+      // Exact-count stratified sample — the composition of
+      // q_budget_alloc's Hamilton apportionment with a deterministic
+      // md5-ordered take: each source contributes EXACTLY its allocated
+      // share of a 1000-doc budget (rate-based sampling like
+      // q_stratified hits the rate only in expectation; training
+      // mixtures that must sum to a token/doc budget need the exact
+      // form). Deterministic: md5(doc_id) is the shuffle key in both
+      // engines, doc_id breaks ties. Scale shape: one hash-agg for the
+      // allocation (bounded dictionary) + one per-source ranking window
+      // (a hash shuffle on source, no global sort).
+      (s, d) => {
+        val B = 1000L
+        val docs = Tables(s, d, "documents")
+        val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_rows"))
+        val tot = counts.agg(sum(col("n_rows")).as("total"))
+        val base = counts.crossJoin(broadcast(tot))
+          .withColumn("fl", expr(s"(n_rows * $B) div total"))
+          .withColumn("rem", col("n_rows") * B - col("fl") * col("total"))
+        val leftover = base.agg((lit(B) - sum(col("fl"))).as("leftover"))
+        val wAlloc = org.apache.spark.sql.expressions.Window
+          .orderBy(col("rem").desc, col("source"))
+        val alloc = base
+          .withColumn("rk", row_number().over(wAlloc))
+          .crossJoin(broadcast(leftover))
+          .select(
+            col("source"),
+            (col("fl") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+              .as("alloc_docs"))
+        val wPick = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        docs.select(col("doc_id"), col("source"))
+          .withColumn("pick", row_number().over(wPick).cast("long"))
+          .join(broadcast(alloc), Seq("source"))
+          .filter(col("pick") <= col("alloc_docs"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("first_doc"))
+          .orderBy("source")
+      },
+      Some(
+        "WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows FROM documents GROUP BY source), " +
+          "t AS (SELECT SUM(n_rows) AS total FROM c), " +
+          "b AS (SELECT source, n_rows, (n_rows * 1000) // total AS fl, " +
+          "n_rows * 1000 - ((n_rows * 1000) // total) * total AS rem FROM c, t), " +
+          "l AS (SELECT 1000 - SUM(fl) AS leftover FROM b), " +
+          "a AS (SELECT source, fl + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source) <= leftover " +
+          "THEN 1 ELSE 0 END AS alloc_docs FROM b, l), " +
+          "p AS (SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source " +
+          "ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS pick FROM documents) " +
+          "SELECT p.source, CAST(COUNT(*) AS BIGINT) AS n_sampled, CAST(MIN(doc_id) AS BIGINT) AS first_doc " +
+          "FROM p JOIN a ON p.source = a.source WHERE pick <= alloc_docs " +
+          "GROUP BY p.source ORDER BY p.source")
+    ),
+    Q(
       "q_dict_encode",
       // Categorical dictionary encoding — the feature-prep primitive:
       // dense integer codes assigned by descending frequency (value-asc

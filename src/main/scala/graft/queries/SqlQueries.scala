@@ -206,6 +206,18 @@ object SqlQueries {
         "GROUP BY n ORDER BY n"
     ),
     shared(
+      "q_sql_range_interval",
+      // time-RANGE window frame in shared dialect: trailing-30-day
+      // per-customer order counts — the RANGE-with-INTERVAL bound both
+      // engines must evaluate with identical tie semantics (RANGE
+      // includes all peers of the current timestamp, so the result is
+      // order-independent by construction).
+      "SELECT o_orderkey, o_custkey, " +
+        "CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate " +
+        "RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS BIGINT) AS n_last_30d " +
+        "FROM orders ORDER BY o_orderkey"
+    ),
+    shared(
       "q_sql_count_bug",
       // THE decorrelation "COUNT bug" (Kim 1982): a correlated
       // COUNT(*) = 0 predicate — naive decorrelation to an inner join
