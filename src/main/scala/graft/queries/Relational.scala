@@ -532,6 +532,38 @@ object Relational {
           "mov AS (PARTITION BY o_custkey ORDER BY o_orderkey ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) " +
           "ORDER BY o_custkey, o_orderkey")
     ),
+    Q(
+      "q_window_nth",
+      // nth_value over the full partition frame: per customer, the top
+      // and second-highest order price (1-based nth, NULL when the
+      // customer has a single order) — the "runner-up" analytics shape.
+      // Unique (price desc, orderkey) tiebreak keeps both engines'
+      // nth choice identical.
+      (s, d) => {
+        val ord = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, d, "orders")
+          .select(
+            col("o_custkey"),
+            row_number().over(ord).as("rn"),
+            first(col("o_totalprice")).over(full).as("top_price"),
+            nth_value(col("o_totalprice"), 2).over(full).as("second_price"))
+          .filter(col("rn") === 1)
+          .select(col("o_custkey"), col("top_price"), col("second_price"))
+          .orderBy("o_custkey")
+      },
+      Some(
+        "SELECT o_custkey, top_price, second_price FROM (" +
+          "SELECT o_custkey, ROW_NUMBER() OVER w AS rn, " +
+          "FIRST_VALUE(o_totalprice) OVER wf AS top_price, " +
+          "NTH_VALUE(o_totalprice, 2) OVER wf AS second_price " +
+          "FROM orders WINDOW " +
+          "w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey), " +
+          "wf AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) t " +
+          "WHERE rn = 1 ORDER BY o_custkey")
+    ),
 
     // -------------------------------------------------- §2.6 sort/limit/set ops
     Q(
