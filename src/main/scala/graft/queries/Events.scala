@@ -153,6 +153,30 @@ object Events {
       headline = true
     ),
     Q(
+      "q_asof_tolerance",
+      // As-of join with a match tolerance (pandas merge_asof(tolerance=)
+      // semantics): a view older than 7 days before the purchase does not
+      // count — BOTH matched fields null out together, layered on the
+      // exact q_asof_join plan (one filter expression, no new shuffle).
+      (s, d) => {
+        val base = graft.Registry.byName("q_asof_join").run(s, d)
+        val within = col("view_ts") >= col("ts") - expr("INTERVAL 7 DAYS")
+        base.select(
+          col("event_id"), col("user_id"), col("ts"),
+          when(within, col("view_ts")).as("view_ts"),
+          when(within, col("view_value")).as("view_value"))
+          .orderBy("event_id")
+      },
+      Some(
+        "SELECT t.event_id, t.user_id, CAST(t.ts AS TIMESTAMP) AS ts, " +
+          "CASE WHEN q.ts >= t.ts - INTERVAL 7 DAYS THEN CAST(q.ts AS TIMESTAMP) END AS view_ts, " +
+          "CASE WHEN q.ts >= t.ts - INTERVAL 7 DAYS THEN q.value END AS view_value " +
+          "FROM (SELECT * FROM events WHERE event_type = 'purchase') t " +
+          "ASOF LEFT JOIN (SELECT user_id, ts, arg_max(value, event_id) AS value " +
+          "FROM events WHERE event_type = 'view' GROUP BY user_id, ts) q " +
+          "ON t.user_id = q.user_id AND t.ts >= q.ts ORDER BY t.event_id")
+    ),
+    Q(
       "q_retention",
       // Retention cutoff (main.tf:72-79 lifecycle semantics): keep only the
       // trailing 7 days relative to the dataset's max ts; daily rollup.
