@@ -117,6 +117,38 @@ object Behavior {
           "SELECT prev_type, next_type, n, " +
           "CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p " +
           "FROM t ORDER BY prev_type, next_type")
+    ),
+    Q(
+      "q_event_runs",
+      // Gaps-and-islands: consecutive same-event-type RUNS per user (the
+      // rn − rn_per_type grouping idiom), rolled up to a run-length
+      // distribution per event type. (ts, event_id) is the total order in
+      // both engines. Plan: one shuffle on user_id serves both window
+      // ranks, then a tiny (type, len) hash-agg.
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val wt = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        Events
+          .events(s, d)
+          .select(
+            col("user_id"), col("event_type"),
+            (row_number().over(w) - row_number().over(wt)).as("grp"))
+          .groupBy(col("user_id"), col("event_type"), col("grp"))
+          .agg(count(lit(1)).as("run_len"))
+          .groupBy(col("event_type"), col("run_len"))
+          .agg(count(lit(1)).as("n_runs"))
+          .orderBy("event_type", "run_len")
+      },
+      Some(
+        "WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events), " +
+          "r AS (SELECT user_id, event_type, " +
+          "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - " +
+          "ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS grp FROM e), " +
+          "runs AS (SELECT user_id, event_type, grp, CAST(COUNT(*) AS BIGINT) AS run_len " +
+          "FROM r GROUP BY 1, 2, 3) " +
+          "SELECT event_type, run_len, CAST(COUNT(*) AS BIGINT) AS n_runs " +
+          "FROM runs GROUP BY 1, 2 ORDER BY 1, 2")
     )
   )
 }
