@@ -206,6 +206,15 @@ object SqlQueries {
         "GROUP BY n ORDER BY n"
     ),
     shared(
+      "q_sql_group_by_all",
+      // GROUP BY ALL — the DuckDB-pioneered shorthand Spark adopted in
+      // 3.4: both engines must infer the same grouping set from the
+      // select list.
+      "SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS total " +
+        "FROM orders GROUP BY ALL ORDER BY o_orderstatus, o_orderpriority"
+    ),
+    shared(
       "q_sql_range_interval",
       // time-RANGE window frame in shared dialect: trailing-30-day
       // per-customer order counts — the RANGE-with-INTERVAL bound both
