@@ -51,11 +51,20 @@ import java.nio.file.{Files, Paths}
   * the same probe arrays.
   *
   * PROTOCOL VERSIONING: "protocol" names the sampling scheme
-  * ("interleaved-passes-v5"); totals are comparable ONLY within the same
+  * ("interleaved-passes-v6"); totals are comparable ONLY within the same
   * protocol string — v4 added rescue passes (which lower exactly the mins
-  * that dominate "total") and v5 re-defined q_dedup_minhash as its
-  * recall-gate form, so cross-version deltas partially reflect protocol,
-  * not engine, changes.
+  * that dominate "total"), v5 re-defined q_dedup_minhash as its
+  * recall-gate form, and v6 swapped that headliner for the bare serving
+  * path q_dedup_minhash_pairs (so bench totals track the engine, not the
+  * correctness gate's exact truth side), so cross-version deltas partially
+  * reflect protocol, not engine, changes.
+  *
+  * EMISSION (v6): round 7's single line outgrew the driver's tail-capture
+  * window (BENCH_r07 parsed: null). stdout now carries ONLY a compact
+  * final line — totals, protocol, probe arrays, per-query mins, split
+  * summary, errors — while the full detail (queries_all, per-query split
+  * timings and samples) goes to BENCH_LOCAL.json on disk, referenced by
+  * the "detail_file" field.
   */
 object Bench {
   private val Samples = 3
@@ -77,7 +86,7 @@ object Bench {
     "q_session_window" -> "events", "q_asof_join" -> "events",
     "q_window_range" -> "events", "q_funnel" -> "events", "q_user_history" -> "events",
     "q_text_stats" -> "documents", "q_ngram_freq" -> "documents",
-    "q_dedup_exact" -> "documents", "q_dedup_minhash" -> "documents",
+    "q_dedup_exact" -> "documents", "q_dedup_minhash_pairs" -> "documents",
     "q_line_dedup" -> "documents", "q_unigram_score" -> "documents",
     "q_sim_bruteforce" -> "embeddings", "q_quantize_embed" -> "embeddings",
     "q_topk_perkey" -> "customer")
@@ -248,16 +257,21 @@ object Bench {
     val sqAll = splitSamples.map { case (k, v) => s"${jstr(k)}:${arr(v)}" }.mkString("{", ",", "}")
     val sMrows = splitMrows.map { case (k, v) => s"${jstr(k)}:${num(v)}" }.mkString("{", ",", "}")
     val splitTotal = splitTimes.values.sum
-    val line =
+    val head =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","samples":$Samples,"rescue_passes":$rescuePasses,""" +
-        s""""protocol":"interleaved-passes-v5","note":"queries/errors keysets may overlap (timed-then-errored); totals comparable only within one protocol string",""" +
+        s""""protocol":"interleaved-passes-v6","note":"queries/errors keysets may overlap (timed-then-errored); totals comparable only within one protocol string",""" +
         s""""probe1_sec":${arr(p1.toSeq)},"probe32_sec":${arr(p32.toSeq)},""" +
-        s""""queries":$qs,"queries_all":$qsAll,""" +
+        s""""queries":$qs,""" +
         s""""split_files":$SplitFiles,"split_passes":$SplitPasses,"total_split":${num(splitTotal)},""" +
-        s""""queries_split":$sq,"queries_split_all":$sqAll,"mrows_per_sec_split":$sMrows,""" +
+        s""""mrows_per_sec_split":$sMrows,"detail_file":"BENCH_LOCAL.json",""" +
         s""""errors":$errs,"sf":${jstr(sfDir)}}"""
-    println(line)
-    Files.writeString(Paths.get("BENCH_LOCAL.json"), line + "\n")
+    // Full detail goes to disk ONLY: per-sample arrays and the per-query
+    // split timings would push the stdout line past the driver's
+    // tail-capture window again (the round-7 failure mode).
+    val detail = head.dropRight(1) +
+      s""","queries_all":$qsAll,"queries_split":$sq,"queries_split_all":$sqAll}"""
+    Files.writeString(Paths.get("BENCH_LOCAL.json"), detail + "\n")
+    println(head)
     spark.stop()
   }
 }
