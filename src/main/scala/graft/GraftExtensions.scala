@@ -43,9 +43,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // sets graft.approx.distinct=true (see ApproxDistinctRewrite).
     ext.injectOptimizerRule(_ => graft.engine.ApproxDistinctRewrite)
     // Custom whole-operator plan (§2.9 tier c): per-key top-k via bounded
-    // heaps. The strategy only fires on the TopKPerKey node; the opt-in
-    // rewrite (graft.topk.rewrite=true) turns the row_number()<=K window
-    // pattern into that node.
+    // heaps. The strategy only fires on the TopKPerKey node; the rewrite
+    // (graft.topk.rewrite, default ON, cardinality-guarded) turns the
+    // row_number()<=K window pattern into that node when the k·keys
+    // working set is provably bounded.
     ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }

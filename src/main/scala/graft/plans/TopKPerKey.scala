@@ -1,9 +1,12 @@
 package graft.plans
 
+import org.apache.spark.sql.{GraftShim, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{
   Alias, Attribute, AttributeReference, Expression, LessThan, LessThanOrEqual,
-  Literal, RowNumber, SortOrder, WindowExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNode, Window}
+  Literal, RowNumber, SortOrder, WindowExpression, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.HyperLogLogPlusPlus
+import org.apache.spark.sql.catalyst.plans.logical.{
+  Aggregate, Filter, LogicalPlan, UnaryNode, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.IntegerType
@@ -59,7 +62,7 @@ object TopKPerKey {
     AttributeReference(name, IntegerType, nullable = false)()
 }
 
-/** Opt-in logical rewrite (`graft.topk.rewrite=true`):
+/** Logical rewrite (`graft.topk.rewrite`, DEFAULT ON since round 8):
   * `Filter(rn <= K, Window(rn := row_number() OVER (...)))` →
   * [[TopKPerKey]]. Fires on the exact single-window-expression shape with
   * a literal bound — anything else (other window functions alongside,
@@ -67,13 +70,59 @@ object TopKPerKey {
   * The rewritten node reuses the window alias' exprId, so downstream
   * projections of the rank column resolve unchanged. Same SQLConf gating
   * pattern as [[graft.engine.ApproxDistinctRewrite]].
+  *
+  * CARDINALITY GUARD: [[TopKPerKeyFinalExec]] holds k rows per distinct
+  * key with no spill path, so default-on needs proof the working set is
+  * bounded before the Window plan (external sort, spillable) is given up.
+  * The rewrite fires only when one of these says k·keys is safe:
+  *
+  *  1. `child.stats.rowCount` ≤ `graft.topk.maxkeyrows` — held rows can
+  *     never exceed input rows (fires when CBO/leaf-exact counts exist).
+  *  2. `child.stats.sizeInBytes` ≤ `graft.topk.smallbytes` (default
+  *     256 MiB) — inputs this small fit the reduce side outright; the
+  *     zero-cost path every small/medium query takes.
+  *  3. An HLL++ pre-pass (`graft.topk.guard.prepass`, default on):
+  *     `approx_count_distinct(xxhash64(keys))` over the child estimates
+  *     distinct keys; rewrite iff est·k ≤ `graft.topk.maxkeyrows`
+  *     (default 8M — at 32+ reducers ≲250k held rows per reducer). The
+  *     pre-pass scans ONLY the key columns (column pruning) with a
+  *     mergeable fixed-size aggregate — at 100 TB that is materially
+  *     cheaper than the full-row shuffle + per-key sort the Window plan
+  *     pays, and the estimate is memoized per canonicalized plan so
+  *     optimizer fixed-point re-runs (and repeated compiles of the same
+  *     shape in a session) execute it once.
+  *
+  * Streaming children and pre-pass failures fall back to the Window plan
+  * — the guard can only ever decline a rewrite, never break a query.
   */
 object TopKRewrite extends Rule[LogicalPlan] {
 
   val Flag = "graft.topk.rewrite"
+  /** Global k·keys row budget for the in-memory final heaps. */
+  val MaxKeyRowsFlag = "graft.topk.maxkeyrows"
+  /** Inputs at or below this sizeInBytes rewrite without a pre-pass. */
+  val SmallBytesFlag = "graft.topk.smallbytes"
+  /** Enables the HLL++ distinct-key estimation pre-pass. */
+  val PrepassFlag = "graft.topk.guard.prepass"
+
+  /** Memoized pre-pass estimates keyed on the canonicalized aggregate
+    * plan (child + keys); bounded, cleared wholesale on overflow.
+    */
+  private val estCache =
+    new java.util.concurrent.ConcurrentHashMap[LogicalPlan, java.lang.Long]()
+
+  /** Re-entrancy latch: the pre-pass compiles a query of its own, and if
+    * the CHILD itself contains a nested top-k shape the rule would recurse
+    * into another pre-pass job mid-optimization. Inside a pre-pass the
+    * rule is a no-op (the inner query keeps its Window form — it runs
+    * once, for an estimate).
+    */
+  private val inPrepass = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = false
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (!SQLConf.get.getConfString(Flag, "false").toBoolean) plan
+    if (inPrepass.get || !SQLConf.get.getConfString(Flag, "true").toBoolean) plan
     else
       plan.transformUp {
         case f @ Filter(
@@ -88,13 +137,53 @@ object TopKRewrite extends Rule[LogicalPlan] {
           val bound = cond match {
             case LessThanOrEqual(a: Attribute, Literal(v: Int, IntegerType))
                 if a.semanticEquals(rn) => Some(v)
+            // v > MinValue guard: `rn < Int.MinValue` (always-false filter)
+            // would wrap to Int.MaxValue and rewrite to keep-everything.
             case LessThan(a: Attribute, Literal(v: Int, IntegerType))
-                if a.semanticEquals(rn) => Some(v - 1)
+                if a.semanticEquals(rn) && v > Int.MinValue => Some(v - 1)
             case _ => None
           }
           bound.filter(_ > 0) match {
-            case Some(k) => TopKPerKey(partSpec, orderSpec, k, rn, child)
-            case None => f
+            case Some(k) if safeCardinality(child, partSpec, k) =>
+              TopKPerKey(partSpec, orderSpec, k, rn, child)
+            case _ => f
           }
       }
+
+  private def safeCardinality(
+      child: LogicalPlan, keys: Seq[Expression], k: Int): Boolean = {
+    if (child.isStreaming) return false
+    val c = SQLConf.get
+    val budget = c.getConfString(MaxKeyRowsFlag, "8000000").toLong
+    val small = c.getConfString(SmallBytesFlag, (256L << 20).toString).toLong
+    val stats = child.stats
+    if (stats.rowCount.exists(_ <= budget)) true
+    else if (stats.sizeInBytes <= small) true
+    else if (!c.getConfString(PrepassFlag, "true").toBoolean) false
+    else estimateKeys(child, keys).exists(est => est <= budget / math.max(k, 1))
+  }
+
+  /** Distinct-key estimate via one HLL++ job over the child's key columns.
+    * xxhash64 folds arbitrary key types/arity to one long first, so the
+    * sketch input is always supported; collision loss is irrelevant at
+    * estimation precision. Returns None (→ keep Window) on any failure.
+    */
+  private def estimateKeys(child: LogicalPlan, keys: Seq[Expression]): Option[Long] =
+    try {
+      val agg = Aggregate(
+        Nil,
+        Seq(Alias(
+          HyperLogLogPlusPlus(new XxHash64(keys)).toAggregateExpression(), "n")()),
+        child)
+      val memoKey = agg.canonicalized
+      Option(estCache.get(memoKey)).map(_.longValue).orElse {
+        inPrepass.set(true)
+        val n =
+          try GraftShim.ofRows(SparkSession.active, agg).head().getLong(0)
+          finally inPrepass.set(false)
+        if (estCache.size > 64) estCache.clear()
+        estCache.put(memoKey, n)
+        Some(n)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 }

@@ -149,9 +149,11 @@ object TopKPerKeyPartialExec {
   * Working-set envelope: k rows per distinct key in the reduce partition —
   * the input is already capped by the partials, and k·keys is strictly
   * less than what WindowExec would sort for the same answer, but it is
-  * held in memory without a spill path. For extreme key cardinality where
-  * k·keys-per-reducer rows exceed executor memory, keep the (default-off)
-  * rewrite disabled and let the window form's external sort handle it.
+  * held in memory without a spill path. The rewrite's cardinality guard
+  * ([[TopKRewrite.safeCardinality]]) therefore declines the rewrite — the
+  * Window form's external sort handles it — whenever it cannot show
+  * k·keys fits the `graft.topk.maxkeyrows` budget; DIRECT construction of
+  * [[TopKPerKey]] bypasses that guard and inherits this envelope.
   */
 final case class TopKPerKeyFinalExec(
     keys: Seq[Expression],

@@ -65,52 +65,95 @@ class TopKSpec extends SparkSpec {
       "partial is not below the exchange")
   }
 
-  test("opt-in rewrite turns the window pattern into the custom operator and back off") {
+  test("rewrite is ON by default, answers match the window form, and false disables it") {
     val flag = TopKRewrite.Flag
+    // default (no flag set): guard's small-input path admits the fixture
+    val rewritten = windowForm(2)
+    val p = rewritten.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKeyFinal"), s"default-on rewrite did not fire:\n$p")
+    assert(!p.contains("Window ["))
     try {
-      spark.conf.set(flag, "true")
-      val rewritten = windowForm(2)
-      val p = rewritten.queryExecution.executedPlan.toString
-      assert(p.contains("TopKPerKeyFinal"), s"rewrite did not fire:\n$p")
-      assert(!p.contains("WindowExec"))
-      // identical answer to the un-rewritten plan
+      // identical answer to the explicitly un-rewritten plan
       spark.conf.set(flag, "false")
-      assert(collectSet(rewritten) == collectSet(windowForm(2)))
-    } finally spark.conf.set(flag, "false")
-    assert(!windowForm(2).queryExecution.executedPlan.toString.contains("TopKPerKey"),
-      "rewrite fired with the flag off")
+      val plain = windowForm(2)
+      assert(!plain.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+        "rewrite fired with the flag off")
+      assert(collectSet(rewritten) == collectSet(plain))
+    } finally spark.conf.unset(flag)
   }
 
   test("rewrite fires on the delegated-SQL subquery shape too") {
     graft.engine.QueryRunner.registerViews(spark, sf())
-    try {
-      spark.conf.set(TopKRewrite.Flag, "true")
-      val df = spark.sql(
-        "SELECT * FROM (SELECT o_custkey, o_orderkey, " +
-          "ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn " +
-          "FROM orders) t WHERE rn <= 2")
-      val p = df.queryExecution.executedPlan.toString
-      assert(p.contains("TopKPerKeyFinal") && !p.contains("WindowExec"),
-        s"rewrite did not fire on SQL text:\n$p")
-    } finally spark.conf.set(TopKRewrite.Flag, "false")
+    val df = spark.sql(
+      "SELECT * FROM (SELECT o_custkey, o_orderkey, " +
+        "ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn " +
+        "FROM orders) t WHERE rn <= 2")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKeyFinal") && !p.contains("Window ["),
+      s"rewrite did not fire on SQL text:\n$p")
   }
 
   test("rewrite leaves non-matching shapes alone (compound filter, rank function)") {
-    val flag = TopKRewrite.Flag
+    val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc)
+    // compound condition → not the exact pattern
+    val compound = graft.core.Tables(spark, sf(), "customer")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2 && col("c_acctbal") > 0)
+    assert(!compound.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    // rank() (ties share ranks — different semantics) → untouched
+    val rk = graft.core.Tables(spark, sf(), "customer")
+      .withColumn("rn", rank().over(w))
+      .filter(col("rn") <= 2)
+    assert(!rk.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+  }
+
+  test("rn < Int.MinValue does not wrap into a keep-everything rewrite") {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val df = graft.core.Tables(spark, sf(), "customer")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") < Int.MinValue) // always false; v-1 would overflow to MaxValue
+    assert(!df.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+      "overflowed bound rewrote to a keep-everything top-k")
+    assert(df.count() == 0L)
+  }
+
+  test("cardinality guard: high-cardinality keys fall back to WindowExec, hot keys rewrite") {
+    // Disable the small-input shortcut so the HLL++ pre-pass decides, and
+    // shrink the k·keys budget below the distinct-c_custkey count.
     try {
-      spark.conf.set(flag, "true")
-      val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc)
-      // compound condition → not the exact pattern
-      val compound = graft.core.Tables(spark, sf(), "customer")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 2 && col("c_acctbal") > 0)
-      assert(!compound.queryExecution.executedPlan.toString.contains("TopKPerKey"))
-      // rank() (ties share ranks — different semantics) → untouched
-      val rk = graft.core.Tables(spark, sf(), "customer")
-        .withColumn("rn", rank().over(w))
+      spark.conf.set(TopKRewrite.SmallBytesFlag, "0")
+      spark.conf.set(TopKRewrite.MaxKeyRowsFlag, "100")
+      val wHigh = Window.partitionBy(col("c_custkey")) // unique per row
+        .orderBy(col("c_acctbal").desc, col("c_nationkey"))
+      val high = graft.core.Tables(spark, sf(), "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+        .withColumn("rn", row_number().over(wHigh))
         .filter(col("rn") <= 2)
-      assert(!rk.queryExecution.executedPlan.toString.contains("TopKPerKey"))
-    } finally spark.conf.set(flag, "false")
+      val pHigh = high.queryExecution.executedPlan.toString
+      assert(pHigh.contains("Window [") && !pHigh.contains("TopKPerKey"),
+        s"high-cardinality keys were not declined:\n$pHigh")
+      // 25 nation keys × k=3 = 75 ≤ 100 → pre-pass admits the rewrite
+      val pHot = windowForm(3).queryExecution.executedPlan.toString
+      assert(pHot.contains("TopKPerKeyFinal") && !pHot.contains("Window ["),
+        s"hot keys were not rewritten under the pre-pass:\n$pHot")
+    } finally {
+      spark.conf.unset(TopKRewrite.SmallBytesFlag)
+      spark.conf.unset(TopKRewrite.MaxKeyRowsFlag)
+    }
+  }
+
+  test("cardinality guard: prepass disabled + no safe estimate keeps the Window plan") {
+    try {
+      spark.conf.set(TopKRewrite.SmallBytesFlag, "0")
+      spark.conf.set(TopKRewrite.PrepassFlag, "false")
+      val p = windowForm(3).queryExecution.executedPlan.toString
+      assert(p.contains("Window [") && !p.contains("TopKPerKey"),
+        s"rewrite fired with no admissible cardinality evidence:\n$p")
+    } finally {
+      spark.conf.unset(TopKRewrite.SmallBytesFlag)
+      spark.conf.unset(TopKRewrite.PrepassFlag)
+    }
   }
 
   test("k larger than every group returns all rows ranked; ties break by the total order") {
