@@ -264,6 +264,76 @@ object SqlQueries {
         "SELECT CAST(p_size AS STRING) FROM part UNION ALL " +
         "SELECT '99999999999999999999999' UNION ALL SELECT '12.5x') t " +
         "GROUP BY part ORDER BY part"
+    ),
+    // --- multi-join reorder gates (TPC-H Q7/Q8/Q9 flavors) ---
+    // The decorrelation set (Q17/Q20/Q21 flavors above) exercises subquery
+    // planning; these three exercise the OTHER planner axis — join ORDER
+    // over 5-7 relations of mixed size, where putting a dimension on the
+    // build side vs shuffling the fact decides the plan. Plan audits in
+    // PLANS.md; fixed-point sums keep the float totals bit-deterministic
+    // across engines (graft.core.Agg recipe, same as q_sql_shipping).
+    shared(
+      "q_sql_volume_shipping",
+      // Q7 flavor, 6 relations (lineitem fact; supplier, orders→customer,
+      // nation×2 dims): international flows only (supp nation ≠ cust
+      // nation), revenue per (supp_nation, cust_nation, year). The planner
+      // must keep lineitem un-shuffled behind broadcast dims and join the
+      // two nation copies independently — a join-order mistake here
+      // cross-joins the nation pair before touching the fact.
+      "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
+        "CAST(YEAR(l_shipdate) AS BIGINT) AS l_year, " +
+        "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS revenue " +
+        "FROM supplier JOIN lineitem ON s_suppkey = l_suppkey " +
+        "JOIN orders ON o_orderkey = l_orderkey " +
+        "JOIN customer ON c_custkey = o_custkey " +
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey " +
+        "JOIN nation n2 ON c_nationkey = n2.n_nationkey " +
+        "WHERE n1.n_name <> n2.n_name " +
+        "GROUP BY supp_nation, cust_nation, l_year " +
+        "ORDER BY supp_nation, cust_nation, l_year"
+    ),
+    shared(
+      "q_sql_mkt_share",
+      // Q8 flavor, 7 relations (two nation roles + region): NATION_3's
+      // share of AMERICA-customer PROMO-part revenue per year. The
+      // numerator/denominator are fixed-point BIGINT sums, so the final
+      // division is one IEEE op on exact operands in both engines.
+      "WITH all_flows AS (" +
+        "SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year, " +
+        "CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS volume_fp, " +
+        "n2.n_name AS supp_nation " +
+        "FROM part JOIN lineitem ON p_partkey = l_partkey " +
+        "JOIN supplier ON s_suppkey = l_suppkey " +
+        "JOIN orders ON o_orderkey = l_orderkey " +
+        "JOIN customer ON c_custkey = o_custkey " +
+        "JOIN nation n1 ON c_nationkey = n1.n_nationkey " +
+        "JOIN region ON n1.n_regionkey = r_regionkey " +
+        "JOIN nation n2 ON s_nationkey = n2.n_nationkey " +
+        "WHERE r_name = 'AMERICA' AND p_type = 'PROMO') " +
+        "SELECT o_year, " +
+        "CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume_fp ELSE 0 END) AS DOUBLE) / " +
+        "CAST(SUM(volume_fp) AS DOUBLE) AS mkt_share " +
+        "FROM all_flows GROUP BY o_year ORDER BY o_year"
+    ),
+    shared(
+      "q_sql_nation_profit",
+      // Q9 flavor, 5 relations (no partsupp in the fixture — retail price
+      // stands in for supply cost): per-(nation, year) profit on widget
+      // parts. Revenue and cost are SEPARATE fixed-point sums — rounding
+      // each compound double product independently keeps both engines on
+      // near-integer ROUND inputs (never a .5 boundary), then the
+      // subtraction is exact BIGINT arithmetic.
+      "SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year, " +
+        "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) - " +
+        "SUM(CAST(ROUND(CAST(0.9 AS DOUBLE) * p_retailprice * l_quantity * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS profit " +
+        "FROM part JOIN lineitem ON p_partkey = l_partkey " +
+        "JOIN supplier ON s_suppkey = l_suppkey " +
+        "JOIN orders ON o_orderkey = l_orderkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "WHERE p_name LIKE '%widget%' " +
+        // GROUP/ORDER on the raw column: the `nation` alias would collide
+        // with the nation TABLE name in DuckDB's binder.
+        "GROUP BY n_name, o_year ORDER BY n_name, o_year"
     )
   )
 }
