@@ -71,6 +71,26 @@ object Ivf {
       .select(col("vec_id").as("n_id"), col("embedding").cast("array<double>").as("cv"))
       .withColumn("bucket", assignExpr(col("cv"), centroids))
 
+  /** Multi-probe inverted index: every vector is listed under its `r`
+    * nearest cells (replication factor r), so pairs straddling a Voronoi
+    * boundary still share at least one bucket — the standard recall lever
+    * for cell-blocked NEAR-DUP detection (where both sides of a pair are
+    * corpus vectors; query-time nprobe in [[topK]] covers the asymmetric
+    * search case instead). Output (bucket, n_id, cv), r rows per vector:
+    * storage and join work scale linearly in r, per-cell pair work stays
+    * O(cell²) — sub-quadratic overall for any r ≪ k.
+    */
+  def indexMulti(corpus: DataFrame, centroids: Seq[Seq[Double]], r: Int): DataFrame = {
+    val v = corpus.select(col("vec_id").as("n_id"), col("embedding").cast("array<double>").as("cv"))
+    val dists = array(centroids.map(c => dist2(col("cv"), c)): _*)
+    v.select(col("n_id"), col("cv"), posexplode(dists).as(Seq("bucket", "d2")))
+      .withColumn(
+        "pr",
+        row_number().over(Window.partitionBy(col("n_id")).orderBy(col("d2"), col("bucket"))))
+      .filter(col("pr") <= r)
+      .select(col("bucket"), col("n_id"), col("cv"))
+  }
+
   /** IVF top-k: probe the `nprobe` nearest buckets per query, exact cosine
     * re-score within them.
     */

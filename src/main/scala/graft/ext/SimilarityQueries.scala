@@ -117,31 +117,49 @@ object SimilarityQueries {
     ),
     Q(
       "q_dedup_embed",
-      // Embedding-cosine near-dup detection: block on the label column
-      // (cluster id) so candidate pairs are per-bucket, not all-pairs —
-      // then exact cosine >= 0.3 (the synthetic
-      // labels are weak cosine clusters; same shape, lower threshold). At scale the block key comes from
-      // coarse quantization (IVF) or sign-LSH (q_sim_lsh); the join and
-      // re-score shape is identical.
+      // Embedding-cosine near-dup detection on the REAL scale block key:
+      // IVF coarse-quantizer cells (k=16 deterministic k-means,
+      // multi-probe r=2 so Voronoi-boundary pairs still collide), exact
+      // cosine >= 0.3 within a shared cell — per-cell O(cell²) pair work,
+      // never all-pairs. The cell assignment is float/partition-order
+      // specific, so the gated output is the recall invariant over the
+      // ALL-PAIRS exact truth set (which DuckDB recomputes independently —
+      // n_true_pairs is a real differential), with the sub-quadratic
+      // candidate ceiling blocking an all-pairs "fix". The truth side is
+      // gate-scale-only (it IS the oracle); the served plan is the
+      // cell-blocked side.
       (s, d) => {
-        val e = Tables(s, d, "embeddings")
-          .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
-        val a = e.select(col("vec_id").as("a_id"), col("label"), col("v").as("av"))
-        val b = e.select(col("vec_id").as("b_id"), col("label"), col("v").as("bv"))
-        a.join(b, Seq("label"))
-          .filter(col("a_id") < col("b_id"))
-          .select(col("label"), col("a_id"), col("b_id"),
+        val emb = Tables(s, d, "embeddings")
+        val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val a = e.select(col("vec_id").as("a_id"), col("v").as("av"))
+        val b = e.select(col("vec_id").as("b_id"), col("v").as("bv"))
+        val truth = a.join(b, col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
             Similarity.cosine(col("av"), col("bv")).as("cos"))
           .filter(col("cos") >= 0.3)
-          .orderBy("a_id", "b_id")
+          .select(col("a_id"), col("b_id"))
+        val cells = Ivf.indexMulti(emb, Ivf.train(s, emb, k = 16), r = 2)
+        val found = cells.select(col("bucket"), col("n_id").as("a_id"), col("cv").as("av"))
+          .join(
+            cells.select(col("bucket"), col("n_id").as("b_id"), col("cv").as("bv")),
+            Seq("bucket"))
+          .filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            Similarity.cosine(col("av"), col("bv")).as("cos"))
+          .filter(col("cos") >= 0.3)
+          .select(col("a_id"), col("b_id"))
+          .distinct()
+        DedupQueries.pairRecallGate(
+          truth, found,
+          emb.agg(count(lit(1)).as("n_docs")),
+          floor = 0.5)
       },
       Some(
-        "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) " +
-          "SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id, " +
-          "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos " +
-          "FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id " +
-          "WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3 " +
-          "ORDER BY a_id, b_id")
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) " +
+          "SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs, true AS recall_ge_floor, " +
+          "true AS candidates_subquadratic " +
+          "FROM e a JOIN e b ON a.vec_id < b.vec_id " +
+          "WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3")
     ),
     Q(
       "q_centroid_udaf",
