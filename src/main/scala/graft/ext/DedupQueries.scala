@@ -387,6 +387,32 @@ object DedupQueries {
           "ORDER BY a_name, b_name")
     ),
     Q(
+      "q_curation_v3",
+      // Enforced-order near-dup curation (see graft.ext.Curation): the
+      // corpus is documents plus a deterministic duplicated subset (every
+      // doc_id % 5 == 0 re-keyed at +1_000_000 — the fixture has no exact
+      // duplicates, and an invariant over an input that cannot violate it
+      // proves nothing; both engines construct the same corpus). Exact
+      // dedup runs FIRST, MinHash-LSH + components + keep-one consume the
+      // survivor set, and the gate's contract boolean re-derives the
+      // ordering from the LSH stage's actual input — reorder or drop the
+      // dedup stage and the row reads red.
+      (s, d) => {
+        val base = Tables(s, d, "documents").select(col("doc_id"), col("text"))
+        val corpus = base.unionByName(
+          base.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+        Curation.v3Gate(corpus, Curation.exactSurvivors(corpus))
+      },
+      Some(
+        "WITH corpus AS (SELECT doc_id, text FROM documents " +
+          "UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0), " +
+          "f AS (SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp FROM corpus) " +
+          "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+          "CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_exact_survivors, " +
+          "true AS lsh_input_is_survivor_set, true AS near_dup_kept_bounded FROM f")
+    ),
+    Q(
       "q_exact_substr",
       // ExactSubstr-style cross-document substring overlap (the Lee et
       // al. 2022 dedup signal, shingled): every OVERLAPPING 10-token
