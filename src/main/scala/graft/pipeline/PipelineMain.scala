@@ -17,18 +17,32 @@ object PipelineMain {
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse(
       java.nio.file.Files.createTempDirectory("graft-pipeline-run").toString)
-    // Single-flight: a second run scheduled while one is in flight yields
-    // cleanly, like the reference's 409-means-already-running path
-    // (main.py:87-92) — it must NOT interleave loads with the holder.
-    val ran = RunLock.singleFlight(root) {
-      run(root, args.lift(1))
-    }
-    if (ran.isEmpty)
-      println("[pipeline] another run holds the lock — exiting (conflict)")
+    val spark = Sessions.build("graft-pipeline")
+    try {
+      if (tick(root, args.lift(1), spark).isEmpty)
+        println("[pipeline] another run holds the lock — exiting (conflict)")
+    } finally spark.stop()
   }
 
-  private def run(root: String, urlArg: Option[String]): Unit = {
-    val spark = Sessions.build("graft-pipeline")
+  /** One scheduler tick — exactly what the external cron invokes
+    * (reference main.tf:46-56), minus session lifecycle so a spec can
+    * drive ticks end-to-end (CronKickoffSpec). Single-flight: a tick
+    * scheduled while one is in flight yields cleanly (None), like the
+    * reference's 409-means-already-running path (main.py:87-92) — it
+    * must NOT interleave loads with the holder.
+    */
+  def tick(
+      root: String,
+      urlArg: Option[String],
+      spark: org.apache.spark.sql.SparkSession): Option[Unit] =
+    RunLock.singleFlight(root) {
+      run(root, urlArg, spark)
+    }
+
+  private def run(
+      root: String,
+      urlArg: Option[String],
+      spark: org.apache.spark.sql.SparkSession): Unit = {
     val url = urlArg.getOrElse(JdbcCatalog.seedDemoDb(s"$root/derbydb"))
 
     // stage 1 — discovery (query_runner parity) + publish
@@ -59,6 +73,5 @@ object PipelineMain {
     // on the topic for the next invocation
     MessageQueue.ack(topic, peeked.map(_._1))
     Pipeline.retentionSweep(spark, root, java.time.LocalDate.now())
-    spark.stop()
   }
 }
