@@ -61,7 +61,12 @@ object Skew {
     * kick in (e.g. the skewed side is already partitioned by the join key
     * for a later stage).
     */
-  def saltedJoin(left: DataFrame, right: DataFrame, key: String, saltBuckets: Int): DataFrame = {
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      saltBuckets: Int,
+      spreadDuplicates: Boolean = false): DataFrame = {
     // Salt derivation must be RETRY-DETERMINISTIC: the salt is a shuffle
     // key, and a map task re-executed after a fetch failure must assign
     // every row the SAME salt, or completed reducers have consumed rows
@@ -69,24 +74,29 @@ object Skew {
     // — duplicated/dropped join rows (Spark only guards nondeterministic
     // partitioning for round-robin repartition, SPARK-23207; a user salt
     // column gets no such protection, so monotonically_increasing_id /
-    // rand are NOT safe here). Salt = xxhash64 over the partition id and
-    // every hashable column: stable across retries for deterministic
-    // sources (same split → same partition id and content), spreads
-    // identical duplicate rows that land in different partitions, and
-    // skips MapType columns (unhashable). Residual limitation, by design:
-    // byte-identical duplicate rows WITHIN one input partition share a
-    // bucket — a duplicate-heavy hot key spreads only as far as its
-    // duplicates spread across partitions. The salt column name is
-    // namespaced to avoid clobbering a user `_salt`.
+    // rand are NOT safe here). Default salt = xxhash64 over every
+    // hashable column (MapType skipped — unhashable): pure row content,
+    // so it is stable across retries for ANY input, including one sitting
+    // downstream of a shuffle whose retry can re-deal rows to different
+    // partitions. The trade is that byte-identical duplicate rows share a
+    // bucket — a hot key made of literal duplicates doesn't spread.
+    // spreadDuplicates=true mixes spark_partition_id into the hash to
+    // break such clumps, and is ONLY safe when `left` reads straight from
+    // a deterministic source (a file scan re-reads the same split with the
+    // same partition id on retry) — never on a post-shuffle frame, where a
+    // fetch-failure re-execution can re-assign partition ids and change a
+    // shuffle key mid-join. Same opt-in contract as [[saltedAgg]]. The
+    // salt column name is namespaced to avoid clobbering a user `_salt`.
     val saltCol = "__graft_salt"
     require(!left.columns.contains(saltCol) && !right.columns.contains(saltCol),
       s"input already has a $saltCol column")
     val hashable = left.schema.fields.collect {
       case f if !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] => col(f.name)
     }.toIndexedSeq
+    val saltInputs =
+      if (spreadDuplicates) spark_partition_id().cast("long") +: hashable else hashable
     val l = left.withColumn(
-      saltCol,
-      pmod(xxhash64((spark_partition_id().cast("long") +: hashable): _*), lit(saltBuckets.toLong)))
+      saltCol, pmod(xxhash64(saltInputs: _*), lit(saltBuckets.toLong)))
     val r = right.withColumn(
       saltCol, explode(array((0 until saltBuckets).map(l => lit(l.toLong)): _*)))
     l.join(r, Seq(key, saltCol)).drop(saltCol)

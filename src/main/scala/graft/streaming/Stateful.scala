@@ -81,6 +81,12 @@ object Stateful {
     * length — the property that lets a leaderboard run forever. Ties
     * break (score desc, id asc), matching the batch operator's
     * determinism contract.
+    *
+    * Entrant identity: one board slot per id, scored at its BEST score
+    * so far (re-scores and re-deliveries collapse to max) — standard
+    * leaderboard semantics; without the dedupe, a re-scored id would
+    * occupy multiple ranks at once. Needing every submission ranked as a
+    * distinct row is a different operator (give rows unique ids).
     */
   class TopKProcessor(k: Int) extends StatefulProcessor[String, Scored, Leader] {
     @transient private var top: ValueState[List[(Double, Long)]] = _
@@ -95,6 +101,9 @@ object Stateful {
         timerValues: TimerValues): Iterator[Leader] = {
       val prev = if (top.exists()) top.get() else Nil
       val merged = (prev ++ rows.map(r => (r.score, r.id)))
+        .groupBy { case (_, id) => id }
+        .map { case (_, scores) => scores.maxBy { case (s, _) => s } }
+        .toList
         .sortBy { case (s, id) => (-s, id) }
         .take(k)
       if (merged == prev) Iterator.empty

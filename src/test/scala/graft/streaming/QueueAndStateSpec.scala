@@ -164,6 +164,47 @@ class QueueAndStateSpec extends SparkSpec {
     }
   }
 
+  test("leaderboard dedupes by id: a re-scored entrant holds ONE slot at its best score") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("leader-dedupe").toString
+    val in = s"$root/in"; val out = s"$root/out"; val ck = s"$root/ck"
+    Files.createDirectories(Paths.get(in))
+    val schema = StructType(Seq(
+      StructField("key", StringType), StructField("id", LongType),
+      StructField("score", org.apache.spark.sql.types.DoubleType)))
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def run(): Unit = {
+        val scored = spark.readStream.schema(schema).csv(in).as[Stateful.Scored]
+        val q = Stateful.leaderboard(spark, scored, k = 2)
+          .writeStream.format("parquet").outputMode("append")
+          .option("path", out).option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      // id=1 submits twice in one batch; id=2 once — board must be
+      // [(1, 7.0), (2, 6.0)], never id=1 at two ranks
+      Files.writeString(Paths.get(s"$in/b1.csv"), "a,1,5.0\na,1,7.0\na,2,6.0")
+      run()
+      // re-delivery of a LOWER score for the leader changes nothing
+      // (best-so-far), so the unchanged board is not re-emitted
+      Files.writeString(Paths.get(s"$in/b2.csv"), "a,1,4.0")
+      run()
+      val rows = spark.read.parquet(out).as[Stateful.Leader].collect()
+      assert(rows.length == 2, s"one emission of a 2-slot board expected: ${rows.toSeq}")
+      assert(rows.exists(r => r.rank == 1 && r.id == 1 && r.score == 7.0))
+      assert(rows.exists(r => r.rank == 2 && r.id == 2 && r.score == 6.0))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("EP1 end-to-end: JDBC discovery -> publish -> consume -> pipeline -> warehouse") {
     val url = JdbcCatalog.seedDemoDb(
       Files.createTempDirectory("derby-ep1").toString + "/db")
