@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale-behavior probe: the bench testdata is single-row-group parquet
@@ -10,32 +10,145 @@ import org.apache.spark.sql.functions._
   * the fact-fact join shape on BOTH layouts — measuring what actually
   * matters at 100 TB: per-row cost once scans split properly.
   *
-  * Usage: runMain graft.Stress [sfDir] [mult]
+  * Usage: runMain graft.Stress [sfDir] [mult] [tier]
+  *  - tier omitted/"full": the round-6/7 suite (16× lineitem/orders,
+  *    duplicated-corpus minhash + truth-gate worst cases, top-k operator
+  *    A/B, z-order skipping probe).
+  *  - tier "flagship": the sf1-scale extrapolation run (round-7 verdict
+  *    #8) — lineitem replicated to ~100M rows (mult≈167), 32 files, and
+  *    ONLY the three flagship shapes timed (pricing hash-agg, fact-fact
+  *    join, hot-key top-k custom vs window), each as Mrows/s. These are
+  *    the numbers PLANS.md's 100 TB claims extrapolate from: if Mrows/s
+  *    holds within 2× from 9.6M to 100M rows, per-row cost is flat and
+  *    the remaining scale risk is shuffle fan-in, not the operators.
+  *
   * Emits one JSON line: rows, seconds and Mrows/s per (layout, query).
   */
 object Stress {
 
   private def time(f: => Unit): Double = Timing.timeOf(f)
 
+  // ---- shared probe bodies (one definition per shape, every tier) ----
+
+  private def pricingProbe(spark: SparkSession, dir: String): Double = time {
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        core.Agg.dsum(col("l_quantity")).as("sum_qty"),
+        core.Agg.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc"),
+        count(lit(1)).as("n"))
+      .write.format("noop").mode("overwrite").save()
+  }
+
+  private def factJoinProbe(spark: SparkSession, dir: String): Double = time {
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), core.Agg.dsum(col("l_quantity")).as("sum_qty"))
+      .write.format("noop").mode("overwrite").save()
+  }
+
+  private def topkChild(spark: SparkSession, dir: String, keyName: String) =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col(keyName), col("l_orderkey"), col("l_extendedprice"))
+
+  private def topkWindowProbe(spark: SparkSession, dir: String, keyName: String): Double = time {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyName))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"))
+    // measure the WINDOW form even now that the rewrite defaults on
+    val flag = graft.plans.TopKRewrite.Flag
+    val prev = spark.conf.getOption(flag)
+    spark.conf.set(flag, "false")
+    try
+      topkChild(spark, dir, keyName)
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("rn") <= 3)
+        .write.format("noop").mode("overwrite").save()
+    finally prev match {
+      case Some(v) => spark.conf.set(flag, v)
+      case None => spark.conf.unset(flag)
+    }
+  }
+
+  private def topkCustomProbe(spark: SparkSession, dir: String, keyName: String): Double = time {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+    val child = topkChild(spark, dir, keyName).queryExecution.analyzed
+    val key = child.output.find(_.name == keyName).get
+    val price = child.output.find(_.name == "l_extendedprice").get
+    val ok = child.output.find(_.name == "l_orderkey").get
+    org.apache.spark.sql.GraftShim
+      .ofRows(spark, graft.plans.TopKPerKey(
+        Seq(key), Seq(SortOrder(price, Descending), SortOrder(ok, Ascending)),
+        3, graft.plans.TopKPerKey.rankAttribute(), child))
+      .write.format("noop").mode("overwrite").save()
+  }
+
+  /** Replicate with disjoint key ranges per replica; repartition so the
+    * written parquet has many files → multi-task scans.
+    */
+  private def replicate(
+      spark: SparkSession, df: DataFrame, keyCol: String, mult: Int): DataFrame =
+    spark.range(mult).withColumnRenamed("id", "rep")
+      .crossJoin(df)
+      .withColumn(keyCol, col(keyCol) + col("rep") * 100000000L)
+      .drop("rep")
+
+  private def rate(n: Long, s: Double): Double = n / s / 1e6
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val mult = args.lift(1).map(_.toInt).getOrElse(16)
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft-stress"
+    val tier = args.lift(2).getOrElse("full")
+    val mult = args.lift(1).map(_.toInt).getOrElse(if (tier == "flagship") 167 else 16)
     val spark: SparkSession = Sessions.build("graft-stress")
-    import spark.implicits._
+    if (tier == "flagship") runFlagship(spark, sfDir, mult)
+    else runFull(spark, sfDir, mult)
+    spark.stop()
+  }
+
+  /** sf1-scale tier: ~100M-row 32-file lineitem, three flagship shapes. */
+  private def runFlagship(spark: SparkSession, sfDir: String, mult: Int): Unit = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft-stress-flagship"
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+    replicate(spark, li, "l_orderkey", mult)
+      .repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    replicate(spark, ord, "o_orderkey", mult)
+      .repartition(32).write.mode("overwrite").parquet(s"$out/orders.parquet")
+    val nRows = spark.read.parquet(s"$out/lineitem.parquet").count()
+    val nOrd = spark.read.parquet(s"$out/orders.parquet").count()
+    // warm each shape once, then min-of-2
+    pricingProbe(spark, out); factJoinProbe(spark, out)
+    val p = Seq(pricingProbe(spark, out), pricingProbe(spark, out)).min
+    val j = Seq(factJoinProbe(spark, out), factJoinProbe(spark, out)).min
+    topkCustomProbe(spark, out, "l_returnflag")
+    val tkC = Seq(
+      topkCustomProbe(spark, out, "l_returnflag"),
+      topkCustomProbe(spark, out, "l_returnflag")).min
+    topkWindowProbe(spark, out, "l_returnflag")
+    val tkW = Seq(
+      topkWindowProbe(spark, out, "l_returnflag"),
+      topkWindowProbe(spark, out, "l_returnflag")).min
+    val num = (v: Double) => Timing.fmt3(v)
+    println(
+      s"""{"tier":"flagship","rows":$nRows,"rows_orders":$nOrd,"mult":$mult,"files":32,""" +
+        s""""pricing_sec":${num(p)},"pricing_mrows_s":${num(rate(nRows, p))},""" +
+        s""""join_sec":${num(j)},"join_mrows_s":${num(rate(nRows, j))},""" +
+        s""""topk_custom_hot_sec":${num(tkC)},"topk_custom_hot_mrows_s":${num(rate(nRows, tkC))},""" +
+        s""""topk_window_hot_sec":${num(tkW)},"topk_window_hot_mrows_s":${num(rate(nRows, tkW))}}""")
+  }
+
+  private def runFull(spark: SparkSession, sfDir: String, mult: Int): Unit = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft-stress"
 
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val ord = spark.read.parquet(s"$sfDir/orders.parquet")
 
-    // replicate with disjoint key ranges per replica; repartition so the
-    // written parquet has many files → multi-task scans
-    def replicate(df: org.apache.spark.sql.DataFrame, keyCol: String): org.apache.spark.sql.DataFrame =
-      spark.range(mult).withColumnRenamed("id", "rep")
-        .crossJoin(df)
-        .withColumn(keyCol, col(keyCol) + col("rep") * 100000000L)
-        .drop("rep")
-    replicate(li, "l_orderkey").repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
-    replicate(ord, "o_orderkey").repartition(32).write.mode("overwrite").parquet(s"$out/orders.parquet")
+    replicate(spark, li, "l_orderkey", mult)
+      .repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    replicate(spark, ord, "o_orderkey", mult)
+      .repartition(32).write.mode("overwrite").parquet(s"$out/orders.parquet")
 
     // Documents replicated with distinct ids but IDENTICAL texts — the
     // minhash worst case: every LSH band bucket holds mult× members, so
@@ -50,24 +163,6 @@ object Stress {
     docsBig.repartition(32).write.mode("overwrite").parquet(s"$out/documents32.parquet")
     docsBig.coalesce(1).write.mode("overwrite").parquet(s"$out/documents1.parquet")
 
-    def pricing(dir: String): Double = time {
-      spark.read.parquet(s"$dir/lineitem.parquet")
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          core.Agg.dsum(col("l_quantity")).as("sum_qty"),
-          core.Agg.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc"),
-          count(lit(1)).as("n"))
-        .write.format("noop").mode("overwrite").save()
-    }
-    def factJoin(dir: String): Double = time {
-      val l = spark.read.parquet(s"$dir/lineitem.parquet")
-      val o = spark.read.parquet(s"$dir/orders.parquet")
-      l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), core.Agg.dsum(col("l_quantity")).as("sum_qty"))
-        .write.format("noop").mode("overwrite").save()
-    }
-
     def minhash(path: String): Double = time {
       ext.Dedup.minhashPairs(spark.read.parquet(path), "doc_id", "text")
         .write.format("noop").mode("overwrite").save()
@@ -77,7 +172,7 @@ object Stress {
     // candidate/truth stage — collapses the quadratic per-bucket pair work
     // back to unique texts. ONE definition, shared by both dedup-first
     // probes, so the A/B always compares the same pipeline.
-    def dedupFirst(path: String): org.apache.spark.sql.DataFrame =
+    def dedupFirst(path: String): DataFrame =
       spark.read.parquet(path)
         .groupBy(xxhash64(col("text")).as("th"))
         .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
@@ -104,35 +199,6 @@ object Stress {
         .write.format("noop").mode("overwrite").save()
     }
 
-    // Custom top-k operator vs the Window row_number form at 9.6M rows:
-    // same semantics, same input — Window shuffles every row then fully
-    // sorts each key; TopKPerKey's map-side partial caps the shuffle at
-    // k rows per key per mapper and replaces the sort with bounded heaps.
-    def topkChild(dir: String, keyName: String) =
-      spark.read.parquet(s"$dir/lineitem.parquet")
-        .select(col(keyName), col("l_orderkey"), col("l_extendedprice"))
-    def topkWindow(dir: String, keyName: String): Double = time {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col(keyName))
-        .orderBy(col("l_extendedprice").desc, col("l_orderkey"))
-      topkChild(dir, keyName)
-        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
-        .filter(col("rn") <= 3)
-        .write.format("noop").mode("overwrite").save()
-    }
-    def topkCustom(dir: String, keyName: String): Double = time {
-      import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
-      val child = topkChild(dir, keyName).queryExecution.analyzed
-      val key = child.output.find(_.name == keyName).get
-      val price = child.output.find(_.name == "l_extendedprice").get
-      val ok = child.output.find(_.name == "l_orderkey").get
-      org.apache.spark.sql.GraftShim
-        .ofRows(spark, graft.plans.TopKPerKey(
-          Seq(key), Seq(SortOrder(price, Descending), SortOrder(ok, Ascending)),
-          3, graft.plans.TopKPerKey.rankAttribute(), child))
-        .write.format("noop").mode("overwrite").save()
-    }
-
     // Z-order data-skipping probe: the SAME replicated lineitem written
     // (a) hash-spread (no clustering) and (b) range-partitioned + sorted
     // by graft_zorder(l_partkey, l_suppkey). A 2-dim box filter then
@@ -154,7 +220,7 @@ object Stress {
       spark.read.parquet(dir)
         .filter(col("l_partkey").between(1000, 2000) && col("l_suppkey").between(100, 200))
         .agg(count(lit(1)).as("n"), core.Agg.dsum(col("l_quantity")).as("sum_qty"))
-    def scanOutputRows(df: org.apache.spark.sql.DataFrame): Long = {
+    def scanOutputRows(df: DataFrame): Long = {
       import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
       import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
       // AQE hides executed subtrees: AdaptiveSparkPlanExec exposes the
@@ -182,11 +248,12 @@ object Stress {
     val nBig = spark.read.parquet(s"$out/lineitem.parquet").count()
     val nDocsBig = spark.read.parquet(mh32Path).count()
     // warm both paths once, then measure min-of-2
-    pricing(sfDir); pricing(out); factJoin(sfDir); factJoin(out)
-    val pBase = Seq(pricing(sfDir), pricing(sfDir)).min
-    val pBig = Seq(pricing(out), pricing(out)).min
-    val jBase = Seq(factJoin(sfDir), factJoin(sfDir)).min
-    val jBig = Seq(factJoin(out), factJoin(out)).min
+    pricingProbe(spark, sfDir); pricingProbe(spark, out)
+    factJoinProbe(spark, sfDir); factJoinProbe(spark, out)
+    val pBase = Seq(pricingProbe(spark, sfDir), pricingProbe(spark, sfDir)).min
+    val pBig = Seq(pricingProbe(spark, out), pricingProbe(spark, out)).min
+    val jBase = Seq(factJoinProbe(spark, sfDir), factJoinProbe(spark, sfDir)).min
+    val jBig = Seq(factJoinProbe(spark, out), factJoinProbe(spark, out)).min
     minhash(mhBasePath)
     val mhBase = Seq(minhash(mhBasePath), minhash(mhBasePath)).min
     val mh1 = Seq(minhash(mh1Path), minhash(mh1Path)).min
@@ -198,16 +265,21 @@ object Stress {
     val tgDedup = Seq(truthGateDedupFirst(mh32Path), truthGateDedupFirst(mh32Path)).min
     // many small keys (~20k parts × ~480 rows) AND few hot keys
     // (3 returnflags × 3.2M rows — the sort-dominated worst case)
-    topkWindow(out, "l_partkey"); topkCustom(out, "l_partkey") // warm both forms
-    val tkWin = Seq(topkWindow(out, "l_partkey"), topkWindow(out, "l_partkey")).min
-    val tkCustom = Seq(topkCustom(out, "l_partkey"), topkCustom(out, "l_partkey")).min
-    topkWindow(out, "l_returnflag"); topkCustom(out, "l_returnflag")
-    val tkWinHot = Seq(topkWindow(out, "l_returnflag"), topkWindow(out, "l_returnflag")).min
-    val tkCustomHot = Seq(topkCustom(out, "l_returnflag"), topkCustom(out, "l_returnflag")).min
+    topkWindowProbe(spark, out, "l_partkey"); topkCustomProbe(spark, out, "l_partkey")
+    val tkWin = Seq(
+      topkWindowProbe(spark, out, "l_partkey"), topkWindowProbe(spark, out, "l_partkey")).min
+    val tkCustom = Seq(
+      topkCustomProbe(spark, out, "l_partkey"), topkCustomProbe(spark, out, "l_partkey")).min
+    topkWindowProbe(spark, out, "l_returnflag"); topkCustomProbe(spark, out, "l_returnflag")
+    val tkWinHot = Seq(
+      topkWindowProbe(spark, out, "l_returnflag"),
+      topkWindowProbe(spark, out, "l_returnflag")).min
+    val tkCustomHot = Seq(
+      topkCustomProbe(spark, out, "l_returnflag"),
+      topkCustomProbe(spark, out, "l_returnflag")).min
     val (zNoT, zNoScan, zNoRes) = boxProbe(s"$out/lineitem_nocluster.parquet")
     val (zT, zScan, zRes) = boxProbe(s"$out/lineitem_zorder.parquet")
     require(zNoRes == zRes, s"z-order layout changed the box-filter result: $zNoRes vs $zRes")
-    def rate(n: Long, s: Double): Double = n / s / 1e6
     val num = (v: Double) => Timing.fmt3(v)
     println(
       s"""{"rows_base":$nBase,"rows_big":$nBig,"mult":$mult,""" +
@@ -225,6 +297,5 @@ object Stress {
         s""""zorder_box_matches":$zRes,"zorder_scan_rows_nocluster":$zNoScan,""" +
         s""""zorder_scan_rows_zorder":$zScan,"zorder_box_sec_nocluster":${num(zNoT)},""" +
         s""""zorder_box_sec_zorder":${num(zT)}}""")
-    spark.stop()
   }
 }
