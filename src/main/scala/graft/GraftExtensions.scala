@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
 import graft.functions.{DotProduct, SimHash64, ZOrderExpr}
 
@@ -38,6 +39,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             throw new IllegalArgumentException(
               s"graft_zorder requires exactly 2 arguments (bigint, bigint), got ${children.size}")
           ZOrderExpr(children(0), children(1))
+        }))
+    // Spark's runtime-filter bloom machinery (the expressions
+    // InjectRuntimeFilter plants under AQE), exposed as first-class
+    // session functions so a pipeline can BUILD a bloom filter over one
+    // relation and PROBE it from another without waiting for the
+    // optimizer to decide — the broadcast-a-sketch membership path that
+    // replaces a shuffle semi-join at 100 TB. graft_bloom_agg(xxhash64(x),
+    // nItems, nBits) → binary; graft_might_contain(bloom, xxhash64(x)) →
+    // boolean (the bloom argument must be foldable — a literal or scalar
+    // subquery — exactly as the internal expression requires).
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_bloom_agg"),
+        new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),
+        (children: Seq[Expression]) =>
+          children match {
+            case Seq(c) => new BloomFilterAggregate(c)
+            case Seq(c, n) => new BloomFilterAggregate(c, n)
+            case Seq(c, n, b) => new BloomFilterAggregate(c, n, b)
+            case _ =>
+              throw new IllegalArgumentException(
+                s"graft_bloom_agg takes 1-3 arguments (xxhash64 col[, nItems[, nBits]]), got ${children.size}")
+          }))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_might_contain"),
+        new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_might_contain"),
+        (children: Seq[Expression]) => {
+          if (children.size != 2)
+            throw new IllegalArgumentException(
+              s"graft_might_contain requires exactly 2 arguments (bloom binary, xxhash64 col), got ${children.size}")
+          BloomFilterMightContain(children(0), children(1))
         }))
     // Opt-in COUNT(DISTINCT) → HLL++ rewrite; no-op unless the session
     // sets graft.approx.distinct=true (see ApproxDistinctRewrite).

@@ -238,6 +238,77 @@ object CorpusQueries {
           "ORDER BY hits DESC, doc_id")
     ),
     Q(
+      "q_bloom_decontaminate",
+      // Decontamination at the scale where even the eval-side gram index
+      // is too big to broadcast as rows: build a FIXED-SIZE bloom filter
+      // over the eval grams (graft_bloom_agg — Spark's runtime-filter
+      // aggregate exposed as a session function), ship the ~1 MB of bits
+      // to every task, and bloom-prefilter the train side's grams so only
+      // candidate pairs reach the exact verification join. Driver-gated
+      // as an invariant row in the house style: the exact side (same
+      // broadcast semi-join as q_decontaminate) is the DuckDB-checked
+      // differential, `no_false_negatives` must hold by bloom
+      // construction (every exact hit is a bloom hit), and
+      // `prefilter_bounded` caps the false-positive overhead at 5% of
+      // the train gram volume — a degenerate always-true filter fails
+      // the gate. The one driver read is the serialized filter itself
+      // (fixed-size sketch, like the HLL/count-min probes).
+      (s, d) => {
+        val grams = expr(
+          "case when size(split(text, ' ')) < 5 then cast(array() as array<string>) " +
+            "else array_distinct(transform(sequence(1, size(split(text, ' ')) - 4), " +
+            "i -> array_join(slice(split(text, ' '), i, 5), ' '))) end")
+        val g = Tables(s, d, "documents").select(
+          col("doc_id"),
+          (substring(md5(col("doc_id").cast("string")), 1, 2) < "10").as("is_eval"),
+          grams.as("grams"))
+        val evalGrams = g.filter(col("is_eval"))
+          .select(explode(col("grams")).as("gram")).distinct()
+        val bfBytes = evalGrams
+          .agg(expr("graft_bloom_agg(xxhash64(gram), 100000L, 1000000L)").as("bf"))
+          .head().getAs[Array[Byte]]("bf")
+        val train = g.filter(!col("is_eval"))
+          .select(col("doc_id"), explode(col("grams")).as("gram"))
+        val candidates = train
+          .filter(call_function("graft_might_contain", lit(bfBytes), xxhash64(col("gram"))))
+        // exact verification runs over the (small) candidate set only;
+        // the unfiltered exact join below exists to PIN the candidate
+        // set from the other side — it is the oracle differential, and
+        // at 100 TB it is exactly the join the bloom path avoids
+        val exactPairs = train.join(broadcast(evalGrams), Seq("gram"))
+        val verified = candidates.join(broadcast(evalGrams), Seq("gram"))
+        val nTrain = train.agg(count(lit(1)).as("n_train_grams"))
+        val nExactDocs = exactPairs.select(col("doc_id")).distinct()
+          .agg(count(lit(1)).as("n_contaminated_docs"))
+        val nExactPairs = exactPairs.agg(count(lit(1)).as("n_exact_pairs"))
+        val nVerified = verified.agg(count(lit(1)).as("n_verified_pairs"))
+        val nCand = candidates.agg(count(lit(1)).as("n_candidates"))
+        nExactDocs
+          .crossJoin(broadcast(nExactPairs))
+          .crossJoin(broadcast(nVerified))
+          .crossJoin(broadcast(nCand))
+          .crossJoin(broadcast(nTrain))
+          .select(
+            col("n_contaminated_docs"),
+            col("n_exact_pairs"),
+            (col("n_verified_pairs") === col("n_exact_pairs")).as("no_false_negatives"),
+            (col("n_candidates") <= col("n_exact_pairs") +
+              (col("n_train_grams").cast("double") * lit(0.05)).cast("long"))
+              .as("prefilter_bounded"))
+      },
+      Some(
+        "WITH g AS (SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '10' AS is_eval, " +
+          "CASE WHEN len(string_split(text, ' ')) < 5 THEN CAST([] AS VARCHAR[]) " +
+          "ELSE list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 4), " +
+          "i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))) END AS grams FROM documents), " +
+          "e AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE is_eval), " +
+          "t AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE NOT is_eval), " +
+          "p AS (SELECT t.doc_id FROM t JOIN e USING (gram)) " +
+          "SELECT (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM p) AS n_contaminated_docs, " +
+          "(SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_exact_pairs, " +
+          "true AS no_false_negatives, true AS prefilter_bounded")
+    ),
+    Q(
       "q_shuffle_shards",
       // Deterministic global shuffle into training shards: shard = md5
       // bucket of the key, within-shard order = an INDEPENDENT salted md5
@@ -387,6 +458,39 @@ object CorpusQueries {
         "SELECT source, lang, CAST(ROW_NUMBER() OVER (ORDER BY n_rows DESC, source, lang) - 1 AS INT) AS code, " +
           "n_rows FROM (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_rows " +
           "FROM documents GROUP BY source, lang) ORDER BY source, lang")
+    ),
+    Q(
+      "q_weighted_sample",
+      // Weighted sampling via deterministic PRIORITY SAMPLING (Duffield/
+      // Lund/Thorup): each row gets priority w/u for a uniform u, and the
+      // sample is the top-k priorities — rows are included with
+      // probability ~proportional to weight, in ONE pass, with no
+      // sequential state. Here u is an md5-derived integer (reproducible
+      // runs, same recipe as q_mix_sample) and the priority is computed
+      // in exact integer arithmetic — (w * 1e6) div (h+1) — so the
+      // ranking is bit-identical across engines; a float w/u would be
+      // IEEE-division-safe but the integer form also survives engines
+      // with different rounding modes. Weight = n_chars (the "prefer
+      // longer documents" curation heuristic). Scale: priorities are
+      // per-row algebra on the scan, top-k is TakeOrdered (per-partition
+      // heaps, only k rows reach the driver-side merge) — the whole op
+      // is one narrow pass over 100 TB with no shuffle.
+      (s, d) => {
+        Tables(s, d, "documents")
+          .select(
+            col("doc_id"),
+            col("n_chars"),
+            expr(
+              "(n_chars * 1000000) div " +
+                "(CAST(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) AS BIGINT) % 1000000 + 1)")
+              .as("priority_fp"))
+          .orderBy(col("priority_fp").desc, col("doc_id"))
+          .limit(200)
+      },
+      Some(
+        "SELECT doc_id, n_chars, (n_chars * 1000000) // " +
+          "(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 + 1) AS priority_fp " +
+          "FROM documents ORDER BY priority_fp DESC, doc_id LIMIT 200")
     )
   )
 }

@@ -1,5 +1,6 @@
 package graft.ext
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Q
@@ -326,6 +327,53 @@ object TextQueries {
           "FROM documents) " +
           "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(nw) AS BIGINT) AS total_words, " +
           "true AS tokens_eq_train_audit, true AS tokens_ge_words FROM w WHERE nw > 0")
+    ),
+    Q(
+      "q_tfidf",
+      // Per-document TF-IDF keyword extraction (top-3 terms per doc).
+      // q_top_terms ranks LEXICOGRAPHICALLY (tf desc, then df asc) —
+      // a rare term can never beat a more frequent common one; this
+      // computes the actual multiplicative tf×idf score, where rarity
+      // and frequency trade off, which is the ranking retrieval systems
+      // use. IDF is FIXED-POINT: (N * 1e6) div df is exact integer
+      // arithmetic in both engines, so score = tf * idf_fp is a BIGINT
+      // and the cross-engine hash can't drift the way ln()-based IDF
+      // would (last-bit log differences; see q_token_df's note). Plan
+      // shape for 100 TB: one token-keyed shuffle builds per-doc TFs,
+      // the DF table is vocabulary-sized and BROADCASTs back, and the
+      // per-doc top-3 is the row_number()<=k pattern TopKRewrite turns
+      // into the bounded-heap TopKPerKey operator — nothing wider than
+      // (doc, token, count) ever shuffles.
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val n = docs.agg(count(lit(1)).as("n"))
+        val tf = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+          .groupBy(col("doc_id"), col("token"))
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("score_fp").desc, col("token"))
+        tf.join(broadcast(df), "token")
+          .crossJoin(broadcast(n))
+          .select(
+            col("doc_id"), col("token"),
+            (col("tf") * expr("(n * 1000000) div df")).as("score_fp"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("doc_id"), col("token"), col("score_fp"), col("rnk"))
+          .orderBy(col("doc_id"), col("rnk"))
+      },
+      Some(
+        "WITH tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM " +
+          "(SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) " +
+          "GROUP BY doc_id, token), " +
+          "df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token), " +
+          "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents), " +
+          "r AS (SELECT doc_id, token, tf * ((n * 1000000) // df) AS score_fp, " +
+          "CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf * ((n * 1000000) // df) DESC, token) AS INT) AS rnk " +
+          "FROM tf JOIN df USING (token) CROSS JOIN n) " +
+          "SELECT doc_id, token, score_fp, rnk FROM r WHERE rnk <= 3 " +
+          "ORDER BY doc_id, rnk")
     )
   )
 }

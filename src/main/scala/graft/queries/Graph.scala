@@ -26,6 +26,83 @@ object Graph {
 
   val queries: Seq[Q] = Seq(
     Q(
+      "q_triangle_count",
+      // Triangle counting over the part co-purchase graph (parts that
+      // appear in the same order — the basket projection every
+      // market-basket / co-occurrence analysis starts from). The Spark
+      // plan uses DEGREE ORIENTATION: each undirected edge is directed
+      // from its lower-(degree, id) endpoint to the higher one, so every
+      // triangle has exactly one "apex" and is counted once, and — the
+      // scale property — the out-degree of any node in the oriented DAG
+      // is O(sqrt(m)), which bounds the fan-out of the wedge join. The
+      // naive a<b<c 3-way self-join (what the DuckDB oracle runs) is
+      // correct but lets a single hub node generate deg² wedge
+      // candidates; orientation is what makes this survive a power-law
+      // graph at 100 TB. Basket fan-out itself is bounded (few lines per
+      // order), so the edge projection is one co-partitioned self-join.
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val e = li.as("x")
+          .join(li.as("y"), col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("a"), col("y.pk").as("b"))
+          .distinct()
+        val deg = e.select(col("a").as("id"))
+          .union(e.select(col("b").as("id")))
+          .groupBy(col("id"))
+          .agg(count(lit(1)).as("deg"))
+        val o = e
+          .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+          .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+          .select(
+            when(
+              col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+              struct(col("a").as("s"), col("b").as("t")))
+              .otherwise(struct(col("b").as("s"), col("a").as("t")))
+              .as("e"))
+          .select(col("e.s").as("src"), col("e.t").as("dst"))
+        // wedge at u (u→v, u→w) closes iff the oriented edge v→w exists;
+        // orientation is a total order so v→w vs w→v needs no disjunction
+        val tri = o.as("e1")
+          .join(o.as("e2"), col("e1.dst") === col("e2.src"))
+          .join(
+            o.as("e3"),
+            col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
+          .agg(count(lit(1)).as("n_triangles"))
+        val edges = e.agg(count(lit(1)).as("n_edges"))
+        // wedges straight from the degree table — deg(deg-1) is even, so
+        // integer halving is exact in both engines
+        val nodes = deg.agg(
+          count(lit(1)).as("n_nodes"),
+          expr("sum(deg * (deg - 1)) div 2").as("n_wedges"))
+        nodes
+          .crossJoin(broadcast(edges))
+          .crossJoin(broadcast(tri))
+          .select(
+            col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+            when(col("n_wedges") === 0, lit(0.0))
+              .otherwise(
+                (col("n_triangles") * lit(3)).cast("double") / col("n_wedges").cast("double"))
+              .as("global_cc"))
+      },
+      Some(
+        "WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
+          "e AS (SELECT DISTINCT x.pk AS a, y.pk AS b FROM li x JOIN li y " +
+          "ON x.ok = y.ok AND x.pk < y.pk), " +
+          "deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM " +
+          "(SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY id), " +
+          "tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM e e1 " +
+          "JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b), " +
+          "ed AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e), " +
+          "nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes, " +
+          "CAST(SUM(deg * (deg - 1)) // 2 AS BIGINT) AS n_wedges FROM deg) " +
+          "SELECT n_nodes, n_edges, n_wedges, n_triangles, " +
+          "CASE WHEN n_wedges = 0 THEN 0.0 ELSE " +
+          "CAST(n_triangles * 3 AS DOUBLE) / CAST(n_wedges AS DOUBLE) END AS global_cc " +
+          "FROM nd CROSS JOIN ed CROSS JOIN tri")
+    ),
+    Q(
       "q_pagerank",
       (s, d) => {
         // Materialize the edge list once: an iterative plan re-evaluates
