@@ -211,4 +211,24 @@ class EngineSpec extends SparkSpec {
       assert(!multi.queryExecution.optimizedPlan.toString.contains("approx_count_distinct"))
     } finally spark.conf.unset(ApproxDistinctRewrite.Flag)
   }
+
+  test("graft_bloom_agg / graft_might_contain: no false negatives, bounded false positives") {
+    // The user-facing form of the runtime-filter machinery above: build a
+    // bloom over one relation's keys, probe from another as a plain
+    // boolean expression. Membership must be a SUPERSET of the true set
+    // (bloom filters never false-negative) and the false-positive rate
+    // on known non-members must stay near the sizing target (10 bits per
+    // item ~ 1%; assert <= 5% so the test never flakes).
+    import spark.implicits._
+    val members = (0L until 1000L).map(i => s"m_$i").toDF("k")
+    val bf = members
+      .agg(expr("graft_bloom_agg(xxhash64(k), 1000L, 10000L)").as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val probeHit = (df: org.apache.spark.sql.DataFrame) =>
+      df.filter(call_function("graft_might_contain", lit(bf), xxhash64(col("k")))).count()
+    assert(probeHit(members) == 1000L, "bloom filter false-negatived a member")
+    val nonMembers = (0L until 10000L).map(i => s"x_$i").toDF("k")
+    val fp = probeHit(nonMembers)
+    assert(fp <= 500L, s"false-positive rate too high: $fp / 10000")
+  }
 }

@@ -110,6 +110,60 @@ class FileChainSpec extends SparkSpec {
     assert(got("2024-01-01 01:00:00.0") == 10L, got.toString)
   }
 
+  test("streaming exact dedup with state TTL (dropDuplicatesWithinWatermark)") {
+    // The streaming counterpart of q_dedup_exact: duplicate keys arriving
+    // within the watermark delay are dropped, but — unlike unbounded
+    // dropDuplicates — state is EVICTED once the watermark passes, so the
+    // state store stays bounded at 100 TB/day ingest and a key re-appearing
+    // much later is treated as new. Three AvailableNow runs over one
+    // checkpoint pin both halves: the dedup within the TTL and the
+    // re-emission after eviction.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Files.createTempDirectory("ddwm").toString
+    val in = s"$root/in"; val out = s"$root/out"; val ck = s"$root/ck"
+    Files.createDirectories(Paths.get(in))
+    val evSchema = StructType(Seq(
+      StructField("id", LongType, nullable = true),
+      StructField("ts", StringType, nullable = true)))
+    def run(): Unit = {
+      val q = spark.readStream
+        .schema(evSchema)
+        .csv(in)
+        .select(col("id"), col("ts").cast("timestamp").as("ts"))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("id")
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // run 1: id=1 duplicated in-batch; watermark ends below any expiry
+    Files.writeString(Paths.get(s"$in/b1.csv"),
+      "1,2024-01-01 00:00:00\n1,2024-01-01 00:02:00\n9,2024-01-01 00:05:00")
+    run()
+    // run 2: id=1 again while its state is live → dropped; id=8 at 01:00
+    // advances the watermark to 00:50, evicting id=1 and id=9 state
+    Files.writeString(Paths.get(s"$in/b2.csv"),
+      "1,2024-01-01 00:04:00\n8,2024-01-01 01:00:00")
+    run()
+    // run 3: id=1 re-appears AFTER eviction (and above the watermark) →
+    // emitted as a new event, not deduped against forgotten state
+    Files.writeString(Paths.get(s"$in/b3.csv"), "1,2024-01-01 00:55:00")
+    run()
+    val got = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString)).toSet
+    assert(got == Set(
+      (1L, "2024-01-01 00:00:00.0"),
+      (9L, "2024-01-01 00:05:00.0"),
+      (8L, "2024-01-01 01:00:00.0"),
+      (1L, "2024-01-01 00:55:00.0")), got.toString)
+  }
+
   test("streaming sessionization: session_window + watermark over a file stream") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.Trigger
