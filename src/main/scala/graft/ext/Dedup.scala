@@ -214,4 +214,70 @@ object Dedup {
       s"CAST(size(array_intersect(${grams(a)}, ${grams(b)})) AS DOUBLE) / " +
         s"size(array_union(${grams(a)}, ${grams(b)}))")
   }
+
+  /** Prefix-filtered exact k-gram Jaccard self-join — the AllPairs /
+    * PPJoin family (Bayardo/Ma/Srikant, WWW'07; Xiao/Wang/Lin/Yu,
+    * WWW'08). Unlike [[blockedJaccardPairs]]' heuristic blocking, this is
+    * COMPLETE: under any global gram order, two sets with Jaccard >= τ
+    * must share a gram inside each other's first (sz − ⌈τ·sz⌉ + 1) grams,
+    * so blocking on that prefix alone cannot miss a qualifying pair. The
+    * order used is rarest-first (document frequency asc, gram asc): the
+    * prefix then holds each doc's MOST selective grams, and candidate
+    * volume is Σ df(g)² over prefix grams — the quantity the ordering
+    * minimizes. τ is a RATIONAL tauNum/tauDen so the prefix length is
+    * exact integer arithmetic; an IEEE ceil(sz·τ) landing one ulp low
+    * would silently break the completeness guarantee.
+    *
+    * Scale shape: the gram dictionary (bounded vocabulary) broadcasts;
+    * docs are re-encoded as sorted integer-rank arrays (cheaper to ship
+    * and intersect than strings); the only data-sized shuffles are keyed
+    * on prefix grams (rare by construction) and on candidate pairs.
+    * Verification runs exact intersect on candidates only.
+    */
+  def prefixJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      tauNum: Int,
+      tauDen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spread = docs.repartition(
+      docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+    val g = spread.select(col(idCol).as("id"), shingles(k, textCol).as("grams"))
+    // rarest-first global order; the ranking window runs over the
+    // DICTIONARY (bounded), never the corpus — same argument as
+    // q_dict_encode
+    val dict = g.select(explode(col("grams")).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .withColumn("rid", row_number().over(Window.orderBy(col("df").asc, col("gram").asc)))
+      .select(col("gram"), col("rid"))
+    val sets = g.select(col("id"), explode(col("grams")).as("gram"))
+      .join(broadcast(dict), "gram")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("rid"))).as("toks"))
+      .withColumn("sz", size(col("toks")))
+    // prefix length sz − ⌈τ·sz⌉ + 1, with ⌈a/b⌉ = (a + b − 1) div b
+    val pref = sets.select(
+      col("id"), col("toks"), col("sz"),
+      explode(expr(s"slice(toks, 1, sz - ((sz * $tauNum + $tauDen - 1) div $tauDen) + 1)"))
+        .as("ptok"))
+    val cand = pref
+      .select(col("id").as("a_id"), col("toks").as("ta"), col("sz").as("sza"), col("ptok"))
+      .join(
+        pref.select(col("id").as("b_id"), col("toks").as("tb"), col("sz").as("szb"), col("ptok")),
+        "ptok")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(
+        first(col("ta")).as("ta"), first(col("tb")).as("tb"),
+        first(col("sza")).as("sza"), first(col("szb")).as("szb"))
+    cand
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      .select(
+        col("a_id"), col("b_id"),
+        (col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter")).cast("double")).as("jac"))
+      .filter(col("jac") >= lit(tauNum.toDouble / tauDen))
+  }
 }

@@ -133,6 +133,36 @@ object DedupQueries {
           "SELECT a_id, b_id, jac FROM cand WHERE jac >= 0.3 ORDER BY a_id, b_id")
     ),
     Q(
+      "q_dedup_prefix_jaccard",
+      // Prefix-filtered set-similarity self-join (AllPairs/PPJoin): the
+      // COMPLETE alternative to q_dedup_ngram_jaccard's heuristic
+      // (lang, text-prefix) blocking. Each doc only blocks on its
+      // (sz − ⌈τ·sz⌉ + 1) rarest grams, which provably cannot miss a
+      // Jaccard >= τ pair — so the DuckDB oracle here is the TRUE
+      // all-pairs brute force, and this row driver-gates the
+      // completeness guarantee itself, not a recall fraction. 5-char
+      // grams (crossing word boundaries) because the fixture's word
+      // vocabulary is ~31 tokens: token-level Jaccard is near-degenerate
+      // (random doc pairs share most of the vocab), while 5-gram overlap
+      // requires shared word SEQUENCES and cleanly isolates the ~25
+      // planted near-dup pairs at τ = 0.4.
+      (s, d) =>
+        Dedup
+          .prefixJaccardPairs(
+            Tables(s, d, "documents"), "doc_id", "text", k = 5, tauNum = 2, tauDen = 5)
+          .orderBy("a_id", "b_id"),
+      Some(
+        "WITH d AS (SELECT doc_id, list_distinct(list_transform(" +
+          "generate_series(1, greatest(1, length(text) - 4)), i -> substring(text, i, 5))) AS t " +
+          "FROM documents), " +
+          "p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
+          "len(list_intersect(a.t, b.t)) AS inter, len(a.t) AS sza, len(b.t) AS szb " +
+          "FROM d a JOIN d b ON a.doc_id < b.doc_id) " +
+          "SELECT a_id, b_id, CAST(inter AS DOUBLE) / (sza + szb - inter) AS jac " +
+          "FROM p WHERE CAST(inter AS DOUBLE) / (sza + szb - inter) >= 0.4 " +
+          "ORDER BY a_id, b_id")
+    ),
+    Q(
       "q_dedup_components",
       // Cluster step after pair detection: connected components over the
       // ngram-jaccard edge set (min-label propagation, O(diameter)

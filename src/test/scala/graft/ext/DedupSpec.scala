@@ -121,4 +121,24 @@ class DedupSpec extends SparkSpec {
     assert(healthy.getAs[Boolean]("recall_ge_floor") &&
       healthy.getAs[Boolean]("candidates_subquadratic"))
   }
+
+  test("prefixJaccardPairs is COMPLETE vs brute-force all-pairs (sf0.001)") {
+    // The prefix filter's whole claim is zero missed pairs — check it
+    // against an independent Spark brute force (ngramJaccardExpr over the
+    // full cross product), not just the DuckDB oracle. 500 docs → 124k
+    // pairs, fine at test scale; the prefix path never materializes them.
+    val docs = graft.core.Tables(spark, sf(), "documents").select(col("doc_id"), col("text"))
+    val got = Dedup.prefixJaccardPairs(docs, "doc_id", "text", k = 5, tauNum = 2, tauDen = 5)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = docs.select(col("doc_id").as("a_id"), col("text").as("a_t"))
+    val b = docs.select(col("doc_id").as("b_id"), col("text").as("b_t"))
+    val want = a.crossJoin(b)
+      .filter(col("a_id") < col("b_id"))
+      .filter(Dedup.ngramJaccardExpr(5, "a_t", "b_t") >= 0.4)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"missed=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    assert(want.nonEmpty, "fixture should contain planted near-dup pairs")
+  }
 }
