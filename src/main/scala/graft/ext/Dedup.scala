@@ -228,11 +228,19 @@ object Dedup {
     * exact integer arithmetic; an IEEE ceil(sz·τ) landing one ulp low
     * would silently break the completeness guarantee.
     *
-    * Scale shape: the gram dictionary (bounded vocabulary) broadcasts;
-    * docs are re-encoded as sorted integer-rank arrays (cheaper to ship
-    * and intersect than strings); the only data-sized shuffles are keyed
-    * on prefix grams (rare by construction) and on candidate pairs.
-    * Verification runs exact intersect on candidates only.
+    * Scale shape (learned the hard way — the first cut carried the gram
+    * arrays through the prefix join and OOM'd at 10× data): the rows
+    * that cross the prefix-gram shuffle are THIN (id, position, size) —
+    * candidate pairs are pruned by PPJoin's length filter
+    * (τ·max ≤ min) and positional filter (grams remaining after the
+    * match position can't reach the required overlap), deduplicated as
+    * bare (a, b) pairs, and only then re-joined to the rank arrays for
+    * exact verification. The gram dictionary (bounded vocabulary)
+    * broadcasts; docs are re-encoded as sorted integer-rank arrays
+    * (cheaper to ship and intersect than strings). Candidate volume is
+    * still Σ df(g)² over prefix grams — at low τ the prefix is most of
+    * the doc and this is intrinsically expensive; the filter's sweet
+    * spot is the high-τ near-dup regime.
     */
   def prefixJaccardPairs(
       docs: DataFrame,
@@ -257,22 +265,42 @@ object Dedup {
       .groupBy(col("id"))
       .agg(sort_array(collect_list(col("rid"))).as("toks"))
       .withColumn("sz", size(col("toks")))
-    // prefix length sz − ⌈τ·sz⌉ + 1, with ⌈a/b⌉ = (a + b − 1) div b
+    // prefix length sz − ⌈τ·sz⌉ + 1, with ⌈a/b⌉ = (a + b − 1) div b;
+    // posexplode keeps the in-prefix position for the positional filter
     val pref = sets.select(
-      col("id"), col("toks"), col("sz"),
-      explode(expr(s"slice(toks, 1, sz - ((sz * $tauNum + $tauDen - 1) div $tauDen) + 1)"))
-        .as("ptok"))
+      col("id"), col("sz"),
+      posexplode(expr(s"slice(toks, 1, sz - ((sz * $tauNum + $tauDen - 1) div $tauDen) + 1)")))
+      .select(col("id"), col("sz"), col("pos"), col("col").as("ptok"))
+    // required absolute overlap for J >= τ: ⌈τ/(1+τ) · (sza+szb)⌉
+    val tReq = expr(
+      s"($tauNum * (sza + szb) + ($tauNum + $tauDen) - 1) div ($tauNum + $tauDen)")
     val cand = pref
-      .select(col("id").as("a_id"), col("toks").as("ta"), col("sz").as("sza"), col("ptok"))
+      .select(col("id").as("a_id"), col("sz").as("sza"), col("pos").as("pa"), col("ptok"))
       .join(
-        pref.select(col("id").as("b_id"), col("toks").as("tb"), col("sz").as("szb"), col("ptok")),
+        pref.select(col("id").as("b_id"), col("sz").as("szb"), col("pos").as("pb"), col("ptok")),
         "ptok")
       .filter(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(
-        first(col("ta")).as("ta"), first(col("tb")).as("tb"),
-        first(col("sza")).as("sza"), first(col("szb")).as("szb"))
+      // length filter: τ·max(sza,szb) ≤ min(sza,szb), else J < τ outright
+      .filter(
+        col("sza") * tauNum <= col("szb") * tauDen &&
+          col("szb") * tauNum <= col("sza") * tauDen)
+      // positional filter: achievable overlap ≤ (overlap possible before
+      // the matched rank: ≤ min(pa, pb), since each side has exactly
+      // pa/pb elements below it) + (elements from the match on:
+      // ≤ min(sza−pa, szb−pb), 0-based pos, match included). Dropping
+      // the first term would over-prune: the earliest PREFIX-prefix
+      // collision can still have prior shared grams that sit beyond the
+      // other side's prefix.
+      .filter(
+        least(col("pa"), col("pb")) +
+          least(col("sza") - col("pa"), col("szb") - col("pb")) >= tReq)
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    val ta = sets.select(col("id").as("a_id"), col("toks").as("ta"), col("sz").as("sza"))
+    val tb = sets.select(col("id").as("b_id"), col("toks").as("tb"), col("sz").as("szb"))
     cand
+      .join(ta, "a_id")
+      .join(tb, "b_id")
       .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
       .select(
         col("a_id"), col("b_id"),

@@ -145,11 +145,20 @@ object DedupQueries {
       // vocabulary is ~31 tokens: token-level Jaccard is near-degenerate
       // (random doc pairs share most of the vocab), while 5-gram overlap
       // requires shared word SEQUENCES and cleanly isolates the ~25
-      // planted near-dup pairs at τ = 0.4.
+      // planted near-dup pairs (J ≈ 0.99). τ = 0.6 — the near-dup
+      // regime the filter is built for: prefix length (and candidate
+      // volume) scales with 1−τ, so low τ turns any prefix filter into
+      // de-facto all-pairs. Honest scale note: this fixture is
+      // ADVERSARIAL for content blocking — a ~31-word vocabulary means
+      // no gram is truly rare (measured Σdf² over prefix grams = 122M
+      // at sf0.1, ~30 s; a natural heavy-tailed vocabulary is what
+      // makes prefixes selective in practice). The row exists to gate
+      // the completeness guarantee; the throughput serving path for
+      // near-dup at scale remains the LSH family (q_dedup_minhash*).
       (s, d) =>
         Dedup
           .prefixJaccardPairs(
-            Tables(s, d, "documents"), "doc_id", "text", k = 5, tauNum = 2, tauDen = 5)
+            Tables(s, d, "documents"), "doc_id", "text", k = 5, tauNum = 3, tauDen = 5)
           .orderBy("a_id", "b_id"),
       Some(
         "WITH d AS (SELECT doc_id, list_distinct(list_transform(" +
@@ -159,7 +168,7 @@ object DedupQueries {
           "len(list_intersect(a.t, b.t)) AS inter, len(a.t) AS sza, len(b.t) AS szb " +
           "FROM d a JOIN d b ON a.doc_id < b.doc_id) " +
           "SELECT a_id, b_id, CAST(inter AS DOUBLE) / (sza + szb - inter) AS jac " +
-          "FROM p WHERE CAST(inter AS DOUBLE) / (sza + szb - inter) >= 0.4 " +
+          "FROM p WHERE CAST(inter AS DOUBLE) / (sza + szb - inter) >= 0.6 " +
           "ORDER BY a_id, b_id")
     ),
     Q(

@@ -128,14 +128,14 @@ class DedupSpec extends SparkSpec {
     // full cross product), not just the DuckDB oracle. 500 docs → 124k
     // pairs, fine at test scale; the prefix path never materializes them.
     val docs = graft.core.Tables(spark, sf(), "documents").select(col("doc_id"), col("text"))
-    val got = Dedup.prefixJaccardPairs(docs, "doc_id", "text", k = 5, tauNum = 2, tauDen = 5)
+    val got = Dedup.prefixJaccardPairs(docs, "doc_id", "text", k = 5, tauNum = 3, tauDen = 5)
       .select(col("a_id"), col("b_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val a = docs.select(col("doc_id").as("a_id"), col("text").as("a_t"))
     val b = docs.select(col("doc_id").as("b_id"), col("text").as("b_t"))
     val want = a.crossJoin(b)
       .filter(col("a_id") < col("b_id"))
-      .filter(Dedup.ngramJaccardExpr(5, "a_t", "b_t") >= 0.4)
+      .filter(Dedup.ngramJaccardExpr(5, "a_t", "b_t") >= 0.6)
       .select(col("a_id"), col("b_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == want, s"missed=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
