@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
-import graft.functions.{DotProduct, SimHash64, ZOrderExpr}
+import graft.functions.{DotProduct, MinHashSig, SimHash64, ZOrderExpr}
 
 /** SparkSessionExtensions hook: registers graft's custom Catalyst
   * expressions as SQL functions. Activate either via
@@ -39,6 +39,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             throw new IllegalArgumentException(
               s"graft_zorder requires exactly 2 arguments (bigint, bigint), got ${children.size}")
           ZOrderExpr(children(0), children(1))
+        }))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_minhash"),
+        new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+        (children: Seq[Expression]) => children match {
+          case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _)) =>
+            MinHashSig(c, n)
+          case _ =>
+            throw new IllegalArgumentException(
+              "graft_minhash requires (array<string>, literal int hash count)")
         }))
     // Spark's runtime-filter bloom machinery (the expressions
     // InjectRuntimeFilter plants under AQE), exposed as first-class

@@ -23,34 +23,44 @@ object Dedup {
       s"array_distinct(transform(sequence(1, greatest(1, length($textCol) - ${k - 1})), " +
         s"i -> substring($textCol, i, $k)))")
 
-  /** n-hash MinHash signatures for `df(idCol, textCol)` via ONE shingle
-    * explode + a 32-accumulator min hash-aggregate. Computing the mins as
-    * per-row array expressions instead would re-evaluate the shingle array
-    * once per hash (Catalyst inlines the shared projection) — measured 20×
-    * slower. This shape is also the scale path: narrow explode, partial
-    * mins map-side, single shuffle on id.
+  /** n-hash MinHash signatures for `df(idCol, textCol)`. Default path: the
+    * custom codegen expression `graft_minhash` ([[graft.functions.MinHash]])
+    * — every accumulator advanced in one traversal of the shingle array,
+    * per row, with NO explode, NO aggregate, and NO exchange. Fallback
+    * (`graft.minhash.expr=false`): the previous explode → 32-accumulator
+    * min hash-aggregate plan. Both produce BIT-IDENTICAL signatures
+    * (`min over s of xxhash64(s, i)` — pinned by DedupSpec), so every
+    * downstream band hash and recall gate is path-independent. A naive
+    * per-row HOF formulation is NOT equivalent in cost: Catalyst inlines
+    * the shared shingle projection once per hash — measured 20× slower;
+    * the custom expression is what makes the per-row form win.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String, shingleK: Int, nHashes: Int): DataFrame = {
     // Hash-repartition the THIN (id, text) rows by id BEFORE the expensive
-    // explode: a document corpus often arrives in few/large splits (here:
-    // single-row-group parquet → 1-task scan), which would run the whole
-    // shingle+hash pipeline on one core. Spreading 5k-row inputs is ~free,
-    // unlocks full-cluster parallelism for the heavy part, and because the
-    // spread is HashPartitioning(id) the groupBy(id) below needs no second
-    // exchange. Explicit partition count keeps AQE from coalescing the
-    // tiny pre-explode exchange back to one partition.
+    // shingle+hash work: a document corpus often arrives in few/large
+    // splits (here: single-row-group parquet → 1-task scan), which would
+    // run the whole pipeline on one core. Spreading 5k-row inputs is
+    // ~free and unlocks full-cluster parallelism for the heavy part.
+    // Explicit partition count keeps AQE from coalescing the tiny
+    // pre-compute exchange back to one partition.
     val spread =
       if (df.sparkSession.conf.get("graft.minhash.spread", "true").toBoolean)
         df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
       else df
-    val exploded = spread
-      .select(col(idCol).as("id"), explode(shingles(shingleK, textCol)).as("s"))
-    exploded
-      .groupBy(col("id"))
-      .agg(
-        min(expr("xxhash64(s, 0)")).as("m0"),
-        (1 until nHashes).map(i => min(expr(s"xxhash64(s, $i)")).as(s"m$i")): _*)
-      .select(col("id"), array((0 until nHashes).map(i => col(s"m$i")): _*).as("sig"))
+    if (df.sparkSession.conf.get("graft.minhash.expr", "true").toBoolean)
+      spread.select(
+        col(idCol).as("id"),
+        call_function("graft_minhash", shingles(shingleK, textCol), lit(nHashes)).as("sig"))
+    else {
+      val exploded = spread
+        .select(col(idCol).as("id"), explode(shingles(shingleK, textCol)).as("s"))
+      exploded
+        .groupBy(col("id"))
+        .agg(
+          min(expr("xxhash64(s, 0)")).as("m0"),
+          (1 until nHashes).map(i => min(expr(s"xxhash64(s, $i)")).as(s"m$i")): _*)
+        .select(col("id"), array((0 until nHashes).map(i => col(s"m$i")): _*).as("sig"))
+    }
   }
 
   /** LSH band hashes: split the signature into `bands` rows of

@@ -122,6 +122,30 @@ class DedupSpec extends SparkSpec {
       healthy.getAs[Boolean]("candidates_subquadratic"))
   }
 
+  test("graft_minhash expression signatures are BIT-IDENTICAL to the explode→agg plan") {
+    // The serving path switched to the custom codegen expression; every
+    // downstream band hash and recall gate assumes the signatures did not
+    // change. Compare both paths on real documents, element by element.
+    val docs = graft.core.Tables(spark, sf(), "documents").select("doc_id", "text")
+    def sigs(useExpr: Boolean) = {
+      spark.conf.set("graft.minhash.expr", useExpr.toString)
+      try Dedup.minhashSignatures(docs, "doc_id", "text", shingleK = 5, nHashes = 32)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      finally spark.conf.unset("graft.minhash.expr")
+    }
+    val viaExpr = sigs(useExpr = true)
+    val viaAgg = sigs(useExpr = false)
+    assert(viaExpr.keySet == viaAgg.keySet)
+    viaAgg.foreach { case (id, sig) =>
+      assert(viaExpr(id) == sig, s"signature mismatch for doc $id")
+    }
+    // empty shingle array → null signature (mirrors explode dropping the doc)
+    import spark.implicits._
+    val empty = Seq(Seq.empty[String]).toDF("arr")
+      .select(expr("graft_minhash(arr, 4)").as("sig")).collect()
+    assert(empty.head.isNullAt(0))
+  }
+
   test("prefixJaccardPairs is COMPLETE vs brute-force all-pairs (sf0.001)") {
     // The prefix filter's whole claim is zero missed pairs — check it
     // against an independent Spark brute force (ngramJaccardExpr over the
