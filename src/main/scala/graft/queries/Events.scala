@@ -177,6 +177,52 @@ object Events {
           "ON t.user_id = q.user_id AND t.ts >= q.ts ORDER BY t.event_id")
     ),
     Q(
+      "q_interval_join",
+      // Pure interval-overlap join — NO equi key: every purchase inside
+      // ANY error event's 10-minute incident window (global incident
+      // impact; users unrelated, so nothing equi-joins). Spark plans a
+      // bare range predicate between two relations as a nested-loop
+      // join — O(n·m) comparisons, the join shape that does NOT survive
+      // scale. The engine's shape is BUCKET DECOMPOSITION: with bucket
+      // width = the interval length, an interval covers at most 2
+      // buckets and a point exactly 1, so emitting each interval to its
+      // ≤2 covering buckets turns the plan into an EQUI-join on a dense
+      // integer bucket key + a residual filter — hash-partitioned,
+      // skew-free, and duplicate-free by construction (a point can only
+      // match an interval in the point's own bucket). PlanAuditSpec
+      // asserts no nested-loop join survives in the physical plan; the
+      // DuckDB oracle checks from the other side via its native
+      // range-join (IEJoin) over the raw predicate.
+      (s, d) => {
+        val e = events(s, d)
+        val err = e.filter(col("event_type") === "error").select(
+          col("event_id").as("err_id"),
+          col("ts").as("t0"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("t1"))
+        val pur = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("pur_id"), col("ts").as("pt"))
+        val bw = 600000000L // bucket width in µs — exactly the window length
+        val errB = err.select(
+          col("err_id"), col("t0"), col("t1"),
+          explode(expr(s"sequence(unix_micros(t0) div $bw, unix_micros(t1) div $bw)")).as("bkt"))
+        val purB = pur.withColumn("bkt", expr(s"unix_micros(pt) div $bw"))
+        errB.join(purB, "bkt")
+          .filter(col("pt") >= col("t0") && col("pt") < col("t1"))
+          .select(
+            col("err_id"), col("pur_id"),
+            col("pt").cast("timestamp_ntz").as("purchase_ts"))
+          .orderBy("err_id", "pur_id")
+      },
+      Some(
+        "SELECT e.event_id AS err_id, p.event_id AS pur_id, p.ts AS purchase_ts " +
+          "FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS t0, " +
+          "CAST(ts AS TIMESTAMP) + INTERVAL 10 MINUTE AS t1 " +
+          "FROM events WHERE event_type = 'error') e " +
+          "JOIN (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events " +
+          "WHERE event_type = 'purchase') p " +
+          "ON p.ts >= e.t0 AND p.ts < e.t1 ORDER BY err_id, pur_id")
+    ),
+    Q(
       "q_retention",
       // Retention cutoff (main.tf:72-79 lifecycle semantics): keep only the
       // trailing 7 days relative to the dataset's max ts; daily rollup.

@@ -108,6 +108,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(fp"), s"fp-keyed exchange missing:\n$p")
   }
 
+  test("interval join is an equi-join on the bucket key, not a nested loop") {
+    // The whole point of q_interval_join's bucket decomposition: a bare
+    // range predicate between unrelated relations plans as a (broadcast)
+    // nested-loop join — O(n·m). The decomposition must leave an
+    // equi-join on bkt with the range as a residual filter.
+    val df = Registry.byName("q_interval_join").run(spark, sf())
+    val p = planString(df)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval join degenerated to a nested loop:\n${p.take(1500)}")
+    assert(p.contains("bkt"), s"bucket key missing from the join plan:\n${p.take(1500)}")
+  }
+
   test("zorder audit reads only the two key columns from the fact scan") {
     val df = Registry.byName("q_zorder").run(spark, sf())
     val read = scans(df).head.requiredSchema.fieldNames.toSet
