@@ -120,6 +120,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("bkt"), s"bucket key missing from the join plan:\n${p.take(1500)}")
   }
 
+  test("multi-join reorder gates: fact streams through broadcast joins, never shuffles pre-agg") {
+    // The PLANS.md audit of the TPC-H Q7/Q8/Q9-flavor rows, enforced: the
+    // lineitem fact must be the streaming side of a BroadcastHashJoin
+    // chain — a SortMergeJoin before aggregation would mean the planner
+    // chose to exchange the fact.
+    for (q <- Seq("q_sql_volume_shipping", "q_sql_mkt_share", "q_sql_nation_profit")) {
+      val p = planString(Registry.byName(q).run(spark, sf()))
+      val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+      assert(bhj >= 4, s"$q: expected >=4 broadcast joins, found $bhj")
+      assert(!p.contains("SortMergeJoin"), s"$q: fact shuffled into a sort-merge join")
+    }
+  }
+
+  test("tfidf plans one corpus explode and the custom top-k operator, no Window sort") {
+    val p = planString(Registry.byName("q_tfidf").run(spark, sf()))
+    val explodes = "Generate explode".r.findAllIn(p).size
+    assert(explodes == 1, s"corpus exploded $explodes times (df branch re-explode regression)")
+    assert(p.contains("TopKPerKeyFinal"), s"per-doc top-3 lost the bounded-heap operator:\n${p.take(1200)}")
+  }
+
   test("zorder audit reads only the two key columns from the fact scan") {
     val df = Registry.byName("q_zorder").run(spark, sf())
     val read = scans(df).head.requiredSchema.fieldNames.toSet
