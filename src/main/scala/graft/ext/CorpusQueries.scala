@@ -491,6 +491,39 @@ object CorpusQueries {
         "SELECT doc_id, n_chars, (n_chars * 1000000) // " +
           "(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 + 1) AS priority_fp " +
           "FROM documents ORDER BY priority_fp DESC, doc_id LIMIT 200")
+    ),
+    Q(
+      "q_weighted_sample_stratified",
+      // Per-source weighted sample — q_weighted_sample's priorities, but
+      // top-40 WITHIN each source (the per-domain quota shape curation
+      // pipelines actually run: global top-k lets one high-weight source
+      // crowd out the rest). The per-key top-k is the row_number()<=k
+      // pattern TopKRewrite compiles to the bounded-heap TopKPerKey
+      // operator — composing two of the engine's pieces: deterministic
+      // integer priorities and the custom whole-operator plan. Only
+      // k·sources rows cross the final exchange at any scale.
+      (s, d) => {
+        val pri = Tables(s, d, "documents")
+          .select(
+            col("source"), col("doc_id"), col("n_chars"),
+            expr(
+              "(n_chars * 1000000) div " +
+                "(CAST(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) AS BIGINT) % 1000000 + 1)")
+              .as("priority_fp"))
+        val w = Window.partitionBy(col("source")).orderBy(col("priority_fp").desc, col("doc_id"))
+        pri
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 40)
+          .select(col("source"), col("rnk"), col("doc_id"), col("priority_fp"))
+          .orderBy("source", "rnk")
+      },
+      Some(
+        "SELECT source, rnk, doc_id, priority_fp FROM (" +
+          "SELECT source, doc_id, (n_chars * 1000000) // " +
+          "(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 + 1) AS priority_fp, " +
+          "CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY (n_chars * 1000000) // " +
+          "(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 + 1) DESC, doc_id) AS INT) AS rnk " +
+          "FROM documents) WHERE rnk <= 40 ORDER BY source, rnk")
     )
   )
 }
