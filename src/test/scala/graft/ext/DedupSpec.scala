@@ -165,4 +165,38 @@ class DedupSpec extends SparkSpec {
     assert(got == want, s"missed=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
     assert(want.nonEmpty, "fixture should contain planted near-dup pairs")
   }
+
+  test("prefixJaccardPairs completeness holds on adversarial random corpora") {
+    // Seeded-random corpora from a 4-letter alphabet: almost every gram
+    // collides, lengths vary below/around the shingle size, and many
+    // pairs sit exactly at the threshold — the regime where the length
+    // bound, the positional filter's pre-match term, and the rational
+    // prefix ceiling would each leak pairs if they were one off.
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcd "
+    for (trial <- 0 until 3; (tn, td) <- Seq((1, 2), (3, 5))) {
+      val docs = (0 until 40).map { i =>
+        val len = 2 + rnd.nextInt(25)
+        (i.toLong, (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+      }
+      // plant exact dups and one-char edits on top of the noise
+      val planted = docs.take(5).map { case (id, t) => (id + 1000L, t) } ++
+        docs.slice(5, 10).map { case (id, t) => (id + 2000L, t + "a") }
+      val df = (docs ++ planted).toDF("doc_id", "text")
+      val got = Dedup.prefixJaccardPairs(df, "doc_id", "text", k = 3, tauNum = tn, tauDen = td)
+        .select(col("a_id"), col("b_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val a = df.select(col("doc_id").as("a_id"), col("text").as("a_t"))
+      val b = df.select(col("doc_id").as("b_id"), col("text").as("b_t"))
+      val want = a.crossJoin(b)
+        .filter(col("a_id") < col("b_id"))
+        .filter(Dedup.ngramJaccardExpr(3, "a_t", "b_t") >= lit(tn.toDouble / td))
+        .select(col("a_id"), col("b_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want,
+        s"trial=$trial tau=$tn/$td missed=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+      assert(want.nonEmpty, s"trial=$trial tau=$tn/$td produced no true pairs to check")
+    }
+  }
 }
