@@ -34,4 +34,16 @@ object StreamJoin {
       "inner")
       .select(imp("ad_id").as("ad_id"), imp("ts").as("imp_ts"), clk("click_ts"))
   }
+
+  /** Stream-static enrichment: the streaming fact joined to a STATIC
+    * (batch) dimension — the other half of §2.8's join surface. Unlike
+    * the stream-stream join above this keeps NO state at all: the static
+    * side is (re-)planned each micro-batch and broadcast, the stream side
+    * never shuffles, and no watermark is required. LEFT join on purpose —
+    * an enrichment must never lose events, so unknown keys flow through
+    * with null attributes (and can be dead-letter-routed downstream)
+    * rather than being silently dropped by an inner join.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
 }

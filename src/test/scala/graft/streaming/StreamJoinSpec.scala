@@ -48,4 +48,27 @@ class StreamJoinSpec extends SparkSpec {
     assert(got == Set((1L, "2024-01-01 00:05:00.0")),
       s"expected exactly the in-window ad-1 click, got $got")
   }
+
+  test("stream-static enrichment keeps every event; unknown keys get nulls, not drops") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("sse").toString
+    val in = s"$root/in"; val out = s"$root/out"; val ck = s"$root/ck"
+    Files.createDirectories(Paths.get(in))
+    Files.writeString(Paths.get(s"$in/e1.csv"), "1,10\n2,20\n99,30")
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("value", LongType)))
+    val stream = spark.readStream.schema(schema).csv(in)
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val q = StreamJoin.enrich(stream, dim, "user_id")
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet
+    assert(got == Set(
+      (1L, 10L, Some("gold")),
+      (2L, 20L, Some("basic")),
+      (99L, 30L, None)), s"got $got")
+  }
 }
