@@ -231,6 +231,52 @@ object Events {
           "ON p.ts >= e.t0 AND p.ts < e.t1 ORDER BY err_id, pur_id")
     ),
     Q(
+      "q_interval_overlap",
+      // Interval × interval overlap join (both sides are windows, still
+      // no equi key) — q_interval_join generalized. Bucket decomposition
+      // again, but with intervals on BOTH sides a pair can now collide
+      // in up to two buckets, so the plan uses the LATER-START rule
+      // instead of a distinct: two half-open intervals overlap iff the
+      // later start lies inside both, so the bucket containing
+      // max(a.start, b.start) is listed by both sides and is unique —
+      // emitting a pair only from that bucket makes the join
+      // duplicate-free with no dedup shuffle at all. Overlap length is
+      // exact integer µs (cross-engine safe).
+      (s, d) => {
+        val e = events(s, d)
+        def win(tpe: String, id: String, p: String) =
+          e.filter(col("event_type") === tpe).select(
+            col("event_id").as(id),
+            col("ts").as(s"${p}_s"),
+            (col("ts") + expr("INTERVAL 10 MINUTES")).as(s"${p}_e"))
+        val bw = 600000000L
+        // covering buckets of a half-open [s, e): last bucket holds e−1µs,
+        // so a bucket-aligned end does not spill into the next bucket
+        def buckets(p: String) = explode(expr(
+          s"sequence(unix_micros(${p}_s) div $bw, " +
+            s"unix_micros(${p}_e - INTERVAL 1 MICROSECOND) div $bw)")).as("bkt")
+        val a = win("error", "err_id", "err").select(col("*"), buckets("err"))
+        val b = win("click", "clk_id", "clk").select(col("*"), buckets("clk"))
+        a.join(b, "bkt")
+          .filter(col("err_s") < col("clk_e") && col("clk_s") < col("err_e"))
+          .filter(col("bkt") === expr(s"unix_micros(greatest(err_s, clk_s)) div $bw"))
+          .select(
+            col("err_id"), col("clk_id"),
+            greatest(col("err_s"), col("clk_s")).cast("timestamp_ntz").as("ov_start"),
+            (expr("unix_micros(least(err_e, clk_e))") -
+              expr("unix_micros(greatest(err_s, clk_s))")).as("ov_micros"))
+          .orderBy("err_id", "clk_id")
+      },
+      Some(
+        "WITH a AS (SELECT event_id AS err_id, CAST(ts AS TIMESTAMP) AS s, " +
+          "CAST(ts AS TIMESTAMP) + INTERVAL 10 MINUTE AS e FROM events WHERE event_type = 'error'), " +
+          "b AS (SELECT event_id AS clk_id, CAST(ts AS TIMESTAMP) AS s, " +
+          "CAST(ts AS TIMESTAMP) + INTERVAL 10 MINUTE AS e FROM events WHERE event_type = 'click') " +
+          "SELECT err_id, clk_id, greatest(a.s, b.s) AS ov_start, " +
+          "epoch_us(least(a.e, b.e)) - epoch_us(greatest(a.s, b.s)) AS ov_micros " +
+          "FROM a JOIN b ON a.s < b.e AND b.s < a.e ORDER BY err_id, clk_id")
+    ),
+    Q(
       "q_retention",
       // Retention cutoff (main.tf:72-79 lifecycle semantics): keep only the
       // trailing 7 days relative to the dataset's max ts; daily rollup.

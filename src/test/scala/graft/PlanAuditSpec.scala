@@ -113,11 +113,12 @@ class PlanAuditSpec extends SparkSpec {
     // range predicate between unrelated relations plans as a (broadcast)
     // nested-loop join — O(n·m). The decomposition must leave an
     // equi-join on bkt with the range as a residual filter.
-    val df = Registry.byName("q_interval_join").run(spark, sf())
-    val p = planString(df)
-    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
-      s"interval join degenerated to a nested loop:\n${p.take(1500)}")
-    assert(p.contains("bkt"), s"bucket key missing from the join plan:\n${p.take(1500)}")
+    for (q <- Seq("q_interval_join", "q_interval_overlap")) {
+      val p = planString(Registry.byName(q).run(spark, sf()))
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q degenerated to a nested loop:\n${p.take(1500)}")
+      assert(p.contains("bkt"), s"$q: bucket key missing from the join plan:\n${p.take(1500)}")
+    }
   }
 
   test("multi-join reorder gates: fact streams through broadcast joins, never shuffles pre-agg") {
