@@ -339,11 +339,14 @@ object TextQueries {
       // arithmetic in both engines, so score = tf * idf_fp is a BIGINT
       // and the cross-engine hash can't drift the way ln()-based IDF
       // would (last-bit log differences; see q_token_df's note). Plan
-      // shape for 100 TB: one token-keyed shuffle builds per-doc TFs,
-      // the DF table is vocabulary-sized and BROADCASTs back, and the
-      // per-doc top-3 is the row_number()<=k pattern TopKRewrite turns
-      // into the bounded-heap TopKPerKey operator — nothing wider than
-      // (doc, token, count) ever shuffles.
+      // shape for 100 TB: the corpus is scanned + exploded ONCE — df is
+      // a window count over the tf rows (one row per doc×token ⇒ count
+      // per token = document frequency), NOT a groupBy+join, which would
+      // re-run the explode on the df branch (q_top_terms's lesson). The
+      // pipeline is thin (doc, token, count) rows through doc→token→doc
+      // exchanges, N broadcasts as one row, and the per-doc top-3 is the
+      // row_number()<=k pattern TopKRewrite turns into the bounded-heap
+      // TopKPerKey operator (verified in the physical plan).
       (s, d) => {
         val docs = Tables(s, d, "documents")
         val n = docs.agg(count(lit(1)).as("n"))
@@ -351,9 +354,8 @@ object TextQueries {
           .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
           .groupBy(col("doc_id"), col("token"))
           .agg(count(lit(1)).as("tf"))
-        val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
         val w = Window.partitionBy(col("doc_id")).orderBy(col("score_fp").desc, col("token"))
-        tf.join(broadcast(df), "token")
+        tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
           .crossJoin(broadcast(n))
           .select(
             col("doc_id"), col("token"),
