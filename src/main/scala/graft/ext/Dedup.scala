@@ -318,4 +318,80 @@ object Dedup {
           (col("sza") + col("szb") - col("inter")).cast("double")).as("jac"))
       .filter(col("jac") >= lit(tauNum.toDouble / tauDen))
   }
+
+  /** Prefix-filtered exact k-gram CONTAINMENT join — the asymmetric sibling
+    * of [[prefixJaccardPairs]]. C(a→b) = |grams(a) ∩ grams(b)| / |grams(a)|,
+    * the "a is mostly inside b" relation web-scrape dedup needs where
+    * Jaccard is blind: a quoted article inside a longer page, boilerplate
+    * wrapped around a syndicated body, a doc re-published with an appendix.
+    * Jaccard penalizes the size gap (J = |∩|/|∪| shrinks as b grows);
+    * containment is size-invariant on the b side, so the pair
+    * (snippet, superset-page) that J ≥ τ misses is exactly what C ≥ τ
+    * finds. Directional: both (a→b) and (b→a) are tested, each on its own
+    * threshold ⌈τ·|a|⌉.
+    *
+    * Completeness: a needs |∩| ≥ ⌈τ·sza⌉ grams of ITS OWN set inside b, so
+    * if b contains none of a's first (sza − ⌈τ·sza⌉ + 1) grams (rarest-first
+    * order), at most ⌈τ·sza⌉ − 1 can match — the PROBE side blocks on its
+    * prefix only, but the INDEX side must list every gram (a superset page
+    * has no short prefix that's guaranteed to hit). Candidate volume is
+    * Σ_g dfPrefix(g)·df(g) — between the Jaccard filter's Σ dfPrefix² and
+    * all-pairs; the same thin-row / length / positional / dedup-then-verify
+    * staging as the Jaccard form keeps what crosses the shuffle to
+    * (id, pos, sz) triples. Length filter: szb ≥ ⌈τ·sza⌉ (no upper bound —
+    * asymmetry is the point). Positional: shared grams below the matched
+    * rank ≤ min(pa, pb); at-or-above ≤ min(sza−pa, szb−pb).
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      tauNum: Int,
+      tauDen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spread = docs.repartition(
+      docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+    val g = spread.select(col(idCol).as("id"), shingles(k, textCol).as("grams"))
+    val dict = g.select(explode(col("grams")).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .withColumn("rid", row_number().over(Window.orderBy(col("df").asc, col("gram").asc)))
+      .select(col("gram"), col("rid"))
+    val sets = g.select(col("id"), explode(col("grams")).as("gram"))
+      .join(broadcast(dict), "gram")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("rid"))).as("toks"))
+      .withColumn("sz", size(col("toks")))
+    // probe side: prefix of length sz − ⌈τ·sz⌉ + 1; index side: ALL grams
+    // with their sorted position (for the positional filter)
+    val probe = sets.select(
+      col("id"), col("sz"),
+      posexplode(expr(s"slice(toks, 1, sz - ((sz * $tauNum + $tauDen - 1) div $tauDen) + 1)")))
+      .select(col("id").as("a_id"), col("sz").as("sza"), col("pos").as("pa"), col("col").as("ptok"))
+    val index = sets.select(col("id"), col("sz"), posexplode(col("toks")))
+      .select(col("id").as("b_id"), col("sz").as("szb"), col("pos").as("pb"), col("col").as("ptok"))
+    // required overlap: ⌈τ·sza⌉, integer-exact
+    val tReq = expr(s"(sza * $tauNum + $tauDen - 1) div $tauDen")
+    val cand = probe
+      .join(index, "ptok")
+      .filter(col("a_id") =!= col("b_id"))
+      .filter(col("szb") >= tReq)
+      .filter(
+        least(col("pa"), col("pb")) +
+          least(col("sza") - col("pa"), col("szb") - col("pb")) >= tReq)
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    val ta = sets.select(col("id").as("a_id"), col("toks").as("ta"), col("sz").as("sza"))
+    val tb = sets.select(col("id").as("b_id"), col("toks").as("tb"))
+    cand
+      .join(ta, "a_id")
+      .join(tb, "b_id")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      // τ-comparison in exact integers; the emitted ratio is one double
+      // division, identical on both sides
+      .filter(col("inter") * tauDen >= col("sza") * tauNum)
+      .select(
+        col("a_id"), col("b_id"),
+        (col("inter").cast("double") / col("sza").cast("double")).as("containment"))
+  }
 }

@@ -172,6 +172,39 @@ object DedupQueries {
           "ORDER BY a_id, b_id")
     ),
     Q(
+      "q_dedup_containment",
+      // Asymmetric containment self-join (C(a→b) = |∩|/|grams(a)| >= 0.8):
+      // catches "a lives inside b" near-dups — quoted bodies, boilerplate
+      // wrappers, doc + appendix — that symmetric Jaccard structurally
+      // misses once the size gap grows (J <= sza/szb no matter how
+      // perfect the containment). Same COMPLETE prefix-filter family as
+      // q_dedup_prefix_jaccard, but the probe side alone blocks on its
+      // rarest (sz − ⌈τ·sz⌉ + 1) grams while the index side lists all —
+      // the asymmetry of the predicate is the asymmetry of the blocking.
+      // The DuckDB oracle is the true all-pairs brute force (each
+      // unordered pair intersected once, both directions emitted), so
+      // this row gates completeness itself. τ = 4/5 rational: thresholds
+      // are exact integer arithmetic both sides; 5-char grams for the
+      // same fixture reason as the Jaccard row (31-word vocabulary makes
+      // token sets degenerate).
+      (s, d) =>
+        Dedup
+          .containmentPairs(
+            Tables(s, d, "documents"), "doc_id", "text", k = 5, tauNum = 4, tauDen = 5)
+          .orderBy("a_id", "b_id"),
+      Some(
+        "WITH d AS (SELECT doc_id, list_distinct(list_transform(" +
+          "generate_series(1, greatest(1, length(text) - 4)), i -> substring(text, i, 5))) AS t " +
+          "FROM documents), " +
+          "p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
+          "len(list_intersect(a.t, b.t)) AS inter, len(a.t) AS sza, len(b.t) AS szb " +
+          "FROM d a JOIN d b ON a.doc_id < b.doc_id), " +
+          "dir AS (SELECT a_id, b_id, inter, sza FROM p " +
+          "UNION ALL SELECT b_id, a_id, inter, szb FROM p) " +
+          "SELECT a_id, b_id, CAST(inter AS DOUBLE) / sza AS containment " +
+          "FROM dir WHERE inter * 5 >= sza * 4 ORDER BY a_id, b_id")
+    ),
+    Q(
       "q_dedup_components",
       // Cluster step after pair detection: connected components over the
       // ngram-jaccard edge set (min-label propagation, O(diameter)

@@ -149,6 +149,47 @@ object Behavior {
           "FROM r GROUP BY 1, 2, 3) " +
           "SELECT event_type, run_len, CAST(COUNT(*) AS BIGINT) AS n_runs " +
           "FROM runs GROUP BY 1, 2 ORDER BY 1, 2")
+    ),
+    Q(
+      "q_decay_sum",
+      // Finite-horizon exponentially-decayed rolling sum per user — the
+      // recency-weighted activity score feature stores maintain (trending
+      // signals, decayed engagement counts). The textbook recurrence
+      // S = v + α·S_prev never terminates and α^k is IEEE-unsafe
+      // cross-engine (pow drifts in the last bit; see the Agg scaladoc);
+      // this is the DETERMINISTIC formulation: half-life-per-event decay
+      // truncated at 8 taps, so the score is Σ_{k=0..7} lag(v,k)·2^(7−k) —
+      // every weight is a power of two (multiplication only shifts the
+      // exponent, exact in IEEE), and both engines evaluate the identical
+      // left-associated 8-term sum, so the doubles match bit-for-bit.
+      // Truncation error is bounded by 2^-8 of the oldest mass — the same
+      // approximation a bounded-state streaming implementation makes.
+      // Plan: ONE user-keyed shuffle; the 8 lags share a single sorted
+      // window frame; per-row state is 8 values regardless of history
+      // length — this survives any corpus size.
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val decayed = (0 to 7)
+          .map(k => coalesce(lag(col("value"), k).over(w), lit(0.0)) * lit(1L << (7 - k)))
+          .reduce(_ + _)
+        Events
+          .events(s, d)
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+          .withColumn("decayed", decayed)
+          .select(
+            col("user_id"), col("event_id"),
+            col("ts").cast("timestamp_ntz").as("ts"), col("decayed"))
+          .orderBy("user_id", "ts", "event_id")
+      },
+      Some(
+        "WITH e AS (SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events) " +
+          "SELECT user_id, event_id, ts, " +
+          "COALESCE(lag(value, 0) OVER w, 0) * 128 + COALESCE(lag(value, 1) OVER w, 0) * 64 + " +
+          "COALESCE(lag(value, 2) OVER w, 0) * 32 + COALESCE(lag(value, 3) OVER w, 0) * 16 + " +
+          "COALESCE(lag(value, 4) OVER w, 0) * 8 + COALESCE(lag(value, 5) OVER w, 0) * 4 + " +
+          "COALESCE(lag(value, 6) OVER w, 0) * 2 + COALESCE(lag(value, 7) OVER w, 0) * 1 AS decayed " +
+          "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
+          "ORDER BY user_id, ts, event_id")
     )
   )
 }

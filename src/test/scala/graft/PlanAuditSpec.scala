@@ -141,6 +141,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TopKPerKeyFinal"), s"per-doc top-3 lost the bounded-heap operator:\n${p.take(1200)}")
   }
 
+  test("global index shuffles the corpus once (reused range exchange, no global window)") {
+    // The operator's claim: dense global ranking WITHOUT row_number() over
+    // a one-partition window. AQE materializes exchange reuse only at
+    // runtime, so execute first, then read the final adaptive plan: the
+    // offsets branch must attach to the data branch's range shuffle as a
+    // reused stage instead of recomputing the scan + shuffle.
+    val df = Registry.byName("q_global_index").run(spark, sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(
+      p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"offsets branch re-shuffled the corpus:\n${p.take(2500)}")
+    assert(p.toLowerCase.contains("repartition_by_num"), "expected an explicit range repartition")
+  }
+
   test("zorder audit reads only the two key columns from the fact scan") {
     val df = Registry.byName("q_zorder").run(spark, sf())
     val read = scans(df).head.requiredSchema.fieldNames.toSet

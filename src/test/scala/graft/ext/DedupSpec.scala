@@ -199,4 +199,67 @@ class DedupSpec extends SparkSpec {
       assert(want.nonEmpty, s"trial=$trial tau=$tn/$td produced no true pairs to check")
     }
   }
+
+  // |grams(a) ∩ grams(b)| / |grams(a)| as a raw expression — the brute-force
+  // truth the asymmetric prefix filter must reproduce exactly
+  private def containmentExpr(k: Int, a: String, b: String) = {
+    def grams(c: String) =
+      s"array_distinct(transform(sequence(1, greatest(1, length($c) - ${k - 1})), i -> substring($c, i, $k)))"
+    expr(
+      s"CAST(size(array_intersect(${grams(a)}, ${grams(b)})) AS DOUBLE) / size(${grams(a)})")
+  }
+
+  test("containmentPairs is COMPLETE vs brute-force directional all-pairs (sf0.001)") {
+    val docs = graft.core.Tables(spark, sf(), "documents").select(col("doc_id"), col("text"))
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", k = 5, tauNum = 4, tauDen = 5)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = docs.select(col("doc_id").as("a_id"), col("text").as("a_t"))
+    val b = docs.select(col("doc_id").as("b_id"), col("text").as("b_t"))
+    val want = a.crossJoin(b)
+      .filter(col("a_id") =!= col("b_id"))
+      .filter(containmentExpr(5, "a_t", "b_t") >= 0.8)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"missed=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    assert(want.nonEmpty, "fixture should contain planted containment pairs")
+  }
+
+  test("containmentPairs finds the snippet-inside-superset pairs Jaccard misses") {
+    // The operator's reason to exist: a short doc embedded verbatim in a
+    // much longer one has high containment but low Jaccard. Also the
+    // adversarial-random sweep from the Jaccard test, run directionally.
+    import spark.implicits._
+    val long = base + " and then a very long appendix about storage formats " +
+      "row groups page indexes bloom filters and dictionary encodings"
+    val snip = Seq((0L, base), (1L, long)).toDF("doc_id", "text")
+    val dirs = Dedup.containmentPairs(snip, "doc_id", "text", k = 5, tauNum = 4, tauDen = 5)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dirs.contains((0L, 1L)), "snippet→superset containment missed")
+    assert(!dirs.contains((1L, 0L)), "superset is not contained in the snippet")
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcd "
+    for (trial <- 0 until 2) {
+      val docs = (0 until 40).map { i =>
+        val len = 2 + rnd.nextInt(25)
+        (i.toLong, (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+      }
+      val planted = docs.take(5).map { case (id, t) => (id + 1000L, t + " xyz") }
+      val df = (docs ++ planted).toDF("doc_id", "text")
+      val got = Dedup.containmentPairs(df, "doc_id", "text", k = 3, tauNum = 3, tauDen = 4)
+        .select(col("a_id"), col("b_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val a = df.select(col("doc_id").as("a_id"), col("text").as("a_t"))
+      val b = df.select(col("doc_id").as("b_id"), col("text").as("b_t"))
+      val want = a.crossJoin(b)
+        .filter(col("a_id") =!= col("b_id"))
+        .filter(containmentExpr(3, "a_t", "b_t") >= lit(3.0 / 4))
+        .select(col("a_id"), col("b_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want,
+        s"trial=$trial missed=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+      assert(want.nonEmpty, s"trial=$trial produced no true pairs to check")
+    }
+  }
 }
