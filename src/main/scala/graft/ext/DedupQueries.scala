@@ -459,6 +459,48 @@ object DedupQueries {
           "ORDER BY a_name, b_name")
     ),
     Q(
+      "q_best_match",
+      // Record-linkage ASSIGNMENT step: q_fuzzy_join emits the candidate
+      // pair pool; entity resolution then needs, per left record, THE
+      // canonical match — argmin over (edit distance, name) among its
+      // candidates. Directional (every name with >=1 candidate gets
+      // exactly one row), expressed as the row_number()<=k pattern with
+      // k=1 so TopKRewrite lowers it to the bounded-heap TopKPerKey
+      // operator: one row per name survives the partial side, k·names
+      // rows cross the exchange — never the full candidate pool. Same
+      // blocking + DP Levenshtein as the pair query, so the differential
+      // is over identical candidate sets.
+      (s, d) => {
+        val n = Tables(s, d, "part")
+          .select(col("p_name").as("name")).distinct()
+          .withColumn("blk", element_at(split(col("name"), " "), -1))
+        val a = n.select(col("name").as("a_name"), col("blk"))
+        val b = n.select(col("name").as("b_name"), col("blk"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("a_name")).orderBy(col("dist"), col("b_name"))
+        a.join(b, Seq("blk"))
+          .filter(col("a_name") =!= col("b_name"))
+          .select(
+            col("a_name"), col("b_name"),
+            levenshtein(col("a_name"), col("b_name")).as("dist"))
+          .filter(col("dist").between(1, 3))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 1)
+          .select(col("a_name"), col("b_name"), col("dist"))
+          .orderBy("a_name")
+      },
+      Some(
+        "WITH n AS (SELECT DISTINCT p_name AS name FROM part), " +
+          "b AS (SELECT name, string_split(name, ' ')[-1] AS blk FROM n), " +
+          "cand AS (SELECT a.name AS a_name, b2.name AS b_name, " +
+          "CAST(levenshtein(a.name, b2.name) AS INT) AS dist " +
+          "FROM b a JOIN b b2 ON a.blk = b2.blk AND a.name <> b2.name " +
+          "WHERE levenshtein(a.name, b2.name) BETWEEN 1 AND 3), " +
+          "r AS (SELECT a_name, b_name, dist, " +
+          "ROW_NUMBER() OVER (PARTITION BY a_name ORDER BY dist, b_name) AS rn FROM cand) " +
+          "SELECT a_name, b_name, dist FROM r WHERE rn = 1 ORDER BY a_name")
+    ),
+    Q(
       "q_curation_v3",
       // Enforced-order near-dup curation (see graft.ext.Curation): the
       // corpus is documents plus a deterministic duplicated subset (every

@@ -371,6 +371,83 @@ object Structured {
       Some(
         "SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY md5(text), doc_id) - 1 AS BIGINT) AS gidx " +
           "FROM documents ORDER BY doc_id")
+    ),
+    Q(
+      "q_quantile_bins",
+      // Equal-frequency feature discretization (decile binning) — the
+      // quantile-bucketing step feature pipelines run before training.
+      // The scale-safe shape: boundaries are computed ONCE as a 1-row
+      // aggregate, BROADCAST, and every row assigns its bin with a pure
+      // expression (count of boundaries ≤ value) — no per-row window, no
+      // global sort, no second shuffle of the corpus. Exact interpolated
+      // percentile here (type-7, bit-equal to DuckDB's quantile_cont per
+      // q_percentile); at 100 TB swap the boundary aggregate for the
+      // mergeable approx_percentile sketch (gated by q_approx_percentile)
+      // — the per-row assignment side is unchanged. Bin populations are
+      // ~N/10 by construction; boundary comparisons are double compares
+      // of identical doubles, so bins match exactly cross-engine.
+      (s, d) => {
+        val bnds = t(s, d, "orders").agg(
+          expr(
+            "percentile(o_totalprice, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))")
+            .as("bnds"))
+        t(s, d, "orders")
+          .crossJoin(broadcast(bnds))
+          .withColumn(
+            "bin",
+            expr(
+              "CAST(aggregate(bnds, 0, (acc, b) -> acc + IF(o_totalprice >= b, 1, 0)) AS BIGINT)"))
+          .groupBy(col("bin"))
+          .agg(
+            count(lit(1)).as("n"),
+            min(col("o_totalprice")).as("lo"),
+            max(col("o_totalprice")).as("hi"))
+          .orderBy("bin")
+      },
+      Some(
+        "WITH b AS (SELECT quantile_cont(o_totalprice, " +
+          "[0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bnds FROM orders) " +
+          "SELECT CAST(list_sum(list_transform(bnds, " +
+          "t -> CASE WHEN o_totalprice >= t THEN 1 ELSE 0 END)) AS BIGINT) AS bin, " +
+          "CAST(COUNT(*) AS BIGINT) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi " +
+          "FROM orders CROSS JOIN b GROUP BY 1 ORDER BY 1")
+    ),
+    Q(
+      "q_profile",
+      // Column-profile report — the data-quality summary a pipeline emits
+      // per ingest batch: row count, null count, exact distinct count,
+      // min/max per column. One scan UNPIVOTs the profiled columns into
+      // (col_name, value) pairs, so a single hash aggregate keyed on
+      // col_name serves every column — adding a column to the profile
+      // adds a stack branch, not a scan. Only exact aggregates (counts,
+      // ndv, min/max — no float sums), so the report is deterministic by
+      // construction. The oracle computes each column's row independently
+      // — same result, different plan, which is the point of a
+      // differential. Scale: expand ×C rows through one shuffle; for
+      // wide tables at 100 TB, profile column groups per pass or swap
+      // ndv to the HLL sketch (q_approx_distinct's path).
+      (s, d) =>
+        t(s, d, "lineitem")
+          .select(
+            expr(
+              "stack(4, 'l_quantity', l_quantity, 'l_extendedprice', l_extendedprice, " +
+                "'l_discount', l_discount, 'l_tax', l_tax) AS (col_name, value)"))
+          .groupBy(col("col_name"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null"),
+            countDistinct(col("value")).as("ndv"),
+            min(col("value")).as("vmin"),
+            max(col("value")).as("vmax"))
+          .orderBy("col_name"),
+      Some(
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+          .map(c =>
+            s"SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+              s"CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_null, " +
+              s"CAST(COUNT(DISTINCT $c) AS BIGINT) AS ndv, " +
+              s"min($c) AS vmin, max($c) AS vmax FROM lineitem")
+          .mkString("", " UNION ALL ", " ORDER BY col_name"))
     )
   )
 }

@@ -141,6 +141,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TopKPerKeyFinal"), s"per-doc top-3 lost the bounded-heap operator:\n${p.take(1200)}")
   }
 
+  test("best-match assignment runs through the bounded-heap top-k operator") {
+    // k=1 argmin per left record: the partial exec keeps one row per name
+    // per partition, so k·names rows cross the exchange, never the full
+    // fuzzy-candidate pool.
+    val p = planString(Registry.byName("q_best_match").run(spark, sf()))
+    assert(p.contains("TopKPerKeyFinal"), s"argmin fell back to a window sort:\n${p.take(1200)}")
+  }
+
   test("global index shuffles the corpus once (reused range exchange, no global window)") {
     // The operator's claim: dense global ranking WITHOUT row_number() over
     // a one-partition window. AQE materializes exchange reuse only at
