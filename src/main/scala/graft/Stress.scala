@@ -85,6 +85,45 @@ object Stress {
       .write.format("noop").mode("overwrite").save()
   }
 
+  // ---- global-index A/B: the q_global_index two-pass plan vs the naive
+  // one-partition window row_number over the same total order ----
+
+  private def gindexTwoPassProbe(spark: SparkSession, dir: String): Double = time {
+    import org.apache.spark.sql.expressions.Window
+    val p = spark.sparkContext.defaultParallelism
+    val sorted = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .repartitionByRange(p, col("l_extendedprice"), col("l_orderkey"))
+      .sortWithinPartitions(col("l_extendedprice"), col("l_orderkey"))
+      .select(
+        col("l_orderkey"),
+        spark_partition_id().as("pid"),
+        monotonically_increasing_id().as("mid"))
+    val offsets = sorted.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+      .withColumn(
+        "off",
+        coalesce(
+          sum(col("cnt")).over(
+            Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("pid"), col("off"))
+    sorted.join(broadcast(offsets), "pid")
+      .select(
+        col("l_orderkey"),
+        (col("off") + (col("mid") - col("pid").cast("long") * lit(8589934592L))).as("gidx"))
+      .write.format("noop").mode("overwrite").save()
+  }
+
+  private def gindexWindowProbe(spark: SparkSession, dir: String): Double = time {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("l_extendedprice"), col("l_orderkey"))
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .withColumn("gidx", row_number().over(w).cast("long") - 1L)
+      .select(col("l_orderkey"), col("gidx"))
+      .write.format("noop").mode("overwrite").save()
+  }
+
   /** Replicate with disjoint key ranges per replica; repartition so the
     * written parquet has many files → multi-task scans.
     */
@@ -103,8 +142,34 @@ object Stress {
     val mult = args.lift(1).map(_.toInt).getOrElse(if (tier == "flagship") 167 else 16)
     val spark: SparkSession = Sessions.build("graft-stress")
     if (tier == "flagship") runFlagship(spark, sfDir, mult)
+    else if (tier == "gindex") runGindex(spark, sfDir, mult)
     else runFull(spark, sfDir, mult)
     spark.stop()
+  }
+
+  /** Global-index tier: dense ordered ranking of replicated lineitem by
+    * (l_extendedprice, l_orderkey) — the two-pass range-partition + offsets
+    * plan (q_global_index's shape) vs the naive one-partition window
+    * row_number. The window form's cost is a single reducer sorting the
+    * corpus; the two-pass form keeps P-way parallelism end to end, so the
+    * gap should WIDEN with rows — this measurement is the PLANS.md
+    * extrapolation evidence.
+    */
+  private def runGindex(spark: SparkSession, sfDir: String, mult: Int): Unit = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft-stress-gindex"
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    replicate(spark, li, "l_orderkey", mult)
+      .repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    val nRows = spark.read.parquet(s"$out/lineitem.parquet").count()
+    gindexTwoPassProbe(spark, out)
+    val two = Seq(gindexTwoPassProbe(spark, out), gindexTwoPassProbe(spark, out)).min
+    gindexWindowProbe(spark, out)
+    val win = Seq(gindexWindowProbe(spark, out), gindexWindowProbe(spark, out)).min
+    val num = (v: Double) => Timing.fmt3(v)
+    println(
+      s"""{"tier":"gindex","rows":$nRows,"mult":$mult,"files":32,""" +
+        s""""twopass_sec":${num(two)},"twopass_mrows_s":${num(rate(nRows, two))},""" +
+        s""""window_sec":${num(win)},"window_mrows_s":${num(rate(nRows, win))}}""")
   }
 
   /** sf1-scale tier: ~100M-row 32-file lineitem, three flagship shapes. */
