@@ -148,31 +148,7 @@ object Incremental {
       // both partitioned on the dimension key, so the plan is one shuffle
       // on custkey; no interval self-join. This is the history table the
       // reference's WRITE_TRUNCATE reload cannot express.
-      (s, d) => {
-        val o = Tables(s, d, "orders")
-        val perDay = o
-          .withColumn(
-            "rn",
-            row_number().over(
-              org.apache.spark.sql.expressions.Window
-                .partitionBy(col("o_custkey"), col("o_orderdate"))
-                .orderBy(col("o_orderkey").desc)))
-          .filter(col("rn") === 1)
-          .select(
-            col("o_custkey").as("custkey"),
-            col("o_orderdate").as("valid_from"),
-            col("o_orderpriority").as("priority"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("custkey")).orderBy(col("valid_from"))
-        perDay
-          .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
-          .withColumn("version", row_number().over(w).cast("long"))
-          .select(
-            col("custkey"), col("version"), col("priority"),
-            col("valid_from"), col("valid_to"),
-            col("valid_to").isNull.as("is_current"))
-          .orderBy("custkey", "version")
-      },
+      (s, d) => scd2History(s, d).orderBy("custkey", "version"),
       Some(
         "WITH perday AS (SELECT o_custkey AS custkey, o_orderdate AS valid_from, o_orderpriority AS priority, " +
           "ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn FROM orders), " +
@@ -182,6 +158,54 @@ object Incremental {
           "CAST(ROW_NUMBER() OVER (PARTITION BY custkey ORDER BY valid_from) AS BIGINT) AS version FROM s) " +
           "SELECT custkey, version, priority, valid_from, valid_to, valid_to IS NULL AS is_current " +
           "FROM v ORDER BY custkey, version")
+    ),
+    Q(
+      "q_scd2_lookup",
+      // Point-in-time (temporal) dimension lookup — the OTHER half of
+      // SCD-2: enrich each shipment with the customer's priority AS OF
+      // its ship date. Facts join the history on the equi key PLUS the
+      // validity interval (valid_from <= ship < valid_to, NULL-open
+      // current version), so Spark plans a hash join on custkey with the
+      // range as a post-join filter — no interval self-join, no nested
+      // loop. Half-open intervals partition each customer's timeline, so
+      // AT MOST ONE version matches per fact (no fan-out; and since a
+      // shipment postdates its order, which postdates the customer's
+      // first change, exactly one). Dim side is customer-cardinality —
+      // broadcast at any realistic scale; the fact table never shuffles.
+      // Output is the per-as-of-priority shipment rollup, so the gate
+      // checks every fact row's version resolution.
+      (s, d) => {
+        val hist = scd2History(s, d)
+          .select(col("custkey"), col("priority"), col("valid_from"), col("valid_to"))
+        val facts = Tables(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_shipdate"), col("l_quantity"))
+          .join(
+            Tables(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+        facts
+          .join(
+            broadcast(hist),
+            col("o_custkey") === col("custkey") &&
+              col("valid_from") <= col("l_shipdate") &&
+              (col("valid_to").isNull || col("l_shipdate") < col("valid_to")),
+            "left")
+          .groupBy(coalesce(col("priority"), lit("NONE")).as("priority_asof"))
+          .agg(count(lit(1)).as("n_ship"), sum(col("l_quantity")).as("sum_qty"))
+          .orderBy("priority_asof")
+      },
+      Some(
+        "WITH perday AS (SELECT o_custkey AS custkey, o_orderdate AS valid_from, o_orderpriority AS priority, " +
+          "ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn FROM orders), " +
+          "s AS (SELECT custkey, valid_from, priority FROM perday WHERE rn = 1), " +
+          "v AS (SELECT custkey, valid_from, priority, " +
+          "lead(valid_from) OVER (PARTITION BY custkey ORDER BY valid_from) AS valid_to FROM s), " +
+          "f AS (SELECT o_custkey AS custkey, l_shipdate, l_quantity FROM lineitem " +
+          "JOIN orders ON l_orderkey = o_orderkey) " +
+          "SELECT COALESCE(v.priority, 'NONE') AS priority_asof, " +
+          "CAST(COUNT(*) AS BIGINT) AS n_ship, SUM(l_quantity) AS sum_qty " +
+          "FROM f LEFT JOIN v ON f.custkey = v.custkey " +
+          "AND v.valid_from <= f.l_shipdate AND (v.valid_to IS NULL OR f.l_shipdate < v.valid_to) " +
+          "GROUP BY 1 ORDER BY 1")
     ),
     Q(
       "q_erasure_cascade",
@@ -232,4 +256,33 @@ object Incremental {
           "FROM a ORDER BY table_name")
     )
   )
+
+  /** The SCD-2 validity-interval history (q_scd2's build), shared with the
+    * point-in-time lookup join: last write per (customer, day) wins, then
+    * lead(valid_from) closes each interval; NULL valid_to = current.
+    */
+  private def scd2History(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val perDay = Tables(s, d, "orders")
+      .withColumn(
+        "rn",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("o_custkey"), col("o_orderdate"))
+            .orderBy(col("o_orderkey").desc)))
+      .filter(col("rn") === 1)
+      .select(
+        col("o_custkey").as("custkey"),
+        col("o_orderdate").as("valid_from"),
+        col("o_orderpriority").as("priority"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("custkey")).orderBy(col("valid_from"))
+    perDay
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .select(
+        col("custkey"), col("version"), col("priority"),
+        col("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
 }
