@@ -76,6 +76,38 @@ object SimilarityQueries {
       headline = true
     ),
     Q(
+      "q_knn_graph",
+      // kNN-graph construction — the all-nodes generalization of
+      // q_sim_bruteforce and the substrate step for SemDeDup clustering,
+      // graph-based ANN indexes, and label propagation over embeddings:
+      // EVERY vector gets its exact cosine top-3 neighbors. Per-node
+      // selection is the row_number()<=k pattern, so TopKRewrite lowers
+      // it to the bounded-heap TopKPerKey operator: k rows per node
+      // survive the partial side, never the N-1 scored candidates. The
+      // exact all-pairs scoring here is the oracle-able form (sequential
+      // fold ≡ DuckDB list_dot_product ordering, bit-equal doubles); at
+      // corpus scale the candidate generation swaps to the IVF-cell
+      // blocking gated by q_dedup_embed / q_sim_ivf — the per-node
+      // top-k side is unchanged.
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        Similarity
+          .bruteForceTopK(emb, emb, 3)
+          .select(
+            col("q_id").as("src"), col("rank"),
+            col("n_id").as("dst"), col("cos"))
+          .orderBy("src", "rank")
+      },
+      Some(
+        "WITH q AS (SELECT vec_id AS src, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings), " +
+          "c AS (SELECT vec_id AS dst, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings), " +
+          "s AS (SELECT src, dst, list_dot_product(qv, cv) / " +
+          "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos " +
+          "FROM q CROSS JOIN c WHERE src <> dst), " +
+          "r AS (SELECT src, dst, cos, CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS INT) AS rank FROM s) " +
+          "SELECT src, rank, dst, cos FROM r WHERE rank <= 3 ORDER BY src, rank")
+    ),
+    Q(
       "q_sim_lsh",
       // Scale path: sign-LSH banding (8 bands × 4 bits, fixed-seed
       // hyperplanes) → candidates → exact re-score. The candidate set is

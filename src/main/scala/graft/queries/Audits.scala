@@ -23,6 +23,41 @@ object Audits {
 
   val queries: Seq[Q] = Seq(
     Q(
+      "q_skew_profile",
+      // Join-key skew profiler — the diagnostic you run BEFORE deciding
+      // between a plain shuffle join, broadcast, or salting
+      // (engine/Skew): per-key row counts reduced to one summary row of
+      // exact numbers — key count, row count, max key size, interpolated
+      // p50/p99 of the count distribution (type-7, bit-equal per
+      // q_percentile), and skew_ratio = max/avg computed as one double
+      // division of exact integers. Two hash aggregates (corpus → per-key
+      // counts → 1 row); nothing key-cardinality-sized leaves the
+      // executors. The reducer-stall criterion at 1000 executors is
+      // skew_ratio ≫ 1 with max_cnt in the hundreds of millions — this
+      // row is how a pipeline notices BEFORE the 4-hour stage.
+      (s, d) => {
+        val counts = Events.events(s, d)
+          .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+        counts
+          .agg(
+            count(lit(1)).as("n_keys"),
+            sum(col("cnt")).as("n_rows"),
+            max(col("cnt")).as("max_cnt"),
+            expr("percentile(cnt, 0.5D)").as("p50_cnt"),
+            expr("percentile(cnt, 0.99D)").as("p99_cnt"))
+          .select(
+            col("n_keys"), col("n_rows"), col("max_cnt"), col("p50_cnt"), col("p99_cnt"),
+            ((col("max_cnt") * col("n_keys")).cast("double") / col("n_rows").cast("double"))
+              .as("skew_ratio"))
+      },
+      Some(
+        "WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY user_id) " +
+          "SELECT CAST(COUNT(*) AS BIGINT) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows, " +
+          "max(cnt) AS max_cnt, quantile_cont(cnt, 0.5) AS p50_cnt, quantile_cont(cnt, 0.99) AS p99_cnt, " +
+          "CAST(max(cnt) * COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS skew_ratio " +
+          "FROM c")
+    ),
+    Q(
       "q_expectations",
       (s, d) => {
         val o = Tables(s, d, "orders")
