@@ -121,4 +121,50 @@ object Stateful {
       .groupByKey(_.key)
       .transformWithState(new TopKProcessor(k), TimeMode.None(), OutputMode.Append())
   }
+
+  final case class ValEvent(user_id: Long, event_id: Long, ts: Long, value: Double)
+  final case class Decayed(user_id: Long, event_id: Long, decayed: Double)
+
+  /** Streaming counterpart of the batch `q_decay_sum` window: per-user
+    * finite-horizon exponentially-decayed rolling sum, maintained
+    * incrementally. State per key is the last 8 values (newest first) —
+    * the SAME 8-value bound the batch formulation's truncated horizon
+    * implies, which is exactly why the recurrence is streamable with
+    * bounded state: Σ_{k=0..7} v(k)·2^(7−k) needs only the ring, never
+    * the history. Rows are ordered (ts, event_id) within each
+    * micro-batch so intra-batch arrival order can't reorder the taps;
+    * cross-batch late data is watermark territory (the batch query is
+    * the replay/backfill path).
+    */
+  class DecayProcessor extends StatefulProcessor[Long, ValEvent, Decayed] {
+    @transient private var recent: ValueState[List[Double]] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      recent = getHandle.getValueState[List[Double]](
+        "recent", Encoders.kryo[List[Double]], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[ValEvent],
+        timerValues: TimerValues): Iterator[Decayed] = {
+      var hist = if (recent.exists()) recent.get() else Nil
+      val out = rows.toSeq.sortBy(r => (r.ts, r.event_id)).map { r =>
+        hist = (r.value :: hist).take(8)
+        // newest gets weight 2^7 — the identical left-associated sum the
+        // batch expression evaluates, so the doubles agree bit-for-bit
+        val d = hist.zipWithIndex.map { case (v, k) => v * (1L << (7 - k)) }.sum
+        Decayed(key, r.event_id, d)
+      }
+      recent.update(hist)
+      out.iterator
+    }
+  }
+
+  /** Per-user decayed activity scores over a stream of ValEvent. */
+  def decayScores(spark: SparkSession, events: Dataset[ValEvent]): Dataset[Decayed] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new DecayProcessor, TimeMode.None(), OutputMode.Append())
+  }
 }

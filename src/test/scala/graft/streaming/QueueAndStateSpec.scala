@@ -205,6 +205,59 @@ class QueueAndStateSpec extends SparkSpec {
     }
   }
 
+  test("streaming decayed score: bounded 8-value ring, state carries across runs") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("decay").toString
+    val in = s"$root/in"; val out = s"$root/out"; val ck = s"$root/ck"
+    Files.createDirectories(Paths.get(in))
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("ts", LongType), StructField("value", org.apache.spark.sql.types.DoubleType)))
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def run(): Unit = {
+        val events = spark.readStream.schema(schema).csv(in).as[Stateful.ValEvent]
+        val q = Stateful.decayScores(spark, events)
+          .writeStream.format("parquet").outputMode("append")
+          .option("path", out).option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      // user 1 gets 10 events split across two runs (ring must carry over
+      // the restart AND stay bounded at 8); ts is written out of order
+      // inside batch 1 to prove intra-batch (ts, event_id) ordering.
+      val vals = (1 to 10).map(_.toDouble)
+      Files.writeString(
+        Paths.get(s"$in/b1.csv"),
+        // events 3,1,2,4,5,6 arrive shuffled; ts = 10*i keeps order total
+        Seq(3, 1, 2, 4, 5, 6).map(i => s"1,$i,${10 * i},${vals(i - 1)}").mkString("\n"))
+      run()
+      Files.writeString(
+        Paths.get(s"$in/b2.csv"),
+        (7 to 10).map(i => s"1,$i,${10 * i},${vals(i - 1)}").mkString("\n") + "\n2,99,5,2.5")
+      run()
+      // replay the same fold: newest-first ring of <=8, weights 2^(7-k)
+      var hist = List.empty[Double]
+      val want = (1 to 10).map { i =>
+        hist = (vals(i - 1) :: hist).take(8)
+        i.toLong -> hist.zipWithIndex.map { case (v, k) => v * (1L << (7 - k)) }.sum
+      }.toMap
+      val rows = spark.read.parquet(out).as[Stateful.Decayed].collect()
+      val got = rows.filter(_.user_id == 1L).map(r => r.event_id -> r.decayed).toMap
+      assert(got == want, s"got $got\nwant $want")
+      // a key seen only in run 2 starts from an empty ring
+      assert(rows.filter(_.user_id == 2L).map(_.decayed).toSeq == Seq(2.5 * 128))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("EP1 end-to-end: JDBC discovery -> publish -> consume -> pipeline -> warehouse") {
     val url = JdbcCatalog.seedDemoDb(
       Files.createTempDirectory("derby-ep1").toString + "/db")
