@@ -207,6 +207,52 @@ object MonitorQueries {
           "(CAST(n AS DOUBLE) - mean_n) / nullif(std_n, 0) AS z, " +
           "abs((CAST(n AS DOUBLE) - mean_n) / nullif(std_n, 0)) > 2.0 AS flagged " +
           "FROM hourly JOIN stats ON hourly.event_type = stats.event_type ORDER BY 1, 2")
+    ),
+    Q(
+      "q_source_overlap",
+      // Pairwise source-overlap matrix — the diagnostic you run BEFORE
+      // mixture sampling (q_mix_sample / q_temperature_mix): two sources
+      // with high content overlap double-count their weight in the blend
+      // and leak near-dups across fold splits. Overlap = Jaccard over
+      // each source's DISTINCT word-trigram set (unigrams are degenerate
+      // on the fixture's ~31-word vocabulary; trigrams require shared
+      // SEQUENCES). Plan: one explode → per-(source, gram) distinct →
+      // gram-keyed self-join counts shared grams per source pair —
+      // candidates are per-gram, never per-doc-pair, and the output is
+      // sources², a constant. Pairs sharing zero grams are absent (inner
+      // join) — both engines agree on the omission.
+      (s, d) => {
+        val tri = expr(
+          "transform(sequence(1, greatest(1, size(split(text, ' ')) - 2)), " +
+            "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))")
+        val g = Tables(s, d, "documents")
+          .select(col("source"), explode(tri).as("gram"))
+          .distinct()
+        val sizes = g.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val shared = g.select(col("source").as("sa"), col("gram"))
+          .join(g.select(col("source").as("sb"), col("gram")), "gram")
+          .filter(col("sa") < col("sb"))
+          .groupBy(col("sa"), col("sb"))
+          .agg(count(lit(1)).as("inter"))
+        shared
+          .join(sizes.select(col("source").as("sa"), col("n").as("n_a")), "sa")
+          .join(sizes.select(col("source").as("sb"), col("n").as("n_b")), "sb")
+          .select(
+            col("sa"), col("sb"), col("n_a"), col("n_b"), col("inter"),
+            (col("inter").cast("double") /
+              (col("n_a") + col("n_b") - col("inter")).cast("double")).as("jac"))
+          .orderBy("sa", "sb")
+      },
+      Some(
+        "WITH t AS (SELECT source, string_split(text, ' ') AS w FROM documents), " +
+          "g AS (SELECT DISTINCT source, unnest(list_transform(" +
+          "generate_series(1, greatest(1, len(w) - 2)), i -> array_to_string(w[i:i+2], ' '))) AS gram FROM t), " +
+          "s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY source), " +
+          "p AS (SELECT a.source AS sa, b.source AS sb, CAST(COUNT(*) AS BIGINT) AS inter " +
+          "FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source GROUP BY 1, 2) " +
+          "SELECT sa, sb, na.n AS n_a, nb.n AS n_b, inter, " +
+          "CAST(inter AS DOUBLE) / (na.n + nb.n - inter) AS jac " +
+          "FROM p JOIN s na ON sa = na.source JOIN s nb ON sb = nb.source ORDER BY sa, sb")
     )
   )
 }

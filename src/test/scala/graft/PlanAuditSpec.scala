@@ -141,6 +141,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TopKPerKeyFinal"), s"per-doc top-3 lost the bounded-heap operator:\n${p.take(1200)}")
   }
 
+  test("scd2 lookup plans a hash join on the equi key, not an interval nested loop") {
+    val p = planString(Registry.byName("q_scd2_lookup").run(spark, sf()))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"validity-interval predicate lost its equi key:\n${p.take(1200)}")
+  }
+
+  test("knn graph selects per-node neighbors through the bounded-heap top-k operator") {
+    val p = planString(Registry.byName("q_knn_graph").run(spark, sf()))
+    assert(p.contains("TopKPerKeyFinal"), s"per-node top-k fell back to a window sort:\n${p.take(1200)}")
+  }
+
   test("best-match assignment runs through the bounded-heap top-k operator") {
     // k=1 argmin per left record: the partial exec keeps one row per name
     // per partition, so k·names rows cross the exchange, never the full
