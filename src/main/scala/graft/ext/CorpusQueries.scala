@@ -309,6 +309,58 @@ object CorpusQueries {
           "true AS no_false_negatives, true AS prefilter_bounded")
     ),
     Q(
+      "q_neg_sample",
+      // Deterministic negative sampling for contrastive training: each
+      // anchor doc gets k=2 "random" negatives — uniform over the corpus,
+      // reproducible across reruns, and free of the global-sort trap. The
+      // corpus is arranged on the md5 RING (graft.core.Ranks dense index
+      // over the hashed order — content-keyed, so position is
+      // pseudo-random w.r.t. any real attribute), and negatives are the
+      // docs at fixed ring strides (+1, +7 mod N): a stride in a hashed
+      // ring IS a uniform draw, but needs only an equi self-join on the
+      // dense index — no per-row RNG to seed-sync across engines, no
+      // lag/lead window over a global sort. Emits the negative's source
+      // so a downstream filter can drop same-source collisions if the
+      // objective wants cross-source negatives.
+      (s, d) => {
+        val idx = graft.core.Ranks
+          .globalIndex(
+            Tables(s, d, "documents")
+              .select(col("doc_id"), col("source"), md5(col("text").cast("binary")).as("key")),
+            Seq(col("key"), col("doc_id")),
+            s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), col("source"), col("gidx"))
+        val n = idx.agg(count(lit(1)).as("n"))
+        val anchors = idx
+          .select(col("doc_id").as("anchor_id"), col("gidx"))
+          .crossJoin(broadcast(n))
+        Seq((1, 1L), (2, 7L))
+          .map { case (rank, off) =>
+            anchors
+              .join(
+                idx.select(
+                  col("doc_id").as("neg_id"), col("source").as("neg_source"),
+                  col("gidx").as("neg_gidx")),
+                (col("gidx") + lit(off)) % col("n") === col("neg_gidx"))
+              .select(
+                col("anchor_id"), lit(rank).as("neg_rank"),
+                col("neg_id"), col("neg_source"))
+          }
+          .reduce(_ unionByName _)
+          .orderBy("anchor_id", "neg_rank")
+      },
+      Some(
+        "WITH r AS (SELECT doc_id, source, " +
+          "ROW_NUMBER() OVER (ORDER BY md5(text), doc_id) - 1 AS gidx FROM documents), " +
+          "n AS (SELECT COUNT(*) AS n FROM documents), " +
+          "o AS (SELECT 1 AS neg_rank, 1 AS off UNION ALL SELECT 2, 7) " +
+          "SELECT a.doc_id AS anchor_id, CAST(o.neg_rank AS INT) AS neg_rank, " +
+          "b.doc_id AS neg_id, b.source AS neg_source " +
+          "FROM r a CROSS JOIN n CROSS JOIN o " +
+          "JOIN r b ON b.gidx = (a.gidx + o.off) % n.n " +
+          "ORDER BY anchor_id, neg_rank")
+    ),
+    Q(
       "q_shuffle_shards",
       // Deterministic global shuffle into training shards: shard = md5
       // bucket of the key, within-shard order = an INDEPENDENT salted md5

@@ -322,52 +322,22 @@ object Structured {
       // Dense 0-based global ordered index WITHOUT a global single-partition
       // sort — the scale-safe form of `row_number() OVER (ORDER BY ...)`,
       // which Spark plans as one-partition WindowExec (the q_fold_split
-      // caveat, generalized). Three-step distributed ranking:
-      //   1. range-repartition on the sort key (explicit partition count, so
-      //      AQE never re-coalesces between the two consumers) + sort WITHIN
-      //      each partition — Spark's own ORDER BY plan, minus the final
-      //      single-reducer window;
-      //   2. per-partition sequence numbers from monotonically_increasing_id
-      //      (partition ordinal in the upper bits, in-partition row number in
-      //      the lower 33 — both nondeterministic expressions, so Catalyst
-      //      cannot push the Project below the Sort, pinning evaluation to
-      //      sorted order);
-      //   3. per-partition row counts → running-sum offsets (a window over P
-      //      rows, not the corpus) broadcast back; gidx = offset + sequence.
-      // Both consumers hang off the SAME range exchange, which the planner
-      // dedupes to a ReusedExchange (asserted in PlanAuditSpec) — the corpus
-      // shuffles once. Total order is (md5(text), doc_id): unique, so the
-      // rank is well-defined and the DuckDB global-window oracle must agree
-      // exactly. 33-bit in-partition sequence caps a partition at 8.6 G rows
-      // — size P so partitions stay far below that (any sane P does).
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val p = s.sparkContext.defaultParallelism
-        val sorted = t(s, d, "documents")
-          .select(col("doc_id"), md5(col("text").cast("binary")).as("key"))
-          .repartitionByRange(p, col("key"), col("doc_id"))
-          .sortWithinPartitions(col("key"), col("doc_id"))
-          .select(
-            col("doc_id"),
-            spark_partition_id().as("pid"),
-            monotonically_increasing_id().as("mid"))
-        val offsets = sorted
-          .groupBy(col("pid"))
-          .agg(count(lit(1)).as("cnt"))
-          .withColumn(
-            "off",
-            coalesce(
-              sum(col("cnt")).over(
-                Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)),
-              lit(0L)))
-          .select(col("pid"), col("off"))
-        sorted
-          .join(broadcast(offsets), "pid")
-          .select(
-            col("doc_id"),
-            (col("off") + (col("mid") - col("pid").cast("long") * lit(8589934592L))).as("gidx"))
-          .orderBy("doc_id")
-      },
+      // caveat, generalized). The three-step ranking (range repartition →
+      // in-partition sequence → P-row offset cumsum, one reused exchange)
+      // lives in graft.core.Ranks — see its scaladoc; PlanAuditSpec
+      // executes this query and asserts the reused range exchange, and the
+      // gindex Stress tier measured it 10.9× over the window form at 9.6M
+      // rows. Total order is (md5(text), doc_id): unique, so the rank is
+      // well-defined and the DuckDB global-window oracle must agree
+      // exactly.
+      (s, d) =>
+        graft.core.Ranks
+          .globalIndex(
+            t(s, d, "documents").select(col("doc_id"), md5(col("text").cast("binary")).as("key")),
+            Seq(col("key"), col("doc_id")),
+            s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), col("gidx"))
+          .orderBy("doc_id"),
       Some(
         "SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY md5(text), doc_id) - 1 AS BIGINT) AS gidx " +
           "FROM documents ORDER BY doc_id")
