@@ -281,6 +281,86 @@ object DedupQueries {
       headline = true
     ),
     Q(
+      "q_dedup_incremental",
+      // Incremental LSH maintenance — how a 100 TB corpus actually runs
+      // near-dup detection: the corpus arrives in batches, and re-banding
+      // ALL of history per batch is quadratic in time; the incremental
+      // plan bands ONLY the delta (doc_id % 5 == 0 stands in for today's
+      // batch) and probes it against the full band index, whose existing
+      // side is a STORED table in production (signatures are content
+      // functions — computed once per doc, ever). Two driver-gated
+      // invariants: (1) LOSSLESSNESS — the delta-probe pair set must
+      // EXACTLY equal the full recompute's delta-involving pairs (same
+      // deterministic hash family, so equality is exact set equality, a
+      // flipped boolean on any probe/normalization bug); (2) the recall
+      // anchor — those pairs must recover >= 50% of the exact blocked
+      // Jaccard-0.6 truth pairs involving the delta, whose count the
+      // DuckDB oracle recomputes independently. Scale shape: delta×all
+      // band join is |delta|-proportional work; history is touched only
+      // through the (stored) band index.
+      (s, d) => {
+        val docs = Tables(s, d, "documents").select(col("doc_id"), col("text"))
+        val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", shingleK = 5, nHashes = 32)
+        val banded = sigs.select(
+          col("id"), col("sig"),
+          posexplode(Dedup.bandHashes(8, 4)).as(Seq("band_idx", "band_hash")))
+        val probe = banded
+          .filter(col("id") % 5 === 0)
+          .select(
+            col("id").as("a_id"), col("sig").as("a_sig"), col("band_idx"), col("band_hash"))
+        val index = banded.select(
+          col("id").as("b_id"), col("sig").as("b_sig"), col("band_idx"), col("band_hash"))
+        val incr = probe
+          .join(index, Seq("band_idx", "band_hash"))
+          .filter(col("a_id") =!= col("b_id"))
+          .select(
+            least(col("a_id"), col("b_id")).as("p_a"),
+            greatest(col("a_id"), col("b_id")).as("p_b"),
+            Dedup.estJaccard(col("a_sig"), col("b_sig"), 32).as("est"))
+          .filter(col("est") >= 0.3)
+          .select(col("p_a").as("a_id"), col("p_b").as("b_id"))
+          .distinct()
+        val fullDelta = Dedup
+          .minhashPairs(docs, "doc_id", "text", minJaccard = 0.3)
+          .filter(col("a_id") % 5 === 0 || col("b_id") % 5 === 0)
+          .select(col("a_id"), col("b_id"))
+        val truthDelta = truthPairsOf(docs)
+          .filter(col("a_id") % 5 === 0 || col("b_id") % 5 === 0)
+        val counts = docs.agg(
+          sum((col("doc_id") % 5 === 0).cast("long")).as("n_delta"),
+          sum((col("doc_id") % 5 =!= 0).cast("long")).as("n_existing"))
+        val gate =
+          pairRecallGate(truthDelta, incr, docs.agg(count(lit(1)).as("n_docs")), floor = 0.5)
+        val nIncr = incr.agg(count(lit(1)).as("n_incr"))
+        val nFull = fullDelta.agg(count(lit(1)).as("n_full"))
+        val nCommon =
+          incr.join(fullDelta, Seq("a_id", "b_id")).agg(count(lit(1)).as("n_common"))
+        counts
+          .crossJoin(broadcast(gate))
+          .crossJoin(broadcast(nIncr))
+          .crossJoin(broadcast(nFull))
+          .crossJoin(broadcast(nCommon))
+          .select(
+            col("n_delta"), col("n_existing"), col("n_true_pairs"),
+            col("recall_ge_floor"), col("candidates_subquadratic"),
+            (col("n_incr") === col("n_full") && col("n_common") === col("n_incr"))
+              .as("incr_equals_full"))
+      },
+      Some(
+        "WITH docs AS (SELECT doc_id, substring(text, 1, 30) AS blk, " +
+          "list_distinct(list_transform(generate_series(1, greatest(1, length(text) - 2)), " +
+          "i -> substring(text, i, 3))) AS grams FROM documents), " +
+          "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs " +
+          "FROM docs a JOIN docs b ON a.blk = b.blk AND a.doc_id < b.doc_id " +
+          "WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / " +
+          "len(list_distinct(list_concat(a.grams, b.grams))) >= 0.6 " +
+          "AND (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)) " +
+          "SELECT CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 5 = 0) AS BIGINT) AS n_delta, " +
+          "CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 5 <> 0) AS BIGINT) AS n_existing, " +
+          "t.n_true_pairs, true AS recall_ge_floor, true AS candidates_subquadratic, " +
+          "true AS incr_equals_full FROM t")
+    ),
+    Q(
       "q_minhash_union",
       // Sketch merge: per-language minhash signature of the UNION of all
       // documents' shingle sets (elementwise-min UDAF over per-doc
