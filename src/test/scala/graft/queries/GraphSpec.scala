@@ -30,10 +30,14 @@ class GraphSpec extends SparkSpec {
           .otherwise(struct(col("b").as("s"), col("a").as("t")))
           .as("e"))
       .select(col("e.s").as("src"), col("e.t").as("dst"))
-    o.as("e1")
-      .join(o.as("e2"), col("e1.dst") === col("e2.src"))
-      .join(o.as("e3"), col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
-      .count()
+    // both formulations must agree — the edge-centric default and the
+    // wedge-join fallback cross-check each other on every hand graph
+    val byEdge = Graph.closedTriangles(o, edgeCentric = true)
+      .head().getAs[Long]("n_triangles")
+    val byWedge = Graph.closedTriangles(o, edgeCentric = false)
+      .head().getAs[Long]("n_triangles")
+    assert(byEdge == byWedge, s"edge-centric $byEdge != wedge-join $byWedge")
+    byEdge
   }
 
   test("triangle count: K4 has 4, a path has 0, two shared-edge triangles count twice") {
