@@ -63,13 +63,26 @@ object Similarity {
     * nearest rows of `corpus` (self excluded) by cosine.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("qv"))
-    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").cast("array<double>").as("cv"))
+    // Precompute each side's norm ONCE per vector (a projection below the
+    // join) instead of inside the per-pair cosine: the pair stage then
+    // costs one dot + one multiply + one divide instead of three dots —
+    // a 3× flop cut on the O(|q|·|c|) stage, measured 2.1× end-to-end on
+    // the all-pairs kNN graph (PLANS.md). Bit-identical to the fused
+    // cosine: sqrt(dot(v,v)) is the same double wherever evaluated, and
+    // the divisor keeps the same (q-norm × c-norm) multiplication order.
+    val q = queries
+      .select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("qv"))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+    val c = corpus
+      .select(col("vec_id").as("n_id"), col("embedding").cast("array<double>").as("cv"))
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     broadcast(q)
       .crossJoin(c)
       .filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"), cosine(col("qv"), col("cv")).as("cos"))
+      .select(
+        col("q_id"), col("n_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"), col("cos"))
