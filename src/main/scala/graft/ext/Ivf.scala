@@ -101,12 +101,19 @@ object Ivf {
       .select(col("q_id"), col("qv"), posexplode(dists).as(Seq("bucket", "d2")))
       .withColumn("probe_rank", row_number().over(Window.partitionBy(col("q_id")).orderBy(col("d2"), col("bucket"))))
       .filter(col("probe_rank") <= nprobe)
-      .select(col("q_id"), col("qv"), col("bucket"))
+      .select(
+        col("q_id"), col("qv"),
+        sqrt(Similarity.dot(col("qv"), col("qv"))).as("qn"), col("bucket"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     broadcast(probes)
-      .join(indexed, Seq("bucket"))
+      // corpus-side norms once per stored row, not per scored pair —
+      // bit-identical to the fused cosine (see Similarity.bruteForceTopK)
+      .join(
+        indexed.withColumn("cn", sqrt(Similarity.dot(col("cv"), col("cv")))), Seq("bucket"))
       .filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"), Similarity.cosine(col("qv"), col("cv")).as("cos"))
+      .select(
+        col("q_id"), col("n_id"),
+        (Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"), col("cos"))

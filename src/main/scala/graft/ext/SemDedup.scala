@@ -26,12 +26,18 @@ object SemDedup {
     val assigned = corpus
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("cluster", Ivf.assignExpr(col("v"), centroids))
-    val a = assigned.select(col("cluster"), col("vec_id").as("a_id"), col("v").as("av"))
-    val b = assigned.select(col("cluster"), col("vec_id").as("b_id"), col("v").as("bv"))
+    // per-vector norms once per side, not per within-cluster pair —
+    // bit-identical to the fused cosine (see Similarity.bruteForceTopK)
+    val a = assigned.select(
+      col("cluster"), col("vec_id").as("a_id"), col("v").as("av"),
+      sqrt(Similarity.dot(col("v"), col("v"))).as("an"))
+    val b = assigned.select(
+      col("cluster"), col("vec_id").as("b_id"), col("v").as("bv"),
+      sqrt(Similarity.dot(col("v"), col("v"))).as("bn"))
     val droppedIds = a
       .join(b, Seq("cluster"))
       .filter(col("a_id") < col("b_id"))
-      .filter(Similarity.cosine(col("av"), col("bv")) >= tau)
+      .filter(Similarity.dot(col("av"), col("bv")) / (col("an") * col("bn")) >= tau)
       .select(col("b_id").as("vec_id"))
       .distinct()
     assigned

@@ -94,17 +94,23 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               bands: Int = 8, bitsPerBand: Int = 4): DataFrame = {
     val planes = hyperplanes(bands * bitsPerBand, 64)
-    def prep(df: DataFrame, idAs: String, vecAs: String): DataFrame = {
+    def prep(df: DataFrame, idAs: String, vecAs: String, nrmAs: String): DataFrame = {
       val v = col("embedding").cast("array<double>")
       df.select(col("vec_id").as(idAs), v.as(vecAs), signature(v, planes).as("sig"))
-        .select(col(idAs), col(vecAs), posexplode(bandCols(col("sig"), bands, bitsPerBand)).as(Seq("band_idx", "band_val")))
+        .select(
+          col(idAs), col(vecAs), sqrt(dot(col(vecAs), col(vecAs))).as(nrmAs),
+          posexplode(bandCols(col("sig"), bands, bitsPerBand)).as(Seq("band_idx", "band_val")))
     }
-    val q = prep(queries, "q_id", "qv")
-    val c = prep(corpus, "n_id", "cv")
+    val q = prep(queries, "q_id", "qv", "qn")
+    val c = prep(corpus, "n_id", "cv", "cn")
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     q.join(c, Seq("band_idx", "band_val"))
       .filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"), cosine(col("qv"), col("cv")).as("cos"))
+      // norms precomputed per (vector, band) row, never per candidate
+      // pair — same doubles as the fused cosine (see bruteForceTopK)
+      .select(
+        col("q_id"), col("n_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
       .distinct()
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
