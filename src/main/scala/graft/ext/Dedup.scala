@@ -110,6 +110,48 @@ object Dedup {
       .filter(col("est_jaccard") >= minJaccard)
   }
 
+  /** Incremental LSH probe: candidate pairs INVOLVING the delta subset,
+    * found by banding only the delta side and probing the FULL band index
+    * (which at production scale is a stored table — signatures are content
+    * functions, computed once per doc ever). Returns the same (a_id, b_id)
+    * set as [[minhashPairs]] restricted to delta-involving pairs — exactly,
+    * not approximately, since both run the same deterministic hash family;
+    * q_dedup_incremental driver-gates that equality and DedupSpec sweeps it
+    * on random corpora.
+    */
+  def incrementalMinhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      isDelta: Column,
+      shingleK: Int = 5,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      minJaccard: Double = 0.4): DataFrame = {
+    val nHashes = bands * rowsPerBand
+    val flagged = df.select(col(idCol), col(textCol), isDelta.as("__delta"))
+    val sigs = minhashSignatures(flagged, idCol, textCol, shingleK, nHashes)
+      .join(flagged.select(col(idCol).as("id"), col("__delta")), Seq("id"))
+    val banded = sigs.select(
+      col("id"), col("sig"), col("__delta"),
+      posexplode(bandHashes(bands, rowsPerBand)).as(Seq("band_idx", "band_hash")))
+    val probe = banded
+      .filter(col("__delta"))
+      .select(col("id").as("a_id"), col("sig").as("a_sig"), col("band_idx"), col("band_hash"))
+    val index = banded.select(
+      col("id").as("b_id"), col("sig").as("b_sig"), col("band_idx"), col("band_hash"))
+    probe
+      .join(index, Seq("band_idx", "band_hash"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(
+        least(col("a_id"), col("b_id")).as("p_a"),
+        greatest(col("a_id"), col("b_id")).as("p_b"),
+        estJaccard(col("a_sig"), col("b_sig"), nHashes).as("est"))
+      .filter(col("est") >= minJaccard)
+      .select(col("p_a").as("a_id"), col("p_b").as("b_id"))
+      .distinct()
+  }
+
   /** Connected components by min-label propagation — the cluster step
     * after near-dup pair detection (keep one doc per component). Each
     * iteration: every node adopts the min of its own and its neighbors'

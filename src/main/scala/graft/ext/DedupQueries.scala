@@ -300,26 +300,8 @@ object DedupQueries {
       // through the (stored) band index.
       (s, d) => {
         val docs = Tables(s, d, "documents").select(col("doc_id"), col("text"))
-        val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", shingleK = 5, nHashes = 32)
-        val banded = sigs.select(
-          col("id"), col("sig"),
-          posexplode(Dedup.bandHashes(8, 4)).as(Seq("band_idx", "band_hash")))
-        val probe = banded
-          .filter(col("id") % 5 === 0)
-          .select(
-            col("id").as("a_id"), col("sig").as("a_sig"), col("band_idx"), col("band_hash"))
-        val index = banded.select(
-          col("id").as("b_id"), col("sig").as("b_sig"), col("band_idx"), col("band_hash"))
-        val incr = probe
-          .join(index, Seq("band_idx", "band_hash"))
-          .filter(col("a_id") =!= col("b_id"))
-          .select(
-            least(col("a_id"), col("b_id")).as("p_a"),
-            greatest(col("a_id"), col("b_id")).as("p_b"),
-            Dedup.estJaccard(col("a_sig"), col("b_sig"), 32).as("est"))
-          .filter(col("est") >= 0.3)
-          .select(col("p_a").as("a_id"), col("p_b").as("b_id"))
-          .distinct()
+        val incr = Dedup.incrementalMinhashPairs(
+          docs, "doc_id", "text", col("doc_id") % 5 === 0, minJaccard = 0.3)
         val fullDelta = Dedup
           .minhashPairs(docs, "doc_id", "text", minJaccard = 0.3)
           .filter(col("a_id") % 5 === 0 || col("b_id") % 5 === 0)

@@ -200,6 +200,36 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental LSH banding is lossless on random corpora") {
+    // The q_dedup_incremental invariant, swept beyond the fixture: on
+    // seeded-random corpora with planted dups, delta-only banding probed
+    // against the full index must find EXACTLY the full recompute's
+    // delta-involving pairs — any probe/normalization/threshold slip
+    // shows up as set inequality.
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val alphabet = "abcdef "
+    for (trial <- 0 until 3) {
+      val docs = (0 until 60).map { i =>
+        val len = 8 + rnd.nextInt(40)
+        (i.toLong, (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+      }
+      val planted = docs.take(8).map { case (id, t) => (id + 1000L, t) }
+      val df = (docs ++ planted).toDF("doc_id", "text")
+      val isDelta = col("doc_id") % 3 === 0
+      val incr = Dedup
+        .incrementalMinhashPairs(df, "doc_id", "text", isDelta, minJaccard = 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val full = Dedup.minhashPairs(df, "doc_id", "text", minJaccard = 0.3)
+        .filter(col("a_id") % 3 === 0 || col("b_id") % 3 === 0)
+        .select(col("a_id"), col("b_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(incr == full,
+        s"trial=$trial missed=${(full -- incr).take(5)} extra=${(incr -- full).take(5)}")
+      assert(full.nonEmpty, s"trial=$trial produced no delta pairs to check")
+    }
+  }
+
   // |grams(a) ∩ grams(b)| / |grams(a)| as a raw expression — the brute-force
   // truth the asymmetric prefix filter must reproduce exactly
   private def containmentExpr(k: Int, a: String, b: String) = {
