@@ -158,6 +158,64 @@ object CorpusQueries {
           "CAST(SUM(n_tok) AS BIGINT) AS total_tokens FROM c GROUP BY 1, 2 ORDER BY 1, 2")
     ),
     Q(
+      "q_bucket_pack",
+      // Length-bucketed batching — the padding-efficiency step a training
+      // dataloader runs: batching arbitrary-length docs together pads
+      // every row to the batch max, so grouping docs into power-of-two
+      // length buckets first (16/32/.../512 token caps) bounds waste to
+      // <2× instead of max/min. Deterministic and scale-safe: bucket caps
+      // are a CASE ladder (no IEEE log2), docs shard 32 ways inside each
+      // bucket so the rank window is per (cap, shard) — parallel like
+      // q_pack_sequences, not a per-bucket single reducer — and batches
+      // are 16 docs by md5 order. Output per cap: docs, batches, real
+      // tokens, padded tokens (Σ batch_size·cap — partial tail batches
+      // pad only their actual rows), efficiency = real/padded as the one
+      // double division of exact integers. Docs beyond the top cap would
+      // be chunked first (q_chunk_text); the fixture has none.
+      (s, d) => {
+        val dd = Tables(s, d, "documents").select(
+          col("doc_id"),
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("long") % 32).as("shard"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          md5(col("doc_id").cast("string")).as("ord"))
+          .withColumn(
+            "cap",
+            expr(
+              "CAST(CASE WHEN n_tok <= 16 THEN 16 WHEN n_tok <= 32 THEN 32 " +
+                "WHEN n_tok <= 64 THEN 64 WHEN n_tok <= 128 THEN 128 " +
+                "WHEN n_tok <= 256 THEN 256 ELSE 512 END AS BIGINT)"))
+        val w = Window.partitionBy(col("cap"), col("shard")).orderBy(col("ord"), col("doc_id"))
+        dd.withColumn("rn", row_number().over(w).cast("long"))
+          .groupBy(col("cap"), col("shard"), expr("(rn - 1) DIV 16").as("batch_id"))
+          .agg(count(lit(1)).as("bsz"), sum(col("n_tok")).as("btok"))
+          .groupBy(col("cap"))
+          .agg(
+            sum(col("bsz")).as("n_docs"),
+            count(lit(1)).as("n_batches"),
+            sum(col("btok")).as("sum_tokens"),
+            sum(col("bsz") * col("cap")).as("pad_tokens"))
+          .select(
+            col("cap"), col("n_docs"), col("n_batches"), col("sum_tokens"), col("pad_tokens"),
+            (col("sum_tokens").cast("double") / col("pad_tokens").cast("double"))
+              .as("efficiency"))
+          .orderBy("cap")
+      },
+      Some(
+        "WITH d AS (SELECT doc_id, CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 32 AS shard, " +
+          "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, md5(CAST(doc_id AS VARCHAR)) AS ord FROM documents), " +
+          "c AS (SELECT *, CAST(CASE WHEN n_tok <= 16 THEN 16 WHEN n_tok <= 32 THEN 32 " +
+          "WHEN n_tok <= 64 THEN 64 WHEN n_tok <= 128 THEN 128 " +
+          "WHEN n_tok <= 256 THEN 256 ELSE 512 END AS BIGINT) AS cap FROM d), " +
+          "r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY cap, shard ORDER BY ord, doc_id) AS BIGINT) AS rn FROM c), " +
+          "b AS (SELECT cap, shard, (rn - 1) // 16 AS batch_id, CAST(COUNT(*) AS BIGINT) AS bsz, " +
+          "CAST(SUM(n_tok) AS BIGINT) AS btok FROM r GROUP BY 1, 2, 3) " +
+          "SELECT cap, CAST(SUM(bsz) AS BIGINT) AS n_docs, CAST(COUNT(*) AS BIGINT) AS n_batches, " +
+          "CAST(SUM(btok) AS BIGINT) AS sum_tokens, CAST(SUM(bsz * cap) AS BIGINT) AS pad_tokens, " +
+          "CAST(SUM(btok) AS DOUBLE) / CAST(SUM(bsz * cap) AS DOUBLE) AS efficiency " +
+          "FROM b GROUP BY cap ORDER BY cap")
+    ),
+    Q(
       "q_merge_upsert",
       // SCD-1 MERGE (upsert) without a MERGE statement: source rows win
       // over target rows on key collision via a row_number over
