@@ -59,9 +59,16 @@ object Curation {
     *    count, so an under-supplied input reads red;
     *  - `lsh_input_is_survivor_set` — max per-fingerprint multiplicity
     *    in the LSH input == 1: the enforced-ordering contract;
-    *  - `near_dup_kept_bounded` — the greedy survivor count sits in
-    *    [n_survivors − n_pairs, n_survivors] (each LSH pair removes at
-    *    most one doc, and only ever the higher id).
+    *  - `near_dup_keep_rule_consistent` — the greedy survivor count
+    *    (n_fp − distinct removed ids) cross-checked through an
+    *    INDEPENDENT derivation: symmetrize the pair edges and count the
+    *    docs that are local minima (every neighbor id larger). The greedy
+    *    rule "drop any doc that matches a lower id" keeps exactly the
+    *    local minima, so `n_pair_docs − n_removed == n_local_min` holds
+    *    iff pair emission is consistently oriented (a_id < b_id, no
+    *    reversed or self pairs) and the two counting paths agree — a
+    *    mis-oriented or duplicated pair stream reads false, unlike the
+    *    pre-round-9 bound that reduced to `0 ≤ n_removed ≤ n_pairs`.
     */
   def v3Gate(corpus: DataFrame, lshInput: DataFrame): DataFrame = {
     val dupCheck = lshInput
@@ -72,16 +79,38 @@ object Curation {
     val pairStats = pairs.agg(
       count(lit(1)).as("n_pairs"),
       countDistinct(col("b_id")).as("n_removed"))
+    val graphStats = localMinimaStats(pairs)
     corpus
       .agg(count(lit(1)).as("n_docs"))
       .crossJoin(broadcast(dupCheck))
       .crossJoin(broadcast(pairStats))
+      .crossJoin(broadcast(graphStats))
       .select(
         col("n_docs"),
         col("n_fp").as("n_exact_survivors"),
         (col("max_m") === 1L).as("lsh_input_is_survivor_set"),
-        (col("n_fp") - col("n_removed") <= col("n_fp") &&
-          col("n_fp") - col("n_removed") >= col("n_fp") - col("n_pairs"))
-          .as("near_dup_kept_bounded"))
+        (col("n_pair_docs") - col("n_removed") === col("n_local_min"))
+          .as("near_dup_keep_rule_consistent"))
   }
+
+  /** Independent survivor derivation for the consistency contract:
+    * per-doc min neighbor over the SYMMETRIZED edge set (both pair
+    * directions — orientation-blind on purpose), then count local minima
+    * (docs whose every neighbor id is larger). One row:
+    * (n_pair_docs, n_local_min). coalesce covers the no-pairs corpus
+    * (sum over zero rows is null). CurationSpec falsifies the contract
+    * with a mis-oriented chain: pairs (1,2),(3,2) count 2 greedy
+    * removals' worth of distinct b_ids as 1 while the graph side still
+    * sees 1 local minimum among 3 docs.
+    */
+  private[ext] def localMinimaStats(pairs: DataFrame): DataFrame =
+    pairs.select(col("a_id").as("doc"), col("b_id").as("nbr"))
+      .unionByName(pairs.select(col("b_id").as("doc"), col("a_id").as("nbr")))
+      .groupBy(col("doc"))
+      .agg(min(col("nbr")).as("min_nbr"))
+      .agg(
+        count(lit(1)).as("n_pair_docs"),
+        coalesce(
+          sum(when(col("min_nbr") > col("doc"), 1L).otherwise(0L)),
+          lit(0L)).as("n_local_min"))
 }

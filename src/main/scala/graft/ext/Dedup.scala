@@ -34,6 +34,14 @@ object Dedup {
     * per-row HOF formulation is NOT equivalent in cost: Catalyst inlines
     * the shared shingle projection once per hash — measured 20× slower;
     * the custom expression is what makes the per-row form win.
+    *
+    * NULL text is dropped BEFORE either path: a null doc has no shingle
+    * set, and the two paths used to diverge on it (the expr path emitted
+    * a null sig while the agg path's groupBy kept a degenerate one) —
+    * worse, null sigs band to identical hashes (xxhash64 skips null
+    * children), so every null-text doc would pile into ONE quadratic LSH
+    * bucket. Dropping them keeps the paths row-identical (DedupSpec pins
+    * the null-text case) and the bucket law intact.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String, shingleK: Int, nHashes: Int): DataFrame = {
     // Hash-repartition the THIN (id, text) rows by id BEFORE the expensive
@@ -43,10 +51,11 @@ object Dedup {
     // ~free and unlocks full-cluster parallelism for the heavy part.
     // Explicit partition count keeps AQE from coalescing the tiny
     // pre-compute exchange back to one partition.
+    val nonNull = df.filter(col(textCol).isNotNull)
     val spread =
       if (df.sparkSession.conf.get("graft.minhash.spread", "true").toBoolean)
-        df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
-      else df
+        nonNull.repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      else nonNull
     if (df.sparkSession.conf.get("graft.minhash.expr", "true").toBoolean)
       spread.select(
         col(idCol).as("id"),

@@ -586,7 +586,7 @@ object DedupQueries {
           "f AS (SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp FROM corpus) " +
           "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, " +
           "CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_exact_survivors, " +
-          "true AS lsh_input_is_survivor_set, true AS near_dup_kept_bounded FROM f")
+          "true AS lsh_input_is_survivor_set, true AS near_dup_keep_rule_consistent FROM f")
     ),
     Q(
       "q_exact_substr",

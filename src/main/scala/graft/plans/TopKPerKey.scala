@@ -88,9 +88,11 @@ object TopKPerKey {
   *     pre-pass scans ONLY the key columns (column pruning) with a
   *     mergeable fixed-size aggregate — at 100 TB that is materially
   *     cheaper than the full-row shuffle + per-key sort the Window plan
-  *     pays, and the estimate is memoized per canonicalized plan so
-  *     optimizer fixed-point re-runs (and repeated compiles of the same
-  *     shape in a session) execute it once.
+  *     pays. The estimate is memoized per (canonicalized plan, execution
+  *     id), so optimizer fixed-point re-runs execute it once but every
+  *     new action re-estimates — stale counts can't outlive an execution.
+  *     The pre-pass job fires only while an action is in flight; explain
+  *     and other plan-only paths decline the rewrite instead of scanning.
   *
   * Streaming children and pre-pass failures fall back to the Window plan
   * — the guard can only ever decline a rewrite, never break a query.
@@ -105,11 +107,15 @@ object TopKRewrite extends Rule[LogicalPlan] {
   /** Enables the HLL++ distinct-key estimation pre-pass. */
   val PrepassFlag = "graft.topk.guard.prepass"
 
-  /** Memoized pre-pass estimates keyed on the canonicalized aggregate
-    * plan (child + keys); bounded, cleared wholesale on overflow.
+  /** Memoized pre-pass estimates keyed on (canonicalized aggregate plan,
+    * execution id): optimizer fixed-point re-runs within ONE execution hit
+    * the cache, but every new action re-estimates, so a table that grew
+    * since the last run can never keep a stale low estimate and admit an
+    * unspillable working set past the budget. Bounded, cleared wholesale
+    * on overflow (entries are dead after their execution anyway).
     */
   private val estCache =
-    new java.util.concurrent.ConcurrentHashMap[LogicalPlan, java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[(LogicalPlan, String), java.lang.Long]()
 
   /** Re-entrancy latch: the pre-pass compiles a query of its own, and if
     * the CHILD itself contains a nested top-k shape the rule would recurse
@@ -167,19 +173,32 @@ object TopKRewrite extends Rule[LogicalPlan] {
     * xxhash64 folds arbitrary key types/arity to one long first, so the
     * sketch input is always supported; collision loss is irrelevant at
     * estimation precision. Returns None (→ keep Window) on any failure.
+    *
+    * EXECUTION-GATED: the pre-pass is a real Spark job, so it only runs
+    * when an action is in flight (`spark.sql.execution.id` set on the
+    * thread — Dataset actions optimize inside `withNewExecutionId`).
+    * Plan-only paths (`explain()`, direct `optimizedPlan` access) skip it
+    * and keep the Window form — a scan during explain would be a job the
+    * user never asked for. If a plan is explained FIRST and executed
+    * later, the cached decision is the declined (Window) one: the safe,
+    * spillable fallback, never a wrong answer.
     */
   private def estimateKeys(child: LogicalPlan, keys: Seq[Expression]): Option[Long] =
     try {
+      val session = SparkSession.active
+      val execId = session.sparkContext.getLocalProperty(
+        org.apache.spark.sql.execution.SQLExecution.EXECUTION_ID_KEY)
+      if (execId == null) return None
       val agg = Aggregate(
         Nil,
         Seq(Alias(
           HyperLogLogPlusPlus(new XxHash64(keys)).toAggregateExpression(), "n")()),
         child)
-      val memoKey = agg.canonicalized
+      val memoKey = (agg.canonicalized, execId)
       Option(estCache.get(memoKey)).map(_.longValue).orElse {
         inPrepass.set(true)
         val n =
-          try GraftShim.ofRows(SparkSession.active, agg).head().getLong(0)
+          try GraftShim.ofRows(session, agg).head().getLong(0)
           finally inPrepass.set(false)
         if (estCache.size > 64) estCache.clear()
         estCache.put(memoKey, n)

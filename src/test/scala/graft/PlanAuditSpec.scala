@@ -148,7 +148,12 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("knn graph selects per-node neighbors through the bounded-heap top-k operator") {
-    val p = planString(Registry.byName("q_knn_graph").run(spark, sf()))
+    // The all-pairs child's estimated size forces the cardinality guard
+    // onto the HLL++ pre-pass, which only fires while an action is in
+    // flight — so execute first, then read the cached plan decision.
+    val df = Registry.byName("q_knn_graph").run(spark, sf())
+    df.collect()
+    val p = planString(df)
     assert(p.contains("TopKPerKeyFinal"), s"per-node top-k fell back to a window sort:\n${p.take(1200)}")
   }
 

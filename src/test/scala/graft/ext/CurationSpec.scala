@@ -23,7 +23,7 @@ class CurationSpec extends SparkSpec {
     val corpus = dupCorpus()
     val row = Curation.v3Gate(corpus, Curation.exactSurvivors(corpus)).head()
     assert(row.getAs[Boolean]("lsh_input_is_survivor_set"))
-    assert(row.getAs[Boolean]("near_dup_kept_bounded"))
+    assert(row.getAs[Boolean]("near_dup_keep_rule_consistent"))
     // the duplicated subset must actually collapse
     assert(row.getAs[Long]("n_exact_survivors") < row.getAs[Long]("n_docs"))
   }
@@ -33,6 +33,22 @@ class CurationSpec extends SparkSpec {
     val row = Curation.v3Gate(corpus, Curation.withFingerprint(corpus)).head()
     assert(!row.getAs[Boolean]("lsh_input_is_survivor_set"),
       "duplicate fingerprints reached the LSH stage without tripping the contract")
+  }
+
+  test("keep-rule consistency contract is falsifiable: a mis-oriented pair chain flips it") {
+    import spark.implicits._
+    def consistent(pairs: Seq[(Long, Long)]): Boolean = {
+      val df = pairs.toDF("a_id", "b_id")
+      val g = Curation.localMinimaStats(df).head()
+      val removed = df.select(countDistinct(col("b_id"))).head().getLong(0)
+      g.getAs[Long]("n_pair_docs") - removed == g.getAs[Long]("n_local_min")
+    }
+    // well-oriented chain 1-2, 2-3: removed {2,3}, survivors = local minima {1}
+    assert(consistent(Seq((1L, 2L), (2L, 3L))))
+    // same chain with the second pair reversed: distinct b_ids collapse to
+    // {2} but the graph still has one local minimum among three docs
+    assert(!consistent(Seq((1L, 2L), (3L, 2L))),
+      "reversed pair orientation passed the consistency contract")
   }
 
   test("exact survivors keep the lowest doc_id per fingerprint") {

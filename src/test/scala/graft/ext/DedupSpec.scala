@@ -146,6 +146,33 @@ class DedupSpec extends SparkSpec {
     assert(empty.head.isNullAt(0))
   }
 
+  test("null-text docs are dropped identically by both signature paths") {
+    // Pre-round-9 the expr path emitted a null-sig row for null text while
+    // the agg path kept a degenerate one — and null sigs band to identical
+    // hashes, piling every null doc into one quadratic LSH bucket. Both
+    // paths must now drop them, row-identically.
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, null.asInstanceOf[String]),
+      (3L, "the quick brown fox jumps over the lazy dog"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    def sigs(useExpr: Boolean) = {
+      spark.conf.set("graft.minhash.expr", useExpr.toString)
+      try Dedup.minhashSignatures(docs, "doc_id", "text", shingleK = 5, nHashes = 8)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      finally spark.conf.unset("graft.minhash.expr")
+    }
+    val viaExpr = sigs(useExpr = true)
+    val viaAgg = sigs(useExpr = false)
+    assert(viaExpr.keySet == Set(1L, 3L), s"expr path kept ${viaExpr.keySet}")
+    assert(viaExpr == viaAgg, "paths diverged on a null-text corpus")
+    // and the pair generator emits no null-bucket pairs
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", minJaccard = 0.3)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 3L)), s"unexpected pairs $pairs")
+  }
+
   test("prefixJaccardPairs is COMPLETE vs brute-force all-pairs (sf0.001)") {
     // The prefix filter's whole claim is zero missed pairs — check it
     // against an independent Spark brute force (ngramJaccardExpr over the

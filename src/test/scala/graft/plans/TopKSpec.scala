@@ -130,17 +130,36 @@ class TopKSpec extends SparkSpec {
         .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
         .withColumn("rn", row_number().over(wHigh))
         .filter(col("rn") <= 2)
+      // The pre-pass only fires while an action is in flight, so execute
+      // FIRST (collect() optimizes this dataset's own QueryExecution
+      // inside the action, caching the decision), then inspect the plan.
+      high.collect()
       val pHigh = high.queryExecution.executedPlan.toString
       assert(pHigh.contains("Window [") && !pHigh.contains("TopKPerKey"),
         s"high-cardinality keys were not declined:\n$pHigh")
       // 25 nation keys × k=3 = 75 ≤ 100 → pre-pass admits the rewrite
-      val pHot = windowForm(3).queryExecution.executedPlan.toString
+      val hot = windowForm(3)
+      hot.collect()
+      val pHot = hot.queryExecution.executedPlan.toString
       assert(pHot.contains("TopKPerKeyFinal") && !pHot.contains("Window ["),
         s"hot keys were not rewritten under the pre-pass:\n$pHot")
     } finally {
       spark.conf.unset(TopKRewrite.SmallBytesFlag)
       spark.conf.unset(TopKRewrite.MaxKeyRowsFlag)
     }
+  }
+
+  test("cardinality guard: plan-only access (explain) never runs the pre-pass job") {
+    // With the small-input shortcut off, only the HLL++ pre-pass could
+    // admit the rewrite (25 nation keys × 3 ≪ default budget). Accessing
+    // the plan WITHOUT an action must decline — Window form is the proof
+    // the estimation job did not fire on a plan-only path.
+    try {
+      spark.conf.set(TopKRewrite.SmallBytesFlag, "0")
+      val p = windowForm(3).queryExecution.executedPlan.toString
+      assert(p.contains("Window [") && !p.contains("TopKPerKey"),
+        s"plan-only path ran the pre-pass (rewrite admitted without an action):\n$p")
+    } finally spark.conf.unset(TopKRewrite.SmallBytesFlag)
   }
 
   test("cardinality guard: prepass disabled + no safe estimate keeps the Window plan") {
