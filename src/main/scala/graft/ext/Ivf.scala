@@ -21,6 +21,19 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
+  /** Corpus-size-aware cell count: k ≈ √n keeps cells √n-sized, so the
+    * cell-blocked candidate volume r²·n²/k grows as r²·n^1.5 — genuinely
+    * sub-quadratic as the corpus scales, not just "n²/constant". Clamped
+    * to [8, 64]: centroids are literal codegen expressions here
+    * (assignExpr builds k fused distance folds), which stays
+    * whole-stage-codegen-friendly to ~64; past that a real deployment
+    * switches assignment to a broadcast-join argmin over a centroid
+    * TABLE — same plan shape, no expression blowup — so the clamp is a
+    * fixture-scale implementation bound, not an algorithmic one.
+    */
+  def cellCount(n: Long): Int =
+    math.min(64, math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt))
+
   /** Squared L2 distance between a vector column and a literal centroid. */
   private def dist2(v: Column, centroid: Seq[Double]): Column =
     aggregate(
@@ -89,6 +102,47 @@ object Ivf {
         row_number().over(Window.partitionBy(col("n_id")).orderBy(col("d2"), col("bucket"))))
       .filter(col("pr") <= r)
       .select(col("bucket"), col("n_id"), col("cv"))
+  }
+
+  /** Cell-blocked kNN-graph candidates over a multi-probe inverted index
+    * ([[indexMulti]] output): every ordered pair of distinct vectors
+    * sharing ≥1 cell, scored with exact cosine, deduplicated to one row
+    * per (src, dst) by a thin (src, dst, cos) shuffle — multi-probe lists
+    * each vector r times, so a pair can collide in up to r² cells and the
+    * max-agg (cosine is pair-deterministic, max ≡ first) collapses them.
+    * Norms are precomputed once per LISTED row, never per scored pair
+    * (the round-8 2.1× lever). Candidate volume is Σ_cells |cell|² ≈
+    * r²·n²/k for balanced cells — sub-quadratic by the factor k/r², which
+    * is what [[SimilarityQueries]]' q_knn_graph_ivf gate enforces as a
+    * ceiling; at corpus scale k grows with n (k ≈ √n keeps cells √n-sized)
+    * while this fixture-scale form pins k=16.
+    */
+  def knnCandidates(cells: DataFrame): DataFrame = {
+    val a = cells
+      .select(col("bucket"), col("n_id").as("src"), col("cv").as("qv"))
+      .withColumn("qn", sqrt(Similarity.dot(col("qv"), col("qv"))))
+    val b = cells
+      .select(col("bucket"), col("n_id").as("dst"), col("cv").as("dv"))
+      .withColumn("dn", sqrt(Similarity.dot(col("dv"), col("dv"))))
+    a.join(b, Seq("bucket"))
+      .filter(col("src") =!= col("dst"))
+      .select(
+        col("src"), col("dst"),
+        (Similarity.dot(col("qv"), col("dv")) / (col("qn") * col("dn"))).as("cos"))
+      .groupBy(col("src"), col("dst"))
+      .agg(max(col("cos")).as("cos"))
+  }
+
+  /** Per-src top-k over [[knnCandidates]] output — the row_number()<=k
+    * shape TopKRewrite lowers to the bounded-heap operator, identical to
+    * the exact q_knn_graph's selection side.
+    */
+  def knnTopK(candidates: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+    candidates
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("src"), col("rank"), col("dst"), col("cos"))
   }
 
   /** IVF top-k: probe the `nprobe` nearest buckets per query, exact cosine

@@ -157,6 +157,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TopKPerKeyFinal"), s"per-node top-k fell back to a window sort:\n${p.take(1200)}")
   }
 
+  test("IVF knn-graph serving path scores no all-pairs join and keeps the bounded-heap top-k") {
+    // q_knn_graph_ivf's SERVED composition (the registered gate wraps it
+    // in an all-pairs truth side that exists only to oracle recall):
+    // candidate generation must join on the cell key — any
+    // CartesianProduct / nested-loop here means the blocking regressed to
+    // all-pairs scoring, the exact weakness this path exists to remove.
+    import graft.ext.Ivf
+    val emb = graft.core.Tables(spark, sf(), "embeddings")
+    val cells = Ivf.indexMulti(emb, Ivf.train(spark, emb, k = 16), r = 2)
+    val df = Ivf.knnTopK(Ivf.knnCandidates(cells), 3)
+    df.collect() // pre-pass guard + AQE both need a live execution
+    val p = planString(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cell-blocked candidates planned an all-pairs join:\n${p.take(1500)}")
+    assert(p.contains("TopKPerKeyFinal"), s"per-src top-k fell back to a window sort:\n${p.take(1500)}")
+  }
+
   test("best-match assignment runs through the bounded-heap top-k operator") {
     // k=1 argmin per left record: the partial exec keeps one row per name
     // per partition, so k·names rows cross the exchange, never the full
