@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
-import graft.functions.{DotProduct, MinHashSig, SimHash64, ZOrderExpr}
+import graft.functions.{DotProduct, MinHashSig, SimHash64, SortedIntersectGe, ZOrderExpr}
 
 /** SparkSessionExtensions hook: registers graft's custom Catalyst
   * expressions as SQL functions. Activate either via
@@ -50,6 +50,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case _ =>
             throw new IllegalArgumentException(
               "graft_minhash requires (array<string>, literal int hash count)")
+        }))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_inter_ge"),
+        new ExpressionInfo(classOf[SortedIntersectGe].getName, "graft_inter_ge"),
+        (children: Seq[Expression]) => {
+          if (children.size != 3)
+            throw new IllegalArgumentException(
+              s"graft_inter_ge requires exactly 3 arguments (array<int>, array<int>, int), got ${children.size}")
+          SortedIntersectGe(children(0), children(1), children(2))
         }))
     // Spark's runtime-filter bloom machinery (the expressions
     // InjectRuntimeFilter plants under AQE), exposed as first-class

@@ -276,43 +276,44 @@ object Dedup {
         s"size(array_union(${grams(a)}, ${grams(b)}))")
   }
 
-  /** Prefix-filtered exact k-gram Jaccard self-join — the AllPairs /
-    * PPJoin family (Bayardo/Ma/Srikant, WWW'07; Xiao/Wang/Lin/Yu,
-    * WWW'08). Unlike [[blockedJaccardPairs]]' heuristic blocking, this is
-    * COMPLETE: under any global gram order, two sets with Jaccard >= τ
-    * must share a gram inside each other's first (sz − ⌈τ·sz⌉ + 1) grams,
-    * so blocking on that prefix alone cannot miss a qualifying pair. The
-    * order used is rarest-first (document frequency asc, gram asc): the
-    * prefix then holds each doc's MOST selective grams, and candidate
-    * volume is Σ df(g)² over prefix grams — the quantity the ordering
-    * minimizes. τ is a RATIONAL tauNum/tauDen so the prefix length is
-    * exact integer arithmetic; an IEEE ceil(sz·τ) landing one ulp low
-    * would silently break the completeness guarantee.
-    *
-    * Scale shape (learned the hard way — the first cut carried the gram
-    * arrays through the prefix join and OOM'd at 10× data): the rows
-    * that cross the prefix-gram shuffle are THIN (id, position, size) —
-    * candidate pairs are pruned by PPJoin's length filter
-    * (τ·max ≤ min) and positional filter (grams remaining after the
-    * match position can't reach the required overlap), deduplicated as
-    * bare (a, b) pairs, and only then re-joined to the rank arrays for
-    * exact verification. The gram dictionary (bounded vocabulary)
-    * broadcasts; docs are re-encoded as sorted integer-rank arrays
-    * (cheaper to ship and intersect than strings). Candidate volume is
-    * still Σ df(g)² over prefix grams — at low τ the prefix is most of
-    * the doc and this is intrinsically expensive; the filter's sweet
-    * spot is the high-τ near-dup regime.
+  /** Intermediate frames of a prefix-filter join, exposed so the guard
+    * gate (q_dedup_prefix_guard) can count candidates/pool/postings
+    * in-plan without re-deriving the pipeline.
     */
-  def prefixJaccardPairs(
+  private[ext] final case class PrefixParts(
+      sets: DataFrame,     // id, toks, sz, plen, pooled
+      scalars: DataFrame,  // one row: n_docs, cap, rmax
+      postings: DataFrame, // the df-capped postings that reach the gram join
+      cand: DataFrame,     // deduplicated candidate (a_id, b_id)
+      pairs: DataFrame)    // verified output
+
+  /** Shared rarest-first integer-rank encoding for the prefix-filter
+    * family, WITH the round-9 document-frequency cap: grams with
+    * df > cap are FREQUENT and never posted to the gram join; a doc
+    * whose prefix contains one is POOLED (the prefix filter provably
+    * cannot be selective for it) and handled by the exact size-bucketed
+    * fallback instead. cap defaults to max(64, 2% of docs) and is
+    * overridable via `graft.prefix.dfcap` (DedupSpec forces each path
+    * pure with it). Because rid order is (df asc, gram asc),
+    * "df ≤ cap" ⟺ "rid ≤ rmax" where rmax = count of rare grams — so
+    * both the posting filter and the pooled flag are O(1) integer
+    * comparisons (`toks` is sorted, the prefix max rid is
+    * element_at(toks, plen)).
+    *
+    * Returns (sets, scalars): sets = (id, toks, sz, plen, pooled) with
+    * plen = sz − ⌈τ·sz⌉ + 1 in exact integer arithmetic; scalars = one
+    * broadcastable row (n_docs, cap, rmax).
+    */
+  private[ext] def rankEncode(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       k: Int,
       tauNum: Int,
-      tauDen: Int): DataFrame = {
+      tauDen: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val spread = docs.repartition(
-      docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+    val spark = docs.sparkSession
+    val spread = docs.repartition(spark.sparkContext.defaultParallelism, col(idCol))
     val g = spread.select(col(idCol).as("id"), shingles(k, textCol).as("grams"))
     // rarest-first global order; the ranking window runs over the
     // DICTIONARY (bounded), never the corpus — same argument as
@@ -320,27 +321,119 @@ object Dedup {
     val dict = g.select(explode(col("grams")).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("df"))
       .withColumn("rid", row_number().over(Window.orderBy(col("df").asc, col("gram").asc)))
-      .select(col("gram"), col("rid"))
+    val capCol = spark.conf.getOption("graft.prefix.dfcap") match {
+      case Some(v) => lit(v.toLong)
+      case None => greatest(lit(64L), ceil(col("n_docs") * lit(0.02)).cast("long"))
+    }
+    val scalars = broadcast(
+      dict
+        .crossJoin(broadcast(g.agg(count(lit(1)).as("n_docs"))))
+        .withColumn("cap", capCol)
+        .agg(
+          max(col("n_docs")).as("n_docs"),
+          max(col("cap")).as("cap"),
+          coalesce(sum((col("df") <= col("cap")).cast("long")), lit(0L)).as("rmax")))
     val sets = g.select(col("id"), explode(col("grams")).as("gram"))
-      .join(broadcast(dict), "gram")
+      .join(broadcast(dict.select(col("gram"), col("rid"))), "gram")
       .groupBy(col("id"))
       .agg(sort_array(collect_list(col("rid"))).as("toks"))
       .withColumn("sz", size(col("toks")))
-    // prefix length sz − ⌈τ·sz⌉ + 1, with ⌈a/b⌉ = (a + b − 1) div b;
-    // posexplode keeps the in-prefix position for the positional filter
-    val pref = sets.select(
-      col("id"), col("sz"),
-      posexplode(expr(s"slice(toks, 1, sz - ((sz * $tauNum + $tauDen - 1) div $tauDen) + 1)")))
-      .select(col("id"), col("sz"), col("pos"), col("col").as("ptok"))
+      .withColumn(
+        "plen", (col("sz") - expr(s"(sz * $tauNum + $tauDen - 1) div $tauDen") + 1).cast("int"))
+      .crossJoin(scalars.select(col("rmax")))
+      .withColumn("pooled", element_at(col("toks"), col("plen")).cast("long") > col("rmax"))
+      .drop("rmax")
+    (sets, scalars)
+  }
+
+  /** Log-scale size bucket for the pooled fallback join: base τ⁻¹ =
+    * tauDen/tauNum, so two sizes passing the length filter
+    * (ratio ≤ 1/τ) sit in the same or adjacent buckets. Probes also
+    * cover one bucket BELOW the computed floor — floor∘log on doubles
+    * can misround exactly at bucket boundaries, and the extra bucket
+    * costs a size-filtered no-op while a miss would break completeness.
+    */
+  private def bucketOf(c: Column, tauNum: Int, tauDen: Int): Column =
+    floor(log(c.cast("double")) / math.log(tauDen.toDouble / tauNum)).cast("int")
+
+  /** Prefix-filtered exact k-gram Jaccard self-join — the AllPairs /
+    * PPJoin family (Bayardo/Ma/Srikant, WWW'07; Xiao/Wang/Lin/Yu,
+    * WWW'08). Unlike [[blockedJaccardPairs]]' heuristic blocking, this is
+    * COMPLETE: under any global gram order, two sets with Jaccard >= τ
+    * must share a gram inside each other's first (sz − ⌈τ·sz⌉ + 1) grams,
+    * so blocking on that prefix alone cannot miss a qualifying pair. The
+    * order used is rarest-first (df asc, gram asc): the prefix holds each
+    * doc's MOST selective grams. τ is a RATIONAL tauNum/tauDen so every
+    * threshold is exact integer arithmetic; an IEEE ceil(sz·τ) landing
+    * one ulp low would silently break the completeness guarantee.
+    *
+    * ROUND-9 CANDIDATE-VOLUME GUARD (the round-8 verdict's #2): the
+    * unguarded form's candidate volume Σ dfPrefix(g)² is data-dependent
+    * and degraded toward all-pairs on gram-frequent corpora (measured
+    * 122M candidates / ~30 s at sf0.1 on the 31-word-vocab fixture).
+    * Now a TWO-PATH hybrid with a df cap (see [[rankEncode]]):
+    *
+    *  - CHEAP path: the PPJoin gram join posts ONLY rare grams
+    *    (df ≤ cap), so its volume is bounded by cap · postings — a
+    *    LINEAR-in-corpus design ceiling, enforced by
+    *    q_dedup_prefix_guard. Pool-pool pairs are excluded (the pool
+    *    path owns them).
+    *  - POOL path: docs whose prefix contains a frequent gram (for whom
+    *    prefix filtering provably cannot prune) meet in an EXACT
+    *    size-bucketed self-join — each unordered pair generated at most
+    *    once (the larger-size side probes, ties broken by id), length
+    *    filter applied as the bucket equi-key.
+    *
+    * COMPLETENESS of the union: a qualifying pair shares a prefix gram
+    * g. If either side is un-pooled, its prefix is all-rare, so g is
+    * rare and both sides post it (pooled docs still post their rare
+    * prefix grams) → cheap path finds it. If both are pooled → pool
+    * path finds it by exhaustion within the length filter. Verification
+    * is shared: bare (a,b) pairs dedup, re-join to the sorted rank
+    * arrays, and run the early-exit codegen intersect
+    * (`graft_inter_ge`, threshold ⌈τ/(1+τ)·(sza+szb)⌉ − 1 so the final
+    * emitted-jac comparison stays the bit-identical double the DuckDB
+    * oracle computes). On a natural heavy-tailed vocabulary the pool is
+    * boilerplate-heavy docs only; on the adversarial fixture it is the
+    * whole corpus — quadratic-but-fast by construction (thin pair
+    * stream, broadcastable array side, codegen verify), and the guard
+    * gate reports n_pooled as a real differential either way.
+    */
+  def prefixJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      tauNum: Int,
+      tauDen: Int): DataFrame =
+    prefixJaccardParts(docs, idCol, textCol, k, tauNum, tauDen).pairs
+
+  private[ext] def prefixJaccardParts(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      tauNum: Int,
+      tauDen: Int): PrefixParts = {
+    val (sets, scalars) = rankEncode(docs, idCol, textCol, k, tauNum, tauDen)
+    // ---- cheap path: df-capped PPJoin over rare prefix grams ----
+    val pref = sets
+      .select(col("id"), col("sz"), col("pooled"), posexplode(expr("slice(toks, 1, plen)")))
+      .crossJoin(scalars.select(col("rmax")))
+      .filter(col("col").cast("long") <= col("rmax"))
+      .select(col("id"), col("sz"), col("pooled"), col("pos"), col("col").as("ptok"))
     // required absolute overlap for J >= τ: ⌈τ/(1+τ) · (sza+szb)⌉
     val tReq = expr(
       s"($tauNum * (sza + szb) + ($tauNum + $tauDen) - 1) div ($tauNum + $tauDen)")
-    val cand = pref
-      .select(col("id").as("a_id"), col("sz").as("sza"), col("pos").as("pa"), col("ptok"))
+    val cheap = pref
+      .select(col("id").as("a_id"), col("sz").as("sza"), col("pooled").as("ap"), col("pos").as("pa"), col("ptok"))
       .join(
-        pref.select(col("id").as("b_id"), col("sz").as("szb"), col("pos").as("pb"), col("ptok")),
+        pref.select(col("id").as("b_id"), col("sz").as("szb"), col("pooled").as("bp"), col("pos").as("pb"), col("ptok")),
         "ptok")
       .filter(col("a_id") < col("b_id"))
+      // pool-pool pairs are the pool path's job — dropping them here cuts
+      // the gram join's output without touching completeness
+      .filter(!(col("ap") && col("bp")))
       // length filter: τ·max(sza,szb) ≤ min(sza,szb), else J < τ outright
       .filter(
         col("sza") * tauNum <= col("szb") * tauDen &&
@@ -356,18 +449,48 @@ object Dedup {
         least(col("pa"), col("pb")) +
           least(col("sza") - col("pa"), col("szb") - col("pb")) >= tReq)
       .select(col("a_id"), col("b_id"))
-      .distinct()
+    // ---- pool path: exact size-bucketed self-join of pooled docs ----
+    val pool = sets.filter(col("pooled")).select(col("id"), col("sz"))
+    val posts = pool.select(
+      bucketOf(col("sz"), tauNum, tauDen).as("bkt"), col("id").as("b_id"), col("sz").as("szb"))
+    val probes = pool.select(
+      col("id").as("a_id"), col("sz").as("sza"),
+      explode(sequence(
+        bucketOf(expr(s"(sz * $tauNum + $tauDen - 1) div $tauDen"), tauNum, tauDen) - 1,
+        bucketOf(col("sz"), tauNum, tauDen))).as("bkt"))
+    val poolCand = probes
+      .join(posts, "bkt")
+      .filter(col("szb") * tauDen >= col("sza") * tauNum)
+      // generate each unordered pair once: the larger-size side probes,
+      // equal sizes break the tie by id
+      .filter(col("szb") < col("sza") || (col("szb") === col("sza") && col("b_id") < col("a_id")))
+      .select(
+        least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"))
+    // the two branches are DISJOINT (cheap excludes pool-pool pairs; the
+    // pool path emits only them) and pool pairs are unique by
+    // construction — so only the gram join's multi-collision output pays
+    // a dedup shuffle, never the pool stream
+    val cand = cheap.distinct().unionByName(poolCand)
+    // ---- shared verify: early-exit sorted-intersect, bit-identical jac ----
     val ta = sets.select(col("id").as("a_id"), col("toks").as("ta"), col("sz").as("sza"))
     val tb = sets.select(col("id").as("b_id"), col("toks").as("tb"), col("sz").as("szb"))
-    cand
+    val pairs = cand
       .join(ta, "a_id")
       .join(tb, "b_id")
-      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      // t − 1, not t: the emitted filter below is the double comparison
+      // the oracle runs, and a boundary pair one ulp around τ must reach
+      // it with its EXACT intersection size, not an early-exit -1
+      .withColumn(
+        "inter",
+        call_function("graft_inter_ge", col("ta"), col("tb"), (tReq - lit(1)).cast("int")))
+      .filter(col("inter") >= 0)
       .select(
         col("a_id"), col("b_id"),
         (col("inter").cast("double") /
           (col("sza") + col("szb") - col("inter")).cast("double")).as("jac"))
       .filter(col("jac") >= lit(tauNum.toDouble / tauDen))
+    PrefixParts(sets, scalars, pref, cand, pairs)
   }
 
   /** Prefix-filtered exact k-gram CONTAINMENT join — the asymmetric sibling
@@ -384,14 +507,14 @@ object Dedup {
     * Completeness: a needs |∩| ≥ ⌈τ·sza⌉ grams of ITS OWN set inside b, so
     * if b contains none of a's first (sza − ⌈τ·sza⌉ + 1) grams (rarest-first
     * order), at most ⌈τ·sza⌉ − 1 can match — the PROBE side blocks on its
-    * prefix only, but the INDEX side must list every gram (a superset page
-    * has no short prefix that's guaranteed to hit). Candidate volume is
-    * Σ_g dfPrefix(g)·df(g) — between the Jaccard filter's Σ dfPrefix² and
-    * all-pairs; the same thin-row / length / positional / dedup-then-verify
-    * staging as the Jaccard form keeps what crosses the shuffle to
-    * (id, pos, sz) triples. Length filter: szb ≥ ⌈τ·sza⌉ (no upper bound —
-    * asymmetry is the point). Positional: shared grams below the matched
-    * rank ≤ min(pa, pb); at-or-above ≤ min(sza−pa, szb−pb).
+    * prefix only, while the index side lists its grams (a superset page
+    * has no short prefix that's guaranteed to hit). The unguarded
+    * Σ_g dfPrefix(g)·df(g) candidate volume is now df-capped with a
+    * pooled exact fallback — see [[containmentParts]] for the two-path
+    * hybrid and its completeness argument. Length filter: szb ≥ ⌈τ·sza⌉
+    * (no upper bound — asymmetry is the point). Positional: shared grams
+    * below the matched rank ≤ min(pa, pb); at-or-above
+    * ≤ min(sza−pa, szb−pb).
     */
   def containmentPairs(
       docs: DataFrame,
@@ -399,31 +522,50 @@ object Dedup {
       textCol: String,
       k: Int,
       tauNum: Int,
-      tauDen: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val spread = docs.repartition(
-      docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
-    val g = spread.select(col(idCol).as("id"), shingles(k, textCol).as("grams"))
-    val dict = g.select(explode(col("grams")).as("gram"))
-      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
-      .withColumn("rid", row_number().over(Window.orderBy(col("df").asc, col("gram").asc)))
-      .select(col("gram"), col("rid"))
-    val sets = g.select(col("id"), explode(col("grams")).as("gram"))
-      .join(broadcast(dict), "gram")
-      .groupBy(col("id"))
-      .agg(sort_array(collect_list(col("rid"))).as("toks"))
-      .withColumn("sz", size(col("toks")))
-    // probe side: prefix of length sz − ⌈τ·sz⌉ + 1; index side: ALL grams
-    // with their sorted position (for the positional filter)
-    val probe = sets.select(
-      col("id"), col("sz"),
-      posexplode(expr(s"slice(toks, 1, sz - ((sz * $tauNum + $tauDen - 1) div $tauDen) + 1)")))
-      .select(col("id").as("a_id"), col("sz").as("sza"), col("pos").as("pa"), col("col").as("ptok"))
-    val index = sets.select(col("id"), col("sz"), posexplode(col("toks")))
-      .select(col("id").as("b_id"), col("sz").as("szb"), col("pos").as("pb"), col("col").as("ptok"))
+      tauDen: Int): DataFrame =
+    containmentParts(docs, idCol, textCol, k, tauNum, tauDen).pairs
+
+  /** Same ROUND-9 two-path hybrid as [[prefixJaccardParts]], with the
+    * containment asymmetry mirrored in both paths:
+    *
+    *  - CHEAP path: only UN-POOLED probes block on their (all-rare)
+    *    prefix; the index side posts every doc's RARE grams only (the
+    *    witness gram comes from the probe's prefix, so it is rare by
+    *    construction — frequent index postings could only ever match
+    *    pooled probes, which the pool path owns).
+    *  - POOL path: pooled probes meet ALL docs with szb ≥ ⌈τ·sza⌉
+    *    through the size-bucket join (probe buckets run to the corpus
+    *    max — the superset side is unbounded above, that asymmetry is
+    *    the operator's point).
+    *
+    * Completeness: un-pooled probe a → witness g ∈ prefix(a) is rare →
+    * posted by both sides → cheap path. Pooled probe a → every eligible
+    * b (szb ≥ ⌈τ·sza⌉) is a pool-path candidate by exhaustion. The
+    * τ-comparison stays exact-integer (graft_inter_ge's threshold IS
+    * ⌈τ·sza⌉); the emitted ratio is one double division, identical on
+    * both engines.
+    */
+  private[ext] def containmentParts(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      tauNum: Int,
+      tauDen: Int): PrefixParts = {
+    val (sets, scalars) = rankEncode(docs, idCol, textCol, k, tauNum, tauDen)
     // required overlap: ⌈τ·sza⌉, integer-exact
     val tReq = expr(s"(sza * $tauNum + $tauDen - 1) div $tauDen")
-    val cand = probe
+    // ---- cheap path: un-pooled probes × rare-gram index postings ----
+    val probe = sets
+      .filter(!col("pooled"))
+      .select(col("id"), col("sz"), posexplode(expr("slice(toks, 1, plen)")))
+      .select(col("id").as("a_id"), col("sz").as("sza"), col("pos").as("pa"), col("col").as("ptok"))
+    val index = sets
+      .select(col("id"), col("sz"), posexplode(col("toks")))
+      .crossJoin(scalars.select(col("rmax")))
+      .filter(col("col").cast("long") <= col("rmax"))
+      .select(col("id").as("b_id"), col("sz").as("szb"), col("pos").as("pb"), col("col").as("ptok"))
+    val cheap = probe
       .join(index, "ptok")
       .filter(col("a_id") =!= col("b_id"))
       .filter(col("szb") >= tReq)
@@ -431,18 +573,41 @@ object Dedup {
         least(col("pa"), col("pb")) +
           least(col("sza") - col("pa"), col("szb") - col("pb")) >= tReq)
       .select(col("a_id"), col("b_id"))
-      .distinct()
+    // ---- pool path: pooled probes × all size-eligible docs ----
+    val posts = sets.select(
+      bucketOf(col("sz"), tauNum, tauDen).as("bkt"), col("id").as("b_id"), col("sz").as("szb"))
+    val maxB = broadcast(posts.agg(max(col("bkt")).as("maxb")))
+    val probesPool = sets
+      .filter(col("pooled"))
+      .select(col("id").as("a_id"), col("sz").as("sza"))
+      .crossJoin(maxB)
+      .select(
+        col("a_id"), col("sza"),
+        explode(sequence(
+          bucketOf(expr(s"(sza * $tauNum + $tauDen - 1) div $tauDen"), tauNum, tauDen) - 1,
+          col("maxb"))).as("bkt"))
+    val poolCand = probesPool
+      .join(posts, "bkt")
+      .filter(col("a_id") =!= col("b_id"))
+      .filter(col("szb") * tauDen >= col("sza") * tauNum)
+      .select(col("a_id"), col("b_id"))
+    // disjoint by probe pooling (cheap probes are un-pooled, pool probes
+    // pooled); pool pairs are unique by construction (b posted once, a
+    // probes each bucket once) — dedup only the gram join's output
+    val cand = cheap.distinct().unionByName(poolCand)
+    // ---- shared verify: exact-integer threshold via the codegen intersect ----
     val ta = sets.select(col("id").as("a_id"), col("toks").as("ta"), col("sz").as("sza"))
     val tb = sets.select(col("id").as("b_id"), col("toks").as("tb"))
-    cand
+    val pairs = cand
       .join(ta, "a_id")
       .join(tb, "b_id")
-      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
-      // τ-comparison in exact integers; the emitted ratio is one double
-      // division, identical on both sides
-      .filter(col("inter") * tauDen >= col("sza") * tauNum)
+      .withColumn(
+        "inter",
+        call_function("graft_inter_ge", col("ta"), col("tb"), tReq.cast("int")))
+      .filter(col("inter") >= 0)
       .select(
         col("a_id"), col("b_id"),
         (col("inter").cast("double") / col("sza").cast("double")).as("containment"))
+    PrefixParts(sets, scalars, index, cand, pairs)
   }
 }

@@ -148,13 +148,13 @@ object DedupQueries {
       // planted near-dup pairs (J ≈ 0.99). τ = 0.6 — the near-dup
       // regime the filter is built for: prefix length (and candidate
       // volume) scales with 1−τ, so low τ turns any prefix filter into
-      // de-facto all-pairs. Honest scale note: this fixture is
-      // ADVERSARIAL for content blocking — a ~31-word vocabulary means
-      // no gram is truly rare (measured Σdf² over prefix grams = 122M
-      // at sf0.1, ~30 s; a natural heavy-tailed vocabulary is what
-      // makes prefixes selective in practice). The row exists to gate
-      // the completeness guarantee; the throughput serving path for
-      // near-dup at scale remains the LSH family (q_dedup_minhash*).
+      // de-facto all-pairs. This fixture is ADVERSARIAL for content
+      // blocking — a ~31-word vocabulary means no gram is truly rare
+      // (round-8's unguarded form measured Σdf² = 122M candidates,
+      // ~30 s at sf0.1). Round 9 added the df-cap + pooled-fallback
+      // hybrid (see Dedup.prefixJaccardParts): same EXACT output,
+      // 5.0 s at sf0.1, with q_dedup_prefix_guard gating the candidate
+      // ceiling and the pool split as live differentials.
       (s, d) =>
         Dedup
           .prefixJaccardPairs(
@@ -203,6 +203,65 @@ object DedupQueries {
           "UNION ALL SELECT b_id, a_id, inter, szb FROM p) " +
           "SELECT a_id, b_id, CAST(inter AS DOUBLE) / sza AS containment " +
           "FROM dir WHERE inter * 5 >= sza * 4 ORDER BY a_id, b_id")
+    ),
+    Q(
+      "q_dedup_prefix_guard",
+      // The round-9 candidate-volume guard for the prefix-filter family
+      // (round-8 verdict #2), gated as live invariants over the Jaccard
+      // hybrid's actual intermediates (Dedup.prefixJaccardParts):
+      //  - n_docs, n_pooled — REAL differentials: the oracle re-derives
+      //    the pooled set independently (df ranking, prefix slice,
+      //    df > cap test) in DuckDB, so a drifted cap, a broken rid
+      //    order, or a wrong prefix length reads red;
+      //  - n_true_pairs — the final pair count, recomputed by the
+      //    oracle's brute-force all-pairs (completeness differential,
+      //    same as q_dedup_prefix_jaccard but as a count);
+      //  - cand_le_design_ceiling — candidates ≤ n_pooled² + cap ×
+      //    rare-postings: the cheap path's join output is bounded by
+      //    cap partners per posting BY CONSTRUCTION once frequent grams
+      //    never post — a regression that posts them (the pre-round-9
+      //    behavior: measured 122M candidates ≈ 24× this ceiling on the
+      //    sf0.1 fixture) blows the bound.
+      (s, d) => {
+        val parts = Dedup.prefixJaccardParts(
+          Tables(s, d, "documents"), "doc_id", "text", k = 5, tauNum = 3, tauDen = 5)
+        val poolStats = parts.sets.agg(
+          count(lit(1)).as("n_docs"),
+          coalesce(sum(col("pooled").cast("long")), lit(0L)).as("n_pooled"))
+        poolStats
+          .crossJoin(broadcast(parts.cand.agg(count(lit(1)).as("n_cand"))))
+          .crossJoin(broadcast(parts.postings.agg(count(lit(1)).as("n_post"))))
+          .crossJoin(broadcast(parts.pairs.agg(count(lit(1)).as("n_true_pairs"))))
+          .crossJoin(broadcast(parts.scalars.select(col("cap"))))
+          .select(
+            col("n_docs"),
+            col("n_pooled"),
+            col("n_true_pairs"),
+            (col("n_cand") <= col("n_pooled") * col("n_pooled") + col("cap") * col("n_post"))
+              .as("cand_le_design_ceiling"))
+      },
+      Some(
+        "WITH d AS (SELECT doc_id, list_distinct(list_transform(" +
+          "generate_series(1, greatest(1, length(text) - 4)), i -> substring(text, i, 5))) AS grams " +
+          "FROM documents), " +
+          "e AS (SELECT doc_id, unnest(grams) AS gram FROM d), " +
+          "df AS (SELECT gram, count(*) AS df FROM e GROUP BY gram), " +
+          "nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM d), " +
+          "cap AS (SELECT greatest(64, CAST(ceil(n_docs * 0.02) AS BIGINT)) AS cap FROM nn), " +
+          "r AS (SELECT gram, df FROM df), " +
+          "tok AS (SELECT e.doc_id, r.df, row_number() OVER (PARTITION BY e.doc_id " +
+          "ORDER BY r.df, e.gram) AS pos, count(*) OVER (PARTITION BY e.doc_id) AS sz " +
+          "FROM e JOIN r USING (gram)), " +
+          "pooled AS (SELECT doc_id, max(CASE WHEN df > (SELECT cap FROM cap) THEN 1 ELSE 0 END) AS pl " +
+          "FROM tok WHERE pos <= sz - ((sz * 3 + 4) // 5) + 1 GROUP BY doc_id), " +
+          "tp AS (SELECT count(*) AS n_true_pairs FROM (" +
+          "SELECT 1 FROM d a JOIN d b ON a.doc_id < b.doc_id " +
+          "WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / " +
+          "(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.6)) " +
+          "SELECT (SELECT n_docs FROM nn) AS n_docs, " +
+          "CAST((SELECT coalesce(sum(pl), 0) FROM pooled) AS BIGINT) AS n_pooled, " +
+          "CAST((SELECT n_true_pairs FROM tp) AS BIGINT) AS n_true_pairs, " +
+          "true AS cand_le_design_ceiling")
     ),
     Q(
       "q_dedup_components",

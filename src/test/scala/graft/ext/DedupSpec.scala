@@ -227,6 +227,56 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("prefix-family hybrid is COMPLETE under every df-cap regime (pure cheap / mixed / pure pool)") {
+    // graft.prefix.dfcap forces the round-9 two-path split: a huge cap
+    // empties the pool (pure PPJoin), cap=0 pools every doc (pure
+    // size-bucketed fallback), and a small cap exercises the union +
+    // cheap/pool disjointness argument. All three must equal the brute
+    // force EXACTLY, for both the Jaccard and the containment operator —
+    // the completeness proof is per-path, so a leak in either path or in
+    // the pooled-pair exclusion shows here.
+    import spark.implicits._
+    def gramsSql(k: Int, c: String) =
+      s"array_distinct(transform(sequence(1, greatest(1, length($c) - ${k - 1})), i -> substring($c, i, $k)))"
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcd "
+    val docs = (0 until 50).map { i =>
+      val len = 2 + rnd.nextInt(30)
+      (i.toLong, (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    } ++ (0 until 5).map(i => (1000L + i, "abcab dabcd abc"))
+    val df = docs.toDF("doc_id", "text")
+    val a = df.select(col("doc_id").as("a_id"), col("text").as("a_t"))
+    val b = df.select(col("doc_id").as("b_id"), col("text").as("b_t"))
+    val wantJac = a.crossJoin(b)
+      .filter(col("a_id") < col("b_id"))
+      .filter(Dedup.ngramJaccardExpr(3, "a_t", "b_t") >= lit(0.6))
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inter = expr(
+      "size(array_intersect(" + gramsSql(3, "a_t") + ", " + gramsSql(3, "b_t") + "))")
+    val wantCon = a.crossJoin(b)
+      .filter(col("a_id") =!= col("b_id"))
+      .filter(inter * 5 >= expr("size(" + gramsSql(3, "a_t") + ")") * 4)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wantJac.nonEmpty && wantCon.nonEmpty)
+    for (cap <- Seq("1000000", "0", "3")) {
+      spark.conf.set("graft.prefix.dfcap", cap)
+      try {
+        val gotJac = Dedup.prefixJaccardPairs(df, "doc_id", "text", k = 3, tauNum = 3, tauDen = 5)
+          .select(col("a_id"), col("b_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(gotJac == wantJac,
+          s"cap=$cap jaccard missed=${(wantJac -- gotJac).take(5)} extra=${(gotJac -- wantJac).take(5)}")
+        val gotCon = Dedup.containmentPairs(df, "doc_id", "text", k = 3, tauNum = 4, tauDen = 5)
+          .select(col("a_id"), col("b_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(gotCon == wantCon,
+          s"cap=$cap containment missed=${(wantCon -- gotCon).take(5)} extra=${(gotCon -- wantCon).take(5)}")
+      } finally spark.conf.unset("graft.prefix.dfcap")
+    }
+  }
+
   test("incremental LSH banding is lossless on random corpora") {
     // The q_dedup_incremental invariant, swept beyond the fixture: on
     // seeded-random corpora with planted dups, delta-only banding probed
