@@ -63,8 +63,27 @@ import java.nio.file.{Files, Paths}
   * window (BENCH_r07 parsed: null). stdout now carries ONLY a compact
   * final line — totals, protocol, probe arrays, per-query mins, split
   * summary, errors — while the full detail (queries_all, per-query split
-  * timings and samples) goes to BENCH_LOCAL.json on disk, referenced by
-  * the "detail_file" field.
+  * timings and samples) goes to a disk file referenced by "detail_file".
+  *
+  * SELF-ADJUDICATION (round 9, additive to v6): the round-8 official run
+  * landed on a contended box and the judge had to adjudicate via a
+  * committed snapshot. The primary line now carries what that
+  * adjudication needed in-band:
+  *  - "queries_median" / "total_median" — medians alongside mins: on a
+  *    quiet box median ≈ min; a wide median/min spread marks exactly the
+  *    queries whose passes were contaminated;
+  *  - "total_probe_norm" / "total_split_probe_norm" — each sample is
+  *    scaled by (min probe1 of the run / probe32 of its pass) before the
+  *    per-query min is taken. probe32/probe1 ≈ 1 on a quiet 32-core box,
+  *    so the normalized total ≈ the raw total there, while uniform
+  *    contention (elevated probe32 across passes) is divided back out —
+  *    an ESTIMATE for cross-round comparison under contention, not a
+  *    replacement for the raw totals.
+  * The detail file also moved: the official/driver run writes
+  * BENCH_OFFICIAL.json (gitignored — the round-8 driver run clobbered
+  * the builder's committed BENCH_LOCAL.json in the working tree);
+  * builders refreshing the committed snapshot set
+  * GRAFT_BENCH_DETAIL=BENCH_LOCAL.json explicitly.
   */
 object Bench {
   private val Samples = 3
@@ -144,21 +163,29 @@ object Bench {
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case _: Throwable => () }
 
-    val samples = scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
+    // each sample is (seconds, probe32-of-its-pass) — the probe tag feeds
+    // the probe-normalized totals
+    val samples = scala.collection.mutable.LinkedHashMap.empty[String, List[(Double, Double)]]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val p1 = scala.collection.mutable.ArrayBuffer.empty[Double]
     val p32 = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var curP32 = 0.0
+    def runProbes(): Unit = {
+      p1 += probe1()
+      curP32 = probe32()
+      p32 += curP32
+    }
     // ONE timing body for all three tiers (main passes, rescue passes,
     // split tier) so the protocol cannot drift between them.
     def timeOne(
         q: Q,
         dir: String,
-        into: scala.collection.mutable.LinkedHashMap[String, List[Double]],
+        into: scala.collection.mutable.LinkedHashMap[String, List[(Double, Double)]],
         errKey: String): Unit = {
       val t0 = System.nanoTime()
       try {
         q.run(spark, dir).write.format("noop").mode("overwrite").save()
-        into(q.name) = into.getOrElse(q.name, Nil) :+ (System.nanoTime() - t0) / 1e9
+        into(q.name) = into.getOrElse(q.name, Nil) :+ ((System.nanoTime() - t0) / 1e9, curP32)
       } catch {
         case e: Throwable =>
           errors(errKey) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
@@ -166,8 +193,7 @@ object Bench {
     }
     var pass = 0
     while (pass < Samples) {
-      p1 += probe1()
-      p32 += probe32()
+      runProbes()
       targets.foreach { q =>
         // A query that errored once is skipped for the rest of the run but
         // KEEPS any valid earlier timings — silently dropping them would
@@ -182,27 +208,26 @@ object Bench {
     var rescuePasses = 0
     var improved = true
     while (rescuePasses < MaxRescuePasses && improved && elapsedSinceMainSec < RescueWallCapSec) {
-      val mins = samples.map { case (k, v) => k -> v.min }
+      val mins = samples.map { case (k, v) => k -> v.map(_._1).min }
       val suspects = mins.toSeq.sortBy(-_._2).take(RescueTop).map(_._1)
         .filterNot(errors.contains)
       if (suspects.isEmpty) improved = false
       else {
         val before = suspects.map(mins).sum
-        p1 += probe1()
-        p32 += probe32()
+        runProbes()
         suspects.foreach { name =>
           timeOne(targets.find(_.name == name).get, sfDir, samples, name)
         }
-        val after = suspects.map(n => samples(n).min).sum
+        val after = suspects.map(n => samples(n).map(_._1).min).sum
         improved = after < before * 0.95
         rescuePasses += 1
       }
     }
 
-    val times = samples.map { case (k, v) => k -> v.min }
+    val times = samples.map { case (k, v) => k -> v.map(_._1).min }
 
     // ---- split-layout tier (v5) ----
-    val splitSamples = scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
+    val splitSamples = scala.collection.mutable.LinkedHashMap.empty[String, List[(Double, Double)]]
     val splitRows = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val splitSetup: Option[String] =
       try {
@@ -225,8 +250,7 @@ object Bench {
     splitSetup.foreach { dir =>
       var sp = 0
       while (sp < SplitPasses) {
-        p1 += probe1()
-        p32 += probe32()
+        runProbes()
         targets.foreach { q =>
           // deterministic failures from the main tier are not re-burned
           // here; split-tier-specific failures key as split:<name>
@@ -236,10 +260,24 @@ object Bench {
         sp += 1
       }
     }
-    val splitTimes = splitSamples.map { case (k, v) => k -> v.min }
+    val splitTimes = splitSamples.map { case (k, v) => k -> v.map(_._1).min }
     val splitMrows = splitTimes.flatMap { case (k, t) =>
       primaryTable.get(k).flatMap(splitRows.get).map(rows => k -> rows / 1e6 / t)
     }
+
+    // ---- medians + probe-normalized totals (round-9 self-adjudication) ----
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.size
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val timesMedian = samples.map { case (k, v) => k -> median(v.map(_._1)) }
+    // the run's best single-thread probe is the quietest capacity estimate
+    // this box showed; scaling each sample by bestP1/probe32-of-its-pass
+    // divides uniform oversubscription back out (≈ no-op on a quiet box)
+    val bestP1 = if (p1.nonEmpty) p1.min else 1.0
+    def normTotal(m: scala.collection.mutable.LinkedHashMap[String, List[(Double, Double)]]): Double =
+      m.values.map(v => v.map { case (t, p) => t * (bestP1 / math.max(p, 1e-9)) }.min).sum
 
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -250,27 +288,35 @@ object Bench {
     def num(v: Double): String = Timing.fmt3(v)
     def arr(vs: Seq[Double]): String = vs.map(num).mkString("[", ",", "]")
     val qs = times.map { case (k, v) => s"${jstr(k)}:${num(v)}" }.mkString("{", ",", "}")
-    val qsAll = samples.map { case (k, v) => s"${jstr(k)}:${arr(v)}" }.mkString("{", ",", "}")
+    val qsMed = timesMedian.map { case (k, v) => s"${jstr(k)}:${num(v)}" }.mkString("{", ",", "}")
+    val qsAll = samples.map { case (k, v) => s"${jstr(k)}:${arr(v.map(_._1))}" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = times.values.sum
+    val totalMedian = timesMedian.values.sum
     val sq = splitTimes.map { case (k, v) => s"${jstr(k)}:${num(v)}" }.mkString("{", ",", "}")
-    val sqAll = splitSamples.map { case (k, v) => s"${jstr(k)}:${arr(v)}" }.mkString("{", ",", "}")
+    val sqAll = splitSamples.map { case (k, v) => s"${jstr(k)}:${arr(v.map(_._1))}" }.mkString("{", ",", "}")
     val sMrows = splitMrows.map { case (k, v) => s"${jstr(k)}:${num(v)}" }.mkString("{", ",", "}")
     val splitTotal = splitTimes.values.sum
+    val detailFile = sys.env.getOrElse("GRAFT_BENCH_DETAIL", "BENCH_OFFICIAL.json")
     val head =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","samples":$Samples,"rescue_passes":$rescuePasses,""" +
         s""""protocol":"interleaved-passes-v6","note":"queries/errors keysets may overlap (timed-then-errored); totals comparable only within one protocol string",""" +
         s""""probe1_sec":${arr(p1.toSeq)},"probe32_sec":${arr(p32.toSeq)},""" +
-        s""""queries":$qs,""" +
+        s""""queries":$qs,"queries_median":$qsMed,"total_median":${num(totalMedian)},""" +
+        s""""total_probe_norm":${num(normTotal(samples))},""" +
         s""""split_files":$SplitFiles,"split_passes":$SplitPasses,"total_split":${num(splitTotal)},""" +
-        s""""mrows_per_sec_split":$sMrows,"detail_file":"BENCH_LOCAL.json",""" +
+        s""""total_split_probe_norm":${num(normTotal(splitSamples))},""" +
+        s""""mrows_per_sec_split":$sMrows,"detail_file":${jstr(detailFile)},""" +
         s""""errors":$errs,"sf":${jstr(sfDir)}}"""
     // Full detail goes to disk ONLY: per-sample arrays and the per-query
     // split timings would push the stdout line past the driver's
-    // tail-capture window again (the round-7 failure mode).
+    // tail-capture window again (the round-7 failure mode). Default
+    // target is BENCH_OFFICIAL.json (gitignored) so a driver run never
+    // dirties the committed BENCH_LOCAL.json snapshot; builders refresh
+    // that snapshot with GRAFT_BENCH_DETAIL=BENCH_LOCAL.json.
     val detail = head.dropRight(1) +
       s""","queries_all":$qsAll,"queries_split":$sq,"queries_split_all":$sqAll}"""
-    Files.writeString(Paths.get("BENCH_LOCAL.json"), detail + "\n")
+    Files.writeString(Paths.get(detailFile), detail + "\n")
     println(head)
     spark.stop()
   }
