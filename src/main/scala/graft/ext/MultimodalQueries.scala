@@ -87,6 +87,70 @@ object MultimodalQueries {
           "CAST(SUM(sampled) AS BIGINT) AS n_sampled_frames, " +
           "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_items " +
           "FROM s GROUP BY 1 ORDER BY 1")
+    ),
+    Q(
+      "q_dedup_phash",
+      // Perceptual-hash image dedup — the multimodal × dedup pillar
+      // intersection (round-8 verdict #4). Corpus: one smooth BMP per
+      // image doc (Phash.buildSmoothBmp — low-frequency content, the
+      // regime pooling hashes are built for; see its scaladoc for why
+      // white noise is the wrong fixture), plus PLANTED near-duplicate
+      // variants for every doc_id % 9 == 0 image: a 2× nearest-neighbor
+      // resize (+10M id) and a +32 clamped brightness shift (+20M id),
+      // both produced by re-encoding REAL pixel bytes, not by copying
+      // hashes. Pipeline: mapPartitions dHash (pixel decode is the codec
+      // tier's justified imperative island) → 4×16-bit hamming banding
+      // (the q_dedup_simhash machinery) → band-join candidates → exact
+      // hamming ≤ 8 verify (measured: resize variants p50=2/p99=8,
+      // brightness ≤ 2, unrelated smooth images min 9/mean 32). The
+      // hash is not SQL-expressible, so the gated output is the recall
+      // invariant over the planted truth (floor 0.8) + the
+      // sub-quadratic candidate ceiling; n_true_pairs is the real
+      // differential (the oracle re-derives the planting arithmetic).
+      (s, d) => {
+        import s.implicits._
+        val imgIds = Tables(s, d, "documents")
+          .select(col("doc_id")).filter(col("doc_id") % 3 === 0).as[Long]
+        val hashed = imgIds.mapPartitions { it =>
+          it.flatMap { id =>
+            val base = Phash.buildSmoothBmp(16 + (id % 48).toInt, 16 + (id % 27).toInt, id)
+            val variants =
+              if (id % 9 == 0)
+                Seq(
+                  (id + 10000000L, Phash.resizeBmp(base, 2).get),
+                  (id + 20000000L, Phash.brightenBmp(base, 32).get))
+              else Seq.empty
+            ((id, base) +: variants).iterator.flatMap { case (i, bytes) =>
+              Phash.dHash(bytes).map(h => (i, h))
+            }
+          }
+        }.toDF("img_id", "ph")
+        val chunks = hashed.select(
+          col("img_id"), col("ph"),
+          posexplode(array((0 until 4).map(i => expr(s"(ph >> ${i * 16}) & 65535")): _*))
+            .as(Seq("chunk_idx", "chunk")))
+        val a = chunks.select(col("img_id").as("a_id"), col("ph").as("a_ph"), col("chunk_idx"), col("chunk"))
+        val b = chunks.select(col("img_id").as("b_id"), col("ph").as("b_ph"), col("chunk_idx"), col("chunk"))
+        val found = a.join(b, Seq("chunk_idx", "chunk"))
+          .filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"), expr("bit_count(a_ph ^ b_ph)").as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 8)
+        val truth = imgIds.toDF("doc_id")
+          .filter(col("doc_id") % 9 === 0)
+          .select(explode(array(
+            struct(col("doc_id").as("a_id"), (col("doc_id") + 10000000L).as("b_id")),
+            struct(col("doc_id").as("a_id"), (col("doc_id") + 20000000L).as("b_id")))).as("p"))
+          .select(col("p.a_id"), col("p.b_id"))
+        DedupQueries.pairRecallGate(
+          truth, found,
+          hashed.agg(count(lit(1)).as("n_docs")),
+          floor = 0.8)
+      },
+      Some(
+        "SELECT CAST(2 * count(*) AS BIGINT) AS n_true_pairs, " +
+          "true AS recall_ge_floor, true AS candidates_subquadratic " +
+          "FROM documents WHERE doc_id % 9 = 0")
     )
   )
 }

@@ -77,4 +77,45 @@ class MultimodalSpec extends SparkSpec {
       .agg(max(col("n"))).collect().head.getLong(0)
     assert(sampled <= 8, s"max sampled per item: $sampled")
   }
+
+  test("phash: pixel decode round-trips the exact BMP bytes (resize factor 1 is identity)") {
+    for (id <- Seq(0L, 7L, 123L)) {
+      val bmp = Phash.buildSmoothBmp(16 + (id % 48).toInt, 16 + (id % 27).toInt, id)
+      assert(MediaCodec.decode(bmp).exists(_.kind == "image"), "smooth builder must emit a real BMP")
+      assert(Phash.resizeBmp(bmp, 1).get.sameElements(bmp),
+        "pixels -> writeBmp did not reproduce the payload byte-for-byte")
+    }
+    // foreign payloads fall back to None, never throw
+    assert(Phash.dHash("not a bmp".getBytes).isEmpty)
+    assert(Phash.dHash(MediaCodec.buildWav(100, 8000, 1L)).isEmpty)
+  }
+
+  test("phash: resized and brightness-shifted variants hash near the base; unrelated images far") {
+    val stats = (0L until 600L by 3L).map { id =>
+      val base = Phash.buildSmoothBmp(16 + (id % 48).toInt, 16 + (id % 27).toInt, id)
+      val hb = Phash.dHash(base).get
+      (Phash.hamming(hb, Phash.dHash(Phash.resizeBmp(base, 2).get).get),
+        Phash.hamming(hb, Phash.dHash(Phash.brightenBmp(base, 32).get).get),
+        hb)
+    }
+    // the verify threshold the registered query uses is 8; at least 90% of
+    // resize variants and ALL brightness variants must clear it
+    val okResize = stats.count(_._1 <= 8)
+    assert(okResize.toDouble / stats.size >= 0.9,
+      s"resize variants within hamming 8: $okResize/${stats.size}")
+    assert(stats.forall(_._2 <= 8), s"brightness variant exceeded hamming 8: ${stats.map(_._2).max}")
+    // unrelated smooth images sit in the fair-coin regime, far from the
+    // verify threshold
+    val hashes = stats.map(_._3)
+    val cross = for (i <- hashes.indices; j <- i + 1 until hashes.size)
+      yield Phash.hamming(hashes(i), hashes(j))
+    assert(cross.min > 8, s"two unrelated images collided at hamming ${cross.min}")
+  }
+
+  test("phash gate: planted variants recovered through banding, candidates bounded (sf0.001)") {
+    val row = graft.Registry.byName("q_dedup_phash").run(spark, sf()).head()
+    assert(row.getAs[Long]("n_true_pairs") > 0)
+    assert(row.getAs[Boolean]("recall_ge_floor"), "banding lost the planted near-dup images")
+    assert(row.getAs[Boolean]("candidates_subquadratic"), "band join produced a quadratic candidate set")
+  }
 }
