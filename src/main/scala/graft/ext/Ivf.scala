@@ -145,6 +145,30 @@ object Ivf {
       .select(col("src"), col("rank"), col("dst"), col("cos"))
   }
 
+  /** Fixed-point global centroid cosine between the delta batch and the
+    * rest of the corpus — the drift signal that decides when the stored
+    * coarse quantizer needs retraining (pairs with [[graft.ext
+    * .MonitorQueries]]' q_embed_drift, which watches per-label halves).
+    * Deterministic cross-engine: per-dim fixed-point averages
+    * ([[graft.core.Agg.davg]]) and a sequential-fold cosine, so DuckDB
+    * recomputes the identical double and the gate column is a REAL
+    * differential, not a hardcoded boolean. Returns one row (drift_cos).
+    */
+  def globalDriftCos(emb: DataFrame, isDelta: Column): DataFrame = {
+    val e = emb.select(
+      isDelta.as("is_delta"),
+      posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+    val cent = e.groupBy(col("is_delta"), col("pos"))
+      .agg(graft.core.Agg.davg(col("x")).as("m"))
+    val arrs = cent.groupBy(col("is_delta"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x("m")).as("c"))
+    arrs.filter(col("is_delta")).select(col("c").as("c_new"))
+      .crossJoin(broadcast(arrs.filter(!col("is_delta")).select(col("c").as("c_old"))))
+      .select(Similarity.cosine(col("c_old"), col("c_new")).as("drift_cos"))
+  }
+
   /** IVF top-k: probe the `nprobe` nearest buckets per query, exact cosine
     * re-score within them.
     */

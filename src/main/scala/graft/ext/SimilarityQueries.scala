@@ -238,6 +238,64 @@ object SimilarityQueries {
           "WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3")
     ),
     Q(
+      "q_sim_ivf_incremental",
+      // Incremental IVF maintenance (pairs with q_dedup_incremental's
+      // delta-only LSH): a delta batch (every tenth vector) is assigned
+      // to the STORED coarse quantizer — centroids trained on the base
+      // corpus only, the production shape where the inverted index is a
+      // table and per-batch work is ∝ |delta| — and the gate enforces
+      // that delta-only assignment EXACTLY equals a full recompute under
+      // the same fixed centroids, per (vec_id, bucket), so any
+      // batch-dependent leak into the assignment path (normalization
+      // drift, stats-dependent tie-breaks) reads red. The retrain
+      // trigger rides the q_embed_drift machinery: fixed-point global
+      // centroid cosine between delta and base is emitted as a REAL
+      // differential (DuckDB recomputes the identical double via the
+      // davg fixed-point recipe) and retrain_needed = drift_cos < 0.9 is
+      // a computed comparison on both engines, not a hardcoded boolean.
+      // SimilaritySpec drives the trigger path with a shifted delta.
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val base = emb.filter(col("vec_id") % 10 =!= 0)
+        val delta = emb.filter(col("vec_id") % 10 === 0)
+        val centroids = Ivf.train(s, base, k = 16)
+        val full = Ivf.index(emb, centroids)
+          .filter(col("n_id") % 10 === 0)
+          .select(col("n_id"), col("bucket"))
+        val incr = Ivf.index(delta, centroids)
+          .select(col("n_id").as("i_id"), col("bucket").as("i_bucket"))
+        val matches = full
+          .join(incr, col("n_id") === col("i_id"), "full_outer")
+          .agg(
+            count(lit(1)).as("n_joined"),
+            coalesce(
+              sum((col("bucket") === col("i_bucket")).cast("long")), lit(0L)).as("n_same"))
+        base.agg(count(lit(1)).as("n_base"))
+          .crossJoin(broadcast(delta.agg(count(lit(1)).as("n_delta"))))
+          .crossJoin(broadcast(matches))
+          .crossJoin(broadcast(Ivf.globalDriftCos(emb, col("vec_id") % 10 === 0)))
+          .select(
+            col("n_base"),
+            col("n_delta"),
+            (col("n_joined") === col("n_delta") && col("n_same") === col("n_delta"))
+              .as("delta_assign_matches_full"),
+            col("drift_cos"),
+            (col("drift_cos") < 0.9).as("retrain_needed"))
+      },
+      Some(
+        "WITH b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_base FROM embeddings WHERE vec_id % 10 <> 0), " +
+          "dl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_delta FROM embeddings WHERE vec_id % 10 = 0), " +
+          "e AS (SELECT vec_id % 10 = 0 AS is_delta, gs - 1 AS pos, CAST(v AS DOUBLE) AS x " +
+          "FROM (SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS gs FROM embeddings)), " +
+          "cent AS (SELECT is_delta, pos, " + Agg.davgSql("x") + " AS m FROM e GROUP BY 1, 2), " +
+          "arrs AS (SELECT is_delta, list(m ORDER BY pos) AS c FROM cent GROUP BY 1), " +
+          "dc AS (SELECT list_dot_product(o.c, n.c) / " +
+          "(sqrt(list_dot_product(o.c, o.c)) * sqrt(list_dot_product(n.c, n.c))) AS drift_cos " +
+          "FROM (SELECT c FROM arrs WHERE NOT is_delta) o, (SELECT c FROM arrs WHERE is_delta) n) " +
+          "SELECT n_base, n_delta, true AS delta_assign_matches_full, drift_cos, " +
+          "drift_cos < 0.9 AS retrain_needed FROM b, dl, dc")
+    ),
+    Q(
       "q_centroid_udaf",
       // Typed Aggregator (§2.9 UDAF surface): per-label centroid vector.
       // Float-sum order varies with partitioning, so the gated output is

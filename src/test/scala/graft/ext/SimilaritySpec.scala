@@ -123,4 +123,39 @@ class SimilaritySpec extends SparkSpec {
     val bad = SimilarityQueries.recallGate(exact, degraded, 0.5).collect().head
     assert(!bad.getAs[Boolean]("recall_ge_floor"), "gate failed to flip on zero recall")
   }
+
+  test("incremental IVF: delta assignment equals full recompute under fixed centroids") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val vecs = (0L until 60L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val base = vecs.filter(col("vec_id") % 10 =!= 0)
+    val delta = vecs.filter(col("vec_id") % 10 === 0)
+    val centroids = Ivf.train(spark, base, k = 4)
+    val full = Ivf.index(vecs, centroids)
+      .filter(col("n_id") % 10 === 0)
+      .collect().map(r => r.getAs[Long]("n_id") -> r.getAs[Int]("bucket")).toMap
+    val incr = Ivf.index(delta, centroids)
+      .collect().map(r => r.getAs[Long]("n_id") -> r.getAs[Int]("bucket")).toMap
+    assert(incr == full, "delta-only assignment diverged from the fixed-centroid recompute")
+    assert(incr.size == 6)
+  }
+
+  test("drift gate: iid delta is quiet, a shifted delta trips the retrain signal") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // base and delta share a common mean component → high cosine
+    def vec(shift: Float) = Array.fill(8)(1.0f + shift + rnd.nextFloat() * 0.2f)
+    val quiet = ((0L until 40L).map(i => (i, vec(0f))) ++
+      (100L until 110L).map(i => (i, vec(0f)))).toDF("vec_id", "embedding")
+    val quietCos = Ivf.globalDriftCos(quiet, col("vec_id") >= 100L)
+      .collect().head.getAs[Double]("drift_cos")
+    assert(quietCos > 0.9, s"iid delta read as drifted: $quietCos")
+    // delta drawn from an opposite-sign regime → low/negative cosine
+    val shifted = ((0L until 40L).map(i => (i, vec(0f))) ++
+      (100L until 110L).map(i => (i, vec(-2.2f)))).toDF("vec_id", "embedding")
+    val shiftedCos = Ivf.globalDriftCos(shifted, col("vec_id") >= 100L)
+      .collect().head.getAs[Double]("drift_cos")
+    assert(shiftedCos < 0.9, s"shifted delta not flagged: $shiftedCos")
+  }
 }
