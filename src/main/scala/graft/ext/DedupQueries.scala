@@ -688,6 +688,88 @@ object DedupQueries {
           "CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated, " +
           "CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS repeated_frac " +
           "FROM w JOIN fd USING (fp) GROUP BY doc_id ORDER BY doc_id")
+    ),
+    Q(
+      "q_exact_substr_spans",
+      // ExactSubstr upgraded to SPAN EXTRACTION (round-8 verdict #7): the
+      // q_exact_substr row reports repeated-span FRACTION per doc; this
+      // one emits the MAXIMAL cross-document repeated spans themselves —
+      // what the Lee et al. suffix-array pass produces, re-expressed as
+      // the sharded shingle-chain form. Corpus: documents plus a planted
+      // 30-token mid-slice clone for every seventh doc (both engines
+      // construct it with the same string arithmetic — the planted truth
+      // the oracle checks exactly). Pipeline: overlapping 10-token
+      // windows with positions → window-equality self-join (a_id < b_id)
+      // → DIAGONAL islands: consecutive matches share ia − jb, and
+      // gaps-and-islands on ia (ia − row_number() per diagonal) merges
+      // each run into one maximal span of count + 9 tokens — a sub-span
+      // can never appear alongside its container, maximality is by
+      // construction. Spans re-joined to the token arrays for exact char
+      // length; emitted at span_chars >= 50. Every shuffle is keyed on
+      // window text or (pair, diagonal) — corpus-linear, no all-pairs.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = Tables(s, d, "documents").select(col("doc_id"), col("text"))
+        val planted = base.filter(col("doc_id") % 7 === 0)
+          .select(
+            (col("doc_id") + 3000000L).as("doc_id"),
+            array_join(slice(split(col("text"), " "), 4, 30), " ").as("text"))
+        val corpus = base.unionByName(planted)
+        val tok = corpus.select(col("doc_id"), split(col("text"), " ").as("t"))
+          .filter(size(col("t")) >= 10) // guard: sequence(0, n-10) descends for n < 10
+        val wins = tok.select(
+          col("doc_id"),
+          posexplode(expr(
+            "transform(sequence(0, size(t) - 10), i -> md5(CAST(array_join(slice(t, i + 1, 10), ' ') AS BINARY)))"))
+            .as(Seq("posn", "win")))
+        val m = wins.select(col("doc_id").as("a_id"), col("posn").as("ia"), col("win"))
+          .join(wins.select(col("doc_id").as("b_id"), col("posn").as("jb"), col("win")), "win")
+          .filter(col("a_id") < col("b_id"))
+        val byDiag = Window
+          .partitionBy(col("a_id"), col("b_id"), col("diag"))
+          .orderBy(col("ia"), col("jb"))
+        val sp = m
+          .withColumn("diag", col("ia") - col("jb"))
+          .withColumn("grp", col("ia") - row_number().over(byDiag))
+          .groupBy(col("a_id"), col("b_id"), col("diag"), col("grp"))
+          .agg(
+            min(col("ia")).as("start_a"),
+            min(col("jb")).as("start_b"),
+            (count(lit(1)) + 9).as("span_tokens"))
+        sp.join(tok.select(col("doc_id").as("a_id"), col("t")), "a_id")
+          .withColumn(
+            "span_chars",
+            length(array_join(
+              expr("slice(t, start_a + 1, CAST(span_tokens AS INT))"), " ")).cast("long"))
+          .filter(col("span_chars") >= 50)
+          .select(
+            col("a_id"), col("b_id"),
+            col("start_a").cast("long").as("start_a"),
+            col("start_b").cast("long").as("start_b"),
+            col("span_tokens").cast("long").as("span_tokens"),
+            col("span_chars"))
+          .orderBy("a_id", "b_id", "start_a", "start_b")
+      },
+      Some(
+        "WITH corpus AS (SELECT doc_id, text FROM documents " +
+          "UNION ALL SELECT doc_id + 3000000, array_to_string(string_split(text, ' ')[4:33], ' ') " +
+          "FROM documents WHERE doc_id % 7 = 0), " +
+          "tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus " +
+          "WHERE len(string_split(text, ' ')) >= 10), " +
+          "w AS (SELECT doc_id, i AS posn, md5(array_to_string(t[i+1:i+10], ' ')) AS win " +
+          "FROM tok, unnest(generate_series(0, len(t) - 10)) AS g(i)), " +
+          "m AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.posn AS ia, b.posn AS jb " +
+          "FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id), " +
+          "isl AS (SELECT a_id, b_id, ia - jb AS diag, ia, jb, " +
+          "ia - row_number() OVER (PARTITION BY a_id, b_id, ia - jb ORDER BY ia, jb) AS grp FROM m), " +
+          "sp AS (SELECT a_id, b_id, min(ia) AS start_a, min(jb) AS start_b, " +
+          "count(*) + 9 AS span_tokens FROM isl GROUP BY a_id, b_id, diag, grp) " +
+          "SELECT sp.a_id, sp.b_id, CAST(start_a AS BIGINT) AS start_a, " +
+          "CAST(start_b AS BIGINT) AS start_b, CAST(span_tokens AS BIGINT) AS span_tokens, " +
+          "CAST(length(array_to_string(tok.t[CAST(start_a + 1 AS BIGINT):CAST(start_a + span_tokens AS BIGINT)], ' ')) AS BIGINT) AS span_chars " +
+          "FROM sp JOIN tok ON tok.doc_id = sp.a_id " +
+          "WHERE length(array_to_string(tok.t[CAST(start_a + 1 AS BIGINT):CAST(start_a + span_tokens AS BIGINT)], ' ')) >= 50 " +
+          "ORDER BY a_id, b_id, start_a, start_b")
     )
   )
 }

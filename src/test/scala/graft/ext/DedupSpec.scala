@@ -277,6 +277,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("exact-substr spans: planted 30-token slices come back as single maximal spans") {
+    val rows = graft.Registry.byName("q_exact_substr_spans").run(spark, sf()).collect()
+    val planted = rows.filter(r =>
+      r.getAs[Long]("b_id") == r.getAs[Long]("a_id") + 3000000L && r.getAs[Long]("a_id") % 7 == 0)
+    assert(planted.nonEmpty, "no planted clone pairs surfaced")
+    // a full-length planted slice is tokens 4..33 of its source: ONE
+    // maximal span, 30 tokens, at source offset 3 / clone offset 0 —
+    // run-merging must not fragment it and must not extend it
+    val full = planted.filter(_.getAs[Long]("span_tokens") == 30L)
+    assert(full.nonEmpty, "no full 30-token planted span found")
+    full.foreach { r =>
+      assert(r.getAs[Long]("start_a") == 3L && r.getAs[Long]("start_b") == 0L,
+        s"span misplaced: $r")
+    }
+    // maximality: no planted pair may report two spans on the same diagonal
+    val frag = planted.groupBy(r => (r.getAs[Long]("a_id"),
+      r.getAs[Long]("start_a") - r.getAs[Long]("start_b")))
+      .filter(_._2.length > 1)
+    assert(frag.isEmpty, s"fragmented diagonals: ${frag.keys.take(3)}")
+  }
+
   test("incremental LSH banding is lossless on random corpora") {
     // The q_dedup_incremental invariant, swept beyond the fixture: on
     // seeded-random corpora with planted dups, delta-only banding probed
