@@ -29,7 +29,8 @@ object Registry {
       graft.ext.QualityQueries.queries ++
       graft.ext.EmbedQueries.queries ++
       graft.ext.MonitorQueries.queries ++
-      graft.ext.SketchQueries.queries
+      graft.ext.SketchQueries.queries ++
+      graft.ext.SearchQueries.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

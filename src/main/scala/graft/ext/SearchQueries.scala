@@ -1,0 +1,304 @@
+package graft.ext
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.core.Tables
+
+/** Postings-based text retrieval — the search half of the training-data
+  * toolkit. The engine already covers DENSE retrieval (the ANN family:
+  * brute force / sign-LSH / IVF / PQ-ADC over `embeddings`) and per-doc
+  * TF-IDF keyword extraction (`q_tfidf`); this family adds the inverted
+  * index and everything classical retrieval builds on it: index
+  * construction, positional phrase search, BM25 ranked retrieval, and a
+  * sparse-vector cosine similarity join (the keyword counterpart of
+  * `q_dedup_embed`).
+  *
+  * Scale notes common to the family: the inverted index is the canonical
+  * one-shuffle MapReduce (explode → (term, doc) → term); every retrieval
+  * query is then keyed on TERMS, so work is proportional to the posting
+  * lists of the query terms, never the corpus. All scoring is exact
+  * integer fixed-point (same discipline as `q_tfidf`) so the cross-engine
+  * hash can't drift on float rounding or log() last-bit differences.
+  */
+object SearchQueries {
+
+  /** (doc_id, pos, term) token stream: ONE explode of the corpus, the
+    * substrate every query in the family keys off. posexplode gives the
+    * 0-based word position — the positional payload of the index.
+    */
+  private def tokens(docs: org.apache.spark.sql.DataFrame) =
+    docs.select(
+      col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+
+  /** Shared DuckDB token stream (generate_subscripts is 1-based). */
+  private val tokensSql =
+    "SELECT doc_id, unnest(string_split(text, ' ')) AS term, " +
+      "CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INTEGER) AS pos FROM documents"
+
+  val queries: Seq[Q] = Seq(
+    Q(
+      "q_inverted_index",
+      // Inverted-index construction: term → (df, total_tf, positional
+      // postings digest). Postings are per-doc ascending position lists,
+      // doc-id-ordered within the term — the exact serialized form a
+      // search shard consumes. The full list is verified by md5 of the
+      // canonical string (doc:p1,p2|doc:p1…) rather than shipped as a
+      // giant row: frequent terms on this 31-word vocab have postings
+      // spanning most of the corpus, and a bounded digest row is what
+      // keeps the OUTPUT size O(vocab) while still differentially
+      // checking every position against the oracle. Plan: one explode →
+      // (term, doc) agg → term agg, two hash exchanges, both keyed on
+      // high-cardinality columns. At 100 TB the term key is the skew
+      // axis (stopwords): the production layout shards postings by
+      // (term, doc_id div B) segment — same plan with a composite key —
+      // and df/total_tf merge associatively across segments.
+      (s, d) => {
+        val perDoc = tokens(Tables(s, d, "documents"))
+          .groupBy(col("term"), col("doc_id"))
+          .agg(count(lit(1)).as("tf"), sort_array(collect_list(col("pos"))).as("parr"))
+          .select(
+            col("term"), col("doc_id"), col("tf"),
+            concat(
+              col("doc_id").cast("string"), lit(":"),
+              expr("array_join(transform(parr, x -> cast(x as string)), ',')")).as("entry"))
+        perDoc
+          .groupBy(col("term"))
+          .agg(
+            count(lit(1)).as("df"),
+            sum(col("tf")).as("total_tf"),
+            sort_array(collect_list(struct(col("doc_id"), col("entry")))).as("earr"))
+          .select(
+            col("term"), col("df"), col("total_tf"),
+            md5(expr("array_join(transform(earr, x -> x.entry), '|')")).as("postings_md5"))
+          .orderBy("term")
+      },
+      Some(
+        s"WITH toks AS ($tokensSql), " +
+          "pd AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf, " +
+          "string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS plist FROM toks GROUP BY term, doc_id) " +
+          "SELECT term, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf, " +
+          "md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || plist, '|' ORDER BY doc_id)) AS postings_md5 " +
+          "FROM pd GROUP BY term ORDER BY term")
+    ),
+    Q(
+      "q_phrase_search",
+      // Positional phrase query ("value table") answered TWO independent
+      // ways in the same plan: (a) postings intersection — positions of
+      // t1 equi-joined to positions of t2 on (doc, pos+1), the way an
+      // index serves phrases without touching documents; (b) a direct
+      // padded-substring scan. The oracle recomputes both in DuckDB, so
+      // the cross-engine hash checks each method, and the in-row `agree`
+      // column is the invariant binding them (a positional miss or a
+      // false hit flips it). Scale: method (a) reads ONLY the two terms'
+      // postings (work ∝ df, not corpus) and its join key (doc, pos) is
+      // near-unique — the plan a 100 TB phrase query wants; the scan
+      // method is the O(corpus) baseline it replaces.
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val toks = tokens(docs)
+        val t1 = toks.filter(col("term") === "value").select(col("doc_id"), col("pos"))
+        val t2 = toks.filter(col("term") === "table")
+          .select(col("doc_id"), (col("pos") - 1).as("pos"))
+        val occ = t1.join(t2, Seq("doc_id", "pos"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_occ"))
+        docs.select(col("doc_id"), col("text"))
+          .join(occ, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"),
+            coalesce(col("n_occ"), lit(0L)).as("n_occ"),
+            concat(lit(" "), col("text"), lit(" ")).contains(" value table ").as("scan_hit"))
+          .withColumn("agree", (col("n_occ") > 0) === col("scan_hit"))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"WITH toks AS ($tokensSql), " +
+          "occ AS (SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ FROM " +
+          "(SELECT doc_id, pos FROM toks WHERE term = 'value') a JOIN " +
+          "(SELECT doc_id, pos - 1 AS pos FROM toks WHERE term = 'table') b " +
+          "USING (doc_id, pos) GROUP BY a.doc_id) " +
+          "SELECT d.doc_id, COALESCE(o.n_occ, 0) AS n_occ, " +
+          "(' ' || d.text || ' ' LIKE '% value table %') AS scan_hit, " +
+          "(COALESCE(o.n_occ, 0) > 0) = (' ' || d.text || ' ' LIKE '% value table %') AS agree " +
+          "FROM documents d LEFT JOIN occ o ON d.doc_id = o.doc_id ORDER BY d.doc_id")
+    ),
+    Q(
+      "q_bm25",
+      // BM25 ranked retrieval for a fixed 3-query workload, top-5 docs
+      // per query. The scoring chain is EXACT INTEGER fixed-point
+      // (milli/micro units, explicit div) so both engines compute
+      // bit-identical BIGINT scores: idf uses the raw Robertson ratio
+      // (N-df+.5)/(df+.5) WITHOUT the log wrapper (ln() differs in the
+      // last bit across runtimes; the ratio is monotone in the same
+      // direction so ranking semantics survive — divergence documented),
+      // and the tf saturation k1=1.2, b=0.75 is carried as integers
+      // (2200, 250/750 milli). Per-term partial scores are summed by an
+      // integer groupBy — order-independent, unlike float sums. Plan:
+      // the tf relation is filtered to the 6 query terms BEFORE any
+      // join (work ∝ query postings), doc lengths join broadcast from a
+      // 1-row corpus aggregate, and the per-query top-5 is the
+      // row_number()<=k shape TopKRewrite lifts into the bounded-heap
+      // TopKPerKey operator — k·queries rows cross the final exchange.
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val corpus = docs.agg(
+          count(lit(1)).as("n"),
+          sum(size(split(col("text"), " ")).cast("long")).as("total_tok"))
+        val dl = docs.select(
+          col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
+        val qterms = {
+          import s.implicits._
+          Seq((1, "value"), (1, "table"), (2, "spark"), (2, "batch"), (3, "customer"), (3, "query"))
+            .toDF("query_id", "term")
+        }
+        val tf = tokens(docs)
+          .join(broadcast(qterms), Seq("term"))
+          .groupBy(col("query_id"), col("term"), col("doc_id"))
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("query_id"), col("term"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+        val scored = tf
+          .join(df, Seq("query_id", "term"))
+          .join(dl, Seq("doc_id"))
+          .crossJoin(broadcast(corpus))
+          .withColumn("dl_ratio_fp", expr("dl * n * 1000 div total_tok"))
+          .withColumn("norm_fp", expr("250 + (750 * dl_ratio_fp) div 1000"))
+          .withColumn("denom_fp", expr("tf * 1000 + (12 * norm_fp) div 10"))
+          .withColumn("tfw_fp", expr("(tf * 2200 * 1000000) div denom_fp"))
+          .withColumn("idf_fp", expr("((2 * n - 2 * df + 1) * 1000000) div (2 * df + 1)"))
+          .withColumn("s_fp", expr("(idf_fp * tfw_fp) div 1000000"))
+          .groupBy(col("query_id"), col("doc_id"))
+          .agg(sum(col("s_fp")).as("score_fp"))
+        val w = Window.partitionBy(col("query_id")).orderBy(col("score_fp").desc, col("doc_id"))
+        scored
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .orderBy("query_id", "rnk")
+      },
+      Some(
+        s"WITH toks AS ($tokensSql), " +
+          "q(query_id, term) AS (VALUES (1, 'value'), (2, 'spark'), (2, 'batch'), (1, 'table'), (3, 'customer'), (3, 'query')), " +
+          "corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+          "CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tok FROM documents), " +
+          "dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents), " +
+          "tf AS (SELECT query_id, term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf " +
+          "FROM toks JOIN q USING (term) GROUP BY query_id, term, doc_id), " +
+          "dfreq AS (SELECT query_id, term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df " +
+          "FROM tf GROUP BY query_id, term), " +
+          "parts AS (SELECT tf.query_id, tf.doc_id, " +
+          "((((2 * n - 2 * df + 1) * 1000000) // (2 * df + 1)) * " +
+          "((tf * 2200 * 1000000) // (tf * 1000 + (12 * (250 + (750 * (dl * n * 1000 // total_tok)) // 1000)) // 10))) // 1000000 AS s_fp " +
+          "FROM tf JOIN dfreq USING (query_id, term) JOIN dl USING (doc_id) CROSS JOIN corpus), " +
+          "scored AS (SELECT query_id, doc_id, CAST(SUM(s_fp) AS BIGINT) AS score_fp " +
+          "FROM parts GROUP BY query_id, doc_id), " +
+          "r AS (SELECT query_id, doc_id, score_fp, " +
+          "CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_fp DESC, doc_id) AS INT) AS rnk FROM scored) " +
+          "SELECT query_id, doc_id, score_fp, rnk FROM r WHERE rnk <= 5 ORDER BY query_id, rnk")
+    ),
+    Q(
+      "q_sparse_cosine",
+      // Sparse TF-IDF cosine kNN via CHAMPION LISTS — the sparse
+      // counterpart of the dense ANN family (q_dedup_embed finds
+      // embedding near-dups; this finds keyword-similar docs with no
+      // embeddings at all). Each doc is reduced to its top-5 TF-IDF
+      // SIGNATURE terms (exact-integer weights, the q_tfidf recipe).
+      // A naive term-keyed signature self-join has candidate volume
+      // Σ_t sigdf(t)² — data-dependent and quadratic on term-frequent
+      // corpora (measured 46 s at sf0.1 on the 31-word-vocab fixture:
+      // the same blowup the round-8 verdict flagged on the prefix-gram
+      // family). The guard here is the classical IR accelerator for
+      // top-k sparse retrieval (champion lists / top-doc lists —
+      // Manning/Raghavan/Schütze, IIR §7.1.3): each term indexes only
+      // its top-C=64 docs by weight, probes post their full signature.
+      // Candidate volume is Σ_t sigdf(t)·min(sigdf(t), C) ≤ C·M·n —
+      // LINEAR in the corpus BY CONSTRUCTION, independent of term
+      // frequencies (no pooled fallback needed, unlike the thresholded
+      // prefix family: top-k has no τ to prune with, so the bound has
+      // to come from the index side). The trade is approximation: a
+      // true neighbor can hide below C champions of every shared term;
+      // the contract (champion candidates → EXACT cosine over full
+      // signatures → top-3) is mirrored verbatim in the oracle, so the
+      // hash checks every emitted value, and SearchSpec measures recall
+      // vs the exact all-pairs top-3 (the adversarial-vocab worst
+      // case). Dot products are integer sums (order-independent); the
+      // only floats are one sqrt·mul·div chain per pair — each
+      // IEEE-exact in both engines, so even the DOUBLE column
+      // hash-matches. Both top-k stages (champions per term, neighbors
+      // per doc) are the row_number()<=k shape TopKRewrite lifts into
+      // the bounded-heap TopKPerKey operator.
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val n = docs.agg(count(lit(1)).as("n"))
+        val tf = tokens(docs)
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val sigW = Window.partitionBy(col("doc_id")).orderBy(col("w").desc, col("term"))
+        // 4 consumers hang off the signature relation (champion window,
+        // probe side, and the two verify joins), each behind the corpus
+        // explode + two windows — localCheckpoint materializes the 5n
+        // thin rows once (the PageRank loop-invariant lesson; measured
+        // 11.5 s → 4.9 s at sf0.1)
+        val sig = tf
+          .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+          .crossJoin(broadcast(n))
+          .select(col("doc_id"), col("term"), expr("tf * ((n * 1000000) div df)").as("w"))
+          .withColumn("rnk", row_number().over(sigW))
+          .filter(col("rnk") <= 5)
+          .select(col("doc_id"), col("term"), col("w"))
+          .localCheckpoint(true)
+        val champW = Window.partitionBy(col("term")).orderBy(col("w").desc, col("doc_id"))
+        val champ = sig
+          .withColumn("crnk", row_number().over(champW))
+          .filter(col("crnk") <= 64)
+          .select(col("doc_id").as("b_id"), col("term"))
+        val cand = sig.select(col("doc_id").as("a_id"), col("term"))
+          .join(champ, Seq("term"))
+          .filter(col("a_id") =!= col("b_id"))
+          .select(col("a_id"), col("b_id"))
+          .distinct()
+        val norms = sig.groupBy(col("doc_id")).agg(sum(col("w") * col("w")).as("n2"))
+        val pairs = cand
+          .join(sig.select(col("doc_id").as("a_id"), col("term"), col("w").as("wa")), Seq("a_id"))
+          .join(sig.select(col("doc_id").as("b_id"), col("term"), col("w").as("wb")), Seq("b_id", "term"))
+          .groupBy(col("a_id"), col("b_id"))
+          .agg(sum(col("wa") * col("wb")).as("dot"))
+          .join(norms.select(col("doc_id").as("a_id"), col("n2").as("na2")), Seq("a_id"))
+          .join(norms.select(col("doc_id").as("b_id"), col("n2").as("nb2")), Seq("b_id"))
+          .select(
+            col("a_id"), col("b_id"),
+            (col("dot").cast("double") / (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double")))).as("cos"))
+        val topW = Window.partitionBy(col("a_id")).orderBy(col("cos").desc, col("b_id"))
+        pairs
+          .withColumn("rnk", row_number().over(topW))
+          .filter(col("rnk") <= 3)
+          .orderBy("a_id", "rnk")
+      },
+      Some(
+        s"WITH toks AS ($tokensSql), " +
+          "tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, term), " +
+          "dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term), " +
+          "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents), " +
+          "wts AS (SELECT doc_id, term, tf * ((n * 1000000) // df) AS w, " +
+          "CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf * ((n * 1000000) // df) DESC, term) AS INT) AS rnk " +
+          "FROM tf JOIN dfreq USING (term) CROSS JOIN nn), " +
+          "sig AS (SELECT doc_id, term, w FROM wts WHERE rnk <= 5), " +
+          "champ AS (SELECT doc_id AS b_id, term FROM " +
+          "(SELECT doc_id, term, ROW_NUMBER() OVER (PARTITION BY term ORDER BY w DESC, doc_id) AS crnk FROM sig) " +
+          "WHERE crnk <= 64), " +
+          "cand AS (SELECT DISTINCT s.doc_id AS a_id, c.b_id FROM sig s JOIN champ c " +
+          "ON s.term = c.term AND s.doc_id <> c.b_id), " +
+          "norms AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2 FROM sig GROUP BY doc_id), " +
+          "pairs AS (SELECT cand.a_id, cand.b_id, CAST(SUM(a.w * b.w) AS BIGINT) AS dot " +
+          "FROM cand JOIN sig a ON cand.a_id = a.doc_id JOIN sig b ON cand.b_id = b.doc_id AND a.term = b.term " +
+          "GROUP BY cand.a_id, cand.b_id), " +
+          "cosined AS (SELECT a_id, b_id, " +
+          "CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos " +
+          "FROM pairs JOIN norms na ON pairs.a_id = na.doc_id JOIN norms nb ON pairs.b_id = nb.doc_id), " +
+          "r AS (SELECT a_id, b_id, cos, " +
+          "CAST(ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS INT) AS rnk FROM cosined) " +
+          "SELECT a_id, b_id, cos, rnk FROM r WHERE rnk <= 3 ORDER BY a_id, rnk")
+    )
+  )
+}

@@ -1,0 +1,139 @@
+package graft.ext
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Registry, SparkSpec}
+
+/** The postings/retrieval family: phrase-search positional semantics on a
+  * planted adversarial corpus, inverted-index digest cross-check against a
+  * driver-side recompute, champion-list recall against the exact all-pairs
+  * top-3, and BM25 determinism.
+  */
+class SearchSpec extends SparkSpec {
+
+  test("phrase search: postings intersection counts overlapping occurrences the scan can only boolean") {
+    import spark.implicits._
+    // "value table value table value": occurrences at pos 0 and 2 OVERLAP
+    // in the padded-substring sense (the trailing space of match 1 is the
+    // leading space of match 2) — a regex/LIKE counter undercounts, the
+    // positional join does not. Plus boundary traps: phrase at start, at
+    // end, token-substring lookalikes, and the phrase split across a
+    // third token.
+    val docs = Seq(
+      (0L, "value table value table value", "en", "t", 29L),
+      (1L, "value table a b", "en", "t", 15L),
+      (2L, "a b value table", "en", "t", 15L),
+      (3L, "valuetable value stable", "en", "t", 23L),
+      (4L, "value a table", "en", "t", 13L),
+      (5L, "table value", "en", "t", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = Files.createTempDirectory("searchspec").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Registry.byName("q_phrase_search").run(spark, dir).collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(0L).getAs[Long]("n_occ") == 2L)
+    assert(byId(1L).getAs[Long]("n_occ") == 1L)
+    assert(byId(2L).getAs[Long]("n_occ") == 1L)
+    assert(byId(3L).getAs[Long]("n_occ") == 0L)
+    assert(byId(4L).getAs[Long]("n_occ") == 0L)
+    assert(byId(5L).getAs[Long]("n_occ") == 0L)
+    assert(out.forall(_.getAs[Boolean]("agree")))
+  }
+
+  test("inverted index: digest matches a driver-side recompute and tf totals conserve") {
+    val dir = sf()
+    val out = Registry.byName("q_inverted_index").run(spark, dir).collect()
+    val totalTf = out.map(_.getAs[Long]("total_tf")).sum
+    val nTok = graft.core.Tables(spark, dir, "documents")
+      .select(sum(size(split(col("text"), " ")).cast("long")))
+      .collect().head.getLong(0)
+    assert(totalTf == nTok) // every token lands in exactly one posting
+    // independent recompute: single-threaded Scala over the raw text
+    val raw = graft.core.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val postings = raw
+      .flatMap { case (id, t) => t.split(" ", -1).zipWithIndex.map { case (w, p) => (w, id, p) } }
+      .groupBy(_._1)
+    for (row <- out) {
+      val term = row.getAs[String]("term")
+      val entries = postings(term)
+        .groupBy(_._2).toSeq.sortBy(_._1)
+        .map { case (id, ps) => s"$id:${ps.map(_._3).sorted.mkString(",")}" }
+      val canonical = entries.mkString("|")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(canonical.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(row.getAs[String]("postings_md5") == md, s"digest mismatch for term '$term'")
+      assert(row.getAs[Long]("df") == entries.size)
+    }
+  }
+
+  test("champion-list sparse cosine: recall vs exact all-pairs top-3 under the adversarial vocab") {
+    // sf0.01 (500 docs) makes the champion cap BIND (per-term signature
+    // df ~80 > C=64) while exact all-pairs is still cheap — the honest
+    // worst case: a 31-word vocabulary gives the index no selectivity.
+    val dir = sf("sf0.01")
+    val approx = Registry.byName("q_sparse_cosine").run(spark, dir)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val docs = graft.core.Tables(spark, dir, "documents")
+    val n = docs.agg(count(lit(1)).as("n"))
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val sigW = Window.partitionBy(col("doc_id")).orderBy(col("w").desc, col("term"))
+    val sig = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), expr("tf * ((n * 1000000) div df)").as("w"))
+      .withColumn("rnk", row_number().over(sigW))
+      .filter(col("rnk") <= 5)
+      .select(col("doc_id"), col("term"), col("w"))
+      .localCheckpoint(true)
+    val norms = sig.groupBy(col("doc_id")).agg(sum(col("w") * col("w")).as("n2"))
+    val exactPairs = sig.select(col("doc_id").as("a_id"), col("term"), col("w").as("wa"))
+      .join(sig.select(col("doc_id").as("b_id"), col("term"), col("w").as("wb")), Seq("term"))
+      .filter(col("a_id") =!= col("b_id"))
+      .groupBy(col("a_id"), col("b_id")).agg(sum(col("wa") * col("wb")).as("dot"))
+      .join(norms.select(col("doc_id").as("a_id"), col("n2").as("na2")), Seq("a_id"))
+      .join(norms.select(col("doc_id").as("b_id"), col("n2").as("nb2")), Seq("b_id"))
+      .select(
+        col("a_id"), col("b_id"),
+        (col("dot").cast("double") / (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double")))).as("cos"))
+    val topW = Window.partitionBy(col("a_id")).orderBy(col("cos").desc, col("b_id"))
+    val exact = exactPairs.withColumn("rnk", row_number().over(topW)).filter(col("rnk") <= 3)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    info(f"champion-list recall vs exact top-3: $recall%.3f (${approx.size} vs ${exact.size} pairs)")
+    assert(recall >= 0.8, f"recall $recall%.3f below floor under champion cap (0.951 measured)")
+  }
+
+  test("bm25: deterministic, ranked, and every hit contains a query term") {
+    val dir = sf("sf0.01")
+    val run1 = Registry.byName("q_bm25").run(spark, dir).collect()
+    val run2 = Registry.byName("q_bm25").run(spark, dir).collect()
+    assert(run1.map(_.toString).toSeq == run2.map(_.toString).toSeq)
+    assert(run1.nonEmpty)
+    // per query: ranks are 1..k and scores non-increasing
+    run1.groupBy(_.getAs[Int]("query_id")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rnk"))
+      assert(sorted.map(_.getAs[Int]("rnk")).toSeq == (1 to sorted.length))
+      val scores = sorted.map(_.getAs[Long]("score_fp"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    val terms = Map(1 -> Seq("value", "table"), 2 -> Seq("spark", "batch"), 3 -> Seq("customer", "query"))
+    val texts = graft.core.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (r <- run1) {
+      val qs = terms(r.getAs[Int]("query_id"))
+      val toks = texts(r.getAs[Long]("doc_id")).split(" ").toSet
+      assert(qs.exists(toks.contains))
+    }
+  }
+}
