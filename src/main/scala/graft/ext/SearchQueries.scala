@@ -38,6 +38,67 @@ object SearchQueries {
     "SELECT doc_id, unnest(string_split(text, ' ')) AS term, " +
       "CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INTEGER) AS pos FROM documents"
 
+  /** The fixed 3-query keyword workload shared by q_bm25 and
+    * q_hybrid_search (query ids double as dense query vector ids).
+    */
+  private def queryTerms(s: org.apache.spark.sql.SparkSession) = {
+    import s.implicits._
+    Seq((1, "value"), (1, "table"), (2, "spark"), (2, "batch"), (3, "customer"), (3, "query"))
+      .toDF("query_id", "term")
+  }
+
+  /** Exact-integer BM25 scores (query_id, doc_id, score_fp) — the scoring
+    * chain shared by q_bm25 (top-5 ranked output) and q_hybrid_search
+    * (top-20 list feeding reciprocal-rank fusion). See q_bm25's comment
+    * for the fixed-point discipline; the plan filters the token stream to
+    * the 6 query terms BEFORE any join, so work ∝ query postings.
+    */
+  private def bm25Scores(s: org.apache.spark.sql.SparkSession, docs: org.apache.spark.sql.DataFrame) = {
+    val corpus = docs.agg(
+      count(lit(1)).as("n"),
+      sum(size(split(col("text"), " ")).cast("long")).as("total_tok"))
+    val dl = docs.select(
+      col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
+    val tf = tokens(docs)
+      .join(broadcast(queryTerms(s)), Seq("term"))
+      .groupBy(col("query_id"), col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("query_id"), col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    tf
+      .join(df, Seq("query_id", "term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("dl_ratio_fp", expr("dl * n * 1000 div total_tok"))
+      .withColumn("norm_fp", expr("250 + (750 * dl_ratio_fp) div 1000"))
+      .withColumn("denom_fp", expr("tf * 1000 + (12 * norm_fp) div 10"))
+      .withColumn("tfw_fp", expr("(tf * 2200 * 1000000) div denom_fp"))
+      .withColumn("idf_fp", expr("((2 * n - 2 * df + 1) * 1000000) div (2 * df + 1)"))
+      .withColumn("s_fp", expr("(idf_fp * tfw_fp) div 1000000"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("s_fp")).as("score_fp"))
+  }
+
+  /** DuckDB CTE chain mirroring [[bm25Scores]]: defines toks, q, corpus,
+    * dl, tf, dfreq, parts, scored(query_id, doc_id, score_fp).
+    */
+  private val bm25ScoredSql =
+    s"toks AS ($tokensSql), " +
+      "q(query_id, term) AS (VALUES (1, 'value'), (2, 'spark'), (2, 'batch'), (1, 'table'), (3, 'customer'), (3, 'query')), " +
+      "corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+      "CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tok FROM documents), " +
+      "dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents), " +
+      "tf AS (SELECT query_id, term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf " +
+      "FROM toks JOIN q USING (term) GROUP BY query_id, term, doc_id), " +
+      "dfreq AS (SELECT query_id, term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df " +
+      "FROM tf GROUP BY query_id, term), " +
+      "parts AS (SELECT tf.query_id, tf.doc_id, " +
+      "((((2 * n - 2 * df + 1) * 1000000) // (2 * df + 1)) * " +
+      "((tf * 2200 * 1000000) // (tf * 1000 + (12 * (250 + (750 * (dl * n * 1000 // total_tok)) // 1000)) // 10))) // 1000000 AS s_fp " +
+      "FROM tf JOIN dfreq USING (query_id, term) JOIN dl USING (doc_id) CROSS JOIN corpus), " +
+      "scored AS (SELECT query_id, doc_id, CAST(SUM(s_fp) AS BIGINT) AS score_fp " +
+      "FROM parts GROUP BY query_id, doc_id)"
+
   val queries: Seq[Q] = Seq(
     Q(
       "q_inverted_index",
@@ -142,35 +203,7 @@ object SearchQueries {
       // row_number()<=k shape TopKRewrite lifts into the bounded-heap
       // TopKPerKey operator — k·queries rows cross the final exchange.
       (s, d) => {
-        val docs = Tables(s, d, "documents")
-        val corpus = docs.agg(
-          count(lit(1)).as("n"),
-          sum(size(split(col("text"), " ")).cast("long")).as("total_tok"))
-        val dl = docs.select(
-          col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
-        val qterms = {
-          import s.implicits._
-          Seq((1, "value"), (1, "table"), (2, "spark"), (2, "batch"), (3, "customer"), (3, "query"))
-            .toDF("query_id", "term")
-        }
-        val tf = tokens(docs)
-          .join(broadcast(qterms), Seq("term"))
-          .groupBy(col("query_id"), col("term"), col("doc_id"))
-          .agg(count(lit(1)).as("tf"))
-        val df = tf.groupBy(col("query_id"), col("term"))
-          .agg(countDistinct(col("doc_id")).as("df"))
-        val scored = tf
-          .join(df, Seq("query_id", "term"))
-          .join(dl, Seq("doc_id"))
-          .crossJoin(broadcast(corpus))
-          .withColumn("dl_ratio_fp", expr("dl * n * 1000 div total_tok"))
-          .withColumn("norm_fp", expr("250 + (750 * dl_ratio_fp) div 1000"))
-          .withColumn("denom_fp", expr("tf * 1000 + (12 * norm_fp) div 10"))
-          .withColumn("tfw_fp", expr("(tf * 2200 * 1000000) div denom_fp"))
-          .withColumn("idf_fp", expr("((2 * n - 2 * df + 1) * 1000000) div (2 * df + 1)"))
-          .withColumn("s_fp", expr("(idf_fp * tfw_fp) div 1000000"))
-          .groupBy(col("query_id"), col("doc_id"))
-          .agg(sum(col("s_fp")).as("score_fp"))
+        val scored = bm25Scores(s, Tables(s, d, "documents"))
         val w = Window.partitionBy(col("query_id")).orderBy(col("score_fp").desc, col("doc_id"))
         scored
           .withColumn("rnk", row_number().over(w))
@@ -178,24 +211,78 @@ object SearchQueries {
           .orderBy("query_id", "rnk")
       },
       Some(
-        s"WITH toks AS ($tokensSql), " +
-          "q(query_id, term) AS (VALUES (1, 'value'), (2, 'spark'), (2, 'batch'), (1, 'table'), (3, 'customer'), (3, 'query')), " +
-          "corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
-          "CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tok FROM documents), " +
-          "dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents), " +
-          "tf AS (SELECT query_id, term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf " +
-          "FROM toks JOIN q USING (term) GROUP BY query_id, term, doc_id), " +
-          "dfreq AS (SELECT query_id, term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df " +
-          "FROM tf GROUP BY query_id, term), " +
-          "parts AS (SELECT tf.query_id, tf.doc_id, " +
-          "((((2 * n - 2 * df + 1) * 1000000) // (2 * df + 1)) * " +
-          "((tf * 2200 * 1000000) // (tf * 1000 + (12 * (250 + (750 * (dl * n * 1000 // total_tok)) // 1000)) // 10))) // 1000000 AS s_fp " +
-          "FROM tf JOIN dfreq USING (query_id, term) JOIN dl USING (doc_id) CROSS JOIN corpus), " +
-          "scored AS (SELECT query_id, doc_id, CAST(SUM(s_fp) AS BIGINT) AS score_fp " +
-          "FROM parts GROUP BY query_id, doc_id), " +
+        s"WITH $bm25ScoredSql, " +
           "r AS (SELECT query_id, doc_id, score_fp, " +
           "CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_fp DESC, doc_id) AS INT) AS rnk FROM scored) " +
           "SELECT query_id, doc_id, score_fp, rnk FROM r WHERE rnk <= 5 ORDER BY query_id, rnk")
+    ),
+    Q(
+      "q_hybrid_search",
+      // Hybrid retrieval: reciprocal-rank fusion (Cormack/Clarke/Büttcher
+      // 2009) of a SPARSE list (the exact-integer BM25 chain above,
+      // top-20 per query) and a DENSE list (exact brute-force cosine
+      // top-20 over `embeddings`, the q_sim_bruteforce machinery — the
+      // fixture's doc_id and vec_id share one id space, so query_id n's
+      // dense query is vector n). RRF only consumes RANKS, never raw
+      // scores, which is exactly why it's the production fusion choice —
+      // no cross-modality score calibration — and why it is fully
+      // cross-engine exact here: rrf_fp = Σ_lists 1e6 div (60 + rank) is
+      // pure integer arithmetic (the float cosines only ever ORDER the
+      // dense list, and ordering is bit-stable: sequential-fold doubles
+      // tie-broken by id). Plan shape: both lists end in the
+      // row_number()<=k TopKRewrite shape, the fusion is a tiny full
+      // outer join on (query_id, doc_id) — 2·k·queries rows — and the
+      // final top-10 is again bounded-heap. At 100 TB the two list
+      // engines scale independently (postings shuffle / IVF cells); the
+      // fusion stage stays k-bounded regardless of corpus size.
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val emb = Tables(s, d, "embeddings")
+        val sw = Window.partitionBy(col("query_id")).orderBy(col("score_fp").desc, col("doc_id"))
+        val sparse = bm25Scores(s, docs)
+          .withColumn("srnk", row_number().over(sw))
+          .filter(col("srnk") <= 20)
+          .select(col("query_id"), col("doc_id"), col("srnk"))
+        val dense = Similarity
+          .bruteForceTopK(emb.filter(col("vec_id").isin(1, 2, 3)), emb, 20)
+          .select(
+            col("q_id").cast("int").as("query_id"),
+            col("n_id").as("doc_id"),
+            col("rank").as("drnk"))
+        val fw = Window.partitionBy(col("query_id")).orderBy(col("rrf_fp").desc, col("doc_id"))
+        sparse
+          .join(dense, Seq("query_id", "doc_id"), "full")
+          .select(
+            col("query_id"), col("doc_id"),
+            (coalesce(expr("1000000 div (60 + srnk)"), lit(0L)) +
+              coalesce(expr("1000000 div (60 + drnk)"), lit(0L))).as("rrf_fp"),
+            coalesce(col("srnk"), lit(0)).as("sparse_rank"),
+            coalesce(col("drnk"), lit(0)).as("dense_rank"))
+          .withColumn("rnk", row_number().over(fw))
+          .filter(col("rnk") <= 10)
+          .orderBy("query_id", "rnk")
+      },
+      Some(
+        s"WITH $bm25ScoredSql, " +
+          "sparse AS (SELECT query_id, doc_id, srnk FROM " +
+          "(SELECT query_id, doc_id, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_fp DESC, doc_id) AS INT) AS srnk FROM scored) " +
+          "WHERE srnk <= 20), " +
+          "dq AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id IN (1, 2, 3)), " +
+          "dc AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings), " +
+          "ds AS (SELECT q_id, n_id, list_dot_product(qv, cv) / " +
+          "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos " +
+          "FROM dq CROSS JOIN dc WHERE q_id <> n_id), " +
+          "dense AS (SELECT CAST(q_id AS INTEGER) AS query_id, n_id AS doc_id, drnk FROM " +
+          "(SELECT q_id, n_id, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS drnk FROM ds) " +
+          "WHERE drnk <= 20), " +
+          "fused AS (SELECT COALESCE(s.query_id, den.query_id) AS query_id, " +
+          "COALESCE(s.doc_id, den.doc_id) AS doc_id, " +
+          "CAST(COALESCE(1000000 // (60 + s.srnk), 0) + COALESCE(1000000 // (60 + den.drnk), 0) AS BIGINT) AS rrf_fp, " +
+          "COALESCE(s.srnk, 0) AS sparse_rank, COALESCE(den.drnk, 0) AS dense_rank " +
+          "FROM sparse s FULL JOIN dense den ON s.query_id = den.query_id AND s.doc_id = den.doc_id), " +
+          "fr AS (SELECT query_id, doc_id, rrf_fp, sparse_rank, dense_rank, " +
+          "CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf_fp DESC, doc_id) AS INT) AS rnk FROM fused) " +
+          "SELECT query_id, doc_id, rrf_fp, sparse_rank, dense_rank, rnk FROM fr WHERE rnk <= 10 ORDER BY query_id, rnk")
     ),
     Q(
       "q_sparse_cosine",
