@@ -47,6 +47,12 @@ object Ivf {
     (array_position(dists, array_min(dists)) - 1).cast("int")
   }
 
+  /** Squared distance to the NEAREST centroid — the per-row inertia term
+    * Lloyd's algorithm minimizes (see [[ClusterQueries]]' q_kmeans gate).
+    */
+  def minDist2(v: Column, centroids: Seq[Seq[Double]]): Column =
+    array_min(array(centroids.map(c => dist2(v, c)): _*))
+
   /** Deterministic k-means: initial centroids are the vectors whose ids
     * hash lowest (spread, reproducible), then `iters` Lloyd rounds. Only
     * k centroid vectors are ever collected to the driver.
