@@ -84,6 +84,16 @@ import java.nio.file.{Files, Paths}
   * the builder's committed BENCH_LOCAL.json in the working tree);
   * builders refreshing the committed snapshot set
   * GRAFT_BENCH_DETAIL=BENCH_LOCAL.json explicitly.
+  *
+  * EMISSION (round 11): the round-9 self-adjudication additions grew the
+  * stdout line past the driver's tail-capture window AGAIN (BENCH_r09 and
+  * BENCH_r10 both carry parsed: null — the captured tail starts mid-line,
+  * so the line's FRONT, including "metric"/"value", was cut). The stdout
+  * line now carries only what the driver contract needs plus scalar
+  * adjudication summaries (total_median, probe-normalized totals, probe
+  * min/max); the per-query medians, the mrows map, and the full probe
+  * arrays live in the detail file. Sampling protocol is unchanged
+  * (totals stay comparable within "interleaved-passes-v6").
   */
 object Bench {
   private val Samples = 3
@@ -298,24 +308,31 @@ object Bench {
     val sMrows = splitMrows.map { case (k, v) => s"${jstr(k)}:${num(v)}" }.mkString("{", ",", "}")
     val splitTotal = splitTimes.values.sum
     val detailFile = sys.env.getOrElse("GRAFT_BENCH_DETAIL", "BENCH_OFFICIAL.json")
+    // stdout line: driver contract (metric/value/unit/queries/sf) plus
+    // SCALAR adjudication summaries only — every per-query map beyond the
+    // mins, and the raw probe arrays, would push the line past the
+    // driver's tail-capture window (the round-9/10 parsed:null failure).
     val head =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","samples":$Samples,"rescue_passes":$rescuePasses,""" +
-        s""""protocol":"interleaved-passes-v6","note":"queries/errors keysets may overlap (timed-then-errored); totals comparable only within one protocol string",""" +
-        s""""probe1_sec":${arr(p1.toSeq)},"probe32_sec":${arr(p32.toSeq)},""" +
-        s""""queries":$qs,"queries_median":$qsMed,"total_median":${num(totalMedian)},""" +
+        s""""protocol":"interleaved-passes-v6",""" +
+        s""""probe1_min":${num(if (p1.nonEmpty) p1.min else 0.0)},""" +
+        s""""probe32_min":${num(if (p32.nonEmpty) p32.min else 0.0)},"probe32_max":${num(if (p32.nonEmpty) p32.max else 0.0)},""" +
+        s""""queries":$qs,"total_median":${num(totalMedian)},""" +
         s""""total_probe_norm":${num(normTotal(samples))},""" +
         s""""split_files":$SplitFiles,"split_passes":$SplitPasses,"total_split":${num(splitTotal)},""" +
         s""""total_split_probe_norm":${num(normTotal(splitSamples))},""" +
-        s""""mrows_per_sec_split":$sMrows,"detail_file":${jstr(detailFile)},""" +
+        s""""detail_file":${jstr(detailFile)},""" +
         s""""errors":$errs,"sf":${jstr(sfDir)}}"""
-    // Full detail goes to disk ONLY: per-sample arrays and the per-query
-    // split timings would push the stdout line past the driver's
-    // tail-capture window again (the round-7 failure mode). Default
+    // Full detail goes to disk ONLY: per-sample arrays, per-query medians,
+    // the split-tier per-query timings/Mrows, and the probe arrays. Default
     // target is BENCH_OFFICIAL.json (gitignored) so a driver run never
     // dirties the committed BENCH_LOCAL.json snapshot; builders refresh
     // that snapshot with GRAFT_BENCH_DETAIL=BENCH_LOCAL.json.
     val detail = head.dropRight(1) +
-      s""","queries_all":$qsAll,"queries_split":$sq,"queries_split_all":$sqAll}"""
+      s""","note":"queries/errors keysets may overlap (timed-then-errored); totals comparable only within one protocol string",""" +
+      s""""probe1_sec":${arr(p1.toSeq)},"probe32_sec":${arr(p32.toSeq)},""" +
+      s""""queries_median":$qsMed,"mrows_per_sec_split":$sMrows,""" +
+      s""""queries_all":$qsAll,"queries_split":$sq,"queries_split_all":$sqAll}"""
     Files.writeString(Paths.get(detailFile), detail + "\n")
     println(head)
     spark.stop()

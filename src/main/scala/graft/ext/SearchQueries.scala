@@ -38,14 +38,21 @@ object SearchQueries {
     "SELECT doc_id, unnest(string_split(text, ' ')) AS term, " +
       "CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INTEGER) AS pos FROM documents"
 
-  /** The fixed 3-query keyword workload shared by q_bm25 and
-    * q_hybrid_search (query ids double as dense query vector ids).
+  /** The fixed 3-query keyword workload shared by q_bm25 and the hybrid
+    * queries (query ids double as dense query vector ids). ONE Seq backs
+    * both the Spark DataFrame and the oracle's VALUES clause, so the two
+    * engines cannot silently desync (round-10 advice).
     */
+  private[graft] val queryTermPairs: Seq[(Int, String)] =
+    Seq((1, "value"), (1, "table"), (2, "spark"), (2, "batch"), (3, "customer"), (3, "query"))
+
   private def queryTerms(s: org.apache.spark.sql.SparkSession) = {
     import s.implicits._
-    Seq((1, "value"), (1, "table"), (2, "spark"), (2, "batch"), (3, "customer"), (3, "query"))
-      .toDF("query_id", "term")
+    queryTermPairs.toDF("query_id", "term")
   }
+
+  private val queryTermsValuesSql: String =
+    queryTermPairs.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
 
   /** Exact-integer BM25 scores (query_id, doc_id, score_fp) — the scoring
     * chain shared by q_bm25 (top-5 ranked output) and q_hybrid_search
@@ -84,7 +91,7 @@ object SearchQueries {
     */
   private val bm25ScoredSql =
     s"toks AS ($tokensSql), " +
-      "q(query_id, term) AS (VALUES (1, 'value'), (2, 'spark'), (2, 'batch'), (1, 'table'), (3, 'customer'), (3, 'query')), " +
+      s"q(query_id, term) AS (VALUES $queryTermsValuesSql), " +
       "corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
       "CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tok FROM documents), " +
       "dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents), " +
