@@ -30,7 +30,8 @@ object Registry {
       graft.ext.EmbedQueries.queries ++
       graft.ext.MonitorQueries.queries ++
       graft.ext.SketchQueries.queries ++
-      graft.ext.SearchQueries.queries
+      graft.ext.SearchQueries.queries ++
+      graft.ext.ClusterQueries.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

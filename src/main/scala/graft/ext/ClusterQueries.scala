@@ -1,0 +1,195 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.core.Tables
+
+/** Lloyd's k-means over the `embeddings` table — the training step under
+  * the whole IVF / SemDeDup / PQ serving stack ([[Ivf.train]] is the
+  * deterministic production form; THIS family is its correctness gate:
+  * round-10 verdict #1, the one previously-ungated link in the
+  * similarity chain).
+  *
+  * The entire iteration is EXACT INTEGER fixed-point so DuckDB re-derives
+  * the full training chain bit-identically and the inertia sequence is a
+  * real cross-engine differential, not an in-plan boolean:
+  *
+  *  - per-dim quantization: xf = round((x + 2) * 1e6). The +2 offset keeps
+  *    every value positive, so Spark's truncating `div` and DuckDB's
+  *    flooring `//` agree on the centroid means; distances are invariant
+  *    under the common shift. Embedding values are |x| < 2 by fixture
+  *    contract (measured [-0.53, 0.46]); the recipe holds for any |x| < 2.
+  *  - seeds: the K vectors whose md5(vec_id-as-string) sorts lowest —
+  *    md5 hex strings are engine-identical, giving a spread, reproducible
+  *    init with no RNG (the [[Ivf.train]] xxhash64 init is Spark-only).
+  *  - assignment: argmin of the integer squared distance, ties to the
+  *    lowest bucket — [[Ivf.assignExpr]]'s array_position semantics on the
+  *    Spark side, ROW_NUMBER ORDER BY (d2, bucket) in DuckDB. All integer
+  *    values stay exact in doubles (max per-vector distance ~6.4e13 <
+  *    2^53), so the codegen'd double fold and DuckDB's BIGINT arithmetic
+  *    produce the same numbers.
+  *  - update: per-dim integer-floor mean sum(xf) div count. Empty buckets
+  *    keep their previous centroid on both engines.
+  *
+  * Inertia gate: Lloyd's assignment step cannot increase
+  * Σ minDist2 ([[Ivf.minDist2]] — the per-row term this family finally
+  * exercises), and the update step with EXACT means cannot either; the
+  * floor-quantized mean m (|μ−m| < 1 per dim) inflates the post-update
+  * objective by at most Σ_clusters n_k·|μ_k−m_k|² ≤ n·dims (parallel-axis
+  * theorem), so `inertia(t+1) ≤ inertia(t) + dims·n` is a THEOREM for this
+  * implementation, not a tolerance fudge — any real regression (wrong
+  * assignment, mis-merged mean, dropped rows) breaks it by orders of
+  * magnitude more than the quantization slack.
+  *
+  * Scale shape (the [[Ivf.train]] notes apply): each iteration is one
+  * narrow-map assignment (centroids are k×dim literals, broadcast by
+  * construction) plus one (bucket, pos)-keyed partial+final hash
+  * aggregate; only k centroid vectors ever reach the driver per round.
+  * The per-iteration inertia aggregates add one scan each — gate-scale
+  * instrumentation; a production trainer folds the inertia into the
+  * assignment pass's aggregate.
+  */
+object ClusterQueries {
+
+  private val K = 8
+  private val Updates = 3
+  private val Dims = 64
+
+  /** Fixed-point embedding vectors: array<double> holding exact integers
+    * (round((x+2)*1e6)) — doubles so [[Ivf.assignExpr]]/[[Ivf.minDist2]]'s
+    * fused literal-centroid folds stay whole-stage-codegen'd, exact
+    * because every intermediate stays far below 2^53.
+    */
+  private def fpVecs(emb: DataFrame): DataFrame =
+    emb.select(
+      col("vec_id"),
+      transform(
+        col("embedding").cast("array<double>"),
+        x => round((x + lit(2.0)) * lit(1000000.0))).as("v"))
+
+  /** Centroid history c_0 .. c_Updates of the fixed-point Lloyd run. Only
+    * K centroid vectors are collected per round (the [[Ivf.train]]
+    * driver-state bound).
+    */
+  private def history(emb: DataFrame): Seq[Seq[Seq[Double]]] = {
+    val v = fpVecs(emb)
+    var cents: Seq[Seq[Double]] = v
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(K)
+      .collect()
+      .map(_.getSeq[Double](1).toIndexedSeq)
+      .toSeq
+    val hist = scala.collection.mutable.ArrayBuffer[Seq[Seq[Double]]](cents)
+    for (_ <- 0 until Updates) {
+      val means = v
+        .withColumn("bucket", Ivf.assignExpr(col("v"), cents))
+        .select(col("bucket"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("bucket"), col("pos"))
+        .agg(expr("sum(cast(x as bigint)) div count(1)").as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (b, rows) =>
+          b -> rows.sortBy(_.getInt(1)).map(_.getLong(2).toDouble).toIndexedSeq
+        }
+      cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
+      hist += cents
+    }
+    hist.toSeq
+  }
+
+  /** Shared DuckDB CTE chain re-deriving the identical fixed-point Lloyd
+    * run: v (fixed-point tokens), seeds/c0, then per iteration dist_t /
+    * a_t (assignment + per-row min distance) and u_{t+1} / c_{t+1}
+    * (floor-mean update with empty-bucket carry). Generated from the same
+    * K/Updates constants the Spark side uses — one source of truth for
+    * the iteration count on both engines.
+    */
+  private val lloydCtes: String = {
+    val sb = new StringBuilder
+    sb ++= "v AS (SELECT vec_id, CAST(gs - 1 AS INTEGER) AS pos, " +
+      "CAST(round((CAST(x AS DOUBLE) + 2.0) * 1000000) AS BIGINT) AS xf " +
+      "FROM (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS gs FROM embeddings)), "
+    sb ++= "seeds AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER) AS bucket " +
+      s"FROM (SELECT vec_id FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $K)), "
+    sb ++= "c0 AS (SELECT s.bucket, v.pos, v.xf AS m FROM seeds s JOIN v USING (vec_id)), "
+    for (t <- 0 to Updates) {
+      sb ++= s"dist$t AS (SELECT v.vec_id, c.bucket, CAST(SUM((v.xf - c.m) * (v.xf - c.m)) AS BIGINT) AS d2 " +
+        s"FROM v JOIN c$t c USING (pos) GROUP BY v.vec_id, c.bucket), "
+      sb ++= s"a$t AS (SELECT vec_id, bucket, d2 FROM (SELECT vec_id, bucket, d2, " +
+        s"ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, bucket) AS rn FROM dist$t) WHERE rn = 1)" +
+        (if (t < Updates) ", " else "")
+      if (t < Updates) {
+        sb ++= s"u${t + 1} AS (SELECT a.bucket, v.pos, CAST(SUM(v.xf) // COUNT(*) AS BIGINT) AS m " +
+          s"FROM a$t a JOIN v USING (vec_id) GROUP BY a.bucket, v.pos), "
+        sb ++= s"c${t + 1} AS (SELECT c.bucket, c.pos, COALESCE(u.m, c.m) AS m " +
+          s"FROM c$t c LEFT JOIN u${t + 1} u ON c.bucket = u.bucket AND c.pos = u.pos), "
+      }
+    }
+    sb.toString
+  }
+
+  val queries: Seq[Q] = Seq(
+    Q(
+      "q_kmeans",
+      // Inertia trajectory of the fixed-point Lloyd run: one row per
+      // iteration (iter, inertia_fp, nonincreasing). inertia_fp is the
+      // exact integer Σ_rows minDist2 under that iteration's centroids —
+      // DuckDB re-derives the whole training chain, so the VALUES are the
+      // differential, and the monotonicity boolean carries the provable
+      // dims·n floor-quantization slack (see object scaladoc).
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val v = fpVecs(emb)
+        val inertias = history(emb).zipWithIndex
+          .map { case (c, t) =>
+            v.agg(sum(Ivf.minDist2(col("v"), c).cast("long")).as("inertia_fp"))
+              .select(lit(t).as("iter"), col("inertia_fp"))
+          }
+          .reduce(_ unionByName _)
+        // 4-row global window + 1-row broadcast scalar: presentation-scale
+        inertias
+          .crossJoin(broadcast(emb.agg(count(lit(1)).as("n_vecs"))))
+          .withColumn("prev", lag(col("inertia_fp"), 1).over(Window.orderBy(col("iter"))))
+          .select(
+            col("iter"), col("inertia_fp"),
+            (col("prev").isNull || col("inertia_fp") <= col("prev") + lit(Dims.toLong) * col("n_vecs"))
+              .as("nonincreasing"))
+          .orderBy("iter")
+      },
+      Some(
+        s"WITH $lloydCtes, " +
+          (0 to Updates)
+            .map(t => s"SELECT $t AS iter, CAST(SUM(d2) AS BIGINT) AS inertia_fp FROM a$t")
+            .mkString("it AS (", " UNION ALL ", "), ") +
+          "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nv FROM embeddings) " +
+          "SELECT iter, inertia_fp, (prev IS NULL OR inertia_fp <= prev + 64 * nv) AS nonincreasing " +
+          "FROM (SELECT iter, inertia_fp, LAG(inertia_fp) OVER (ORDER BY iter) AS prev FROM it) CROSS JOIN n " +
+          "ORDER BY iter")
+    ),
+    Q(
+      "q_kmeans_assign",
+      // Final cluster assignment under the trained (fixed) centroids:
+      // every (vec_id, bucket, d2_fp) row is re-derived by DuckDB from
+      // scratch — the per-row differential twin of q_kmeans's aggregate
+      // trajectory, and the same fixed-centroid-assignment contract the
+      // incremental gate (q_sim_ivf_incremental) enforces for the stored
+      // quantizer.
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val cFinal = history(emb).last
+        fpVecs(emb)
+          .select(
+            col("vec_id"),
+            Ivf.assignExpr(col("v"), cFinal).as("bucket"),
+            Ivf.minDist2(col("v"), cFinal).cast("long").as("d2_fp"))
+          .orderBy("vec_id")
+      },
+      Some(
+        s"WITH $lloydCtes " +
+          s"SELECT vec_id, bucket, d2 AS d2_fp FROM a$Updates ORDER BY vec_id")
+    )
+  )
+}
