@@ -175,19 +175,28 @@ object Ivf {
       .select(Similarity.cosine(col("c_old"), col("c_new")).as("drift_cos"))
   }
 
-  /** IVF top-k: probe the `nprobe` nearest buckets per query, exact cosine
-    * re-score within them.
+  /** Query-side probe assignment: each query row listed under its `nprobe`
+    * nearest cells, with its norm precomputed once — the candidate-
+    * generation half of [[topK]], exposed so gates can count the scored
+    * candidate volume (probes ⋈ index on bucket) independently of the
+    * top-k selection.
     */
-  def topK(queries: DataFrame, indexed: DataFrame, centroids: Seq[Seq[Double]], k: Int, nprobe: Int): DataFrame = {
+  def probeCells(queries: DataFrame, centroids: Seq[Seq[Double]], nprobe: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("qv"))
     val dists = array(centroids.map(c => dist2(col("qv"), c)): _*)
-    val probes = q
-      .select(col("q_id"), col("qv"), posexplode(dists).as(Seq("bucket", "d2")))
+    q.select(col("q_id"), col("qv"), posexplode(dists).as(Seq("bucket", "d2")))
       .withColumn("probe_rank", row_number().over(Window.partitionBy(col("q_id")).orderBy(col("d2"), col("bucket"))))
       .filter(col("probe_rank") <= nprobe)
       .select(
         col("q_id"), col("qv"),
         sqrt(Similarity.dot(col("qv"), col("qv"))).as("qn"), col("bucket"))
+  }
+
+  /** IVF top-k: probe the `nprobe` nearest buckets per query, exact cosine
+    * re-score within them.
+    */
+  def topK(queries: DataFrame, indexed: DataFrame, centroids: Seq[Seq[Double]], k: Int, nprobe: Int): DataFrame = {
+    val probes = probeCells(queries, centroids, nprobe)
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     broadcast(probes)
       // corpus-side norms once per stored row, not per scored pair —

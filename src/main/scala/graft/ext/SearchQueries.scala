@@ -86,6 +86,64 @@ object SearchQueries {
       .agg(sum(col("s_fp")).as("score_fp"))
   }
 
+  /** Sparse BM25 top-`k` list per query: (query_id, doc_id, srnk). */
+  private def sparseTop(s: org.apache.spark.sql.SparkSession, docs: org.apache.spark.sql.DataFrame, k: Int) = {
+    val sw = Window.partitionBy(col("query_id")).orderBy(col("score_fp").desc, col("doc_id"))
+    bm25Scores(s, docs)
+      .withColumn("srnk", row_number().over(sw))
+      .filter(col("srnk") <= k)
+      .select(col("query_id"), col("doc_id"), col("srnk"))
+  }
+
+  /** Reciprocal-rank fusion of a sparse (query_id, doc_id, srnk) and a
+    * dense (query_id, doc_id, drnk) list: integer-exact rrf_fp, top-10
+    * per query. Shared by the exact and IVF-served hybrid queries — the
+    * fusion stage is identical; only the dense list's candidate engine
+    * differs.
+    */
+  private def rrfFuse(sparse: org.apache.spark.sql.DataFrame, dense: org.apache.spark.sql.DataFrame) = {
+    val fw = Window.partitionBy(col("query_id")).orderBy(col("rrf_fp").desc, col("doc_id"))
+    sparse
+      .join(dense, Seq("query_id", "doc_id"), "full")
+      .select(
+        col("query_id"), col("doc_id"),
+        (coalesce(expr("1000000 div (60 + srnk)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + drnk)"), lit(0L))).as("rrf_fp"),
+        coalesce(col("srnk"), lit(0)).as("sparse_rank"),
+        coalesce(col("drnk"), lit(0)).as("dense_rank"))
+      .withColumn("rnk", row_number().over(fw))
+      .filter(col("rnk") <= 10)
+  }
+
+  /** The SERVED IVF hybrid composition (round-10 verdict #2): the dense
+    * list comes from the stored coarse quantizer ([[Ivf.topK]], k=16
+    * cells, nprobe=4 — the q_sim_ivf serving recipe) instead of the
+    * brute-force scan, then the identical RRF fusion. Returns the fused
+    * top-10 plus the scored dense candidate relation (probes ⋈ index on
+    * bucket) so the registered gate — and PlanAuditSpec — can bound the
+    * candidate volume. Exposed package-private for the plan audit: the
+    * served plan must never contain a corpus-wide cross join on the
+    * dense side.
+    */
+  private[graft] def hybridServedIvf(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val docs = Tables(s, d, "documents")
+    val emb = Tables(s, d, "embeddings")
+    val q = emb.filter(col("vec_id").isin(1, 2, 3))
+    val centroids = Ivf.train(s, emb, k = 16)
+    val indexed = Ivf.index(emb, centroids)
+    val cand = Ivf.probeCells(q, centroids, nprobe = 4)
+      .join(indexed, Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"))
+    val dense = Ivf.topK(q, indexed, centroids, k = 20, nprobe = 4)
+      .select(
+        col("q_id").cast("int").as("query_id"),
+        col("n_id").as("doc_id"),
+        col("rank").as("drnk"))
+    (rrfFuse(sparseTop(s, docs, 20), dense), cand)
+  }
+
   /** DuckDB CTE chain mirroring [[bm25Scores]]: defines toks, q, corpus,
     * dl, tf, dfreq, parts, scored(query_id, doc_id, score_fp).
     */
@@ -245,29 +303,13 @@ object SearchQueries {
       (s, d) => {
         val docs = Tables(s, d, "documents")
         val emb = Tables(s, d, "embeddings")
-        val sw = Window.partitionBy(col("query_id")).orderBy(col("score_fp").desc, col("doc_id"))
-        val sparse = bm25Scores(s, docs)
-          .withColumn("srnk", row_number().over(sw))
-          .filter(col("srnk") <= 20)
-          .select(col("query_id"), col("doc_id"), col("srnk"))
         val dense = Similarity
           .bruteForceTopK(emb.filter(col("vec_id").isin(1, 2, 3)), emb, 20)
           .select(
             col("q_id").cast("int").as("query_id"),
             col("n_id").as("doc_id"),
             col("rank").as("drnk"))
-        val fw = Window.partitionBy(col("query_id")).orderBy(col("rrf_fp").desc, col("doc_id"))
-        sparse
-          .join(dense, Seq("query_id", "doc_id"), "full")
-          .select(
-            col("query_id"), col("doc_id"),
-            (coalesce(expr("1000000 div (60 + srnk)"), lit(0L)) +
-              coalesce(expr("1000000 div (60 + drnk)"), lit(0L))).as("rrf_fp"),
-            coalesce(col("srnk"), lit(0)).as("sparse_rank"),
-            coalesce(col("drnk"), lit(0)).as("dense_rank"))
-          .withColumn("rnk", row_number().over(fw))
-          .filter(col("rnk") <= 10)
-          .orderBy("query_id", "rnk")
+        rrfFuse(sparseTop(s, docs, 20), dense).orderBy("query_id", "rnk")
       },
       Some(
         s"WITH $bm25ScoredSql, " +
@@ -290,6 +332,52 @@ object SearchQueries {
           "fr AS (SELECT query_id, doc_id, rrf_fp, sparse_rank, dense_rank, " +
           "CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf_fp DESC, doc_id) AS INT) AS rnk FROM fused) " +
           "SELECT query_id, doc_id, rrf_fp, sparse_rank, dense_rank, rnk FROM fr WHERE rnk <= 10 ORDER BY query_id, rnk")
+    ),
+    Q(
+      "q_hybrid_search_ivf",
+      // The hybrid pipeline on its PRODUCTION dense engine: IVF-served
+      // candidates (stored coarse quantizer, nprobe-bounded probes —
+      // q_hybrid_search's scale note, executed) fused by the identical
+      // RRF stage. Cell assignment is float/partition-order specific, so
+      // the gated output is the recall of the fused top-10 vs the
+      // exact-dense fusion computed in-plan (floor 0.5 — the sparse list
+      // is shared, so fusion overlap sits well above the raw dense
+      // recall) PLUS the sub-quadratic candidate ceiling: scored dense
+      // candidates must stay under 0.6·n_docs·n_queries, while the
+      // brute-force dense scan is n_docs·n_queries by definition
+      // (nprobe/k = 1/4 of the corpus per query ≈ 0.25). The exact
+      // fusion side is gate-scale-only (it IS the oracle); the served
+      // composition is hybridServedIvf, plan-audited to contain no
+      // corpus-wide cross join on the dense side (PlanAuditSpec).
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val docs = Tables(s, d, "documents")
+        val (fusedIvf, cand) = hybridServedIvf(s, d)
+        val denseExact = Similarity
+          .bruteForceTopK(emb.filter(col("vec_id").isin(1, 2, 3)), emb, 20)
+          .select(
+            col("q_id").cast("int").as("query_id"),
+            col("n_id").as("doc_id"),
+            col("rank").as("drnk"))
+        val fusedExact = rrfFuse(sparseTop(s, docs, 20), denseExact)
+        SimilarityQueries
+          .recallFold(
+            fusedExact.select(col("query_id"), col("doc_id")),
+            fusedIvf.select(col("query_id"), col("doc_id")),
+            Seq("query_id", "doc_id"), 0.5,
+            countDistinct(col("query_id")), "n_queries")
+          .crossJoin(broadcast(cand.agg(count(lit(1)).as("__n_cand"))))
+          .crossJoin(broadcast(emb.agg(count(lit(1)).as("__n_docs"))))
+          .select(
+            col("n_queries"),
+            col("recall_ge_floor"),
+            (col("__n_cand").cast("double") <=
+              col("__n_docs").cast("double") * col("n_queries").cast("double") * 0.6)
+              .as("candidates_subquadratic"))
+      },
+      Some(
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS recall_ge_floor, " +
+          "true AS candidates_subquadratic FROM embeddings WHERE vec_id IN (1, 2, 3)")
     ),
     Q(
       "q_sparse_cosine",

@@ -174,6 +174,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TopKPerKeyFinal"), s"per-src top-k fell back to a window sort:\n${p.take(1500)}")
   }
 
+  test("IVF hybrid serving path: no corpus-wide cross join on the dense side") {
+    // q_hybrid_search_ivf's SERVED composition (the registered gate wraps
+    // it in an exact-fusion truth side that exists only to oracle recall):
+    // the dense list must reach the fusion through bucket-keyed equi
+    // joins. The only nested-loop join allowed anywhere is the 1-row
+    // corpus-stats broadcast cross inside the BM25 chain; a second one —
+    // or any cartesian — means the dense side regressed to the brute
+    // scan this path exists to replace.
+    val (fused, cand) = graft.ext.SearchQueries.hybridServedIvf(spark, sf())
+    val p = planString(fused)
+    assert(!p.contains("CartesianProduct"), "served hybrid planned a cartesian product")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"expected at most the BM25 corpus-stats broadcast cross, found $bnlj BNLJs")
+    val pc = planString(cand)
+    assert(!pc.contains("CartesianProduct") && !pc.contains("BroadcastNestedLoopJoin"),
+      s"dense candidate generation lost its bucket equi join:\n${pc.take(1200)}")
+  }
+
   test("best-match assignment runs through the bounded-heap top-k operator") {
     // k=1 argmin per left record: the partial exec keeps one row per name
     // per partition, so k·names rows cross the exchange, never the full
