@@ -43,6 +43,39 @@ class SearchSpec extends SparkSpec {
     assert(out.forall(_.getAs[Boolean]("agree")))
   }
 
+  test("3-term phrase search: k-way intersection handles overlap, repeats, and lookalikes") {
+    import spark.implicits._
+    // q_phrase_search3's phrase is "window fast query". Traps: two
+    // occurrences sharing a boundary word-gap (doc 0), a repeated
+    // mid-phrase bigram that must NOT count (doc 2's "fast query" echo),
+    // token-glued lookalikes (doc 4's "windowfast"), and the phrase
+    // split by one word (doc 3).
+    val docs = Seq(
+      (0L, "window fast query fast query window fast query", "en", "t", 46L),
+      (1L, "window fast query", "en", "t", 17L),
+      (2L, "a window fast query fast query", "en", "t", 30L),
+      (3L, "window fast stable query", "en", "t", 24L),
+      (4L, "windowfast query window fast query x", "en", "t", 36L),
+      (5L, "fast query window", "en", "t", 17L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = Files.createTempDirectory("searchspec3").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Registry.byName("q_phrase_search3").run(spark, dir).collect()
+    val occ = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_occ")).toMap
+    assert(occ == Map(0L -> 2L, 1L -> 1L, 2L -> 1L, 3L -> 0L, 4L -> 1L, 5L -> 0L))
+    assert(out.forall(_.getAs[Boolean]("agree")))
+  }
+
+  test("incremental index merge equals the rebuild on every term at fixture scale") {
+    val out = Registry.byName("q_index_incremental").run(spark, sf()).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Boolean]("matches_rebuild")))
+    // and the merged digests are literally the full-build digests
+    val fullIdx = Registry.byName("q_inverted_index").run(spark, sf()).collect()
+      .map(r => r.getAs[String]("term") -> r.getAs[String]("postings_md5")).toMap
+    assert(out.forall(r => fullIdx(r.getAs[String]("term")) == r.getAs[String]("postings_md5")))
+  }
+
   test("inverted index: digest matches a driver-side recompute and tf totals conserve") {
     val dir = sf()
     val out = Registry.byName("q_inverted_index").run(spark, dir).collect()
