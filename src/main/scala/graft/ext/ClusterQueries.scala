@@ -49,8 +49,10 @@ import graft.core.Tables
   * construction) plus one (bucket, pos)-keyed partial+final hash
   * aggregate; only k centroid vectors ever reach the driver per round.
   * The per-iteration inertia aggregates add one scan each — gate-scale
-  * instrumentation; a production trainer folds the inertia into the
-  * assignment pass's aggregate.
+  * instrumentation; the production trainer is [[inertiaFused]]
+  * (q_kmeans_fused): inertia folded into the assignment pass's
+  * aggregate, one scan per round, gated bit-equal to the instrumented
+  * trajectory.
   */
 object ClusterQueries {
 
@@ -70,18 +72,31 @@ object ClusterQueries {
         col("embedding").cast("array<double>"),
         x => round((x + lit(2.0)) * lit(1000000.0))).as("v"))
 
+  /** The K md5-lowest seed vectors (see object scaladoc); asserts the
+    * fixture's embedding width matches the Dims constant both engines'
+    * quantization slack is derived from (ADVICE r11 — an undersized
+    * slack would fire the monotonicity theorem gate spuriously).
+    */
+  private def seedCents(v: DataFrame): Seq[Seq[Double]] = {
+    val cents: Seq[Seq[Double]] = v
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(K)
+      .collect()
+      .map(_.getSeq[Double](1).toIndexedSeq)
+      .toSeq
+    require(
+      cents.forall(_.length == Dims),
+      s"embedding width ${cents.map(_.length).distinct} != Dims=$Dims — slack constant desynced")
+    cents
+  }
+
   /** Centroid history c_0 .. c_Updates of the fixed-point Lloyd run. Only
     * K centroid vectors are collected per round (the [[Ivf.train]]
     * driver-state bound).
     */
   private def history(emb: DataFrame): Seq[Seq[Seq[Double]]] = {
     val v = fpVecs(emb)
-    var cents: Seq[Seq[Double]] = v
-      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-      .limit(K)
-      .collect()
-      .map(_.getSeq[Double](1).toIndexedSeq)
-      .toSeq
+    var cents: Seq[Seq[Double]] = seedCents(v)
     val hist = scala.collection.mutable.ArrayBuffer[Seq[Seq[Double]]](cents)
     for (_ <- 0 until Updates) {
       val means = v
@@ -98,6 +113,44 @@ object ClusterQueries {
       hist += cents
     }
     hist.toSeq
+  }
+
+  /** The PRODUCTION trainer the object scaladoc promises (round-11
+    * verdict #6): inertia folded into the assignment pass's aggregate, so
+    * each Lloyd round is ONE scan total instead of q_kmeans's means scan
+    * plus a separate inertia scan. The (bucket, pos) groups carry
+    * sum(d2) alongside the mean numerator; every vector contributes its
+    * min-distance d2 to exactly one group per dimension, so
+    * Σ_groups sum_d2 = Dims · Σ_vectors d2 and the integer division by
+    * Dims is EXACT — the recovered inertia_fp is bit-identical to the
+    * instrumented trajectory (gated: q_kmeans_fused shares q_kmeans's
+    * oracle, and ClusterSpec asserts the two queries row-equal). Driver
+    * state per round stays K×Dims group rows.
+    */
+  private def inertiaFused(emb: DataFrame): Seq[Long] = {
+    val v = fpVecs(emb)
+    var cents: Seq[Seq[Double]] = seedCents(v)
+    val inertias = scala.collection.mutable.ArrayBuffer[Long]()
+    for (t <- 0 to Updates) {
+      val rows = v
+        .withColumn("bucket", Ivf.assignExpr(col("v"), cents))
+        .withColumn("d2", Ivf.minDist2(col("v"), cents).cast("long"))
+        .select(col("bucket"), col("d2"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("bucket"), col("pos"))
+        .agg(
+          expr("sum(cast(x as bigint)) div count(1)").as("m"),
+          sum(col("d2")).as("sd2"))
+        .collect()
+      inertias += rows.map(_.getAs[Long]("sd2")).sum / Dims
+      if (t < Updates) {
+        val means = rows.groupBy(_.getInt(0))
+          .map { case (b, rs) =>
+            b -> rs.sortBy(_.getInt(1)).map(_.getAs[Long]("m").toDouble).toIndexedSeq
+          }
+        cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
+      }
+    }
+    inertias.toSeq
   }
 
   /** Shared DuckDB CTE chain re-deriving the identical fixed-point Lloyd
@@ -131,6 +184,21 @@ object ClusterQueries {
     sb.toString
   }
 
+  /** The trajectory oracle shared by q_kmeans and q_kmeans_fused — the
+    * two Spark plans (instrumented two-scan vs fused one-scan) must land
+    * on the SAME DuckDB re-derivation. Slack interpolates the Dims
+    * constant (ADVICE r11 — no free "64").
+    */
+  private val trajectorySql: String =
+    s"WITH $lloydCtes, " +
+      (0 to Updates)
+        .map(t => s"SELECT $t AS iter, CAST(SUM(d2) AS BIGINT) AS inertia_fp FROM a$t")
+        .mkString("it AS (", " UNION ALL ", "), ") +
+      "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nv FROM embeddings) " +
+      s"SELECT iter, inertia_fp, (prev IS NULL OR inertia_fp <= prev + $Dims * nv) AS nonincreasing " +
+      "FROM (SELECT iter, inertia_fp, LAG(inertia_fp) OVER (ORDER BY iter) AS prev FROM it) CROSS JOIN n " +
+      "ORDER BY iter"
+
   val queries: Seq[Q] = Seq(
     Q(
       "q_kmeans",
@@ -159,15 +227,35 @@ object ClusterQueries {
               .as("nonincreasing"))
           .orderBy("iter")
       },
-      Some(
-        s"WITH $lloydCtes, " +
-          (0 to Updates)
-            .map(t => s"SELECT $t AS iter, CAST(SUM(d2) AS BIGINT) AS inertia_fp FROM a$t")
-            .mkString("it AS (", " UNION ALL ", "), ") +
-          "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nv FROM embeddings) " +
-          "SELECT iter, inertia_fp, (prev IS NULL OR inertia_fp <= prev + 64 * nv) AS nonincreasing " +
-          "FROM (SELECT iter, inertia_fp, LAG(inertia_fp) OVER (ORDER BY iter) AS prev FROM it) CROSS JOIN n " +
-          "ORDER BY iter")
+      Some(trajectorySql)
+    ),
+    Q(
+      "q_kmeans_fused",
+      // The production one-scan-per-round trainer's inertia trajectory:
+      // same output contract as q_kmeans (iter, inertia_fp,
+      // nonincreasing), same DuckDB oracle — so the cross-engine hash
+      // proves the fused aggregate recovers the instrumented inertias
+      // bit-identically (see [[inertiaFused]] for the exact-division
+      // argument). The trajectory values arrive as driver-side literals
+      // (bounded: Updates+1 longs from K×Dims-row collects), joined to
+      // the 1-row corpus count for the slack bound.
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables(s, d, "embeddings")
+        val inertias = inertiaFused(emb)
+          .zipWithIndex
+          .map { case (i, t) => (t, i) }
+          .toDF("iter", "inertia_fp")
+        inertias
+          .crossJoin(broadcast(emb.agg(count(lit(1)).as("n_vecs"))))
+          .withColumn("prev", lag(col("inertia_fp"), 1).over(Window.orderBy(col("iter"))))
+          .select(
+            col("iter"), col("inertia_fp"),
+            (col("prev").isNull || col("inertia_fp") <= col("prev") + lit(Dims.toLong) * col("n_vecs"))
+              .as("nonincreasing"))
+          .orderBy("iter")
+      },
+      Some(trajectorySql)
     ),
     Q(
       "q_kmeans_assign",

@@ -26,6 +26,17 @@ class ClusterSpec extends SparkSpec {
     assert(inertia.sliding(2).forall { case Array(a, b) => b <= a }, s"non-monotone: ${inertia.toSeq}")
   }
 
+  test("fused one-scan trainer recovers the instrumented trajectory bit-identically") {
+    val dir = sf()
+    val instrumented = Registry.byName("q_kmeans").run(spark, dir).collect()
+      .map(r => (r.getAs[Int]("iter"), r.getAs[Long]("inertia_fp"), r.getAs[Boolean]("nonincreasing")))
+      .sortBy { case (t, _, _) => t }.toSeq
+    val fused = Registry.byName("q_kmeans_fused").run(spark, dir).collect()
+      .map(r => (r.getAs[Int]("iter"), r.getAs[Long]("inertia_fp"), r.getAs[Boolean]("nonincreasing")))
+      .sortBy { case (t, _, _) => t }.toSeq
+    assert(fused == instrumented, s"fused=$fused\ninstrumented=$instrumented")
+  }
+
   test("kmeans assignment: total, in-range, and consistent with the trajectory's final step") {
     val dir = sf()
     val n = graft.core.Tables(spark, dir, "embeddings").count()
