@@ -105,6 +105,7 @@ object SearchQueries {
     * occ(doc_id, n_occ); requires a `toks` CTE in scope.
     */
   private def phraseOccSql(terms: Seq[String]): String = {
+    requirePlainTerms(terms)
     val legs = terms.zipWithIndex.map { case (t, i) =>
       s"(SELECT doc_id, pos - $i AS start FROM toks WHERE term = '$t') p$i"
     }
@@ -129,7 +130,20 @@ object SearchQueries {
       .orderBy("doc_id")
   }
 
+  /** Phrase terms are interpolated into SQL string literals and a LIKE
+    * pattern with no escaping; a term containing a quote or a LIKE
+    * wildcard would produce a broken or semantically wrong oracle
+    * (ADVICE r11). Constrain rather than escape — the token fixture is
+    * lowercase-alphanumeric, and a loud failure beats a silent
+    * mis-match.
+    */
+  private def requirePlainTerms(terms: Seq[String]): Unit =
+    require(
+      terms.forall(_.matches("[a-z0-9]+")),
+      s"phrase terms must be [a-z0-9]+ (quote/wildcard-free for the SQL oracle): $terms")
+
   private def phraseSql(terms: Seq[String]): String = {
+    requirePlainTerms(terms)
     val padded = s" ${terms.mkString(" ")} "
     s"WITH toks AS ($tokensSql), ${phraseOccSql(terms)} " +
       s"SELECT d.doc_id, COALESCE(o.n_occ, 0) AS n_occ, " +
@@ -145,6 +159,15 @@ object SearchQueries {
     */
   private[graft] val queryTermPairs: Seq[(Int, String)] =
     Seq((1, "value"), (1, "table"), (2, "spark"), (2, "batch"), (3, "customer"), (3, "query"))
+
+  /** The workload's query ids, derived from [[queryTermPairs]] — the ONE
+    * id set behind every `vec_id IN (...)` on both engines (query ids
+    * double as dense query vector ids), so adding a query to the
+    * workload cannot desync a hardcoded list (ADVICE r11).
+    */
+  private val queryIds: Seq[Int] = queryTermPairs.map { case (q, _) => q }.distinct.sorted
+
+  private val queryIdsInSql: String = queryIds.mkString("(", ", ", ")")
 
   private def queryTerms(s: org.apache.spark.sql.SparkSession) = {
     import s.implicits._
@@ -229,7 +252,7 @@ object SearchQueries {
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val docs = Tables(s, d, "documents")
     val emb = Tables(s, d, "embeddings")
-    val q = emb.filter(col("vec_id").isin(1, 2, 3))
+    val q = emb.filter(col("vec_id").isin(queryIds: _*))
     val centroids = Ivf.train(s, emb, k = 16)
     val indexed = Ivf.index(emb, centroids)
     val cand = Ivf.probeCells(q, centroids, nprobe = 4)
@@ -429,7 +452,7 @@ object SearchQueries {
         val docs = Tables(s, d, "documents")
         val emb = Tables(s, d, "embeddings")
         val dense = Similarity
-          .bruteForceTopK(emb.filter(col("vec_id").isin(1, 2, 3)), emb, 20)
+          .bruteForceTopK(emb.filter(col("vec_id").isin(queryIds: _*)), emb, 20)
           .select(
             col("q_id").cast("int").as("query_id"),
             col("n_id").as("doc_id"),
@@ -441,7 +464,7 @@ object SearchQueries {
           "sparse AS (SELECT query_id, doc_id, srnk FROM " +
           "(SELECT query_id, doc_id, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_fp DESC, doc_id) AS INT) AS srnk FROM scored) " +
           "WHERE srnk <= 20), " +
-          "dq AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id IN (1, 2, 3)), " +
+          s"dq AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id IN $queryIdsInSql), " +
           "dc AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings), " +
           "ds AS (SELECT q_id, n_id, list_dot_product(qv, cv) / " +
           "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos " +
@@ -479,7 +502,7 @@ object SearchQueries {
         val docs = Tables(s, d, "documents")
         val (fusedIvf, cand) = hybridServedIvf(s, d)
         val denseExact = Similarity
-          .bruteForceTopK(emb.filter(col("vec_id").isin(1, 2, 3)), emb, 20)
+          .bruteForceTopK(emb.filter(col("vec_id").isin(queryIds: _*)), emb, 20)
           .select(
             col("q_id").cast("int").as("query_id"),
             col("n_id").as("doc_id"),
@@ -500,9 +523,15 @@ object SearchQueries {
               col("__n_docs").cast("double") * col("n_queries").cast("double") * 0.6)
               .as("candidates_subquadratic"))
       },
+      // The oracle re-derives ONLY n_queries (from the same queryIds set
+      // both engines share); the two booleans are DELIBERATELY not
+      // re-derived — IVF cell assignment is float/partition-order
+      // specific, so recall and the candidate ceiling are Spark-side
+      // gates by the stated gate-scale-only convention (the exact-fusion
+      // truth they compare against is computed in-plan).
       Some(
         "SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS recall_ge_floor, " +
-          "true AS candidates_subquadratic FROM embeddings WHERE vec_id IN (1, 2, 3)")
+          s"true AS candidates_subquadratic FROM embeddings WHERE vec_id IN $queryIdsInSql")
     ),
     Q(
       "q_sparse_cosine",
