@@ -144,8 +144,92 @@ object Stress {
     if (tier == "flagship") runFlagship(spark, sfDir, mult)
     else if (tier == "gindex") runGindex(spark, sfDir, mult)
     else if (tier == "simfamily") runSimFamily(spark, sfDir, mult)
+    else if (tier == "retrieval") runRetrieval(spark, sfDir, mult)
     else runFull(spark, sfDir, mult)
     spark.stop()
+  }
+
+  /** Retrieval-family scale tier (round-10 verdict #5 / round-11 #2): the
+    * search family's extrapolation evidence — inverted-index build, BM25
+    * ranked retrieval, and champion-list sparse cosine on an id-shifted
+    * replicated corpus with IDENTICAL texts. That replication is the
+    * honest worst case for this family: the vocabulary stays the
+    * fixture's 31 words, so every term is a stopword and per-term
+    * postings grow mult× (the skew axis the (term, doc_id div B) segment
+    * note targets), BM25's query-term postings grow mult× (its work is
+    * ∝ postings plus the corpus-stats scan), and the champion-list cap
+    * C=64 BINDS on every term (per-term signature df » C) — candidate
+    * volume stays ≤ C·M·n by construction, LINEAR in the corpus, which
+    * is exactly the claim to measure. Pass signal: per-token (index,
+    * bm25) and per-doc (sparse) throughput flat-or-better vs the sfDir
+    * base; the sparse leg uses min(mult, 8) to keep the evidence run
+    * bounded (its linearity claim is per-doc, so fewer replicas lose no
+    * information).
+    */
+  private def runRetrieval(spark: SparkSession, sfDir: String, mult: Int): Unit = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft-stress-retrieval"
+    val num = (v: Double) => Timing.fmt3(v)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    spark.range(mult).withColumnRenamed("id", "rep")
+      .crossJoin(docs)
+      .withColumn("doc_id", col("doc_id") + col("rep") * 10000000L)
+      .drop("rep")
+      .repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val multSparse = math.min(mult, 8)
+    val outS = s"${System.getProperty("java.io.tmpdir")}/graft-stress-retrieval-sparse"
+    spark.range(multSparse).withColumnRenamed("id", "rep")
+      .crossJoin(docs)
+      .withColumn("doc_id", col("doc_id") + col("rep") * 10000000L)
+      .drop("rep")
+      .repartition(32).write.mode("overwrite").parquet(s"$outS/documents.parquet")
+
+    def toks(dir: String): Long =
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(sum(size(split(col("text"), " ")).cast("long")))
+        .collect().head.getLong(0)
+    val nDocsBase = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val nDocsBig = spark.read.parquet(s"$out/documents.parquet").count()
+    val nDocsSparse = spark.read.parquet(s"$outS/documents.parquet").count()
+    val nTokBase = toks(sfDir)
+    val nTokBig = toks(out)
+
+    def probe(name: String, dir: String): Double = time {
+      Registry.byName(name).run(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    def minOf2(name: String, dir: String): Double = {
+      probe(name, dir)
+      Seq(probe(name, dir), probe(name, dir)).min
+    }
+    val idxBase = minOf2("q_inverted_index", sfDir)
+    val idxBig = minOf2("q_inverted_index", out)
+    val bmBase = minOf2("q_bm25", sfDir)
+    val bmBig = minOf2("q_bm25", out)
+    val scBase = minOf2("q_sparse_cosine", sfDir)
+    val scBig = minOf2("q_sparse_cosine", outS)
+
+    // champion-cap two-point (round-11 verdict #7): same registered plan
+    // at C=16 — the runtime face of the recall/candidate-volume trade
+    // (SearchSpec measures the recall face on the binding-cap fixture)
+    def champ16(dir: String): Double = time {
+      ext.SearchQueries.championCosine(
+        spark.read.parquet(s"$dir/documents.parquet"), 16)
+        .write.format("noop").mode("overwrite").save()
+    }
+    champ16(sfDir)
+    val c16Base = Seq(champ16(sfDir), champ16(sfDir)).min
+
+    println(
+      s"""{"tier":"retrieval","mult":$mult,"mult_sparse":$multSparse,"files":32,""" +
+        s""""docs_base":$nDocsBase,"docs_big":$nDocsBig,"docs_sparse":$nDocsSparse,""" +
+        s""""toks_base":$nTokBase,"toks_big":$nTokBig,""" +
+        s""""index_base_sec":${num(idxBase)},"index_big_sec":${num(idxBig)},""" +
+        s""""index_base_mtok_s":${num(rate(nTokBase, idxBase))},"index_big_mtok_s":${num(rate(nTokBig, idxBig))},""" +
+        s""""bm25_base_sec":${num(bmBase)},"bm25_big_sec":${num(bmBig)},""" +
+        s""""bm25_base_mtok_s":${num(rate(nTokBase, bmBase))},"bm25_big_mtok_s":${num(rate(nTokBig, bmBig))},""" +
+        s""""sparse_base_sec":${num(scBase)},"sparse_big_sec":${num(scBig)},""" +
+        s""""sparse_base_kdocs_s":${num(nDocsBase / scBase / 1e3)},"sparse_big_kdocs_s":${num(nDocsSparse / scBig / 1e3)},""" +
+        s""""sparse_c16_base_sec":${num(c16Base)}}""")
   }
 
   /** Dedup/similarity-family scale tier (round-8 verdict #5): the NEW

@@ -142,6 +142,65 @@ object SearchQueries {
       terms.forall(_.matches("[a-z0-9]+")),
       s"phrase terms must be [a-z0-9]+ (quote/wildcard-free for the SQL oracle): $terms")
 
+  /** The registered champion-list cap. C trades recall for candidate
+    * volume (≤ C·M·n); the two-point sensitivity evidence (C=16 vs 64:
+    * recall in SearchSpec, runtime in the Stress retrieval tier) backs
+    * the choice — see PLANS.md.
+    */
+  private[graft] val ChampionC = 64
+
+  /** Champion-list sparse TF-IDF cosine top-3 with cap `c` — the
+    * q_sparse_cosine body, parametrized so the C-sensitivity evidence
+    * runs the REGISTERED plan, not a reimplementation. See the
+    * q_sparse_cosine comment for the full design discussion.
+    */
+  private[graft] def championCosine(docs: org.apache.spark.sql.DataFrame, c: Int) = {
+    val n = docs.agg(count(lit(1)).as("n"))
+    val tf = tokens(docs)
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val sigW = Window.partitionBy(col("doc_id")).orderBy(col("w").desc, col("term"))
+    // 4 consumers hang off the signature relation (champion window,
+    // probe side, and the two verify joins), each behind the corpus
+    // explode + two windows — localCheckpoint materializes the 5n
+    // thin rows once (the PageRank loop-invariant lesson; measured
+    // 11.5 s → 4.9 s at sf0.1)
+    val sig = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), expr("tf * ((n * 1000000) div df)").as("w"))
+      .withColumn("rnk", row_number().over(sigW))
+      .filter(col("rnk") <= 5)
+      .select(col("doc_id"), col("term"), col("w"))
+      .localCheckpoint(true)
+    val champW = Window.partitionBy(col("term")).orderBy(col("w").desc, col("doc_id"))
+    val champ = sig
+      .withColumn("crnk", row_number().over(champW))
+      .filter(col("crnk") <= c)
+      .select(col("doc_id").as("b_id"), col("term"))
+    val cand = sig.select(col("doc_id").as("a_id"), col("term"))
+      .join(champ, Seq("term"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    val norms = sig.groupBy(col("doc_id")).agg(sum(col("w") * col("w")).as("n2"))
+    val pairs = cand
+      .join(sig.select(col("doc_id").as("a_id"), col("term"), col("w").as("wa")), Seq("a_id"))
+      .join(sig.select(col("doc_id").as("b_id"), col("term"), col("w").as("wb")), Seq("b_id", "term"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(sum(col("wa") * col("wb")).as("dot"))
+      .join(norms.select(col("doc_id").as("a_id"), col("n2").as("na2")), Seq("a_id"))
+      .join(norms.select(col("doc_id").as("b_id"), col("n2").as("nb2")), Seq("b_id"))
+      .select(
+        col("a_id"), col("b_id"),
+        (col("dot").cast("double") / (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double")))).as("cos"))
+    val topW = Window.partitionBy(col("a_id")).orderBy(col("cos").desc, col("b_id"))
+    pairs
+      .withColumn("rnk", row_number().over(topW))
+      .filter(col("rnk") <= 3)
+      .orderBy("a_id", "rnk")
+  }
+
   private def phraseSql(terms: Seq[String]): String = {
     requirePlainTerms(terms)
     val padded = s" ${terms.mkString(" ")} "
@@ -564,53 +623,7 @@ object SearchQueries {
       // hash-matches. Both top-k stages (champions per term, neighbors
       // per doc) are the row_number()<=k shape TopKRewrite lifts into
       // the bounded-heap TopKPerKey operator.
-      (s, d) => {
-        val docs = Tables(s, d, "documents")
-        val n = docs.agg(count(lit(1)).as("n"))
-        val tf = tokens(docs)
-          .groupBy(col("doc_id"), col("term"))
-          .agg(count(lit(1)).as("tf"))
-        val sigW = Window.partitionBy(col("doc_id")).orderBy(col("w").desc, col("term"))
-        // 4 consumers hang off the signature relation (champion window,
-        // probe side, and the two verify joins), each behind the corpus
-        // explode + two windows — localCheckpoint materializes the 5n
-        // thin rows once (the PageRank loop-invariant lesson; measured
-        // 11.5 s → 4.9 s at sf0.1)
-        val sig = tf
-          .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
-          .crossJoin(broadcast(n))
-          .select(col("doc_id"), col("term"), expr("tf * ((n * 1000000) div df)").as("w"))
-          .withColumn("rnk", row_number().over(sigW))
-          .filter(col("rnk") <= 5)
-          .select(col("doc_id"), col("term"), col("w"))
-          .localCheckpoint(true)
-        val champW = Window.partitionBy(col("term")).orderBy(col("w").desc, col("doc_id"))
-        val champ = sig
-          .withColumn("crnk", row_number().over(champW))
-          .filter(col("crnk") <= 64)
-          .select(col("doc_id").as("b_id"), col("term"))
-        val cand = sig.select(col("doc_id").as("a_id"), col("term"))
-          .join(champ, Seq("term"))
-          .filter(col("a_id") =!= col("b_id"))
-          .select(col("a_id"), col("b_id"))
-          .distinct()
-        val norms = sig.groupBy(col("doc_id")).agg(sum(col("w") * col("w")).as("n2"))
-        val pairs = cand
-          .join(sig.select(col("doc_id").as("a_id"), col("term"), col("w").as("wa")), Seq("a_id"))
-          .join(sig.select(col("doc_id").as("b_id"), col("term"), col("w").as("wb")), Seq("b_id", "term"))
-          .groupBy(col("a_id"), col("b_id"))
-          .agg(sum(col("wa") * col("wb")).as("dot"))
-          .join(norms.select(col("doc_id").as("a_id"), col("n2").as("na2")), Seq("a_id"))
-          .join(norms.select(col("doc_id").as("b_id"), col("n2").as("nb2")), Seq("b_id"))
-          .select(
-            col("a_id"), col("b_id"),
-            (col("dot").cast("double") / (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double")))).as("cos"))
-        val topW = Window.partitionBy(col("a_id")).orderBy(col("cos").desc, col("b_id"))
-        pairs
-          .withColumn("rnk", row_number().over(topW))
-          .filter(col("rnk") <= 3)
-          .orderBy("a_id", "rnk")
-      },
+      (s, d) => championCosine(Tables(s, d, "documents"), ChampionC),
       Some(
         s"WITH toks AS ($tokensSql), " +
           "tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, term), " +
@@ -622,7 +635,7 @@ object SearchQueries {
           "sig AS (SELECT doc_id, term, w FROM wts WHERE rnk <= 5), " +
           "champ AS (SELECT doc_id AS b_id, term FROM " +
           "(SELECT doc_id, term, ROW_NUMBER() OVER (PARTITION BY term ORDER BY w DESC, doc_id) AS crnk FROM sig) " +
-          "WHERE crnk <= 64), " +
+          s"WHERE crnk <= $ChampionC), " +
           "cand AS (SELECT DISTINCT s.doc_id AS a_id, c.b_id FROM sig s JOIN champ c " +
           "ON s.term = c.term AND s.doc_id <> c.b_id), " +
           "norms AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2 FROM sig GROUP BY doc_id), " +

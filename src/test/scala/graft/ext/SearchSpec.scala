@@ -109,10 +109,23 @@ class SearchSpec extends SparkSpec {
     // sf0.01 (500 docs) makes the champion cap BIND (per-term signature
     // df ~80 > C=64) while exact all-pairs is still cheap — the honest
     // worst case: a 31-word vocabulary gives the index no selectivity.
+    // Measured two-point so the 100 TB C-choice is evidence, not
+    // assertion (round-11 verdict #7): C=64 (the registered cap) floors
+    // at 0.8; quartering the index to C=16 is also measured and floored
+    // at its own observed level — the recall/candidate-volume trade the
+    // PLANS.md table records.
     val dir = sf("sf0.01")
-    val approx = Registry.byName("q_sparse_cosine").run(spark, dir)
+    val approxByC = Seq(16, 64).map { c =>
+      c -> SearchQueries.championCosine(graft.core.Tables(spark, dir, "documents"), c)
+        .select(col("a_id"), col("b_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }.toMap
+    // the registered query IS championCosine at ChampionC=64
+    val registered = Registry.byName("q_sparse_cosine").run(spark, dir)
       .select(col("a_id"), col("b_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(registered == approxByC(64))
+    val approx = approxByC(64)
     val docs = graft.core.Tables(spark, dir, "documents")
     val n = docs.agg(count(lit(1)).as("n"))
     val tf = docs
@@ -144,6 +157,10 @@ class SearchSpec extends SparkSpec {
     val recall = approx.intersect(exact).size.toDouble / exact.size
     info(f"champion-list recall vs exact top-3: $recall%.3f (${approx.size} vs ${exact.size} pairs)")
     assert(recall >= 0.8, f"recall $recall%.3f below floor under champion cap (0.951 measured)")
+    val recall16 = approxByC(16).intersect(exact).size.toDouble / exact.size
+    info(f"C=16 recall vs exact top-3: $recall16%.3f (${approxByC(16).size} pairs)")
+    assert(recall16 >= 0.35, f"C=16 recall $recall16%.3f collapsed (0.449 measured)")
+    assert(recall16 <= recall, "smaller champion index cannot improve recall on this fixture")
   }
 
   test("bm25: deterministic, ranked, and every hit contains a query term") {
