@@ -145,8 +145,115 @@ object Stress {
     else if (tier == "gindex") runGindex(spark, sfDir, mult)
     else if (tier == "simfamily") runSimFamily(spark, sfDir, mult)
     else if (tier == "retrieval") runRetrieval(spark, sfDir, mult)
+    else if (tier == "streaming") runStreaming(spark, sfDir, mult)
     else runFull(spark, sfDir, mult)
     spark.stop()
+  }
+
+  /** Streaming-twin scale tier: throughput of the transformWithState
+    * ingest paths on replicated corpora — the skeptic's question for the
+    * stream≡batch family is whether the RocksDB state store keeps up,
+    * and this measures it. Two shapes at opposite ends of the state
+    * spectrum:
+    *
+    *  - [[streaming.PricingStream]] over mult× lineitem: 6 hot keys,
+    *    state 9 scalars each — the pure fold-throughput bound (shuffle
+    *    lands on 6 of 32 partitions by design; the per-row cost is the
+    *    metric, the skew is the flagship aggregate's own key space).
+    *  - [[streaming.ClusterStream]] over multE× embeddings: K=64 cells,
+    *    state dims+1 longs each, narrow-map assignment before the fold.
+    *
+    * Both run one AvailableNow pass over a 4-file input (4 micro-batches
+    * — checkpoint + state-commit overhead included ×4), reported as
+    * Mrows/s against the batch q_agg_pricing / batch cell-agg rate on
+    * the same replicated data for an honest streaming-tax ratio.
+    */
+  private def runStreaming(spark: SparkSession, sfDir: String, mult: Int): Unit = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft-stress-streaming"
+    val num = (v: Double) => Timing.fmt3(v)
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+    // ---- PricingStream over replicated lineitem ----
+    val cols = Seq(
+      "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet").select(cols.map(col): _*)
+    spark.range(mult).crossJoin(li).drop("id")
+      .repartition(4).write.mode("overwrite").parquet(s"$out/li-in")
+    val nLi = spark.read.parquet(s"$out/li-in").count()
+    def pricingPass(tag: String): Double = time {
+      val stream = spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$out/li-in")
+      val q = streaming.PricingStream.view(spark, stream)
+        .writeStream.format("parquet").outputMode("append")
+        .option("path", s"$out/li-out-$tag")
+        .option("checkpointLocation", s"$out/li-ck-$tag")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    pricingPass("warm")
+    val pSec = Seq(pricingPass("a"), pricingPass("b")).min
+    val pBatch = time {
+      Registry.byName("q_agg_pricing").run(spark, out0(spark, s"$out/li-in", "lineitem"))
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    // ---- ClusterStream over replicated embeddings ----
+    val multE = math.min(mult, 16)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").select("vec_id", "embedding")
+    spark.range(multE).withColumnRenamed("id", "rep")
+      .crossJoin(emb)
+      .select(
+        (col("vec_id") + col("rep") * 10000000L).as("vec_id"),
+        expr("transform(embedding, (x, i) -> CAST(x + 0.1 * sin(rep * (i + 1)) AS FLOAT))")
+          .as("embedding"))
+      .repartition(4).write.mode("overwrite").parquet(s"$out/emb-in")
+    val embBig = spark.read.parquet(s"$out/emb-in")
+    val nVecs = embBig.count()
+    val cents = ext.Ivf.train(spark, embBig, k = 64)
+    def clusterPass(tag: String): Double = time {
+      val stream = spark.readStream.schema(embBig.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$out/emb-in")
+      val q = streaming.ClusterStream.cells(spark, stream, cents)
+        .writeStream.format("parquet").outputMode("append")
+        .option("path", s"$out/emb-out-$tag")
+        .option("checkpointLocation", s"$out/emb-ck-$tag")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    clusterPass("warm")
+    val cSec = Seq(clusterPass("a"), clusterPass("b")).min
+    val cBatch = time {
+      streaming.ClusterStream.arrivals(spark, embBig, cents)
+        .select(col("bucket"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("bucket"), col("pos"))
+        .agg(expr("sum(x) div count(1)").as("m"), count(lit(1)).as("n"))
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    println(
+      s"""{"tier":"streaming","mult":$mult,"files":4,""" +
+        s""""lineitem_rows":$nLi,"pricing_stream_sec":${num(pSec)},""" +
+        s""""pricing_stream_mrows_s":${num(rate(nLi, pSec))},""" +
+        s""""pricing_batch_sec":${num(pBatch)},"pricing_batch_mrows_s":${num(rate(nLi, pBatch))},""" +
+        s""""vecs":$nVecs,"cluster_stream_sec":${num(cSec)},""" +
+        s""""cluster_stream_mrows_s":${num(rate(nVecs, cSec))},""" +
+        s""""cluster_batch_sec":${num(cBatch)},"cluster_batch_mrows_s":${num(rate(nVecs, cBatch))}}""")
+  }
+
+  /** Point q_agg_pricing at a bare parquet dir by making it look like a
+    * testdata layout (the probe dirs hold ONE table each).
+    */
+  private def out0(spark: SparkSession, path: String, table: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-stress-streaming-layout"
+    val target = java.nio.file.Paths.get(s"$dir/$table.parquet")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    if (java.nio.file.Files.isSymbolicLink(target)) java.nio.file.Files.delete(target)
+    java.nio.file.Files.createSymbolicLink(target, java.nio.file.Paths.get(path))
+    dir
   }
 
   /** Retrieval-family scale tier (round-10 verdict #5 / round-11 #2): the
