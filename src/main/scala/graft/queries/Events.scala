@@ -11,8 +11,10 @@ import graft.core.{Agg, Tables}
 /** Time/window operators over the `events` table — SURVEY.md §2.5
   * (sessionization), §2.3 (as-of join), §2.8 (tumbling/sliding windows,
   * retention). Batch forms of the same expressions Structured Streaming
-  * uses (`window`/`session_window` work identically under `readStream` +
-  * watermark — see graft.streaming).
+  * uses — for `session_window` that equivalence is GATED, not claimed:
+  * [[graft.streaming.SessionStream]] runs the identical aggregate under
+  * `readStream` + watermark and SessionStreamSpec asserts bit-equal
+  * rows against q_session_window over a flush-sentinel replay.
   */
 object Events {
 
