@@ -170,6 +170,16 @@ object Stress {
     */
   private def runStreaming(spark: SparkSession, sfDir: String, mult: Int): Unit = {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft-stress-streaming"
+    // checkpoints remember source files by path: a stale ck dir from a
+    // previous tier run against re-written inputs fails the listing —
+    // start from a clean root every run
+    def rmrf(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    }
+    rmrf(java.nio.file.Paths.get(out))
     val num = (v: Double) => Timing.fmt3(v)
     spark.conf.set(
       "spark.sql.streaming.stateStore.providerClass",
@@ -234,6 +244,43 @@ object Stress {
         .write.format("noop").mode("overwrite").save()
     }
 
+    // ---- DedupStream over a rotated-replica corpus (the simfamily
+    // recipe: zero cross-replica shingles, so the corpus and its band
+    // index genuinely grow) — the LARGE-state shape: n·bands member
+    // entries live in RocksDB, vs Pricing's 6 keys and Cluster's K cells
+    val multD = math.min(mult, 8)
+    require(multD <= 26, "rotation arity caps the dedup leg at 26")
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    (0 until multD)
+      .map { rep =>
+        val rot = alpha.drop(rep) + alpha.take(rep)
+        docs.select(
+          (col("doc_id") + lit(rep.toLong) * 10000000L).as("doc_id"),
+          translate(col("text"), alpha, rot).as("text"))
+      }
+      .reduce(_ unionByName _)
+      .repartition(4).write.mode("overwrite").parquet(s"$out/docs-in")
+    val docsBig = spark.read.parquet(s"$out/docs-in")
+    val nDocs = docsBig.count()
+    def dedupPass(tag: String): Double = time {
+      val stream = spark.readStream.schema(docsBig.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$out/docs-in")
+      val q = streaming.DedupStream.pairs(spark, stream)
+        .writeStream.format("parquet").outputMode("append")
+        .option("path", s"$out/docs-out-$tag")
+        .option("checkpointLocation", s"$out/docs-ck-$tag")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    dedupPass("warm")
+    val dSec = Seq(dedupPass("a"), dedupPass("b")).min
+    val dBatch = time {
+      ext.Dedup.minhashPairs(docsBig, "doc_id", "text")
+        .write.format("noop").mode("overwrite").save()
+    }
+
     println(
       s"""{"tier":"streaming","mult":$mult,"files":4,""" +
         s""""lineitem_rows":$nLi,"pricing_stream_sec":${num(pSec)},""" +
@@ -241,7 +288,10 @@ object Stress {
         s""""pricing_batch_sec":${num(pBatch)},"pricing_batch_mrows_s":${num(rate(nLi, pBatch))},""" +
         s""""vecs":$nVecs,"cluster_stream_sec":${num(cSec)},""" +
         s""""cluster_stream_mrows_s":${num(rate(nVecs, cSec))},""" +
-        s""""cluster_batch_sec":${num(cBatch)},"cluster_batch_mrows_s":${num(rate(nVecs, cBatch))}}""")
+        s""""cluster_batch_sec":${num(cBatch)},"cluster_batch_mrows_s":${num(rate(nVecs, cBatch))},""" +
+        s""""docs":$nDocs,"dedup_stream_sec":${num(dSec)},""" +
+        s""""dedup_stream_kdocs_s":${num(nDocs / dSec / 1e3)},""" +
+        s""""dedup_batch_sec":${num(dBatch)},"dedup_batch_kdocs_s":${num(nDocs / dBatch / 1e3)}}""")
   }
 
   /** Point q_agg_pricing at a bare parquet dir by making it look like a
