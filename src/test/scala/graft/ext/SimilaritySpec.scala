@@ -83,6 +83,34 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"IVF recall $recall (${approx.size} approx vs ${exact.size} exact)")
   }
 
+  test("IVF nprobe two-point: recall/candidate trade measured (evidence for nprobe=4)") {
+    // the nprobe counterpart of the champion-C sensitivity table: the
+    // serving constant is evidence, not assertion. Candidate volume per
+    // query is the probed cells' occupancy (~nprobe/k of the corpus on a
+    // balanced index); recall must not decrease with more probes
+    // (probed-cell sets nest), and the registered nprobe=4 floor holds.
+    val emb = graft.core.Tables(spark, sf(), "embeddings")
+    val queries = emb.filter(col("vec_id") < 20)
+    val centroids = Ivf.train(spark, emb, k = 16)
+    val indexed = Ivf.index(emb, centroids)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(queries, emb, 3))
+    val byProbe = Seq(2, 4).map { np =>
+      val recall = exact.count(pairs(Ivf.topK(queries, indexed, centroids, k = 3, nprobe = np)).contains)
+        .toDouble / exact.size
+      val cand = Ivf.probeCells(queries, centroids, nprobe = np)
+        .join(indexed, Seq("bucket"))
+        .filter(col("q_id") =!= col("n_id"))
+        .count()
+      info(f"nprobe=$np: recall $recall%.3f, $cand scored candidates")
+      np -> ((recall, cand))
+    }.toMap
+    assert(byProbe(2)._1 <= byProbe(4)._1, "recall must be monotone in nprobe (cell sets nest)")
+    assert(byProbe(2)._2 < byProbe(4)._2, "candidate volume must grow with nprobe")
+    assert(byProbe(4)._1 >= 0.4, "registered nprobe=4 floor")
+  }
+
   test("CentroidAgg computes exact per-group means") {
     import spark.implicits._
     import org.apache.spark.sql.functions.udaf
