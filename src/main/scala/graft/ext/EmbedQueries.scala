@@ -110,7 +110,7 @@ object EmbedQueries {
       // partition-order sensitive, so the gated output is the encoding
       // contract per subspace: every vector encoded (n_vecs is a real
       // differential), codes in [0, k), at most k codes used, and finite
-      // non-negative reconstruction error. PqSpec pins the
+      // non-negative reconstruction error. EmbedSpec pins the
       // exact-reconstruction invariant on a fixture.
       (s, d) => {
         val emb = Tables(s, d, "embeddings")
