@@ -47,4 +47,20 @@ object SessionStream {
         col("session_window.start").cast("timestamp_ntz").as("session_start"),
         col("n_events"),
         col("total_value"))
+
+  /** 1-hour tumbling windows per event type — the EXACT
+    * q_tumbling_window aggregate under a watermark (fixed windows close
+    * as the watermark passes window end; same flush-sentinel drain as
+    * [[sessions]], same dsum bit-equality).
+    */
+  def tumbling(spark: SparkSession, events: DataFrame, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), Agg.dsum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").cast("timestamp_ntz").as("hour_start"),
+        col("event_type"),
+        col("cnt"),
+        col("sum_value"))
 }
