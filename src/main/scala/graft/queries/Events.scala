@@ -33,6 +33,15 @@ object Events {
     }
   }
 
+  /** Window constants shared by the batch queries and their streaming
+    * twins ([[graft.streaming.SessionStream]]) — one source of truth so
+    * the two Spark sides cannot desync; the oracle SQL mirrors them
+    * (INTERVAL 30 MINUTE / date_trunc('hour')) and the cross-engine hash
+    * catches any drift there.
+    */
+  val SessionGap = "30 minutes"
+  val TumblingWidth = "1 hour"
+
   private val dsumVal: Column = Agg.dsum(col("value"))
 
   val queries: Seq[Q] = Seq(
@@ -42,7 +51,7 @@ object Events {
       // shape, batch mode. Window start ≡ date_trunc('hour').
       (s, d) =>
         events(s, d)
-          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .groupBy(window(col("ts"), TumblingWidth), col("event_type"))
           .agg(count(lit(1)).as("cnt"), dsumVal.as("sum_value"))
           .select(col("window.start").cast("timestamp_ntz").as("hour_start"), col("event_type"), col("cnt"), col("sum_value"))
           .orderBy("hour_start", "event_type"),
@@ -76,7 +85,7 @@ object Events {
       // a gap of exactly 30:00 starts a new session in both engines.
       (s, d) =>
         events(s, d)
-          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .groupBy(session_window(col("ts"), SessionGap), col("user_id"))
           .agg(count(lit(1)).as("n_events"), dsumVal.as("total_value"))
           .select(
             col("user_id"),

@@ -40,7 +40,7 @@ object SessionStream {
   def sessions(spark: SparkSession, events: DataFrame, watermarkDelay: String): DataFrame =
     events
       .withWatermark("ts", watermarkDelay)
-      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .groupBy(session_window(col("ts"), graft.queries.Events.SessionGap), col("user_id"))
       .agg(count(lit(1)).as("n_events"), Agg.dsum(col("value")).as("total_value"))
       .select(
         col("user_id"),
@@ -56,7 +56,7 @@ object SessionStream {
   def tumbling(spark: SparkSession, events: DataFrame, watermarkDelay: String): DataFrame =
     events
       .withWatermark("ts", watermarkDelay)
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .groupBy(window(col("ts"), graft.queries.Events.TumblingWidth), col("event_type"))
       .agg(count(lit(1)).as("cnt"), Agg.dsum(col("value")).as("sum_value"))
       .select(
         col("window.start").cast("timestamp_ntz").as("hour_start"),
