@@ -49,6 +49,55 @@ class StreamJoinSpec extends SparkSpec {
       s"expected exactly the in-window ad-1 click, got $got")
   }
 
+  test("stream-stream attribution equals the batch interval join on the fixture corpus") {
+    // the stream≡batch gate for the join primitive (the aggregate twins
+    // live in SearchStream/PricingStream/etc.): views are impressions,
+    // purchases are clicks, keyed by user. Impressions arrive in batch 1
+    // and clicks in batch 2 — matches must come out of the impression
+    // STATE, not same-batch co-presence; no watermark can evict an
+    // impression before any click arrives because the click-side
+    // watermark only advances once click data is seen.
+    val dir = sf()
+    val root = Files.createTempDirectory("ssj-gate").toString
+    val impDir = s"$root/imp"; val clkDir = s"$root/clk"
+    val out = s"$root/out"; val ck = s"$root/ck"
+    val ev = graft.queries.Events.events(spark, dir)
+    val impB = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("ad_id"), col("ts"))
+    val clkB = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("ad_id"), col("ts").as("click_ts"))
+    impB.repartition(1).write.mode("append").parquet(impDir)
+    clkB.repartition(1).write.mode("append").parquet(clkDir)
+
+    val imps = spark.readStream.schema(impB.schema).parquet(impDir)
+    val clks = spark.readStream.schema(clkB.schema).parquet(clkDir)
+    val q = StreamJoin.attribution(imps, clks, windowMinutes = 20)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getLong(0), String.valueOf(r.get(1)), String.valueOf(r.get(2))))
+        .groupBy(identity).view.mapValues(_.length).toMap // multiset: dup pairs count
+    val got = asSet(spark.read.parquet(out))
+    val want = asSet(
+      impB.join(
+        clkB,
+        impB("ad_id") === clkB("ad_id") &&
+          clkB("click_ts") >= impB("ts") &&
+          clkB("click_ts") <= impB("ts") + expr("INTERVAL 20 MINUTES"),
+        "inner")
+        .select(impB("ad_id"), impB("ts").as("imp_ts"), clkB("click_ts")))
+    assert(want.nonEmpty, "fixture must produce attributed pairs")
+    assert(got == want, {
+      val keys = got.keySet ++ want.keySet
+      val diff = keys.filter(k => got.get(k) != want.get(k)).take(5)
+      s"stream/batch join results diverge on $diff"
+    })
+  }
+
   test("stream-static enrichment keeps every event; unknown keys get nulls, not drops") {
     import spark.implicits._
     val root = Files.createTempDirectory("sse").toString
