@@ -41,6 +41,7 @@ object Events {
     */
   val SessionGap = "30 minutes"
   val TumblingWidth = "1 hour"
+  val SlideStep = "30 minutes"
 
   private val dsumVal: Column = Agg.dsum(col("value"))
 
@@ -66,7 +67,7 @@ object Events {
       // windows, starts aligned to 30-min epoch boundaries.
       (s, d) =>
         events(s, d)
-          .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+          .groupBy(window(col("ts"), TumblingWidth, SlideStep))
           .agg(count(lit(1)).as("cnt"), dsumVal.as("sum_value"))
           .select(col("window.start").cast("timestamp_ntz").as("win_start"), col("cnt"), col("sum_value"))
           .orderBy("win_start"),

@@ -63,4 +63,19 @@ object SessionStream {
         col("event_type"),
         col("cnt"),
         col("sum_value"))
+
+  /** 1-hour windows sliding every 30 min — the EXACT q_sliding_window
+    * aggregate under a watermark (every event lands in two windows; each
+    * closes independently as the watermark passes its end). Completes
+    * the windowed trio with [[tumbling]] and [[sessions]].
+    */
+  def sliding(spark: SparkSession, events: DataFrame, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), graft.queries.Events.TumblingWidth, graft.queries.Events.SlideStep))
+      .agg(count(lit(1)).as("cnt"), Agg.dsum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").cast("timestamp_ntz").as("win_start"),
+        col("cnt"),
+        col("sum_value"))
 }

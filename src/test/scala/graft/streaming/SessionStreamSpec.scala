@@ -139,4 +139,55 @@ class SessionStreamSpec extends SparkSpec {
       })
     }
   }
+
+  test("streaming sliding windows equal q_sliding_window bit-for-bit") {
+    import spark.implicits._
+    withRocksDb {
+      val dir = sf()
+      val root = Files.createTempDirectory("sliding-stream").toString
+      val in = s"$root/in"; val out = s"$root/out"; val ck = s"$root/ck"
+      val ev = graft.queries.Events.events(spark, dir)
+        .select(col("ts"), col("value"))
+      val (tMin, tMax) = ev.agg(min(col("ts")), max(col("ts")))
+        .as[(Timestamp, Timestamp)].collect().head
+      val tMid = new Timestamp(tMin.getTime + (tMax.getTime - tMin.getTime) / 2)
+
+      def runPass(): Unit = {
+        val stream = spark.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(in)
+        val q = SessionStream.sliding(spark, stream, watermarkDelay = "1 second")
+          .writeStream.format("parquet").outputMode("append")
+          .option("path", out).option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      ev.filter(col("ts") < lit(tMid)).repartition(1).write.mode("append").parquet(in)
+      runPass()
+      ev.filter(col("ts") >= lit(tMid)).repartition(1).write.mode("append").parquet(in)
+      runPass()
+      // sentinel rows never survive to the comparison: their two windows
+      // sit past the real horizon and stay open (withheld) forever
+      Seq((new Timestamp(tMax.getTime + 2 * 3600 * 1000L), 0.0))
+        .toDF("ts", "value").repartition(1).write.mode("append").parquet(in)
+      runPass()
+
+      val got = spark.read.parquet(out)
+        .collect()
+        .map(r => (
+          String.valueOf(r.getAs[Any]("win_start")),
+          r.getAs[Long]("cnt"), r.getAs[Double]("sum_value")))
+        .sortBy(_._1).toSeq
+      val want = Registry.byName("q_sliding_window").run(spark, dir).collect()
+        .map(r => (
+          String.valueOf(r.getAs[Any]("win_start")),
+          r.getAs[Long]("cnt"), r.getAs[Double]("sum_value")))
+        .sortBy(_._1).toSeq
+      assert(want.nonEmpty)
+      assert(got == want, {
+        val diff = (got.toSet -- want.toSet) ++ (want.toSet -- got.toSet)
+        s"sliding windows diverge: ${diff.take(5)}"
+      })
+    }
+  }
 }
