@@ -141,7 +141,13 @@ object ClusterQueries {
           expr("sum(cast(x as bigint)) div count(1)").as("m"),
           sum(col("d2")).as("sd2"))
         .collect()
-      inertias += rows.map(_.getAs[Long]("sd2")).sum / Dims
+      // BigInt accumulation (ADVICE r12): the group sums total Dims·Σd2 —
+      // 64× the instrumented q_kmeans sum — so a Long fold can wrap at
+      // corpus sizes in the low tens of thousands of adversarial
+      // vectors; the division by Dims stays exact (every vector
+      // contributes d2 to exactly Dims groups), and the quotient is the
+      // instrumented Σd2 < 2^63 whenever q_kmeans itself is in range.
+      inertias += (rows.map(r => BigInt(r.getAs[Long]("sd2"))).sum / Dims).toLong
       if (t < Updates) {
         val means = rows.groupBy(_.getInt(0))
           .map { case (b, rs) =>

@@ -61,6 +61,12 @@ object ClusterStream {
         timerValues: TimerValues): Iterator[CellRow] = {
       var s = if (st.exists()) st.get() else CellState(0L, Seq.empty)
       rows.foreach { r =>
+        // fail loudly on a malformed embedding row — Seq.zip would
+        // silently truncate and corrupt the cell means (the seedCents
+        // width assertion's streaming counterpart, ADVICE r12)
+        require(
+          s.sums.isEmpty || s.sums.length == r.v.length,
+          s"vector width ${r.v.length} != cell state width ${s.sums.length} (vec_id=${r.vec_id})")
         val sums =
           if (s.sums.isEmpty) r.v.toIndexedSeq
           else s.sums.toIndexedSeq.zip(r.v).map { case (a, b) => a + b }
@@ -71,16 +77,28 @@ object ClusterStream {
     }
   }
 
+  /** The q_kmeans fixed-point recipe applied to a RAW-space centroid
+    * set: round((c+2)·1e6) per dim, so the argmin below compares
+    * like-with-like. Callers pass [[Ivf.train]] output (raw doubles);
+    * quantizing HERE — not at each call site — keeps the stream
+    * assignment in the same unit system as the quantized vectors
+    * (ADVICE r12: raw centroids against fixed-point vectors made the
+    * argmin a mixed-unit comparison, not the stored quantizer's cells).
+    */
+  def quantizeCentroids(centroids: Seq[Seq[Double]]): Seq[Seq[Double]] =
+    centroids.map(_.map(c => math.round((c + 2.0) * 1000000.0).toDouble))
+
   /** Quantize + assign arriving vectors with the batch expressions:
     * fixed-point v = round((x+2)·1e6) (the q_kmeans recipe — positive,
     * so truncating division is floor) and the codegen'd literal-centroid
-    * argmin.
+    * argmin over the SAME-recipe quantized centroids.
     */
   def arrivals(
       spark: SparkSession,
       vecs: DataFrame,
       centroids: Seq[Seq[Double]]): Dataset[VecArrival] = {
     import spark.implicits._
+    val fpCents = quantizeCentroids(centroids)
     vecs
       .withColumn(
         "__v",
@@ -89,7 +107,7 @@ object ClusterStream {
           x => round((x + lit(2.0)) * lit(1000000.0))))
       .select(
         col("vec_id"),
-        Ivf.assignExpr(col("__v"), centroids).as("bucket"),
+        Ivf.assignExpr(col("__v"), fpCents).as("bucket"),
         expr("transform(__v, x -> cast(x as bigint))").as("v"))
       .as[VecArrival]
   }

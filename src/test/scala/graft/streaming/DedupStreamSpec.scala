@@ -95,6 +95,13 @@ class DedupStreamSpec extends SparkSpec {
       fixture.take(3).toDF("doc_id", "text").repartition(1)
         .write.mode("append").parquet(in)
       runPass(in, out, ck)
+      // pin the 0-1 per-band emission count BEFORE the re-delivery — the
+      // exact-count guard (ADVICE r12: a band-count bound was loose
+      // enough for a full re-pairing in ≤ half the bands to slip through)
+      def raw01(): Long = spark.read.parquet(out)
+        .filter(col("a_id") === 0L && col("b_id") === 1L).count()
+      val rawBefore = raw01()
+      assert(rawBefore >= 1L, "0-1 must emit in batch 1 for the re-delivery check to bite")
       // re-deliver docs 0 and 1 (an already-emitted near-dup pair)
       // alongside the genuinely new doc 3
       (fixture.take(2) :+ fixture(3)).toDF("doc_id", "text").repartition(1)
@@ -108,10 +115,10 @@ class DedupStreamSpec extends SparkSpec {
       assert(got == want, s"got=$got\nwant=$want")
       assert(got.forall { case (a, b, _) => a < b })
       // raw emissions: the re-delivered 0-1 pair must not re-emit — its
-      // per-band emission count is unchanged by batch 2
-      val raw = spark.read.parquet(out)
-        .filter(col("a_id") === 0L && col("b_id") === 1L).count()
-      assert(raw <= 8L, s"0-1 emitted $raw times — more than once per band means re-delivery re-paired")
+      // per-band emission count is EXACTLY unchanged by batch 2
+      val rawAfter = raw01()
+      assert(rawAfter == rawBefore,
+        s"0-1 emissions grew $rawBefore -> $rawAfter — re-delivery re-paired")
     }
   }
 }
