@@ -167,6 +167,69 @@ object EmbedQueries {
       Some(
         "SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS recall_ge_floor " +
           "FROM embeddings WHERE vec_id < 10")
+    ),
+    Q(
+      "q_pq_adc_ivf",
+      // The COMPOSED IVF×PQ serving layout (round-12 verdict #1 — the
+      // FAISS IVFPQ shape): PQ codes stored per coarse cell
+      // ([[Pq.encodeCells]], one narrow map), queries build their ADC
+      // distance table once and scan ONLY their nprobe=4 of 16 cells'
+      // codes, shortlist-64, exact re-rank to top-10. Both the cell
+      // assignment and the PQ codebooks are float/partition-order
+      // sensitive, so the gated output is recall@10 vs the in-plan exact
+      // L2 top-10 (floor 0.5, same as q_pq_adc) PLUS the sub-linear
+      // candidate ceiling: scored (q_id, vec_id) pairs must stay under
+      // 0.6 · n_queries · n_docs — balanced cells give ≈ nprobe/k = 1/4,
+      // so the ceiling holds with slack while a full-corpus ADC
+      // regression (≈ n_queries · n_docs) trips it. The exact side is
+      // gate-scale-only (it IS the oracle); the served plan is
+      // probe → cell-equi-join → hash-agg → shortlist → re-rank,
+      // plan-audited to contain no cartesian (PlanAuditSpec).
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val queries = emb.filter(col("vec_id") < 10)
+        val coarse = Ivf.train(s, emb, k = 16)
+        val books = Pq.train(s, emb, m = 8, k = 16, iters = 6)
+        val enc = Pq.encodeCells(emb, books, coarse)
+        val cand = Pq.adcCandidatesIvf(queries, enc, books, coarse, nprobe = 4)
+        val approx = Pq.exactRerank(Pq.shortlistTopK(cand, 64), queries, emb, k = 10)
+        // exact L2 top-10 (broadcast × corpus — the deliberate exact side)
+        val v = col("embedding").cast("array<double>")
+        val q = queries.select(col("vec_id").as("q_id"), v.as("qv"))
+        val c = emb.select(col("vec_id").as("n_id"), v.as("cv"))
+        val d2 =
+          Similarity.dot(col("qv"), col("qv")) + Similarity.dot(col("cv"), col("cv")) -
+            lit(2.0) * Similarity.dot(col("qv"), col("cv"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id")).orderBy(col("d2").asc, col("n_id").asc)
+        val exact = broadcast(q).crossJoin(c)
+          .filter(col("q_id") =!= col("n_id"))
+          .select(col("q_id"), col("n_id"), d2.as("d2"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+        exact
+          .select(col("q_id"), col("n_id"))
+          .join(
+            approx.select(col("q_id"), col("vec_id").as("n_id"))
+              .withColumn("__hit", lit(true)),
+            Seq("q_id", "n_id"), "left")
+          .agg(
+            countDistinct(col("q_id")).as("n_queries"),
+            count(lit(1)).as("__n_truth"),
+            coalesce(sum(col("__hit").cast("long")), lit(0L)).as("__n_hit"))
+          .crossJoin(broadcast(cand.agg(count(lit(1)).as("__n_cand"))))
+          .crossJoin(broadcast(emb.agg(count(lit(1)).as("__n_docs"))))
+          .select(
+            col("n_queries"),
+            (col("__n_hit").cast("double") >= col("__n_truth").cast("double") * 0.5)
+              .as("recall_ge_floor"),
+            (col("__n_cand").cast("double") <=
+              lit(0.6) * col("n_queries").cast("double") * col("__n_docs").cast("double"))
+              .as("candidates_sublinear"))
+      },
+      Some(
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS recall_ge_floor, " +
+          "true AS candidates_sublinear FROM embeddings WHERE vec_id < 10")
     )
   )
 }

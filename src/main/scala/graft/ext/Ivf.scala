@@ -35,7 +35,7 @@ object Ivf {
     math.min(64, math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt))
 
   /** Squared L2 distance between a vector column and a literal centroid. */
-  private def dist2(v: Column, centroid: Seq[Double]): Column =
+  private[ext] def dist2(v: Column, centroid: Seq[Double]): Column =
     aggregate(
       zip_with(v, array(centroid.map(lit): _*), (x, y) => (x - y) * (x - y)),
       lit(0.0),

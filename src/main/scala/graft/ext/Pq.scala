@@ -109,25 +109,17 @@ object Pq {
       .select(col("q_id"), col("rank"), col("vec_id"), col("adist2"))
   }
 
-  /** ADC-shortlist → exact re-rank: the serving-quality upgrade over pure
-    * ADC. Stage 1 runs [[adcTopK]] for a `shortlist` much larger than k —
-    * still codes-only, so the 100 TB corpus scan never touches floats;
-    * stage 2 joins ONLY the shortlisted (q_id, vec_id) pairs back to the
-    * original vectors for an exact L2 re-rank. Cost: the exact pass reads
-    * |queries| × shortlist vectors — independent of corpus size — which is
-    * why FAISS-style deployments always re-rank a PQ shortlist. Exact
-    * distance uses the sequential-fold kernel (graft_dot), so the re-ranked
-    * order is deterministic across partitionings.
+  /** Exact L2 re-rank of a (q_id, vec_id) candidate shortlist: joins ONLY
+    * the shortlisted pairs back to the original vectors — the exact pass
+    * reads |queries| × shortlist vectors, independent of corpus size.
+    * Exact distance uses the sequential-fold kernel (graft_dot), so the
+    * re-ranked order is deterministic across partitionings.
     */
-  def adcRerankTopK(
+  def exactRerank(
+      cand: DataFrame,
       queries: DataFrame,
-      encoded: DataFrame,
-      books: Seq[Seq[Seq[Double]]],
       corpus: DataFrame,
-      k: Int,
-      shortlist: Int): DataFrame = {
-    val cand = adcTopK(queries, encoded, books, shortlist)
-      .select(col("q_id"), col("vec_id"))
+      k: Int): DataFrame = {
     val v = col("embedding").cast("array<double>")
     val q = queries.select(col("vec_id").as("q_id"), v.as("qv"))
     val c = corpus.select(col("vec_id"), v.as("cv"))
@@ -138,12 +130,137 @@ object Pq {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("d2").asc, col("vec_id").asc)
     cand
+      .select(col("q_id"), col("vec_id"))
       .join(c, Seq("vec_id"))
       .join(broadcast(q), Seq("q_id"))
       .select(col("q_id"), col("vec_id"), d2.as("d2"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("vec_id"), col("d2"))
+  }
+
+  /** ADC-shortlist → exact re-rank: the serving-quality upgrade over pure
+    * ADC. Stage 1 runs [[adcTopK]] for a `shortlist` much larger than k —
+    * still codes-only, so the 100 TB corpus scan never touches floats;
+    * stage 2 is [[exactRerank]] over the shortlisted pairs only — which is
+    * why FAISS-style deployments always re-rank a PQ shortlist. This form
+    * still SCANS every stored code per query (corpus-linear); the serving
+    * layout that scans only probed cells is [[adcCandidatesIvf]].
+    */
+  def adcRerankTopK(
+      queries: DataFrame,
+      encoded: DataFrame,
+      books: Seq[Seq[Seq[Double]]],
+      corpus: DataFrame,
+      k: Int,
+      shortlist: Int): DataFrame =
+    exactRerank(adcTopK(queries, encoded, books, shortlist), queries, corpus, k)
+
+  /** The IVFPQ storage table (Jégou et al. 2011 §IV; FAISS IVFPQ layout,
+    * `by_residual=false` flavor): each vector's coarse IVF cell AND its M
+    * PQ codes, computed in ONE narrow map over the corpus — no shuffle,
+    * no second scan. Rows are (vec_id, bucket, m, code): the inverted
+    * list a query probes, holding codes instead of floats. At 100 TB this
+    * table IS the index — partition/cluster it by `bucket` on write and a
+    * query's scan touches only its nprobe cells' files.
+    */
+  def encodeCells(
+      corpus: DataFrame,
+      books: Seq[Seq[Seq[Double]]],
+      coarse: Seq[Seq[Double]]): DataFrame = {
+    val dim = books.map(_.head.size).sum
+    val sub = dim / books.size
+    val v = col("embedding").cast("array<double>")
+    val perM = books.zipWithIndex.map { case (cb, j) =>
+      val subv = slice(col("v"), j * sub + 1, sub)
+      struct(lit(j).as("m"), Ivf.assignExpr(subv, cb).as("code"))
+    }
+    corpus
+      .select(col("vec_id"), v.as("v"))
+      .withColumn("bucket", Ivf.assignExpr(col("v"), coarse))
+      .select(col("vec_id"), col("bucket"), explode(array(perM: _*)).as("s"))
+      .select(col("vec_id"), col("bucket"), col("s.m").as("m"), col("s.code").as("code"))
+  }
+
+  /** IVF×PQ candidate generation — the composed serving path (round-12
+    * verdict #1): each query builds its ADC distance table ONCE, probes
+    * its `nprobe` nearest coarse cells, and ADC-scores ONLY the codes
+    * stored in those cells — per-query work is nprobe/k_coarse of the
+    * corpus's codes instead of all of them ([[adcTopK]]'s corpus-linear
+    * scan). Plan shape: the query side (tables + probe rows) is tiny and
+    * broadcast; the join is an EQUI join on the cell id against the
+    * [[encodeCells]] table, then one (q_id, vec_id) hash-agg sums the M
+    * table lookups. Returns every scored candidate (q_id, vec_id,
+    * adist2) so gates can assert the sub-linear candidate volume
+    * directly.
+    */
+  def adcCandidatesIvf(
+      queries: DataFrame,
+      encodedCells: DataFrame,
+      books: Seq[Seq[Seq[Double]]],
+      coarse: Seq[Seq[Double]],
+      nprobe: Int): DataFrame = {
+    val dim = books.map(_.head.size).sum
+    val sub = dim / books.size
+    val v = col("embedding").cast("array<double>")
+    val tables = array(books.zipWithIndex.map { case (cb, j) =>
+      val subv = slice(col("qv"), j * sub + 1, sub)
+      array(cb.map { c =>
+        aggregate(
+          zip_with(subv, array(c.map(lit): _*), (x, y) => (x - y) * (x - y)),
+          lit(0.0),
+          (acc, e) => acc + e)
+      }: _*)
+    }: _*)
+    val coarseDists = array(coarse.map(c => Ivf.dist2(col("qv"), c)): _*)
+    val probes = queries
+      .select(col("vec_id").as("q_id"), v.as("qv"))
+      .withColumn("tables", tables)
+      .select(col("q_id"), col("tables"), posexplode(coarseDists).as(Seq("bucket", "cd2")))
+      .withColumn(
+        "probe_rank",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("q_id")).orderBy(col("cd2"), col("bucket"))))
+      .filter(col("probe_rank") <= nprobe)
+      .select(col("q_id"), col("tables"), col("bucket"))
+    broadcast(probes)
+      .join(encodedCells, Seq("bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(
+        col("q_id"), col("vec_id"),
+        element_at(element_at(col("tables"), col("m") + 1), col("code") + 1).as("term"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("term")).as("adist2"))
+  }
+
+  /** Shortlist the `shortlist` best ADC candidates per query, then exact
+    * re-rank to top-k — the full FAISS-style IVFPQ serving pipeline:
+    * probe → codes-only ADC within probed cells → float re-rank of a
+    * corpus-size-independent shortlist.
+    */
+  def adcRerankTopKIvf(
+      queries: DataFrame,
+      encodedCells: DataFrame,
+      books: Seq[Seq[Seq[Double]]],
+      coarse: Seq[Seq[Double]],
+      corpus: DataFrame,
+      k: Int,
+      shortlist: Int,
+      nprobe: Int): DataFrame =
+    exactRerank(
+      shortlistTopK(
+        adcCandidatesIvf(queries, encodedCells, books, coarse, nprobe), shortlist),
+      queries, corpus, k)
+
+  /** Per-query best-`shortlist` selection over scored ADC candidates. */
+  def shortlistTopK(cand: DataFrame, shortlist: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("adist2").asc, col("vec_id").asc)
+    cand
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= shortlist)
+      .select(col("q_id"), col("vec_id"))
   }
 
   /** Per-subspace audit rollup (small, stable output for the rows-only

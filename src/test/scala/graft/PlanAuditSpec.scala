@@ -243,12 +243,34 @@ class PlanAuditSpec extends SparkSpec {
     // (tiny query set × corpus — NOT a serving path); what must never
     // appear is an UNBROADCAST cartesian, which would mean a candidate
     // stage degenerated to all-pairs.
-    Seq("q_dedup_minhash", "q_dedup_simhash", "q_sim_lsh", "q_sim_ivf", "q_pq_adc")
+    Seq("q_dedup_minhash", "q_dedup_simhash", "q_sim_lsh", "q_sim_ivf", "q_pq_adc",
+      "q_pq_adc_ivf")
       .foreach { n =>
         val p = planString(Registry.byName(n).run(spark, sf()))
         assert(!p.contains("CartesianProduct"),
           s"$n degenerated to an unbroadcast cartesian product")
       }
+  }
+
+  test("IVF-PQ serving path: cell equi-join only, no cartesian, no nested loop") {
+    // q_pq_adc_ivf's SERVED composition (the registered gate wraps it in
+    // a broadcast-exact truth side that exists only to oracle recall):
+    // the probe side must reach the code table through an EQUI join on
+    // the cell id — any cartesian / nested loop means the probed-cells
+    // scan regressed to the corpus-linear ADC this path exists to
+    // replace.
+    import graft.ext.{Ivf, Pq}
+    val emb = graft.core.Tables(spark, sf(), "embeddings")
+    val coarse = Ivf.train(spark, emb, k = 16)
+    val books = Pq.train(spark, emb, m = 8, k = 16, iters = 6)
+    val enc = Pq.encodeCells(emb, books, coarse)
+    val df = Pq.adcRerankTopKIvf(
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10),
+      enc, books, coarse, emb, k = 10, shortlist = 64, nprobe = 4)
+    val p = planString(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"IVF-PQ serving path planned an all-pairs join:\n${p.take(1500)}")
+    assert(p.contains("bucket"), s"cell key vanished from the join plan:\n${p.take(1500)}")
   }
 
   test("minhash recall gate: both the LSH side and the truth side join on bounded keys") {

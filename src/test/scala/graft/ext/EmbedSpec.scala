@@ -114,6 +114,56 @@ class EmbedSpec extends SparkSpec {
       s"q_pq_adc gate row: ${gate.toSeq}")
   }
 
+  test("ivf-pq serving path: sub-linear scan, recall above floor, cells partition the codes") {
+    val emb = graft.core.Tables(spark, sf(), "embeddings")
+    val n = emb.count()
+    val coarse = Ivf.train(spark, emb, k = 16)
+    val books = Pq.train(spark, emb, m = 8, k = 16, iters = 6)
+    val enc = Pq.encodeCells(emb, books, coarse)
+    // the storage contract: every vector appears in exactly ONE cell with
+    // exactly M code rows, and the cell is the coarse assignment
+    val perVec = enc.groupBy("vec_id")
+      .agg(countDistinct("bucket").as("cells"), count(lit(1)).as("codes"))
+      .collect()
+    assert(perVec.length == n)
+    perVec.foreach { r =>
+      assert(r.getAs[Long]("cells") == 1L, s"vec ${r.get(0)} stored in ${r.get(1)} cells")
+      assert(r.getAs[Long]("codes") == 8L)
+    }
+    val cand = Pq.adcCandidatesIvf(emb.filter(col("vec_id") < 10), enc, books, coarse, nprobe = 4)
+    val nCand = cand.count()
+    // nprobe=4 of 16 cells: balanced cells give ~n/4 scanned codes per
+    // query — assert the sub-linear ceiling the registered gate enforces
+    assert(nCand <= (0.6 * 10 * n).toLong, s"scanned $nCand candidates for 10 queries over $n vectors")
+    assert(nCand > 0)
+    // serving recall: probe → ADC shortlist → exact re-rank vs exact L2
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def exactTop10(q: Long): Set[Long] = {
+      val qv = vecs(q)
+      vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, v.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum) }
+        .sortBy { case (id, d) => (d, id) }
+        .take(10).map(_._1).toSet
+    }
+    val served = Pq
+      .adcRerankTopKIvf(
+        emb.filter(col("vec_id") < 10), enc, books, coarse, emb,
+        k = 10, shortlist = 64, nprobe = 4)
+      .collect()
+    val perQ = served.groupBy(_.getAs[Long]("q_id"))
+    assert(perQ.size == 10)
+    val recalls = perQ.map { case (q, rows) =>
+      exactTop10(q).intersect(rows.map(_.getAs[Long]("vec_id")).toSet).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"IVFPQ mean recall@10 $mean below floor")
+    // and the registered gate row agrees on all three columns
+    val gate = graft.Registry.byName("q_pq_adc_ivf").run(spark, sf()).collect()
+    assert(gate.length == 1 && gate.head.getAs[Boolean]("recall_ge_floor") &&
+      gate.head.getAs[Boolean]("candidates_sublinear"), s"q_pq_adc_ivf gate row: ${gate.toSeq}")
+  }
+
   test("pq audit on the corpus: full coverage, bounded codes, finite error") {
     val emb = graft.core.Tables(spark, sf(), "embeddings")
     val n = emb.count()
