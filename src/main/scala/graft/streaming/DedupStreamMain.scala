@@ -43,7 +43,12 @@ object DedupStreamMain {
         .option("path", s"$root/out").option("checkpointLocation", s"$root/ck")
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      val deduped = spark.read.parquet(s"$root/out").distinct()
+      val raw = spark.read.parquet(s"$root/out")
+      // the operational signal: overflow markers mean the corpus needs
+      // the batch exact-dedup-first pass before LSH ingest
+      println(s"[dedup-stream] bucket_overflows=${
+        raw.filter(col("a_id") === DedupStream.OverflowId).count()}")
+      val deduped = raw.filter(col("a_id") =!= DedupStream.OverflowId).distinct()
       println(s"[dedup-stream] candidate_pairs=${deduped.count()}")
       deduped.orderBy(col("est_jaccard").desc, col("a_id"), col("b_id")).limit(5)
         .collect().foreach { r =>

@@ -33,11 +33,11 @@ class DedupStreamSpec extends SparkSpec {
     }
   }
 
-  private def runPass(in: String, out: String, ck: String): Unit = {
+  private def runPass(in: String, out: String, ck: String, maxBucket: Int = 64): Unit = {
     val stream = spark.readStream.schema(docSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(in)
-    val q = DedupStream.pairs(spark, stream)
+    val q = DedupStream.pairs(spark, stream, maxBucket = maxBucket)
       .writeStream.format("parquet").outputMode("append")
       .option("path", out).option("checkpointLocation", ck)
       .trigger(Trigger.AvailableNow()).start()
@@ -69,6 +69,10 @@ class DedupStreamSpec extends SparkSpec {
       val got = pairSet(spark.read.parquet(out))
       val want = pairSet(Dedup.minhashPairs(docs, "doc_id", "text"))
       assert(want.nonEmpty, "fixture must contain near-dup candidates")
+      // non-pathological corpus at the default cap: no bucket overflows
+      assert(
+        spark.read.parquet(out).filter(col("a_id") === DedupStream.OverflowId).count() == 0L,
+        "fixture corpus tripped the bucket cap")
       // cross-boundary evidence: some pair spans two delivery groups
       assert(
         got.exists { case (a, b, _) => a % 3 != b % 3 },
@@ -119,6 +123,45 @@ class DedupStreamSpec extends SparkSpec {
       val rawAfter = raw01()
       assert(rawAfter == rawBefore,
         s"0-1 emissions grew $rawBefore -> $rawAfter — re-delivery re-paired")
+    }
+  }
+
+  test("duplicated corpus: bucket cap bounds pair work and overflow is visible") {
+    import spark.implicits._
+    withRocksDb {
+      // 20 identical texts: every doc lands in the SAME band bucket in
+      // all 8 bands — the hot-bucket worst case the cap exists for.
+      // Uncapped, pair emissions would be bands·C(20,2) = 1520; at cap=8
+      // each band bucket accepts 8 members (bands·C(8,2) = 224 pair
+      // emissions max) and marks the remaining 12 arrivals.
+      val nDocs = 20; val cap = 8; val bands = 8
+      val docs = (0 until nDocs).map(i =>
+        (i.toLong, "the exact same duplicated document text repeated verbatim across the corpus"))
+      val root = Files.createTempDirectory("dedup-stream-cap").toString
+      val in = s"$root/in"; val out = s"$root/out"; val ck = s"$root/ck"
+      docs.toDF("doc_id", "text").repartition(1).write.mode("append").parquet(in)
+      runPass(in, out, ck, maxBucket = cap)
+
+      val all = spark.read.parquet(out)
+      val markers = all.filter(col("a_id") === DedupStream.OverflowId)
+      val pairs = all.filter(col("a_id") =!= DedupStream.OverflowId)
+      // cap held: per-band pair emissions bounded by C(cap, 2)
+      val nPairs = pairs.count()
+      assert(nPairs <= bands.toLong * cap * (cap - 1) / 2,
+        s"$nPairs pair emissions — cap did not bound the hot bucket")
+      assert(nPairs > 0, "capped bucket must still pair its accepted members")
+      // overflow visible: every band marks exactly its (nDocs - cap)
+      // dropped arrivals, and markers name real doc ids
+      assert(markers.count() == bands.toLong * (nDocs - cap),
+        s"expected ${bands * (nDocs - cap)} overflow markers, got ${markers.count()}")
+      val markedIds = markers.select(col("b_id")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(markedIds.forall(id => id >= 0 && id < nDocs))
+      assert(markers.select(col("est_jaccard")).distinct().collect()
+        .forall(_.getDouble(0) == -1.0))
+      // accepted members still pair exactly: identical sigs -> est 1.0
+      assert(pairs.select(col("est_jaccard")).distinct().collect()
+        .forall(_.getDouble(0) == 1.0))
     }
   }
 }
