@@ -40,14 +40,24 @@ import graft.ext.Ivf
   */
 object ClusterStream {
 
-  final case class VecArrival(vec_id: Long, bucket: Int, v: Seq[Long])
+  /** `v` is the q_kmeans fixed-point vector (round((x+2)·1e6) — the
+    * assignment/mean space); `v4` is the davg fixed-point vector
+    * (round(x·1e4) — [[graft.core.Agg.davg]]'s numerator space), carried
+    * so the per-cell state can also answer the RETRAIN-TRIGGER question
+    * with the exact arithmetic the batch differential uses (round-12
+    * verdict #5; the two quantizations do not interconvert exactly, so
+    * both ride along).
+    */
+  final case class VecArrival(vec_id: Long, bucket: Int, v: Seq[Long], v4: Seq[Long])
 
   /** One emitted cell snapshot; `means` is the floor-quantized running
-    * centroid (the Lloyd update of the cell's members so far).
+    * centroid (the Lloyd update of the cell's members so far), `sums4`
+    * the cell's davg numerators (Σ round(x·1e4) per dim) for the drift
+    * signal.
     */
-  final case class CellRow(bucket: Int, upd: Long, n: Long, means: Seq[Long])
+  final case class CellRow(bucket: Int, upd: Long, n: Long, means: Seq[Long], sums4: Seq[Long])
 
-  final case class CellState(n: Long, sums: Seq[Long])
+  final case class CellState(n: Long, sums: Seq[Long], sums4: Seq[Long])
 
   class CellProcessor extends StatefulProcessor[Int, VecArrival, CellRow] {
     @transient private var st: ValueState[CellState] = _
@@ -59,21 +69,24 @@ object ClusterStream {
         key: Int,
         rows: Iterator[VecArrival],
         timerValues: TimerValues): Iterator[CellRow] = {
-      var s = if (st.exists()) st.get() else CellState(0L, Seq.empty)
+      var s = if (st.exists()) st.get() else CellState(0L, Seq.empty, Seq.empty)
       rows.foreach { r =>
         // fail loudly on a malformed embedding row — Seq.zip would
         // silently truncate and corrupt the cell means (the seedCents
         // width assertion's streaming counterpart, ADVICE r12)
         require(
-          s.sums.isEmpty || s.sums.length == r.v.length,
+          s.sums.isEmpty || (s.sums.length == r.v.length && s.sums4.length == r.v4.length),
           s"vector width ${r.v.length} != cell state width ${s.sums.length} (vec_id=${r.vec_id})")
         val sums =
           if (s.sums.isEmpty) r.v.toIndexedSeq
           else s.sums.toIndexedSeq.zip(r.v).map { case (a, b) => a + b }
-        s = CellState(s.n + 1L, sums)
+        val sums4 =
+          if (s.sums4.isEmpty) r.v4.toIndexedSeq
+          else s.sums4.toIndexedSeq.zip(r.v4).map { case (a, b) => a + b }
+        s = CellState(s.n + 1L, sums, sums4)
       }
       st.update(s)
-      Iterator.single(CellRow(key, s.n, s.n, s.sums.map(_ / s.n)))
+      Iterator.single(CellRow(key, s.n, s.n, s.sums.map(_ / s.n), s.sums4))
     }
   }
 
@@ -108,9 +121,70 @@ object ClusterStream {
       .select(
         col("vec_id"),
         Ivf.assignExpr(col("__v"), fpCents).as("bucket"),
-        expr("transform(__v, x -> cast(x as bigint))").as("v"))
+        expr("transform(__v, x -> cast(x as bigint))").as("v"),
+        // the davg numerator per dim — same HALF_UP round + decimal cast
+        // chain as Agg.dsum, so cross-batch Long sums replay it exactly
+        expr(
+          "transform(cast(embedding as array<double>), " +
+            "x -> cast(cast(round(x * 10000.0) as decimal(38,0)) as bigint))").as("v4"))
       .as[VecArrival]
   }
+
+  /** The RETRAIN TRIGGER from stream state (round-12 verdict #5 — the
+    * link between streaming ingest and index maintenance): fold the
+    * final cell snapshots' (n, sums4) to the global davg centroid of
+    * everything ingested, and score it against the BASE corpus centroid
+    * with the identical arithmetic [[Ivf.globalDriftCos]] uses for
+    * q_sim_ivf_incremental's batch differential — davg per dim is
+    * ((Σ round(x·1e4)).toDouble / 1e4) / n (the Agg.davg op chain
+    * verbatim) and the cosine is the same sequential-fold expression,
+    * so the streamed drift is BIT-equal to the batch value, not close
+    * to it (gated in ClusterStreamSpec). Returns one row
+    * (drift_cos, retrain_needed) with the q_sim_ivf_incremental
+    * threshold.
+    *
+    * Scale shape: inputs are the K cell snapshots (K×(dims+1) scalars —
+    * already driver-sized) and a dims-length base centroid computed
+    * once at quantizer-training time; no data-sized work at all.
+    */
+  def driftFromCells(
+      spark: SparkSession,
+      finalCells: Seq[CellRow],
+      baseCentroid: Seq[Double],
+      threshold: Double = 0.9): DataFrame = {
+    require(finalCells.nonEmpty, "no cells ingested — drift undefined")
+    val n = finalCells.map(_.n).sum
+    val dims = finalCells.head.sums4.length
+    val global = Array.fill(dims)(0L)
+    finalCells.foreach { c =>
+      require(c.sums4.length == dims, "cell width mismatch")
+      var i = 0
+      while (i < dims) { global(i) += c.sums4(i); i += 1 }
+    }
+    // Agg.davg's exact op order: int -> double, / 1e4, / n
+    val cNew = global.toSeq.map(s => s.toDouble / 10000.0 / n)
+    val row = spark.range(1).select(
+      array(baseCentroid.map(lit): _*).as("c_old"),
+      array(cNew.map(lit): _*).as("c_new"))
+    row.select(
+      graft.ext.Similarity.cosine(col("c_old"), col("c_new")).as("drift_cos"))
+      .select(col("drift_cos"), (col("drift_cos") < threshold).as("retrain_needed"))
+  }
+
+  /** The base-corpus davg centroid — computed ONCE when the coarse
+    * quantizer is trained, then a constant the drift trigger compares
+    * against ([[Ivf.globalDriftCos]]'s non-delta side, same davg
+    * fixed-point recipe).
+    */
+  def davgCentroid(emb: DataFrame): Seq[Double] =
+    emb
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(graft.core.Agg.davg(col("x")).as("m"))
+      .orderBy("pos")
+      .collect()
+      .map(_.getDouble(1))
+      .toSeq
 
   /** Per-cell running centroid statistics over a vector stream. */
   def cells(

@@ -49,6 +49,18 @@ object ClusterStreamMain {
         .collect()
       val total = finals.map(_.getAs[Long]("n")).sum
       println(s"[cluster-stream] cells=${finals.length} vectors=$total emissions=${rows.count()}")
+      // the retrain trigger from the same state: ingest ≡ corpus here, so
+      // drift_cos ~ 1 and no retrain fires — the live wiring is the point
+      val cellRows = finals.map(r => ClusterStream.CellRow(
+        r.getAs[Int]("bucket"), r.getAs[Long]("upd"), r.getAs[Long]("n"),
+        r.getAs[collection.Seq[Long]]("means").toSeq,
+        r.getAs[collection.Seq[Long]]("sums4").toSeq)).toSeq
+      val drift = ClusterStream
+        .driftFromCells(spark, cellRows, ClusterStream.davgCentroid(emb))
+        .collect().head
+      println(
+        s"[cluster-stream] drift_cos=${drift.getAs[Double]("drift_cos")} " +
+          s"retrain_needed=${drift.getAs[Boolean]("retrain_needed")}")
       finals.take(5).foreach { r =>
         println(
           s"[cluster-stream] bucket=${r.getAs[Int]("bucket")} n=${r.getAs[Long]("n")} " +

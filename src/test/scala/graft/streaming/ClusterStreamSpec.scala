@@ -90,4 +90,56 @@ class ClusterStreamSpec extends SparkSpec {
       assert(multi > 0, "expected at least one cell to fold across micro-batches")
     }
   }
+
+  test("streamed drift_cos equals the batch differential bit-for-bit (retrain trigger)") {
+    withRocksDb {
+      // The q_sim_ivf_incremental scenario, ingest-side (round-12 verdict
+      // #5): quantizer trained on the BASE corpus, the DELTA tenth
+      // streamed in micro-batches; the retrain trigger computed from the
+      // stream-end (n, sums4) cell state must equal Ivf.globalDriftCos's
+      // batch value EXACTLY — same davg fixed-point numerators (integer
+      // sums are order/batching-independent), same final division chain,
+      // same cosine fold.
+      val root = Files.createTempDirectory("cluster-drift").toString
+      val in = s"$root/in"; val out = s"$root/out"; val ck = s"$root/ck"
+      val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val base = emb.filter(col("vec_id") % 10 =!= 0)
+      val delta = emb.filter(col("vec_id") % 10 === 0)
+      val centroids = Ivf.train(spark, base, k = 16)
+      val baseCentroid = ClusterStream.davgCentroid(base)
+
+      delta.filter(col("vec_id") % 20 === 0).repartition(1)
+        .write.mode("append").parquet(in)
+      delta.filter(col("vec_id") % 20 =!= 0).repartition(1)
+        .write.mode("append").parquet(in)
+      val stream = spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in)
+      val q = ClusterStream.cells(spark, stream, centroids)
+        .writeStream.format("parquet").outputMode("append")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+
+      val rows = spark.read.parquet(out)
+      val cellRows = rows
+        .join(rows.groupBy("bucket").agg(max("upd").as("upd")), Seq("bucket", "upd"))
+        .collect()
+        .map(r => ClusterStream.CellRow(
+          r.getAs[Int]("bucket"), r.getAs[Long]("upd"), r.getAs[Long]("n"),
+          r.getAs[collection.Seq[Long]]("means").toSeq,
+          r.getAs[collection.Seq[Long]]("sums4").toSeq)).toSeq
+      val streamed = ClusterStream.driftFromCells(spark, cellRows, baseCentroid)
+        .collect().head
+      val batch = Ivf.globalDriftCos(emb, col("vec_id") % 10 === 0)
+        .collect().head
+
+      val sDrift = streamed.getAs[Double]("drift_cos")
+      val bDrift = batch.getAs[Double]("drift_cos")
+      assert(sDrift == bDrift, // BIT equality, not a tolerance
+        s"streamed drift $sDrift != batch differential $bDrift")
+      assert(streamed.getAs[Boolean]("retrain_needed") == (bDrift < 0.9))
+    }
+  }
 }
