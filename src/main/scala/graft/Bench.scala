@@ -85,6 +85,12 @@ import java.nio.file.{Files, Paths}
   * builders refreshing the committed snapshot set
   * GRAFT_BENCH_DETAIL=BENCH_LOCAL.json explicitly.
   *
+  * EXTENDED TIER (round 13): "queries_ext"/"total_ext" time the
+  * retrieval + fused-trainer headliners (q_bm25, q_sparse_cosine,
+  * q_kmeans_fused) as a separate 2-pass section on the main layout; the
+  * 22-query "queries"/"total" series is untouched, so cross-round
+  * comparability of the primary totals is preserved.
+  *
   * EMISSION (round 11): the round-9 self-adjudication additions grew the
   * stdout line past the driver's tail-capture window AGAIN (BENCH_r09 and
   * BENCH_r10 both carry parsed: null — the captured tail starts mid-line,
@@ -102,6 +108,15 @@ object Bench {
   private val RescueWallCapSec = 720.0
   private val SplitPasses = 2
   private val SplitFiles = 32
+  private val ExtPasses = 2
+
+  /** Extended tier (round-12 verdict #6): the retrieval + fused-trainer
+    * headliners, timed as a SEPARATE section ("queries_ext"/"total_ext")
+    * so the 22-query cross-round "queries"/"total" series stays
+    * untouched and comparable. Same interleaved-pass + per-query-min
+    * protocol, main (1-file) layout.
+    */
+  private val ExtTargets = Seq("q_bm25", "q_sparse_cosine", "q_kmeans_fused")
 
   /** Primary scanned table per headline — the denominator input for the
     * split tier's Mrows/s (the table whose rows the query must read end
@@ -270,6 +285,19 @@ object Bench {
         sp += 1
       }
     }
+    // ---- extended tier (round-12 verdict #6) ----
+    val extSamples = scala.collection.mutable.LinkedHashMap.empty[String, List[(Double, Double)]]
+    val extQs = ExtTargets.flatMap(Registry.byName.get)
+    var ep = 0
+    while (ep < ExtPasses) {
+      runProbes()
+      extQs.foreach { q =>
+        if (!errors.contains(s"ext:${q.name}")) timeOne(q, sfDir, extSamples, s"ext:${q.name}")
+      }
+      ep += 1
+    }
+    val extTimes = extSamples.map { case (k, v) => k -> v.map(_._1).min }
+
     val splitTimes = splitSamples.map { case (k, v) => k -> v.map(_._1).min }
     val splitMrows = splitTimes.flatMap { case (k, t) =>
       primaryTable.get(k).flatMap(splitRows.get).map(rows => k -> rows / 1e6 / t)
@@ -303,6 +331,9 @@ object Bench {
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = times.values.sum
     val totalMedian = timesMedian.values.sum
+    val eq = extTimes.map { case (k, v) => s"${jstr(k)}:${num(v)}" }.mkString("{", ",", "}")
+    val eqAll = extSamples.map { case (k, v) => s"${jstr(k)}:${arr(v.map(_._1))}" }.mkString("{", ",", "}")
+    val extTotal = extTimes.values.sum
     val sq = splitTimes.map { case (k, v) => s"${jstr(k)}:${num(v)}" }.mkString("{", ",", "}")
     val sqAll = splitSamples.map { case (k, v) => s"${jstr(k)}:${arr(v.map(_._1))}" }.mkString("{", ",", "}")
     val sMrows = splitMrows.map { case (k, v) => s"${jstr(k)}:${num(v)}" }.mkString("{", ",", "}")
@@ -319,6 +350,7 @@ object Bench {
         s""""probe32_min":${num(if (p32.nonEmpty) p32.min else 0.0)},"probe32_max":${num(if (p32.nonEmpty) p32.max else 0.0)},""" +
         s""""queries":$qs,"total_median":${num(totalMedian)},""" +
         s""""total_probe_norm":${num(normTotal(samples))},""" +
+        s""""queries_ext":$eq,"total_ext":${num(extTotal)},"ext_passes":$ExtPasses,""" +
         s""""split_files":$SplitFiles,"split_passes":$SplitPasses,"total_split":${num(splitTotal)},""" +
         s""""total_split_probe_norm":${num(normTotal(splitSamples))},""" +
         s""""detail_file":${jstr(detailFile)},""" +
@@ -332,7 +364,8 @@ object Bench {
       s""","note":"queries/errors keysets may overlap (timed-then-errored); totals comparable only within one protocol string",""" +
       s""""probe1_sec":${arr(p1.toSeq)},"probe32_sec":${arr(p32.toSeq)},""" +
       s""""queries_median":$qsMed,"mrows_per_sec_split":$sMrows,""" +
-      s""""queries_all":$qsAll,"queries_split":$sq,"queries_split_all":$sqAll}"""
+      s""""queries_all":$qsAll,"queries_split":$sq,"queries_split_all":$sqAll,""" +
+      s""""queries_ext_all":$eqAll}"""
     Files.writeString(Paths.get(detailFile), detail + "\n")
     println(head)
     spark.stop()
