@@ -31,7 +31,8 @@ object Registry {
       graft.ext.MonitorQueries.queries ++
       graft.ext.SketchQueries.queries ++
       graft.ext.SearchQueries.queries ++
-      graft.ext.ClusterQueries.queries
+      graft.ext.ClusterQueries.queries ++
+      graft.ext.ProbeQueries.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

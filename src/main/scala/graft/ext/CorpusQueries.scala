@@ -634,6 +634,44 @@ object CorpusQueries {
           "CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY (n_chars * 1000000) // " +
           "(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 + 1) DESC, doc_id) AS INT) AS rnk " +
           "FROM documents) WHERE rnk <= 40 ORDER BY source, rnk")
+    ),
+    Q(
+      "q_chunk_overlap",
+      // Sliding-window document chunking (context-window prep): every doc
+      // explodes into token windows of width 40 with stride 30 — the
+      // overlapping-chunk shape RAG indexing and long-doc training both
+      // feed on. Starts are sequence(0, n-1, 30), so every token lands in
+      // ≥1 chunk and trailing chunks shorten rather than spill; chunk_idx
+      // = start/stride is dense per doc. Scale shape: a pure narrow map +
+      // generator — fan-out n/30 per doc, ZERO exchanges before the
+      // gate's output sort (production writes hash-partitioned without
+      // it); chunk text re-joins from the token slice, so no second scan
+      // of the corpus.
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .withColumn("n", size(col("toks")).cast("long"))
+        docs
+          .select(
+            col("doc_id"), col("toks"), col("n"),
+            posexplode(expr("sequence(0L, n - 1L, 30L)")).as(Seq("chunk_idx", "start")))
+          .select(
+            col("doc_id"),
+            col("chunk_idx").cast("long").as("chunk_idx"),
+            col("start").as("start_tok"),
+            least(lit(40L), col("n") - col("start")).as("n_tok"),
+            array_join(slice(col("toks"), col("start").cast("int") + 1, lit(40)), " ")
+              .as("chunk_text"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some(
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, " +
+          "len(string_split(text, ' ')) AS n FROM documents), " +
+          "c AS (SELECT doc_id, toks, n, unnest(range(0, n, 30)) AS st FROM t) " +
+          "SELECT doc_id, CAST(st // 30 AS BIGINT) AS chunk_idx, CAST(st AS BIGINT) AS start_tok, " +
+          "CAST(LEAST(40, n - st) AS BIGINT) AS n_tok, " +
+          "array_to_string(toks[st + 1 : st + 40], ' ') AS chunk_text " +
+          "FROM c ORDER BY doc_id, chunk_idx")
     )
   )
 }

@@ -54,6 +54,82 @@ object SimilarityQueries {
       Seq("q_id", "n_id"), floor,
       countDistinct(col("q_id")), "n_queries")
 
+  /** MMR greedy selection (q_mmr_rerank's body, reusable for planted-corpus
+    * specs): per query matching `queryPred`, take the top-20 exact-cosine
+    * candidates and greedily select 5 maximizing mmr2 = rel − max-sim-to-
+    * selected (λ=1/2 scaled ×2); ties to the lowest n_id. All cosines run
+    * on round(x·1e6)-quantized vectors through the single dot/(sqrt·sqrt)
+    * chain, so the doubles are engine-deterministic. Queries with fewer
+    * than 5 candidates simply stop early (later rounds emit nothing).
+    */
+  def mmrSelect(emb: org.apache.spark.sql.DataFrame,
+      queryPred: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = emb
+      .select(
+        col("vec_id"),
+        expr("transform(CAST(embedding AS array<double>), x -> round(x * 1000000))").as("v"))
+      .withColumn("n2", Similarity.dot(col("v"), col("v")))
+    val q = n.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
+    val rels = q
+      .join(
+        n.select(col("vec_id").as("n_id"), col("v").as("cv"), col("n2").as("cn2")),
+        col("q_id") =!= col("n_id"))
+      .select(
+        col("q_id"), col("n_id"), col("cv"), col("cn2"),
+        (Similarity.dot(col("qv"), col("cv")) /
+          (sqrt(col("qn2")) * sqrt(col("cn2")))).as("rel"))
+    val cand = rels
+      .withColumn(
+        "crnk",
+        row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("rel").desc, col("n_id"))))
+      .filter(col("crnk") <= 20)
+      .select(col("q_id"), col("n_id"), col("cv"), col("cn2"), col("rel"))
+      .localCheckpoint(true)
+    val sims = cand
+      .select(col("q_id"), col("n_id").as("a_id"), col("cv").as("av"), col("cn2").as("an2"))
+      .join(
+        cand.select(col("q_id"), col("n_id").as("b_id"), col("cv").as("bv"), col("cn2").as("bn2")),
+        Seq("q_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(
+        col("q_id"), col("a_id"), col("b_id"),
+        (Similarity.dot(col("av"), col("bv")) /
+          (sqrt(col("an2")) * sqrt(col("bn2")))).as("sim"))
+      .localCheckpoint(true)
+    val thin = cand.select(col("q_id"), col("n_id"), col("rel"))
+    var selected = thin
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("rel").desc, col("n_id"))))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), lit(1L).as("sel_rank"), col("n_id"), col("rel").as("mmr2"))
+    for (t <- 2 to 5) {
+      val selIds = selected.select(col("q_id"), col("n_id"))
+      val pick = thin
+        .join(selIds, Seq("q_id", "n_id"), "left_anti")
+        .withColumnRenamed("n_id", "a_id")
+        .join(sims, Seq("q_id", "a_id"))
+        .join(selIds.withColumnRenamed("n_id", "b_id"), Seq("q_id", "b_id"))
+        .groupBy(col("q_id"), col("a_id"))
+        .agg(max(col("rel")).as("rel"), max(col("sim")).as("maxsim"))
+        .select(
+          col("q_id"), col("a_id").as("n_id"),
+          (col("rel") - col("maxsim")).as("mmr2"))
+        .withColumn(
+          "rn",
+          row_number().over(
+            Window.partitionBy(col("q_id")).orderBy(col("mmr2").desc, col("n_id"))))
+        .filter(col("rn") === 1)
+        .select(col("q_id"), lit(t.toLong).as("sel_rank"), col("n_id"), col("mmr2"))
+      selected = selected.unionByName(pick).localCheckpoint(true)
+    }
+    selected
+  }
+
   val queries: Seq[Q] = Seq(
     Q(
       "q_sim_bruteforce",
@@ -370,6 +446,60 @@ object SimilarityQueries {
           "FROM q CROSS JOIN c WHERE q_id <> n_id), " +
           "r AS (SELECT q_id, n_id, cos, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank FROM s) " +
           "SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 3 ORDER BY q_id, rank")
+    ),
+    Q(
+      "q_mmr_rerank",
+      // Maximal-marginal-relevance diversified re-ranking (Carbonell &
+      // Goldstein 1998) — the serving-side stage between retrieval and
+      // the consumer: from each query's top-20 cosine candidates, greedily
+      // select 5 maximizing λ·rel − (1−λ)·max-sim-to-selected with λ=1/2
+      // (scored ×2 so mmr2 = rel − maxsim needs no fraction). EXACT
+      // cross-engine: embeddings quantize to integer fixed point
+      // (round(x·1e6) — products stay < 2^48, dot sums exact in doubles
+      // regardless of fold order), and every cosine is the single
+      // dot/(sqrt·sqrt) chain of the q_sparse_cosine gate, so both
+      // engines compare identical doubles; ties break on n_id. Scale
+      // shape: candidate generation is pluggable (brute force here for
+      // exactness — production swaps in the IVF top-K, same contract);
+      // the MMR stage itself touches only K=20 rows and K² sims PER
+      // QUERY, each greedy round one bounded join + per-query argmax —
+      // work is queries·K², never corpus-sized. cand/sims are
+      // localCheckpoint'd so the 4 unrolled rounds don't replay the scan.
+      (s, d) =>
+        mmrSelect(Tables(s, d, "embeddings"), col("vec_id") < 5)
+          .orderBy("q_id", "sel_rank"),
+      Some {
+        val base =
+          "n AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1000000)) AS v FROM embeddings), " +
+            "nn AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM n), " +
+            "rels AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id, " +
+            "list_dot_product(q.v, c.v) / (sqrt(q.n2) * sqrt(c.n2)) AS rel " +
+            "FROM nn q CROSS JOIN nn c WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id), " +
+            "cand AS (SELECT q_id, n_id, rel FROM (SELECT q_id, n_id, rel, " +
+            "ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rel DESC, n_id) AS crnk FROM rels) WHERE crnk <= 20), " +
+            "sims AS (SELECT a.q_id AS q_id, a.n_id AS a_id, b.n_id AS b_id, " +
+            "list_dot_product(na.v, nb.v) / (sqrt(na.n2) * sqrt(nb.n2)) AS sim " +
+            "FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.n_id <> b.n_id " +
+            "JOIN nn na ON na.vec_id = a.n_id JOIN nn nb ON nb.vec_id = b.n_id), " +
+            "s1 AS (SELECT q_id, CAST(1 AS BIGINT) AS sel_rank, n_id, rel AS mmr2 FROM " +
+            "(SELECT q_id, n_id, rel, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rel DESC, n_id) AS rn FROM cand) WHERE rn = 1), " +
+            "sel1 AS (SELECT q_id, n_id FROM s1)"
+        val rounds = (2 to 5).map { t =>
+          s"m$t AS (SELECT c.q_id AS q_id, c.n_id AS n_id, MAX(c.rel) AS rel, MAX(s.sim) AS maxsim " +
+            s"FROM cand c LEFT JOIN sel${t - 1} d ON d.q_id = c.q_id AND d.n_id = c.n_id " +
+            s"JOIN sims s ON s.q_id = c.q_id AND s.a_id = c.n_id " +
+            s"JOIN sel${t - 1} x ON x.q_id = s.q_id AND x.n_id = s.b_id " +
+            s"WHERE d.n_id IS NULL GROUP BY c.q_id, c.n_id), " +
+            s"s$t AS (SELECT q_id, CAST($t AS BIGINT) AS sel_rank, n_id, mmr2 FROM " +
+            s"(SELECT q_id, n_id, rel - maxsim AS mmr2, " +
+            s"ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rel - maxsim DESC, n_id) AS rn FROM m$t) WHERE rn = 1), " +
+            s"sel$t AS (SELECT q_id, n_id FROM sel${t - 1} UNION ALL SELECT q_id, n_id FROM s$t)"
+        }.mkString(", ")
+        val out = (1 to 5)
+          .map(t => s"SELECT q_id, sel_rank, n_id, mmr2 FROM s$t")
+          .mkString(" UNION ALL ")
+        s"WITH $base, $rounds SELECT q_id, sel_rank, n_id, mmr2 FROM ($out) ORDER BY q_id, sel_rank"
+      }
     )
   )
 }

@@ -208,6 +208,71 @@ object Incremental {
           "GROUP BY 1 ORDER BY 1")
     ),
     Q(
+      "q_merge_apply",
+      // CDC change-log APPLY (MERGE upsert/delete with last-write-wins) —
+      // the other half of q_snapshot_diff: that query EXTRACTS changes;
+      // this one replays a keyed change log (op ∈ U/D/I, monotone seq —
+      // the binlog shape the reference's source database emits) onto a
+      // target snapshot. Per-key conflict resolution keeps only the
+      // highest-seq entry (row_number desc), then one full-outer join
+      // applies it: D drops the row (no-op on absent keys), U/I upsert
+      // the value. The log is built deterministically from orders with
+      // overlapping predicates so every interaction class occurs: U then
+      // U (latest wins), U then D (net delete), D then I (re-insert),
+      // I-only on keys absent from the target. Scale shape: the latest-
+      // wins window and the merge join key on the same column, so AQE
+      // plans ONE shuffle of each side and nothing touches the driver —
+      // this replaces the reference's WRITE_TRUNCATE full reload with
+      // work proportional to the delta, not the table.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val o = Tables(s, d, "orders").select(
+          col("o_orderkey").as("k"),
+          col("o_orderstatus").as("status"),
+          col("o_totalprice").as("price"))
+        val target = o.filter(col("k") % 7 =!= 0)
+        val chg = o.filter(col("k") % 3 === 0)
+          .select(col("k"), lit(1L).as("seq"), lit("U").as("op"),
+            (col("price") + 1.0).as("val"), lit(null).cast("string").as("new_status"))
+          .unionByName(o.filter(col("k") % 9 === 0)
+            .select(col("k"), lit(2L).as("seq"), lit("U").as("op"),
+              (col("price") + 2.0).as("val"), lit(null).cast("string").as("new_status")))
+          .unionByName(o.filter(col("k") % 5 === 0)
+            .select(col("k"), lit(3L).as("seq"), lit("D").as("op"),
+              lit(null).cast("double").as("val"), lit(null).cast("string").as("new_status")))
+          .unionByName(o.filter(col("k") % 7 === 0)
+            .select(col("k"), lit(4L).as("seq"), lit("I").as("op"),
+              col("price").as("val"), col("status").as("new_status")))
+        val latest = chg
+          .withColumn("rn",
+            row_number().over(Window.partitionBy(col("k")).orderBy(col("seq").desc)))
+          .filter(col("rn") === 1)
+          .drop("rn")
+        target
+          .join(latest, Seq("k"), "full_outer")
+          .filter(col("op").isNull || col("op") =!= "D")
+          .select(
+            col("k"),
+            coalesce(col("status"), col("new_status")).as("status"),
+            when(col("op").isNull, col("price")).otherwise(col("val")).as("price"))
+          .orderBy("k")
+      },
+      Some(
+        "WITH t AS (SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice AS price " +
+          "FROM orders WHERE o_orderkey % 7 <> 0), " +
+          "chg AS (SELECT o_orderkey AS k, 1 AS seq, 'U' AS op, o_totalprice + 1.0 AS val, " +
+          "CAST(NULL AS VARCHAR) AS new_status FROM orders WHERE o_orderkey % 3 = 0 " +
+          "UNION ALL SELECT o_orderkey, 2, 'U', o_totalprice + 2.0, NULL FROM orders WHERE o_orderkey % 9 = 0 " +
+          "UNION ALL SELECT o_orderkey, 3, 'D', NULL, NULL FROM orders WHERE o_orderkey % 5 = 0 " +
+          "UNION ALL SELECT o_orderkey, 4, 'I', o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 7 = 0), " +
+          "latest AS (SELECT k, op, val, new_status FROM (SELECT k, seq, op, val, new_status, " +
+          "ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn FROM chg) WHERE rn = 1) " +
+          "SELECT COALESCE(t.k, l.k) AS k, COALESCE(t.status, l.new_status) AS status, " +
+          "CASE WHEN l.op IS NULL THEN t.price ELSE l.val END AS price " +
+          "FROM t FULL OUTER JOIN latest l ON t.k = l.k " +
+          "WHERE l.op IS NULL OR l.op <> 'D' ORDER BY k")
+    ),
+    Q(
       "q_erasure_cascade",
       // Right-to-be-forgotten cascade: a tombstone set of customers
       // (deterministic predicate stands in for the deletion-request feed)

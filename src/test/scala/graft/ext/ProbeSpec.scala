@@ -1,0 +1,36 @@
+package graft.ext
+
+import graft.{Registry, SparkSpec}
+
+/** The linear-probe GD trainer (q_gd_train): descent semantics on the real
+  * fixture. The cross-engine bit-equality of the trajectory is the
+  * registered oracle's job; this spec pins the TRAINING behavior — strict
+  * monotone loss decrease (EtaC sits 4× inside the measured divergence
+  * boundary, so real descent must be monotone here, no slack needed) and
+  * substantial convergence.
+  */
+class ProbeSpec extends SparkSpec {
+
+  test("gd trainer: loss strictly decreases and converges on the fixture") {
+    val out = Registry.byName("q_gd_train").run(spark, sf()).collect()
+      .sortBy(_.getAs[Long]("iter"))
+    assert(out.length == 6, "expected init + 5 update iterations")
+    val loss = out.map(_.getAs[Long]("loss"))
+    assert(loss.forall(_ > 0L))
+    assert(
+      loss.sliding(2).forall { case Array(a, b) => b < a },
+      s"non-monotone loss: ${loss.toSeq}")
+    assert(loss.last * 4 < loss.head, s"did not converge: ${loss.toSeq}")
+  }
+
+  test("gd trainer: weights start at zero and every update moves them") {
+    val out = Registry.byName("q_gd_train").run(spark, sf()).collect()
+      .sortBy(_.getAs[Long]("iter"))
+    val ws = out.map(r => (1 to 5).map(j => r.getAs[Long](s"w${j - 1}")))
+    assert(ws.head.forall(_ == 0L), "iter 0 must report the zero init")
+    // successive weight vectors differ while the loss is still dropping
+    ws.sliding(2).foreach { case Array(a, b) => assert(a != b, s"stalled update: $a") }
+    // the dominant true signal (y ~ 3·f1) pulls w1 positive immediately
+    assert(out.last.getAs[Long]("w1") > 0L)
+  }
+}

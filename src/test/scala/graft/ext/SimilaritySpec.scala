@@ -186,4 +186,38 @@ class SimilaritySpec extends SparkSpec {
       .collect().head.getAs[Double]("drift_cos")
     assert(shiftedCos < 0.9, s"shifted delta not flagged: $shiftedCos")
   }
+
+  test("MMR on a planted corpus picks the diverse candidate over the redundant one") {
+    import spark.implicits._
+    // query 0; candidates: 1 ≈ 2 (near-duplicates, both highly relevant),
+    // 3 moderately relevant but diverse. Pure relevance ranks 1, 2, 3;
+    // MMR must demote the near-duplicate: 1, then 3, then 2.
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.995f, 0.1f, 0f, 0f)),
+      (2L, Array(0.99f, 0.141f, 0f, 0f)),
+      (3L, Array(0.8f, -0.6f, 0f, 0f))).toDF("vec_id", "embedding")
+    val sel = SimilarityQueries.mmrSelect(emb, col("vec_id") === 0L)
+      .orderBy("sel_rank").collect()
+    assert(sel.map(_.getAs[Long]("n_id")).toSeq == Seq(1L, 3L, 2L),
+      s"got ${sel.map(_.getAs[Long]("n_id")).toSeq}")
+    assert(sel.map(_.getAs[Long]("sel_rank")).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("MMR on the fixture: 5 distinct picks per query, scores weakly decrease past rank 1") {
+    val rows = graft.Registry.byName("q_mmr_rerank").run(spark, sf()).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == 5)
+    byQ.foreach { case (q, sel) =>
+      assert(sel.length == 5, s"query $q selected ${sel.length}")
+      assert(sel.map(_.getAs[Long]("n_id")).distinct.length == 5, s"query $q repeated a pick")
+      // rank 1 is pure relevance (can sit below a diversity-bonused rank
+      // 2 when sims go negative); from rank 2 on the greedy max cannot
+      // increase because penalties only grow and candidates only shrink
+      val m = sel.sortBy(_.getAs[Long]("sel_rank")).map(_.getAs[Double]("mmr2"))
+      m.drop(1).sliding(2).foreach { case Array(a, b) =>
+        assert(b <= a, s"query $q mmr2 increased: ${m.toSeq}")
+      }
+    }
+  }
 }
