@@ -287,4 +287,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("FullOuter") || p.contains("full_outer"),
       "anti-degeneracy full-outer fold missing")
   }
+
+  test("merge apply: one shuffle per side, latest-wins window pushed to a group limit") {
+    val p = planString(Registry.byName("q_merge_apply").run(spark, sf()))
+    // the latest-wins window and the merge join key on the same column:
+    // the change side's window exchange must feed the join directly (2
+    // hash exchanges total — one per side — plus the output range sort)
+    val hashEx = "hashpartitioning".r.findAllIn(p).size
+    assert(hashEx <= 2, s"expected one hash exchange per side, plan has $hashEx:\n${p.take(1500)}")
+    // rn = 1 over (k ORDER BY seq DESC) must compile to the rank-limit
+    // pushdown, not a full per-key sort-and-filter
+    assert(p.contains("WindowGroupLimit"), "latest-wins top-1 lost its group-limit pushdown")
+    assert(p.contains("FullOuter"), "merge apply must full-outer join target and latest")
+  }
+
+  test("chunker is a pure generator map: no hash exchange before the output sort") {
+    val p = planString(Registry.byName("q_chunk_overlap").run(spark, sf()))
+    assert(!p.contains("hashpartitioning"),
+      s"chunking planned a hash shuffle — should be map-only:\n${p.take(1500)}")
+    assert(p.contains("Generate"), "explode generator missing from the chunk plan")
+  }
 }
