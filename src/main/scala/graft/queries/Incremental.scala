@@ -226,24 +226,8 @@ object Incremental {
       // work proportional to the delta, not the table.
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val o = Tables(s, d, "orders").select(
-          col("o_orderkey").as("k"),
-          col("o_orderstatus").as("status"),
-          col("o_totalprice").as("price"))
-        val target = o.filter(col("k") % 7 =!= 0)
-        val chg = o.filter(col("k") % 3 === 0)
-          .select(col("k"), lit(1L).as("seq"), lit("U").as("op"),
-            (col("price") + 1.0).as("val"), lit(null).cast("string").as("new_status"))
-          .unionByName(o.filter(col("k") % 9 === 0)
-            .select(col("k"), lit(2L).as("seq"), lit("U").as("op"),
-              (col("price") + 2.0).as("val"), lit(null).cast("string").as("new_status")))
-          .unionByName(o.filter(col("k") % 5 === 0)
-            .select(col("k"), lit(3L).as("seq"), lit("D").as("op"),
-              lit(null).cast("double").as("val"), lit(null).cast("string").as("new_status")))
-          .unionByName(o.filter(col("k") % 7 === 0)
-            .select(col("k"), lit(4L).as("seq"), lit("I").as("op"),
-              col("price").as("val"), col("status").as("new_status")))
-        val latest = chg
+        val target = mergeTarget(s, d)
+        val latest = mergeLog(s, d)
           .withColumn("rn",
             row_number().over(Window.partitionBy(col("k")).orderBy(col("seq").desc)))
           .filter(col("rn") === 1)
@@ -321,6 +305,43 @@ object Incremental {
           "FROM a ORDER BY table_name")
     )
   )
+
+  /** q_merge_apply's target snapshot (orders minus the % 7 keys), shared
+    * with the streaming CDC-apply twin ([[graft.streaming.CdcStream]]).
+    */
+  def mergeTarget(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Tables(s, d, "orders")
+      .select(
+        col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        col("o_totalprice").as("price"))
+      .filter(col("k") % 7 =!= 0)
+
+  /** q_merge_apply's deterministic change log — (k, seq, op, val,
+    * new_status) with overlapping predicates so every interaction class
+    * occurs (see the query comment). Single-sourced here so the batch
+    * MERGE and the streaming twin replay the IDENTICAL feed.
+    */
+  def mergeLog(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val o = Tables(s, d, "orders").select(
+      col("o_orderkey").as("k"),
+      col("o_orderstatus").as("status"),
+      col("o_totalprice").as("price"))
+    o.filter(col("k") % 3 === 0)
+      .select(col("k"), lit(1L).as("seq"), lit("U").as("op"),
+        (col("price") + 1.0).as("val"), lit(null).cast("string").as("new_status"))
+      .unionByName(o.filter(col("k") % 9 === 0)
+        .select(col("k"), lit(2L).as("seq"), lit("U").as("op"),
+          (col("price") + 2.0).as("val"), lit(null).cast("string").as("new_status")))
+      .unionByName(o.filter(col("k") % 5 === 0)
+        .select(col("k"), lit(3L).as("seq"), lit("D").as("op"),
+          lit(null).cast("double").as("val"), lit(null).cast("string").as("new_status")))
+      .unionByName(o.filter(col("k") % 7 === 0)
+        .select(col("k"), lit(4L).as("seq"), lit("I").as("op"),
+          col("price").as("val"), col("status").as("new_status")))
+  }
 
   /** The SCD-2 validity-interval history (q_scd2's build), shared with the
     * point-in-time lookup join: last write per (customer, day) wins, then
