@@ -86,10 +86,12 @@ import java.nio.file.{Files, Paths}
   * GRAFT_BENCH_DETAIL=BENCH_LOCAL.json explicitly.
   *
   * EXTENDED TIER (round 13): "queries_ext"/"total_ext" time the
-  * retrieval + fused-trainer headliners (q_bm25, q_sparse_cosine,
-  * q_kmeans_fused) as a separate 2-pass section on the main layout; the
-  * 22-query "queries"/"total" series is untouched, so cross-round
-  * comparability of the primary totals is preserved.
+  * retrieval + trainer headliners (q_bm25, q_sparse_cosine,
+  * q_kmeans_fused, q_gd_train — BOTH in-engine trainers) as a separate
+  * 2-pass section on the main layout; the 22-query "queries"/"total"
+  * series is untouched, so cross-round comparability of the primary
+  * totals is preserved. Round 13 is the ext tier's first recorded round,
+  * so its 4-query membership is the series baseline.
   *
   * EMISSION (round 11): the round-9 self-adjudication additions grew the
   * stdout line past the driver's tail-capture window AGAIN (BENCH_r09 and
@@ -116,7 +118,7 @@ object Bench {
     * untouched and comparable. Same interleaved-pass + per-query-min
     * protocol, main (1-file) layout.
     */
-  private val ExtTargets = Seq("q_bm25", "q_sparse_cosine", "q_kmeans_fused")
+  private val ExtTargets = Seq("q_bm25", "q_sparse_cosine", "q_kmeans_fused", "q_gd_train")
 
   /** Primary scanned table per headline — the denominator input for the
     * split tier's Mrows/s (the table whose rows the query must read end

@@ -130,6 +130,63 @@ object SimilarityQueries {
     selected
   }
 
+  /** nDCG@10 / MRR / hits of the truncated-dim fast pass vs the exact
+    * full-dim ranking (q_rank_eval's body, reusable for planted-corpus
+    * specs). Integer-weight discounts make the metric sums exact; see the
+    * registered query's comment for the full design discussion.
+    */
+  def rankEval(emb: org.apache.spark.sql.DataFrame,
+      queryPred: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wDcg = (1 to 10).map(r => math.round(1e6 / (math.log(r + 1.0) / math.log(2.0))))
+    val wMrr = (1 to 10).map(r => math.round(1e6 / r.toDouble))
+    val idcg = (1 to 10).map(r => (11 - r) * wDcg(r - 1)).sum
+    val n = emb
+      .select(
+        col("vec_id"),
+        expr("transform(CAST(embedding AS array<double>), x -> round(x * 1000000))").as("v"))
+      .withColumn("vt", slice(col("v"), 1, 16))
+      .withColumn("n2", Similarity.dot(col("v"), col("v")))
+      .withColumn("n2t", Similarity.dot(col("vt"), col("vt")))
+    val q = n.filter(queryPred).select(
+      col("vec_id").as("q_id"), col("v").as("qv"), col("vt").as("qvt"),
+      col("n2").as("qn2"), col("n2t").as("qn2t"))
+    val pairs = q.join(
+      n.select(col("vec_id").as("n_id"), col("v").as("cv"), col("vt").as("cvt"),
+        col("n2").as("cn2"), col("n2t").as("cn2t")),
+      col("q_id") =!= col("n_id"))
+    val scored = pairs.select(
+      col("q_id"), col("n_id"),
+      (Similarity.dot(col("qv"), col("cv")) /
+        (sqrt(col("qn2")) * sqrt(col("cn2")))).as("cos_full"),
+      (Similarity.dot(col("qvt"), col("cvt")) /
+        (sqrt(col("qn2t")) * sqrt(col("cn2t")))).as("cos_trunc"))
+    val truth = scored
+      .withColumn("frnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos_full").desc, col("n_id"))))
+      .filter(col("frnk") <= 10)
+      .select(col("q_id"), col("n_id"), (lit(11) - col("frnk")).cast("long").as("rel"))
+    val system = scored
+      .withColumn("srnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos_trunc").desc, col("n_id"))))
+      .filter(col("srnk") <= 10)
+      .select(col("q_id"), col("n_id"), col("srnk"))
+    val wd = array(wDcg.map(lit): _*)
+    val wm = array(wMrr.map(lit): _*)
+    system
+      .join(truth, Seq("q_id", "n_id"), "left")
+      .withColumn("rel0", coalesce(col("rel"), lit(0L)))
+      .groupBy(col("q_id"))
+      .agg(
+        sum(when(col("rel0") > 0, 1L).otherwise(0L)).as("hits"),
+        sum(col("rel0") * element_at(wd, col("srnk"))).as("dcg_fp"),
+        coalesce(
+          max(when(col("rel0") > 0, element_at(wm, col("srnk")))), lit(0L)).as("mrr_fp"))
+      .select(
+        col("q_id"), col("hits"), col("dcg_fp"), col("mrr_fp"),
+        (col("dcg_fp").cast("double") / lit(idcg.toDouble)).as("ndcg"))
+  }
+
   val queries: Seq[Q] = Seq(
     Q(
       "q_sim_bruteforce",
@@ -446,6 +503,54 @@ object SimilarityQueries {
           "FROM q CROSS JOIN c WHERE q_id <> n_id), " +
           "r AS (SELECT q_id, n_id, cos, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank FROM s) " +
           "SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 3 ORDER BY q_id, rank")
+    ),
+    Q(
+      "q_rank_eval",
+      // Retrieval-quality evaluation as a first-class op: nDCG@10, MRR,
+      // and hit count for the truncated-dimension fast pass
+      // (q_sim_truncate's 16-of-64 ranking) judged against the exact
+      // full-dimension ranking — the eval harness every retrieval change
+      // must clear before shipping. Cross-engine EXACT end to end: both
+      // rankings use the quantized-integer dot + single sqrt chain (the
+      // q_mmr_rerank recipe), graded relevance is 11 − exact_rank, and
+      // the position discounts are INTEGER LITERAL weights
+      // W(r) = round(1e6/log2(r+1)) / Wm(r) = round(1e6/r) computed once
+      // at plan build and embedded in both engines — so DCG/MRR sums are
+      // exact Longs and nDCG is one deterministic double division by the
+      // constant ideal DCG. MRR falls out of the weight table's
+      // monotonicity: max over hits of Wm(rank) IS round(1e6/first_hit).
+      // Scale shape: two rank computations (each the corpus-bounded
+      // candidate chain — production swaps in any served ranking) plus
+      // one 10-row-per-query join and a per-query agg; the metric stage
+      // is rank-list-sized, never corpus-sized.
+      (s, d) => rankEval(Tables(s, d, "embeddings"), col("vec_id") < 10).orderBy("q_id"),
+      Some {
+        val wDcg = (1 to 10).map(r => math.round(1e6 / (math.log(r + 1.0) / math.log(2.0))))
+        val wMrr = (1 to 10).map(r => math.round(1e6 / r.toDouble))
+        val idcg = (1 to 10).map(r => (11 - r) * wDcg(r - 1)).sum
+        val wtab = (1 to 10)
+          .map(r => s"(${r}, ${wDcg(r - 1)}, ${wMrr(r - 1)})").mkString(", ")
+        "WITH n AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1000000)) AS v FROM embeddings), " +
+          "nn AS (SELECT vec_id, v, v[1:16] AS vt, list_dot_product(v, v) AS n2, " +
+          "list_dot_product(v[1:16], v[1:16]) AS n2t FROM n), " +
+          "scored AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id, " +
+          "list_dot_product(q.v, c.v) / (sqrt(q.n2) * sqrt(c.n2)) AS cos_full, " +
+          "list_dot_product(q.vt, c.vt) / (sqrt(q.n2t) * sqrt(c.n2t)) AS cos_trunc " +
+          "FROM nn q CROSS JOIN nn c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id), " +
+          "truth AS (SELECT q_id, n_id, CAST(11 - frnk AS BIGINT) AS rel FROM " +
+          "(SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_full DESC, n_id) AS frnk FROM scored) WHERE frnk <= 10), " +
+          "sysr AS (SELECT q_id, n_id, srnk FROM " +
+          "(SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_trunc DESC, n_id) AS srnk FROM scored) WHERE srnk <= 10), " +
+          s"wtab(r, wd, wm) AS (VALUES $wtab), " +
+          "j AS (SELECT s.q_id, COALESCE(t.rel, 0) AS rel0, w.wd, w.wm FROM sysr s " +
+          "LEFT JOIN truth t ON t.q_id = s.q_id AND t.n_id = s.n_id " +
+          "JOIN wtab w ON w.r = s.srnk) " +
+          "SELECT q_id, CAST(SUM(CASE WHEN rel0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS hits, " +
+          "CAST(SUM(rel0 * wd) AS BIGINT) AS dcg_fp, " +
+          "CAST(COALESCE(MAX(CASE WHEN rel0 > 0 THEN wm END), 0) AS BIGINT) AS mrr_fp, " +
+          s"CAST(SUM(rel0 * wd) AS DOUBLE) / ${idcg}.0 AS ndcg " +
+          "FROM j GROUP BY q_id ORDER BY q_id"
+      }
     ),
     Q(
       "q_mmr_rerank",

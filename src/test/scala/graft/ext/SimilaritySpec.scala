@@ -187,6 +187,40 @@ class SimilaritySpec extends SparkSpec {
     assert(shiftedCos < 0.9, s"shifted delta not flagged: $shiftedCos")
   }
 
+  test("rank eval: a ranking the truncation preserves scores a perfect nDCG/MRR") {
+    import spark.implicits._
+    // vectors differ ONLY in the first 16 dims (the rest are a shared
+    // constant tail), so the truncated ranking must equal the full one:
+    // nDCG = 1, MRR = 1e6, all 10 truth docs hit
+    val rows = (0L until 12L).map { i =>
+      val head = Array.tabulate(16)(j => if (j == (i % 16).toInt) 1.0f else 0.1f * ((i + j) % 3))
+      (i, head ++ Array.fill(48)(0.25f))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = SimilarityQueries.rankEval(emb, col("vec_id") === 0L).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("hits") == 10L, s"hits=${r.getAs[Long]("hits")}")
+    assert(r.getAs[Long]("mrr_fp") == 1000000L)
+    assert(r.getAs[Double]("ndcg") == 1.0, s"ndcg=${r.getAs[Double]("ndcg")}")
+  }
+
+  test("rank eval on the fixture: metrics in range and internally consistent") {
+    val rows = graft.Registry.byName("q_rank_eval").run(spark, sf()).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val ndcg = r.getAs[Double]("ndcg")
+      assert(ndcg >= 0.0 && ndcg <= 1.0)
+      val hits = r.getAs[Long]("hits")
+      assert(hits >= 0L && hits <= 10L)
+      val mrr = r.getAs[Long]("mrr_fp")
+      assert(mrr == 0L || (mrr >= 100000L && mrr <= 1000000L))
+      // no hits ⇔ zero dcg ⇔ zero mrr
+      assert((hits == 0L) == (r.getAs[Long]("dcg_fp") == 0L))
+      assert((hits == 0L) == (mrr == 0L))
+    }
+  }
+
   test("MMR on a planted corpus picks the diverse candidate over the redundant one") {
     import spark.implicits._
     // query 0; candidates: 1 ≈ 2 (near-duplicates, both highly relevant),
