@@ -182,6 +182,116 @@ object Pq {
       .select(col("vec_id"), col("bucket"), col("s.m").as("m"), col("s.code").as("code"))
   }
 
+  /** Residuals vs the assigned coarse cell: (vec_id, bucket, embedding =
+    * x − centroid(bucket)) — the input space of FAISS's default
+    * `by_residual=true` IVFPQ. Residual magnitudes are the within-cell
+    * spread, much smaller than raw coordinates, so the same M×k codebook
+    * budget quantizes them with less error — the standard recall lift
+    * residual encoding buys (measured in EmbedSpec).
+    */
+  def residuals(corpus: DataFrame, coarse: Seq[Seq[Double]]): DataFrame = {
+    val centLit = array(coarse.map(c => array(c.map(lit): _*)): _*)
+    corpus
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("bucket", Ivf.assignExpr(col("v"), coarse))
+      .select(
+        col("vec_id"), col("bucket"),
+        zip_with(col("v"), element_at(centLit, col("bucket") + 1), (a, b) => a - b)
+          .as("embedding"))
+  }
+
+  /** Train the M sub-codebooks on RESIDUAL space (the `by_residual=true`
+    * companion of [[train]]): same deterministic per-subspace k-means,
+    * run over [[residuals]] of the corpus under the stored coarse
+    * quantizer.
+    */
+  def trainResidual(
+      spark: SparkSession,
+      corpus: DataFrame,
+      coarse: Seq[Seq[Double]],
+      m: Int,
+      k: Int,
+      iters: Int = 3): Seq[Seq[Seq[Double]]] =
+    // materialize the residual corpus once — otherwise every Lloyd round
+    // of every sub-quantizer re-derives the assign+subtract map (M·iters
+    // replays of the residual plan; measured 46 s → 17 s at sf0.01)
+    train(
+      spark,
+      residuals(corpus, coarse).select(col("vec_id"), col("embedding")).localCheckpoint(true),
+      m, k, iters)
+
+  /** The residual-encoded IVFPQ storage table (`by_residual=true`): same
+    * (vec_id, bucket, m, code) layout as [[encodeCells]], but codes
+    * quantize x − centroid(bucket). Still ONE narrow map — the residual
+    * subtraction is a zip_with against the broadcast centroid literals.
+    */
+  def encodeCellsResidual(
+      corpus: DataFrame,
+      books: Seq[Seq[Seq[Double]]],
+      coarse: Seq[Seq[Double]]): DataFrame = {
+    val dim = books.map(_.head.size).sum
+    val sub = dim / books.size
+    val perM = books.zipWithIndex.map { case (cb, j) =>
+      val subv = slice(col("embedding"), j * sub + 1, sub)
+      struct(lit(j).as("m"), Ivf.assignExpr(subv, cb).as("code"))
+    }
+    residuals(corpus, coarse)
+      .select(col("vec_id"), col("bucket"), explode(array(perM: _*)).as("s"))
+      .select(col("vec_id"), col("bucket"), col("s.m").as("m"), col("s.code").as("code"))
+  }
+
+  /** Residual-space ADC candidates: as [[adcCandidatesIvf]], except the
+    * distance table is built per (query, probed cell) over the QUERY'S
+    * residual to that cell (qr = q − centroid(cell)) — nprobe small
+    * tables per query instead of one, still query-side-tiny, and the
+    * codes-only equi-join/scan shape is unchanged. This is the exact
+    * approximation FAISS serves by default: ‖q − (c + r̂)‖² =
+    * ‖(q − c) − r̂‖² with r̂ the de-quantized residual code.
+    */
+  def adcCandidatesIvfResidual(
+      queries: DataFrame,
+      encodedCells: DataFrame,
+      books: Seq[Seq[Seq[Double]]],
+      coarse: Seq[Seq[Double]],
+      nprobe: Int): DataFrame = {
+    val dim = books.map(_.head.size).sum
+    val sub = dim / books.size
+    val v = col("embedding").cast("array<double>")
+    val centLit = array(coarse.map(c => array(c.map(lit): _*)): _*)
+    val coarseDists = array(coarse.map(c => Ivf.dist2(col("qv"), c)): _*)
+    val tables = array(books.zipWithIndex.map { case (cb, j) =>
+      val subv = slice(col("qrv"), j * sub + 1, sub)
+      array(cb.map { c =>
+        aggregate(
+          zip_with(subv, array(c.map(lit): _*), (x, y) => (x - y) * (x - y)),
+          lit(0.0),
+          (acc, e) => acc + e)
+      }: _*)
+    }: _*)
+    val probes = queries
+      .select(col("vec_id").as("q_id"), v.as("qv"))
+      .select(col("q_id"), col("qv"), posexplode(coarseDists).as(Seq("bucket", "cd2")))
+      .withColumn(
+        "probe_rank",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("q_id")).orderBy(col("cd2"), col("bucket"))))
+      .filter(col("probe_rank") <= nprobe)
+      .withColumn(
+        "qrv",
+        zip_with(col("qv"), element_at(centLit, col("bucket") + 1), (a, b) => a - b))
+      .withColumn("tables", tables)
+      .select(col("q_id"), col("tables"), col("bucket"))
+    broadcast(probes)
+      .join(encodedCells, Seq("bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(
+        col("q_id"), col("vec_id"),
+        element_at(element_at(col("tables"), col("m") + 1), col("code") + 1).as("term"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("term")).as("adist2"))
+  }
+
   /** IVF×PQ candidate generation — the composed serving path (round-12
     * verdict #1): each query builds its ADC distance table ONCE, probes
     * its `nprobe` nearest coarse cells, and ADC-scores ONLY the codes

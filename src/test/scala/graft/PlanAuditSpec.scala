@@ -271,6 +271,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"IVF-PQ serving path planned an all-pairs join:\n${p.take(1500)}")
     assert(p.contains("bucket"), s"cell key vanished from the join plan:\n${p.take(1500)}")
+    // the residual-encoded sibling must keep the identical join shape —
+    // the per-probe residual tables live on the broadcast query side and
+    // must not change how the code table is reached
+    val booksRes = Pq.trainResidual(spark, emb, coarse, m = 8, k = 16, iters = 6)
+    val encRes = Pq.encodeCellsResidual(emb, booksRes, coarse)
+    val candRes = Pq.adcCandidatesIvfResidual(
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10),
+      encRes, booksRes, coarse, nprobe = 4)
+    val pr = planString(Pq.exactRerank(Pq.shortlistTopK(candRes, 64),
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10), emb, k = 10))
+    assert(!pr.contains("CartesianProduct") && !pr.contains("BroadcastNestedLoopJoin"),
+      s"residual IVF-PQ serving path planned an all-pairs join:\n${pr.take(1500)}")
+    assert(pr.contains("bucket"), s"cell key vanished from the residual join plan")
   }
 
   test("minhash recall gate: both the LSH side and the truth side join on bounded keys") {

@@ -164,6 +164,57 @@ class EmbedSpec extends SparkSpec {
       gate.head.getAs[Boolean]("candidates_sublinear"), s"q_pq_adc_ivf gate row: ${gate.toSeq}")
   }
 
+  test("residual encoding A/B: residual codes recall at least as well as raw codes") {
+    val emb = graft.core.Tables(spark, sf(), "embeddings")
+    val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10)
+    val coarse = Ivf.train(spark, emb, k = 16)
+    val booksRes = Pq.trainResidual(spark, emb, coarse, m = 8, k = 16, iters = 6)
+    val booksRaw = Pq.train(spark, emb, m = 8, k = 16, iters = 6)
+    def hitsOf(top: org.apache.spark.sql.DataFrame): Long = {
+      import org.apache.spark.sql.functions._
+      val v = col("embedding").cast("array<double>")
+      val q = queries.select(col("vec_id").as("q_id"), v.as("qv"))
+      val c = emb.select(col("vec_id").as("n_id"), v.as("cv"))
+      val d2 = Similarity.dot(col("qv"), col("qv")) +
+        Similarity.dot(col("cv"), col("cv")) -
+        lit(2.0) * Similarity.dot(col("qv"), col("cv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("d2").asc, col("n_id").asc)
+      broadcast(q).crossJoin(c)
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"), d2.as("d2"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("n_id"))
+        .join(top.select(col("q_id"), col("vec_id").as("n_id")), Seq("q_id", "n_id"), "left_semi")
+        .count()
+    }
+    val topRes = Pq.exactRerank(
+      Pq.shortlistTopK(
+        Pq.adcCandidatesIvfResidual(
+          queries, Pq.encodeCellsResidual(emb, booksRes, coarse), booksRes, coarse, nprobe = 4),
+        64),
+      queries, emb, k = 10)
+    val topRaw = Pq.exactRerank(
+      Pq.shortlistTopK(
+        Pq.adcCandidatesIvf(
+          queries, Pq.encodeCells(emb, booksRaw, coarse), booksRaw, coarse, nprobe = 4),
+        64),
+      queries, emb, k = 10)
+    val (hRes, hRaw) = (hitsOf(topRes), hitsOf(topRaw))
+    info(s"residual hits@10: $hRes / 100, raw hits@10: $hRaw / 100")
+    assert(hRes >= hRaw,
+      s"residual encoding recalled worse than raw codes: $hRes < $hRaw")
+    // the residual layout still partitions codes by cell (8 codes per
+    // vector, all in the vector's single coarse cell)
+    val enc = Pq.encodeCellsResidual(emb, booksRes, coarse)
+    import org.apache.spark.sql.functions._
+    val perVec = enc.groupBy("vec_id")
+      .agg(countDistinct(col("bucket")).as("cells"), count(lit(1)).as("codes"))
+      .collect()
+    assert(perVec.forall(r => r.getAs[Long]("cells") == 1L && r.getAs[Long]("codes") == 8L))
+  }
+
   test("pq audit on the corpus: full coverage, bounded codes, finite error") {
     val emb = graft.core.Tables(spark, sf(), "embeddings")
     val n = emb.count()
