@@ -146,6 +146,7 @@ object Stress {
     else if (tier == "simfamily") runSimFamily(spark, sfDir, mult)
     else if (tier == "retrieval") runRetrieval(spark, sfDir, mult)
     else if (tier == "streaming") runStreaming(spark, sfDir, mult)
+    else if (tier == "trainer") runTrainer(spark, sfDir, mult)
     else runFull(spark, sfDir, mult)
     spark.stop()
   }
@@ -323,6 +324,52 @@ object Stress {
     * bounded (its linearity claim is per-doc, so fewer replicas lose no
     * information).
     */
+  /** Trainer scale tier: both in-engine trainers timed end-to-end on
+    * replicated corpora (disjoint-id replicas; identical feature/vector
+    * distributions). Replication leaves the GD weight path IDENTICAL —
+    * gradients and n scale by the same mult, so grad/(n·EtaC) is
+    * invariant — which makes the per-unit comparison pure throughput:
+    * the trainers are fixed-round scan-shaped (q_gd_train: 6 aggregate
+    * scans with 7 scalars to the driver each; q_kmeans_fused: one scan
+    * per Lloyd round), so per-unit rates should be flat-or-better at
+    * mult× as fixed costs amortize. Unit = Mrow·rounds/s (rows × scans
+    * per run / seconds).
+    */
+  private def runTrainer(spark: SparkSession, sfDir: String, mult: Int): Unit = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft-stress-trainer"
+    val num = (v: Double) => Timing.fmt3(v)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    replicate(spark, docs, "doc_id", mult)
+      .repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
+    replicate(spark, emb, "vec_id", mult)
+      .repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    val nDocsBase = docs.count(); val nDocsBig = nDocsBase * mult
+    val nVecsBase = emb.count(); val nVecsBig = nVecsBase * mult
+    def probe(name: String, dir: String): Double = time {
+      Registry.byName(name).run(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    def minOf2(name: String, dir: String): Double = {
+      probe(name, dir)
+      Seq(probe(name, dir), probe(name, dir)).min
+    }
+    val gdBase = minOf2("q_gd_train", sfDir)
+    val gdBig = minOf2("q_gd_train", out)
+    val kmBase = minOf2("q_kmeans_fused", sfDir)
+    val kmBig = minOf2("q_kmeans_fused", out)
+    val GdScans = 6.0; val KmScans = 4.0
+    println(
+      s"""{"tier":"trainer","mult":$mult,"files":32,""" +
+        s""""docs_base":$nDocsBase,"docs_big":$nDocsBig,"vecs_base":$nVecsBase,"vecs_big":$nVecsBig,""" +
+        s""""gd_base_sec":${num(gdBase)},"gd_big_sec":${num(gdBig)},""" +
+        s""""gd_base_mrowrounds_s":${num(rate(nDocsBase, gdBase) * GdScans)},""" +
+        s""""gd_big_mrowrounds_s":${num(rate(nDocsBig, gdBig) * GdScans)},""" +
+        s""""kmeans_base_sec":${num(kmBase)},"kmeans_big_sec":${num(kmBig)},""" +
+        s""""kmeans_base_mrowrounds_s":${num(rate(nVecsBase, kmBase) * KmScans)},""" +
+        s""""kmeans_big_mrowrounds_s":${num(rate(nVecsBig, kmBig) * KmScans)}}""")
+  }
+
   private def runRetrieval(spark: SparkSession, sfDir: String, mult: Int): Unit = {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft-stress-retrieval"
     val num = (v: Double) => Timing.fmt3(v)
