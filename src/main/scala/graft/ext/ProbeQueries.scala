@@ -63,6 +63,7 @@ object ProbeQueries {
       "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 21 - 10")
     docs.select(
       col("doc_id"),
+      col("source"),
       lit(8L).as("f0"),
       nTok.as("f1"),
       expr("CAST(n_chars AS BIGINT) div 8").as("f2"),
@@ -70,6 +71,14 @@ object ProbeQueries {
       (dist * 4).as("f4"),
       (nTok * 3 + stop * 16 - dist * 4 + noise).as("y"))
   }
+
+  /** Score threshold for the APPLY step (pred_fp ≥ Thresh·WScale passes):
+    * a fixed constant in label units — the quality bar a production
+    * filter pins, not a data-derived quantile. 140 sits at the fixture
+    * family's predicted-score median (measured ~143 at sf0.001/0.01/0.1,
+    * range ~28–238), so both classes are populated at every SF.
+    */
+  private val Thresh = 140L
 
   /** One GD round's aggregate: loss of the CURRENT weights plus the 5
     * gradient sums and the row count, in a single scan.
@@ -113,14 +122,40 @@ object ProbeQueries {
       .orderBy("iter")
   }
 
+  /** The quality-filter APPLY step: train to the final weights (the
+    * trajectory's w5), then ONE scoring scan — per-source document
+    * counts, pass counts at the fixed threshold, and the exact integer
+    * sum of predicted scores. This is the production shape: the trainer
+    * runs once, the filter is a pure per-row expression against 5
+    * broadcast literals, fused into whatever scan feeds the pipeline.
+    */
+  def applyScores(s: SparkSession, d: String): DataFrame = {
+    val f = feats(Tables(s, d, "documents"))
+    var w: Seq[Long] = Seq.fill(5)(0L)
+    for (_ <- 0 until Updates) {
+      val (_, g, n) = roundAgg(f, w)
+      val dDiv = n * EtaC
+      w = w.zip(g).map { case (wj, gj) => wj - Math.floorDiv(gj, dDiv) }
+    }
+    val pred = expr(
+      s"f0*${w(0)} + f1*${w(1)} + f2*${w(2)} + f3*${w(3)} + f4*${w(4)}")
+    f.select(col("source"), pred.as("pred"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("pred") >= lit(Thresh * WScale), 1L).otherwise(0L)).as("n_pass"),
+        sum(col("pred")).cast("long").as("sum_pred_fp"))
+      .orderBy("source")
+  }
+
   /** DuckDB re-derivation of the identical chain: feature CTE, then one
     * (gradient, weight-update) CTE pair per round, weights threaded as
     * one-row cross joins — generated by the same loop that drives the
     * Spark side, so the two engines cannot drift apart structurally.
     */
-  private def oracle: String = {
+  private def oracleCtes: String = {
     val featSql =
-      "SELECT doc_id, CAST(8 AS BIGINT) AS f0, " +
+      "SELECT doc_id, source, CAST(8 AS BIGINT) AS f0, " +
         "CAST(len(string_split(text, ' ')) AS BIGINT) AS f1, " +
         "CAST(n_chars // 8 AS BIGINT) AS f2, " +
         "CAST(8 * len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and'))) AS BIGINT) AS f3, " +
@@ -152,9 +187,12 @@ object ProbeQueries {
       }.mkString(", ")
       s"w$t AS (SELECT $cols FROM $from)"
     }
-    val ctes = (s"F AS ($featSql)" +: "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM F)" +:
+    (s"F AS ($featSql)" +: "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM F)" +:
       (0 to Updates).flatMap(t =>
         Seq(gCte(t)) ++ (if (t < Updates) Seq(wCte(t + 1)) else Nil))).mkString(", ")
+  }
+
+  private def oracle: String = {
     val rows = (0 to Updates).map { t =>
       if (t == 0)
         "SELECT CAST(0 AS BIGINT) AS iter, g0.loss AS loss, " +
@@ -163,10 +201,26 @@ object ProbeQueries {
         s"SELECT CAST($t AS BIGINT) AS iter, g$t.loss AS loss, " +
           (0 to 4).map(j => s"w$t.w$j AS w$j").mkString(", ") + s" FROM g$t, w$t"
     }.mkString(" UNION ALL ")
-    s"WITH $ctes $rows ORDER BY iter"
+    s"WITH $oracleCtes $rows ORDER BY iter"
+  }
+
+  /** Apply-step oracle: the shared training CTE chain to w{Updates}, then
+    * the same per-source scoring rollup.
+    */
+  private def oracleApply: String = {
+    val wT = s"w$Updates"
+    val pred = (0 to 4).map(j => s"f$j*$wT.w$j").mkString(" + ")
+    s"WITH $oracleCtes, scored AS (SELECT source, ($pred) AS pred FROM F, $wT) " +
+      "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+      s"CAST(SUM(CASE WHEN pred >= ${Thresh * WScale} THEN 1 ELSE 0 END) AS BIGINT) AS n_pass, " +
+      "CAST(SUM(pred) AS BIGINT) AS sum_pred_fp " +
+      "FROM scored GROUP BY source ORDER BY source"
   }
 
   val queries: Seq[Q] = Seq(
-    Q("q_gd_train", (s, d) => trajectory(s, d), Some(oracle))
+    Q("q_gd_train", (s, d) => trajectory(s, d), Some(oracle)),
+    // the serving half: filter/score the corpus with the trained probe —
+    // see [[applyScores]]; the oracle re-derives training AND scoring
+    Q("q_gd_apply", (s, d) => applyScores(s, d), Some(oracleApply))
   )
 }

@@ -23,6 +23,19 @@ class ProbeSpec extends SparkSpec {
     assert(loss.last * 4 < loss.head, s"did not converge: ${loss.toSeq}")
   }
 
+  test("gd apply: totals conserve, the threshold splits the corpus, scores are sane") {
+    val dir = sf()
+    val out = Registry.byName("q_gd_apply").run(spark, dir).collect()
+    val nDocs = graft.core.Tables(spark, dir, "documents").count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == nDocs, "every document scored exactly once")
+    val pass = out.map(_.getAs[Long]("n_pass")).sum
+    assert(pass > 0L && pass < nDocs, s"threshold did not split the corpus: $pass/$nDocs")
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_pass") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("sum_pred_fp") > 0L)
+    }
+  }
+
   test("gd trainer: weights start at zero and every update moves them") {
     val out = Registry.byName("q_gd_train").run(spark, sf()).collect()
       .sortBy(_.getAs[Long]("iter"))
