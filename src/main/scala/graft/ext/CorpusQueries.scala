@@ -24,6 +24,38 @@ object CorpusQueries {
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PhoneRe = "\\+[0-9][0-9-]+"
 
+  /** Context-window chunking constants — single-sourced for
+    * q_chunk_overlap AND the chunk-level retrieval corpus
+    * ([[SearchQueries]] q_rag_chunk_search).
+    */
+  val ChunkTokens = 40
+  val ChunkStride = 30
+
+  /** The chunk corpus as a (doc_id, text) relation retrieval can index
+    * directly: synthetic doc_id = base_doc·1000 + chunk_idx (chunk
+    * counts are bounded far below 1000 by n_tok/stride), text = the
+    * chunk's tokens re-joined. Same derivation as q_chunk_overlap.
+    */
+  def chunkCorpus(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .select(
+        col("doc_id"), col("toks"),
+        posexplode(expr(s"sequence(0L, n - 1L, ${ChunkStride}L)")).as(Seq("chunk_idx", "st")))
+      .select(
+        (col("doc_id") * 1000 + col("chunk_idx")).as("doc_id"),
+        array_join(slice(col("toks"), col("st").cast("int") + 1, lit(ChunkTokens)), " ")
+          .as("text"))
+
+  /** DuckDB derivation of [[chunkCorpus]] (a CTE body over `documents`). */
+  val chunkCorpusSql: String =
+    s"SELECT doc_id * 1000 + (st // $ChunkStride) AS doc_id, " +
+      s"array_to_string(toks[st + 1 : st + $ChunkTokens], ' ') AS text FROM " +
+      "(SELECT doc_id, toks, unnest(range(0, n, " + ChunkStride + ")) AS st FROM " +
+      "(SELECT doc_id, string_split(text, ' ') AS toks, " +
+      "len(string_split(text, ' ')) AS n FROM documents))"
+
   val queries: Seq[Q] = Seq(
     Q(
       "q_redact_pii",

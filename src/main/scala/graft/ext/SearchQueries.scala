@@ -34,9 +34,11 @@ object SearchQueries {
       posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
 
   /** Shared DuckDB token stream (generate_subscripts is 1-based). */
-  private val tokensSql =
+  private def tokensSqlFrom(corpus: String) =
     "SELECT doc_id, unnest(string_split(text, ' ')) AS term, " +
-      "CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INTEGER) AS pos FROM documents"
+      s"CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INTEGER) AS pos FROM $corpus"
+
+  private val tokensSql = tokensSqlFrom("documents")
 
   /** Per-(term, doc) postings rows: tf plus the serialized "doc:p1,p2"
     * entry — the unit both the full index build and the incremental
@@ -329,12 +331,12 @@ object SearchQueries {
   /** DuckDB CTE chain mirroring [[bm25Scores]]: defines toks, q, corpus,
     * dl, tf, dfreq, parts, scored(query_id, doc_id, score_fp).
     */
-  private val bm25ScoredSql =
-    s"toks AS ($tokensSql), " +
+  private def bm25ScoredSqlFrom(corpusRel: String): String =
+    s"toks AS (${tokensSqlFrom(corpusRel)}), " +
       s"q(query_id, term) AS (VALUES $queryTermsValuesSql), " +
       "corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
-      "CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tok FROM documents), " +
-      "dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents), " +
+      s"CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tok FROM $corpusRel), " +
+      s"dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM $corpusRel), " +
       "tf AS (SELECT query_id, term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf " +
       "FROM toks JOIN q USING (term) GROUP BY query_id, term, doc_id), " +
       "dfreq AS (SELECT query_id, term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df " +
@@ -345,6 +347,8 @@ object SearchQueries {
       "FROM tf JOIN dfreq USING (query_id, term) JOIN dl USING (doc_id) CROSS JOIN corpus), " +
       "scored AS (SELECT query_id, doc_id, CAST(SUM(s_fp) AS BIGINT) AS score_fp " +
       "FROM parts GROUP BY query_id, doc_id)"
+
+  private val bm25ScoredSql = bm25ScoredSqlFrom("documents")
 
   val queries: Seq[Q] = Seq(
     Q(
@@ -648,6 +652,44 @@ object SearchQueries {
           "r AS (SELECT a_id, b_id, cos, " +
           "CAST(ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS INT) AS rnk FROM cosined) " +
           "SELECT a_id, b_id, cos, rnk FROM r WHERE rnk <= 3 ORDER BY a_id, rnk")
+    ),
+    Q(
+      "q_rag_chunk_search",
+      // Chunk-level retrieval — the RAG serving composition: the corpus
+      // is re-unitized into overlapping context windows
+      // ([[CorpusQueries.chunkCorpus]], the q_chunk_overlap derivation
+      // with synthetic chunk ids base·1000 + idx), the EXACT-integer
+      // BM25 chain runs over chunks instead of documents (the q_bm25
+      // machinery verbatim — [[bm25Scores]] is corpus-parametric), and
+      // the per-query top-5 chunks come back with (doc, chunk)
+      // attribution. Retrieval quality is why RAG indexes chunks: a hit
+      // localizes WHERE in the document the match lives, and long
+      // documents can't drown the length normalization. Plan shape: the
+      // chunk explode is a pure generator fused into the scan, then the
+      // q_bm25 plan unchanged (token stream filtered to query terms
+      // before any join, broadcast corpus stats, TopKPerKey top-5);
+      // chunking multiplies the token stream by ~(1 + W/S − 1 overlap)
+      // ≈ 1.33, never the corpus row count.
+      (s, d) => {
+        val chunks = CorpusQueries.chunkCorpus(Tables(s, d, "documents"))
+        val w = Window.partitionBy(col("query_id")).orderBy(col("score_fp").desc, col("doc_id"))
+        bm25Scores(s, chunks)
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select(
+            col("query_id"),
+            expr("doc_id div 1000").as("doc_id"),
+            (col("doc_id") % 1000).as("chunk_idx"),
+            col("score_fp"), col("rnk"))
+          .orderBy("query_id", "rnk")
+      },
+      Some(
+        s"WITH chunkdocs AS (${CorpusQueries.chunkCorpusSql}), " +
+          bm25ScoredSqlFrom("chunkdocs") + ", " +
+          "r AS (SELECT query_id, doc_id, score_fp, " +
+          "CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_fp DESC, doc_id) AS INT) AS rnk FROM scored) " +
+          "SELECT query_id, doc_id // 1000 AS doc_id, doc_id % 1000 AS chunk_idx, " +
+          "score_fp, rnk FROM r WHERE rnk <= 5 ORDER BY query_id, rnk")
     )
   )
 }

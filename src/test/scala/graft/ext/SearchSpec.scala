@@ -186,4 +186,27 @@ class SearchSpec extends SparkSpec {
       assert(qs.exists(toks.contains))
     }
   }
+
+  test("chunk-level retrieval: hits attribute to real chunks whose WINDOW contains a query term") {
+    val dir = sf()
+    val terms = Map(1 -> Seq("value", "table"), 2 -> Seq("spark", "batch"), 3 -> Seq("customer", "query"))
+    val hits = graft.Registry.byName("q_rag_chunk_search").run(spark, dir).collect()
+    assert(hits.nonEmpty)
+    val texts = graft.core.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
+    for (r <- hits) {
+      val doc = r.getAs[Long]("doc_id"); val ci = r.getAs[Long]("chunk_idx")
+      assert(texts.contains(doc), s"hit names unknown doc $doc")
+      val toks = texts(doc)
+      val st = (ci * 30).toInt
+      assert(st < toks.length, s"chunk $ci out of range for doc $doc (${toks.length} toks)")
+      // the match must live INSIDE the attributed window — the
+      // localization property chunk-level retrieval exists to provide
+      val window = toks.slice(st, st + 40).toSet
+      assert(terms(r.getAs[Int]("query_id")).exists(window.contains),
+        s"doc $doc chunk $ci window has no query term")
+      assert(r.getAs[Int]("rnk") >= 1 && r.getAs[Int]("rnk") <= 5)
+    }
+  }
 }
