@@ -505,6 +505,56 @@ object SimilarityQueries {
           "SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 3 ORDER BY q_id, rank")
     ),
     Q(
+      "q_hard_negatives",
+      // Hard-negative mining — the contrastive-training feed: for each
+      // anchor, the top-3 most similar vectors whose LABEL differs (the
+      // negatives that actually move a contrastive loss, vs q_neg_sample's
+      // uniform negatives). Cross-engine EXACT via the quantized-dot +
+      // single-sqrt cosine chain (the q_mmr_rerank recipe); ties to the
+      // lowest candidate id. Scale shape: the exact scan here is the
+      // gate-scale oracle side — production swaps the candidate source
+      // for the IVF top-K (mine from a k'>k neighborhood, filter by
+      // label, keep k), which the q_knn_graph_ivf machinery already
+      // serves; the label filter is a per-row predicate either way.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val n = Tables(s, d, "embeddings")
+          .select(
+            col("vec_id"), col("label"),
+            expr("transform(CAST(embedding AS array<double>), x -> round(x * 1000000))").as("v"))
+          .withColumn("n2", Similarity.dot(col("v"), col("v")))
+        val anchors = n.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+            col("v").as("qv"), col("n2").as("qn2"))
+        anchors
+          .join(
+            n.select(col("vec_id").as("n_id"), col("label").as("neg_label"),
+              col("v").as("cv"), col("n2").as("cn2")),
+            col("q_id") =!= col("n_id") && col("q_label") =!= col("neg_label"))
+          .select(
+            col("q_id"), col("q_label"), col("n_id"), col("neg_label"),
+            (Similarity.dot(col("qv"), col("cv")) /
+              (sqrt(col("qn2")) * sqrt(col("cn2")))).as("cos"))
+          .withColumn(
+            "rank",
+            row_number().over(
+              Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))))
+          .filter(col("rank") <= 3)
+          .select(col("q_id"), col("rank"), col("n_id"), col("q_label"), col("neg_label"), col("cos"))
+          .orderBy("q_id", "rank")
+      },
+      Some(
+        "WITH n AS (SELECT vec_id, label, " +
+          "list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1000000)) AS v FROM embeddings), " +
+          "nn AS (SELECT vec_id, label, v, list_dot_product(v, v) AS n2 FROM n), " +
+          "s AS (SELECT q.vec_id AS q_id, q.label AS q_label, c.vec_id AS n_id, c.label AS neg_label, " +
+          "list_dot_product(q.v, c.v) / (sqrt(q.n2) * sqrt(c.n2)) AS cos " +
+          "FROM nn q CROSS JOIN nn c WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id AND q.label <> c.label), " +
+          "r AS (SELECT q_id, n_id, q_label, neg_label, cos, " +
+          "CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank FROM s) " +
+          "SELECT q_id, rank, n_id, q_label, neg_label, cos FROM r WHERE rank <= 3 ORDER BY q_id, rank")
+    ),
+    Q(
       "q_rank_eval",
       // Retrieval-quality evaluation as a first-class op: nDCG@10, MRR,
       // and hit count for the truncated-dimension fast pass

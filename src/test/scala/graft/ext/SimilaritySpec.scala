@@ -187,6 +187,24 @@ class SimilaritySpec extends SparkSpec {
     assert(shiftedCos < 0.9, s"shifted delta not flagged: $shiftedCos")
   }
 
+  test("hard negatives: 3 per anchor, labels always differ, ranked by similarity") {
+    val rows = graft.Registry.byName("q_hard_negatives").run(spark, sf()).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == 20)
+    byQ.foreach { case (q, sel) =>
+      assert(sel.length == 3, s"anchor $q mined ${sel.length} negatives")
+      sel.foreach { r =>
+        assert(r.getAs[Int]("q_label") != r.getAs[Int]("neg_label"),
+          s"anchor $q mined a same-label 'negative'")
+      }
+      // ranks dense, cosines weakly decreasing with rank
+      val sorted = sel.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+      val cs = sorted.map(_.getAs[Double]("cos"))
+      assert(cs(0) >= cs(1) && cs(1) >= cs(2))
+    }
+  }
+
   test("rank eval: a ranking the truncation preserves scores a perfect nDCG/MRR") {
     import spark.implicits._
     // vectors differ ONLY in the first 16 dims (the rest are a shared
