@@ -314,6 +314,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("FullOuter"), "merge apply must full-outer join target and latest")
   }
 
+  test("chunk retrieval keeps the bm25 shape: generator-fed, term-filtered, no cartesian") {
+    val p = planString(Registry.byName("q_rag_chunk_search").run(spark, sf()))
+    assert(p.contains("Generate"), "chunk explode missing — corpus not re-unitized in-plan")
+    assert(!p.contains("CartesianProduct"), "chunk retrieval planned a cartesian product")
+    // the query-term filter must reach the token stream as a join against
+    // the tiny broadcast term list, not a post-hoc filter over all terms
+    assert(p.contains("BroadcastHashJoin"), "query-term filter lost its broadcast join")
+  }
+
   test("chunker is a pure generator map: no hash exchange before the output sort") {
     val p = planString(Registry.byName("q_chunk_overlap").run(spark, sf()))
     assert(!p.contains("hashpartitioning"),
