@@ -211,4 +211,60 @@ object Ivf {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"), col("cos"))
   }
+
+  /** Hot-cell SPLIT — the index-maintenance rebalance completing the
+    * lifecycle (train → serve → [[topK]] → ingest → drift →
+    * [[globalDriftCos]] retrain trigger → REBALANCE): cells whose
+    * occupancy exceeds `cap` are split IN PLACE by a deterministic
+    * 2-means over only their own members (FAISS's list-split shape —
+    * a posting-list operation, not a global retrain). Child 0 takes the
+    * hot cell's centroid slot, child 1 appends after the existing k, and
+    * ONLY the hot cells' members reassign — between their two children
+    * by argmin, ties to the lower slot. Every other list is untouched,
+    * which is the point: at 100 TB a rebalance must not move the corpus,
+    * and here the moved rows are exactly the hot lists.
+    *
+    * Honest caveat: after a split the index is list-partitioned, not a
+    * strict global Voronoi — a non-hot member COULD be closer to a new
+    * child than to its own centroid. That is the standard serving
+    * trade (probes still find the vector through its stored cell); the
+    * drift trigger decides when a full retrain re-tightens the cells.
+    *
+    * Scale shape: occupancy is one tiny hash-agg (k rows to the
+    * driver); each hot cell's 2-means trains on its members only; the
+    * reassignment is a per-row CASE over the hot cells fused into the
+    * index scan. Returns (new centroids, new index, hot cell ids).
+    */
+  def splitHotCells(
+      spark: SparkSession,
+      corpus: DataFrame,
+      centroids: Seq[Seq[Double]],
+      cap: Long): (Seq[Seq[Double]], DataFrame, Seq[Int]) = {
+    val indexed = index(corpus, centroids)
+    val counts = indexed.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val hot = centroids.indices.filter(b => counts.getOrElse(b, 0L) > cap)
+    if (hot.isEmpty) (centroids, indexed, Nil)
+    else {
+      val newCents = scala.collection.mutable.ArrayBuffer(centroids: _*)
+      val children = hot.map { b =>
+        val members = indexed.filter(col("bucket") === b)
+          .select(col("n_id").as("vec_id"), col("cv").as("embedding"))
+        val kids = train(spark, members, k = 2, iters = 2)
+        newCents(b) = kids(0)
+        newCents += kids(1)
+        b -> (b, newCents.length - 1)
+      }
+      var bucketCol: Column = col("bucket")
+      children.foreach { case (b, (c0, c1)) =>
+        val d0 = dist2(col("cv"), newCents(c0))
+        val d1 = dist2(col("cv"), newCents(c1))
+        bucketCol = when(
+          col("bucket") === b,
+          when(d0 <= d1, lit(c0)).otherwise(lit(c1))).otherwise(bucketCol)
+      }
+      val reassigned = indexed.withColumn("bucket", bucketCol.cast("int"))
+      (newCents.toSeq, reassigned, hot)
+    }
+  }
 }

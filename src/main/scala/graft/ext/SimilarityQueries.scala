@@ -505,6 +505,53 @@ object SimilarityQueries {
           "SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 3 ORDER BY q_id, rank")
     ),
     Q(
+      "q_ivf_split",
+      // IVF hot-cell SPLIT — the rebalance closing the index-maintenance
+      // lifecycle (train → serve → ingest → drift trigger → REBALANCE):
+      // with an occupancy-derived cap (¾ of the observed max list), the
+      // heaviest cells split in place by a 2-means over ONLY their own
+      // members ([[Ivf.splitHotCells]], the FAISS list-split shape).
+      // Cell geometry is float/seed sensitive, so the gate is the
+      // invariant set every correct split must satisfy, computed from
+      // the before/after index tables: membership conserved, ONLY hot
+      // cells' members moved, hot members land in exactly their cell's
+      // two children, and the max occupancy did not grow. n_vecs is the
+      // oracle differential. At 100 TB the moved rows are exactly the
+      // hot lists — a rebalance that does not touch the corpus.
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val centroids = Ivf.train(s, emb, k = 8)
+        val before = Ivf.index(emb, centroids)
+        val occ = before.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        val maxBefore = occ.agg(max(col("n"))).head().getLong(0)
+        val cap = math.max(1L, maxBefore * 3 / 4)
+        val (_, after, hot) = Ivf.splitHotCells(s, emb, centroids, cap)
+        val joined = before.select(col("n_id"), col("bucket").as("b_old"))
+          .join(after.select(col("n_id"), col("bucket").as("b_new")), Seq("n_id"))
+        import s.implicits._
+        val childSlots = hot.zipWithIndex
+          .map { case (b, i) => (b, centroids.length + i) }.toDF("b_old", "c1")
+        val nVecs = emb.count()
+        val conserved = joined.count() == nVecs && after.count() == nVecs
+        val movedBad =
+          if (hot.isEmpty) 0L
+          else joined.filter(col("b_new") =!= col("b_old") && !col("b_old").isin(hot: _*)).count()
+        val hotBad =
+          if (hot.isEmpty) 0L
+          else joined.filter(col("b_old").isin(hot: _*))
+            .join(broadcast(childSlots), Seq("b_old"))
+            .filter(col("b_new") =!= col("b_old") && col("b_new") =!= col("c1"))
+            .count()
+        val maxAfter = after.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+          .agg(max(col("n"))).head().getLong(0)
+        Seq((nVecs, hot.nonEmpty, conserved, movedBad == 0L, hotBad == 0L, maxAfter <= maxBefore))
+          .toDF("n_vecs", "hot_found", "conserved", "only_hot_moved", "children_ok", "max_not_worse")
+      },
+      Some(
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs, true AS hot_found, true AS conserved, " +
+          "true AS only_hot_moved, true AS children_ok, true AS max_not_worse FROM embeddings")
+    ),
+    Q(
       "q_hard_negatives",
       // Hard-negative mining — the contrastive-training feed: for each
       // anchor, the top-3 most similar vectors whose LABEL differs (the

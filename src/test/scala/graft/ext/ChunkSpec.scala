@@ -37,6 +37,30 @@ class ChunkSpec extends SparkSpec {
     }
   }
 
+  test("chunk corpus edges: 1-token, exactly-stride, exactly-window, window+1 docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a"),                                  // 1 token → 1 chunk
+      (2L, (1 to 30).map(i => s"t$i").mkString(" ")),  // = stride → 1 chunk
+      (3L, (1 to 40).map(i => s"t$i").mkString(" ")),  // = window → 2 chunks (40 > 30 starts)
+      (4L, (1 to 41).map(i => s"t$i").mkString(" "))   // window+1 → 2 chunks
+    ).toDF("doc_id", "text")
+    val chunks = CorpusQueries.chunkCorpus(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val byDoc = chunks.groupBy { case (id, _) => id / 1000 }
+    assert(byDoc(1L).length == 1 && byDoc(1L).head._2 == "a")
+    assert(byDoc(2L).length == 1)
+    assert(byDoc(3L).length == 2, s"40-token doc: ${byDoc(3L).toSeq}")
+    assert(byDoc(4L).length == 2)
+    // the 40-token doc's second chunk is the 10-token tail from start 30
+    val tail3 = byDoc(3L).maxBy(_._1)._2.split(" ")
+    assert(tail3.length == 10 && tail3.head == "t31" && tail3.last == "t40")
+    // window+1: tail chunk covers t31..t41 (11 tokens) — the last token
+    // is never dropped
+    val tail4 = byDoc(4L).maxBy(_._1)._2.split(" ")
+    assert(tail4.length == 11 && tail4.last == "t41")
+  }
+
   test("de-overlap reassembly: stride prefixes concatenate back to the document") {
     val dir = sf()
     val docs = graft.core.Tables(spark, dir, "documents")

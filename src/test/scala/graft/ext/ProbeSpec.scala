@@ -23,6 +23,21 @@ class ProbeSpec extends SparkSpec {
     assert(loss.last * 4 < loss.head, s"did not converge: ${loss.toSeq}")
   }
 
+  test("pmod floor-division identity equals Math.floorDiv on adversarial values") {
+    // the cross-engine update step rests on (a − pmod(a,d)) div d being
+    // floor division for ANY sign of a — the identity both engines
+    // evaluate; pin it against the JVM's floorDiv on hostile values
+    val rnd = new scala.util.Random(42)
+    val cases = Seq.tabulate(2000)(_ =>
+      (rnd.nextLong() % (1L << 52), math.abs(rnd.nextLong() % (1L << 30)) + 1L)) ++
+      Seq((Long.MinValue / 4, 3L), (-7L, 3L), (7L, 3L), (-9L, 3L), (0L, 5L), (-1L, 1L << 20))
+    cases.foreach { case (a, d) =>
+      val pm = ((a % d) + d) % d
+      assert((a - pm) % d == 0L, s"pmod identity broke divisibility for ($a, $d)")
+      assert((a - pm) / d == Math.floorDiv(a, d), s"floor mismatch for ($a, $d)")
+    }
+  }
+
   test("gd apply: totals conserve, the threshold splits the corpus, scores are sane") {
     val dir = sf()
     val out = Registry.byName("q_gd_apply").run(spark, dir).collect()

@@ -187,6 +187,32 @@ class SimilaritySpec extends SparkSpec {
     assert(shiftedCos < 0.9, s"shifted delta not flagged: $shiftedCos")
   }
 
+  test("hot-cell split separates two far-apart clumps lumped into one cell") {
+    import spark.implicits._
+    // one coarse cell (k=1) holding two tight, far-apart clumps with
+    // per-point jitter (distinct seeds): the split's 2-means must place
+    // the clumps in different children, whatever the seed draw
+    def vec(base: Float, i: Int) = Array(base, i * 0.001f, 0f, 0f)
+    val emb = ((0L until 20L).map(i => (i, vec(100f, i.toInt))) ++
+      (100L until 120L).map(i => (i, vec(-100f, i.toInt)))).toDF("vec_id", "embedding")
+    val coarse = Ivf.train(spark, emb, k = 1)
+    val (cents, after, hot) = Ivf.splitHotCells(spark, emb, coarse, cap = 10L)
+    assert(hot == Seq(0), s"the single cell must be hot, got $hot")
+    assert(cents.length == 2)
+    val assigned = after.select(col("n_id"), col("bucket")).collect()
+      .map(r => r.getAs[Long]("n_id") -> r.getAs[Int]("bucket")).toMap
+    val aBuckets = (0L until 20L).map(assigned).toSet
+    val bBuckets = (100L until 120L).map(assigned).toSet
+    assert(aBuckets.size == 1 && bBuckets.size == 1, s"a clump split: $aBuckets / $bBuckets")
+    assert(aBuckets != bBuckets, "the two clumps must land in different children")
+  }
+
+  test("ivf split gate on the fixture: every invariant true and occupancy strictly improves") {
+    val row = graft.Registry.byName("q_ivf_split").run(spark, sf()).collect().head
+    Seq("hot_found", "conserved", "only_hot_moved", "children_ok", "max_not_worse")
+      .foreach(f => assert(row.getAs[Boolean](f), s"$f is false"))
+  }
+
   test("hard negatives: 3 per anchor, labels always differ, ranked by similarity") {
     val rows = graft.Registry.byName("q_hard_negatives").run(spark, sf()).collect()
     val byQ = rows.groupBy(_.getAs[Long]("q_id"))
