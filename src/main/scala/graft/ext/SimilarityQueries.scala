@@ -505,6 +505,81 @@ object SimilarityQueries {
           "SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 3 ORDER BY q_id, rank")
     ),
     Q(
+      "q_late_interaction",
+      // Late-interaction retrieval (the ColBERT/maxsim shape, Khattab &
+      // Zaharia 2020): query and document are BAGS of token vectors and
+      // the score is Σ_{q tok} max_{d tok} cos — matching each query
+      // token to its best document token instead of pooling everything
+      // into one vector. The fixture has one embedding per doc, so the
+      // 64-dim vector is sliced into 4×16-dim PSEUDO-token vectors (a
+      // documented stand-in: the operator's shape — explode, per-token
+      // max, pinned-order sum — is exactly what real multi-vector data
+      // needs). Cross-engine exact: quantized-integer dots through the
+      // single sqrt chain, per-token maxes are order-independent, and
+      // the 4-term sum is written as m0+m1+m2+m3 in BOTH engines — a
+      // fixed expression order, not a float groupBy fold. Scale shape:
+      // gate-scale scores all pairs (it IS the oracle); production
+      // generates candidates from any first-stage list and late-interacts
+      // only the shortlist — per-pair work is tokens², list-bounded.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        def toks(df: org.apache.spark.sql.DataFrame, idCol: String, tokCol: String) =
+          df.select(
+            col("vec_id").as(idCol),
+            posexplode(expr(
+              "transform(sequence(0, 3), i -> slice(transform(CAST(embedding AS array<double>), x -> round(x * 1000000)), i * 16 + 1, 16))"))
+              .as(Seq(tokCol, "tv")))
+            .withColumn("tn2", Similarity.dot(col("tv"), col("tv")))
+        val emb = Tables(s, d, "embeddings")
+        val q = toks(emb.filter(col("vec_id") < 10), "q_id", "qi")
+          .select(col("q_id"), col("qi"), col("tv").as("qv"), col("tn2").as("qn2"))
+        val c = toks(emb, "n_id", "di")
+          .select(col("n_id"), col("di"), col("tv").as("cv"), col("tn2").as("cn2"))
+        val maxsim = q.join(c, col("q_id") =!= col("n_id"))
+          .select(
+            col("q_id"), col("n_id"), col("qi"),
+            (Similarity.dot(col("qv"), col("cv")) /
+              (sqrt(col("qn2")) * sqrt(col("cn2")))).as("sim"))
+          .groupBy(col("q_id"), col("n_id"), col("qi"))
+          .agg(max(col("sim")).as("ms"))
+        val scored = maxsim
+          .groupBy(col("q_id"), col("n_id"))
+          .agg(
+            max(when(col("qi") === 0, col("ms"))).as("m0"),
+            max(when(col("qi") === 1, col("ms"))).as("m1"),
+            max(when(col("qi") === 2, col("ms"))).as("m2"),
+            max(when(col("qi") === 3, col("ms"))).as("m3"))
+          .select(
+            col("q_id"), col("n_id"),
+            (col("m0") + col("m1") + col("m2") + col("m3")).as("li_score"))
+        scored
+          .withColumn(
+            "rank",
+            row_number().over(
+              Window.partitionBy(col("q_id")).orderBy(col("li_score").desc, col("n_id"))))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("rank"), col("n_id"), col("li_score"))
+          .orderBy("q_id", "rank")
+      },
+      Some(
+        "WITH t AS (SELECT vec_id, unnest(generate_series(0, 3)) AS ti FROM embeddings), " +
+          "tv AS (SELECT t.vec_id, t.ti, " +
+          "(list_transform(CAST(e.embedding AS DOUBLE[]), x -> round(x * 1000000)))[t.ti * 16 + 1 : t.ti * 16 + 16] AS v " +
+          "FROM t JOIN embeddings e ON e.vec_id = t.vec_id), " +
+          "tn AS (SELECT vec_id, ti, v, list_dot_product(v, v) AS n2 FROM tv), " +
+          "sims AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id, q.ti AS qi, " +
+          "list_dot_product(q.v, c.v) / (sqrt(q.n2) * sqrt(c.n2)) AS sim " +
+          "FROM tn q JOIN tn c ON q.vec_id <> c.vec_id WHERE q.vec_id < 10), " +
+          "ms AS (SELECT q_id, n_id, qi, MAX(sim) AS ms FROM sims GROUP BY q_id, n_id, qi), " +
+          "scored AS (SELECT q_id, n_id, " +
+          "MAX(CASE WHEN qi = 0 THEN ms END) + MAX(CASE WHEN qi = 1 THEN ms END) + " +
+          "MAX(CASE WHEN qi = 2 THEN ms END) + MAX(CASE WHEN qi = 3 THEN ms END) AS li_score " +
+          "FROM ms GROUP BY q_id, n_id), " +
+          "r AS (SELECT q_id, n_id, li_score, " +
+          "CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY li_score DESC, n_id) AS INT) AS rank FROM scored) " +
+          "SELECT q_id, rank, n_id, li_score FROM r WHERE rank <= 5 ORDER BY q_id, rank")
+    ),
+    Q(
       "q_ivf_split",
       // IVF hot-cell SPLIT — the rebalance closing the index-maintenance
       // lifecycle (train → serve → ingest → drift trigger → REBALANCE):

@@ -187,6 +187,18 @@ class SimilaritySpec extends SparkSpec {
     assert(shiftedCos < 0.9, s"shifted delta not flagged: $shiftedCos")
   }
 
+  test("late interaction on the fixture: 5 ranked hits per query, scores bounded and ordered") {
+    val rows = graft.Registry.byName("q_late_interaction").run(spark, sf()).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == 10)
+    byQ.foreach { case (q, sel) =>
+      assert(sel.length == 5)
+      val s = sel.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("li_score"))
+      assert(s.forall(v => v >= -4.0 - 1e-9 && v <= 4.0 + 1e-9), s"query $q out of range: ${s.toSeq}")
+      s.sliding(2).foreach { case Array(a, b) => assert(b <= a, s"query $q not ranked: ${s.toSeq}") }
+    }
+  }
+
   test("hot-cell split separates two far-apart clumps lumped into one cell") {
     import spark.implicits._
     // one coarse cell (k=1) holding two tight, far-apart clumps with
