@@ -690,6 +690,94 @@ object SearchQueries {
           "CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_fp DESC, doc_id) AS INT) AS rnk FROM scored) " +
           "SELECT query_id, doc_id // 1000 AS doc_id, doc_id % 1000 AS chunk_idx, " +
           "score_fp, rnk FROM r WHERE rnk <= 5 ORDER BY query_id, rnk")
+    ),
+    Q(
+      "q_late_interaction_mv",
+      // Late interaction over a REAL multi-vector corpus (closing the
+      // q_late_interaction open thread, which runs on pseudo-token
+      // slices of one embedding): every document token gets its own
+      // 16-dim vector, derived deterministically from the token's
+      // CHARACTERS by a char-polynomial hash (h = fold(31·h + code) mod
+      // 2^20, seed 7) expanded to dims by exact integer arithmetic
+      // (v_0 = h mod 997 + 1 — norm provably nonzero; v_j = (h·(2j+3) +
+      // 7919·j) mod 1999 − 999). Both engines COMPUTE the embedding —
+      // char codes via ascii(substring), folds under 2^53 — so unlike
+      // the xxhash-based dedup family this is a full cross-engine
+      // differential, not an invariant gate. Query bags = first 4
+      // token vectors of docs 0-2; doc bags = first 8; score =
+      // ColBERT maxsim (Σ_{q tok} max_{d tok} cos), per-token maxes
+      // order-independent, the 4-term sum pinned as m0+..+m3 with
+      // COALESCE 0 in both engines. Scale shape: gate-scale scores all
+      // q×doc pairs (it IS the oracle); production late-interacts only
+      // a first-stage shortlist — per-pair work is |q tok|·|d tok|
+      // dots, list-bounded, and the token-vector derivation is a pure
+      // per-row projection any shard computes locally.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val vecs = Tables(s, d, "documents")
+          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+          .filter(col("pos") < 8)
+          .withColumn("h", expr(
+            "aggregate(transform(sequence(1, length(term)), i -> CAST(ascii(substring(term, i, 1)) AS BIGINT)), " +
+              "CAST(7 AS BIGINT), (h, c) -> (h * 31 + c) % 1048576)"))
+          .withColumn("tv", expr(
+            "transform(sequence(0, 15), j -> CAST(CASE WHEN j = 0 THEN h % 997 + 1 " +
+              "ELSE (h * (2 * CAST(j AS BIGINT) + 3) + 7919 * CAST(j AS BIGINT)) % 1999 - 999 END AS DOUBLE))"))
+          .withColumn("tn2", Similarity.dot(col("tv"), col("tv")))
+        val q = vecs.filter(col("doc_id") < 3 && col("pos") < 4)
+          .select(col("doc_id").as("q_id"), col("pos").as("qi"),
+            col("tv").as("qv"), col("tn2").as("qn2"))
+        val c = vecs
+          .select(col("doc_id").as("n_id"), col("tv").as("cv"), col("tn2").as("cn2"))
+        val maxsim = q.join(c, col("q_id") =!= col("n_id"))
+          .select(
+            col("q_id"), col("n_id"), col("qi"),
+            (Similarity.dot(col("qv"), col("cv")) /
+              (sqrt(col("qn2")) * sqrt(col("cn2")))).as("sim"))
+          .groupBy(col("q_id"), col("n_id"), col("qi"))
+          .agg(max(col("sim")).as("ms"))
+        val scored = maxsim
+          .groupBy(col("q_id"), col("n_id"))
+          .agg(
+            max(when(col("qi") === 0, col("ms"))).as("m0"),
+            max(when(col("qi") === 1, col("ms"))).as("m1"),
+            max(when(col("qi") === 2, col("ms"))).as("m2"),
+            max(when(col("qi") === 3, col("ms"))).as("m3"))
+          .select(
+            col("q_id"), col("n_id"),
+            (coalesce(col("m0"), lit(0.0)) + coalesce(col("m1"), lit(0.0)) +
+              coalesce(col("m2"), lit(0.0)) + coalesce(col("m3"), lit(0.0))).as("li_score"))
+        scored
+          .withColumn(
+            "rank",
+            row_number().over(
+              Window.partitionBy(col("q_id")).orderBy(col("li_score").desc, col("n_id"))))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("rank"), col("n_id"), col("li_score"))
+          .orderBy("q_id", "rank")
+      },
+      Some(
+        s"WITH toks AS ($tokensSql), " +
+          "th AS (SELECT doc_id, pos, " +
+          "list_reduce(list_prepend(CAST(7 AS BIGINT), " +
+          "list_transform(range(1, CAST(len(term) AS BIGINT) + 1), " +
+          "i -> CAST(ascii(substring(term, CAST(i AS INT), 1)) AS BIGINT))), " +
+          "(h, c) -> (h * 31 + c) % 1048576) AS h FROM toks WHERE pos < 8), " +
+          "tv AS (SELECT doc_id, pos, list_transform(range(0, 16), " +
+          "j -> CAST(CASE WHEN j = 0 THEN h % 997 + 1 " +
+          "ELSE (h * (2 * j + 3) + 7919 * j) % 1999 - 999 END AS DOUBLE)) AS v FROM th), " +
+          "tn AS (SELECT doc_id, pos, v, list_dot_product(v, v) AS n2 FROM tv), " +
+          "sims AS (SELECT q.doc_id AS q_id, c.doc_id AS n_id, q.pos AS qi, " +
+          "list_dot_product(q.v, c.v) / (sqrt(q.n2) * sqrt(c.n2)) AS sim " +
+          "FROM tn q JOIN tn c ON q.doc_id <> c.doc_id WHERE q.doc_id < 3 AND q.pos < 4), " +
+          "ms AS (SELECT q_id, n_id, qi, MAX(sim) AS ms FROM sims GROUP BY q_id, n_id, qi), " +
+          "scored AS (SELECT q_id, n_id, " +
+          "COALESCE(MAX(CASE WHEN qi = 0 THEN ms END), 0) + COALESCE(MAX(CASE WHEN qi = 1 THEN ms END), 0) + " +
+          "COALESCE(MAX(CASE WHEN qi = 2 THEN ms END), 0) + COALESCE(MAX(CASE WHEN qi = 3 THEN ms END), 0) AS li_score " +
+          "FROM ms GROUP BY q_id, n_id), " +
+          "r AS (SELECT q_id, n_id, li_score, " +
+          "CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY li_score DESC, n_id) AS INT) AS rank FROM scored) " +
+          "SELECT q_id, rank, n_id, li_score FROM r WHERE rank <= 5 ORDER BY q_id, rank")
     )
   )
 }

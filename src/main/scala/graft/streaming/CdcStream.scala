@@ -1,8 +1,10 @@
 package graft.streaming
 
+import java.sql.Timestamp
+
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Streaming CDC apply — the materialized-upsert-view twin of
   * q_merge_apply, and the operation the reference pipeline actually IS
@@ -38,9 +40,24 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
   * emissions are change-only (the view's own change stream, `upd`-
   * versioned per key so downstream consumers can take latest-wins).
   * Deleted keys retain a tombstone holding the delete's seq — the
-  * standard price of making deletion commute with stale updates; a
-  * production deployment ages tombstones out once the feed's seq
-  * low-watermark passes them.
+  * standard price of making deletion commute with stale updates.
+  * [[agedView]] is the production variant that pays that price only
+  * temporarily: it maps the log's seq onto EVENT TIME
+  * (`timestamp_seconds(seq)`), so Spark's own watermark over that column
+  * IS the feed's seq low-watermark — advanced by the feed's heartbeat
+  * rows (op `H`, the MySQL-binlog heartbeat shape), which carry no data
+  * and touch no state. A key whose state goes dead registers an
+  * event-time timer at its delete's seq; when the watermark passes it,
+  * the timer fires, the tombstone is CLEARED from the store, and an
+  * `aged = true` marker row is emitted as visible evidence. This is
+  * safe precisely because of the watermark contract: once the
+  * low-watermark passes the delete's seq the engine has already dropped
+  * every possible stale (lower-seq) arrival, so nothing remains for the
+  * tombstone to defend against — a higher-seq re-insert wins against a
+  * missing row exactly as it would against the tombstone. The price, as
+  * with every watermarked twin, is that lossless-under-any-order now
+  * holds only WITHIN the watermark delay (CdcAgeSpec gates both halves:
+  * aged-out state and the watermark dropping a post-age stale update).
   */
 object CdcStream {
 
@@ -63,6 +80,43 @@ object CdcStream {
   final case class Applied(
       k: Long, upd: Long, present: Boolean, status: Option[String], price: Option[Double])
 
+  /** [[Applied]] plus the aging marker: `aged = true` rows are emitted by
+    * [[AgedApplyProcessor]] the moment a tombstone is cleared at the seq
+    * low-watermark — the visible evidence that state was released.
+    */
+  final case class AgedApplied(
+      k: Long, upd: Long, present: Boolean, status: Option[String], price: Option[Double],
+      aged: Boolean)
+
+  private val EmptyRow =
+    RowState(Long.MinValue, false, Long.MinValue, None, Long.MinValue, None, 0L)
+
+  /** Seq→event-time offset (one day of seconds): Spark's watermark starts
+    * at epoch 0, so seq-proportional timestamps must sit strictly above
+    * it or the first feed rows would be born late.
+    */
+  val SeqEpochOffset: Long = 86400L
+
+  /** The per-column max-seq lattice join — shared by both processors so
+    * the aged variant cannot drift from the gated fold. Op `H` is a feed
+    * heartbeat: it advances the watermark (via its event-time column) but
+    * folds to a no-op.
+    */
+  private def fold(s0: RowState, op: String, seq: Long,
+      value: Option[Double], newStatus: Option[String]): RowState = {
+    require(op == "U" || op == "D" || op == "I" || op == "H", s"unknown CDC op $op")
+    if (op == "H") return s0
+    var s = s0
+    // presence lattice: U/I assert the row exists, D that it does not
+    if (seq > s.pSeq) s = s.copy(pSeq = seq, present = op != "D")
+    // value lattices: only the columns this image carries compete
+    if (op != "D" && value.isDefined && seq > s.vSeq)
+      s = s.copy(vSeq = seq, price = value)
+    if (op != "D" && newStatus.isDefined && seq > s.sSeq)
+      s = s.copy(sSeq = seq, status = newStatus)
+    s.copy(upd = s.upd + 1L)
+  }
+
   class ApplyProcessor extends StatefulProcessor[Long, ChangeArrival, Applied] {
     @transient private var st: ValueState[RowState] = _
 
@@ -73,22 +127,74 @@ object CdcStream {
         key: Long,
         rows: Iterator[ChangeArrival],
         timerValues: TimerValues): Iterator[Applied] = {
-      var s =
-        if (st.exists()) st.get()
-        else RowState(Long.MinValue, false, Long.MinValue, None, Long.MinValue, None, 0L)
-      rows.foreach { r =>
-        require(r.op == "U" || r.op == "D" || r.op == "I", s"unknown CDC op ${r.op}")
-        // presence lattice: U/I assert the row exists, D that it does not
-        if (r.seq > s.pSeq) s = s.copy(pSeq = r.seq, present = r.op != "D")
-        // value lattices: only the columns this image carries compete
-        if (r.op != "D" && r.value.isDefined && r.seq > s.vSeq)
-          s = s.copy(vSeq = r.seq, price = r.value)
-        if (r.op != "D" && r.newStatus.isDefined && r.seq > s.sSeq)
-          s = s.copy(sSeq = r.seq, status = r.newStatus)
-        s = s.copy(upd = s.upd + 1L)
-      }
+      var s = if (st.exists()) st.get() else EmptyRow
+      rows.foreach(r => s = fold(s, r.op, r.seq, r.value, r.newStatus))
       st.update(s)
       Iterator.single(Applied(key, s.upd, s.present, s.status, s.price))
+    }
+  }
+
+  /** [[ChangeArrival]] with the seq mapped onto event time, for the aged
+    * variant (`ts = timestamp_seconds(seq)`).
+    */
+  final case class ChangeArrivalTs(
+      k: Long, seq: Long, op: String, value: Option[Double], newStatus: Option[String],
+      ts: Timestamp)
+
+  /** The aging variant: identical lattice fold, plus one event-time timer
+    * per dead key at its delete's seq. When the watermark (= the feed's
+    * seq low-watermark) passes it, the tombstone is cleared and an
+    * `aged` marker emitted. A revival (higher-seq U/I) deletes the
+    * pending timer; heartbeat-only keys never create state.
+    */
+  class AgedApplyProcessor extends StatefulProcessor[Long, ChangeArrivalTs, AgedApplied] {
+    @transient private var st: ValueState[RowState] = _
+    @transient private var tmr: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      st = getHandle.getValueState[RowState]("row", Encoders.kryo[RowState], TTLConfig.NONE)
+      tmr = getHandle.getValueState[Long]("tmr", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def syncTimer(s: RowState): Unit = {
+      // a tombstone ages the moment the low-watermark passes its delete's
+      // seq; live keys keep no timer
+      val want =
+        if (!s.present && s.pSeq > Long.MinValue) (s.pSeq + SeqEpochOffset) * 1000L else -1L
+      val have = if (tmr.exists()) tmr.get() else -1L
+      if (want != have) {
+        if (have >= 0L) getHandle.deleteTimer(have)
+        if (want >= 0L) { getHandle.registerTimer(want); tmr.update(want) }
+        else tmr.clear()
+      }
+    }
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[ChangeArrivalTs],
+        timerValues: TimerValues): Iterator[AgedApplied] = {
+      var s = if (st.exists()) st.get() else EmptyRow
+      var nReal = 0
+      rows.foreach { r =>
+        if (r.op != "H") nReal += 1
+        s = fold(s, r.op, r.seq, r.value, r.newStatus)
+      }
+      if (nReal == 0) return Iterator.empty // heartbeats advance the watermark only
+      st.update(s)
+      syncTimer(s)
+      Iterator.single(AgedApplied(key, s.upd, s.present, s.status, s.price, aged = false))
+    }
+
+    override def handleExpiredTimer(
+        key: Long,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[AgedApplied] = {
+      tmr.clear()
+      if (!st.exists()) return Iterator.empty
+      val s = st.get()
+      if (s.present) { syncTimer(s); return Iterator.empty } // revived before firing
+      st.clear()
+      Iterator.single(AgedApplied(key, s.upd + 1L, false, None, None, aged = true))
     }
   }
 
@@ -117,5 +223,41 @@ object CdcStream {
       .as[ChangeArrival]
       .groupByKey(_.k)
       .transformWithState(new ApplyProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Feed heartbeat rows (op `H`) at the given seqs — the feed-progress
+    * signal that advances the seq low-watermark without touching state.
+    * Keyed to a reserved id so they shuffle to one no-op group.
+    */
+  def heartbeats(spark: SparkSession, seqs: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    seqs.toDF("seq").select(
+      lit(-1L).as("k"), col("seq"), lit("H").as("op"),
+      lit(null).cast("double").as("val"), lit(null).cast("string").as("new_status"))
+  }
+
+  /** The tombstone-AGING upsert view: same lattice fold, with the seq
+    * mapped onto event time so the configured watermark delay defines the
+    * feed's seq low-watermark. Tombstones are cleared (and `aged = true`
+    * markers emitted) once the low-watermark passes their delete's seq;
+    * arrivals more than `watermarkDelay` of seq-time behind the feed head
+    * are dropped by the engine — the honest bounded-lateness contract
+    * this variant trades the unbounded tombstone store for.
+    */
+  def agedView(
+      spark: SparkSession, changes: DataFrame, watermarkDelay: String): Dataset[AgedApplied] = {
+    import spark.implicits._
+    changes
+      .select(
+        col("k").cast("long").as("k"),
+        col("seq").cast("long").as("seq"),
+        col("op"),
+        col("val").as("value"),
+        col("new_status").as("newStatus"),
+        timestamp_seconds(col("seq") + lit(SeqEpochOffset)).as("ts"))
+      .withWatermark("ts", watermarkDelay)
+      .as[ChangeArrivalTs]
+      .groupByKey(_.k)
+      .transformWithState(new AgedApplyProcessor, TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -47,6 +47,26 @@ object CdcStreamMain {
         .orderBy("status").collect()
         .foreach(r => println(s"[cdc-stream] status=${r.getAs[String]("status")} " +
           s"n=${r.getAs[Long]("n")} total=${r.getAs[Double]("total")}"))
+
+      // the AGED variant: same feed time-ordered plus heartbeats — the
+      // seq low-watermark clears every tombstone and marks it visibly
+      val aroot = Files.createTempDirectory("cdc-age-demo").toString
+      feed.filter(col("seq") <= 2).repartition(1).write.mode("append").parquet(s"$aroot/in")
+      feed.filter(col("seq") >= 3).repartition(1).write.mode("append").parquet(s"$aroot/in")
+      CdcStream.heartbeats(spark, Seq(100L)).repartition(1)
+        .write.mode("append").parquet(s"$aroot/in")
+      CdcStream.heartbeats(spark, Seq(101L)).repartition(1)
+        .write.mode("append").parquet(s"$aroot/in")
+      val astream = spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$aroot/in")
+      CdcStream.agedView(spark, astream, watermarkDelay = "5 seconds")
+        .writeStream.format("parquet").outputMode("append")
+        .option("path", s"$aroot/out").option("checkpointLocation", s"$aroot/ck")
+        .trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+      val arows = spark.read.parquet(s"$aroot/out")
+      println(s"[cdc-stream] aged view: events=${arows.count()} " +
+        s"tombstones_aged=${arows.filter(col("aged")).count()}")
     } finally spark.stop()
   }
 }

@@ -192,6 +192,19 @@ class PlanAuditSpec extends SparkSpec {
       s"dense candidate generation lost its bucket equi join:\n${pc.take(1200)}")
   }
 
+  test("served IVF MMR: candidate pool reaches the greedy through bucket equi joins") {
+    // q_mmr_rerank_ivf's pool (probeCells ⋈ index on bucket) must never
+    // degrade to an all-pairs join — that would silently restore the
+    // exact-scan cost the served composition exists to avoid. The greedy
+    // stage above it is candidate-bounded (≤20/query) either way.
+    val emb = graft.core.Tables(spark, sf(), "embeddings")
+    val (_, pairs) = graft.ext.SimilarityQueries.mmrServedIvf(
+      spark, emb, org.apache.spark.sql.functions.col("vec_id") < 5, k = 16, nprobe = 6)
+    val p = planString(pairs)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"IVF MMR candidate generation lost its bucket equi join:\n${p.take(1200)}")
+  }
+
   test("best-match assignment runs through the bounded-heap top-k operator") {
     // k=1 argmin per left record: the partial exec keeps one row per name
     // per partition, so k·names rows cross the exchange, never the full

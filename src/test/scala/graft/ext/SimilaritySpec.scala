@@ -310,4 +310,17 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("served IVF MMR: pool recall, candidate ceiling, and full selection all hold") {
+    val rows = graft.Registry.byName("q_mmr_rerank_ivf").run(spark, sf()).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("n_queries") == 5L)
+    assert(r.getAs[Boolean]("pool_recall_ge_floor"),
+      "IVF pool lost the exact top-20 recall floor (0.5 at nprobe=6)")
+    assert(r.getAs[Boolean]("cand_sub_quadratic"),
+      "probed candidate volume exceeded 0.6 · queries × corpus")
+    assert(r.getAs[Boolean]("full_selection"),
+      "served greedy did not fill all 5 slots per query")
+  }
 }

@@ -1,0 +1,156 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.{Registry, SparkSpec}
+
+/** Tombstone-aging gates for [[CdcStream.agedView]] — the production
+  * variant the base CdcStream scaladoc designs: the seq low-watermark
+  * (Spark's event-time watermark over `timestamp_seconds(seq)`, advanced
+  * by heartbeat rows) ages dead keys out of the state store.
+  *
+  * Three halves of the contract, each asserted as computed fact:
+  *   1. live view ≡ batch MERGE, and every dead key emits exactly one
+  *      `aged = true` marker once the low-watermark passes its delete;
+  *   2. the state really is CLEARED — a post-age re-insert restarts the
+  *      key's `upd` counter at 1 (a surviving tombstone would continue
+  *      the old count);
+  *   3. the safety argument holds mechanically — a stale (below-
+  *      watermark) update delivered after aging is dropped by the
+  *      ENGINE (numRowsDroppedByWatermark > 0) and the view does not
+  *      resurrect the key.
+  */
+class CdcAgeSpec extends SparkSpec {
+
+  private def withRocksDb[A](body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(
+      key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** Keys whose highest-seq op is D — the tombstones the batch MERGE
+    * drops and the aged view must eventually clear.
+    */
+  private def deadKeys(): Set[Long] =
+    CdcStream.fixtureFeed(spark, sf())
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("k")).orderBy(col("seq").desc)))
+      .filter(col("rn") === 1 && col("op") === "D")
+      .select("k").collect().map(_.getLong(0)).toSet
+
+  private def expectedLive(): Map[Long, (String, Double)] =
+    Registry.byName("q_merge_apply").run(spark, sf()).collect()
+      .map(r => r.getAs[Long]("k") ->
+        ((r.getAs[String]("status"), r.getAs[Double]("price")))).toMap
+
+  /** Drain whatever is staged under `in` through the aged view; returns
+    * the started (terminated) query for progress inspection.
+    */
+  private def drainAged(in: String, out: String, ck: String) = {
+    val schema = CdcStream.fixtureFeed(spark, sf()).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = CdcStream.agedView(spark, stream, watermarkDelay = "5 seconds")
+      .writeStream.format("parquet").outputMode("append")
+      .option("path", out).option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q
+  }
+
+  private def stage(root: String, df: org.apache.spark.sql.DataFrame): Unit =
+    df.repartition(1).write.mode("append").parquet(s"$root/in")
+
+  test("aged view ≡ batch MERGE; tombstones age at the low-watermark; state is cleared") {
+    withRocksDb {
+      val root = Files.createTempDirectory("cdc-age").toString
+      val feed = CdcStream.fixtureFeed(spark, sf())
+      stage(root, feed.filter(col("seq") === 0))
+      stage(root, feed.filter(col("seq").isin(1, 2)))
+      stage(root, feed.filter(col("seq").isin(3, 4)))
+      // heartbeats push the low-watermark (delay 5 s) far past every
+      // delete's seq; the second one gives the fired timers a batch to run
+      stage(root, CdcStream.heartbeats(spark, Seq(100L)))
+      stage(root, CdcStream.heartbeats(spark, Seq(101L)))
+      drainAged(s"$root/in", s"$root/out", s"$root/ck")
+
+      val rows = spark.read.parquet(s"$root/out")
+      val finals = rows
+        .join(rows.groupBy("k").agg(max("upd").as("upd")), Seq("k", "upd"))
+        .collect()
+      val live = finals.filter(_.getAs[Boolean]("present"))
+        .map(r => r.getAs[Long]("k") ->
+          ((r.getAs[String]("status"), r.getAs[Double]("price")))).toMap
+      assert(live == expectedLive(), "aged view's live rows differ from the batch MERGE")
+
+      val dead = deadKeys()
+      assert(dead.nonEmpty, "fixture must produce tombstones for the gate to bite")
+      val agedMarks = rows.filter(col("aged")).collect()
+      assert(agedMarks.map(_.getAs[Long]("k")).toSet == dead,
+        "aged markers must cover exactly the keys whose latest op is D")
+      assert(agedMarks.length == dead.size, "exactly one aged marker per tombstone")
+
+      // state-clearance evidence: a post-age re-insert starts a FRESH
+      // upd counter (1). A surviving tombstone would continue its count.
+      val k0 = dead.min
+      stage(root, spark.range(1).select(
+        lit(k0).as("k"), lit(102L).as("seq"), lit("I").as("op"),
+        lit(999.5).as("val"), lit("Z").as("new_status")))
+      drainAged(s"$root/in", s"$root/out", s"$root/ck")
+      val revived = spark.read.parquet(s"$root/out")
+        .filter(col("k") === k0 && col("present") && !col("aged") &&
+          col("price") === 999.5)
+        .collect()
+      assert(revived.length == 1, s"post-age re-insert of $k0 must emit once")
+      assert(revived.head.getAs[Long]("upd") == 1L,
+        "re-insert after aging must start a fresh state (upd = 1) — tombstone not cleared?")
+    }
+  }
+
+  test("post-age stale update is dropped by the engine and cannot resurrect the key") {
+    withRocksDb {
+      val root = Files.createTempDirectory("cdc-age-stale").toString
+      val feed = CdcStream.fixtureFeed(spark, sf())
+      stage(root, feed.filter(col("seq") === 0))
+      stage(root, feed.filter(col("seq").isin(1, 2)))
+      stage(root, feed.filter(col("seq").isin(3, 4)))
+      stage(root, CdcStream.heartbeats(spark, Seq(100L)))
+      stage(root, CdcStream.heartbeats(spark, Seq(101L)))
+      // the attack the tombstone used to defend against, replayed AFTER
+      // aging: a below-watermark I for a dead key. With the tombstone
+      // gone, only the engine's late-row drop prevents resurrection.
+      val k0 = deadKeys().min
+      stage(root, spark.range(1).select(
+        lit(k0).as("k"), lit(2L).as("seq"), lit("I").as("op"),
+        lit(777.0).as("val"), lit("Z").as("new_status")))
+      val q = drainAged(s"$root/in", s"$root/out", s"$root/ck")
+
+      val dropped = q.recentProgress
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .map(_.numRowsDroppedByWatermark).sum
+      assert(dropped >= 1L, "the stale row must be dropped by the watermark, not absorbed")
+
+      val rows = spark.read.parquet(s"$root/out")
+      val finals = rows
+        .join(rows.groupBy("k").agg(max("upd").as("upd")), Seq("k", "upd"))
+        .collect()
+      val live = finals.filter(_.getAs[Boolean]("present"))
+        .map(r => r.getAs[Long]("k") ->
+          ((r.getAs[String]("status"), r.getAs[Double]("price")))).toMap
+      assert(live == expectedLive(),
+        "stale post-age update resurrected a deleted key — aging safety violated")
+      assert(!live.contains(k0), "the attacked key must stay deleted")
+    }
+  }
+}
