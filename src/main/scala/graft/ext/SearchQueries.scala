@@ -350,6 +350,42 @@ object SearchQueries {
 
   private val bm25ScoredSql = bm25ScoredSqlFrom("documents")
 
+  /** (doc_id, pos, term, tv, tn2) token-vector relation for the
+    * late-interaction family (first 8 tokens per doc): one 16-dim vector
+    * PER TOKEN, derived deterministically from the token's characters —
+    * char-polynomial hash h = fold(31·h + code) mod 2^20 (seed 7),
+    * expanded to dims by exact integer arithmetic (v_0 = h mod 997 + 1,
+    * so the norm is provably nonzero; v_j = (h·(2j+3) + 7919·j) mod 1999
+    * − 999). Every fold stays far under 2^53, so DuckDB computes the
+    * IDENTICAL embedding ([[lateTokenSql]]) and the family is a full
+    * cross-engine differential — unlike the xxhash-based dedup gates.
+    */
+  private def tokenVecs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+      .filter(col("pos") < 8)
+      .withColumn("h", expr(
+        "aggregate(transform(sequence(1, length(term)), i -> CAST(ascii(substring(term, i, 1)) AS BIGINT)), " +
+          "CAST(7 AS BIGINT), (h, c) -> (h * 31 + c) % 1048576)"))
+      .withColumn("tv", expr(
+        "transform(sequence(0, 15), j -> CAST(CASE WHEN j = 0 THEN h % 997 + 1 " +
+          "ELSE (h * (2 * CAST(j AS BIGINT) + 3) + 7919 * CAST(j AS BIGINT)) % 1999 - 999 END AS DOUBLE))"))
+      .withColumn("tn2", Similarity.dot(col("tv"), col("tv")))
+
+  /** DuckDB CTE chain (th → tvec → tn) mirroring [[tokenVecs]]; expects a
+    * `toks` CTE with (doc_id, term, pos).
+    */
+  private val lateTokenSql =
+    "th AS (SELECT doc_id, pos, term, " +
+      "list_reduce(list_prepend(CAST(7 AS BIGINT), " +
+      "list_transform(range(1, CAST(len(term) AS BIGINT) + 1), " +
+      "i -> CAST(ascii(substring(term, CAST(i AS INT), 1)) AS BIGINT))), " +
+      "(h, c) -> (h * 31 + c) % 1048576) AS h FROM toks WHERE pos < 8), " +
+      "tvec AS (SELECT doc_id, pos, term, list_transform(range(0, 16), " +
+      "j -> CAST(CASE WHEN j = 0 THEN h % 997 + 1 " +
+      "ELSE (h * (2 * j + 3) + 7919 * j) % 1999 - 999 END AS DOUBLE)) AS v FROM th), " +
+      "tn AS (SELECT doc_id, pos, term, v, list_dot_product(v, v) AS n2 FROM tvec)"
+
   val queries: Seq[Q] = Seq(
     Q(
       "q_inverted_index",
@@ -714,16 +750,7 @@ object SearchQueries {
       // per-row projection any shard computes locally.
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val vecs = Tables(s, d, "documents")
-          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
-          .filter(col("pos") < 8)
-          .withColumn("h", expr(
-            "aggregate(transform(sequence(1, length(term)), i -> CAST(ascii(substring(term, i, 1)) AS BIGINT)), " +
-              "CAST(7 AS BIGINT), (h, c) -> (h * 31 + c) % 1048576)"))
-          .withColumn("tv", expr(
-            "transform(sequence(0, 15), j -> CAST(CASE WHEN j = 0 THEN h % 997 + 1 " +
-              "ELSE (h * (2 * CAST(j AS BIGINT) + 3) + 7919 * CAST(j AS BIGINT)) % 1999 - 999 END AS DOUBLE))"))
-          .withColumn("tn2", Similarity.dot(col("tv"), col("tv")))
+        val vecs = tokenVecs(Tables(s, d, "documents"))
         val q = vecs.filter(col("doc_id") < 3 && col("pos") < 4)
           .select(col("doc_id").as("q_id"), col("pos").as("qi"),
             col("tv").as("qv"), col("tn2").as("qn2"))
@@ -757,16 +784,7 @@ object SearchQueries {
           .orderBy("q_id", "rank")
       },
       Some(
-        s"WITH toks AS ($tokensSql), " +
-          "th AS (SELECT doc_id, pos, " +
-          "list_reduce(list_prepend(CAST(7 AS BIGINT), " +
-          "list_transform(range(1, CAST(len(term) AS BIGINT) + 1), " +
-          "i -> CAST(ascii(substring(term, CAST(i AS INT), 1)) AS BIGINT))), " +
-          "(h, c) -> (h * 31 + c) % 1048576) AS h FROM toks WHERE pos < 8), " +
-          "tv AS (SELECT doc_id, pos, list_transform(range(0, 16), " +
-          "j -> CAST(CASE WHEN j = 0 THEN h % 997 + 1 " +
-          "ELSE (h * (2 * j + 3) + 7919 * j) % 1999 - 999 END AS DOUBLE)) AS v FROM th), " +
-          "tn AS (SELECT doc_id, pos, v, list_dot_product(v, v) AS n2 FROM tv), " +
+        s"WITH toks AS ($tokensSql), $lateTokenSql, " +
           "sims AS (SELECT q.doc_id AS q_id, c.doc_id AS n_id, q.pos AS qi, " +
           "list_dot_product(q.v, c.v) / (sqrt(q.n2) * sqrt(c.n2)) AS sim " +
           "FROM tn q JOIN tn c ON q.doc_id <> c.doc_id WHERE q.doc_id < 3 AND q.pos < 4), " +
@@ -778,6 +796,88 @@ object SearchQueries {
           "r AS (SELECT q_id, n_id, li_score, " +
           "CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY li_score DESC, n_id) AS INT) AS rank FROM scored) " +
           "SELECT q_id, rank, n_id, li_score FROM r WHERE rank <= 5 ORDER BY q_id, rank")
+    ),
+    Q(
+      "q_late_interaction_served",
+      // The SERVED late-interaction composition (the ColBERT serving
+      // shape): candidates come from the INVERTED INDEX — docs sharing at
+      // least one of the query's 4 tokens (work ∝ Σ df(term), the same
+      // stopword-sharded serving bound as the index family) — and only
+      // that shortlist is maxsim-scored, so the tokens² stage never sees
+      // the corpus. Both stages are deterministic (term equality + the
+      // char-polynomial token vectors), so unlike the invariant-gated ANN
+      // family this SERVED path is a FULL cross-engine differential:
+      // DuckDB recomputes candidate generation and scoring identically.
+      // The contract vs the full scan (q_late_interaction_mv) is measured
+      // in SearchSpec — a vector-only match (no shared token) can differ;
+      // that is the honest trade of lexical candidate generation, the
+      // same one BM25-fed rerankers ship with. Output adds n_cand (the
+      // per-query scored-candidate count) so the df-bounded pool size is
+      // itself differentially checked.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val vecs = tokenVecs(Tables(s, d, "documents"))
+        val qterms = vecs.filter(col("doc_id") < 3 && col("pos") < 4)
+          .select(col("doc_id").as("q_id"), col("term")).distinct()
+        val cand = qterms
+          .join(vecs.select(col("doc_id").as("n_id"), col("term")), Seq("term"))
+          .filter(col("q_id") =!= col("n_id"))
+          .select(col("q_id"), col("n_id")).distinct()
+        val q = vecs.filter(col("doc_id") < 3 && col("pos") < 4)
+          .select(col("doc_id").as("q_id"), col("pos").as("qi"),
+            col("tv").as("qv"), col("tn2").as("qn2"))
+        val c = vecs
+          .select(col("doc_id").as("n_id"), col("tv").as("cv"), col("tn2").as("cn2"))
+        val maxsim = cand
+          .join(q, Seq("q_id"))
+          .join(c, Seq("n_id"))
+          .select(
+            col("q_id"), col("n_id"), col("qi"),
+            (Similarity.dot(col("qv"), col("cv")) /
+              (sqrt(col("qn2")) * sqrt(col("cn2")))).as("sim"))
+          .groupBy(col("q_id"), col("n_id"), col("qi"))
+          .agg(max(col("sim")).as("ms"))
+        val scored = maxsim
+          .groupBy(col("q_id"), col("n_id"))
+          .agg(
+            max(when(col("qi") === 0, col("ms"))).as("m0"),
+            max(when(col("qi") === 1, col("ms"))).as("m1"),
+            max(when(col("qi") === 2, col("ms"))).as("m2"),
+            max(when(col("qi") === 3, col("ms"))).as("m3"))
+          .select(
+            col("q_id"), col("n_id"),
+            (coalesce(col("m0"), lit(0.0)) + coalesce(col("m1"), lit(0.0)) +
+              coalesce(col("m2"), lit(0.0)) + coalesce(col("m3"), lit(0.0))).as("li_score"))
+        val nCand = cand.groupBy(col("q_id")).agg(count(lit(1)).as("n_cand"))
+        scored
+          .withColumn(
+            "rank",
+            row_number().over(
+              Window.partitionBy(col("q_id")).orderBy(col("li_score").desc, col("n_id"))))
+          .filter(col("rank") <= 5)
+          .join(nCand, Seq("q_id"))
+          .select(col("q_id"), col("rank"), col("n_id"), col("li_score"), col("n_cand"))
+          .orderBy("q_id", "rank")
+      },
+      Some(
+        s"WITH toks AS ($tokensSql), $lateTokenSql, " +
+          "qt AS (SELECT DISTINCT doc_id AS q_id, term FROM tn WHERE doc_id < 3 AND pos < 4), " +
+          "cand AS (SELECT DISTINCT qt.q_id, tn.doc_id AS n_id FROM qt " +
+          "JOIN tn ON tn.term = qt.term WHERE tn.doc_id <> qt.q_id), " +
+          "nc AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_cand FROM cand GROUP BY q_id), " +
+          "sims AS (SELECT cand.q_id, cand.n_id, q.pos AS qi, " +
+          "list_dot_product(q.v, c.v) / (sqrt(q.n2) * sqrt(c.n2)) AS sim " +
+          "FROM cand JOIN tn q ON q.doc_id = cand.q_id AND q.pos < 4 " +
+          "JOIN tn c ON c.doc_id = cand.n_id), " +
+          "ms AS (SELECT q_id, n_id, qi, MAX(sim) AS ms FROM sims GROUP BY q_id, n_id, qi), " +
+          "scored AS (SELECT q_id, n_id, " +
+          "COALESCE(MAX(CASE WHEN qi = 0 THEN ms END), 0) + COALESCE(MAX(CASE WHEN qi = 1 THEN ms END), 0) + " +
+          "COALESCE(MAX(CASE WHEN qi = 2 THEN ms END), 0) + COALESCE(MAX(CASE WHEN qi = 3 THEN ms END), 0) AS li_score " +
+          "FROM ms GROUP BY q_id, n_id), " +
+          "r AS (SELECT q_id, n_id, li_score, " +
+          "CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY li_score DESC, n_id) AS INT) AS rank FROM scored) " +
+          "SELECT r.q_id, rank, n_id, li_score, n_cand FROM r JOIN nc ON nc.q_id = r.q_id " +
+          "WHERE rank <= 5 ORDER BY r.q_id, rank")
     )
   )
 }

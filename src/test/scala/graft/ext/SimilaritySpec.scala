@@ -311,6 +311,18 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("served IVF hard-negative mining: recall, ceiling, and full mining all hold") {
+    val rows = graft.Registry.byName("q_hard_negatives_ivf").run(spark, sf()).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("n_anchors") == 20L)
+    assert(r.getAs[Boolean]("mined_recall_ge_floor"),
+      "served mining lost the exact top-3 recall floor (0.5 at nprobe=6; measured 0.75)")
+    assert(r.getAs[Boolean]("cand_sub_quadratic"),
+      "probed candidate volume exceeded 0.6 · anchors × corpus")
+    assert(r.getAs[Boolean]("full_mining"), "an anchor mined fewer than 3 negatives")
+  }
+
   test("served IVF MMR: pool recall, candidate ceiling, and full selection all hold") {
     val rows = graft.Registry.byName("q_mmr_rerank_ivf").run(spark, sf()).collect()
     assert(rows.length == 1)
