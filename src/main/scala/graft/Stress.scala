@@ -282,6 +282,53 @@ object Stress {
         .write.format("noop").mode("overwrite").save()
     }
 
+    // ---- CdcStream.agedView over a replicated merge feed — the
+    // per-key-state shape (state = the upsert view itself) WITH the
+    // tombstone-aging path exercised: 4 feed files + 2 heartbeat files,
+    // so the last two micro-batches advance the seq low-watermark and
+    // fire every tombstone's timer. n_aged counts the state rows the
+    // aging actually released.
+    val multK = math.min(mult, 16)
+    val feed0 = streaming.CdcStream.fixtureFeed(spark, sfDir)
+    (0 until multK)
+      .map(rep => feed0.select(
+        (col("k") + lit(rep.toLong * 100000000L)).as("k"),
+        col("seq"), col("op"), col("val"), col("new_status")))
+      .reduce(_ unionByName _)
+      .repartition(4).write.mode("overwrite").parquet(s"$out/cdc-in")
+    streaming.CdcStream.heartbeats(spark, Seq(100L))
+      .repartition(1).write.mode("append").parquet(s"$out/cdc-in")
+    streaming.CdcStream.heartbeats(spark, Seq(101L))
+      .repartition(1).write.mode("append").parquet(s"$out/cdc-in")
+    val cdcBig = spark.read.parquet(s"$out/cdc-in")
+    val nChg = cdcBig.filter(col("op") =!= "H").count()
+    def cdcPass(tag: String): Double = time {
+      val stream = spark.readStream.schema(cdcBig.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$out/cdc-in")
+      val q = streaming.CdcStream.agedView(spark, stream, watermarkDelay = "5 seconds")
+        .writeStream.format("parquet").outputMode("append")
+        .option("path", s"$out/cdc-out-$tag")
+        .option("checkpointLocation", s"$out/cdc-ck-$tag")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    cdcPass("warm")
+    val kSec = Seq(cdcPass("a"), cdcPass("b")).min
+    val nAged = spark.read.parquet(s"$out/cdc-out-a").filter(col("aged")).count()
+    val nKeys = cdcBig.filter(col("op") =!= "H").select("k").distinct().count()
+    // batch equivalent: latest-wins MERGE over the same feed (the
+    // q_merge_apply plan shape — one window + one filter)
+    val kBatch = time {
+      cdcBig.filter(col("op") =!= "H")
+        .withColumn("rn",
+          row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("k")).orderBy(col("seq").desc)))
+        .filter(col("rn") === 1 && col("op") =!= "D")
+        .write.format("noop").mode("overwrite").save()
+    }
+
     println(
       s"""{"tier":"streaming","mult":$mult,"files":4,""" +
         s""""lineitem_rows":$nLi,"pricing_stream_sec":${num(pSec)},""" +
@@ -292,7 +339,10 @@ object Stress {
         s""""cluster_batch_sec":${num(cBatch)},"cluster_batch_mrows_s":${num(rate(nVecs, cBatch))},""" +
         s""""docs":$nDocs,"dedup_stream_sec":${num(dSec)},""" +
         s""""dedup_stream_kdocs_s":${num(nDocs / dSec / 1e3)},""" +
-        s""""dedup_batch_sec":${num(dBatch)},"dedup_batch_kdocs_s":${num(nDocs / dBatch / 1e3)}}""")
+        s""""dedup_batch_sec":${num(dBatch)},"dedup_batch_kdocs_s":${num(nDocs / dBatch / 1e3)},""" +
+        s""""cdc_changes":$nChg,"cdc_keys":$nKeys,"cdc_aged":$nAged,""" +
+        s""""cdc_stream_sec":${num(kSec)},"cdc_stream_mrows_s":${num(rate(nChg, kSec))},""" +
+        s""""cdc_batch_sec":${num(kBatch)},"cdc_batch_mrows_s":${num(rate(nChg, kBatch))}}""")
   }
 
   /** Point q_agg_pricing at a bare parquet dir by making it look like a
