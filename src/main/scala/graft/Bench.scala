@@ -116,9 +116,17 @@ object Bench {
     * headliners, timed as a SEPARATE section ("queries_ext"/"total_ext")
     * so the 22-query cross-round "queries"/"total" series stays
     * untouched and comparable. Same interleaved-pass + per-query-min
-    * protocol, main (1-file) layout.
+    * protocol, main (1-file) layout. Round 13 (the tier's first recorded
+    * round) also seeds the late-interaction PAIR — full-scan maxsim vs
+    * its index-fed served form — so the served-vs-baseline gap is itself
+    * a tracked trajectory. The served GATE queries (q_mmr_rerank_ivf,
+    * q_hard_negatives_ivf, q_pq_adc_ivf) are deliberately NOT benched:
+    * their cost is dominated by the in-plan exact truth sides and
+    * codebook training, which would track oracle cost, not serving cost.
     */
-  private val ExtTargets = Seq("q_bm25", "q_sparse_cosine", "q_kmeans_fused", "q_gd_train")
+  private val ExtTargets = Seq(
+    "q_bm25", "q_sparse_cosine", "q_kmeans_fused", "q_gd_train",
+    "q_late_interaction_mv", "q_late_interaction_served")
 
   /** Primary scanned table per headline — the denominator input for the
     * split tier's Mrows/s (the table whose rows the query must read end
