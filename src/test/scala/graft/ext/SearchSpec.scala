@@ -210,6 +210,76 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("pruned late interaction is EXACT on the fixture (weak pruning recorded honestly)") {
+    val full = graft.Registry.byName("q_late_interaction_mv").run(spark, sf()).collect()
+      .map(r => ((r.getAs[Long]("q_id"), r.getAs[Int]("rank")),
+        (r.getAs[Long]("n_id"), r.getAs[Double]("li_score")))).toMap
+    val pruned = graft.Registry.byName("q_late_interaction_pruned").run(spark, sf()).collect()
+    val prMap = pruned
+      .map(r => ((r.getAs[Long]("q_id"), r.getAs[Int]("rank")),
+        (r.getAs[Long]("n_id"), r.getAs[Double]("li_score")))).toMap
+    // the safety argument makes the pruned top-5 EXACTLY the full scan's
+    assert(prMap == full, "safe pruning changed the top-5 — the bound is not a bound")
+    val nDocs = graft.core.Tables(spark, sf(), "documents").count()
+    pruned.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_scored"))).distinct
+      .sortBy(_._1).foreach { case (q, ns) =>
+        assert(ns >= 5 && ns <= nDocs)
+        info(s"query $q: exact-scored $ns of ${nDocs - 1} docs")
+      }
+  }
+
+  test("pruned late interaction PRUNES HARD on a planted clustered token corpus") {
+    // The isotropy finding from the registered query, resolved the same
+    // way as the residual-PQ story: plant the cluster structure real
+    // token embeddings have. 8 clusters whose sign pattern on dims 2-6
+    // (the cell key) is constant within a cluster — each cluster is one
+    // cell with radius cos ≈ 0.99, so cross-cluster upper bounds drop
+    // far below τ and the exact stage reads only the query's own
+    // cluster.
+    import spark.implicits._
+    def center(g: Int): Array[Double] = Array.tabulate(16) { j =>
+      if (j >= 1 && j <= 3) { if (((g >> (j - 1)) & 1) == 1) 800.0 else -800.0 }
+      else if (j == 4 || j == 5) 800.0
+      else ((g * 53 + j * 29) % 401).toDouble - 200.0
+    }
+    def member(g: Int, m: Int): Array[Double] = {
+      val c = center(g)
+      Array.tabulate(16)(j => c(j) + ((g * 31 + m * 17 + j * 7) % 101).toDouble - 50.0)
+    }
+    val nDocs = 400
+    val rows = for {
+      d <- 0 until nDocs
+      k <- 0 until 8
+      g = d % 8
+      m = (d / 8 + k) % 8
+    } yield (d.toLong, k, s"t${g}_$m", member(g, m).toSeq)
+    val vecs = rows.toDF("doc_id", "pos", "term", "tv")
+      .withColumn("tv", col("tv").cast("array<double>"))
+      .withColumn("tn2", Similarity.dot(col("tv"), col("tv")))
+    val pruned = SearchQueries.latePruned(vecs).collect()
+    // exactness vs the full scan over the planted corpus
+    val allPairs = (for { q <- 0L until 3L; n <- 0L until nDocs.toLong if n != q }
+      yield (q, n)).toDF("q_id", "n_id")
+    val full = SearchQueries.maxsimOver(vecs, allPairs).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) =>
+        q -> rs.map(r => (r.getAs[Double]("li_score"), r.getAs[Long]("n_id")))
+          .sortBy { case (s, n) => (-s, n) }.take(5).toSeq
+      }
+    pruned.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rs) =>
+      val got = rs.sortBy(_.getAs[Int]("rank"))
+        .map(r => (r.getAs[Double]("li_score"), r.getAs[Long]("n_id"))).toSeq
+      assert(got == full(q), s"planted-corpus pruned top-5 differs for query $q")
+    }
+    // the point: pruning must actually bite here
+    pruned.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_scored"))).distinct
+      .sortBy(_._1).foreach { case (q, ns) =>
+        info(s"planted query $q: exact-scored $ns of ${nDocs - 1} docs")
+        assert(ns <= nDocs / 4,
+          s"clustered corpus should prune >75% of the exact stage, scored $ns of ${nDocs - 1}")
+      }
+  }
+
   test("served late interaction: df-bounded pool, and on this fixture it recovers the full scan") {
     val full = graft.Registry.byName("q_late_interaction_mv").run(spark, sf()).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
