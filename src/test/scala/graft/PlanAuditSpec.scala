@@ -192,6 +192,35 @@ class PlanAuditSpec extends SparkSpec {
       s"dense candidate generation lost its bucket equi join:\n${pc.take(1200)}")
   }
 
+  test("bucket-partitioned serving table: a probe query scans only its nprobe cells' files") {
+    // the 100 TB claim behind the IVFPQ layout (Pq.encodeCells written
+    // partitionBy("bucket"), the PqStream serving table): a query's probed
+    // cells become a STATIC partition filter, so the scan opens only
+    // nprobe of k cell directories — asserted here on the plan, not just
+    // documented in the scaladoc.
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("ivfpq-layout").toString
+    val emb = graft.core.Tables(spark, sf(), "embeddings")
+    val coarse = graft.ext.Ivf.train(spark, emb, k = 16)
+    val books = graft.ext.Pq.train(spark, emb, m = 4, k = 16, iters = 2)
+    graft.ext.Pq.encodeCells(emb, books, coarse)
+      .write.partitionBy("bucket").parquet(s"$root/cells")
+    val probed = Seq(2, 5, 7, 9)
+    val served = spark.read.parquet(s"$root/cells")
+      .filter(col("bucket").isin(probed: _*))
+    val scan = scans(served).find(_.relation.partitionSchema.nonEmpty)
+    assert(scan.isDefined, "serving table scan is not partition-aware")
+    val pf = scan.get.partitionFilters.map(_.toString).mkString(";")
+    assert(pf.toLowerCase.contains("bucket"),
+      s"probe predicate did not become a partition filter: $pf")
+    served.collect()
+    val partsRead = scan.get.metrics.get("numPartitions").map(_.value)
+    partsRead.foreach(n =>
+      assert(n <= probed.length,
+        s"scan opened $n cell directories for ${probed.length} probes"))
+    assert(partsRead.nonEmpty, "scan exposes no partition-count metric — assert via filters only")
+  }
+
   test("served IVF MMR: candidate pool reaches the greedy through bucket equi joins") {
     // q_mmr_rerank_ivf's pool (probeCells ⋈ index on bucket) must never
     // degrade to an all-pairs join — that would silently restore the
