@@ -373,6 +373,25 @@ object Pq {
       .select(col("q_id"), col("vec_id"))
   }
 
+  /** De-quantize an encoded (vec_id, m, code) table back to approximate
+    * vectors: each code row looks its sub-vector up in the codebook
+    * literals, and the M subs concatenate in subspace order — the
+    * reconstruction half every compressed-serving path (e.g. ColBERTv2's
+    * compressed maxsim stage) scores against. Pure expressions against
+    * broadcast literals: no shuffle beyond the per-vector regroup.
+    */
+  def decode(encoded: DataFrame, books: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val cbLit = array(books.map(cb => array(cb.map(c => array(c.map(lit): _*)): _*)): _*)
+    encoded
+      .select(
+        col("vec_id"), col("m"),
+        element_at(element_at(cbLit, col("m") + 1), (col("code") + 1).cast("int")).as("sub"))
+      .groupBy(col("vec_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("m"), col("sub")))), e => e("sub")))
+        .as("embedding"))
+  }
+
   /** Per-subspace audit rollup (small, stable output for the rows-only
     * gate): vectors encoded, codebook entries actually used, mean/max
     * squared reconstruction error.

@@ -1058,6 +1058,82 @@ object SearchQueries {
           "CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY li_score DESC, n_id) AS INT) AS rank FROM fin) " +
           "SELECT r.q_id, rank, n_id, li_score, n_scored FROM r JOIN ns ON ns.q_id = r.q_id " +
           "WHERE rank <= 5 ORDER BY r.q_id, rank")
+    ),
+    Q(
+      "q_late_interaction_pq",
+      // COMPRESSED multi-vector serving (the ColBERTv2 shape, Santhanam
+      // et al. 2022: quantized token vectors + exact re-rank — the third
+      // leg after served and safe-pruned): doc token vectors are
+      // PQ-encoded (m=4 sub-codebooks of 16 entries over the 16 dims —
+      // 4 small codes per token instead of 16 doubles), codebooks
+      // trained on the DISTINCT term vectors (h is the stable train id);
+      // the compressed maxsim stage scores full-precision QUERY tokens
+      // against [[Pq.decode]]-reconstructed doc tokens, shortlists the
+      // top-10, and the exact re-rank (the shared maxsimOver chain)
+      // produces the top-5. Codebooks are float/partition-order
+      // sensitive, so the gate is invariant-shaped like the ANN family:
+      //   - n_queries: real differential (recallGate's count);
+      //   - n_code_rows: REAL differential — the stored code count must
+      //     be exactly 4 × token instances (the compression accounting,
+      //     oracle-recomputed from the token relation);
+      //   - recall_ge_floor: compressed-stage top-10 → exact re-rank
+      //     top-5 recalls ≥ 0.8 of the exact full-scan top-5 (the gate
+      //     holds at both SFs; SearchSpec pins the full gate row).
+      // Scale: stored side is codes (4 bytes/token at k=16 vs 128 —
+      // 32×); the compressed stage is the only corpus-wide scan and
+      // reads codes; exact re-rank touches 10 docs/query.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val vecs = tokenVecs(Tables(s, d, "documents"))
+        val books = Pq.train(
+          s, vecs.select(col("h").as("vec_id"), col("tv").as("embedding")).distinct(),
+          m = 4, k = 16, iters = 6)
+        val enc = Pq.encode(
+          vecs.select((col("doc_id") * 16 + col("pos")).as("vec_id"), col("tv").as("embedding")),
+          books)
+          .select(col("vec_id"), col("m"), col("code"))
+        val rec = Pq.decode(enc, books)
+          .select(expr("vec_id div 16").as("n_id"), col("embedding").as("cv"))
+          .withColumn("cn2", Similarity.dot(col("cv"), col("cv")))
+        val q = vecs.filter(col("doc_id") < 3 && col("pos") < 4)
+          .select(col("doc_id").as("q_id"), col("pos").as("qi"),
+            col("tv").as("qv"), col("tn2").as("qn2"))
+        val shortlist = q.join(rec, col("q_id") =!= col("n_id"))
+          .select(
+            col("q_id"), col("n_id"), col("qi"),
+            (Similarity.dot(col("qv"), col("cv")) /
+              (sqrt(col("qn2")) * sqrt(col("cn2")))).as("sim"))
+          .groupBy(col("q_id"), col("n_id"), col("qi"))
+          .agg(max(col("sim")).as("ms"))
+          .groupBy(col("q_id"), col("n_id"))
+          .agg((max(when(col("qi") === 0, col("ms"))) + max(when(col("qi") === 1, col("ms"))) +
+            max(when(col("qi") === 2, col("ms"))) + max(when(col("qi") === 3, col("ms"))))
+            .as("li_c"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("q_id")).orderBy(col("li_c").desc, col("n_id"))))
+          .filter(col("rk") <= 10)
+          .select(col("q_id"), col("n_id"))
+        val reranked = maxsimOver(vecs, shortlist)
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("q_id")).orderBy(col("li_score").desc, col("n_id"))))
+          .filter(col("rank") <= 5)
+        val docs = vecs.select(col("doc_id").as("n_id")).distinct()
+        val qids = vecs.filter(col("doc_id") < 3).select(col("doc_id").as("q_id")).distinct()
+        val exactTop5 = maxsimOver(vecs, qids.crossJoin(docs).filter(col("q_id") =!= col("n_id")))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("q_id")).orderBy(col("li_score").desc, col("n_id"))))
+          .filter(col("rank") <= 5)
+        SimilarityQueries.recallGate(
+          exactTop5.select(col("q_id"), col("n_id")),
+          reranked.select(col("q_id"), col("n_id")), 0.8)
+          .crossJoin(broadcast(enc.agg(count(lit(1)).as("n_code_rows"))))
+          .select(col("n_queries"), col("n_code_rows"), col("recall_ge_floor"))
+      },
+      Some(
+        s"WITH toks AS ($tokensSql) " +
+          "SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_queries, " +
+          "(SELECT CAST(COUNT(*) * 4 AS BIGINT) FROM toks WHERE pos < 8) AS n_code_rows, " +
+          "true AS recall_ge_floor FROM toks WHERE doc_id < 3")
     )
   )
 }

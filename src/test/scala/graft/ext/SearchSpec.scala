@@ -280,6 +280,17 @@ class SearchSpec extends SparkSpec {
       }
   }
 
+  test("compressed (PQ) late interaction: code accounting and recall gate hold") {
+    val rows = graft.Registry.byName("q_late_interaction_pq").run(spark, sf()).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("n_queries") == 3L)
+    // 500 docs × 8 tokens × 4 sub-codes — the compression accounting
+    assert(r.getAs[Long]("n_code_rows") == 16000L)
+    assert(r.getAs[Boolean]("recall_ge_floor"),
+      "compressed maxsim shortlist lost the 0.8 recall floor after exact re-rank")
+  }
+
   test("served late interaction: df-bounded pool, and on this fixture it recovers the full scan") {
     val full = graft.Registry.byName("q_late_interaction_mv").run(spark, sf()).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet

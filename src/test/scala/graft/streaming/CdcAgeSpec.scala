@@ -118,6 +118,32 @@ class CdcAgeSpec extends SparkSpec {
     }
   }
 
+  test("aging composes with the lattice: reversed delivery WITHIN the delay still ≡ batch MERGE") {
+    withRocksDb {
+      val root = Files.createTempDirectory("cdc-age-rev").toString
+      val feed = CdcStream.fixtureFeed(spark, sf())
+      // newest changes first, base snapshot last — all seqs span 4 s,
+      // inside the 5 s delay, so the lattice's order-independence is
+      // preserved; only then do heartbeats advance the low-watermark
+      stage(root, feed.filter(col("seq").isin(3, 4)))
+      stage(root, feed.filter(col("seq").isin(1, 2)))
+      stage(root, feed.filter(col("seq") === 0))
+      stage(root, CdcStream.heartbeats(spark, Seq(100L)))
+      stage(root, CdcStream.heartbeats(spark, Seq(101L)))
+      drainAged(s"$root/in", s"$root/out", s"$root/ck")
+      val rows = spark.read.parquet(s"$root/out")
+      val finals = rows
+        .join(rows.groupBy("k").agg(max("upd").as("upd")), Seq("k", "upd"))
+        .collect()
+      val live = finals.filter(_.getAs[Boolean]("present"))
+        .map(r => r.getAs[Long]("k") ->
+          ((r.getAs[String]("status"), r.getAs[Double]("price")))).toMap
+      assert(live == expectedLive(), "reversed-within-delay replay diverged from the batch MERGE")
+      assert(rows.filter(col("aged")).collect().map(_.getAs[Long]("k")).toSet == deadKeys(),
+        "aging after a reversed replay must still clear exactly the dead keys")
+    }
+  }
+
   test("post-age stale update is dropped by the engine and cannot resurrect the key") {
     withRocksDb {
       val root = Files.createTempDirectory("cdc-age-stale").toString
