@@ -1134,6 +1134,92 @@ object SearchQueries {
           "SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_queries, " +
           "(SELECT CAST(COUNT(*) * 4 AS BIGINT) FROM toks WHERE pos < 8) AS n_code_rows, " +
           "true AS recall_ge_floor FROM toks WHERE doc_id < 3")
+    ),
+    Q(
+      "q_rank_eval_li",
+      // The rank-eval harness applied to the late-interaction family:
+      // nDCG@5 / MRR / hits of the SERVED ranking
+      // (q_late_interaction_served) judged against the full-scan truth
+      // (q_late_interaction_mv), with q_rank_eval's integer-literal
+      // discount recipe (wd = round(1e6/log2(r+1)), wm = round(1e6/r),
+      // graded rel = 6 − truth rank) so DCG/MRR sums are exact Longs and
+      // nDCG is one division by the constant ideal. BOTH rankings are
+      // deterministic end to end (term-equality candidates + the
+      // char-poly maxsim chain), so unlike q_rank_eval's invariant-free
+      // shape this is a FULL cross-engine differential over the metric
+      // values themselves — the ship-gate a served-retrieval change must
+      // clear, now wired to the flagship new family. Scale: both
+      // rankings are the gate-scale chains; the metric stage is
+      // rank-list-sized (5 rows per query), never corpus-sized.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val wDcg = (1 to 5).map(r => math.round(1e6 / (math.log(r + 1.0) / math.log(2.0))))
+        val wMrr = (1 to 5).map(r => math.round(1e6 / r.toDouble))
+        val idcg = (1 to 5).map(r => (6 - r) * wDcg(r - 1)).sum
+        val vecs = tokenVecs(Tables(s, d, "documents"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("li_score").desc, col("n_id"))
+        val docs = vecs.select(col("doc_id").as("n_id")).distinct()
+        val qids = vecs.filter(col("doc_id") < 3).select(col("doc_id").as("q_id")).distinct()
+        val truth = maxsimOver(vecs, qids.crossJoin(docs).filter(col("q_id") =!= col("n_id")))
+          .withColumn("frnk", row_number().over(w))
+          .filter(col("frnk") <= 5)
+          .select(col("q_id"), col("n_id"), (lit(6) - col("frnk")).cast("long").as("rel"))
+        val qterms = vecs.filter(col("doc_id") < 3 && col("pos") < 4)
+          .select(col("doc_id").as("q_id"), col("term")).distinct()
+        val cand = qterms
+          .join(vecs.select(col("doc_id").as("n_id"), col("term")), Seq("term"))
+          .filter(col("q_id") =!= col("n_id"))
+          .select(col("q_id"), col("n_id")).distinct()
+        val sys = maxsimOver(vecs, cand)
+          .withColumn("srnk", row_number().over(w))
+          .filter(col("srnk") <= 5)
+        val wdArr = array(wDcg.map(lit): _*)
+        val wmArr = array(wMrr.map(lit): _*)
+        sys
+          .join(truth, Seq("q_id", "n_id"), "left")
+          .select(
+            col("q_id"),
+            coalesce(col("rel"), lit(0L)).as("rel0"),
+            element_at(wdArr, col("srnk")).as("wd"),
+            element_at(wmArr, col("srnk")).as("wm"))
+          .groupBy(col("q_id"))
+          .agg(
+            sum((col("rel0") > 0).cast("long")).as("hits"),
+            sum(col("rel0") * col("wd")).as("dcg_fp"),
+            coalesce(max(when(col("rel0") > 0, col("wm"))), lit(0L)).as("mrr_fp"))
+          .select(
+            col("q_id"), col("hits"), col("dcg_fp"), col("mrr_fp"),
+            (col("dcg_fp").cast("double") / lit(idcg.toDouble)).as("ndcg"))
+          .orderBy("q_id")
+      },
+      Some {
+        val wDcg = (1 to 5).map(r => math.round(1e6 / (math.log(r + 1.0) / math.log(2.0))))
+        val wMrr = (1 to 5).map(r => math.round(1e6 / r.toDouble))
+        val idcg = (1 to 5).map(r => (6 - r) * wDcg(r - 1)).sum
+        val wtab = (1 to 5).map(r => s"(${r}, ${wDcg(r - 1)}, ${wMrr(r - 1)})").mkString(", ")
+        s"WITH toks AS ($tokensSql), $lateTokenSql, " +
+          "allp AS (SELECT q.doc_id AS q_id, c.doc_id AS n_id FROM " +
+          "(SELECT DISTINCT doc_id FROM tn WHERE doc_id < 3) q " +
+          "CROSS JOIN (SELECT DISTINCT doc_id FROM tn) c WHERE q.doc_id <> c.doc_id), " +
+          maxsimSqlFrom("allp", "f") + ", " +
+          "truth AS (SELECT q_id, n_id, CAST(6 - frnk AS BIGINT) AS rel FROM " +
+          "(SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY li_score DESC, n_id) AS frnk FROM fscored) WHERE frnk <= 5), " +
+          "qt AS (SELECT DISTINCT doc_id AS q_id, term FROM tn WHERE doc_id < 3 AND pos < 4), " +
+          "cand AS (SELECT DISTINCT qt.q_id, tn.doc_id AS n_id FROM qt " +
+          "JOIN tn ON tn.term = qt.term WHERE tn.doc_id <> qt.q_id), " +
+          maxsimSqlFrom("cand", "s") + ", " +
+          "sys AS (SELECT q_id, n_id, srnk FROM " +
+          "(SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY li_score DESC, n_id) AS srnk FROM sscored) WHERE srnk <= 5), " +
+          s"wtab(r, wd, wm) AS (VALUES $wtab), " +
+          "j AS (SELECT s.q_id, COALESCE(t.rel, 0) AS rel0, w.wd, w.wm FROM sys s " +
+          "LEFT JOIN truth t ON t.q_id = s.q_id AND t.n_id = s.n_id " +
+          "JOIN wtab w ON w.r = s.srnk) " +
+          "SELECT q_id, CAST(SUM(CASE WHEN rel0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS hits, " +
+          "CAST(SUM(rel0 * wd) AS BIGINT) AS dcg_fp, " +
+          "CAST(COALESCE(MAX(CASE WHEN rel0 > 0 THEN wm END), 0) AS BIGINT) AS mrr_fp, " +
+          s"CAST(SUM(rel0 * wd) AS DOUBLE) / ${idcg}.0 AS ndcg " +
+          "FROM j GROUP BY q_id ORDER BY q_id"
+      }
     )
   )
 }

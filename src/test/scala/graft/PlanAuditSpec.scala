@@ -221,6 +221,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(partsRead.nonEmpty, "scan exposes no partition-count metric — assert via filters only")
   }
 
+  test("served late interaction: candidates and scoring reach the top-5 through equi joins") {
+    // q_late_interaction_served must never scan all q×doc pairs — the
+    // candidate stage joins on term equality and the scoring stage on
+    // (q_id)/(n_id); a cartesian anywhere means the served path silently
+    // regressed to the full-scan oracle shape (q_late_interaction_mv,
+    // which uses the theta join DELIBERATELY as the exact side).
+    val df = Registry.byName("q_late_interaction_served").run(spark, sf())
+    val p = planString(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"served late interaction planned an all-pairs join:\n${p.take(1500)}")
+  }
+
   test("served IVF MMR: candidate pool reaches the greedy through bucket equi joins") {
     // q_mmr_rerank_ivf's pool (probeCells ⋈ index on bucket) must never
     // degrade to an all-pairs join — that would silently restore the

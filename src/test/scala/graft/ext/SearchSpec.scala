@@ -280,6 +280,19 @@ class SearchSpec extends SparkSpec {
       }
   }
 
+  test("rank-eval over the late-interaction family: served ≡ truth on the fixture → perfect metrics") {
+    // served recovers the full scan here (the vocab property the served
+    // spec documents), so the eval harness must read exactly perfect —
+    // any drop in hits/mrr/ndcg means either ranking regressed
+    val rows = graft.Registry.byName("q_rank_eval_li").run(spark, sf()).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("hits") == 5L, s"query ${r.get(0)} lost a truth hit")
+      assert(r.getAs[Long]("mrr_fp") == 1000000L)
+      assert(math.abs(r.getAs[Double]("ndcg") - 1.0) < 1e-12)
+    }
+  }
+
   test("compressed (PQ) late interaction: code accounting and recall gate hold") {
     val rows = graft.Registry.byName("q_late_interaction_pq").run(spark, sf()).collect()
     assert(rows.length == 1)
