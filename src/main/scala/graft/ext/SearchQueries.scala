@@ -463,6 +463,12 @@ object SearchQueries {
           .otherwise(col("a") * col("b") +
             sqrt(greatest(lit(1.0) - col("a") * col("a"), lit(0.0))) *
               sqrt(greatest(lit(1.0) - col("b") * col("b"), lit(0.0)))).as("ub"))
+      // ubs feeds seed AND escapes, seedScores feeds tau AND the final
+      // union, finalScores feeds the count AND the window: checkpoint
+      // each multiply-consumed relation once (the PageRank loop-invariant
+      // lesson) or the whole bound pipeline re-executes per consumer —
+      // measured 8 copies of the cell-cross subtree in the un-cut plan,
+      // enforced down to 1 by PlanAuditSpec.
       val ubs = qcb.join(docCells, Seq("cell"))
         .filter(col("q_id") =!= col("n_id"))
         .groupBy(col("q_id"), col("n_id"), col("qi"))
@@ -471,12 +477,13 @@ object SearchQueries {
         .agg((max(when(col("qi") === 0, col("mu"))) + max(when(col("qi") === 1, col("mu"))) +
           max(when(col("qi") === 2, col("mu"))) + max(when(col("qi") === 3, col("mu"))))
           .as("ub"))
+        .localCheckpoint(true)
       val seed = ubs
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("q_id")).orderBy(col("ub").desc, col("n_id"))))
         .filter(col("rk") <= 32)
         .select(col("q_id"), col("n_id"))
-      val seedScores = maxsimOver(vecs, seed)
+      val seedScores = maxsimOver(vecs, seed).localCheckpoint(true)
       val tau = seedScores
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("q_id")).orderBy(col("li_score").desc, col("n_id"))))
@@ -487,7 +494,7 @@ object SearchQueries {
         .join(tau, Seq("q_id"))
         .filter(col("ub") >= col("tau") - lit(1e-9))
         .select(col("q_id"), col("n_id"))
-      val finalScores = seedScores.unionByName(maxsimOver(vecs, escapes))
+      val finalScores = seedScores.unionByName(maxsimOver(vecs, escapes)).localCheckpoint(true)
       val nScored = finalScores.groupBy(col("q_id")).agg(count(lit(1)).as("n_scored"))
       finalScores
         .withColumn(

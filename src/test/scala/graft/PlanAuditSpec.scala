@@ -233,6 +233,20 @@ class PlanAuditSpec extends SparkSpec {
       s"served late interaction planned an all-pairs join:\n${p.take(1500)}")
   }
 
+  test("pruned late interaction: only the 32-row cell-table broadcast crosses, nothing corpus-wide") {
+    // the bound stage joins query tokens × the (centroid, radius) cell
+    // table — 32 rows, a deliberate broadcast cross; everything
+    // corpus-sized (doc cell presence, seed scoring, escapes) must reach
+    // the plan through equi joins. More than one nested-loop join means
+    // a corpus-wide stage regressed to all-pairs.
+    val df = Registry.byName("q_late_interaction_pruned").run(spark, sf())
+    val p = planString(df)
+    assert(!p.contains("CartesianProduct"),
+      s"pruned late interaction planned a cartesian:\n${p.take(1200)}")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"expected at most the cell-table broadcast cross, found $bnlj BNLJs")
+  }
+
   test("served IVF MMR: candidate pool reaches the greedy through bucket equi joins") {
     // q_mmr_rerank_ivf's pool (probeCells ⋈ index on bucket) must never
     // degrade to an all-pairs join — that would silently restore the
