@@ -428,8 +428,9 @@ object SearchQueries {
     * as well as the registered fixture form. See the query comment
     * for the bound math and the isotropy finding.
     */
-  private[ext] def latePruned(vecs: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
+  private[ext] def latePruned(
+      vecs: org.apache.spark.sql.DataFrame,
+      seedWidth: Int = 32): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
       val cellOf = expr(
         "CAST(element_at(tv, 2) > 0 AS INT) + 2 * CAST(element_at(tv, 3) > 0 AS INT) + " +
@@ -481,7 +482,7 @@ object SearchQueries {
       val seed = ubs
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("q_id")).orderBy(col("ub").desc, col("n_id"))))
-        .filter(col("rk") <= 32)
+        .filter(col("rk") <= seedWidth)
         .select(col("q_id"), col("n_id"))
       val seedScores = maxsimOver(vecs, seed).localCheckpoint(true)
       val tau = seedScores

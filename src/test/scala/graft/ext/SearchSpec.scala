@@ -278,6 +278,20 @@ class SearchSpec extends SparkSpec {
         assert(ns <= nDocs / 4,
           s"clustered corpus should prune >75% of the exact stage, scored $ns of ${nDocs - 1}")
       }
+    // seed width is a COST knob, never a correctness one: the safety
+    // argument holds for any width ≥ 5 (τ only moves down, escapes only
+    // grow), so a narrow seed must change n_scored while the top-5 stays
+    // bit-identical
+    val narrow = SearchQueries.latePruned(vecs, seedWidth = 8).collect()
+    def top5(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => ((r.getAs[Long]("q_id"), r.getAs[Int]("rank")),
+        (r.getAs[Long]("n_id"), r.getAs[Double]("li_score")))).toMap
+    assert(top5(narrow) == top5(pruned),
+      "seed width changed the top-5 — pruning safety must be width-independent")
+    val nsWide = pruned.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_scored"))).toMap
+    narrow.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_scored"))).distinct.foreach {
+      case (q, ns) => info(s"planted query $q seed=8: exact-scored $ns (seed=32: ${nsWide(q)})")
+    }
   }
 
   test("rank-eval over the late-interaction family: served ≡ truth on the fixture → perfect metrics") {
