@@ -1096,13 +1096,18 @@ object SearchQueries {
         val books = Pq.train(
           s, vecs.select(col("h").as("vec_id"), col("tv").as("embedding")).distinct(),
           m = 4, k = 16, iters = 6)
+        // enc feeds both the decode and the code-count differential;
+        // checkpoint it (and the reconstructed relation) so the encode
+        // map and codebook lookups run once, not once per consumer
         val enc = Pq.encode(
           vecs.select((col("doc_id") * 16 + col("pos")).as("vec_id"), col("tv").as("embedding")),
           books)
           .select(col("vec_id"), col("m"), col("code"))
+          .localCheckpoint(true)
         val rec = Pq.decode(enc, books)
           .select(expr("vec_id div 16").as("n_id"), col("embedding").as("cv"))
           .withColumn("cn2", Similarity.dot(col("cv"), col("cv")))
+          .localCheckpoint(true)
         val q = vecs.filter(col("doc_id") < 3 && col("pos") < 4)
           .select(col("doc_id").as("q_id"), col("pos").as("qi"),
             col("tv").as("qv"), col("tn2").as("qn2"))
