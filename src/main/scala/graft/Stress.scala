@@ -145,6 +145,7 @@ object Stress {
     else if (tier == "gindex") runGindex(spark, sfDir, mult)
     else if (tier == "simfamily") runSimFamily(spark, sfDir, mult)
     else if (tier == "retrieval") runRetrieval(spark, sfDir, mult)
+    else if (tier == "li") runLateInteraction(spark, sfDir, mult)
     else if (tier == "streaming") runStreaming(spark, sfDir, mult)
     else if (tier == "trainer") runTrainer(spark, sfDir, mult)
     else runFull(spark, sfDir, mult)
@@ -484,6 +485,55 @@ object Stress {
         s""""sparse_base_sec":${num(scBase)},"sparse_big_sec":${num(scBig)},""" +
         s""""sparse_base_kdocs_s":${num(nDocsBase / scBase / 1e3)},"sparse_big_kdocs_s":${num(nDocsSparse / scBig / 1e3)},""" +
         s""""sparse_c16_base_sec":${num(c16Base)}}""")
+  }
+
+  /** Late-interaction-family scale tier (round 13): extrapolation
+    * evidence for the four maxsim serving forms on an id-shifted
+    * replicated corpus with IDENTICAL texts — the family's honest worst
+    * case, because the served form's lexical pool and the pruned form's
+    * escape set both grow with every replica (the 31-word vocab makes
+    * every query token a stopword), while the query side stays fixed at
+    * 3×4 tokens. Expectations: all four forms are corpus-LINEAR per doc
+    * (full scan = queries × docs token sims; served = pool-bounded;
+    * pruned = summary scan + seed/escape exact stage; compressed = codes
+    * scan + shortlist), so per-doc throughput should hold flat-or-better
+    * at mult× as fixed costs amortize.
+    */
+  private def runLateInteraction(spark: SparkSession, sfDir: String, mult: Int): Unit = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft-stress-li"
+    val num = (v: Double) => Timing.fmt3(v)
+    val multL = math.min(mult, 16)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    spark.range(multL).withColumnRenamed("id", "rep")
+      .crossJoin(docs)
+      .withColumn("doc_id", col("doc_id") + col("rep") * 10000000L)
+      .drop("rep")
+      .repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val nBase = docs.count()
+    val nBig = spark.read.parquet(s"$out/documents.parquet").count()
+    def probe(name: String, dir: String): Double = time {
+      Registry.byName(name).run(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    def minOf2(name: String, dir: String): Double = {
+      probe(name, dir)
+      Seq(probe(name, dir), probe(name, dir)).min
+    }
+    val names = Seq(
+      "mv" -> "q_late_interaction_mv",
+      "served" -> "q_late_interaction_served",
+      "pruned" -> "q_late_interaction_pruned",
+      "pq" -> "q_late_interaction_pq")
+    val parts = names.map { case (tag, q) =>
+      val base = minOf2(q, sfDir)
+      val big = minOf2(q, out)
+      s""""${tag}_base_sec":${num(base)},"${tag}_big_sec":${num(big)},""" +
+        s""""${tag}_base_kdocs_s":${num(nBase / base / 1e3)},""" +
+        s""""${tag}_big_kdocs_s":${num(nBig / big / 1e3)}"""
+    }
+    println(
+      s"""{"tier":"li","mult":$multL,"files":32,"docs_base":$nBase,"docs_big":$nBig,""" +
+        parts.mkString(",") + "}")
   }
 
   /** Dedup/similarity-family scale tier (round-8 verdict #5): the NEW
