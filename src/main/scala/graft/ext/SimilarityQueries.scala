@@ -758,7 +758,8 @@ object SimilarityQueries {
       // selection is a plain per-anchor top-k — no greedy interaction —
       // so the MINED SET degrades monotonically with pool recall and is
       // gated directly: mined_recall vs the exact top-3 (floor 0.5,
-      // measured 0.75 at BOTH SFs at nprobe=6) plus the same
+      // measured 0.75 at BOTH SFs at nprobe=6; the two-point behind the
+      // constant: nprobe=4 pools hold only 0.57/0.63) plus the same
       // 0.6·a×c candidate ceiling and a full-mining check (3 negatives
       // per anchor — the pool is label-diverse enough at fixture scale).
       // Scale: mining cost per anchor is nprobe·cell scored candidates,
