@@ -31,10 +31,19 @@ object CorpusQueries {
   val ChunkTokens = 40
   val ChunkStride = 30
 
+  /** Chunk-id stride for [[chunkCorpus]]'s synthetic ids: 2^20 chunk
+    * slots per document. At stride [[ChunkStride]] that is room for docs
+    * up to ~31M tokens before two docs' chunk ids could collide — and
+    * ChunkSpec asserts the actual corpus max chunk count against it, so
+    * a corpus that DOES breach the bound fails loudly instead of
+    * silently cross-attributing chunks.
+    */
+  val ChunkIdStride = 1L << 20
+
   /** The chunk corpus as a (doc_id, text) relation retrieval can index
-    * directly: synthetic doc_id = base_doc·1000 + chunk_idx (chunk
-    * counts are bounded far below 1000 by n_tok/stride), text = the
-    * chunk's tokens re-joined. Same derivation as q_chunk_overlap.
+    * directly: synthetic doc_id = base_doc·[[ChunkIdStride]] + chunk_idx,
+    * text = the chunk's tokens re-joined. Same derivation as
+    * q_chunk_overlap.
     */
   def chunkCorpus(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs
@@ -44,13 +53,13 @@ object CorpusQueries {
         col("doc_id"), col("toks"),
         posexplode(expr(s"sequence(0L, n - 1L, ${ChunkStride}L)")).as(Seq("chunk_idx", "st")))
       .select(
-        (col("doc_id") * 1000 + col("chunk_idx")).as("doc_id"),
+        (col("doc_id") * ChunkIdStride + col("chunk_idx")).as("doc_id"),
         array_join(slice(col("toks"), col("st").cast("int") + 1, lit(ChunkTokens)), " ")
           .as("text"))
 
   /** DuckDB derivation of [[chunkCorpus]] (a CTE body over `documents`). */
   val chunkCorpusSql: String =
-    s"SELECT doc_id * 1000 + (st // $ChunkStride) AS doc_id, " +
+    s"SELECT doc_id * $ChunkIdStride + (st // $ChunkStride) AS doc_id, " +
       s"array_to_string(toks[st + 1 : st + $ChunkTokens], ' ') AS text FROM " +
       "(SELECT doc_id, toks, unnest(range(0, n, " + ChunkStride + ")) AS st FROM " +
       "(SELECT doc_id, string_split(text, ' ') AS toks, " +

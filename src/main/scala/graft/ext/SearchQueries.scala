@@ -363,7 +363,12 @@ object SearchQueries {
   private def tokenVecs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
-      .filter(col("pos") < 8)
+      // term <> '': an empty token (consecutive spaces) would make
+      // Spark's sequence(1, 0) auto-DESCEND to [1, 0] (h ≠ 7) while
+      // DuckDB's range(1, 1) is empty (h = 7) — the one input where the
+      // cross-engine embedding recipe silently diverges. Filter it in
+      // BOTH engines ([[lateTokenSql]] carries the matching predicate).
+      .filter(col("pos") < 8 && col("term") =!= "")
       .withColumn("h", expr(
         "aggregate(transform(sequence(1, length(term)), i -> CAST(ascii(substring(term, i, 1)) AS BIGINT)), " +
           "CAST(7 AS BIGINT), (h, c) -> (h * 31 + c) % 1048576)"))
@@ -475,8 +480,15 @@ object SearchQueries {
         .groupBy(col("q_id"), col("n_id"), col("qi"))
         .agg(max(col("ub")).as("mu"))
         .groupBy(col("q_id"), col("n_id"))
-        .agg((max(when(col("qi") === 0, col("mu"))) + max(when(col("qi") === 1, col("mu"))) +
-          max(when(col("qi") === 2, col("mu"))) + max(when(col("qi") === 3, col("mu"))))
+        // coalesce each qi term to 0, exactly as maxsimOver does: a query
+        // doc with fewer than 4 tokens otherwise nulls EVERY ub, so the
+        // escape filter matches nothing and the "provably exact" top-5
+        // silently degrades to seed-only (both engines alike, so the
+        // differential can't catch it).
+        .agg((coalesce(max(when(col("qi") === 0, col("mu"))), lit(0.0)) +
+          coalesce(max(when(col("qi") === 1, col("mu"))), lit(0.0)) +
+          coalesce(max(when(col("qi") === 2, col("mu"))), lit(0.0)) +
+          coalesce(max(when(col("qi") === 3, col("mu"))), lit(0.0)))
           .as("ub"))
         .localCheckpoint(true)
       val seed = ubs
@@ -516,7 +528,7 @@ object SearchQueries {
       "list_reduce(list_prepend(CAST(7 AS BIGINT), " +
       "list_transform(range(1, CAST(len(term) AS BIGINT) + 1), " +
       "i -> CAST(ascii(substring(term, CAST(i AS INT), 1)) AS BIGINT))), " +
-      "(h, c) -> (h * 31 + c) % 1048576) AS h FROM toks WHERE pos < 8), " +
+      "(h, c) -> (h * 31 + c) % 1048576) AS h FROM toks WHERE pos < 8 AND term <> ''), " +
       "tvec AS (SELECT doc_id, pos, term, list_transform(range(0, 16), " +
       "j -> CAST(CASE WHEN j = 0 THEN h % 997 + 1 " +
       "ELSE (h * (2 * j + 3) + 7919 * j) % 1999 - 999 END AS DOUBLE)) AS v FROM th), " +
@@ -830,7 +842,7 @@ object SearchQueries {
       // Chunk-level retrieval — the RAG serving composition: the corpus
       // is re-unitized into overlapping context windows
       // ([[CorpusQueries.chunkCorpus]], the q_chunk_overlap derivation
-      // with synthetic chunk ids base·1000 + idx), the EXACT-integer
+      // with synthetic chunk ids base·2^20 + idx), the EXACT-integer
       // BM25 chain runs over chunks instead of documents (the q_bm25
       // machinery verbatim — [[bm25Scores]] is corpus-parametric), and
       // the per-query top-5 chunks come back with (doc, chunk)
@@ -850,8 +862,8 @@ object SearchQueries {
           .filter(col("rnk") <= 5)
           .select(
             col("query_id"),
-            expr("doc_id div 1000").as("doc_id"),
-            (col("doc_id") % 1000).as("chunk_idx"),
+            expr(s"doc_id div ${CorpusQueries.ChunkIdStride}").as("doc_id"),
+            (col("doc_id") % CorpusQueries.ChunkIdStride).as("chunk_idx"),
             col("score_fp"), col("rnk"))
           .orderBy("query_id", "rnk")
       },
@@ -860,7 +872,8 @@ object SearchQueries {
           bm25ScoredSqlFrom("chunkdocs") + ", " +
           "r AS (SELECT query_id, doc_id, score_fp, " +
           "CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_fp DESC, doc_id) AS INT) AS rnk FROM scored) " +
-          "SELECT query_id, doc_id // 1000 AS doc_id, doc_id % 1000 AS chunk_idx, " +
+          s"SELECT query_id, doc_id // ${CorpusQueries.ChunkIdStride} AS doc_id, " +
+          s"doc_id % ${CorpusQueries.ChunkIdStride} AS chunk_idx, " +
           "score_fp, rnk FROM r WHERE rnk <= 5 ORDER BY query_id, rnk")
     ),
     Q(
@@ -1119,8 +1132,13 @@ object SearchQueries {
           .groupBy(col("q_id"), col("n_id"), col("qi"))
           .agg(max(col("sim")).as("ms"))
           .groupBy(col("q_id"), col("n_id"))
-          .agg((max(when(col("qi") === 0, col("ms"))) + max(when(col("qi") === 1, col("ms"))) +
-            max(when(col("qi") === 2, col("ms"))) + max(when(col("qi") === 3, col("ms"))))
+          // coalesce to 0 per qi (as in maxsimOver): a <4-token query doc
+          // must shortlist by the sum of its PRESENT positions, not null
+          // out every candidate's compressed score.
+          .agg((coalesce(max(when(col("qi") === 0, col("ms"))), lit(0.0)) +
+            coalesce(max(when(col("qi") === 1, col("ms"))), lit(0.0)) +
+            coalesce(max(when(col("qi") === 2, col("ms"))), lit(0.0)) +
+            coalesce(max(when(col("qi") === 3, col("ms"))), lit(0.0)))
             .as("li_c"))
           .withColumn("rk", row_number().over(
             Window.partitionBy(col("q_id")).orderBy(col("li_c").desc, col("n_id"))))
@@ -1145,7 +1163,7 @@ object SearchQueries {
       Some(
         s"WITH toks AS ($tokensSql) " +
           "SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_queries, " +
-          "(SELECT CAST(COUNT(*) * 4 AS BIGINT) FROM toks WHERE pos < 8) AS n_code_rows, " +
+          "(SELECT CAST(COUNT(*) * 4 AS BIGINT) FROM toks WHERE pos < 8 AND term <> '') AS n_code_rows, " +
           "true AS recall_ge_floor FROM toks WHERE doc_id < 3")
     ),
     Q(

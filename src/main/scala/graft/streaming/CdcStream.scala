@@ -75,7 +75,11 @@ object CdcStream {
       upd: Long)
 
   /** Change-only emission of the live view; consumers take max-`upd` per
-    * key. `present = false` is the view's delete notification.
+    * key — valid here because this view never clears state, so `upd` is
+    * globally monotone per key. `present = false` is the view's delete
+    * notification. (The AGED view's contract differs — see
+    * [[AgedApplied]]: aging resets `upd`, so its consumers must resolve
+    * by (pSeq, upd).)
     */
   final case class Applied(
       k: Long, upd: Long, present: Boolean, status: Option[String], price: Option[Double])
@@ -83,10 +87,23 @@ object CdcStream {
   /** [[Applied]] plus the aging marker: `aged = true` rows are emitted by
     * [[AgedApplyProcessor]] the moment a tombstone is cleared at the seq
     * low-watermark — the visible evidence that state was released.
+    *
+    * Latest-wins for THIS view is max-(`pSeq`, `upd`), NOT max-`upd`:
+    * aging clears the state, so a post-age revival restarts `upd` at 1
+    * — lower than the aged marker's — and a max-`upd` consumer would
+    * resolve the key to the marker forever, silently dropping the
+    * revival. `pSeq` (the presence lattice's seq) breaks the tie the
+    * right way: a revival's seq is necessarily above the watermark that
+    * aged the tombstone, hence above the marker's `pSeq`, so
+    * (pSeq, upd) ordering puts every revival emission above every
+    * pre-age emission and the marker. Within one state epoch `pSeq` is
+    * nondecreasing and `upd` strictly increasing, so the ordering is
+    * also correct epoch-internally. (The un-aged [[Applied]] view keeps
+    * plain max-`upd`: its state never resets.)
     */
   final case class AgedApplied(
-      k: Long, upd: Long, present: Boolean, status: Option[String], price: Option[Double],
-      aged: Boolean)
+      k: Long, pSeq: Long, upd: Long, present: Boolean, status: Option[String],
+      price: Option[Double], aged: Boolean)
 
   private val EmptyRow =
     RowState(Long.MinValue, false, Long.MinValue, None, Long.MinValue, None, 0L)
@@ -182,7 +199,7 @@ object CdcStream {
       if (nReal == 0) return Iterator.empty // heartbeats advance the watermark only
       st.update(s)
       syncTimer(s)
-      Iterator.single(AgedApplied(key, s.upd, s.present, s.status, s.price, aged = false))
+      Iterator.single(AgedApplied(key, s.pSeq, s.upd, s.present, s.status, s.price, aged = false))
     }
 
     override def handleExpiredTimer(
@@ -194,7 +211,7 @@ object CdcStream {
       val s = st.get()
       if (s.present) { syncTimer(s); return Iterator.empty } // revived before firing
       st.clear()
-      Iterator.single(AgedApplied(key, s.upd + 1L, false, None, None, aged = true))
+      Iterator.single(AgedApplied(key, s.pSeq, s.upd + 1L, false, None, None, aged = true))
     }
   }
 

@@ -47,7 +47,7 @@ class ChunkSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val chunks = CorpusQueries.chunkCorpus(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
-    val byDoc = chunks.groupBy { case (id, _) => id / 1000 }
+    val byDoc = chunks.groupBy { case (id, _) => id / CorpusQueries.ChunkIdStride }
     assert(byDoc(1L).length == 1 && byDoc(1L).head._2 == "a")
     assert(byDoc(2L).length == 1)
     assert(byDoc(3L).length == 2, s"40-token doc: ${byDoc(3L).toSeq}")
@@ -59,6 +59,18 @@ class ChunkSpec extends SparkSpec {
     // is never dropped
     val tail4 = byDoc(4L).maxBy(_._1)._2.split(" ")
     assert(tail4.length == 11 && tail4.last == "t41")
+  }
+
+  test("synthetic chunk ids cannot collide: corpus max chunk count is far under the id stride") {
+    val maxChunks = graft.core.Tables(spark, sf(), "documents")
+      .select(expr(s"size(split(text, ' ')) div ${CorpusQueries.ChunkStride} + 1L").as("m"))
+      .agg(max(col("m"))).head().getLong(0)
+    // ChunkIdStride slots per doc_id: a doc would need ~stride·2^20
+    // tokens to collide with the next doc's chunk ids. Assert with 16×
+    // headroom so even a much longer future corpus trips this test, not
+    // a silent cross-attribution in q_rag_chunk_search.
+    assert(maxChunks * 16 < CorpusQueries.ChunkIdStride,
+      s"max chunk count $maxChunks approaches id stride ${CorpusQueries.ChunkIdStride}")
   }
 
   test("de-overlap reassembly: stride prefixes concatenate back to the document") {

@@ -18,7 +18,10 @@ import graft.{Registry, SparkSpec}
   *      `aged = true` marker once the low-watermark passes its delete;
   *   2. the state really is CLEARED — a post-age re-insert restarts the
   *      key's `upd` counter at 1 (a surviving tombstone would continue
-  *      the old count);
+  *      the old count) — AND the documented max-(pSeq, upd) consumer
+  *      resolution of the full change stream yields the revived LIVE
+  *      row, not the aged marker (the trap a max-upd consumer falls
+  *      into, since the fresh counter sorts below the marker's);
   *   3. the safety argument holds mechanically — a stale (below-
   *      watermark) update delivered after aging is dropped by the
   *      ENGINE (numRowsDroppedByWatermark > 0) and the view does not
@@ -54,6 +57,17 @@ class CdcAgeSpec extends SparkSpec {
       .map(r => r.getAs[Long]("k") ->
         ((r.getAs[String]("status"), r.getAs[Double]("price")))).toMap
 
+  /** Latest-wins resolution of the aged view's change stream — the
+    * documented consumer contract: max-(pSeq, upd) per key, NOT
+    * max-upd, so a post-age revival (fresh upd counter but strictly
+    * higher pSeq) dominates the aged marker.
+    */
+  private def resolve(rows: org.apache.spark.sql.DataFrame) = {
+    val winners = rows.groupBy("k").agg(max(struct(col("pSeq"), col("upd"))).as("w"))
+      .select(col("k"), col("w.pSeq").as("pSeq"), col("w.upd").as("upd"))
+    rows.join(winners, Seq("k", "pSeq", "upd"))
+  }
+
   /** Drain whatever is staged under `in` through the aged view; returns
     * the started (terminated) query for progress inspection.
     */
@@ -86,9 +100,7 @@ class CdcAgeSpec extends SparkSpec {
       drainAged(s"$root/in", s"$root/out", s"$root/ck")
 
       val rows = spark.read.parquet(s"$root/out")
-      val finals = rows
-        .join(rows.groupBy("k").agg(max("upd").as("upd")), Seq("k", "upd"))
-        .collect()
+      val finals = resolve(rows).collect()
       val live = finals.filter(_.getAs[Boolean]("present"))
         .map(r => r.getAs[Long]("k") ->
           ((r.getAs[String]("status"), r.getAs[Double]("price")))).toMap
@@ -108,13 +120,24 @@ class CdcAgeSpec extends SparkSpec {
         lit(k0).as("k"), lit(102L).as("seq"), lit("I").as("op"),
         lit(999.5).as("val"), lit("Z").as("new_status")))
       drainAged(s"$root/in", s"$root/out", s"$root/ck")
-      val revived = spark.read.parquet(s"$root/out")
+      val allRows = spark.read.parquet(s"$root/out")
+      val revived = allRows
         .filter(col("k") === k0 && col("present") && !col("aged") &&
           col("price") === 999.5)
         .collect()
       assert(revived.length == 1, s"post-age re-insert of $k0 must emit once")
       assert(revived.head.getAs[Long]("upd") == 1L,
         "re-insert after aging must start a fresh state (upd = 1) — tombstone not cleared?")
+      // consumer-contract half: max-(pSeq, upd) resolution of the FULL
+      // change stream (pre-age emissions + aged marker + revival) must
+      // yield the LIVE revived row, not the aged tombstone — the exact
+      // failure mode of a max-upd consumer, since the revival's upd (1)
+      // is below the marker's.
+      val resolved = resolve(allRows).filter(col("k") === k0).collect()
+      assert(resolved.length == 1, s"resolution of $k0 must be unique")
+      assert(resolved.head.getAs[Boolean]("present") &&
+        resolved.head.getAs[Double]("price") == 999.5,
+        "max-(pSeq, upd) resolution after revival must yield the live row, not the aged marker")
     }
   }
 
@@ -132,9 +155,7 @@ class CdcAgeSpec extends SparkSpec {
       stage(root, CdcStream.heartbeats(spark, Seq(101L)))
       drainAged(s"$root/in", s"$root/out", s"$root/ck")
       val rows = spark.read.parquet(s"$root/out")
-      val finals = rows
-        .join(rows.groupBy("k").agg(max("upd").as("upd")), Seq("k", "upd"))
-        .collect()
+      val finals = resolve(rows).collect()
       val live = finals.filter(_.getAs[Boolean]("present"))
         .map(r => r.getAs[Long]("k") ->
           ((r.getAs[String]("status"), r.getAs[Double]("price")))).toMap
@@ -168,9 +189,7 @@ class CdcAgeSpec extends SparkSpec {
       assert(dropped >= 1L, "the stale row must be dropped by the watermark, not absorbed")
 
       val rows = spark.read.parquet(s"$root/out")
-      val finals = rows
-        .join(rows.groupBy("k").agg(max("upd").as("upd")), Seq("k", "upd"))
-        .collect()
+      val finals = resolve(rows).collect()
       val live = finals.filter(_.getAs[Boolean]("present"))
         .map(r => r.getAs[Long]("k") ->
           ((r.getAs[String]("status"), r.getAs[Double]("price")))).toMap
