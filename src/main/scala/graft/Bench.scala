@@ -51,13 +51,16 @@ import java.nio.file.{Files, Paths}
   * the same probe arrays.
   *
   * PROTOCOL VERSIONING: "protocol" names the sampling scheme
-  * ("interleaved-passes-v6"); totals are comparable ONLY within the same
+  * ("interleaved-passes-v7"); totals are comparable ONLY within the same
   * protocol string — v4 added rescue passes (which lower exactly the mins
   * that dominate "total"), v5 re-defined q_dedup_minhash as its
-  * recall-gate form, and v6 swapped that headliner for the bare serving
+  * recall-gate form, v6 swapped that headliner for the bare serving
   * path q_dedup_minhash_pairs (so bench totals track the engine, not the
-  * correctness gate's exact truth side), so cross-version deltas partially
-  * reflect protocol, not engine, changes.
+  * correctness gate's exact truth side), and v7 added
+  * q_late_interaction_pq to the EXT tier (headline 22-query set
+  * unchanged — "queries"/"total" remain comparable with v6 in practice;
+  * "total_ext" does not), so cross-version deltas partially reflect
+  * protocol, not engine, changes.
   *
   * EMISSION (v6): round 7's single line outgrew the driver's tail-capture
   * window (BENCH_r07 parsed: null). stdout now carries ONLY a compact
@@ -123,10 +126,16 @@ object Bench {
     * q_hard_negatives_ivf, q_pq_adc_ivf) are deliberately NOT benched:
     * their cost is dominated by the in-plan exact truth sides and
     * codebook training, which would track oracle cost, not serving cost.
+    * Round 14 adds q_late_interaction_pq — its cost IS dominated by the
+    * PQ trainer + compressed scan, which is exactly the trajectory the
+    * fused multi-subspace trainer is supposed to bend (PLANS.md round-14
+    * deltas; the recall-gate truth side is a small fraction of it at
+    * sf0.1). Protocol string bumped v6 → v7: the ext keyset changed, so
+    * total_ext compares only within v7.
     */
   private val ExtTargets = Seq(
     "q_bm25", "q_sparse_cosine", "q_kmeans_fused", "q_gd_train",
-    "q_late_interaction_mv", "q_late_interaction_served")
+    "q_late_interaction_mv", "q_late_interaction_served", "q_late_interaction_pq")
 
   /** Primary scanned table per headline — the denominator input for the
     * split tier's Mrows/s (the table whose rows the query must read end
@@ -355,7 +364,7 @@ object Bench {
     // driver's tail-capture window (the round-9/10 parsed:null failure).
     val head =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","samples":$Samples,"rescue_passes":$rescuePasses,""" +
-        s""""protocol":"interleaved-passes-v6",""" +
+        s""""protocol":"interleaved-passes-v7",""" +
         s""""probe1_min":${num(if (p1.nonEmpty) p1.min else 0.0)},""" +
         s""""probe32_min":${num(if (p32.nonEmpty) p32.min else 0.0)},"probe32_max":${num(if (p32.nonEmpty) p32.max else 0.0)},""" +
         s""""queries":$qs,"total_median":${num(totalMedian)},""" +

@@ -54,9 +54,17 @@ object TypeMapping {
   /** Corrected mapping: keeps TIMESTAMP temporal, DECIMAL numeric,
     * BOOLEAN/BIT boolean, BLOB bytes; unknown/geometry types map to
     * STRING instead of being caught by the INT substring quirk.
+    *
+    * MySQL COLUMN_TYPE modifiers are handled both ways they appear:
+    * with a display width ("int(10) unsigned zerofill") the takeWhile
+    * stops at '(' before the modifier; WITHOUT one (MySQL 8 drops
+    * display widths: "int unsigned") the modifier survives the
+    * takeWhile, so UNSIGNED/ZEROFILL are stripped explicitly — they
+    * change the value range, never the BQ logical type.
     */
   def datatypeToBqCorrect(mysqlType: String): BqType = {
     val t = mysqlType.toUpperCase.takeWhile(c => c.isLetter || c == ' ').trim
+      .stripSuffix(" ZEROFILL").stripSuffix(" UNSIGNED")
     t match {
       case "DATETIME"                                      => BqType.Datetime
       case "TIMESTAMP"                                     => BqType.Timestamp

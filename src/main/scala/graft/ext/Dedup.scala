@@ -304,6 +304,21 @@ object Dedup {
     * plen = sz − ⌈τ·sz⌉ + 1 in exact integer arithmetic; scalars = one
     * broadcastable row (n_docs, cap, rmax).
     */
+  /** The rank-encoded sets relation alone — the dictionary build + the
+    * gram→rid mapping join, without either candidate path. Public so the
+    * Stress prefix tier can time the DICT STAGE separately from the
+    * join: this stage is where the round-13 verdict's scale-killer
+    * (global row_number + dictionary broadcast) used to live.
+    */
+  def prefixEncodedSets(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      tauNum: Int,
+      tauDen: Int): DataFrame =
+    rankEncode(docs, idCol, textCol, k, tauNum, tauDen)._1
+
   private[ext] def rankEncode(
       docs: DataFrame,
       idCol: String,
@@ -311,16 +326,25 @@ object Dedup {
       k: Int,
       tauNum: Int,
       tauDen: Int): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
     val spread = docs.repartition(spark.sparkContext.defaultParallelism, col(idCol))
     val g = spread.select(col(idCol).as("id"), shingles(k, textCol).as("grams"))
-    // rarest-first global order; the ranking window runs over the
-    // DICTIONARY (bounded), never the corpus — same argument as
-    // q_dict_encode
-    val dict = g.select(explode(col("grams")).as("gram"))
-      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
-      .withColumn("rid", row_number().over(Window.orderBy(col("df").asc, col("gram").asc)))
+    // rarest-first global order. The dictionary is O(distinct shingles)
+    // — billions on a real corpus vocabulary — so rid assignment is the
+    // scale-safe two-pass range-partitioned rank (core/Ranks.globalIndex:
+    // range shuffle + per-partition counts, the only global window is
+    // over one offsets row per partition), NEVER a row_number() over a
+    // single-partition window. rid is 1-based to preserve the
+    // "df ≤ cap ⟺ rid ≤ rmax" contract below; it is a LONG for the same
+    // reason the ranking is distributed.
+    val dict = graft.core.Ranks
+      .globalIndex(
+        g.select(explode(col("grams")).as("gram"))
+          .groupBy(col("gram")).agg(count(lit(1)).as("df")),
+        Seq(col("df"), col("gram")),
+        spark.sparkContext.defaultParallelism)
+      .withColumn("rid", col("gidx") + lit(1L))
+      .drop("gidx")
     val capCol = spark.conf.getOption("graft.prefix.dfcap") match {
       case Some(v) => lit(v.toLong)
       case None => greatest(lit(64L), ceil(col("n_docs") * lit(0.02)).cast("long"))
@@ -333,8 +357,13 @@ object Dedup {
           max(col("n_docs")).as("n_docs"),
           max(col("cap")).as("cap"),
           coalesce(sum((col("df") <= col("cap")).cast("long")), lit(0L)).as("rmax")))
+    // gram → rid mapping: a plain shuffle equi-join, NOT an unconditional
+    // broadcast — the dictionary is corpus-vocabulary-sized. When it IS
+    // small (fixtures, narrow vocabularies), AQE's runtime size check
+    // converts this to a broadcast join for free; a hardcoded broadcast()
+    // would ship billions of grams to every executor at 100 TB.
     val sets = g.select(col("id"), explode(col("grams")).as("gram"))
-      .join(broadcast(dict.select(col("gram"), col("rid"))), "gram")
+      .join(dict.select(col("gram"), col("rid")), "gram")
       .groupBy(col("id"))
       .agg(sort_array(collect_list(col("rid"))).as("toks"))
       .withColumn("sz", size(col("toks")))

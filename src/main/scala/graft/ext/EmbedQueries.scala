@@ -188,7 +188,7 @@ object EmbedQueries {
       (s, d) => {
         val emb = Tables(s, d, "embeddings")
         val queries = emb.filter(col("vec_id") < 10)
-        val coarse = Ivf.train(s, emb, k = 16)
+        val coarse = Ivf.trainShared(s, d, k = 16)
         val books = Pq.train(s, emb, m = 8, k = 16, iters = 6)
         val enc = Pq.encodeCells(emb, books, coarse)
         val cand = Pq.adcCandidatesIvf(queries, enc, books, coarse, nprobe = 4)
@@ -254,7 +254,7 @@ object EmbedQueries {
       (s, d) => {
         val emb = Tables(s, d, "embeddings")
         val queries = emb.filter(col("vec_id") < 10)
-        val coarse = Ivf.train(s, emb, k = 16)
+        val coarse = Ivf.trainShared(s, d, k = 16)
         val booksRes = Pq.trainResidual(s, emb, coarse, m = 8, k = 16, iters = 6)
         val encRes = Pq.encodeCellsResidual(emb, booksRes, coarse)
         val candRes = Pq.adcCandidatesIvfResidual(queries, encRes, booksRes, coarse, nprobe = 4)

@@ -84,6 +84,22 @@ object Ivf {
     centroids
   }
 
+  private val sharedCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Seq[Seq[Double]]]()
+
+  /** Per-JVM quantizer registry (round-13 verdict #7): [[train]] memoized
+    * on (sfDir, k, iters) for the canonical full-embeddings-table corpus.
+    * The served-gate family trains the same k=16 quantizer inside half a
+    * dozen registered queries, so one Verify run paid that fixed Lloyd
+    * cost per query. Training is deterministic on a fixed corpus —
+    * sharing changes no output, it only removes repeated identical runs.
+    * Derived/filtered corpora must keep calling [[train]] directly.
+    */
+  def trainShared(spark: SparkSession, dir: String, k: Int, iters: Int = 3): Seq[Seq[Double]] =
+    sharedCache.computeIfAbsent(
+      (dir, k, iters),
+      _ => train(spark, graft.core.Tables(spark, dir, "embeddings"), k, iters))
+
   /** Materialize the inverted index: corpus + bucket id. */
   def index(corpus: DataFrame, centroids: Seq[Seq[Double]]): DataFrame =
     corpus

@@ -33,20 +33,64 @@ object Pq {
   /** Train M codebooks of k entries each over dim/M-sized subvectors.
     * `iters` Lloyd rounds per sub-quantizer (more rounds than the coarse
     * IVF default: sub-codebook quality directly bounds ADC recall).
+    *
+    * FUSED (round 14): all M sub-quantizers advance together — ONE scan
+    * per Lloyd round computes every subspace's assignments and means
+    * (the q_kmeans_fused trick applied per subspace), vs the sequential
+    * form's M separate Ivf.train loops (M·(iters+1) driver-scheduled
+    * jobs; measured ~50 Lloyd jobs ≈ 49 s of fixed cost for the
+    * late-interaction PQ path at sf0.1). The per-subspace math is
+    * UNCHANGED: same lowest-xxhash64 init picks (the hash is on vec_id,
+    * so all M subspaces pick slices of the same k vectors — exactly what
+    * the sequential form did), same argmin-first tie-break, same
+    * empty-bucket keep-old rule; only the scheduling is fused. The
+    * sliced (vec_id, j, subvector) relation is checkpointed once because
+    * `corpus` is often a DERIVED relation (tokenVecs → distinct in
+    * q_late_interaction_pq) that must not be re-derived every round.
     */
   def train(spark: SparkSession, corpus: DataFrame, m: Int, k: Int, iters: Int = 3): Seq[Seq[Seq[Double]]] = {
     val dim = corpus
       .select(size(col("embedding")).as("d")).limit(1).collect().head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
-    (0 until m).map { j =>
-      Ivf.train(
-        spark,
-        corpus.select(
-          col("vec_id"),
-          slice(col("embedding").cast("array<double>"), j * sub + 1, sub).as("embedding")),
-        k, iters)
+    val vecs = corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val subRows = vecs
+      .select(
+        col("vec_id"),
+        posexplode(array((0 until m).map(j => slice(col("v"), j * sub + 1, sub)): _*))
+          .as(Seq("j", "sv")))
+      .localCheckpoint(true)
+    val initRows = vecs.orderBy(xxhash64(col("vec_id"))).limit(k).collect()
+    var books: IndexedSeq[IndexedSeq[Seq[Double]]] = (0 until m).map { j =>
+      initRows.map(_.getSeq[Double](1).slice(j * sub, (j + 1) * sub).toIndexedSeq).toIndexedSeq
     }
+    for (_ <- 0 until iters) {
+      val bookLit = array(books.map(cb =>
+        array(cb.map(c => array(c.map(lit): _*)): _*)): _*)
+      val cents = element_at(bookLit, col("j") + 1)
+      val dists = transform(
+        cents,
+        c => aggregate(
+          zip_with(col("sv"), c, (x, y) => (x - y) * (x - y)),
+          lit(0.0),
+          (acc, e) => acc + e))
+      val means = subRows
+        .withColumn("bucket", (array_position(dists, array_min(dists)) - 1).cast("int"))
+        .select(col("j"), col("bucket"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("j"), col("bucket"), col("pos"))
+        .agg(avg(col("x")).as("mn"))
+        .groupBy(col("j"), col("bucket"))
+        .agg(map_from_arrays(collect_list(col("pos")), collect_list(col("mn"))).as("dims"))
+        .collect()
+        .map { r =>
+          val dimsMap = r.getMap[Int, Double](2)
+          (r.getInt(0), r.getInt(1)) -> (0 until dimsMap.size).map(dimsMap).toIndexedSeq
+        }
+        .toMap
+      books = (0 until m).map(j =>
+        (0 until k).map(c => means.getOrElse((j, c), books(j)(c))).toIndexedSeq)
+    }
+    books.map(_.map(_.toSeq).toSeq)
   }
 
   /** Encode: one row per (vec_id, subspace) with the assigned code and its

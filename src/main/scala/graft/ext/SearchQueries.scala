@@ -314,7 +314,7 @@ object SearchQueries {
     val docs = Tables(s, d, "documents")
     val emb = Tables(s, d, "embeddings")
     val q = emb.filter(col("vec_id").isin(queryIds: _*))
-    val centroids = Ivf.train(s, emb, k = 16)
+    val centroids = Ivf.trainShared(s, d, k = 16)
     val indexed = Ivf.index(emb, centroids)
     val cand = Ivf.probeCells(q, centroids, nprobe = 4)
       .join(indexed, Seq("bucket"))

@@ -115,10 +115,11 @@ object SimilarityQueries {
     */
   private[graft] def mmrServedIvf(
       s: org.apache.spark.sql.SparkSession, emb: org.apache.spark.sql.DataFrame,
-      queryPred: org.apache.spark.sql.Column, k: Int, nprobe: Int)
+      queryPred: org.apache.spark.sql.Column, k: Int, nprobe: Int,
+      coarse: Option[Seq[Seq[Double]]] = None)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val n = mmrNorm(emb)
-    val centroids = Ivf.train(s, emb, k)
+    val centroids = coarse.getOrElse(Ivf.train(s, emb, k))
     val indexed = Ivf.index(emb, centroids)
     val pairs = Ivf.probeCells(emb.filter(queryPred), centroids, nprobe)
       .join(indexed, Seq("bucket"))
@@ -355,7 +356,7 @@ object SimilarityQueries {
       // nested-loop join (PlanAuditSpec).
       (s, d) => {
         val emb = Tables(s, d, "embeddings")
-        val cells = Ivf.indexMulti(emb, Ivf.train(s, emb, k = 16), r = 2)
+        val cells = Ivf.indexMulti(emb, Ivf.trainShared(s, d, k = 16), r = 2)
         val cand = Ivf.knnCandidates(cells)
         val approx = Ivf.knnTopK(cand, 3)
           .select(col("src").as("q_id"), col("dst").as("n_id"))
@@ -410,7 +411,7 @@ object SimilarityQueries {
       (s, d) => {
         val emb = Tables(s, d, "embeddings")
         val q = emb.filter(col("vec_id") < 10)
-        val centroids = Ivf.train(s, emb, k = 16)
+        val centroids = Ivf.trainShared(s, d, k = 16)
         val indexed = Ivf.index(emb, centroids)
         recallGate(
           Similarity.bruteForceTopK(q, emb, 3),
@@ -444,7 +445,7 @@ object SimilarityQueries {
             Similarity.cosine(col("av"), col("bv")).as("cos"))
           .filter(col("cos") >= 0.3)
           .select(col("a_id"), col("b_id"))
-        val cells = Ivf.indexMulti(emb, Ivf.train(s, emb, k = 16), r = 2)
+        val cells = Ivf.indexMulti(emb, Ivf.trainShared(s, d, k = 16), r = 2)
         val found = cells.select(col("bucket"), col("n_id").as("a_id"), col("cv").as("av"))
           .join(
             cells.select(col("bucket"), col("n_id").as("b_id"), col("cv").as("bv")),
@@ -692,7 +693,7 @@ object SimilarityQueries {
       // hot lists — a rebalance that does not touch the corpus.
       (s, d) => {
         val emb = Tables(s, d, "embeddings")
-        val centroids = Ivf.train(s, emb, k = 8)
+        val centroids = Ivf.trainShared(s, d, k = 8)
         val before = Ivf.index(emb, centroids)
         val occ = before.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
         val maxBefore = occ.agg(max(col("n"))).head().getLong(0)
@@ -766,7 +767,7 @@ object SimilarityQueries {
       // never corpus; the label predicate stays a per-row filter.
       (s, d) => {
         val emb = Tables(s, d, "embeddings")
-        val centroids = Ivf.train(s, emb, k = 16)
+        val centroids = Ivf.trainShared(s, d, k = 16)
         val pairs = Ivf.probeCells(emb.filter(col("vec_id") < 20), centroids, nprobe = 6)
           .join(Ivf.index(emb, centroids), Seq("bucket"))
           .filter(col("q_id") =!= col("n_id"))
@@ -920,7 +921,9 @@ object SimilarityQueries {
       // nprobe·cell, not corpus).
       (s, d) => {
         val emb = Tables(s, d, "embeddings")
-        val (ivfSel, pairs) = mmrServedIvf(s, emb, col("vec_id") < 5, k = 16, nprobe = 6)
+        val (ivfSel, pairs) = mmrServedIvf(
+          s, emb, col("vec_id") < 5, k = 16, nprobe = 6,
+          coarse = Some(Ivf.trainShared(s, d, k = 16)))
         val exactSel = mmrSelect(emb, col("vec_id") < 5)
         val exact20 = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, 20)
         recallGate(exact20, pairs.select(col("q_id"), col("n_id")), 0.5)

@@ -92,6 +92,96 @@ object JdbcCatalog {
     } finally conn.close()
   }
 
+  /** MySQL-shape column introspection: the reference reads
+    * INFORMATION_SCHEMA.COLUMNS via SQL in ordinal order
+    * (app/cloud-sql-exporter/main.py:53-55) — a
+    * (column_name, column_type) QUERY, not JDBC DatabaseMetaData — so
+    * the introspection contract this engine must honor is "run that
+    * query, feed the type strings through the type map". This entry
+    * point runs the exact query shape through the same JDBC source as
+    * discovery; the result's MySQL type vocabulary (ENUM / SET /
+    * unsigned / POINT / TINYINT(1)) then flows through
+    * [[graft.core.SchemaColumn]] → TypeMapping like any introspected
+    * column. `columnsQuery` must project (ordinal, column_name,
+    * column_type); ordering is re-imposed driver-side so a multi-cursor
+    * read can't scramble ordinals.
+    */
+  def introspectColumnsSql(
+      spark: SparkSession,
+      url: String,
+      columnsQuery: String,
+      auth: Option[JdbcAuth] = None): Seq[SchemaColumn] =
+    queryJdbc(spark, url, columnsQuery, auth)
+      .collect()
+      .map(r => (r.getInt(0), SchemaColumn(r.getString(1).toLowerCase, r.getString(2).toLowerCase)))
+      .sortBy(_._1)
+      .map(_._2)
+      .toSeq
+
+  /** Seed a Derby table shaped like MySQL's INFORMATION_SCHEMA.COLUMNS,
+    * carrying the REAL MySQL COLUMN_TYPE vocabulary as data — the
+    * fixture that lets the live introspect→typemap path (the SQL above,
+    * byte-identical strings) run without a MySQL server: what a real
+    * MySQL changes is only which engine ANSWERS the query, not the
+    * strings that flow through the type map. Vocabulary covers the
+    * SURVEY §1.2 quirk list: ENUM/SET (→STRING both modes), unsigned /
+    * zerofill with and without display widths, TINYINT(1), POINT
+    * (compat's INT-substring quirk vs correct's STRING), YEAR,
+    * DECIMAL (compat FLOAT vs correct NUMERIC), TIMESTAMP (compat
+    * STRING — reference behavior — vs correct TIMESTAMP), LONGBLOB.
+    */
+  def seedMySqlShapeDb(dbDir: String): String = {
+    val url = s"jdbc:derby:$dbDir;create=true"
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      val existing = {
+        val rs = conn.getMetaData.getTables(null, "APP", null, Array("TABLE"))
+        val b = scala.collection.mutable.Set.empty[String]
+        while (rs.next()) b += rs.getString("TABLE_NAME")
+        b
+      }
+      if (!existing.contains("MYSQL_INFO_COLUMNS")) {
+        st.executeUpdate(
+          "CREATE TABLE mysql_info_columns (table_name VARCHAR(64), " +
+            "ordinal_position INT, column_name VARCHAR(64), column_type VARCHAR(128))")
+        val ins = conn.prepareStatement("INSERT INTO mysql_info_columns VALUES ('typed_tbl', ?, ?, ?)")
+        mySqlFixtureColumns.zipWithIndex.foreach { case ((name, tpe), i) =>
+          ins.setInt(1, i + 1)
+          ins.setString(2, name)
+          ins.setString(3, tpe)
+          ins.executeUpdate()
+        }
+      }
+    } finally conn.close()
+    s"jdbc:derby:$dbDir"
+  }
+
+  /** The fixture vocabulary — byte-for-byte what MySQL 5.7/8.0 emit in
+    * INFORMATION_SCHEMA.COLUMNS.COLUMN_TYPE.
+    */
+  val mySqlFixtureColumns: Seq[(String, String)] = Seq(
+    "id" -> "bigint(20) unsigned",
+    "qty" -> "int unsigned", // MySQL 8: no display width
+    "pad" -> "smallint(5) unsigned zerofill",
+    "flag" -> "tinyint(1)",
+    "status" -> "enum('new','sent','failed')",
+    "tags" -> "set('a','b','c')",
+    "loc" -> "point",
+    "price" -> "decimal(10,2)",
+    "ratio" -> "double",
+    "body" -> "mediumtext",
+    "created" -> "datetime",
+    "updated" -> "timestamp",
+    "day" -> "date",
+    "yr" -> "year(4)",
+    "payload" -> "longblob")
+
+  /** The reference's introspection query, retargeted at the fixture. */
+  def mySqlColumnsQuery(table: String): String =
+    "SELECT ordinal_position, column_name, column_type FROM mysql_info_columns " +
+      s"WHERE table_name = '$table' ORDER BY ordinal_position"
+
   /** Full-table scan; with bounds, fans out over numPartitions parallel
     * JDBC cursors (`partitionColumn` range splits).
     */

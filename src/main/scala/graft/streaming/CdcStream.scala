@@ -215,6 +215,81 @@ object CdcStream {
     }
   }
 
+  /** Processing-time TTL fallback of [[AgedApplyProcessor]], for feeds
+    * WITHOUT op-`H` heartbeats: the event-time low-watermark never
+    * advances through idle periods on such a feed, so its tombstones
+    * would live forever (the base view's keep-forever behavior). This
+    * variant bounds tombstone state by a WALL-CLOCK cap instead: a key
+    * whose state goes dead registers a processing-time timer at
+    * now + ttl; if still dead when it fires, the tombstone is cleared
+    * and the `aged` marker emitted. A re-delivered delete keeps the
+    * EARLIEST expiry (re-delivery must not extend a tombstone's life);
+    * a revival cancels it.
+    *
+    * The price — documented, not hand-waved — is the heartbeat path's
+    * provable no-resurrection argument: with no watermark there is no
+    * engine-level late-row drop, so a stale (below-delete-seq) image
+    * arriving after expiry re-creates state as if first-seen, and the
+    * STATE STORE can hold a resurrected row the event-time path provably
+    * cannot. Two mitigations survive: (1) consumers applying the
+    * documented max-(pSeq, upd) resolution still resolve the key to the
+    * pre-age tombstone emission — the stale row's pSeq sits below the
+    * delete's, so the VIEW stays correct even when the store does not;
+    * (2) any later legitimate image beats the stale state in the seq
+    * lattice. CdcAgeSpec's TTL twin asserts markers, bounded state, AND
+    * the divergence (the store-level resurrection the heartbeat path is
+    * gated to refuse) as computed fact.
+    */
+  class TtlAgedApplyProcessor(ttlMs: Long)
+      extends StatefulProcessor[Long, ChangeArrival, AgedApplied] {
+    @transient private var st: ValueState[RowState] = _
+    @transient private var tmr: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      st = getHandle.getValueState[RowState]("row", Encoders.kryo[RowState], TTLConfig.NONE)
+      tmr = getHandle.getValueState[Long]("tmr", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def syncTimer(s: RowState, nowMs: Long): Unit =
+      if (!s.present && s.pSeq > Long.MinValue) {
+        if (!tmr.exists()) {
+          getHandle.registerTimer(nowMs + ttlMs)
+          tmr.update(nowMs + ttlMs)
+        } // else: keep the earliest expiry
+      } else if (tmr.exists()) {
+        getHandle.deleteTimer(tmr.get())
+        tmr.clear()
+      }
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[ChangeArrival],
+        timerValues: TimerValues): Iterator[AgedApplied] = {
+      var s = if (st.exists()) st.get() else EmptyRow
+      var nReal = 0
+      rows.foreach { r =>
+        if (r.op != "H") nReal += 1
+        s = fold(s, r.op, r.seq, r.value, r.newStatus)
+      }
+      if (nReal == 0) return Iterator.empty
+      st.update(s)
+      syncTimer(s, timerValues.getCurrentProcessingTimeInMs())
+      Iterator.single(AgedApplied(key, s.pSeq, s.upd, s.present, s.status, s.price, aged = false))
+    }
+
+    override def handleExpiredTimer(
+        key: Long,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[AgedApplied] = {
+      tmr.clear()
+      if (!st.exists()) return Iterator.empty
+      val s = st.get()
+      if (s.present) return Iterator.empty // revived before firing
+      st.clear()
+      Iterator.single(AgedApplied(key, s.pSeq, s.upd + 1L, false, None, None, aged = true))
+    }
+  }
+
   /** The full feed for the q_merge_apply fixture: the target snapshot as
     * seq-0 full-image inserts, plus the change log — both single-sourced
     * from [[graft.queries.Incremental]] so batch and stream replay the
@@ -276,5 +351,27 @@ object CdcStream {
       .as[ChangeArrivalTs]
       .groupByKey(_.k)
       .transformWithState(new AgedApplyProcessor, TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** The processing-time TTL aging view ([[TtlAgedApplyProcessor]]) — the
+    * heartbeat-less fallback. No watermark, no event-time column: the
+    * feed needs nothing beyond its change rows, and tombstone state is
+    * bounded by wall-clock `ttl` instead of the seq low-watermark. See
+    * the processor scaladoc for the resurrection tradeoff this accepts.
+    */
+  def ttlAgedView(
+      spark: SparkSession, changes: DataFrame, ttlMs: Long): Dataset[AgedApplied] = {
+    import spark.implicits._
+    changes
+      .select(
+        col("k").cast("long").as("k"),
+        col("seq").cast("long").as("seq"),
+        col("op"),
+        col("val").as("value"),
+        col("new_status").as("newStatus"))
+      .as[ChangeArrival]
+      .groupByKey(_.k)
+      .transformWithState(
+        new TtlAgedApplyProcessor(ttlMs), TimeMode.ProcessingTime(), OutputMode.Append())
   }
 }

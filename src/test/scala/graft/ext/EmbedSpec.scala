@@ -306,4 +306,53 @@ class EmbedSpec extends SparkSpec {
         r.getAs[Boolean]("err2_ok"), s"pq encode contract broken: $r")
     }
   }
+
+  test("residual-PQ lift on the MoG fixture (realistic clusters, not planted)") {
+    // The anisotropic test above PLANTS the structure; this measures the
+    // same A/B on MoGFixture's hash-random mixture-of-Gaussians — the
+    // regime real embedding corpora sit in. Shortlist 16 for the same
+    // reason as the planted test (64 + re-rank saturates both encodings).
+    // Constants recorded in PLANS.md.
+    val emb = MoGFixture.singles(spark, seed = 11L, n = 600, clusters = 12, dim = 16)
+      .select(col("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    val queries = emb.filter(col("vec_id") < 10)
+    val coarse = Ivf.train(spark, emb, k = 12)
+    val booksRes = Pq.trainResidual(spark, emb, coarse, m = 8, k = 16, iters = 6)
+    val booksRaw = Pq.train(spark, emb, m = 8, k = 16, iters = 6)
+    def hitsOf(top: org.apache.spark.sql.DataFrame): Long = {
+      val v = col("embedding").cast("array<double>")
+      val q = queries.select(col("vec_id").as("q_id"), v.as("qv"))
+      val c = emb.select(col("vec_id").as("n_id"), v.as("cv"))
+      val d2 = Similarity.dot(col("qv"), col("qv")) +
+        Similarity.dot(col("cv"), col("cv")) -
+        lit(2.0) * Similarity.dot(col("qv"), col("cv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("d2").asc, col("n_id").asc)
+      broadcast(q).crossJoin(c)
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"), d2.as("d2"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("n_id"))
+        .join(top.select(col("q_id"), col("vec_id").as("n_id")), Seq("q_id", "n_id"), "left_semi")
+        .count()
+    }
+    val topRes = Pq.exactRerank(
+      Pq.shortlistTopK(
+        Pq.adcCandidatesIvfResidual(
+          queries, Pq.encodeCellsResidual(emb, booksRes, coarse), booksRes, coarse, nprobe = 4),
+        16),
+      queries, emb, k = 10)
+    val topRaw = Pq.exactRerank(
+      Pq.shortlistTopK(
+        Pq.adcCandidatesIvf(
+          queries, Pq.encodeCells(emb, booksRaw, coarse), booksRaw, coarse, nprobe = 4),
+        16),
+      queries, emb, k = 10)
+    val (hRes, hRaw) = (hitsOf(topRes), hitsOf(topRaw))
+    info(s"MoG corpus — residual hits@10: $hRes / 100, raw hits@10: $hRaw / 100")
+    assert(hRes >= hRaw,
+      s"residual encoding recalled worse than raw codes on MoG clusters: $hRes < $hRaw")
+  }
 }

@@ -294,6 +294,39 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("pruned late interaction on the MoG fixture: exact, with a REAL measured prune rate") {
+    // Round-13 planted corpora prove pruning CAN bite; this measures it
+    // on the realistic clustered regime (MoGFixture: hash-random cluster
+    // directions, quasi-normal spread — nothing aligned to the cell
+    // key). Constants recorded in PLANS.md.
+    val vecs = MoGFixture.multiVector(
+      spark, seed = 7L, nDocs = 400, clusters = 12, tokens = 8, dim = 16)
+      .localCheckpoint(true)
+    val pruned = SearchQueries.latePruned(vecs).collect()
+    // exactness first — the safety argument must hold on ANY corpus
+    import spark.implicits._
+    val allPairs = (for { q <- 0L until 3L; n <- 0L until 400L if n != q }
+      yield (q, n)).toDF("q_id", "n_id")
+    val full = SearchQueries.maxsimOver(vecs, allPairs).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) =>
+        q -> rs.map(r => (r.getAs[Double]("li_score"), r.getAs[Long]("n_id")))
+          .sortBy { case (s, n) => (-s, n) }.take(5).toSeq
+      }
+    pruned.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rs) =>
+      val got = rs.sortBy(_.getAs[Int]("rank"))
+        .map(r => (r.getAs[Double]("li_score"), r.getAs[Long]("n_id"))).toSeq
+      assert(got == full(q), s"MoG-corpus pruned top-5 differs for query $q")
+    }
+    // the measurement: scored fraction per query on clustering-but-not-
+    // planted data (floor 50% pruned; the planted corpus gate is 75%)
+    pruned.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_scored"))).distinct
+      .sortBy(_._1).foreach { case (q, ns) =>
+        info(s"MoG query $q: exact-scored $ns of 399 (prune ${(399 - ns) * 100 / 399}%)")
+        assert(ns <= 200, s"MoG corpus should prune >=50% of the exact stage, scored $ns of 399")
+      }
+  }
+
   test("rank-eval over the late-interaction family: served ≡ truth on the fixture → perfect metrics") {
     // served recovers the full scan here (the vocab property the served
     // spec documents), so the eval harness must read exactly perfect —

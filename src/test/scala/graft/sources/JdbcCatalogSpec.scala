@@ -35,6 +35,56 @@ class JdbcCatalogSpec extends SparkSpec {
       "created_at" -> "STRING")) // TIMESTAMP→STRING reference quirk
   }
 
+  test("MySQL-dialect introspection: live SQL fixture through both type maps") {
+    // The reference introspects MySQL INFORMATION_SCHEMA.COLUMNS with a
+    // SQL query; this drives the SAME query shape over a fixture carrying
+    // MySQL's byte-for-byte COLUMN_TYPE vocabulary, then pins what both
+    // type-map modes produce for every SURVEY §1.2 quirk.
+    val murl = JdbcCatalog.seedMySqlShapeDb(
+      java.nio.file.Files.createTempDirectory("derby-mysql").toString + "/db")
+    val cols = JdbcCatalog.introspectColumnsSql(
+      spark, murl, JdbcCatalog.mySqlColumnsQuery("typed_tbl"))
+    assert(cols.map(_.name) ==
+      JdbcCatalog.mySqlFixtureColumns.map(_._1), "ordinal order lost")
+    assert(cols.map(_.mysqlType) == JdbcCatalog.mySqlFixtureColumns.map(_._2))
+
+    val compat = SchemaDoc.fromColumns(cols, compat = true).map(f => f.name -> f.tpe.name).toMap
+    val correct = SchemaDoc.fromColumns(cols, compat = false).map(f => f.name -> f.tpe.name).toMap
+
+    // compat = bug-for-bug reference behavior (substring precedence):
+    // POINT catches the INT substring; DECIMAL collapses to FLOAT;
+    // TIMESTAMP/ENUM/SET/YEAR/BLOB all fall through to STRING.
+    assert(compat("id") == "INTEGER" && compat("qty") == "INTEGER" &&
+      compat("pad") == "INTEGER" && compat("flag") == "INTEGER")
+    assert(compat("loc") == "INTEGER", "compat must preserve the POINT→INT substring quirk")
+    assert(compat("price") == "FLOAT" && compat("ratio") == "FLOAT")
+    assert(compat("created") == "DATETIME" && compat("day") == "DATE")
+    assert(Seq("status", "tags", "body", "updated", "yr", "payload")
+      .forall(compat(_) == "STRING"))
+
+    // correct mode: modifiers stripped (with AND without display width),
+    // POINT→STRING (geometry never integer), DECIMAL stays NUMERIC,
+    // TIMESTAMP stays temporal, YEAR is integer, LONGBLOB is bytes.
+    assert(correct("id") == "INTEGER" && correct("qty") == "INTEGER" &&
+      correct("pad") == "INTEGER" && correct("flag") == "INTEGER" &&
+      correct("yr") == "INTEGER")
+    assert(correct("loc") == "STRING")
+    assert(correct("status") == "STRING" && correct("tags") == "STRING")
+    assert(correct("price") == "NUMERIC")
+    assert(correct("updated") == "TIMESTAMP" && correct("created") == "DATETIME")
+    assert(correct("payload") == "BYTES")
+
+    // and the end of the chain: the Spark StructType a scan would use
+    val st = SchemaDoc.toStructType(SchemaDoc.fromColumns(cols, compat = false))
+    import org.apache.spark.sql.types._
+    assert(st("id").dataType == LongType)
+    assert(st("price").dataType == DecimalType(38, 9))
+    assert(st("updated").dataType == TimestampType)
+    assert(st("created").dataType == TimestampNTZType)
+    assert(st("loc").dataType == StringType)
+    assert(st("payload").dataType == BinaryType)
+  }
+
   test("partitioned scan returns the same rows as unpartitioned") {
     val plain = JdbcCatalog.fullTableScan(spark, url, "users")
       .orderBy("id").collect().toSeq

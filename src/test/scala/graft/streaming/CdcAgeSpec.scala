@@ -165,6 +165,100 @@ class CdcAgeSpec extends SparkSpec {
     }
   }
 
+  /** Drain whatever is staged under `in` through the TTL view. */
+  private def drainTtl(in: String, out: String, ck: String, ttlMs: Long) = {
+    val schema = CdcStream.fixtureFeed(spark, sf()).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = CdcStream.ttlAgedView(spark, stream, ttlMs)
+      .writeStream.format("parquet").outputMode("append")
+      .option("path", out).option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q
+  }
+
+  test("TTL fallback: heartbeat-less feed ages tombstones at wall-clock expiry, state bounded") {
+    withRocksDb {
+      val root = Files.createTempDirectory("cdc-ttl").toString
+      val feed = CdcStream.fixtureFeed(spark, sf())
+      // NO heartbeat rows anywhere in this test — the point of the
+      // fallback. Stage the whole feed, drain, then let the wall clock
+      // pass the TTL and drain again (an empty-delta restart still runs
+      // micro-batches, which is when expired processing-time timers fire).
+      stage(root, feed.filter(col("seq") === 0))
+      stage(root, feed.filter(col("seq") >= 1))
+      drainTtl(s"$root/in", s"$root/out", s"$root/ck", ttlMs = 2000L)
+      Thread.sleep(2500L)
+      // a fresh live-key update (not a heartbeat) gives the restarted
+      // query a batch to process; its key is live, so it touches no timer
+      val liveK = expectedLive().keys.min
+      stage(root, spark.range(1).select(
+        lit(liveK).as("k"), lit(50L).as("seq"), lit("U").as("op"),
+        lit(123.25).as("val"), lit(null).cast("string").as("new_status")))
+      drainTtl(s"$root/in", s"$root/out", s"$root/ck", ttlMs = 2000L)
+
+      val rows = spark.read.parquet(s"$root/out")
+      val dead = deadKeys()
+      assert(dead.nonEmpty)
+      val agedMarks = rows.filter(col("aged")).collect()
+      assert(agedMarks.map(_.getAs[Long]("k")).toSet == dead,
+        "TTL aging must clear exactly the keys whose latest op is D")
+      assert(agedMarks.length == dead.size, "exactly one aged marker per tombstone")
+      // live view unchanged by aging (modulo the extra live update)
+      val live = resolve(rows).collect().filter(_.getAs[Boolean]("present"))
+        .map(r => r.getAs[Long]("k") ->
+          ((r.getAs[String]("status"), r.getAs[Double]("price")))).toMap
+      val expect = expectedLive() + (liveK -> ((expectedLive()(liveK)._1, 123.25)))
+      assert(live == expect, "TTL view's live rows differ from the batch MERGE")
+    }
+  }
+
+  test("TTL fallback divergence: a stale post-age image RESURRECTS store state (the documented price), but max-(pSeq, upd) consumers still resolve the key dead") {
+    withRocksDb {
+      val root = Files.createTempDirectory("cdc-ttl-stale").toString
+      val feed = CdcStream.fixtureFeed(spark, sf())
+      stage(root, feed.filter(col("seq") === 0))
+      stage(root, feed.filter(col("seq") >= 1))
+      drainTtl(s"$root/in", s"$root/out", s"$root/ck", ttlMs = 2000L)
+      Thread.sleep(2500L)
+      // a live-key nudge batch makes the expired timers fire and the
+      // tombstones clear BEFORE the attack arrives (timers fire at batch
+      // end, so the attack must land in a LATER micro-batch than the
+      // expiry to meet cleared state)
+      val liveK = expectedLive().keys.min
+      stage(root, spark.range(1).select(
+        lit(liveK).as("k"), lit(51L).as("seq"), lit("U").as("op"),
+        lit(1.5).as("val"), lit(null).cast("string").as("new_status")))
+      drainTtl(s"$root/in", s"$root/out", s"$root/ck", ttlMs = 2000L)
+      // the same attack the heartbeat path's gate proves is DROPPED by
+      // the watermark: a below-delete-seq I for a dead key, delivered
+      // after aging. Here there is no watermark — the fallback ABSORBS it.
+      val k0 = deadKeys().min
+      stage(root, spark.range(1).select(
+        lit(k0).as("k"), lit(2L).as("seq"), lit("I").as("op"),
+        lit(777.0).as("val"), lit("Z").as("new_status")))
+      drainTtl(s"$root/in", s"$root/out", s"$root/ck", ttlMs = 2000L)
+
+      val rows = spark.read.parquet(s"$root/out")
+      // the divergence, asserted as fact: the stale image produced a
+      // fresh live emission (state resurrected, upd restarted at 1) —
+      // the event-time twin's numRowsDroppedByWatermark gate proves the
+      // same row never reaches state there
+      val stale = rows
+        .filter(col("k") === k0 && col("present") && !col("aged") && col("price") === 777.0)
+        .collect()
+      assert(stale.length == 1 && stale.head.getAs[Long]("upd") == 1L,
+        "expected the stale image to be absorbed as fresh state — that IS the TTL tradeoff")
+      // ...and the consumer-contract mitigation: (pSeq, upd) resolution
+      // still yields the tombstone, because the stale row's pSeq (2) is
+      // below the delete's
+      val resolved = resolve(rows).filter(col("k") === k0).collect()
+      assert(resolved.length == 1 && !resolved.head.getAs[Boolean]("present"),
+        "max-(pSeq, upd) resolution must keep the key dead despite the store resurrection")
+    }
+  }
+
   test("post-age stale update is dropped by the engine and cannot resurrect the key") {
     withRocksDb {
       val root = Files.createTempDirectory("cdc-age-stale").toString
