@@ -33,6 +33,21 @@ object Tables {
     * groups); data with sane splits parallelizes natively and should leave
     * the knob off.
     */
+  /** Cheap content fingerprint of a table's parquet (file count + total
+    * bytes + newest mtime) — the cache-key component that lets per-JVM
+    * trained-artifact registries ([[graft.ext.Ivf.trainShared]],
+    * [[graft.ext.Pq.shared]]) survive fixture REBUILDS under the same
+    * path: a regenerated table changes size or mtime, so stale centroids
+    * or codebooks are never served to a new corpus. Pure driver-side
+    * file metadata — no data read.
+    */
+  def fingerprint(sfDir: String, name: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+    val files = walk(new java.io.File(s"$sfDir/$name.parquet"))
+    s"n=${files.size};b=${files.map(_.length()).sum};t=${files.map(_.lastModified()).foldLeft(0L)(math.max)}"
+  }
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     val spread = spark.conf.get("graft.scan.spread", "false").toBoolean

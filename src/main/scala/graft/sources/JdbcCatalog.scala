@@ -95,7 +95,7 @@ object JdbcCatalog {
   /** MySQL-shape column introspection: the reference reads
     * INFORMATION_SCHEMA.COLUMNS via SQL in ordinal order
     * (app/cloud-sql-exporter/main.py:53-55) — a
-    * (column_name, column_type) QUERY, not JDBC DatabaseMetaData — so
+    * (COLUMN_NAME, DATA_TYPE) QUERY, not JDBC DatabaseMetaData — so
     * the introspection contract this engine must honor is "run that
     * query, feed the type strings through the type map". This entry
     * point runs the exact query shape through the same JDBC source as
@@ -103,8 +103,11 @@ object JdbcCatalog {
     * unsigned / POINT / TINYINT(1)) then flows through
     * [[graft.core.SchemaColumn]] → TypeMapping like any introspected
     * column. `columnsQuery` must project (ordinal, column_name,
-    * column_type); ordering is re-imposed driver-side so a multi-cursor
-    * read can't scramble ordinals.
+    * type-string); ordering is re-imposed driver-side so a multi-cursor
+    * read can't scramble ordinals. The ordinal is read as a generic
+    * Number: against real MySQL, ORDINAL_POSITION is BIGINT UNSIGNED
+    * (Spark JDBC widens it to DecimalType(20,0)), so a plain getInt
+    * would ClassCastException outside the Derby fixture.
     */
   def introspectColumnsSql(
       spark: SparkSession,
@@ -113,7 +116,7 @@ object JdbcCatalog {
       auth: Option[JdbcAuth] = None): Seq[SchemaColumn] =
     queryJdbc(spark, url, columnsQuery, auth)
       .collect()
-      .map(r => (r.getInt(0), SchemaColumn(r.getString(1).toLowerCase, r.getString(2).toLowerCase)))
+      .map(r => (r.getAs[Number](0).intValue, SchemaColumn(r.getString(1).toLowerCase, r.getString(2).toLowerCase)))
       .sortBy(_._1)
       .map(_._2)
       .toSeq
@@ -144,12 +147,15 @@ object JdbcCatalog {
       if (!existing.contains("MYSQL_INFO_COLUMNS")) {
         st.executeUpdate(
           "CREATE TABLE mysql_info_columns (table_name VARCHAR(64), " +
-            "ordinal_position INT, column_name VARCHAR(64), column_type VARCHAR(128))")
-        val ins = conn.prepareStatement("INSERT INTO mysql_info_columns VALUES ('typed_tbl', ?, ?, ?)")
-        mySqlFixtureColumns.zipWithIndex.foreach { case ((name, tpe), i) =>
+            "ordinal_position INT, column_name VARCHAR(64), " +
+            "data_type VARCHAR(64), column_type VARCHAR(128))")
+        val ins =
+          conn.prepareStatement("INSERT INTO mysql_info_columns VALUES ('typed_tbl', ?, ?, ?, ?)")
+        mySqlFixtureColumns.zipWithIndex.foreach { case ((name, dataType, columnType), i) =>
           ins.setInt(1, i + 1)
           ins.setString(2, name)
-          ins.setString(3, tpe)
+          ins.setString(3, dataType)
+          ins.setString(4, columnType)
           ins.executeUpdate()
         }
       }
@@ -157,28 +163,55 @@ object JdbcCatalog {
     s"jdbc:derby:$dbDir"
   }
 
-  /** The fixture vocabulary — byte-for-byte what MySQL 5.7/8.0 emit in
-    * INFORMATION_SCHEMA.COLUMNS.COLUMN_TYPE.
+  /** The fixture vocabulary — (name, DATA_TYPE, COLUMN_TYPE), byte-for-
+    * byte what MySQL 5.7/8.0 emit in INFORMATION_SCHEMA.COLUMNS: the
+    * bare-keyword DATA_TYPE (what the REFERENCE introspects,
+    * app/cloud-sql-exporter/main.py:53) and the full COLUMN_TYPE with
+    * display widths / modifiers / value lists (what the corrected map
+    * consumes for modifier handling).
+    *
+    * The `state` row is the round-14-advice adversarial case: an enum
+    * whose VALUE LIST carries 'int'/'date' substrings. The reference
+    * never sees the value list (DATA_TYPE = 'enum' → STRING); routing
+    * COLUMN_TYPE through the compat substring map instead would match
+    * the DATE substring inside 'updated' and mis-map the column — the
+    * divergence JdbcCatalogSpec pins from both sides.
     */
-  val mySqlFixtureColumns: Seq[(String, String)] = Seq(
-    "id" -> "bigint(20) unsigned",
-    "qty" -> "int unsigned", // MySQL 8: no display width
-    "pad" -> "smallint(5) unsigned zerofill",
-    "flag" -> "tinyint(1)",
-    "status" -> "enum('new','sent','failed')",
-    "tags" -> "set('a','b','c')",
-    "loc" -> "point",
-    "price" -> "decimal(10,2)",
-    "ratio" -> "double",
-    "body" -> "mediumtext",
-    "created" -> "datetime",
-    "updated" -> "timestamp",
-    "day" -> "date",
-    "yr" -> "year(4)",
-    "payload" -> "longblob")
+  val mySqlFixtureColumns: Seq[(String, String, String)] = Seq(
+    ("id", "bigint", "bigint(20) unsigned"),
+    ("qty", "int", "int unsigned"), // MySQL 8: no display width
+    ("pad", "smallint", "smallint(5) unsigned zerofill"),
+    ("flag", "tinyint", "tinyint(1)"),
+    ("status", "enum", "enum('new','sent','failed')"),
+    ("tags", "set", "set('a','b','c')"),
+    ("loc", "point", "point"),
+    ("price", "decimal", "decimal(10,2)"),
+    ("ratio", "double", "double"),
+    ("body", "mediumtext", "mediumtext"),
+    ("created", "datetime", "datetime"),
+    ("updated", "timestamp", "timestamp"),
+    ("day", "date", "date"),
+    ("yr", "year", "year(4)"),
+    ("payload", "longblob", "longblob"),
+    ("state", "enum", "enum('printed','updated')"))
 
-  /** The reference's introspection query, retargeted at the fixture. */
+  /** The REFERENCE'S introspection projection (COLUMN_NAME, DATA_TYPE —
+    * main.py:53), retargeted at the fixture: the bare type keyword is
+    * what flows into the compat substring map for bug-for-bug fidelity.
+    * (An ordinal column is added so [[introspectColumnsSql]] can
+    * re-impose order driver-side; the reference's single-cursor CSV
+    * export gets that from ORDER BY alone.)
+    */
   def mySqlColumnsQuery(table: String): String =
+    "SELECT ordinal_position, column_name, data_type FROM mysql_info_columns " +
+      s"WHERE table_name = '$table' ORDER BY ordinal_position"
+
+  /** Full-COLUMN_TYPE introspection — the richer string the CORRECTED
+    * type map consumes (modifiers like `unsigned`/`zerofill` change the
+    * value range, and the corrected map strips them; the compat map must
+    * never see them — see [[mySqlColumnsQuery]]).
+    */
+  def mySqlColumnsQueryFull(table: String): String =
     "SELECT ordinal_position, column_name, column_type FROM mysql_info_columns " +
       s"WHERE table_name = '$table' ORDER BY ordinal_position"
 

@@ -358,6 +358,21 @@ object CdcStream {
     * feed needs nothing beyond its change rows, and tombstone state is
     * bounded by wall-clock `ttl` instead of the seq low-watermark. See
     * the processor scaladoc for the resurrection tradeoff this accepts.
+    *
+    * OPERATIONAL NOTE — do NOT drive this view with
+    * `Trigger.AvailableNow` + `awaitTermination()`. A
+    * `TimeMode.ProcessingTime` stateful operator always reports that
+    * another micro-batch might do work (wall-clock keeps advancing, so a
+    * registered-but-unexpired timer could fire next batch), and
+    * AvailableNow terminates only when no data remains AND no operator
+    * wants another batch — the combination busy-loops empty micro-batches
+    * forever once the backlog is consumed (observed: thousands of empty
+    * commits). `processAllAvailable()` hangs identically: the forced
+    * timer batches keep the engine from ever latching its no-new-data
+    * flag. Run it as the continuous stream it is
+    * (`Trigger.ProcessingTime`) and stop it on an EXTERNAL condition
+    * (e.g. expected sink state); CdcAgeSpec.drainTtl is the
+    * bounded-drain recipe.
     */
   def ttlAgedView(
       spark: SparkSession, changes: DataFrame, ttlMs: Long): Dataset[AgedApplied] = {

@@ -23,15 +23,22 @@ import graft.streaming.RunGuard.BatchMsg
   */
 object MessageQueue {
 
+  /** The wire encoding shared by EVERY transport (file topic, socket
+    * push): base64 of the comma-joined table list + string attrs —
+    * the reference's Pub/Sub message shape.
+    */
+  def encode(msg: BatchMsg): String = {
+    val b64 = Base64.getEncoder.encodeToString(msg.payload.getBytes(StandardCharsets.UTF_8))
+    s"$b64,${msg.batchNo},${msg.maxBatches}"
+  }
+
   /** Publish a batch message to a topic directory (one file per message,
     * monotonically named so arrival order is recoverable).
     */
   def publish(topicDir: String, msg: BatchMsg): String = {
     Files.createDirectories(Paths.get(topicDir))
-    val b64 = Base64.getEncoder.encodeToString(msg.payload.getBytes(StandardCharsets.UTF_8))
-    val line = s"$b64,${msg.batchNo},${msg.maxBatches}"
     val name = f"msg-${System.nanoTime()}%020d.txt"
-    Files.writeString(Paths.get(s"$topicDir/$name"), line)
+    Files.writeString(Paths.get(s"$topicDir/$name"), encode(msg))
     name
   }
 
@@ -107,4 +114,35 @@ object MessageQueue {
         unbase64(col("parts").getItem(0)).cast("string").as("payload"),
         col("parts").getItem(1).cast("int").as("batch_no"),
         col("parts").getItem(2).cast("int").as("max_batches"))
+
+  /** Decode broker-push delivery lines `msg_id,<wire>` into
+    * (msg_id, payload, batch_no, max_batches) — the transport-agnostic
+    * consume projection. A push transport (Pub/Sub) attaches a broker
+    * message id to every delivery BECAUSE its contract is at-least-once:
+    * an unacked message is RE-DELIVERED, and the consumer's half of the
+    * contract is to dedupe on the id. The file topic gets the same
+    * property from file names; this is its twin for id-carrying line
+    * transports.
+    */
+  def decodeDelivery(lines: DataFrame): DataFrame =
+    lines
+      .select(split(col("value"), ",", 4).as("parts"))
+      .select(
+        col("parts").getItem(0).as("msg_id"),
+        unbase64(col("parts").getItem(1)).cast("string").as("payload"),
+        col("parts").getItem(2).cast("int").as("batch_no"),
+        col("parts").getItem(3).cast("int").as("max_batches"))
+
+  /** SOCKET-transport consume (the non-file control-plane twin, round-14
+    * verdict #7): `msg_id,<wire>` lines pushed over TCP, decoded by
+    * [[decodeDelivery]]. Spark's socket source keeps no replayable
+    * offsets of its own — which is the honest model of a broker PUSH
+    * endpoint: what arrives is whatever the broker chose to send,
+    * including ack-timeout re-deliveries, and exactly-once is the
+    * consumer's job (dedupe on msg_id; QueueAndStateSpec's re-delivery
+    * gate pins it).
+    */
+  def readSocket(spark: SparkSession, host: String, port: Int): DataFrame =
+    decodeDelivery(
+      spark.readStream.format("socket").option("host", host).option("port", port).load())
 }

@@ -291,7 +291,7 @@ class PlanAuditSpec extends SparkSpec {
     // two-pass range-partitioned global rank, and the gram→rid mapping
     // is a shuffle equi-join (AQE may broadcast it at fixture scale —
     // that's a runtime size decision, not a hardcoded one).
-    for (q <- Seq("q_dedup_prefix_jaccard", "q_dedup_containment")) {
+    for (q <- Seq("q_dedup_prefix_jaccard", "q_dedup_containment", "q_dedup_prefix_guard")) {
       val p = planString(Registry.byName(q).run(spark, sf()))
       assert(!p.contains("row_number"),
         s"$q: dictionary rank fell back to a global row_number window:\n${p.take(2000)}")

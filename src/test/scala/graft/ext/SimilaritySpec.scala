@@ -335,4 +335,68 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getAs[Boolean]("full_selection"),
       "served greedy did not fill all 5 slots per query")
   }
+
+  test("MoG nprobe-recall curve: IVF, hard-negative, and MMR serving on clustered embeddings") {
+    // FIXTURES.md A7 extension (round-14 verdict #6): the served
+    // coarse-IVF family measured on the REALISTIC clustered regime —
+    // hash-random mixture-of-Gaussians clusters, nothing aligned to the
+    // quantizer — at three nprobe points. The curve is the evidence the
+    // registered nprobe constants rest on; the asserts pin monotonicity
+    // (probed-cell sets nest) and the measured floors (constants in
+    // PLANS.md round-15).
+    val emb = MoGFixture.singles(spark, seed = 11L, n = 600, clusters = 12, dim = 16)
+      .withColumn("label", col("cluster")) // hard negatives mine across labels
+      .localCheckpoint(true)
+    val queries = emb.filter(col("vec_id") < 12) // one query per cluster
+    val centroids = Ivf.train(spark, emb, k = 16)
+    val indexed = Ivf.index(emb, centroids)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def pool(np: Int) =
+      Ivf.probeCells(queries, centroids, nprobe = np)
+        .join(indexed, Seq("bucket"))
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"))
+
+    // (1) raw IVF serving: recall@10 vs brute force
+    val exactTop = pairSet(Similarity.bruteForceTopK(queries, emb, 10))
+    val ivfRec = Seq(1, 2, 4).map { np =>
+      val r = exactTop.count(
+        pairSet(Ivf.topK(queries, indexed, centroids, k = 10, nprobe = np)).contains)
+        .toDouble / exactTop.size
+      info(f"IVF recall@10 nprobe=$np: $r%.3f")
+      np -> r
+    }.toMap
+    assert(ivfRec(1) <= ivfRec(2) && ivfRec(2) <= ivfRec(4),
+      "IVF recall must be monotone in nprobe (probed-cell sets nest)")
+    assert(ivfRec(4) >= 0.9, "IVF nprobe=4 floor on clustered data")
+
+    // (2) hard-negative serving: mined top-3-per-anchor overlap with the
+    // full-scan mining (selection is a plain top-k, so overlap degrades
+    // monotonically with pool recall)
+    val exactMined = pairSet(SimilarityQueries.hardNegChain(emb, col("vec_id") < 12, None))
+    val hnRec = Seq(1, 2, 4).map { np =>
+      val mined = pairSet(SimilarityQueries.hardNegChain(emb, col("vec_id") < 12, Some(pool(np))))
+      val r = exactMined.count(mined.contains).toDouble / exactMined.size
+      info(f"hard-negative overlap nprobe=$np: $r%.3f")
+      np -> r
+    }.toMap
+    assert(hnRec(1) <= hnRec(4), "hard-negative overlap must not shrink with more probes")
+    assert(hnRec(4) >= 0.8, "hard-negative nprobe=4 floor on clustered data")
+
+    // (3) MMR serving: the 5 greedy picks per query vs the exact-pool
+    // picks (greedy interacts, so no per-point monotonicity claim — the
+    // curve is reported, the production point is floored)
+    val exactMmr = pairSet(SimilarityQueries.mmrSelect(emb, col("vec_id") < 12))
+    val mmrRec = Seq(1, 2, 4).map { np =>
+      val served = pairSet(
+        SimilarityQueries.mmrServedIvf(
+          spark, emb, col("vec_id") < 12, k = 16, nprobe = np, coarse = Some(centroids))._1)
+      val r = exactMmr.count(served.contains).toDouble / exactMmr.size
+      info(f"MMR pick overlap nprobe=$np: $r%.3f")
+      np -> r
+    }.toMap
+    assert(mmrRec(4) >= 0.8, "MMR nprobe=4 floor on clustered data")
+  }
 }

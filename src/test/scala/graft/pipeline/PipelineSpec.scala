@@ -114,6 +114,88 @@ class PipelineSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters") && scan.contains("export_date"), scan.take(400))
   }
 
+  // ---- BigQuery load-job twin (round-14 verdict #5) ----
+
+  private val loadSchema =
+    """[{"name": "id", "type": "INTEGER", "mode": "NULLABLE"}, """ +
+      """{"name": "name", "type": "STRING", "mode": "NULLABLE"}, """ +
+      """{"name": "amount", "type": "FLOAT", "mode": "NULLABLE"}]"""
+
+  private def writeCsv(lines: Seq[String]): String = {
+    val f = java.nio.file.Files.createTempDirectory("bqload").resolve("data.csv")
+    java.nio.file.Files.writeString(f, lines.mkString("\n") + "\n")
+    f.toString
+  }
+
+  test("load job: headerless CSV under the explicit schema; WRITE_TRUNCATE replaces contents") {
+    val t = "bq_load_t1"
+    val r1 = BqLoad.load(spark, writeCsv(Seq("1,alice,12.5", "2,,3.25", "3,7,1.0")), t,
+      BqLoad.LoadJobConfig(loadSchema))
+    assert(r1 == BqLoad.LoadJobResult(outputRows = 3, badRecords = 0))
+    val rows = spark.table(t).orderBy("id").collect()
+    assert(rows(1).isNullAt(1), "empty field must load as NULL")
+    // explicit schema, never inference: '7' under a declared STRING
+    // column stays the string "7"
+    assert(rows(2).getString(1) == "7")
+    // truncate disposition: a second load REPLACES, never appends
+    val r2 = BqLoad.load(spark, writeCsv(Seq("9,zoe,0.5")), t, BqLoad.LoadJobConfig(loadSchema))
+    assert(r2.outputRows == 1 && spark.table(t).count() == 1)
+  }
+
+  test("load job atomicity: a bad record fails the job and leaves the table untouched") {
+    val t = "bq_load_t2"
+    BqLoad.load(spark, writeCsv(Seq("1,alice,12.5")), t, BqLoad.LoadJobConfig(loadSchema))
+    // type mismatch under the declared schema = bad record, and
+    // max_bad_records defaults to 0 — the whole job fails...
+    intercept[BqLoad.LoadJobFailed] {
+      BqLoad.load(spark, writeCsv(Seq("2,bob,1.0", "abc,carol,2.0")), t,
+        BqLoad.LoadJobConfig(loadSchema))
+    }
+    // ...as does a wrong column count...
+    intercept[BqLoad.LoadJobFailed] {
+      BqLoad.load(spark, writeCsv(Seq("2,bob,1.0,EXTRA,COLS")), t,
+        BqLoad.LoadJobConfig(loadSchema))
+    }
+    // ...and the failed jobs are ATOMIC: the destination is untouched.
+    assert(spark.table(t).collect().toSeq == Seq(Row(1L, "alice", 12.5)))
+  }
+
+  test("load job max_bad_records tolerates exactly that many bad rows, dropping them") {
+    val t = "bq_load_t3"
+    val csv = writeCsv(Seq("1,alice,12.5", "oops,bob,1.0", "3,carol,2.0"))
+    val r = BqLoad.load(spark, csv, t,
+      BqLoad.LoadJobConfig(loadSchema, maxBadRecords = 1L))
+    assert(r == BqLoad.LoadJobResult(outputRows = 2, badRecords = 1))
+    assert(spark.table(t).orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    intercept[BqLoad.LoadJobFailed] {
+      BqLoad.load(spark, csv, t, BqLoad.LoadJobConfig(loadSchema, maxBadRecords = 0L))
+    }
+  }
+
+  test("load job skip_leading_rows=0: a stray header line is DATA and fails the job; 1 skips it") {
+    val t = "bq_load_t4"
+    val csv = writeCsv(Seq("id,name,amount", "1,alice,12.5", "2,bob,3.25"))
+    // the reference's contract (main.py:28): files are headerless, so a
+    // header line hits the INTEGER column and the job REJECTS — it is
+    // never silently skipped
+    intercept[BqLoad.LoadJobFailed] {
+      BqLoad.load(spark, csv, t, BqLoad.LoadJobConfig(loadSchema, skipLeadingRows = 0))
+    }
+    val r = BqLoad.load(spark, csv, t, BqLoad.LoadJobConfig(loadSchema, skipLeadingRows = 1))
+    assert(r == BqLoad.LoadJobResult(outputRows = 2, badRecords = 0))
+  }
+
+  test("load job WRITE_EMPTY loads only into an absent or empty destination") {
+    val t = "bq_load_t5"
+    val cfg = BqLoad.LoadJobConfig(loadSchema, writeDisposition = BqLoad.WriteEmpty)
+    val r = BqLoad.load(spark, writeCsv(Seq("1,alice,12.5")), t, cfg)
+    assert(r.outputRows == 1)
+    intercept[BqLoad.LoadJobFailed] {
+      BqLoad.load(spark, writeCsv(Seq("9,zoe,0.5")), t, cfg)
+    }
+    assert(spark.table(t).collect().toSeq == Seq(Row(1L, "alice", 12.5)))
+  }
+
   test("writeHeaderless emits the cleaner's post-clean CSV format") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("hdrless").toString + "/out"

@@ -37,23 +37,31 @@ class JdbcCatalogSpec extends SparkSpec {
 
   test("MySQL-dialect introspection: live SQL fixture through both type maps") {
     // The reference introspects MySQL INFORMATION_SCHEMA.COLUMNS with a
-    // SQL query; this drives the SAME query shape over a fixture carrying
-    // MySQL's byte-for-byte COLUMN_TYPE vocabulary, then pins what both
-    // type-map modes produce for every SURVEY §1.2 quirk.
+    // SQL query projecting the bare DATA_TYPE keyword (main.py:53); the
+    // corrected map instead wants the full COLUMN_TYPE (it strips the
+    // modifiers the bare keyword never carries). This drives BOTH query
+    // shapes over a fixture carrying MySQL's byte-for-byte vocabulary in
+    // both columns, then pins what each mode produces for every SURVEY
+    // §1.2 quirk — each map fed its dialect-correct string.
     val murl = JdbcCatalog.seedMySqlShapeDb(
       java.nio.file.Files.createTempDirectory("derby-mysql").toString + "/db")
-    val cols = JdbcCatalog.introspectColumnsSql(
+    val colsData = JdbcCatalog.introspectColumnsSql(
       spark, murl, JdbcCatalog.mySqlColumnsQuery("typed_tbl"))
-    assert(cols.map(_.name) ==
+    val colsFull = JdbcCatalog.introspectColumnsSql(
+      spark, murl, JdbcCatalog.mySqlColumnsQueryFull("typed_tbl"))
+    assert(colsData.map(_.name) ==
       JdbcCatalog.mySqlFixtureColumns.map(_._1), "ordinal order lost")
-    assert(cols.map(_.mysqlType) == JdbcCatalog.mySqlFixtureColumns.map(_._2))
+    assert(colsData.map(_.mysqlType) == JdbcCatalog.mySqlFixtureColumns.map(_._2))
+    assert(colsFull.map(_.mysqlType) == JdbcCatalog.mySqlFixtureColumns.map(_._3))
 
-    val compat = SchemaDoc.fromColumns(cols, compat = true).map(f => f.name -> f.tpe.name).toMap
-    val correct = SchemaDoc.fromColumns(cols, compat = false).map(f => f.name -> f.tpe.name).toMap
+    val compat =
+      SchemaDoc.fromColumns(colsData, compat = true).map(f => f.name -> f.tpe.name).toMap
+    val correct =
+      SchemaDoc.fromColumns(colsFull, compat = false).map(f => f.name -> f.tpe.name).toMap
 
-    // compat = bug-for-bug reference behavior (substring precedence):
-    // POINT catches the INT substring; DECIMAL collapses to FLOAT;
-    // TIMESTAMP/ENUM/SET/YEAR/BLOB all fall through to STRING.
+    // compat = bug-for-bug reference behavior over DATA_TYPE (substring
+    // precedence): POINT catches the INT substring; DECIMAL collapses to
+    // FLOAT; TIMESTAMP/ENUM/SET/YEAR/BLOB all fall through to STRING.
     assert(compat("id") == "INTEGER" && compat("qty") == "INTEGER" &&
       compat("pad") == "INTEGER" && compat("flag") == "INTEGER")
     assert(compat("loc") == "INTEGER", "compat must preserve the POINT→INT substring quirk")
@@ -61,21 +69,35 @@ class JdbcCatalogSpec extends SparkSpec {
     assert(compat("created") == "DATETIME" && compat("day") == "DATE")
     assert(Seq("status", "tags", "body", "updated", "yr", "payload")
       .forall(compat(_) == "STRING"))
+    // the round-14-advice adversarial row: DATA_TYPE='enum' → STRING,
+    // exactly as the reference behaves — even though its COLUMN_TYPE's
+    // value list ('printed','updated') carries INT and DATE substrings.
+    assert(compat("state") == "STRING",
+      "compat must map by the bare DATA_TYPE keyword, never the value list")
+    // ...and the divergence routing COLUMN_TYPE through the compat map
+    // WOULD have produced, pinned as fact (DATE wins the precedence
+    // chain inside 'updated'): the reason compat mode must introspect
+    // DATA_TYPE for reference fidelity.
+    assert(graft.core.TypeMapping.datatypeToBqCompat("enum('printed','updated')")
+      == graft.core.BqType.Date)
 
-    // correct mode: modifiers stripped (with AND without display width),
-    // POINT→STRING (geometry never integer), DECIMAL stays NUMERIC,
-    // TIMESTAMP stays temporal, YEAR is integer, LONGBLOB is bytes.
+    // correct mode over COLUMN_TYPE: modifiers stripped (with AND
+    // without display width), POINT→STRING (geometry never integer),
+    // DECIMAL stays NUMERIC, TIMESTAMP stays temporal, YEAR is integer,
+    // LONGBLOB is bytes; enum value lists (takeWhile stops at '(')
+    // always STRING regardless of their contents.
     assert(correct("id") == "INTEGER" && correct("qty") == "INTEGER" &&
       correct("pad") == "INTEGER" && correct("flag") == "INTEGER" &&
       correct("yr") == "INTEGER")
     assert(correct("loc") == "STRING")
-    assert(correct("status") == "STRING" && correct("tags") == "STRING")
+    assert(correct("status") == "STRING" && correct("tags") == "STRING" &&
+      correct("state") == "STRING")
     assert(correct("price") == "NUMERIC")
     assert(correct("updated") == "TIMESTAMP" && correct("created") == "DATETIME")
     assert(correct("payload") == "BYTES")
 
     // and the end of the chain: the Spark StructType a scan would use
-    val st = SchemaDoc.toStructType(SchemaDoc.fromColumns(cols, compat = false))
+    val st = SchemaDoc.toStructType(SchemaDoc.fromColumns(colsFull, compat = false))
     import org.apache.spark.sql.types._
     assert(st("id").dataType == LongType)
     assert(st("price").dataType == DecimalType(38, 9))

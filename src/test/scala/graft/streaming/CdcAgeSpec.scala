@@ -165,18 +165,52 @@ class CdcAgeSpec extends SparkSpec {
     }
   }
 
-  /** Drain whatever is staged under `in` through the TTL view. */
-  private def drainTtl(in: String, out: String, ck: String, ttlMs: Long) = {
+  /** Drain whatever is staged under `in` through the TTL view — BOUNDED.
+    *
+    * The TTL view cannot be driven by ANY of the engine's own
+    * completion signals: a `TimeMode.ProcessingTime` stateful operator
+    * answers "might another batch do work?" with YES forever (wall-clock
+    * always advances, so a not-yet-expired timer could always fire next
+    * batch). Under `Trigger.AvailableNow` + `awaitTermination()` that
+    * spins empty micro-batches indefinitely once the files are consumed
+    * (round-14 forensics: 2,800-10,700 spins, 22-65 min, before the
+    * runs were killed) — and `processAllAvailable()` hangs the same way,
+    * because the forced timer batches keep the engine from ever latching
+    * its no-new-data flag. The ONLY sound drain is external: run the
+    * view as the continuous stream it is (`Trigger.ProcessingTime`),
+    * poll the SINK until the caller's expected state appears
+    * (time-bounded — a hard `fail` at the deadline instead of a wedged
+    * suite), then `stop()`. The parquet sink is exactly-once via its
+    * metadata log, so sink counts are exact conditions.
+    */
+  private def drainTtl(in: String, out: String, ck: String, ttlMs: Long)(
+      done: org.apache.spark.sql.DataFrame => Boolean): Unit = {
     val schema = CdcStream.fixtureFeed(spark, sf()).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(in)
     val q = CdcStream.ttlAgedView(spark, stream, ttlMs)
       .writeStream.format("parquet").outputMode("append")
       .option("path", out).option("checkpointLocation", ck)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    q
+      .trigger(Trigger.ProcessingTime("200 milliseconds")).start()
+    try {
+      def sinkOk(): Boolean =
+        scala.util.Try(spark.read.parquet(out)).toOption.exists(done)
+      val deadline = System.currentTimeMillis() + 90000L
+      while (!sinkOk() && System.currentTimeMillis() < deadline) Thread.sleep(250L)
+      assert(sinkOk(), "TTL drain did not reach its expected sink state within 90 s")
+    } finally {
+      q.stop()
+      q.awaitTermination()
+    }
   }
+
+  /** Distinct keys carrying at least one non-heartbeat arrival in `df` —
+    * the exact number of (non-aged) emissions one micro-batch over `df`
+    * appends to the sink, hence the drain condition for data-only
+    * stages.
+    */
+  private def emittingKeys(df: org.apache.spark.sql.DataFrame): Long =
+    df.filter(col("op") =!= "H").select("k").distinct().count()
 
   test("TTL fallback: heartbeat-less feed ages tombstones at wall-clock expiry, state bounded") {
     withRocksDb {
@@ -186,21 +220,30 @@ class CdcAgeSpec extends SparkSpec {
       // fallback. Stage the whole feed, drain, then let the wall clock
       // pass the TTL and drain again (an empty-delta restart still runs
       // micro-batches, which is when expired processing-time timers fire).
-      stage(root, feed.filter(col("seq") === 0))
-      stage(root, feed.filter(col("seq") >= 1))
-      drainTtl(s"$root/in", s"$root/out", s"$root/ck", ttlMs = 2000L)
+      val dead = deadKeys()
+      assert(dead.nonEmpty)
+      val snap = feed.filter(col("seq") === 0)
+      val log = feed.filter(col("seq") >= 1)
+      val expectData = emittingKeys(snap) + emittingKeys(log)
+      stage(root, snap)
+      stage(root, log)
+      drainTtl(s"$root/in", s"$root/out", s"$root/ck", ttlMs = 2000L) { out =>
+        out.filter(!col("aged")).count() == expectData
+      }
       Thread.sleep(2500L)
       // a fresh live-key update (not a heartbeat) gives the restarted
-      // query a batch to process; its key is live, so it touches no timer
+      // query a batch to process; its key is live, so it touches no
+      // timer — the expired tombstone timers fire on the same restart
       val liveK = expectedLive().keys.min
       stage(root, spark.range(1).select(
         lit(liveK).as("k"), lit(50L).as("seq"), lit("U").as("op"),
         lit(123.25).as("val"), lit(null).cast("string").as("new_status")))
-      drainTtl(s"$root/in", s"$root/out", s"$root/ck", ttlMs = 2000L)
+      drainTtl(s"$root/in", s"$root/out", s"$root/ck", ttlMs = 2000L) { out =>
+        out.filter(col("aged")).count() == dead.size &&
+          out.filter(col("k") === liveK && col("price") === 123.25).count() >= 1
+      }
 
       val rows = spark.read.parquet(s"$root/out")
-      val dead = deadKeys()
-      assert(dead.nonEmpty)
       val agedMarks = rows.filter(col("aged")).collect()
       assert(agedMarks.map(_.getAs[Long]("k")).toSet == dead,
         "TTL aging must clear exactly the keys whose latest op is D")
@@ -218,9 +261,16 @@ class CdcAgeSpec extends SparkSpec {
     withRocksDb {
       val root = Files.createTempDirectory("cdc-ttl-stale").toString
       val feed = CdcStream.fixtureFeed(spark, sf())
-      stage(root, feed.filter(col("seq") === 0))
-      stage(root, feed.filter(col("seq") >= 1))
-      drainTtl(s"$root/in", s"$root/out", s"$root/ck", ttlMs = 2000L)
+      val dead = deadKeys()
+      val k0 = dead.min
+      val snap = feed.filter(col("seq") === 0)
+      val log = feed.filter(col("seq") >= 1)
+      val expectData = emittingKeys(snap) + emittingKeys(log)
+      stage(root, snap)
+      stage(root, log)
+      drainTtl(s"$root/in", s"$root/out", s"$root/ck", ttlMs = 2000L) { out =>
+        out.filter(!col("aged")).count() == expectData
+      }
       Thread.sleep(2500L)
       // a live-key nudge batch makes the expired timers fire and the
       // tombstones clear BEFORE the attack arrives (timers fire at batch
@@ -230,15 +280,18 @@ class CdcAgeSpec extends SparkSpec {
       stage(root, spark.range(1).select(
         lit(liveK).as("k"), lit(51L).as("seq"), lit("U").as("op"),
         lit(1.5).as("val"), lit(null).cast("string").as("new_status")))
-      drainTtl(s"$root/in", s"$root/out", s"$root/ck", ttlMs = 2000L)
+      drainTtl(s"$root/in", s"$root/out", s"$root/ck", ttlMs = 2000L) { out =>
+        out.filter(col("aged")).count() == dead.size
+      }
       // the same attack the heartbeat path's gate proves is DROPPED by
       // the watermark: a below-delete-seq I for a dead key, delivered
       // after aging. Here there is no watermark — the fallback ABSORBS it.
-      val k0 = deadKeys().min
       stage(root, spark.range(1).select(
         lit(k0).as("k"), lit(2L).as("seq"), lit("I").as("op"),
         lit(777.0).as("val"), lit("Z").as("new_status")))
-      drainTtl(s"$root/in", s"$root/out", s"$root/ck", ttlMs = 2000L)
+      drainTtl(s"$root/in", s"$root/out", s"$root/ck", ttlMs = 2000L) { out =>
+        out.filter(col("k") === k0 && col("price") === 777.0).count() >= 1
+      }
 
       val rows = spark.read.parquet(s"$root/out")
       // the divergence, asserted as fact: the stale image produced a

@@ -52,6 +52,70 @@ class QueueAndStateSpec extends SparkSpec {
     assert(rows.head.getAs[Int]("max_batches") == 5)
   }
 
+  test("socket transport twin: broker push with ack-timeout RE-DELIVERY; consumer dedupes to exactly-once") {
+    // The control-plane consume path on a NON-FILE transport (round-14
+    // verdict #7): a tiny in-test TCP "broker" pushes `msg_id,<wire>`
+    // lines — three messages, then re-delivers two of them (the Pub/Sub
+    // at-least-once contract: no ack within the deadline → send again).
+    // The stream is the SAME decode projection as the file topic; the
+    // gate asserts both halves of the contract: the raw delivery log
+    // SHOWS the duplicates (at-least-once is real, not assumed away),
+    // and msg_id-dedup + the wire decode recover exactly the published
+    // batch set.
+    val m1 = BatchMsg(Seq("users", "user__field_a"), 1, 3)
+    val m2 = BatchMsg(Seq("t2"), 2, 3)
+    val m3 = BatchMsg(Seq("t3"), 3, 3)
+    val firstSend = Seq("m1" -> m1, "m2" -> m2, "m3" -> m3)
+    val redelivered = Seq("m2" -> m2, "m3" -> m3)
+    def line(idMsg: (String, BatchMsg)) = s"${idMsg._1},${MessageQueue.encode(idMsg._2)}"
+
+    val server = new java.net.ServerSocket(0)
+    @volatile var testDone = false
+    val broker = new Thread(() => {
+      try {
+        val sock = server.accept()
+        val out = new java.io.PrintWriter(sock.getOutputStream, true)
+        firstSend.foreach(l => out.println(line(l)))
+        Thread.sleep(400L) // the "ack deadline" elapses for m2/m3
+        redelivered.foreach(l => out.println(line(l)))
+        out.flush()
+        while (!testDone) Thread.sleep(100L)
+        sock.close()
+      } catch { case _: Throwable => () } finally server.close()
+    })
+    broker.setDaemon(true)
+    broker.start()
+
+    val q = MessageQueue.readSocket(spark, "localhost", server.getLocalPort)
+      .writeStream.format("memory").queryName("sock_twin")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try {
+      val deadline = System.currentTimeMillis() + 60000L
+      def delivered() = spark.table("sock_twin").count()
+      while (delivered() < 5 && System.currentTimeMillis() < deadline) Thread.sleep(200L)
+      assert(delivered() == 5, "expected 3 first-sends + 2 re-deliveries on the wire")
+    } finally {
+      testDone = true
+      q.stop()
+      q.awaitTermination()
+    }
+
+    val log = spark.table("sock_twin").collect()
+    // at-least-once, visibly: m2/m3 arrive twice, byte-identical
+    val byId = log.groupBy(_.getAs[String]("msg_id"))
+    assert(byId.view.mapValues(_.length).toMap == Map("m1" -> 1, "m2" -> 2, "m3" -> 2))
+    assert(byId.values.forall(rows => rows.map(_.toString).distinct.length == 1),
+      "re-delivery must be byte-identical to the original")
+    // consumer half: dedupe on msg_id, decode — exactly the published set
+    val deduped = byId.map { case (_, rows) => rows.head }.toSeq
+      .sortBy(_.getAs[Int]("batch_no"))
+      .map(r => BatchMsg(
+        r.getAs[String]("payload").split(",").toSeq.filter(_.nonEmpty),
+        r.getAs[Int]("batch_no"), r.getAs[Int]("max_batches")))
+    assert(deduped == Seq(m1, m2, m3))
+  }
+
   test("flatMapGroupsWithState: running counts persist across AvailableNow runs") {
     import spark.implicits._
     val root = Files.createTempDirectory("state").toString
