@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
-import graft.functions.{DotProduct, MinHashSig, SimHash64, SortedIntersectGe, ZOrderExpr}
+import graft.functions.{AllL2, ArgMinL2, DotProduct, MinHashSig, MinL2, SimHash64, SortedIntersectGe, ZOrderExpr}
 
 /** SparkSessionExtensions hook: registers graft's custom Catalyst
   * expressions as SQL functions. Activate either via
@@ -30,6 +30,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               s"graft_dot requires exactly 2 arguments (array<double>, array<double>), got ${children.size}")
           DotProduct(children(0), children(1))
         }))
+    Seq(
+      ("graft_argmin_l2", classOf[ArgMinL2].getName,
+        (c: Seq[Expression]) => ArgMinL2(c(0), c(1)): Expression),
+      ("graft_min_l2", classOf[MinL2].getName,
+        (c: Seq[Expression]) => MinL2(c(0), c(1)): Expression),
+      ("graft_l2s", classOf[AllL2].getName,
+        (c: Seq[Expression]) => AllL2(c(0), c(1)): Expression)
+    ).foreach { case (name, cls, build) =>
+      ext.injectFunction(
+        (
+          FunctionIdentifier(name),
+          new ExpressionInfo(cls, name),
+          (children: Seq[Expression]) => {
+            if (children.size != 2)
+              throw new IllegalArgumentException(
+                s"$name requires exactly 2 arguments (array<double|float>, " +
+                  s"foldable array<array<double>>), got ${children.size}")
+            build(children)
+          }))
+    }
     ext.injectFunction(
       (
         FunctionIdentifier("graft_zorder"),

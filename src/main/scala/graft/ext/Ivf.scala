@@ -24,12 +24,13 @@ object Ivf {
   /** Corpus-size-aware cell count: k ≈ √n keeps cells √n-sized, so the
     * cell-blocked candidate volume r²·n²/k grows as r²·n^1.5 — genuinely
     * sub-quadratic as the corpus scales, not just "n²/constant". Clamped
-    * to [8, 64]: centroids are literal codegen expressions here
-    * (assignExpr builds k fused distance folds), which stays
-    * whole-stage-codegen-friendly to ~64; past that a real deployment
-    * switches assignment to a broadcast-join argmin over a centroid
-    * TABLE — same plan shape, no expression blowup — so the clamp is a
-    * fixture-scale implementation bound, not an algorithmic one.
+    * to [8, 64]. (Since round 15 the assignment is the `graft_argmin_l2`
+    * codegen kernel — one primitive loop over a hoisted `double[][]`, so
+    * expression size no longer grows with k and the old ~64 codegen
+    * ceiling is gone; the clamp is kept for fixture-scale comparability
+    * and because past a few hundred centroids a real deployment switches
+    * to a broadcast-join argmin over a centroid TABLE anyway — same plan
+    * shape, driver-free centroid distribution.)
     */
   def cellCount(n: Long): Int =
     math.min(64, math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt))
@@ -41,17 +42,34 @@ object Ivf {
       lit(0.0),
       (acc, d) => acc + d)
 
-  /** Bucket assignment column: index of the nearest centroid. */
-  def assignExpr(v: Column, centroids: Seq[Seq[Double]]): Column = {
-    val dists = array(centroids.map(c => dist2(v, c)): _*)
-    (array_position(dists, array_min(dists)) - 1).cast("int")
-  }
+  /** The codebook as a foldable literal — the constant the L2 kernels
+    * ([[graft.functions.L2Kernel]]) hoist to one `double[][]` reference
+    * per executor.
+    */
+  private[ext] def centroidsLit(centroids: Seq[Seq[Double]]): Column =
+    array(centroids.map(c => array(c.map(lit): _*)): _*)
+
+  /** Bucket assignment column: index of the nearest centroid (first-wins
+    * ties — array_position semantics). Round 15: the k-fold HOF chain
+    * (k interpreted `aggregate(zip_with)` lambdas per row) is replaced by
+    * the codegen argmin kernel — bit-identical distances (same IEEE fold
+    * order) and tie-break, one primitive loop per row; the PQ encode map
+    * this dominates dropped ~4.7× (PLANS.md round-15).
+    */
+  def assignExpr(v: Column, centroids: Seq[Seq[Double]]): Column =
+    call_function("graft_argmin_l2", v, centroidsLit(centroids))
 
   /** Squared distance to the NEAREST centroid — the per-row inertia term
     * Lloyd's algorithm minimizes (see [[ClusterQueries]]' q_kmeans gate).
     */
   def minDist2(v: Column, centroids: Seq[Seq[Double]]): Column =
-    array_min(array(centroids.map(c => dist2(v, c)): _*))
+    call_function("graft_min_l2", v, centroidsLit(centroids))
+
+  /** The whole per-centroid distance row — what the probe / multi-probe
+    * forms posexplode.
+    */
+  private[ext] def dists2All(v: Column, centroids: Seq[Seq[Double]]): Column =
+    call_function("graft_l2s", v, centroidsLit(centroids))
 
   /** Deterministic k-means: initial centroids are the vectors whose ids
     * hash lowest (spread, reproducible), then `iters` Lloyd rounds. Only
@@ -125,7 +143,7 @@ object Ivf {
     */
   def indexMulti(corpus: DataFrame, centroids: Seq[Seq[Double]], r: Int): DataFrame = {
     val v = corpus.select(col("vec_id").as("n_id"), col("embedding").cast("array<double>").as("cv"))
-    val dists = array(centroids.map(c => dist2(col("cv"), c)): _*)
+    val dists = dists2All(col("cv"), centroids)
     v.select(col("n_id"), col("cv"), posexplode(dists).as(Seq("bucket", "d2")))
       .withColumn(
         "pr",
@@ -207,7 +225,7 @@ object Ivf {
     */
   def probeCells(queries: DataFrame, centroids: Seq[Seq[Double]], nprobe: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("qv"))
-    val dists = array(centroids.map(c => dist2(col("qv"), c)): _*)
+    val dists = dists2All(col("qv"), centroids)
     q.select(col("q_id"), col("qv"), posexplode(dists).as(Seq("bucket", "d2")))
       .withColumn("probe_rank", row_number().over(Window.partitionBy(col("q_id")).orderBy(col("d2"), col("bucket"))))
       .filter(col("probe_rank") <= nprobe)

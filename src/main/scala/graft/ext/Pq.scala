@@ -18,18 +18,6 @@ import org.apache.spark.sql.functions._
   */
 object Pq {
 
-  /** Squared L2 between a vector column and the codebook row selected by
-    * `code` (1-based element_at; `code` is the 0-based assignment).
-    */
-  private def reconErr2(subv: Column, codebook: Seq[Seq[Double]], code: Column): Column = {
-    val cbLit = array(codebook.map(c => array(c.map(lit): _*)): _*)
-    val cent = element_at(cbLit, (code + 1).cast("int"))
-    aggregate(
-      zip_with(subv, cent, (x, y) => (x - y) * (x - y)),
-      lit(0.0),
-      (acc, e) => acc + e)
-  }
-
   /** Train M codebooks of k entries each over dim/M-sized subvectors.
     * `iters` Lloyd rounds per sub-quantizer (more rounds than the coarse
     * IVF default: sub-codebook quality directly bounds ADC recall).
@@ -65,17 +53,14 @@ object Pq {
       initRows.map(_.getSeq[Double](1).slice(j * sub, (j + 1) * sub).toIndexedSeq).toIndexedSeq
     }
     for (_ <- 0 until iters) {
-      val bookLit = array(books.map(cb =>
-        array(cb.map(c => array(c.map(lit): _*)): _*)): _*)
-      val cents = element_at(bookLit, col("j") + 1)
-      val dists = transform(
-        cents,
-        c => aggregate(
-          zip_with(col("sv"), c, (x, y) => (x - y) * (x - y)),
-          lit(0.0),
-          (acc, e) => acc + e))
+      // per-subspace assignment through the codegen argmin kernel (the
+      // j-dispatch is an m-way CASE over constant codebooks — same
+      // distances, fold order, and first-wins tie-break as the HOF form)
+      val bucket = coalesce(books.zipWithIndex.map { case (cb, j) =>
+        when(col("j") === j, Ivf.assignExpr(col("sv"), cb))
+      }: _*)
       val means = subRows
-        .withColumn("bucket", (array_position(dists, array_min(dists)) - 1).cast("int"))
+        .withColumn("bucket", bucket)
         .select(col("j"), col("bucket"), posexplode(col("sv")).as(Seq("pos", "x")))
         .groupBy(col("j"), col("bucket"), col("pos"))
         .agg(avg(col("x")).as("mn"))
@@ -151,10 +136,15 @@ object Pq {
     val dim = books.map(_.head.size).sum
     val sub = dim / books.size
     val v = col("embedding").cast("array<double>")
+    // err2 is the squared L2 to the ASSIGNED (= nearest) entry, so the
+    // min-distance kernel computes it directly — same fold order as the
+    // old select-then-refold form, one pass instead of two
     val perM = books.zipWithIndex.map { case (cb, j) =>
       val subv = slice(col("v"), j * sub + 1, sub)
-      val code = Ivf.assignExpr(subv, cb)
-      struct(lit(j).as("m"), code.as("code"), reconErr2(subv, cb, code).as("err2"))
+      struct(
+        lit(j).as("m"),
+        Ivf.assignExpr(subv, cb).as("code"),
+        Ivf.minDist2(subv, cb).as("err2"))
     }
     corpus
       .select(col("vec_id"), v.as("v"))
@@ -178,13 +168,7 @@ object Pq {
     val v = col("embedding").cast("array<double>")
     // tables: array over m of array over code of ||q_m - book_m[code]||²
     val tables = array(books.zipWithIndex.map { case (cb, j) =>
-      val subv = slice(col("qv"), j * sub + 1, sub)
-      array(cb.map { c =>
-        aggregate(
-          zip_with(subv, array(c.map(lit): _*), (x, y) => (x - y) * (x - y)),
-          lit(0.0),
-          (acc, e) => acc + e)
-      }: _*)
+      Ivf.dists2All(slice(col("qv"), j * sub + 1, sub), cb)
     }: _*)
     val q = queries
       .select(col("vec_id").as("q_id"), v.as("qv"))
@@ -353,15 +337,9 @@ object Pq {
     val sub = dim / books.size
     val v = col("embedding").cast("array<double>")
     val centLit = array(coarse.map(c => array(c.map(lit): _*)): _*)
-    val coarseDists = array(coarse.map(c => Ivf.dist2(col("qv"), c)): _*)
+    val coarseDists = Ivf.dists2All(col("qv"), coarse)
     val tables = array(books.zipWithIndex.map { case (cb, j) =>
-      val subv = slice(col("qrv"), j * sub + 1, sub)
-      array(cb.map { c =>
-        aggregate(
-          zip_with(subv, array(c.map(lit): _*), (x, y) => (x - y) * (x - y)),
-          lit(0.0),
-          (acc, e) => acc + e)
-      }: _*)
+      Ivf.dists2All(slice(col("qrv"), j * sub + 1, sub), cb)
     }: _*)
     val probes = queries
       .select(col("vec_id").as("q_id"), v.as("qv"))
@@ -409,15 +387,9 @@ object Pq {
     val sub = dim / books.size
     val v = col("embedding").cast("array<double>")
     val tables = array(books.zipWithIndex.map { case (cb, j) =>
-      val subv = slice(col("qv"), j * sub + 1, sub)
-      array(cb.map { c =>
-        aggregate(
-          zip_with(subv, array(c.map(lit): _*), (x, y) => (x - y) * (x - y)),
-          lit(0.0),
-          (acc, e) => acc + e)
-      }: _*)
+      Ivf.dists2All(slice(col("qv"), j * sub + 1, sub), cb)
     }: _*)
-    val coarseDists = array(coarse.map(c => Ivf.dist2(col("qv"), c)): _*)
+    val coarseDists = Ivf.dists2All(col("qv"), coarse)
     val probes = queries
       .select(col("vec_id").as("q_id"), v.as("qv"))
       .withColumn("tables", tables)

@@ -121,6 +121,29 @@ class PipelineSpec extends SparkSpec {
       """{"name": "name", "type": "STRING", "mode": "NULLABLE"}, """ +
       """{"name": "amount", "type": "FLOAT", "mode": "NULLABLE"}]"""
 
+  /** Scrub a managed table AND its warehouse location before/after a
+    * test: the warehouse dir outlives the JVM while the in-memory
+    * catalog does not, so a leftover location from a previous run makes
+    * saveAsTable's CREATE path fail with LOCATION_ALREADY_EXISTS (and
+    * DROP TABLE IF EXISTS alone cannot remove a location the fresh
+    * catalog has never heard of).
+    */
+  private def withLoadTable(name: String)(body: String => Unit): Unit = {
+    def scrub(): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles).toSeq.flatten.foreach(del)
+        f.delete()
+        ()
+      }
+      del(new java.io.File(wh, name))
+    }
+    scrub()
+    try body(name)
+    finally scrub()
+  }
+
   private def writeCsv(lines: Seq[String]): String = {
     val f = java.nio.file.Files.createTempDirectory("bqload").resolve("data.csv")
     java.nio.file.Files.writeString(f, lines.mkString("\n") + "\n")
@@ -128,7 +151,7 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("load job: headerless CSV under the explicit schema; WRITE_TRUNCATE replaces contents") {
-    val t = "bq_load_t1"
+    withLoadTable("bq_load_t1") { t =>
     val r1 = BqLoad.load(spark, writeCsv(Seq("1,alice,12.5", "2,,3.25", "3,7,1.0")), t,
       BqLoad.LoadJobConfig(loadSchema))
     assert(r1 == BqLoad.LoadJobResult(outputRows = 3, badRecords = 0))
@@ -140,10 +163,11 @@ class PipelineSpec extends SparkSpec {
     // truncate disposition: a second load REPLACES, never appends
     val r2 = BqLoad.load(spark, writeCsv(Seq("9,zoe,0.5")), t, BqLoad.LoadJobConfig(loadSchema))
     assert(r2.outputRows == 1 && spark.table(t).count() == 1)
+    }
   }
 
   test("load job atomicity: a bad record fails the job and leaves the table untouched") {
-    val t = "bq_load_t2"
+    withLoadTable("bq_load_t2") { t =>
     BqLoad.load(spark, writeCsv(Seq("1,alice,12.5")), t, BqLoad.LoadJobConfig(loadSchema))
     // type mismatch under the declared schema = bad record, and
     // max_bad_records defaults to 0 — the whole job fails...
@@ -158,10 +182,11 @@ class PipelineSpec extends SparkSpec {
     }
     // ...and the failed jobs are ATOMIC: the destination is untouched.
     assert(spark.table(t).collect().toSeq == Seq(Row(1L, "alice", 12.5)))
+    }
   }
 
   test("load job max_bad_records tolerates exactly that many bad rows, dropping them") {
-    val t = "bq_load_t3"
+    withLoadTable("bq_load_t3") { t =>
     val csv = writeCsv(Seq("1,alice,12.5", "oops,bob,1.0", "3,carol,2.0"))
     val r = BqLoad.load(spark, csv, t,
       BqLoad.LoadJobConfig(loadSchema, maxBadRecords = 1L))
@@ -170,10 +195,11 @@ class PipelineSpec extends SparkSpec {
     intercept[BqLoad.LoadJobFailed] {
       BqLoad.load(spark, csv, t, BqLoad.LoadJobConfig(loadSchema, maxBadRecords = 0L))
     }
+    }
   }
 
   test("load job skip_leading_rows=0: a stray header line is DATA and fails the job; 1 skips it") {
-    val t = "bq_load_t4"
+    withLoadTable("bq_load_t4") { t =>
     val csv = writeCsv(Seq("id,name,amount", "1,alice,12.5", "2,bob,3.25"))
     // the reference's contract (main.py:28): files are headerless, so a
     // header line hits the INTEGER column and the job REJECTS — it is
@@ -183,10 +209,11 @@ class PipelineSpec extends SparkSpec {
     }
     val r = BqLoad.load(spark, csv, t, BqLoad.LoadJobConfig(loadSchema, skipLeadingRows = 1))
     assert(r == BqLoad.LoadJobResult(outputRows = 2, badRecords = 0))
+    }
   }
 
   test("load job WRITE_EMPTY loads only into an absent or empty destination") {
-    val t = "bq_load_t5"
+    withLoadTable("bq_load_t5") { t =>
     val cfg = BqLoad.LoadJobConfig(loadSchema, writeDisposition = BqLoad.WriteEmpty)
     val r = BqLoad.load(spark, writeCsv(Seq("1,alice,12.5")), t, cfg)
     assert(r.outputRows == 1)
@@ -194,6 +221,7 @@ class PipelineSpec extends SparkSpec {
       BqLoad.load(spark, writeCsv(Seq("9,zoe,0.5")), t, cfg)
     }
     assert(spark.table(t).collect().toSeq == Seq(Row(1L, "alice", 12.5)))
+    }
   }
 
   test("writeHeaderless emits the cleaner's post-clean CSV format") {
