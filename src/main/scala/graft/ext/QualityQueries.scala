@@ -225,6 +225,125 @@ object QualityQueries {
           "SELECT source, n_docs, w_raw / w_total AS weight, " +
           "CAST(floor(w_raw / w_total * 10000.0) AS BIGINT) AS planned_docs " +
           "FROM c CROSS JOIN t ORDER BY source")
+    ),
+    Q(
+      "q_dsir_weights",
+      // Hashed n-gram importance weighting — the DSIR shape (Xie et al.
+      // 2023, "Data Selection for Language Models via Importance
+      // Resampling"): pick more data that LOOKS LIKE a target domain by
+      // scoring every raw doc under two hashed-feature bag models.
+      // Features are word unigrams + bigrams hashed into B = 1024
+      // buckets via the proven cross-engine char-polynomial hash (the
+      // late-interaction recipe — exact integer folds both engines
+      // reproduce); the target model counts features in the target
+      // slice (source = 'src0'), the raw model over the whole pool; a
+      // feature's Laplace-smoothed likelihood ratio is the EXACT
+      // integer-ratio double
+      //   r(b) = ((ct+1)·(Sr+B)) / ((cr+1)·(St+B))
+      // (every product < 2^53, one IEEE division — bit-identical
+      // cross-engine, where the paper's sum-of-log-ratios would hit
+      // engine-dependent ln()); the per-doc score aggregates r over the
+      // doc's features with the fixed-point davg recipe. Scale shape:
+      // two explodes, one B-bounded hash-agg, a broadcast join of 1024
+      // bucket-stat rows, one doc_id hash-agg — the corpus is scanned
+      // twice (uni + bi) and never collected.
+      (s, d) => dsirScores(s, d).orderBy("doc_id"),
+      Some(dsirSqlWith + " SELECT doc_id, n_feat, dsir_score FROM scored ORDER BY doc_id")
+    ),
+    Q(
+      "q_dsir_select",
+      // The resampling half of DSIR: take the top-300 docs by importance
+      // score (ties to the lower doc_id — the deterministic stand-in for
+      // the paper's Gumbel resampling) and roll the selection up by
+      // source. The gate's teeth: the per-source selection rates are a
+      // full differential, and on the fixture the target source's rate
+      // must dominate — the selection visibly shifts toward
+      // target-looking data, which is the operator's entire point.
+      // Deterministic cross-engine because the scores are bit-identical
+      // (see q_dsir_weights) and the tie-break is total.
+      (s, d) => {
+        val sel = dsirScores(s, d)
+          .orderBy(col("dsir_score").desc, col("doc_id"))
+          .limit(300)
+        val bySource = Tables(s, d, "documents").groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"))
+        bySource
+          .join(
+            sel.join(Tables(s, d, "documents").select(col("doc_id"), col("source")), Seq("doc_id"))
+              .groupBy(col("source")).agg(count(lit(1)).as("n_selected")),
+            Seq("source"), "left")
+          .select(
+            col("source"), col("n_docs"),
+            coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+            (coalesce(col("n_selected"), lit(0L)).cast("double") /
+              col("n_docs").cast("double")).as("sel_rate"))
+          .orderBy("source")
+      },
+      Some(dsirSqlWith +
+        ", sel AS (SELECT doc_id FROM scored ORDER BY dsir_score DESC, doc_id LIMIT 300), " +
+        "bysrc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1), " +
+        "selsrc AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_selected " +
+        "FROM sel JOIN documents d USING (doc_id) GROUP BY 1) " +
+        "SELECT b.source, b.n_docs, COALESCE(s.n_selected, 0) AS n_selected, " +
+        "CAST(COALESCE(s.n_selected, 0) AS DOUBLE) / CAST(b.n_docs AS DOUBLE) AS sel_rate " +
+        "FROM bysrc b LEFT JOIN selsrc s USING (source) ORDER BY source")
     )
   )
+
+  /** Shared DSIR scoring chain: (doc_id, n_feat, dsir_score) for every
+    * document. Target slice = source 'src0'; B = 1024 hash buckets.
+    */
+  private def dsirScores(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables(s, d, "documents")
+    val uni = docs.select(col("doc_id"), col("source"), explode(toks).as("feat"))
+      .filter(col("feat") =!= "")
+    val bi = docs.select(
+      col("doc_id"), col("source"),
+      explode(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("feat"))
+    val feats = uni.unionByName(bi).withColumn(
+      "bucket",
+      expr(
+        "aggregate(transform(sequence(1, length(feat)), " +
+          "i -> CAST(ascii(substring(feat, i, 1)) AS BIGINT)), " +
+          "CAST(7 AS BIGINT), (h, c) -> (h * 31 + c) % 1048576) % 1024"))
+    val bstats = feats.groupBy(col("bucket")).agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ct"))
+    val totals = bstats.agg(sum(col("cr")).as("sr"), sum(col("ct")).as("st"))
+    feats
+      .join(broadcast(bstats), Seq("bucket"))
+      .crossJoin(broadcast(totals))
+      .select(
+        col("doc_id"),
+        (((col("ct") + 1L) * (col("sr") + 1024L)).cast("double") /
+          ((col("cr") + 1L) * (col("st") + 1024L)).cast("double")).as("r"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feat"), Agg.davg(col("r")).as("dsir_score"))
+  }
+
+  /** DuckDB mirror of [[dsirScores]] as a WITH prefix ending in `scored`. */
+  private def dsirSqlWith: String =
+    "WITH tk AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS feat FROM documents), " +
+      "uni AS (SELECT doc_id, source, feat FROM tk WHERE feat <> ''), " +
+      "bi AS (SELECT doc_id, source, unnest(list_transform(" +
+      "generate_series(1, len(string_split(text, ' ')) - 1), " +
+      "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS feat " +
+      "FROM documents), " +
+      "f AS (SELECT * FROM uni UNION ALL SELECT * FROM bi), " +
+      "fb AS (SELECT doc_id, source, list_reduce(list_prepend(CAST(7 AS BIGINT), " +
+      "list_transform(range(1, CAST(len(feat) AS BIGINT) + 1), " +
+      "i -> CAST(ascii(substring(feat, CAST(i AS INT), 1)) AS BIGINT))), " +
+      "(h, c) -> (h * 31 + c) % 1048576) % 1024 AS bucket FROM f), " +
+      "bs AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cr, " +
+      "CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ct " +
+      "FROM fb GROUP BY 1), " +
+      "tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS sr, CAST(SUM(ct) AS BIGINT) AS st FROM bs), " +
+      "scored AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feat, " +
+      Agg.davgSql(
+        "CAST((ct + 1) * (sr + 1024) AS DOUBLE) / CAST((cr + 1) * (st + 1024) AS DOUBLE)") +
+      " AS dsir_score FROM fb JOIN bs USING (bucket) CROSS JOIN tot GROUP BY doc_id)"
 }

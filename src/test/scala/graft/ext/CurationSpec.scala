@@ -59,4 +59,21 @@ class CurationSpec extends SparkSpec {
     assert(surv.filter(col("doc_id") >= 1000000L).count() == 0L)
     assert(surv.count() == corpus.select(col("text")).distinct().count())
   }
+
+  test("DSIR selection shifts toward the target source, and target-slice docs score highest") {
+    // The importance-resampling property the oracle's hash differential
+    // cannot express: selection must OVERREPRESENT the target source
+    // (src0) relative to the pool. On the fixture src0 selects at 100%
+    // while the pool averages well below (round-15 measurement:
+    // 1.00 vs 0.36-0.84 per non-target source).
+    val sel = graft.Registry.byName("q_dsir_select").run(spark, sf()).collect()
+    val rates = sel.map(r => r.getAs[String]("source") -> r.getAs[Double]("sel_rate")).toMap
+    val others = rates.removed("src0").values
+    assert(rates("src0") == rates.values.max,
+      s"target source must have the max selection rate, got $rates")
+    assert(rates("src0") > others.sum / others.size,
+      "target selection rate must exceed the non-target average")
+    // selection binds (not everything selected), so the shift has teeth
+    assert(sel.map(_.getAs[Long]("n_selected")).sum < sel.map(_.getAs[Long]("n_docs")).sum)
+  }
 }
