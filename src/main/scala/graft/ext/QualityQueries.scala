@@ -296,23 +296,34 @@ object QualityQueries {
   private def dsirScores(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val docs = Tables(s, d, "documents")
-    val uni = docs.select(col("doc_id"), col("source"), explode(toks).as("feat"))
-      .filter(col("feat") =!= "")
-    val bi = docs.select(
-      col("doc_id"), col("source"),
-      explode(zip_with(
+    // ONE explode over the concatenated uni+bi feature array: the
+    // feature relation has two consumers (the bucket-model agg and the
+    // scoring join) and is deliberately NOT checkpointed — at corpus
+    // scale the exploded features dwarf the input, so the honest cost
+    // is one model pass + one scoring pass; fusing the two explodes
+    // keeps that at 2 corpus scans total (was 4 as separate uni/bi
+    // relations).
+    val featArr = concat(
+      filter(toks, t => t =!= ""),
+      zip_with(
         slice(toks, lit(1), size(toks) - 1),
         slice(toks, lit(2), size(toks) - 1),
-        (a, b) => concat(a, lit(" "), b))).as("feat"))
-    val feats = uni.unionByName(bi).withColumn(
+        (a, b) => concat(a, lit(" "), b)))
+    val feats = docs
+      .select(col("doc_id"), col("source"), explode(featArr).as("feat"))
+      .withColumn(
       "bucket",
       expr(
         "aggregate(transform(sequence(1, length(feat)), " +
           "i -> CAST(ascii(substring(feat, i, 1)) AS BIGINT)), " +
           "CAST(7 AS BIGINT), (h, c) -> (h * 31 + c) % 1048576) % 1024"))
+    // the bucket model IS the trained artifact (≤ B rows) — materialize
+    // it once so its two consumers (totals, scoring join) don't each
+    // replay the model pass over the corpus
     val bstats = feats.groupBy(col("bucket")).agg(
       count(lit(1)).as("cr"),
       sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ct"))
+      .localCheckpoint(true)
     val totals = bstats.agg(sum(col("cr")).as("sr"), sum(col("ct")).as("st"))
     feats
       .join(broadcast(bstats), Seq("bucket"))
@@ -327,13 +338,11 @@ object QualityQueries {
 
   /** DuckDB mirror of [[dsirScores]] as a WITH prefix ending in `scored`. */
   private def dsirSqlWith: String =
-    "WITH tk AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS feat FROM documents), " +
-      "uni AS (SELECT doc_id, source, feat FROM tk WHERE feat <> ''), " +
-      "bi AS (SELECT doc_id, source, unnest(list_transform(" +
-      "generate_series(1, len(string_split(text, ' ')) - 1), " +
-      "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS feat " +
+    "WITH f AS (SELECT doc_id, source, unnest(list_concat(" +
+      "list_filter(string_split(text, ' '), t -> t <> ''), " +
+      "list_transform(generate_series(1, len(string_split(text, ' ')) - 1), " +
+      "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))) AS feat " +
       "FROM documents), " +
-      "f AS (SELECT * FROM uni UNION ALL SELECT * FROM bi), " +
       "fb AS (SELECT doc_id, source, list_reduce(list_prepend(CAST(7 AS BIGINT), " +
       "list_transform(range(1, CAST(len(feat) AS BIGINT) + 1), " +
       "i -> CAST(ascii(substring(feat, CAST(i AS INT), 1)) AS BIGINT))), " +

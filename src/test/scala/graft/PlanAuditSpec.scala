@@ -300,6 +300,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("DSIR scoring scans the corpus once and joins the materialized bucket model by broadcast") {
+    // the bucket model (≤1024 rows) is the trained artifact: it must be
+    // materialized (its model pass runs once, outside the serving plan)
+    // and reach the feature stream as a broadcast equi-join — never a
+    // cartesian, never a second corpus scan per consumer.
+    val df = Registry.byName("q_dsir_weights").run(spark, sf())
+    val p = planString(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket-model join lost its broadcast shape:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"))
+    assert(scans(df).size == 1,
+      s"scoring pass must scan the corpus exactly once, saw ${scans(df).size}")
+  }
+
   test("zorder audit reads only the two key columns from the fact scan") {
     val df = Registry.byName("q_zorder").run(spark, sf())
     val read = scans(df).head.requiredSchema.fieldNames.toSet
