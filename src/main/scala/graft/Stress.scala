@@ -425,7 +425,10 @@ object Stress {
   private def runRetrieval(spark: SparkSession, sfDir: String, mult: Int): Unit = {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft-stress-retrieval"
     val num = (v: Double) => Timing.fmt3(v)
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    // source carried through: the DSIR leg's target slice must replicate
+    // with the corpus
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "source")
     spark.range(mult).withColumnRenamed("id", "rep")
       .crossJoin(docs)
       .withColumn("doc_id", col("doc_id") + col("rep") * 10000000L)
@@ -463,6 +466,10 @@ object Stress {
     val bmBig = minOf2("q_bm25", out)
     val scBase = minOf2("q_sparse_cosine", sfDir)
     val scBig = minOf2("q_sparse_cosine", outS)
+    // DSIR leg (round 15): one bucket-model build + one scoring scan per
+    // run — per-token throughput should hold flat-or-better at mult×
+    val dsBase = minOf2("q_dsir_weights", sfDir)
+    val dsBig = minOf2("q_dsir_weights", out)
 
     // champion-cap two-point (round-11 verdict #7): same registered plan
     // at C=16 — the runtime face of the recall/candidate-volume trade
@@ -485,7 +492,9 @@ object Stress {
         s""""bm25_base_mtok_s":${num(rate(nTokBase, bmBase))},"bm25_big_mtok_s":${num(rate(nTokBig, bmBig))},""" +
         s""""sparse_base_sec":${num(scBase)},"sparse_big_sec":${num(scBig)},""" +
         s""""sparse_base_kdocs_s":${num(nDocsBase / scBase / 1e3)},"sparse_big_kdocs_s":${num(nDocsSparse / scBig / 1e3)},""" +
-        s""""sparse_c16_base_sec":${num(c16Base)}}""")
+        s""""sparse_c16_base_sec":${num(c16Base)},""" +
+        s""""dsir_base_sec":${num(dsBase)},"dsir_big_sec":${num(dsBig)},""" +
+        s""""dsir_base_mtok_s":${num(rate(nTokBase, dsBase))},"dsir_big_mtok_s":${num(rate(nTokBig, dsBig))}}""")
   }
 
   /** Late-interaction-family scale tier (round 13): extrapolation
