@@ -290,36 +290,60 @@ object QualityQueries {
     )
   )
 
-  /** Shared DSIR scoring chain: (doc_id, n_feat, dsir_score) for every
-    * document. Target slice = source 'src0'; B = 1024 hash buckets.
+  /** DSIR building blocks, shared with the streaming ingest twin
+    * ([[graft.streaming.DsirStream]]) so the two cannot drift: the
+    * uni+bigram feature array of a `text` column, and the cross-engine
+    * char-polynomial bucket hash of one feature.
     */
-  private def dsirScores(
-      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
-    val docs = Tables(s, d, "documents")
-    // ONE explode over the concatenated uni+bi feature array: the
-    // feature relation has two consumers (the bucket-model agg and the
-    // scoring join) and is deliberately NOT checkpointed — at corpus
-    // scale the exploded features dwarf the input, so the honest cost
-    // is one model pass + one scoring pass; fusing the two explodes
-    // keeps that at 2 corpus scans total (was 4 as separate uni/bi
-    // relations).
-    val featArr = concat(
+  private[graft] def dsirFeatureArr: org.apache.spark.sql.Column =
+    concat(
       filter(toks, t => t =!= ""),
       zip_with(
         slice(toks, lit(1), size(toks) - 1),
         slice(toks, lit(2), size(toks) - 1),
         (a, b) => concat(a, lit(" "), b)))
-    val feats = docs
-      .select(col("doc_id"), col("source"), explode(featArr).as("feat"))
-      .withColumn(
-      "bucket",
-      expr(
-        "aggregate(transform(sequence(1, length(feat)), " +
-          "i -> CAST(ascii(substring(feat, i, 1)) AS BIGINT)), " +
-          "CAST(7 AS BIGINT), (h, c) -> (h * 31 + c) % 1048576) % 1024"))
-    // the bucket model IS the trained artifact (≤ B rows) — materialize
-    // it once so its two consumers (totals, scoring join) don't each
-    // replay the model pass over the corpus
+
+  private[graft] def dsirBucket(f: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(
+      transform(sequence(lit(1), length(f)), i => ascii(f.substr(i, lit(1))).cast("long")),
+      lit(7L),
+      (h, c) => (h * 31 + c) % 1048576) % 1024
+
+  /** The exploded (doc_id, source, feat, bucket) feature relation. */
+  private def dsirFeats(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Tables(s, d, "documents")
+      .select(col("doc_id"), col("source"), explode(dsirFeatureArr).as("feat"))
+      .withColumn("bucket", dsirBucket(col("feat")))
+
+  /** The trained DSIR artifact collected to the driver (what a streaming
+    * ingest scorer loads): per-bucket (cr, ct) plus the totals —
+    * ≤ 1024+1 rows, the entire model.
+    */
+  def dsirModel(
+      s: org.apache.spark.sql.SparkSession, d: String): (Map[Int, (Long, Long)], Long, Long) = {
+    val rows = dsirFeats(s, d).groupBy(col("bucket")).agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ct"))
+      .collect()
+      .map(r => r.getAs[Long]("bucket").toInt -> ((r.getAs[Long]("cr"), r.getAs[Long]("ct"))))
+      .toMap
+    (rows, rows.values.map(_._1).sum, rows.values.map(_._2).sum)
+  }
+
+  /** Shared DSIR scoring chain: (doc_id, n_feat, dsir_score) for every
+    * document. Target slice = source 'src0'; B = 1024 hash buckets.
+    * ONE explode over the concatenated uni+bi feature array; the
+    * feature relation has two consumers (the bucket-model agg and the
+    * scoring join) and is deliberately NOT checkpointed — at corpus
+    * scale the exploded features dwarf the input, so the honest cost is
+    * one model pass + one scoring pass. The bucket model IS the trained
+    * artifact (≤ B rows) — materialized once so its two consumers
+    * (totals, scoring join) don't each replay the model pass.
+    */
+  private def dsirScores(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val feats = dsirFeats(s, d)
     val bstats = feats.groupBy(col("bucket")).agg(
       count(lit(1)).as("cr"),
       sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ct"))

@@ -86,6 +86,33 @@ class L2KernelsSpec extends SparkSpec {
     assert(ragged.head == 0.0 && ragged(1) == null)
   }
 
+  test("kernels agree between the codegen and interpreted evaluation paths") {
+    // doGenCode and nullSafeEval are separate implementations of the
+    // same contract; force the interpreted path and compare against the
+    // codegen results on real data.
+    val cs = graft.ext.Ivf.trainShared(spark, sf(), k = 16)
+    val vecs = graft.core.Tables(spark, sf(), "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    def results(): Seq[(Long, Int, Double)] =
+      vecs.select(
+        col("vec_id"),
+        call_function("graft_argmin_l2", col("v"), booksLit(cs)).as("a"),
+        call_function("graft_min_l2", col("v"), booksLit(cs)).as("m"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+    val gen = results()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = results()
+      assert(gen == interp, "codegen and interpreted kernel paths diverged")
+    } finally {
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("non-foldable codebook is rejected at analysis") {
     import spark.implicits._
     val e = intercept[Exception] {
