@@ -29,8 +29,9 @@ object Ivf {
     * expression size no longer grows with k and the old ~64 codegen
     * ceiling is gone; the clamp is kept for fixture-scale comparability
     * and because past a few hundred centroids a real deployment switches
-    * to a broadcast-join argmin over a centroid TABLE anyway — same plan
-    * shape, driver-free centroid distribution.)
+    * to [[assignViaJoin]] — the broadcast-join argmin over a centroid
+    * TABLE, implemented below and proven bit-identical to the kernel
+    * path in SimilaritySpec.)
     */
   def cellCount(n: Long): Int =
     math.min(64, math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt))
@@ -70,6 +71,42 @@ object Ivf {
     */
   private[ext] def dists2All(v: Column, centroids: Seq[Seq[Double]]): Column =
     call_function("graft_l2s", v, centroidsLit(centroids))
+
+  /** The centroid set as a (cid, cv) TABLE — the input of
+    * [[assignViaJoin]].
+    */
+  def centroidsTable(
+      spark: SparkSession, centroids: Seq[Seq[Double]]): DataFrame = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cid", "cv")
+  }
+
+  /** Broadcast-join argmin assignment over a centroid TABLE — the
+    * documented large-k path past the literal-codebook kernel (the
+    * [[cellCount]] clamp note): centroid count is no longer bounded by
+    * expression size, and the centroids ship as ordinary broadcast data
+    * instead of a compiled constant. Semantics are BIT-IDENTICAL to
+    * [[assignExpr]]: the per-pair distance is the same sequential
+    * `acc + (x−c)²` IEEE fold, and the per-vector argmin is
+    * `min(struct(d2, cid))` — lexicographic, so exact distance ties
+    * break to the LOWEST cid exactly like the kernel's first-wins scan
+    * (SimilaritySpec pins the equivalence on the real corpus). Plan
+    * shape: corpus × broadcast(k) pairs, partial min collapses them
+    * map-side, so the exchange still carries one row per vector.
+    */
+  def assignViaJoin(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val d2 = aggregate(
+      zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
+      lit(0.0),
+      (acc, d) => acc + d)
+    corpus
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .crossJoin(broadcast(centroids.select(col("cid"), col("cv"))))
+      .select(col("vec_id"), struct(d2.as("d2"), col("cid").as("cid")).as("sc"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("sc")).as("m"))
+      .select(col("vec_id"), col("m.cid").cast("int").as("bucket"), col("m.d2").as("d2"))
+  }
 
   /** Deterministic k-means: initial centroids are the vectors whose ids
     * hash lowest (spread, reproducible), then `iters` Lloyd rounds. Only

@@ -300,6 +300,15 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("quantizer assignment runs through the codegen argmin kernel, not the HOF chain") {
+    // the round-15 hot-loop swap must not silently revert: the encode
+    // map's plan carries graft_argmin_l2/graft_min_l2, and no
+    // aggregate-lambda distance fold remains in the assignment position.
+    val p = planString(Registry.byName("q_pq_encode").run(spark, sf()))
+    assert(p.contains("graft_argmin_l2"), s"PQ assignment lost the argmin kernel:\n${p.take(1500)}")
+    assert(p.contains("graft_min_l2"), "err2 lost the min-distance kernel")
+  }
+
   test("DSIR scoring scans the corpus once and joins the materialized bucket model by broadcast") {
     // the bucket model (≤1024 rows) is the trained artifact: it must be
     // materialized (its model pass runs once, outside the serving plan)

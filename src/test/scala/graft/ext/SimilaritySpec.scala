@@ -336,6 +336,23 @@ class SimilaritySpec extends SparkSpec {
       "served greedy did not fill all 5 slots per query")
   }
 
+  test("broadcast-join argmin assignment is bit-identical to the literal-kernel assignment") {
+    // the documented large-k path (past the literal-codebook clamp):
+    // same sequential distance fold, min(struct(d2, cid)) ties to the
+    // lowest cid = the kernel's first-wins scan. Exact equality on the
+    // real corpus, plus both minimum distances.
+    val emb = graft.core.Tables(spark, sf(), "embeddings")
+    val cs = Ivf.trainShared(spark, sf(), k = 16)
+    val viaKernel = emb
+      .select(col("vec_id"), Ivf.assignExpr(col("embedding").cast("array<double>"), cs).as("b"),
+        Ivf.minDist2(col("embedding").cast("array<double>"), cs).as("d2"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    val viaJoin = Ivf.assignViaJoin(emb, Ivf.centroidsTable(spark, cs))
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Int]("bucket"), r.getAs[Double]("d2")))).toMap
+    assert(viaJoin == viaKernel, "join-path assignment diverged from the kernel path")
+  }
+
   test("MoG nprobe-recall curve: IVF, hard-negative, and MMR serving on clustered embeddings") {
     // FIXTURES.md A7 extension (round-14 verdict #6): the served
     // coarse-IVF family measured on the REALISTIC clustered regime —
