@@ -227,6 +227,89 @@ object QualityQueries {
           "FROM c CROSS JOIN t ORDER BY source")
     ),
     Q(
+      "q_bigram_surprisal",
+      // Context-sensitive perplexity proxy — quality scoring #3 after the
+      // unigram surprisal (the CCNet-style LM signal, here a bigram
+      // stupid-backoff model, Brants et al. 2007, in the engine's exact-
+      // ratio arithmetic instead of engine-dependent ln()):
+      //   - the model trains on a HELD quarter slice (doc_id % 4 = 0) so the
+      //     backoff path is REAL — odd docs carry bigrams the model has
+      //     never seen;
+      //   - seen bigram: surprisal r = c(v·)/c(vw) — the exact inverse
+      //     conditional probability as one integer-ratio double;
+      //   - unseen bigram: stupid backoff α = 0.4 to the Laplace unigram,
+      //     r = 5·(T+V) / (2·(c(w)+1)) — again exact integers (< 2^53)
+      //     and one IEEE division;
+      //   - per-doc mean via the fixed-point davg recipe.
+      // Output: (doc_id, n_bigrams, n_backoff, avg_surprisal) — a full
+      // cross-engine differential including the backoff COUNT, which
+      // pins the seen/unseen split itself. Scale shape: one model pass
+      // (three bounded hash-aggs over the even slice), then one scoring
+      // pass — bigram explode, two vocab-keyed equi-joins (AQE
+      // broadcasts them when small), one doc_id hash-agg.
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val bigramArr = zip_with(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => struct(a.as("v"), b.as("w")))
+        def bigrams(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("doc_id"), explode(bigramArr).as("bg"))
+            .select(col("doc_id"), col("bg.v").as("v"), col("bg.w").as("w"))
+        val model = docs.filter(col("doc_id") % 4 === 0)
+        val mb = bigrams(model)
+        val cbw = mb.groupBy(col("v"), col("w")).agg(count(lit(1)).as("cbw"))
+        val cv = mb.groupBy(col("v")).agg(count(lit(1)).as("cv"))
+        val cw = model
+          .select(explode(toks).as("w")).filter(col("w") =!= "")
+          .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+        val tot = cw.agg(sum(col("cw")).as("t"), count(lit(1)).as("vsz"))
+        bigrams(docs)
+          .join(cbw, Seq("v", "w"), "left")
+          .join(cv, Seq("v"), "left")
+          .join(cw, Seq("w"), "left")
+          .crossJoin(broadcast(tot))
+          .select(
+            col("doc_id"),
+            col("cbw").isNull.as("backoff"),
+            when(
+              col("cbw").isNotNull,
+              col("cv").cast("double") / col("cbw").cast("double"))
+              .otherwise(
+                (lit(5L) * (col("t") + col("vsz"))).cast("double") /
+                  (lit(2L) * (coalesce(col("cw"), lit(0L)) + 1L)).cast("double"))
+              .as("r"))
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_bigrams"),
+            sum(col("backoff").cast("long")).as("n_backoff"),
+            Agg.davg(col("r")).as("avg_surprisal"))
+          .orderBy("doc_id")
+      },
+      Some(
+        "WITH b AS (SELECT doc_id, unnest(list_transform(" +
+          "generate_series(1, len(string_split(text, ' ')) - 1), " +
+          "i -> struct_pack(v := string_split(text, ' ')[i], " +
+          "w := string_split(text, ' ')[i+1]))) AS bg FROM documents), " +
+          "bb AS (SELECT doc_id, bg.v AS v, bg.w AS w FROM b), " +
+          "mb AS (SELECT * FROM bb WHERE doc_id % 4 = 0), " +
+          "cbw AS (SELECT v, w, CAST(COUNT(*) AS BIGINT) AS cbw FROM mb GROUP BY 1, 2), " +
+          "cv AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS cv FROM mb GROUP BY 1), " +
+          "cw AS (SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS cw FROM " +
+          "(SELECT unnest(string_split(text, ' ')) AS tok FROM documents WHERE doc_id % 4 = 0) " +
+          "WHERE tok <> '' GROUP BY 1), " +
+          "tot AS (SELECT CAST(SUM(cw) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS vsz FROM cw), " +
+          "r AS (SELECT bb.doc_id, cbw.cbw IS NULL AS backoff, " +
+          "CASE WHEN cbw.cbw IS NOT NULL THEN CAST(cv.cv AS DOUBLE) / CAST(cbw.cbw AS DOUBLE) " +
+          "ELSE CAST(5 * (tot.t + tot.vsz) AS DOUBLE) / CAST(2 * (COALESCE(cw.cw, 0) + 1) AS DOUBLE) END AS r " +
+          "FROM bb LEFT JOIN cbw ON cbw.v = bb.v AND cbw.w = bb.w " +
+          "LEFT JOIN cv ON cv.v = bb.v LEFT JOIN cw ON cw.w = bb.w CROSS JOIN tot) " +
+          "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, " +
+          "CAST(SUM(CASE WHEN backoff THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff, " +
+          Agg.davgSql("r") + " AS avg_surprisal " +
+          "FROM r GROUP BY doc_id ORDER BY doc_id")
+    ),
+    Q(
       "q_dsir_weights",
       // Hashed n-gram importance weighting — the DSIR shape (Xie et al.
       // 2023, "Data Selection for Language Models via Importance
