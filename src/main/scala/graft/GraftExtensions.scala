@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
-import graft.functions.{AllL2, ArgMinL2, DotProduct, MinHashSig, MinL2, SimHash64, SortedIntersectGe, ZOrderExpr}
+import graft.functions.{AllL2, ArgMinL2, DotProduct, MinHashSig, MinL2, SimHash64, SortedDotProduct, SortedIntersectGe, ZOrderExpr}
 
 /** SparkSessionExtensions hook: registers graft's custom Catalyst
   * expressions as SQL functions. Activate either via
@@ -80,6 +80,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             throw new IllegalArgumentException(
               s"graft_inter_ge requires exactly 3 arguments (array<int>, array<int>, int), got ${children.size}")
           SortedIntersectGe(children(0), children(1), children(2))
+        }))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_sorted_dot"),
+        new ExpressionInfo(classOf[SortedDotProduct].getName, "graft_sorted_dot"),
+        (children: Seq[Expression]) => {
+          if (children.size != 4)
+            throw new IllegalArgumentException(
+              "graft_sorted_dot requires exactly 4 arguments " +
+                s"(array<string>, array<bigint>, array<string>, array<bigint>), got ${children.size}")
+          SortedDotProduct(children(0), children(1), children(2), children(3))
         }))
     // Spark's runtime-filter bloom machinery (the expressions
     // InjectRuntimeFilter plants under AQE), exposed as first-class

@@ -163,10 +163,10 @@ object SearchQueries {
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val sigW = Window.partitionBy(col("doc_id")).orderBy(col("w").desc, col("term"))
-    // 4 consumers hang off the signature relation (champion window,
-    // probe side, and the two verify joins), each behind the corpus
-    // explode + two windows — localCheckpoint materializes the 5n
-    // thin rows once (the PageRank loop-invariant lesson; measured
+    // 3 consumers hang off the signature relation (champion window,
+    // probe side, and the array-signature build), each behind the
+    // corpus explode + two windows — localCheckpoint materializes the
+    // 5n thin rows once (the PageRank loop-invariant lesson; measured
     // 11.5 s → 4.9 s at sf0.1)
     // df via groupBy + equi-join, not count-over-window: the window form
     // shuffles AND SORTS the 5n tf rows per term partition for a count
@@ -187,22 +187,60 @@ object SearchQueries {
       .withColumn("crnk", row_number().over(champW))
       .filter(col("crnk") <= c)
       .select(col("doc_id").as("b_id"), col("term"))
+    // Candidate pairs: a shares ≥1 signature term with champion b.
+    // The champion index is collapsed to ONE array row per term (≤ c
+    // elements), so the probe join emits 5 rows per doc — each
+    // carrying that term's champion list — and the pair-level dedup
+    // happens INSIDE the per-doc row (flatten → array_distinct over
+    // ≤ 5c bounded elements) instead of a corpus-candidate-volume
+    // distinct (measured: the exploded join + distinct shuffled 1.6M
+    // thin rows twice at sf0.1; this shape shuffles 5n rows once).
+    // The per-term join stays a plain equi-join: the champion index is
+    // vocab-sized (AQE broadcasts it at gate scale, shards shuffle it
+    // at 100 TB), and per-doc state is bounded by 5c elements.
+    val champArr = champ.groupBy(col("term")).agg(collect_list(col("b_id")).as("bs"))
     val cand = sig.select(col("doc_id").as("a_id"), col("term"))
-      .join(champ, Seq("term"))
+      .join(champArr, Seq("term"))
+      .groupBy(col("a_id"))
+      .agg(flatten(collect_list(col("bs"))).as("bs"))
+      .select(col("a_id"), explode(array_distinct(col("bs"))).as("b_id"))
       .filter(col("a_id") =!= col("b_id"))
-      .select(col("a_id"), col("b_id"))
-      .distinct()
-    val norms = sig.groupBy(col("doc_id")).agg(sum(col("w") * col("w")).as("n2"))
+    // Per-doc signature as (sorted terms, aligned weights) parallel
+    // arrays + its norm — ONE row per doc, so the candidate relation
+    // joins it on a single key per side and the dot product is the
+    // graft_sorted_dot codegen merge. The relational alternative
+    // (cand ⋈ sig on a_id → ⋈ sig on (b_id, term) → hash-agg SUM)
+    // fans every candidate pair out to |sig| rows and shuffles them
+    // twice, then needs two more joins for the norms; measured 3.8 s
+    // of the 5.3 s query at sf0.1 (round-15 stage probe). The array
+    // build itself is a per-doc agg over the checkpointed sig (HOF
+    // transform over 5-element arrays, once per DOC not per pair),
+    // and the doc-keyed relation is corpus-row-sized, so AQE
+    // broadcasts it at gate scale and shards join it shuffle-wise at
+    // 100 TB — either way the candidate pairs never fan out.
+    val sigArr = sig
+      .groupBy(col("doc_id"))
+      .agg(
+        sort_array(collect_list(struct(col("term"), col("w")))).as("sw"),
+        sum(col("w") * col("w")).as("n2"))
+      .select(
+        col("doc_id"),
+        expr("transform(sw, x -> x.term)").as("ts"),
+        expr("transform(sw, x -> x.w)").as("ws"),
+        col("n2"))
     val pairs = cand
-      .join(sig.select(col("doc_id").as("a_id"), col("term"), col("w").as("wa")), Seq("a_id"))
-      .join(sig.select(col("doc_id").as("b_id"), col("term"), col("w").as("wb")), Seq("b_id", "term"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(sum(col("wa") * col("wb")).as("dot"))
-      .join(norms.select(col("doc_id").as("a_id"), col("n2").as("na2")), Seq("a_id"))
-      .join(norms.select(col("doc_id").as("b_id"), col("n2").as("nb2")), Seq("b_id"))
+      .join(
+        sigArr.select(
+          col("doc_id").as("a_id"), col("ts").as("tsa"), col("ws").as("wsa"), col("n2").as("na2")),
+        Seq("a_id"))
+      .join(
+        sigArr.select(
+          col("doc_id").as("b_id"), col("ts").as("tsb"), col("ws").as("wsb"), col("n2").as("nb2")),
+        Seq("b_id"))
       .select(
         col("a_id"), col("b_id"),
-        (col("dot").cast("double") / (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double")))).as("cos"))
+        (expr("graft_sorted_dot(tsa, wsa, tsb, wsb)").cast("double") /
+          (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double")))).as("cos"))
     val topW = Window.partitionBy(col("a_id")).orderBy(col("cos").desc, col("b_id"))
     pairs
       .withColumn("rnk", row_number().over(topW))

@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Static kernel: exact sparse-vector dot product over two TERM-SORTED
+  * parallel-array signatures via a two-pointer merge — the scoring
+  * workhorse of the champion-list sparse-cosine family. The relational
+  * formulation (candidate ⋈ sig-a on doc ⋈ sig-b on (doc, term) →
+  * hash-agg SUM) re-explodes every candidate pair into |sig| rows and
+  * shuffles them twice; with per-doc signature arrays the pair's dot is
+  * one bounded merge inside whole-stage codegen and the candidate
+  * relation never fans out (round-15 stage probe: the 3-way-join pairs
+  * stage was 3.8 s of the 5.3 s query at sf0.1).
+  */
+object SortedDot {
+
+  /** Σ wa(i)·wb(j) over positions with ta(i) == tb(j), both term arrays
+    * sorted ascending in UTF8 binary order (sort_array's string order)
+    * and duplicate-free per side — guaranteed by the builders, which
+    * sort_array a (doc, term)-grouped collect_list. A malformed input
+    * (parallel arrays of different lengths) is rejected loudly rather
+    * than scored wrong.
+    */
+  def compute(ta: ArrayData, wa: ArrayData, tb: ArrayData, wb: ArrayData): Long = {
+    val na = ta.numElements()
+    val nb = tb.numElements()
+    if (wa.numElements() != na || wb.numElements() != nb)
+      throw new IllegalArgumentException(
+        s"graft_sorted_dot: parallel arrays differ in length (${na} vs ${wa.numElements()}, ${nb} vs ${wb.numElements()})")
+    var i = 0
+    var j = 0
+    var acc = 0L
+    while (i < na && j < nb) {
+      val cmp = ta.getUTF8String(i).compareTo(tb.getUTF8String(j))
+      if (cmp == 0) {
+        acc += wa.getLong(i) * wb.getLong(j)
+        i += 1
+        j += 1
+      } else if (cmp < 0) i += 1
+      else j += 1
+    }
+    acc
+  }
+}
+
+/** Catalyst expression `graft_sorted_dot(array<string>, array<bigint>,
+  * array<string>, array<bigint>)` -> bigint: exact dot product of two
+  * sparse integer vectors given as (sorted terms, aligned weights)
+  * parallel arrays. Participates in whole-stage codegen (SURVEY §2.9
+  * custom-Expression tier); registered through [[graft.GraftExtensions]].
+  * Term arrays MUST be sorted ascending (UTF8 binary order — what
+  * `sort_array` produces for strings) and duplicate- and null-free;
+  * the signature builders guarantee all three by sorting a
+  * (doc, term)-grouped collect_list. Null in any argument → null.
+  */
+case class SortedDotProduct(
+    first: Expression,
+    second: Expression,
+    third: Expression,
+    fourth: Expression)
+    extends QuaternaryExpression {
+
+  private def termsOk(dt: DataType): Boolean = dt match {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+
+  private def weightsOk(dt: DataType): Boolean = dt match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (termsOk(first.dataType) && weightsOk(second.dataType) &&
+      termsOk(third.dataType) && weightsOk(fourth.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        "graft_sorted_dot requires (array<string>, array<bigint>, array<string>, array<bigint>), got " +
+          s"(${first.dataType.sql}, ${second.dataType.sql}, ${third.dataType.sql}, ${fourth.dataType.sql})")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean =
+    first.nullable || second.nullable || third.nullable || fourth.nullable
+  override def prettyName: String = "graft_sorted_dot"
+
+  override def nullSafeEval(ta: Any, wa: Any, tb: Any, wb: Any): Any =
+    SortedDot.compute(
+      ta.asInstanceOf[ArrayData],
+      wa.asInstanceOf[ArrayData],
+      tb.asInstanceOf[ArrayData],
+      wb.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (ta, wa, tb, wb) => {
+      s"${ev.value} = graft.functions.SortedDot.compute($ta, $wa, $tb, $wb);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression,
+      newSecond: Expression,
+      newThird: Expression,
+      newFourth: Expression): SortedDotProduct =
+    copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
+}

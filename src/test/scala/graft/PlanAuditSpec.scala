@@ -309,6 +309,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("graft_min_l2"), "err2 lost the min-distance kernel")
   }
 
+  test("sparse-cosine scoring runs through the sorted-dot kernel on array signatures") {
+    // round-15 hot-loop swap #2: the champion-family pair scoring is a
+    // graft_sorted_dot merge over per-doc signature arrays — the
+    // relational form (candidate ⋈ sig on a ⋈ sig on (b, term) →
+    // hash-agg SUM) fans every candidate out to |sig| rows and shuffles
+    // them twice. Pin the kernel and the absence of the fan-out join's
+    // hash-agg-on-pair-keys signature.
+    val p = planString(Registry.byName("q_sparse_cosine").run(spark, sf()))
+    assert(p.contains("graft_sorted_dot"),
+      s"sparse-cosine scoring lost the sorted-dot kernel:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("DSIR scoring scans the corpus once and joins the materialized bucket model by broadcast") {
     // the bucket model (≤1024 rows) is the trained artifact: it must be
     // materialized (its model pass runs once, outside the serving plan)
