@@ -62,8 +62,11 @@ import java.nio.file.{Files, Paths}
   * "total_ext" does not), and v8 moved that query's codebook training
   * OUT of its timed passes (train-once registry, round-14 verdict #2;
   * the cold training is reported separately as "pq_train_sec"), so its
-  * ext series measures SERVING cost from v8 on. Cross-version deltas
-  * partially reflect protocol, not engine, changes.
+  * ext series measures SERVING cost from v8 on. v9 does the same for
+  * q_sparse_cosine: the signature/champion index comes from the
+  * sparse-index registry (cold build reported as "sparse_index_sec"),
+  * so its ext series is candidate+score+top-k serving cost. Cross-
+  * version deltas partially reflect protocol, not engine, changes.
   *
   * EMISSION (v6): round 7's single line outgrew the driver's tail-capture
   * window (BENCH_r07 parsed: null). stdout now carries ONLY a compact
@@ -334,6 +337,21 @@ object Bench {
           errors("__pq_train__") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           (None, None)
       }
+    // Same lifecycle for the sparse retrieval index (v9): signatures +
+    // champion lists are written at ingest in production; time the cold
+    // build once ("sparse_index_sec") and let the ext passes of
+    // q_sparse_cosine serve from the registry.
+    val sparseIndexSec: Option[Double] =
+      try {
+        graft.ext.SearchQueries.clearSparseShared()
+        val t0 = System.nanoTime()
+        graft.ext.SearchQueries.sparseIndexShared(spark, sfDir)
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          errors("__sparse_index__") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          None
+      }
     val extSamples = scala.collection.mutable.LinkedHashMap.empty[String, List[(Double, Double)]]
     val extQs = ExtTargets.flatMap(Registry.byName.get)
     var ep = 0
@@ -393,7 +411,7 @@ object Bench {
     // driver's tail-capture window (the round-9/10 parsed:null failure).
     val head =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","samples":$Samples,"rescue_passes":$rescuePasses,""" +
-        s""""protocol":"interleaved-passes-v8",""" +
+        s""""protocol":"interleaved-passes-v9",""" +
         s""""probe1_min":${num(if (p1.nonEmpty) p1.min else 0.0)},""" +
         s""""probe32_min":${num(if (p32.nonEmpty) p32.min else 0.0)},"probe32_max":${num(if (p32.nonEmpty) p32.max else 0.0)},""" +
         s""""queries":$qs,"total_median":${num(totalMedian)},""" +
@@ -401,6 +419,7 @@ object Bench {
         s""""queries_ext":$eq,"total_ext":${num(extTotal)},"ext_passes":$ExtPasses,""" +
         s""""pq_train_sec":${pqTrainSec.map(num).getOrElse("null")},""" +
         s""""pq_encode_sec":${pqEncodeSec.map(num).getOrElse("null")},""" +
+        s""""sparse_index_sec":${sparseIndexSec.map(num).getOrElse("null")},""" +
         s""""split_files":$SplitFiles,"split_passes":$SplitPasses,"total_split":${num(splitTotal)},""" +
         s""""total_split_probe_norm":${num(normTotal(splitSamples))},""" +
         s""""detail_file":${jstr(detailFile)},""" +
