@@ -473,14 +473,18 @@ object Stress {
 
     // champion-cap two-point (round-11 verdict #7): same registered plan
     // at C=16 — the runtime face of the recall/candidate-volume trade
-    // (SearchSpec measures the recall face on the binding-cap fixture)
-    def champ16(dir: String): Double = time {
-      ext.SearchQueries.championCosine(
-        spark.read.parquet(s"$dir/documents.parquet"), 16)
+    // (SearchSpec measures the recall face on the binding-cap fixture).
+    // SERVE-ONLY, like the registered C=64 legs above (whose first,
+    // untimed, probe warms the registry): the C=16 index is built once
+    // outside the timed region, so the two points compare serving cost
+    // at the two caps, not build+serve vs serve.
+    val ix16 = ext.SearchQueries.sparseIndexShared(spark, sfDir, c = 16)
+    def champ16(): Double = time {
+      ext.SearchQueries.championServe(ix16)
         .write.format("noop").mode("overwrite").save()
     }
-    champ16(sfDir)
-    val c16Base = Seq(champ16(sfDir), champ16(sfDir)).min
+    champ16()
+    val c16Base = Seq(champ16(), champ16()).min
 
     println(
       s"""{"tier":"retrieval","mult":$mult,"mult_sparse":$multSparse,"files":32,""" +
