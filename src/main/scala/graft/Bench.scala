@@ -3,8 +3,9 @@ package graft
 import java.nio.file.{Files, Paths}
 
 /** Benchmark main: times the headline queries on SPARK_GRAFT_SF_DIR and
-  * emits ONE clean JSON line on stdout (plus BENCH_LOCAL.json on disk as a
-  * belt-and-braces copy). Each query is forced end-to-end through the
+  * emits ONE clean JSON line on stdout (plus a detail file on disk —
+  * BENCH_OFFICIAL.json by default, GRAFT_BENCH_DETAIL overrides; see the
+  * EMISSION note). Each query is forced end-to-end through the
   * `noop` sink — unlike count(), that materializes every column without
   * collecting to the driver. Failures are reported per-query under
   * "errors", never as fake timings.
