@@ -259,7 +259,11 @@ object QualityQueries {
         val model = docs.filter(col("doc_id") % 4 === 0)
         val mb = bigrams(model)
         val cbw = mb.groupBy(col("v"), col("w")).agg(count(lit(1)).as("cbw"))
-        val cv = mb.groupBy(col("v")).agg(count(lit(1)).as("cv"))
+        // c(v·) = Σ_w c(vw): derive the context totals FROM the bigram
+        // counts instead of a second explode over the held slice — one
+        // less model-slice scan and the rollup aggregates the already
+        // vocab²-bounded cbw relation, not the token stream.
+        val cv = cbw.groupBy(col("v")).agg(sum(col("cbw")).as("cv"))
         val cw = model
           .select(explode(toks).as("w")).filter(col("w") =!= "")
           .groupBy(col("w")).agg(count(lit(1)).as("cw"))
@@ -294,7 +298,7 @@ object QualityQueries {
           "bb AS (SELECT doc_id, bg.v AS v, bg.w AS w FROM b), " +
           "mb AS (SELECT * FROM bb WHERE doc_id % 4 = 0), " +
           "cbw AS (SELECT v, w, CAST(COUNT(*) AS BIGINT) AS cbw FROM mb GROUP BY 1, 2), " +
-          "cv AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS cv FROM mb GROUP BY 1), " +
+          "cv AS (SELECT v, CAST(SUM(cbw) AS BIGINT) AS cv FROM cbw GROUP BY 1), " +
           "cw AS (SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS cw FROM " +
           "(SELECT unnest(string_split(text, ' ')) AS tok FROM documents WHERE doc_id % 4 = 0) " +
           "WHERE tok <> '' GROUP BY 1), " +
