@@ -155,16 +155,23 @@ object SearchQueries {
   /** The sparse retrieval index — the STORED ARTIFACT of the champion
     * family (what an IR system writes at ingest): the thin top-5 TF-IDF
     * signature relation, the per-doc (sorted terms, weights, norm)
-    * array signatures the sorted-dot kernel scores against, and the
-    * per-term champion lists. All three are eagerly materialized
-    * (localCheckpoint), so a query served from the index pays zero
-    * signature/champion build cost — the same train-once/serve-many
-    * lifecycle as the PQ codebooks+codes registries ([[Pq.sharedDf]]).
+    * array signatures the sorted-dot kernel scores against, the
+    * per-term champion lists, and the FROZEN CORPUS STATISTICS
+    * (per-term document frequencies + corpus size) that let a new
+    * document's signature be computed under the same weighting the
+    * index was built with — the piece the streaming ingest twin
+    * ([[graft.streaming.SparseStream]]) scores arrivals against. All
+    * relations are eagerly materialized (localCheckpoint), so a query
+    * served from the index pays zero signature/champion build cost —
+    * the same train-once/serve-many lifecycle as the PQ
+    * codebooks+codes registries ([[Pq.sharedDf]]).
     */
   private[graft] case class SparseIndex(
       sig: org.apache.spark.sql.DataFrame,
       sigArr: org.apache.spark.sql.DataFrame,
-      champArr: org.apache.spark.sql.DataFrame)
+      champArr: org.apache.spark.sql.DataFrame,
+      dfRel: org.apache.spark.sql.DataFrame,
+      nDocs: Long)
 
   private val sparseIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, SparseIndex]()
@@ -200,32 +207,71 @@ object SearchQueries {
   private[graft] def championCosine(docs: org.apache.spark.sql.DataFrame, c: Int) =
     championServe(sparseIndexBuild(docs, c))
 
-  /** Index build: signatures + champion lists from the raw corpus. */
-  private[graft] def sparseIndexBuild(docs: org.apache.spark.sql.DataFrame, c: Int): SparseIndex = {
-    val n = docs.agg(count(lit(1)).as("n"))
-    val tf = tokens(docs)
+  /** Index build: signatures + champion lists + frozen stats from the
+    * raw corpus. nDocs is collected to the driver (one scalar — bounded
+    * state) so the weighting formula is replayable on documents that
+    * arrive AFTER the build (the streaming ingest path).
+    */
+  /** Per-doc top-5 TF-IDF signature rows (doc_id, term, w) under GIVEN
+    * frozen statistics — the ONE weighting recipe behind both the index
+    * build (stats freshly computed) and the streaming ingest scorer
+    * (stats frozen in the index), so the two cannot drift.
+    * df via groupBy + equi-join, not count-over-window: the window form
+    * shuffles AND SORTS the 5n tf rows per term partition for a count
+    * that needs no order; the join form is one hash-agg + one shuffle
+    * join on the same key (AQE broadcasts the vocab-sized df relation
+    * when it fits). Same integers out — measured 2.05 → 1.37 s for the
+    * signature materialization at sf0.1 (SparseProbe, round 15).
+    * Terms outside the frozen vocabulary drop at the inner join — the
+    * documented stale-index semantics between refreshes (impossible
+    * for the index's own corpus, where the vocab is by construction
+    * complete).
+    */
+  private[graft] def sigThinOf(
+      docs: org.apache.spark.sql.DataFrame,
+      dfRel: org.apache.spark.sql.DataFrame,
+      nDocs: Long): org.apache.spark.sql.DataFrame = {
+    val sigW = Window.partitionBy(col("doc_id")).orderBy(col("w").desc, col("term"))
+    tokens(docs)
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val sigW = Window.partitionBy(col("doc_id")).orderBy(col("w").desc, col("term"))
+      .join(dfRel, Seq("term"))
+      .select(col("doc_id"), col("term"), expr(s"tf * ((${nDocs}L * 1000000) div df)").as("w"))
+      .withColumn("rnk", row_number().over(sigW))
+      .filter(col("rnk") <= 5)
+      .select(col("doc_id"), col("term"), col("w"))
+  }
+
+  /** The (sorted terms, aligned weights, norm) array form of a thin
+    * signature relation — the unit [[championServeAgainst]] scores with
+    * the sorted-dot kernel. Shared by the index build and the streaming
+    * ingest scorer.
+    */
+  private[graft] def sigArrOf(sigThin: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    sigThin
+      .groupBy(col("doc_id"))
+      .agg(
+        sort_array(collect_list(struct(col("term"), col("w")))).as("sw"),
+        sum(col("w") * col("w")).as("n2"))
+      .select(
+        col("doc_id"),
+        expr("transform(sw, x -> x.term)").as("ts"),
+        expr("transform(sw, x -> x.w)").as("ws"),
+        col("n2"))
+
+  private[graft] def sparseIndexBuild(docs: org.apache.spark.sql.DataFrame, c: Int): SparseIndex = {
+    val nDocs = docs.count()
     // 3 consumers hang off the signature relation (champion window,
     // probe side, and the array-signature build), each behind the
     // corpus explode + two windows — localCheckpoint materializes the
     // 5n thin rows once (the PageRank loop-invariant lesson; measured
     // 11.5 s → 4.9 s at sf0.1)
-    // df via groupBy + equi-join, not count-over-window: the window form
-    // shuffles AND SORTS the 5n tf rows per term partition for a count
-    // that needs no order; the join form is one hash-agg + one shuffle
-    // join on the same key (AQE broadcasts the vocab-sized df relation
-    // when it fits). Same integers out — measured 2.05 → 1.37 s for the
-    // signature materialization at sf0.1 (SparseProbe, round 15).
-    val sig = tf
-      .join(tf.groupBy(col("term")).agg(count(lit(1)).as("df")), Seq("term"))
-      .crossJoin(broadcast(n))
-      .select(col("doc_id"), col("term"), expr("tf * ((n * 1000000) div df)").as("w"))
-      .withColumn("rnk", row_number().over(sigW))
-      .filter(col("rnk") <= 5)
-      .select(col("doc_id"), col("term"), col("w"))
+    val dfRel = tokens(docs)
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
       .localCheckpoint(true)
+    val sig = sigThinOf(docs, dfRel, nDocs).localCheckpoint(true)
     val champW = Window.partitionBy(col("term")).orderBy(col("w").desc, col("doc_id"))
     val champ = sig
       .withColumn("crnk", row_number().over(champW))
@@ -252,25 +298,27 @@ object SearchQueries {
     // doc-keyed relation is corpus-row-sized, so AQE broadcasts it at
     // gate scale and shards join it shuffle-wise at 100 TB — either
     // way the candidate pairs never fan out.
-    val sigArr = sig
-      .groupBy(col("doc_id"))
-      .agg(
-        sort_array(collect_list(struct(col("term"), col("w")))).as("sw"),
-        sum(col("w") * col("w")).as("n2"))
-      .select(
-        col("doc_id"),
-        expr("transform(sw, x -> x.term)").as("ts"),
-        expr("transform(sw, x -> x.w)").as("ws"),
-        col("n2"))
-      .localCheckpoint(true)
-    SparseIndex(sig, sigArr, champArr)
+    val sigArr = sigArrOf(sig).localCheckpoint(true)
+    SparseIndex(sig, sigArr, champArr, dfRel, nDocs)
   }
 
   /** Serving composition over a (possibly registry-cached)
     * [[SparseIndex]]: candidate generation → sorted-dot kernel scoring
-    * → per-probe top-3.
+    * → per-probe top-3. The corpus self-join form — probe side = the
+    * index's own signatures.
     */
-  private[graft] def championServe(ix: SparseIndex): org.apache.spark.sql.DataFrame = {
+  private[graft] def championServe(ix: SparseIndex): org.apache.spark.sql.DataFrame =
+    championServeAgainst(ix.sig, ix.sigArr, ix)
+
+  /** The general serve: score PROBE documents (their thin signature
+    * rows + array signatures, possibly computed outside the index —
+    * the streaming ingest path) against a frozen [[SparseIndex]]'s
+    * champion lists and array signatures.
+    */
+  private[graft] def championServeAgainst(
+      probeSig: org.apache.spark.sql.DataFrame,
+      probeSigArr: org.apache.spark.sql.DataFrame,
+      ix: SparseIndex): org.apache.spark.sql.DataFrame = {
     // Candidate pairs: a shares ≥1 signature term with champion b.
     // The probe join emits 5 rows per doc (each carrying that term's
     // champion list) and the pair-level dedup happens INSIDE the
@@ -278,7 +326,7 @@ object SearchQueries {
     // elements) instead of a corpus-candidate-volume distinct
     // (measured: the exploded join + distinct shuffled 1.6M thin rows
     // twice at sf0.1; this shape shuffles 5n rows once).
-    val cand = ix.sig.select(col("doc_id").as("a_id"), col("term"))
+    val cand = probeSig.select(col("doc_id").as("a_id"), col("term"))
       .join(ix.champArr, Seq("term"))
       .groupBy(col("a_id"))
       .agg(flatten(collect_list(col("bs"))).as("bs"))
@@ -286,7 +334,7 @@ object SearchQueries {
       .filter(col("a_id") =!= col("b_id"))
     val pairs = cand
       .join(
-        ix.sigArr.select(
+        probeSigArr.select(
           col("doc_id").as("a_id"), col("ts").as("tsa"), col("ws").as("wsa"), col("n2").as("na2")),
         Seq("a_id"))
       .join(
