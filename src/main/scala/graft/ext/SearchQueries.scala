@@ -195,7 +195,54 @@ object SearchQueries {
   /** Drop every cached sparse index — the bench's cold-build timing hook
     * and the fixture-rebuild escape hatch.
     */
-  private[graft] def clearSparseShared(): Unit = sparseIndexCache.clear()
+  private[graft] def clearSparseShared(): Unit = {
+    sparseIndexCache.clear()
+    bm25IndexCache.clear()
+  }
+
+  /** The BM25 serving artifact — what the inverted-index family's
+    * postings become once ranked retrieval serves from STORAGE: the
+    * (term, doc_id, tf) postings, the per-term document frequencies,
+    * the per-doc lengths, and the two corpus scalars the length
+    * normalization needs. With these materialized, a query's scoring
+    * plan touches ZERO corpus files — work ∝ the query terms' postings,
+    * the inverted-index serving bound (PlanAuditSpec asserts the
+    * zero-scan property on q_bm25_served).
+    */
+  private[graft] case class Bm25Index(
+      postings: org.apache.spark.sql.DataFrame,
+      dfRel: org.apache.spark.sql.DataFrame,
+      docLens: org.apache.spark.sql.DataFrame,
+      nDocs: Long,
+      totalTok: Long)
+
+  private val bm25IndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Bm25Index]()
+
+  /** Per-JVM [[Bm25Index]] registry — the [[sparseIndexShared]]
+    * discipline (content-fingerprint keys, cleared by
+    * [[clearSparseShared]]; the fixture-rebuild contract is gated in
+    * ArtifactRegistrySpec for the mechanism's other two users).
+    */
+  private[graft] def bm25IndexShared(
+      s: org.apache.spark.sql.SparkSession, d: String): Bm25Index =
+    bm25IndexCache.computeIfAbsent(
+      s"$d|${Tables.fingerprint(d, "documents")}|bm25-postings",
+      _ => {
+        val docs = Tables(s, d, "documents")
+        val postings = tokens(docs)
+          .groupBy(col("term"), col("doc_id"))
+          .agg(count(lit(1)).as("tf"))
+          .localCheckpoint(true)
+        val dfRel = postings
+          .groupBy(col("term")).agg(count(lit(1)).as("df"))
+          .localCheckpoint(true)
+        val docLens = docs
+          .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
+          .localCheckpoint(true)
+        val stats = docLens.agg(count(lit(1)), sum(col("dl"))).collect().head
+        Bm25Index(postings, dfRel, docLens, stats.getLong(0), stats.getLong(1))
+      })
 
   /** Champion-list sparse TF-IDF cosine top-3 with cap `c` — the
     * q_sparse_cosine semantics, parametrized so the C-sensitivity
@@ -405,10 +452,22 @@ object SearchQueries {
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("query_id"), col("term"))
       .agg(countDistinct(col("doc_id")).as("df"))
-    tf
-      .join(df, Seq("query_id", "term"))
-      .join(dl, Seq("doc_id"))
-      .crossJoin(broadcast(corpus))
+    bm25Chain(
+      tf
+        .join(df, Seq("query_id", "term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(corpus)))
+  }
+
+  /** The exact-integer BM25 fixed-point chain over a prepared relation
+    * carrying (query_id, term, doc_id, tf, df, dl, n, total_tok) — the
+    * ONE scoring arithmetic behind both [[bm25Scores]] (statistics
+    * computed in-plan from the corpus) and the served form
+    * (statistics frozen in the [[Bm25Index]] artifact), so the two
+    * cannot drift.
+    */
+  private def bm25Chain(prepared: org.apache.spark.sql.DataFrame) =
+    prepared
       .withColumn("dl_ratio_fp", expr("dl * n * 1000 div total_tok"))
       .withColumn("norm_fp", expr("250 + (750 * dl_ratio_fp) div 1000"))
       .withColumn("denom_fp", expr("tf * 1000 + (12 * norm_fp) div 10"))
@@ -417,7 +476,6 @@ object SearchQueries {
       .withColumn("s_fp", expr("(idf_fp * tfw_fp) div 1000000"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("s_fp")).as("score_fp"))
-  }
 
   /** Sparse BM25 top-`k` list per query: (query_id, doc_id, srnk). */
   private def sparseTop(s: org.apache.spark.sql.SparkSession, docs: org.apache.spark.sql.DataFrame, k: Int) = {
@@ -498,6 +556,16 @@ object SearchQueries {
       "FROM parts GROUP BY query_id, doc_id)"
 
   private val bm25ScoredSql = bm25ScoredSqlFrom("documents")
+
+  /** ONE oracle string for q_bm25 AND q_bm25_served — the served form
+    * must hash to the same board as the build+score form, which makes
+    * the shared oracle itself the build-vs-serve differential.
+    */
+  private val bm25Top5Sql: String =
+    s"WITH $bm25ScoredSql, " +
+      "r AS (SELECT query_id, doc_id, score_fp, " +
+      "CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_fp DESC, doc_id) AS INT) AS rnk FROM scored) " +
+      "SELECT query_id, doc_id, score_fp, rnk FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"
 
   /** (doc_id, pos, term, tv, tn2) token-vector relation for the
     * late-interaction family (first 8 tokens per doc): one 16-dim vector
@@ -857,11 +925,37 @@ object SearchQueries {
           .filter(col("rnk") <= 5)
           .orderBy("query_id", "rnk")
       },
-      Some(
-        s"WITH $bm25ScoredSql, " +
-          "r AS (SELECT query_id, doc_id, score_fp, " +
-          "CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_fp DESC, doc_id) AS INT) AS rnk FROM scored) " +
-          "SELECT query_id, doc_id, score_fp, rnk FROM r WHERE rnk <= 5 ORDER BY query_id, rnk")
+      Some(bm25Top5Sql)
+    ),
+    Q(
+      "q_bm25_served",
+      // q_bm25's SERVING lifecycle: identical output, but the scoring
+      // plan reads the STORED [[Bm25Index]] artifact (postings, df,
+      // doc lengths, corpus scalars — what q_inverted_index builds,
+      // held in the fingerprint-keyed registry) instead of the corpus:
+      // PlanAuditSpec asserts the plan contains ZERO parquet scans.
+      // The fixed-point arithmetic is [[bm25Chain]], shared verbatim
+      // with q_bm25, and the ORACLE STRING is the same val — the two
+      // queries must hash to the same board, which is itself the
+      // build-vs-serve differential (a stale or mis-keyed artifact
+      // breaks the hash). Work ∝ the query terms' postings — the
+      // inverted-index serving bound; at 100 TB the postings artifact
+      // is term-sharded storage and this plan never touches documents.
+      (s, d) => {
+        val ix = bm25IndexShared(s, d)
+        val prepared = ix.postings
+          .join(broadcast(queryTerms(s)), Seq("term"))
+          .join(ix.dfRel, Seq("term"))
+          .join(ix.docLens, Seq("doc_id"))
+          .withColumn("n", lit(ix.nDocs))
+          .withColumn("total_tok", lit(ix.totalTok))
+        val w = Window.partitionBy(col("query_id")).orderBy(col("score_fp").desc, col("doc_id"))
+        bm25Chain(prepared)
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .orderBy("query_id", "rnk")
+      },
+      Some(bm25Top5Sql)
     ),
     Q(
       "q_hybrid_search",

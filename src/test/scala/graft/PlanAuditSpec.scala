@@ -309,6 +309,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("graft_min_l2"), "err2 lost the min-distance kernel")
   }
 
+  test("served BM25 reads the stored index only: zero corpus scans in the plan") {
+    // the Bm25Index artifact (postings, df, doc lengths, scalars) is
+    // fully materialized, so the serving plan must contain NO parquet
+    // scan at all — the inverted-index serving bound made literal.
+    val df = Registry.byName("q_bm25_served").run(spark, sf())
+    assert(scans(df).isEmpty,
+      s"served BM25 touched the corpus: ${scans(df).size} parquet scan(s)")
+    val p = planString(df)
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("sparse-cosine scoring runs through the sorted-dot kernel on array signatures") {
     // round-15 hot-loop swap #2: the champion-family pair scoring is a
     // graft_sorted_dot merge over per-doc signature arrays — the
