@@ -44,6 +44,18 @@ class ArtifactRegistrySpec extends SparkSpec {
       s"registry served the stale pre-rebuild index: $second")
   }
 
+  test("BM25 postings registry rebuilds when the corpus under the same path is regenerated") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-artifact-reg-bm25").toString
+    writeCorpus(dir, 0L until 20L, Seq("apple", "banana", "cherry", "date"))
+    val first = SearchQueries.bm25IndexShared(spark, dir)
+    assert(first.nDocs == 20L && first.postings.count() > 0)
+    writeCorpus(dir, 100L until 140L, Seq("dog", "elephant", "fox"))
+    val second = SearchQueries.bm25IndexShared(spark, dir)
+    assert(second.nDocs == 40L,
+      s"registry served the stale postings artifact: nDocs=${second.nDocs}")
+    assert(second.docLens.select(min(col("doc_id"))).collect().head.getLong(0) == 100L)
+  }
+
   test("PQ codes registry rebuilds when the corpus under the same path is regenerated") {
     val dir = java.nio.file.Files.createTempDirectory("graft-artifact-reg-pq").toString
     writeCorpus(dir, 0L until 20L, Seq("apple", "banana", "cherry", "date"))
