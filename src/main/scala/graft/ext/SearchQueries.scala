@@ -222,7 +222,7 @@ object SearchQueries {
   /** Per-JVM [[Bm25Index]] registry — the [[sparseIndexShared]]
     * discipline (content-fingerprint keys, cleared by
     * [[clearSparseShared]]; the fixture-rebuild contract is gated in
-    * ArtifactRegistrySpec for the mechanism's other two users).
+    * ArtifactRegistrySpec for all three DataFrame-artifact users).
     */
   private[graft] def bm25IndexShared(
       s: org.apache.spark.sql.SparkSession, d: String): Bm25Index =
