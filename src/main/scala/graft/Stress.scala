@@ -464,6 +464,12 @@ object Stress {
     val idxBig = minOf2("q_inverted_index", out)
     val bmBase = minOf2("q_bm25", sfDir)
     val bmBig = minOf2("q_bm25", out)
+    // served BM25 (round 15): the first, untimed, run per dir builds the
+    // postings artifact; the timed min-of-2 is pure serving — work ∝
+    // the query terms' postings, so the big-leg rate shows how the
+    // zero-scan plan tracks postings growth, not corpus scans
+    val bmsBase = minOf2("q_bm25_served", sfDir)
+    val bmsBig = minOf2("q_bm25_served", out)
     val scBase = minOf2("q_sparse_cosine", sfDir)
     val scBig = minOf2("q_sparse_cosine", outS)
     // DSIR leg (round 15): one bucket-model build + one scoring scan per
@@ -494,6 +500,7 @@ object Stress {
         s""""index_base_mtok_s":${num(rate(nTokBase, idxBase))},"index_big_mtok_s":${num(rate(nTokBig, idxBig))},""" +
         s""""bm25_base_sec":${num(bmBase)},"bm25_big_sec":${num(bmBig)},""" +
         s""""bm25_base_mtok_s":${num(rate(nTokBase, bmBase))},"bm25_big_mtok_s":${num(rate(nTokBig, bmBig))},""" +
+        s""""bm25_served_base_sec":${num(bmsBase)},"bm25_served_big_sec":${num(bmsBig)},""" +
         s""""sparse_base_sec":${num(scBase)},"sparse_big_sec":${num(scBig)},""" +
         s""""sparse_base_kdocs_s":${num(nDocsBase / scBase / 1e3)},"sparse_big_kdocs_s":${num(nDocsSparse / scBig / 1e3)},""" +
         s""""sparse_c16_base_sec":${num(c16Base)},""" +
