@@ -161,6 +161,22 @@ class SearchSpec extends SparkSpec {
     info(f"C=16 recall vs exact top-3: $recall16%.3f (${approxByC(16).size} pairs)")
     assert(recall16 >= 0.35, f"C=16 recall $recall16%.3f collapsed (0.449 measured)")
     assert(recall16 <= recall, "smaller champion index cannot improve recall on this fixture")
+    // third point — the cap NOT binding (round-15 candidate thread,
+    // closed): C=256 exceeds every per-term signature df on this
+    // fixture (~80), so the candidate set is exactly all
+    // signature-term-sharing pairs, which is a SUPERSET of the exact
+    // top-3 (cosine > 0 requires a shared signature term) — recall is
+    // provably 1.0, not approximately. The registered C=64 is thus
+    // bracketed from both sides: 0.449 (C=16) / 0.951 (C=64) / 1.0
+    // (C=256), the full recall-vs-candidate-volume trade.
+    val approx256 = SearchQueries
+      .championCosine(graft.core.Tables(spark, dir, "documents"), 256)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall256 = approx256.intersect(exact).size.toDouble / exact.size
+    info(f"C=256 recall vs exact top-3: $recall256%.3f")
+    assert(recall256 == 1.0,
+      f"non-binding cap must recover the exact top-3 exactly, got $recall256%.3f")
   }
 
   test("bm25: deterministic, ranked, and every hit contains a query term") {
