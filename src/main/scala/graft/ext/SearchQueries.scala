@@ -518,7 +518,6 @@ object SearchQueries {
     */
   private[graft] def hybridServedIvf(s: org.apache.spark.sql.SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val docs = Tables(s, d, "documents")
     val emb = Tables(s, d, "embeddings")
     val q = emb.filter(col("vec_id").isin(queryIds: _*))
     val centroids = Ivf.trainShared(s, d, k = 16)
@@ -532,7 +531,36 @@ object SearchQueries {
         col("q_id").cast("int").as("query_id"),
         col("n_id").as("doc_id"),
         col("rank").as("drnk"))
-    (rrfFuse(sparseTop(s, docs, 20), dense), cand)
+    // sparse side from the stored postings artifact (round 15): the
+    // served hybrid now reads stored artifacts on BOTH engines — IVF
+    // quantizer + index on the dense side, Bm25Index postings on the
+    // sparse side — the same integers as sparseTop (shared bm25Chain),
+    // so the fused board and its oracle are unchanged.
+    (rrfFuse(sparseTopServed(s, d, 20), dense), cand)
+  }
+
+  /** [[bm25Scores]] served from the stored [[Bm25Index]] artifact —
+    * same (query_id, doc_id, score_fp) integers via the shared
+    * [[bm25Chain]], zero corpus scans in the plan.
+    */
+  private def bm25ServedScores(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val ix = bm25IndexShared(s, d)
+    bm25Chain(
+      ix.postings
+        .join(broadcast(queryTerms(s)), Seq("term"))
+        .join(ix.dfRel, Seq("term"))
+        .join(ix.docLens, Seq("doc_id"))
+        .withColumn("n", lit(ix.nDocs))
+        .withColumn("total_tok", lit(ix.totalTok)))
+  }
+
+  /** [[sparseTop]] on the served scoring path. */
+  private def sparseTopServed(s: org.apache.spark.sql.SparkSession, d: String, k: Int) = {
+    val sw = Window.partitionBy(col("query_id")).orderBy(col("score_fp").desc, col("doc_id"))
+    bm25ServedScores(s, d)
+      .withColumn("srnk", row_number().over(sw))
+      .filter(col("srnk") <= k)
+      .select(col("query_id"), col("doc_id"), col("srnk"))
   }
 
   /** DuckDB CTE chain mirroring [[bm25Scores]]: defines toks, q, corpus,
@@ -942,15 +970,8 @@ object SearchQueries {
       // inverted-index serving bound; at 100 TB the postings artifact
       // is term-sharded storage and this plan never touches documents.
       (s, d) => {
-        val ix = bm25IndexShared(s, d)
-        val prepared = ix.postings
-          .join(broadcast(queryTerms(s)), Seq("term"))
-          .join(ix.dfRel, Seq("term"))
-          .join(ix.docLens, Seq("doc_id"))
-          .withColumn("n", lit(ix.nDocs))
-          .withColumn("total_tok", lit(ix.totalTok))
         val w = Window.partitionBy(col("query_id")).orderBy(col("score_fp").desc, col("doc_id"))
-        bm25Chain(prepared)
+        bm25ServedScores(s, d)
           .withColumn("rnk", row_number().over(w))
           .filter(col("rnk") <= 5)
           .orderBy("query_id", "rnk")
