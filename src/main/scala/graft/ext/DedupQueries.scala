@@ -511,27 +511,39 @@ object DedupQueries {
       // the synthetic text), and only the FIRST occurrence of each
       // distinct segment survives — first = lowest (doc_id, seg_idx), the
       // same deterministic keep rule C4 applies per three-sentence span.
-      // Plan: one explode, one window keyed on the segment text (high
-      // cardinality — scale-safe), one per-doc rollup. At 100 TB the
-      // segment window is a hash shuffle on the segment, never a global
-      // sort.
+      // Plan: one explode, then the first-occurrence rule as a min() hash
+      // aggregate on the segment — NOT a row_number window: the aggregate
+      // gets map-side partial combine and needs no per-partition sort.
+      // The (doc_id, seg_idx) keep order is packed into ONE long
+      // (doc_id·2^20 + seg_idx — the chunk-id stride convention from
+      // CorpusQueries, so docs are bounded at 2^43 and segments per doc
+      // at 2^20 ≈ 5M tokens; a min(struct) would silently fall back to
+      // SortAggregate, re-buying the sort). Each segment group's min IS
+      // its kept row, so the per-doc kept count is a rollup of the
+      // winners; n_segs is closed-form per document (no second explode).
       (s, d) => {
         val segs = expr(
           "transform(sequence(0, greatest(CAST(ceil(size(split(text, ' ')) / 5.0) AS INT), 1) - 1), " +
             "i -> array_join(slice(split(text, ' '), i * 5 + 1, 5), ' '))")
         val exploded = Tables(s, d, "documents")
           .select(col("doc_id"), posexplode(segs).as(Seq("seg_idx", "seg")))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("seg")).orderBy(col("doc_id"), col("seg_idx"))
-        exploded
-          .withColumn("kept", (row_number().over(w) === 1).cast("long"))
-          .groupBy(col("doc_id"))
-          .agg(
-            count(lit(1)).as("n_segs"),
-            sum(col("kept")).as("n_kept"))
-          .withColumn(
-            "kept_frac",
-            col("n_kept").cast("double") / col("n_segs").cast("double"))
+        val perDoc = Tables(s, d, "documents").select(
+          col("doc_id"),
+          expr("CAST(greatest(CAST(ceil(size(split(text, ' ')) / 5.0) AS INT), 1) AS BIGINT)")
+            .as("n_segs"))
+        val kept = exploded
+          .groupBy(col("seg"))
+          .agg(min(shiftleft(col("doc_id"), 20) + col("seg_idx")).as("first"))
+          .groupBy(shiftright(col("first"), 20).as("doc_id"))
+          .agg(count(lit(1)).as("n_kept"))
+        perDoc
+          .join(kept, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"),
+            col("n_segs"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            (coalesce(col("n_kept"), lit(0L)).cast("double") / col("n_segs").cast("double"))
+              .as("kept_frac"))
           .orderBy("doc_id")
       },
       Some(

@@ -318,7 +318,7 @@ object Events {
         import org.apache.spark.sql.types.{DecimalType, DoubleType}
         val sec = col("ts").cast("long")
         val w = Window.partitionBy(col("user_id")).orderBy(sec).rangeBetween(-3600, 0)
-        val fx = round(col("value") * 10000).cast(DecimalType(38, 0))
+        val fx = round(col("value") * 10000).cast("long").cast(DecimalType(38, 0))
         events(s, d)
           .select(
             col("event_id"), col("user_id"),

@@ -512,7 +512,7 @@ object Relational {
         val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val moving = w.rowsBetween(-1, 1)
         // fixed-point window sums — same recipe as Agg.dsum (see Agg docs)
-        val fx = round(col("o_totalprice") * 10000).cast(DecimalType(38, 0))
+        val fx = round(col("o_totalprice") * 10000).cast("long").cast(DecimalType(38, 0))
         t(s, d, "orders")
           .select(
             col("o_custkey"),
@@ -643,7 +643,7 @@ object Relational {
             keys = Seq("l_returnflag"),
             saltBuckets = 8,
             partials = Seq(
-              sum(round(col("l_quantity") * 10000).cast(DecimalType(38, 0))).as("psum"),
+              sum(round(col("l_quantity") * 10000).cast("long").cast(DecimalType(38, 0))).as("psum"),
               count(lit(1)).as("pn")),
             merges = Seq(sum(col("psum")).as("ssum"), sum(col("pn")).as("n")))
           .select(

@@ -202,8 +202,10 @@ object Structured {
           // Exact integer second-order sums (decimal in Spark, HUGEINT in
           // DuckDB), one cast to double, then identical closed-form
           // formulas — bit-deterministic stddev/variance/corr/covariance.
-          val x = round(col("l_quantity") * 10000).cast(DecimalType(38, 0))
-          val y = round(col("l_extendedprice") * 10000).cast(DecimalType(38, 0))
+          // cast via long first: Spark's double→decimal cast is a per-row
+          // Double.toString/BigDecimal allocation (see Agg docs)
+          val x = round(col("l_quantity") * 10000).cast("long").cast(DecimalType(38, 0))
+          val y = round(col("l_extendedprice") * 10000).cast("long").cast(DecimalType(38, 0))
           val agged = t(s, d, "lineitem")
             .groupBy(col("l_returnflag"))
             .agg(

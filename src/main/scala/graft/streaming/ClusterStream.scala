@@ -122,11 +122,11 @@ object ClusterStream {
         col("vec_id"),
         Ivf.assignExpr(col("__v"), fpCents).as("bucket"),
         expr("transform(__v, x -> cast(x as bigint))").as("v"),
-        // the davg numerator per dim — same HALF_UP round + decimal cast
+        // the davg numerator per dim — same HALF_UP round + long cast
         // chain as Agg.dsum, so cross-batch Long sums replay it exactly
         expr(
           "transform(cast(embedding as array<double>), " +
-            "x -> cast(cast(round(x * 10000.0) as decimal(38,0)) as bigint))").as("v4"))
+            "x -> cast(round(x * 10000.0) as bigint))").as("v4"))
       .as[VecArrival]
   }
 

@@ -3,7 +3,6 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
-import org.apache.spark.sql.types.DecimalType
 
 /** Streaming twin of the FLAGSHIP hash aggregate
   * ([[graft.queries.Relational]]'s q_agg_pricing, TPC-H Q1 flavor):
@@ -116,7 +115,9 @@ object PricingStream {
   def arrivals(spark: SparkSession, lineitem: DataFrame): Dataset[LineArrival] = {
     import spark.implicits._
     def fp(c: org.apache.spark.sql.Column) =
-      round(c * lit(10000.0)).cast(DecimalType(38, 0)).cast("long")
+      // same HALF_UP round + long cast as Agg.dsum's per-row step (the
+      // decimal intermediate was dropped there too — see Agg docs)
+      round(c * lit(10000.0)).cast("long")
     lineitem.select(
       col("l_returnflag"), col("l_linestatus"),
       col("l_quantity").as("qty"),

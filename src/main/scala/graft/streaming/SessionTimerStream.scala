@@ -5,7 +5,6 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
-import org.apache.spark.sql.types.DecimalType
 
 /** Custom-processor sessionization with EVENT-TIME TIMERS — the
   * production drain the flush sentinel stands in for (round-12 verdict
@@ -123,7 +122,7 @@ object SessionTimerStream {
       .select(
         col("user_id"),
         col("ts").cast("timestamp").as("ts"),
-        round(col("value") * lit(10000.0)).cast(DecimalType(38, 0)).cast("long").as("value_fp"))
+        round(col("value") * lit(10000.0)).cast("long").as("value_fp"))
       .withWatermark("ts", watermarkDelay)
       .as[Ev]
   }

@@ -90,7 +90,11 @@ class PlanAuditSpec extends SparkSpec {
     val p = planString(df)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
     assert(p.contains("hashpartitioning(seg"),
-      s"segment window lost its seg-keyed exchange:\n$p")
+      s"first-occurrence agg lost its seg-keyed exchange:\n$p")
+    // the keep rule is a min(struct) hash aggregate with map-side partial
+    // combine — a row_number window (shuffle of every occurrence + sort)
+    // must not reappear
+    assert(!p.contains("row_number"), s"keep rule regressed to a window:\n$p")
   }
 
   test("pagerank plans no cross-product and keeps ranks distributed") {
