@@ -14,6 +14,15 @@ object DedupQueries {
 
   import org.apache.spark.sql.{DataFrame, SparkSession}
 
+  /** q_line_dedup packs its (doc_id, seg_idx) keep order into one long as
+    * doc_id·2^SegIdxBits + seg_idx (so the first-occurrence min stays a
+    * codegen hash aggregate — a struct min falls back to SortAggregate).
+    * Bounds: doc_id < 2^(63-SegIdxBits) ≈ 8.8e12, segments per doc <
+    * 2^SegIdxBits (≈ 5M tokens); DedupSpec asserts the corpus sits far
+    * inside the seg bound, mirroring ChunkSpec's chunk-id-stride gate.
+    */
+  val SegIdxBits = 20
+
   /** Ground-truth near-dup pairs: exact 3-gram Jaccard >= 0.6 among
     * 30-char-prefix-blocked candidates (the same truth set DedupSpec uses;
     * oracle-computable in DuckDB list algebra). Blocking keeps the exact
@@ -533,8 +542,8 @@ object DedupQueries {
             .as("n_segs"))
         val kept = exploded
           .groupBy(col("seg"))
-          .agg(min(shiftleft(col("doc_id"), 20) + col("seg_idx")).as("first"))
-          .groupBy(shiftright(col("first"), 20).as("doc_id"))
+          .agg(min(shiftleft(col("doc_id"), SegIdxBits) + col("seg_idx")).as("first"))
+          .groupBy(shiftright(col("first"), SegIdxBits).as("doc_id"))
           .agg(count(lit(1)).as("n_kept"))
         perDoc
           .join(kept, Seq("doc_id"), "left")

@@ -9,6 +9,15 @@ import graft.engine.QueryRunner
   * correlated/EXISTS subqueries, window + limit) is identical text in
   * both engines, which is the strongest possible parity statement for the
   * reference's arbitrary-SELECT surface.
+  *
+  * Fixed-point sums here accumulate as `SUM(CAST(<long> AS
+  * DECIMAL(38,0)))`, not `SUM(<long>)`: Spark's sum over BIGINT stays
+  * BIGINT and silently wraps once a group's total passes 2^63 (~1e13
+  * rows x 1e9-scale values — squarely inside the 100 TB envelope),
+  * while DuckDB widens to HUGEINT. The decimal accumulator restores
+  * overflow safety in BOTH engines from identical text; the per-row
+  * value still reaches it through the fast BIGINT cast (see
+  * [[graft.core.Agg]] on why the long hop matters).
   */
 object SqlQueries {
 
@@ -22,7 +31,7 @@ object SqlQueries {
     sharedHeadline(
       "q_sql_shipping",
       // TPC-H Q3 flavor: multi-join + group + order + limit, pure SQL.
-      "SELECT o_orderkey, CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS revenue, " +
+      "SELECT o_orderkey, CAST(SUM(CAST(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 10000 AS revenue, " +
         "CAST(COUNT(*) AS BIGINT) AS n_items " +
         "FROM customer JOIN orders ON c_custkey = o_custkey " +
         "JOIN lineitem ON l_orderkey = o_orderkey " +
@@ -45,7 +54,7 @@ object SqlQueries {
       // correlated scalar subquery: orders above 1.8x their customer's
       // average (fixed-point avg so the boundary compare is deterministic).
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders o " +
-        "WHERE o_totalprice > (SELECT (CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS DOUBLE) / 10000) / COUNT(*) * 1.8 " +
+        "WHERE o_totalprice > (SELECT (CAST(SUM(CAST(CAST(ROUND(o_totalprice * 10000) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 10000) / COUNT(*) * 1.8 " +
         "FROM orders i WHERE i.o_custkey = o.o_custkey) " +
         "ORDER BY o_orderkey"
     ),
@@ -133,7 +142,7 @@ object SqlQueries {
       // division) and the boundary compare is deterministic; revenue uses
       // the fixed-point sum recipe.
       "SELECT CAST(COUNT(*) AS BIGINT) AS n_small, " +
-        "CAST(SUM(CAST(ROUND(l_extendedprice * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS revenue " +
+        "CAST(SUM(CAST(CAST(ROUND(l_extendedprice * 10000) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 10000 AS revenue " +
         "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey " +
         "WHERE p.p_brand = 'Brand#1' AND l.l_quantity < " +
         "(SELECT CAST(0.5 AS DOUBLE) * AVG(i.l_quantity) FROM lineitem i WHERE i.l_partkey = l.l_partkey)"
@@ -211,7 +220,7 @@ object SqlQueries {
       // 3.4: both engines must infer the same grouping set from the
       // select list.
       "SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n, " +
-        "CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS total " +
+        "CAST(SUM(CAST(CAST(ROUND(o_totalprice * 10000) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 10000 AS total " +
         "FROM orders GROUP BY ALL ORDER BY o_orderstatus, o_orderpriority"
     ),
     shared(
@@ -282,7 +291,7 @@ object SqlQueries {
       // cross-joins the nation pair before touching the fact.
       "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
         "CAST(YEAR(l_shipdate) AS BIGINT) AS l_year, " +
-        "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS revenue " +
+        "CAST(SUM(CAST(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 10000 AS revenue " +
         "FROM supplier JOIN lineitem ON s_suppkey = l_suppkey " +
         "JOIN orders ON o_orderkey = l_orderkey " +
         "JOIN customer ON c_custkey = o_custkey " +
@@ -311,8 +320,8 @@ object SqlQueries {
         "JOIN nation n2 ON s_nationkey = n2.n_nationkey " +
         "WHERE r_name = 'AMERICA' AND p_type = 'PROMO') " +
         "SELECT o_year, " +
-        "CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume_fp ELSE 0 END) AS DOUBLE) / " +
-        "CAST(SUM(volume_fp) AS DOUBLE) AS mkt_share " +
+        "CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_3' THEN volume_fp ELSE 0 END AS DECIMAL(38,0))) AS DOUBLE) / " +
+        "CAST(SUM(CAST(volume_fp AS DECIMAL(38,0))) AS DOUBLE) AS mkt_share " +
         "FROM all_flows GROUP BY o_year ORDER BY o_year"
     ),
     shared(
@@ -324,8 +333,8 @@ object SqlQueries {
       // near-integer ROUND inputs (never a .5 boundary), then the
       // subtraction is exact BIGINT arithmetic.
       "SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year, " +
-        "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) - " +
-        "SUM(CAST(ROUND(CAST(0.9 AS DOUBLE) * p_retailprice * l_quantity * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS profit " +
+        "CAST(SUM(CAST(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS DECIMAL(38,0))) - " +
+        "SUM(CAST(CAST(ROUND(CAST(0.9 AS DOUBLE) * p_retailprice * l_quantity * 10000) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 10000 AS profit " +
         "FROM part JOIN lineitem ON p_partkey = l_partkey " +
         "JOIN supplier ON s_suppkey = l_suppkey " +
         "JOIN orders ON o_orderkey = l_orderkey " +

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -202,16 +202,22 @@ object Structured {
           // Exact integer second-order sums (decimal in Spark, HUGEINT in
           // DuckDB), one cast to double, then identical closed-form
           // formulas — bit-deterministic stddev/variance/corr/covariance.
-          // cast via long first: Spark's double→decimal cast is a per-row
-          // Double.toString/BigDecimal allocation (see Agg docs)
-          val x = round(col("l_quantity") * 10000).cast("long").cast(DecimalType(38, 0))
-          val y = round(col("l_extendedprice") * 10000).cast("long").cast(DecimalType(38, 0))
+          // Per-row arithmetic stays in LONG space (the double→decimal
+          // cast is a per-row string allocation and a decimal×decimal
+          // multiply is a per-row BigDecimal — see Agg docs); only the
+          // accumulators are decimal. Safe per row at ANY corpus size:
+          // the fixed-point values are data-domain-bounded (qty ≤ 50 →
+          // 5e5, price ≤ ~1.1e5 → 1.1e9), so the largest product y·y ≤
+          // 1.3e18 < 2^63 — the bound is per-row and scale-invariant.
+          val lx = round(col("l_quantity") * 10000).cast("long")
+          val ly = round(col("l_extendedprice") * 10000).cast("long")
+          def acc(v: Column) = sum(v.cast(DecimalType(38, 0)))
           val agged = t(s, d, "lineitem")
             .groupBy(col("l_returnflag"))
             .agg(
               count(lit(1)).as("n"),
-              sum(x).as("sx"), sum(y).as("sy"),
-              sum(x * x).as("sxx"), sum(x * y).as("sxy"), sum(y * y).as("syy"))
+              acc(lx).as("sx"), acc(ly).as("sy"),
+              acc(lx * lx).as("sxx"), acc(lx * ly).as("sxy"), acc(ly * ly).as("syy"))
           val n = col("n").cast("double")
           val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
           val sxx = col("sxx").cast("double"); val sxy = col("sxy").cast("double")

@@ -25,6 +25,18 @@ class DedupSpec extends SparkSpec {
       .toDF("doc_id", "text")
   }
 
+  test("line-dedup packed keep-order ids cannot collide: seg counts sit far under the stride") {
+    // mirror of ChunkSpec's chunk-id gate: q_line_dedup's min() runs over
+    // doc_id·2^SegIdxBits + seg_idx, so a doc approaching 2^SegIdxBits
+    // segments would silently corrupt first-occurrence attribution. 16×
+    // headroom trips this test before any silent wraparound.
+    val maxSegs = graft.core.Tables(spark, sf(), "documents")
+      .select(expr("greatest(CAST(ceil(size(split(text, ' ')) / 5.0) AS INT), 1)").as("m"))
+      .agg(max(col("m"))).head().getInt(0).toLong
+    assert(maxSegs * 16 < (1L << DedupQueries.SegIdxBits),
+      s"max segment count $maxSegs approaches the 2^${DedupQueries.SegIdxBits} seg-idx stride")
+  }
+
   test("minhashPairs finds exact and near dups, not unrelated pairs") {
     val pairs = Dedup
       .minhashPairs(corpus, "doc_id", "text", minJaccard = 0.4)
