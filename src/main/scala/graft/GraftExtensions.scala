@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
-import graft.functions.{AllL2, ArgMinL2, DotProduct, MinHashSig, MinL2, SimHash64, SortedDotProduct, SortedIntersectGe, ZOrderExpr}
+import graft.functions.{AllL2, ArgMinL2, DotProduct, MinHashSig, MinL2, SimHash64, SortedDotProduct, SortedIntersectGe, Sum128, ZOrderExpr}
 
 /** SparkSessionExtensions hook: registers graft's custom Catalyst
   * expressions as SQL functions. Activate either via
@@ -70,6 +70,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case _ =>
             throw new IllegalArgumentException(
               "graft_minhash requires (array<string>, literal int hash count)")
+        }))
+    // Overflow-safe fixed-point sum with primitive (two-long) buffers —
+    // Agg.dsum's accumulator (see Sum128 scaladoc for the int128 layout).
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_sum128"),
+        new ExpressionInfo(classOf[Sum128].getName, "graft_sum128"),
+        (children: Seq[Expression]) => {
+          if (children.size != 1)
+            throw new IllegalArgumentException(
+              s"graft_sum128 requires exactly 1 bigint argument, got ${children.size}")
+          Sum128(children.head)
         }))
     ext.injectFunction(
       (

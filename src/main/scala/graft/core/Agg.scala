@@ -51,6 +51,14 @@ object Agg {
     * (quantized to 4 decimals).
     */
   def dsum(c: Column): Column =
+    (call_function("graft_sum128", round(c * Scale).cast(LongType))
+      .cast(DoubleType) / Scale)
+
+  /** The built-in-only formulation (decimal sum buffer) — bit-identical
+    * to [[dsum]]; kept as the cross-check [[graft.functions.Sum128]]'s
+    * spec gates against and for sessions without graft extensions.
+    */
+  def dsumDecimal(c: Column): Column =
     (sum(round(c * Scale).cast(LongType).cast(DecimalType(38, 0))).cast(DoubleType) / Scale)
 
   /** Deterministic average built from dsum / count (single final division). */

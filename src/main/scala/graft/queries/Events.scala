@@ -315,15 +315,18 @@ object Events {
       // epoch SECONDS (truncating cast in both engines) so frame
       // membership is integer-exact; count/sum are tie-insensitive.
       (s, d) => {
-        import org.apache.spark.sql.types.{DecimalType, DoubleType}
+        import org.apache.spark.sql.types.DoubleType
         val sec = col("ts").cast("long")
         val w = Window.partitionBy(col("user_id")).orderBy(sec).rangeBetween(-3600, 0)
-        val fx = round(col("value") * 10000).cast("long").cast(DecimalType(38, 0))
+        // graft_sum128 works per frame too (declarative aggregate under
+        // WindowExec's AggregateProcessor) — same exact integers as the
+        // decimal-buffer sum, without its per-row Decimal allocation
+        val fx = round(col("value") * 10000).cast("long")
         events(s, d)
           .select(
             col("event_id"), col("user_id"),
             count(lit(1)).over(w).as("n_1h"),
-            (sum(fx).over(w).cast(DoubleType) / 10000).as("sum_1h"))
+            (call_function("graft_sum128", fx).over(w).cast(DoubleType) / 10000).as("sum_1h"))
           .orderBy("event_id")
       },
       Some(

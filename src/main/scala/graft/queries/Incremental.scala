@@ -81,7 +81,7 @@ object Incremental {
               count(lit(1)).as("n"),
               // keep the partial in exact integer space (the dsum recipe's
               // step 2) so merging partials stays order-independent
-              sum(round(col("o_totalprice") * 10000).cast("long").cast("decimal(38,0)")).as("fx"))
+              call_function("graft_sum128", round(col("o_totalprice") * 10000).cast("long")).as("fx"))
         val base = partial(o.filter(year(col("o_orderdate")) < 1999))
         val delta = partial(o.filter(year(col("o_orderdate")) >= 1999))
         base.unionByName(delta)

@@ -507,20 +507,22 @@ object Relational {
       // unique within each customer partition (lineitem's (orderkey,
       // linenumber) is not unique in this dataset).
       (s, d) => {
-        import org.apache.spark.sql.types.{DecimalType, DoubleType}
+        import org.apache.spark.sql.types.DoubleType
         val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
         val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val moving = w.rowsBetween(-1, 1)
-        // fixed-point window sums — same recipe as Agg.dsum (see Agg docs)
-        val fx = round(col("o_totalprice") * 10000).cast("long").cast(DecimalType(38, 0))
+        // fixed-point window sums — same recipe as Agg.dsum (see Agg docs;
+        // graft_sum128 is the accumulator here too)
+        val fx = round(col("o_totalprice") * 10000).cast("long")
+        def s128(frame: org.apache.spark.sql.expressions.WindowSpec) =
+          call_function("graft_sum128", fx).over(frame).cast(DoubleType) / 10000
         t(s, d, "orders")
           .select(
             col("o_custkey"),
             col("o_orderkey"),
             col("o_totalprice"),
-            (sum(fx).over(running).cast(DoubleType) / 10000).as("run_total"),
-            ((sum(fx).over(moving).cast(DoubleType) / 10000) /
-              count(col("o_totalprice")).over(moving)).as("mov_avg_total"))
+            s128(running).as("run_total"),
+            (s128(moving) / count(col("o_totalprice")).over(moving)).as("mov_avg_total"))
           .orderBy("o_custkey", "o_orderkey")
       },
       Some(
@@ -643,7 +645,7 @@ object Relational {
             keys = Seq("l_returnflag"),
             saltBuckets = 8,
             partials = Seq(
-              sum(round(col("l_quantity") * 10000).cast("long").cast(DecimalType(38, 0))).as("psum"),
+              call_function("graft_sum128", round(col("l_quantity") * 10000).cast("long")).as("psum"),
               count(lit(1)).as("pn")),
             merges = Seq(sum(col("psum")).as("ssum"), sum(col("pn")).as("n")))
           .select(

@@ -211,7 +211,7 @@ object Structured {
           // 1.3e18 < 2^63 — the bound is per-row and scale-invariant.
           val lx = round(col("l_quantity") * 10000).cast("long")
           val ly = round(col("l_extendedprice") * 10000).cast("long")
-          def acc(v: Column) = sum(v.cast(DecimalType(38, 0)))
+          def acc(v: Column) = call_function("graft_sum128", v)
           val agged = t(s, d, "lineitem")
             .groupBy(col("l_returnflag"))
             .agg(

@@ -304,6 +304,18 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("flagship aggregate accumulates through graft_sum128, not decimal sum buffers") {
+    // Agg.dsum's int128 primitive-buffer accumulator (the round-15 swap
+    // that cut the serial-scan agg ~2x) must not silently revert to the
+    // Decimal(38,0) sum, whose per-row update allocates. The window-frame
+    // fixed-point sums ride the same aggregate.
+    for (q <- Seq("q_agg_pricing", "q_window_range")) {
+      val p = planString(Registry.byName(q).run(spark, sf()))
+      assert(p.contains("graft_sum128"),
+        s"$q: fixed-point sum lost the int128 accumulator:\n${p.take(1500)}")
+    }
+  }
+
   test("quantizer assignment runs through the codegen argmin kernel, not the HOF chain") {
     // the round-15 hot-loop swap must not silently revert: the encode
     // map's plan carries graft_argmin_l2/graft_min_l2, and no
