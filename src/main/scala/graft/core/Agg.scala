@@ -29,9 +29,10 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
   *
   * Supported value domain: finite doubles with |x| < ~9e14 (so x*10000
   * stays exactly summable; the decimal/HUGEINT accumulators never
-  * overflow). NaN/Infinity are outside the contract — Spark's non-ANSI
-  * double→long cast folds them to 0 / ±Long.Max while DuckDB's HUGEINT
-  * cast raises; filter them upstream if the data can contain them.
+  * overflow). NaN/Infinity are outside the contract — the double→long
+  * cast throws under ANSI mode (this repo's sessions; non-ANSI folds
+  * them to 0 / ±Long.Max) and DuckDB's HUGEINT cast raises; filter them
+  * upstream if the data can contain them.
   *
   * The per-row integer is produced as `cast(cast(v AS long) AS decimal)`,
   * not `cast(v AS decimal)`: Spark's double→decimal cast goes through

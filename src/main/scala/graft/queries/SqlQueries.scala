@@ -12,12 +12,15 @@ import graft.engine.QueryRunner
   *
   * Fixed-point sums here accumulate as `SUM(CAST(<long> AS
   * DECIMAL(38,0)))`, not `SUM(<long>)`: Spark's sum over BIGINT stays
-  * BIGINT and silently wraps once a group's total passes 2^63 (~1e13
-  * rows x 1e9-scale values — squarely inside the 100 TB envelope),
-  * while DuckDB widens to HUGEINT. The decimal accumulator restores
-  * overflow safety in BOTH engines from identical text; the per-row
-  * value still reaches it through the fast BIGINT cast (see
-  * [[graft.core.Agg]] on why the long hop matters).
+  * BIGINT, so once a group's total passes 2^63 (~1e13 rows x 1e9-scale
+  * values — squarely inside the 100 TB envelope) the job throws under
+  * ANSI mode (wraps with ANSI off), while DuckDB widens the same text
+  * to HUGEINT and answers. The decimal accumulator restores overflow
+  * safety in BOTH engines from identical text; the per-row value still
+  * reaches it through the fast BIGINT cast (see [[graft.core.Agg]] on
+  * why the long hop matters). The DataFrame tier goes one step further
+  * (graft_sum128's primitive buffers) — not usable here, where the text
+  * must stay portable.
   */
 object SqlQueries {
 
