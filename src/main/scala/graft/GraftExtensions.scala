@@ -139,6 +139,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Opt-in COUNT(DISTINCT) → HLL++ rewrite; no-op unless the session
     // sets graft.approx.distinct=true (see ApproxDistinctRewrite).
     ext.injectOptimizerRule(_ => graft.engine.ApproxDistinctRewrite)
+    // SUM(CAST(<integral> AS DECIMAL(38,0))) → graft_sum128: the
+    // fixed-point accumulator rewrite for delegated SQL text the engine
+    // cannot edit (default ON; see Sum128Rewrite).
+    ext.injectOptimizerRule(_ => graft.engine.Sum128Rewrite)
     // Custom whole-operator plan (§2.9 tier c): per-key top-k via bounded
     // heaps. The strategy only fires on the TopKPerKey node; the rewrite
     // (graft.topk.rewrite, default ON, cardinality-guarded) turns the

@@ -314,6 +314,14 @@ class PlanAuditSpec extends SparkSpec {
       assert(p.contains("graft_sum128"),
         s"$q: fixed-point sum lost the int128 accumulator:\n${p.take(1500)}")
     }
+    // the SQL tier spells the same recipe as SUM(CAST(.. AS
+    // DECIMAL(38,0))) in engine-shared text — Sum128Rewrite must land
+    // the identical accumulator there without editing the query.
+    for (q <- Seq("q_sql_shipping", "q_sql_mkt_share")) {
+      val p = planString(Registry.byName(q).run(spark, sf()))
+      assert(p.contains("graft_sum128"),
+        s"$q: Sum128Rewrite did not reach the delegated-SQL fixed-point sum:\n${p.take(1500)}")
+    }
   }
 
   test("quantizer assignment runs through the codegen argmin kernel, not the HOF chain") {

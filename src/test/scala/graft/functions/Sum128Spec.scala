@@ -17,7 +17,17 @@ class Sum128Spec extends SparkSpec {
   private def s128(c: Column) = call_function("graft_sum128", c)
   private def sdec(c: Column) = sum(c.cast("decimal(38,0)"))
 
-  test("dsum via sum128 is bit-identical to the decimal-accumulator dsum on real data") {
+  /** The decimal-sum CONTROLS here must stay Spark's decimal-buffer sum:
+    * with [[graft.engine.Sum128Rewrite]] default-ON, `sdec`/`dsumDecimal`
+    * would silently plan as Sum128 too and every differential below
+    * would compare Sum128 with itself. Each test pins the rewrite off.
+    */
+  private def noRewrite[T](f: => T): T = {
+    spark.conf.set(graft.engine.Sum128Rewrite.Flag, "false")
+    try f finally spark.conf.unset(graft.engine.Sum128Rewrite.Flag)
+  }
+
+  test("dsum via sum128 is bit-identical to the decimal-accumulator dsum on real data") { noRewrite {
     val li = graft.core.Tables(spark, sf(), "lineitem")
     val diffs = li
       .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -31,9 +41,9 @@ class Sum128Spec extends SparkSpec {
       .filter(col("a") =!= col("ad") || col("b") =!= col("bd") || col("c") =!= col("cd"))
       .count()
     assert(diffs == 0L)
-  }
+  } }
 
-  test("totals crossing 2^63 stay exact (the overflow band a long sum cannot enter)") {
+  test("totals crossing 2^63 stay exact (the overflow band a long sum cannot enter)") { noRewrite {
     import spark.implicits._
     // 400 × (Long.Max / 100): total = 4 × Long.Max = 2^65 - 4, far past
     // any 64-bit accumulator; both accumulators must agree exactly and
@@ -52,9 +62,9 @@ class Sum128Spec extends SparkSpec {
     val mixed = ((1 to 300).map(_ => big) ++ (1 to 100).map(_ => -big)).toDF("x").repartition(13)
     val m = mixed.agg(s128(col("x")).as("k"), sdec(col("x")).as("d")).head()
     assert(m.getDecimal(0) == m.getDecimal(1))
-  }
+  } }
 
-  test("negative totals, nulls skipped, empty and all-null groups are null") {
+  test("negative totals, nulls skipped, empty and all-null groups are null") { noRewrite {
     import spark.implicits._
     val df = Seq(
       ("a", Some(-5L)), ("a", Some(-7L)), ("a", None),
@@ -67,9 +77,9 @@ class Sum128Spec extends SparkSpec {
     assert(rows(1).isNullAt(1) && rows(1).isNullAt(2))
     val empty = spark.emptyDataFrame.select(lit(1L).as("x")).agg(s128(col("x"))).head()
     assert(empty.isNullAt(0))
-  }
+  } }
 
-  test("random long inputs across many partitions agree with the decimal sum exactly") {
+  test("random long inputs across many partitions agree with the decimal sum exactly") { noRewrite {
     import spark.implicits._
     // deterministic pseudo-random longs spanning the full range via
     // xxhash64 — includes Long.MinValue-adjacent magnitudes
@@ -81,5 +91,5 @@ class Sum128Spec extends SparkSpec {
       .agg(s128(col("x")).as("s"), sdec(col("x")).as("d"))
       .filter(col("s") =!= col("d")).count()
     assert(diffs == 0L)
-  }
+  } }
 }
