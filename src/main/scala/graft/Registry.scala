@@ -25,6 +25,7 @@ object Registry {
       graft.ext.DedupQueries.queries ++
       graft.ext.SimilarityQueries.queries ++
       graft.ext.MultimodalQueries.queries ++
+      graft.ext.MediaSegQueries.queries ++
       graft.ext.CorpusQueries.queries ++
       graft.ext.QualityQueries.queries ++
       graft.ext.EmbedQueries.queries ++

@@ -89,6 +89,91 @@ object MediaCodec {
     out
   }
 
+  /** Shot-structured Y4M for scene-cut detection: the video is a
+    * sequence of shots; every frame of shot `s` renders the same smooth
+    * horizontal luma ramp — direction alternating per shot
+    * (even shots brighten left→right, odd shots right→left; slope 2/px)
+    * over a per-shot base level — plus a per-frame uniform brightness
+    * jitter (camera flicker). The dHash invariant this is built for:
+    * a uniform shift moves both cells of every pooled comparison
+    * together (no byte clamping anywhere: 64 + 32 + 24 + 2·(w−1) ≤ 230
+    * for w ≤ 40), so frames within a shot hash identically, while the
+    * direction flip at a shot boundary inverts EVERY comparison —
+    * hamming exactly 64, a provable detection margin rather than a
+    * statistical one. Chroma planes are neutral (128).
+    */
+  def buildShotY4m(width: Int, height: Int, shotLens: Seq[Int], id: Long): Array[Byte] = {
+    require(width > 0 && height > 0 && width % 2 == 0 && height % 2 == 0)
+    require(shotLens.nonEmpty && shotLens.forall(_ > 0))
+    val header = s"YUV4MPEG2 W$width H$height F25:1 Ip A1:1 C420\n".getBytes(US_ASCII)
+    val frameSize = width * height * 3 / 2
+    val nFrames = shotLens.sum
+    val out = new Array[Byte](header.length + nFrames * (6 + frameSize))
+    System.arraycopy(header, 0, out, 0, header.length)
+    val marker = "FRAME\n".getBytes(US_ASCII)
+    var f = 0
+    var shot = 0
+    var inShot = 0
+    while (f < nFrames) {
+      val at = header.length + f * (6 + frameSize)
+      System.arraycopy(marker, 0, out, at, 6)
+      val base = (64L + (id + shot) * 7 % 33).toInt
+      val jitter = ((id * 31 + f * 13) % 25).toInt
+      val leftToRight = shot % 2 == 0
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val ramp = if (leftToRight) 2 * x else 2 * (width - 1 - x)
+          out(at + 6 + y * width + x) = (base + jitter + ramp).toByte
+          x += 1
+        }
+        y += 1
+      }
+      java.util.Arrays.fill(out, at + 6 + width * height, at + 6 + frameSize, 128.toByte)
+      f += 1
+      inShot += 1
+      if (inShot == shotLens(shot)) { shot += 1; inShot = 0 }
+    }
+    out
+  }
+
+  /** Activity-structured 16-bit PCM mono WAV for audio segmentation:
+    * alternating active/silent sections (active first), each
+    * `sectionLens(s)` windows of `windowSamples` samples. Every sample
+    * in section `s` is a period-4 square wave at amplitude
+    * A_s = 2000 + (id+s)·37 % 1000 (active) or (id+s)·13 % 200
+    * (silent), so every window's peak |sample| equals A_s EXACTLY —
+    * the planted arithmetic an oracle can re-derive without decoding.
+    */
+  def buildActivityWav(
+      sectionLens: Seq[Int], windowSamples: Int, sampleRate: Int, id: Long): Array[Byte] = {
+    require(sectionLens.nonEmpty && sectionLens.forall(_ > 0) && windowSamples >= 4)
+    val nSamples = sectionLens.sum * windowSamples
+    val b = ByteBuffer.allocate(44 + nSamples * 2).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes(US_ASCII)).putInt(36 + nSamples * 2).put("WAVE".getBytes(US_ASCII))
+    b.put("fmt ".getBytes(US_ASCII)).putInt(16)
+      .putShort(1).putShort(1)
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16)
+    b.put("data".getBytes(US_ASCII)).putInt(nSamples * 2)
+    var sec = 0
+    while (sec < sectionLens.length) {
+      val amp =
+        if (sec % 2 == 0) (2000L + (id + sec) * 37 % 1000).toInt
+        else ((id + sec) * 13 % 200).toInt
+      var j = 0
+      val secSamples = sectionLens(sec) * windowSamples
+      while (j < secSamples) {
+        val v = if ((j & 3) < 2) amp else -amp // period-4 square wave
+        b.putShort(v.toShort)
+        j += 1
+      }
+      sec += 1
+    }
+    b.array()
+  }
+
   // ---- parsers ----
 
   private def u16le(b: Array[Byte], i: Int): Int =
@@ -175,5 +260,82 @@ object MediaCodec {
           case _ => None
         }
       }
+    } else None
+
+  /** Pixel-level Y4M decode: (width, height, per-frame LUMA planes,
+    * row-major top-down). The frame walk mirrors [[decodeY4m]]'s strict
+    * contract (same geometry caps, truncated frame → None); chroma is
+    * skipped — scene detection hashes luminance, as real shot-boundary
+    * detectors do.
+    */
+  def lumaFrames(b: Array[Byte]): Option[(Int, Int, Vector[Array[Byte]])] =
+    if (tag(b, 0, "YUV4MPEG2 ")) {
+      val nl = b.indexOf('\n'.toByte)
+      if (nl < 0) None
+      else {
+        val params = new String(b, 0, nl, US_ASCII).split(' ').drop(1)
+        def num(prefix: Char): Option[Int] =
+          params.collectFirst {
+            case p if p.length >= 2 && p.length <= 9 && p.head == prefix && p.tail.forall(_.isDigit) =>
+              p.tail.toInt
+          }
+        (num('W'), num('H')) match {
+          case (Some(w), Some(h)) if w > 0 && h > 0 && w <= 16384 && h <= 16384 =>
+            val frameSize = w * h * 3 / 2
+            var i = nl + 1
+            var ok = true
+            val out = Vector.newBuilder[Array[Byte]]
+            var n = 0
+            while (ok && i < b.length) {
+              if (tag(b, i, "FRAME")) {
+                var j = i + 5
+                while (j < b.length && b(j) != '\n'.toByte) j += 1
+                if (j + 1 + frameSize <= b.length) {
+                  out += java.util.Arrays.copyOfRange(b, j + 1, j + 1 + w * h)
+                  n += 1
+                  i = j + 1 + frameSize
+                } else ok = false
+              } else ok = false
+            }
+            if (ok && n > 0) Some((w, h, out.result())) else None
+          case _ => None
+        }
+      }
+    } else None
+
+  /** Sample-level WAV decode: the 16-bit little-endian PCM mono samples
+    * from the data chunk. Same chunk-walk hardening as [[decodeWav]];
+    * None unless the payload is exactly the PCM/16-bit/mono shape this
+    * module emits (a real ingest pipeline would hand other encodings to
+    * a fuller decoder).
+    */
+  def pcmSamples(b: Array[Byte]): Option[Array[Short]] =
+    if (b.length >= 44 && tag(b, 0, "RIFF") && tag(b, 8, "WAVE")) {
+      var i = 12
+      var fmtOk = false
+      var dataAt = -1
+      var dataSize = -1
+      var wellFormed = true
+      while (wellFormed && i + 8 <= b.length && (!fmtOk || dataAt < 0)) {
+        val sz = i32le(b, i + 4)
+        if (sz < 0 || sz > b.length - i - 8) wellFormed = false
+        else {
+          if (tag(b, i, "fmt ") && sz >= 16)
+            // audioFormat=1 (PCM), mono, 16-bit — the only wire shape here
+            fmtOk = u16le(b, i + 8) == 1 && u16le(b, i + 10) == 1 && u16le(b, i + 22) == 16
+          else if (tag(b, i, "data")) { dataAt = i + 8; dataSize = sz }
+          i += 8 + sz + (sz & 1)
+        }
+      }
+      if (wellFormed && fmtOk && dataAt >= 0) {
+        val n = dataSize / 2
+        val out = new Array[Short](n)
+        var k = 0
+        while (k < n) {
+          out(k) = ((b(dataAt + 2 * k) & 0xff) | (b(dataAt + 2 * k + 1) << 8)).toShort
+          k += 1
+        }
+        Some(out)
+      } else None
     } else None
 }

@@ -135,6 +135,55 @@ object Phash {
       bits
     }
 
+  /** 64-bit dHash of a single-channel luma plane (row-major top-down,
+    * as [[MediaCodec.lumaFrames]] emits) — the video-frame sibling of
+    * [[dHash]]: same 9×8 average pool, same left<right comparison per
+    * adjacent cell pair. The gradient comparison is exactly invariant
+    * to a uniform brightness shift (both cells move together; callers
+    * must keep values clear of the byte ceiling), which is what makes
+    * per-frame flicker hash-stable while a content change flips bits.
+    */
+  def dHashLuma(w: Int, h: Int, luma: Array[Byte]): Long = {
+    require(luma.length >= w * h)
+    val p = new Array[Double](9 * 8)
+    var gy = 0
+    while (gy < 8) {
+      val y0 = gy * h / 8
+      val y1 = math.max((gy + 1) * h / 8, y0 + 1)
+      var gx = 0
+      while (gx < 9) {
+        val x0 = gx * w / 9
+        val x1 = math.max((gx + 1) * w / 9, x0 + 1)
+        var s = 0L
+        var n = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            s += luma(y * w + x) & 0xff
+            n += 1
+            x += 1
+          }
+          y += 1
+        }
+        p(gy * 9 + gx) = s.toDouble / n
+        gx += 1
+      }
+      gy += 1
+    }
+    var bits = 0L
+    var gy2 = 0
+    while (gy2 < 8) {
+      var gx = 0
+      while (gx < 8) {
+        if (p(gy2 * 9 + gx) < p(gy2 * 9 + gx + 1)) bits |= 1L << (gy2 * 8 + gx)
+        gx += 1
+      }
+      gy2 += 1
+    }
+    bits
+  }
+
   /** Nearest-neighbor integer upscale (factor ≥ 1), re-encoded as a real
     * BMP — the "same image, different resolution" near-dup fixture.
     */
