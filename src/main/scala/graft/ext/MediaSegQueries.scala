@@ -36,7 +36,13 @@ import graft.core.Tables
   * lag/running-sum windows partition on the media id — frame and window
   * counts per item are container-bounded, so no partition outgrows an
   * executor at any corpus size — and the segment rollup is an ordinary
-  * hash aggregate on (id, segment).
+  * hash aggregate on (id, segment). The documented path past the
+  * per-item bound (hour-long videos, where one id's frames would no
+  * longer fit a partition): range-partition on (id, frame_bucket) with
+  * each bucket's first frame duplicated into its predecessor bucket, so
+  * every consecutive-frame comparison is local to exactly one bucket
+  * and the running cut-count becomes the two-pass prefix-sum
+  * `core/Ranks.globalIndex` already implements for dictionary ranks.
   */
 object MediaSegQueries {
 
