@@ -149,6 +149,7 @@ object Stress {
     else if (tier == "streaming") runStreaming(spark, sfDir, mult)
     else if (tier == "trainer") runTrainer(spark, sfDir, mult)
     else if (tier == "prefix") runPrefix(spark, sfDir, mult)
+    else if (tier == "media") runMedia(spark, sfDir, mult)
     else runFull(spark, sfDir, mult)
     spark.stop()
   }
@@ -625,6 +626,47 @@ object Stress {
         s""""dict_stage_big_mpost_s":${num(rate(postBig, dBig))},""" +
         s""""pairs_base_sec":${num(pBase)},"pairs_big_sec":${num(pBig)},""" +
         s""""pairs_found_big":$nPairsBig}""")
+  }
+
+  /** Media-segmentation scale tier (round 15): the temporal-segmentation
+    * chains (q_scene_cuts / q_audio_activity) with the frames/windows
+    * PER ITEM multiplied — the axis the per-id lag window actually
+    * feels (replicating items only widens the embarrassingly-parallel
+    * decode). Each video's shot pattern and each audio's section
+    * pattern repeat mult×, so at mult=16 the largest video carries 320
+    * frames and the largest audio 960 windows through one window
+    * partition. The decode kernel is per-row fixed work, so
+    * kframes/s / kwindows/s should IMPROVE per-unit at mult× as job
+    * fixed costs amortize; a flat-or-worse reading would mean the
+    * window stage (not the codec) is the emerging bottleneck.
+    */
+  private def runMedia(spark: SparkSession, sfDir: String, mult: Int): Unit = {
+    val num = (v: Double) => Timing.fmt3(v)
+    def frames(m: Int): Long = ext.MediaSegQueries.frameHashes(spark, sfDir, m).count()
+    def windows(m: Int): Long = ext.MediaSegQueries.windowPeaks(spark, sfDir, m).count()
+    def scenes(m: Int): Double = time {
+      ext.MediaSegQueries.sceneChain(ext.MediaSegQueries.frameHashes(spark, sfDir, m))
+        .write.format("noop").mode("overwrite").save()
+    }
+    def activity(m: Int): Double = time {
+      ext.MediaSegQueries.activityChain(ext.MediaSegQueries.windowPeaks(spark, sfDir, m))
+        .write.format("noop").mode("overwrite").save()
+    }
+    def minOf2(f: Int => Double, m: Int): Double = { f(m); Seq(f(m), f(m)).min }
+    val fBase = frames(1); val fBig = frames(mult)
+    val wBase = windows(1); val wBig = windows(mult)
+    val sBase = minOf2(scenes, 1); val sBig = minOf2(scenes, mult)
+    val aBase = minOf2(activity, 1); val aBig = minOf2(activity, mult)
+    println(
+      s"""{"tier":"media","mult":$mult,""" +
+        s""""frames_base":$fBase,"frames_big":$fBig,""" +
+        s""""windows_base":$wBase,"windows_big":$wBig,""" +
+        s""""scene_base_sec":${num(sBase)},"scene_big_sec":${num(sBig)},""" +
+        s""""scene_base_kframes_s":${num(fBase / sBase / 1e3)},""" +
+        s""""scene_big_kframes_s":${num(fBig / sBig / 1e3)},""" +
+        s""""activity_base_sec":${num(aBase)},"activity_big_sec":${num(aBig)},""" +
+        s""""activity_base_kwin_s":${num(wBase / aBase / 1e3)},""" +
+        s""""activity_big_kwin_s":${num(wBig / aBig / 1e3)}}""")
   }
 
   /** Dedup/similarity-family scale tier (round-8 verdict #5): the NEW

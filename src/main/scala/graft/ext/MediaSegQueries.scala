@@ -46,40 +46,109 @@ import graft.core.Tables
   */
 object MediaSegQueries {
 
+  /** Per-frame luma hashes for the planted shot fixture, `shotMult`
+    * repetitions of each video's shot pattern (shotMult = 1 is the
+    * registered query; the Stress media tier raises it to grow the
+    * frames-PER-ITEM axis — the one the per-vid window actually feels).
+    */
+  def frameHashes(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+      shotMult: Int): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val vids = Tables(s, d, "documents")
+      .select(col("doc_id")).filter(col("doc_id") % 3 === 2).as[Long]
+    vids.mapPartitions { it =>
+      it.flatMap { id =>
+        val w = 16 + (id % 4).toInt * 8
+        val h = 8 + (id % 2).toInt * 8
+        val nShots = 2 + (id % 4).toInt
+        val lens = (0 until nShots * shotMult).map(sh => 2 + ((id + sh % nShots) % 3).toInt)
+        // build → parse real bytes: the differential pins the round-trip
+        val (pw, ph, frames) =
+          MediaCodec.lumaFrames(MediaCodec.buildShotY4m(w, h, lens, id)).get
+        frames.iterator.zipWithIndex.map { case (luma, f) =>
+          (id, f, Phash.dHashLuma(pw, ph, luma))
+        }
+      }
+    }.toDF("vid", "frame_idx", "fhash")
+  }
+
+  /** Cut detection + run-length scene rollup over (vid, frame_idx,
+    * fhash) rows — the segmentation chain both the registered query and
+    * the Stress tier time.
+    */
+  def sceneChain(hashed: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val byFrame = Window.partitionBy(col("vid")).orderBy(col("frame_idx"))
+    hashed
+      .withColumn("prev", lag(col("fhash"), 1).over(byFrame))
+      .withColumn(
+        "is_cut",
+        (col("prev").isNotNull && expr("bit_count(fhash ^ prev)") >= 16).cast("int"))
+      .withColumn("scene_id", sum(col("is_cut")).over(byFrame).cast("int"))
+      .groupBy(col("vid"), col("scene_id"))
+      .agg(
+        min(col("frame_idx")).cast("int").as("start_frame"),
+        count(lit(1)).as("n_frames"))
+      .orderBy("vid", "scene_id")
+  }
+
+  /** Per-window PCM peaks for the planted activity fixture, `secMult`
+    * repetitions of each item's section pattern (secMult = 1 is the
+    * registered query; see [[frameHashes]]).
+    */
+  def windowPeaks(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+      secMult: Int): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val auds = Tables(s, d, "documents")
+      .select(col("doc_id")).filter(col("doc_id") % 3 === 1).as[Long]
+    auds.mapPartitions { it =>
+      it.flatMap { id =>
+        val nSec = 3 + (id % 3).toInt
+        val lens = (0 until nSec * secMult).map(sc => 2 + ((id + sc % nSec) % 3).toInt)
+        val pcm =
+          MediaCodec.pcmSamples(MediaCodec.buildActivityWav(lens, 160, 16000, id)).get
+        (0 until pcm.length / 160).iterator.map { wi =>
+          var p = 0
+          var i = wi * 160
+          while (i < (wi + 1) * 160) {
+            val a = math.abs(pcm(i).toInt)
+            if (a > p) p = a
+            i += 1
+          }
+          (id, wi, p)
+        }
+      }
+    }.toDF("aid", "w_idx", "peak")
+  }
+
+  /** Threshold + contiguous-run segment rollup over (aid, w_idx, peak)
+    * rows — shared by the registered query and the Stress tier.
+    */
+  def activityChain(peaks: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val byWindow = Window.partitionBy(col("aid")).orderBy(col("w_idx"))
+    peaks
+      .withColumn("is_active", col("peak") >= 1000)
+      .withColumn(
+        "is_new",
+        (coalesce(lag(col("is_active"), 1).over(byWindow), col("is_active"))
+          =!= col("is_active")).cast("int"))
+      .withColumn("seg_id", sum(col("is_new")).over(byWindow).cast("int"))
+      .groupBy(col("aid"), col("seg_id"))
+      .agg(
+        first(col("is_active")).as("is_active"),
+        min(col("w_idx")).cast("int").as("start_window"),
+        count(lit(1)).as("n_windows"),
+        max(col("peak")).as("peak"))
+      .orderBy("aid", "seg_id")
+  }
+
   val queries: Seq[Q] = Seq(
     Q(
       "q_scene_cuts",
-      (s, d) => {
-        import s.implicits._
-        val vids = Tables(s, d, "documents")
-          .select(col("doc_id")).filter(col("doc_id") % 3 === 2).as[Long]
-        val hashed = vids.mapPartitions { it =>
-          it.flatMap { id =>
-            val w = 16 + (id % 4).toInt * 8
-            val h = 8 + (id % 2).toInt * 8
-            val nShots = 2 + (id % 4).toInt
-            val lens = (0 until nShots).map(sh => 2 + ((id + sh) % 3).toInt)
-            // build → parse real bytes: the differential pins the round-trip
-            val (pw, ph, frames) =
-              MediaCodec.lumaFrames(MediaCodec.buildShotY4m(w, h, lens, id)).get
-            frames.iterator.zipWithIndex.map { case (luma, f) =>
-              (id, f, Phash.dHashLuma(pw, ph, luma))
-            }
-          }
-        }.toDF("vid", "frame_idx", "fhash")
-        val byFrame = Window.partitionBy(col("vid")).orderBy(col("frame_idx"))
-        hashed
-          .withColumn("prev", lag(col("fhash"), 1).over(byFrame))
-          .withColumn(
-            "is_cut",
-            (col("prev").isNotNull && expr("bit_count(fhash ^ prev)") >= 16).cast("int"))
-          .withColumn("scene_id", sum(col("is_cut")).over(byFrame).cast("int"))
-          .groupBy(col("vid"), col("scene_id"))
-          .agg(
-            min(col("frame_idx")).cast("int").as("start_frame"),
-            count(lit(1)).as("n_frames"))
-          .orderBy("vid", "scene_id")
-      },
+      (s, d) => sceneChain(frameHashes(s, d, shotMult = 1)),
       // Re-derives the planted shot arithmetic: nShots = 2 + id%4, shot s
       // runs 2 + (id+s)%3 frames; starts = prefix sums. An exact match
       // means every planted boundary was detected and nothing else was.
@@ -95,44 +164,7 @@ object MediaSegQueries {
     ),
     Q(
       "q_audio_activity",
-      (s, d) => {
-        import s.implicits._
-        val auds = Tables(s, d, "documents")
-          .select(col("doc_id")).filter(col("doc_id") % 3 === 1).as[Long]
-        val peaks = auds.mapPartitions { it =>
-          it.flatMap { id =>
-            val nSec = 3 + (id % 3).toInt
-            val lens = (0 until nSec).map(sc => 2 + ((id + sc) % 3).toInt)
-            val pcm =
-              MediaCodec.pcmSamples(MediaCodec.buildActivityWav(lens, 160, 16000, id)).get
-            (0 until pcm.length / 160).iterator.map { wi =>
-              var p = 0
-              var i = wi * 160
-              while (i < (wi + 1) * 160) {
-                val a = math.abs(pcm(i).toInt)
-                if (a > p) p = a
-                i += 1
-              }
-              (id, wi, p)
-            }
-          }
-        }.toDF("aid", "w_idx", "peak")
-        val byWindow = Window.partitionBy(col("aid")).orderBy(col("w_idx"))
-        peaks
-          .withColumn("is_active", col("peak") >= 1000)
-          .withColumn(
-            "is_new",
-            (coalesce(lag(col("is_active"), 1).over(byWindow), col("is_active"))
-              =!= col("is_active")).cast("int"))
-          .withColumn("seg_id", sum(col("is_new")).over(byWindow).cast("int"))
-          .groupBy(col("aid"), col("seg_id"))
-          .agg(
-            first(col("is_active")).as("is_active"),
-            min(col("w_idx")).cast("int").as("start_window"),
-            count(lit(1)).as("n_windows"),
-            max(col("peak")).as("peak"))
-          .orderBy("aid", "seg_id")
-      },
+      (s, d) => activityChain(windowPeaks(s, d, secMult = 1)),
       // Sections alternate active/silent starting active; the per-section
       // amplitude IS each window's exact peak, so the peak column pins
       // the 16-bit little-endian PCM decode bit-for-bit.
