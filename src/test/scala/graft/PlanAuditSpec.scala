@@ -324,6 +324,26 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("media segmentation: one pruned scan, windows and rollup share one shuffle") {
+    for (q <- Seq("q_scene_cuts", "q_audio_activity")) {
+      val df = Registry.byName(q).run(spark, sf())
+      val ss = scans(df)
+      assert(ss.length == 1, s"$q: expected one parquet scan, got ${ss.length}")
+      assert(ss.head.requiredSchema.fieldNames.toSeq == Seq("doc_id"),
+        s"$q: scan should read only doc_id, got ${ss.head.requiredSchema.fieldNames.toSeq}")
+      // exactly 2 exchanges (in the executed plan — sparkPlan predates
+      // EnsureRequirements): one hash partition feeding BOTH window ops
+      // and the (already co-partitioned) segment rollup, one range for
+      // the output sort — a third would mean the rollup lost the
+      // window's partitioning
+      val p = planString(df)
+      val nExchange = p.linesIterator.count(_.contains("- Exchange"))
+      assert(nExchange == 2, s"$q: expected 2 exchanges, got $nExchange:\n${p.take(1800)}")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"$q: unexpected join in a per-item pipeline")
+    }
+  }
+
   test("quantizer assignment runs through the codegen argmin kernel, not the HOF chain") {
     // the round-15 hot-loop swap must not silently revert: the encode
     // map's plan carries graft_argmin_l2/graft_min_l2, and no
