@@ -119,6 +119,77 @@ object Dedup {
       .filter(col("est_jaccard") >= minJaccard)
   }
 
+  /** The MinHash-LSH dedup serving artifact — what the signature/band
+    * relation becomes once near-dup detection serves from STORAGE:
+    * signatures are content functions ("computed once per doc, ever" —
+    * the q_dedup_incremental contract), so a production corpus stores
+    * the banded rows (id, sig, band_idx, band_hash) and every dedup
+    * run — full-corpus pair sweep or delta probe — reads the artifact,
+    * never the corpus text. nDocs rides along as the bounded scalar the
+    * sub-quadratic candidate contract is phrased against.
+    */
+  private[graft] case class MinhashIndex(banded: DataFrame, nDocs: Long)
+
+  private val minhashIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, MinhashIndex]()
+
+  /** Per-JVM [[MinhashIndex]] registry — the
+    * [[graft.ext.SearchQueries.sparseIndexShared]] discipline: keyed on
+    * the corpus CONTENT FINGERPRINT ([[graft.core.Tables.fingerprint]])
+    * plus every signature parameter, so a fixture regenerated under the
+    * same path gets a fresh build (ArtifactRegistrySpec gates this for
+    * all DataFrame-artifact registries) and serving queries never
+    * recompute signatures. Cached relations hold executor-block
+    * references — valid only within the building SparkSession; clear
+    * via [[clearMinhashShared]] on session change or to time cold
+    * builds.
+    */
+  private[graft] def minhashIndexShared(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+      shingleK: Int = 5,
+      bands: Int = 8,
+      rowsPerBand: Int = 4): MinhashIndex =
+    minhashIndexCache.computeIfAbsent(
+      s"$d|${graft.core.Tables.fingerprint(d, "documents")}|minhash|k=$shingleK|b=$bands|r=$rowsPerBand",
+      _ => {
+        val docs = graft.core.Tables(s, d, "documents")
+        val banded = minhashSignatures(
+          docs, "doc_id", "text", shingleK, bands * rowsPerBand)
+          .select(
+            col("id"), col("sig"),
+            posexplode(bandHashes(bands, rowsPerBand)).as(Seq("band_idx", "band_hash")))
+          .localCheckpoint(true)
+        MinhashIndex(banded, docs.count())
+      })
+
+  /** Drop every cached minhash index — the fixture-rebuild escape hatch
+    * and cold-build timing hook.
+    */
+  private[graft] def clearMinhashShared(): Unit = minhashIndexCache.clear()
+
+  /** The bare LSH pair sweep over a STORED band index: bucket self-join
+    * + estimated-Jaccard filter, identical semantics to [[minhashPairs]]
+    * (same deterministic hash family reads from the artifact, so the
+    * outputs are set-EQUAL, not approximately equal — DedupSpec gates
+    * the equality across the registry boundary). The serving plan
+    * touches zero corpus files (PlanAuditSpec asserts it).
+    */
+  private[graft] def minhashPairsServed(
+      index: MinhashIndex, nHashes: Int, minJaccard: Double): DataFrame = {
+    val a = index.banded.select(
+      col("id").as("a_id"), col("sig").as("a_sig"), col("band_idx"), col("band_hash"))
+    val b = index.banded.select(
+      col("id").as("b_id"), col("sig").as("b_sig"), col("band_idx"), col("band_hash"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("a_id") < col("b_id"))
+      .select(
+        col("a_id"), col("b_id"),
+        estJaccard(col("a_sig"), col("b_sig"), nHashes).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= minJaccard)
+  }
+
   /** Incremental LSH probe: candidate pairs INVOLVING the delta subset,
     * found by banding only the delta side and probing the FULL band index
     * (which at production scale is a stored table — signatures are content

@@ -349,6 +349,31 @@ object DedupQueries {
       headline = true
     ),
     Q(
+      "q_dedup_minhash_served",
+      // The stored-artifact twin of q_dedup_minhash_pairs (the lifecycle
+      // this round gave BM25 postings, sparse signatures, and PQ codes):
+      // the banded signature relation comes from the fingerprint-keyed
+      // MinhashIndex registry — signatures are content functions,
+      // computed once per corpus, ever — and the sweep reads ONLY the
+      // artifact (PlanAuditSpec: zero parquet scans in the serving
+      // plan). Registers the SAME oracle string as q_dedup_minhash_pairs
+      // with n_docs taken from the artifact's stored scalar, so the
+      // correctness hash doubles as a build-vs-serve differential;
+      // DedupSpec additionally asserts the served pair SET equals the
+      // inline build's exactly (same deterministic hash family).
+      (s, d) => {
+        val idx = Dedup.minhashIndexShared(s, d)
+        Dedup.minhashPairsServed(idx, nHashes = 32, minJaccard = 0.3)
+          .agg(count(lit(1)).as("n_found"))
+          .select(
+            lit(idx.nDocs).as("n_docs"),
+            (col("n_found") <= lit(idx.nDocs) * 10L).as("candidates_subquadratic"))
+      },
+      Some(
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, true AS candidates_subquadratic " +
+          "FROM documents")
+    ),
+    Q(
       "q_dedup_incremental",
       // Incremental LSH maintenance — how a 100 TB corpus actually runs
       // near-dup detection: the corpus arrives in batches, and re-banding

@@ -364,6 +364,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("served minhash sweep reads the stored band index only: zero corpus scans") {
+    // same serving bound for the dedup family: the MinhashIndex artifact
+    // holds the banded signature rows, so the pair sweep's plan never
+    // opens the corpus — signatures are content functions, computed once.
+    val df = Registry.byName("q_dedup_minhash_served").run(spark, sf())
+    assert(scans(df).isEmpty,
+      s"served minhash sweep touched the corpus: ${scans(df).size} parquet scan(s)")
+    assert(!planString(df).contains("CartesianProduct"))
+  }
+
   test("sparse-cosine scoring runs through the sorted-dot kernel on array signatures") {
     // round-15 hot-loop swap #2: the champion-family pair scoring is a
     // graft_sorted_dot merge over per-doc signature arrays — the

@@ -8,8 +8,9 @@ import graft.SparkSpec
   * against (round-14 advice): a per-JVM registry keyed only on (dir,
   * params) silently serves the OLD index after the fixture under `dir`
   * is regenerated. Every registry ([[Pq.shared]]/[[Pq.sharedDf]],
-  * [[Ivf.trainShared]], [[SearchQueries.sparseIndexShared]]) embeds
-  * `Tables.fingerprint` (file count + bytes + max mtime) in its key for
+  * [[Ivf.trainShared]], [[SearchQueries.sparseIndexShared]],
+  * [[SearchQueries.bm25IndexShared]], [[Dedup.minhashIndexShared]])
+  * embeds `Tables.fingerprint` (file count + bytes + max mtime) in its key for
   * exactly this reason — this spec REBUILDS a corpus under one path
   * mid-JVM and asserts the served artifacts reflect the new rows, so
   * the fingerprint keying is a gated contract, not a comment.
@@ -54,6 +55,19 @@ class ArtifactRegistrySpec extends SparkSpec {
     assert(second.nDocs == 40L,
       s"registry served the stale postings artifact: nDocs=${second.nDocs}")
     assert(second.docLens.select(min(col("doc_id"))).collect().head.getLong(0) == 100L)
+  }
+
+  test("minhash band-index registry rebuilds when the corpus under the same path is regenerated") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-artifact-reg-mh").toString
+    writeCorpus(dir, 0L until 20L, Seq("apple", "banana", "cherry", "date"))
+    val first = Dedup.minhashIndexShared(spark, dir)
+    // 8 bands per doc in the banded artifact
+    assert(first.nDocs == 20L && first.banded.count() == 20L * 8)
+    writeCorpus(dir, 100L until 140L, Seq("dog", "elephant", "fox"))
+    val second = Dedup.minhashIndexShared(spark, dir)
+    assert(second.nDocs == 40L,
+      s"registry served the stale band index: nDocs=${second.nDocs}")
+    assert(second.banded.select(min(col("id"))).collect().head.getLong(0) == 100L)
   }
 
   test("PQ codes registry rebuilds when the corpus under the same path is regenerated") {

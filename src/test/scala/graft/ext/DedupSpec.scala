@@ -115,6 +115,20 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("served minhash pair set equals the inline build exactly across the registry boundary") {
+    // same deterministic hash family on both sides, so the stored-artifact
+    // sweep must reproduce minhashPairs SET-EXACTLY, est_jaccard doubles
+    // included — a stale or mis-keyed registry is a red assert here, not
+    // a silent drift (the q_bm25_served cross-check pattern).
+    val docs = graft.core.Tables(spark, sf(), "documents").select("doc_id", "text")
+    val inline = Dedup.minhashPairs(docs, "doc_id", "text", minJaccard = 0.3)
+    val served =
+      Dedup.minhashPairsServed(Dedup.minhashIndexShared(spark, sf()), nHashes = 32, minJaccard = 0.3)
+    assert(served.count() > 0, "served sweep returned no pairs — fixture degenerate?")
+    assert(inline.exceptAll(served).count() == 0 && served.exceptAll(inline).count() == 0,
+      "served pair set diverged from the inline build")
+  }
+
   test("pair gate flags a degenerate all-pairs candidate generator") {
     import spark.implicits._
     // 30 docs → all-pairs = 435 > 10×30: perfect recall, but the
