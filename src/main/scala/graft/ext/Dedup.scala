@@ -220,6 +220,34 @@ object Dedup {
       .select(col("id").as("a_id"), col("sig").as("a_sig"), col("band_idx"), col("band_hash"))
     val index = banded.select(
       col("id").as("b_id"), col("sig").as("b_sig"), col("band_idx"), col("band_hash"))
+    probeBandedPairs(probe, index, nHashes, minJaccard)
+  }
+
+  /** Incremental LSH probe AGAINST THE STORED ARTIFACT — the literal
+    * production shape of [[incrementalMinhashPairs]]'s contract ("the
+    * existing side is a stored table"): both the delta probe and the
+    * full index side read the fingerprint-keyed [[MinhashIndex]], so
+    * the incremental sweep's plan opens zero corpus files. Output is
+    * the same delta-involving (a_id, b_id) set — q_dedup_incremental's
+    * in-query equality gate against the from-scratch recompute now
+    * crosses the registry boundary, turning a stale artifact into a
+    * flipped boolean rather than silent drift.
+    */
+  private[graft] def incrementalMinhashPairsServed(
+      index: MinhashIndex,
+      isDelta: Column,
+      nHashes: Int,
+      minJaccard: Double): DataFrame = {
+    val probe = index.banded
+      .filter(isDelta)
+      .select(col("id").as("a_id"), col("sig").as("a_sig"), col("band_idx"), col("band_hash"))
+    val full = index.banded.select(
+      col("id").as("b_id"), col("sig").as("b_sig"), col("band_idx"), col("band_hash"))
+    probeBandedPairs(probe, full, nHashes, minJaccard)
+  }
+
+  private def probeBandedPairs(
+      probe: DataFrame, index: DataFrame, nHashes: Int, minJaccard: Double): DataFrame =
     probe
       .join(index, Seq("band_idx", "band_hash"))
       .filter(col("a_id") =!= col("b_id"))
@@ -230,7 +258,6 @@ object Dedup {
       .filter(col("est") >= minJaccard)
       .select(col("p_a").as("a_id"), col("p_b").as("b_id"))
       .distinct()
-  }
 
   /** Connected components by min-label propagation — the cluster step
     * after near-dup pair detection (keep one doc per component). Each

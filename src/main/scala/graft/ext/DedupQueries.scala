@@ -393,8 +393,13 @@ object DedupQueries {
       // through the (stored) band index.
       (s, d) => {
         val docs = Tables(s, d, "documents").select(col("doc_id"), col("text"))
-        val incr = Dedup.incrementalMinhashPairs(
-          docs, "doc_id", "text", col("doc_id") % 5 === 0, minJaccard = 0.3)
+        // the incremental sweep reads ONLY the stored band index (round
+        // 15: the "existing side is a stored table" contract made
+        // literal) — the from-scratch fullDelta recompute below stays,
+        // so incr_equals_full now gates the registry boundary too
+        val incr = Dedup.incrementalMinhashPairsServed(
+          Dedup.minhashIndexShared(s, d), col("id") % 5 === 0,
+          nHashes = 32, minJaccard = 0.3)
         val fullDelta = Dedup
           .minhashPairs(docs, "doc_id", "text", minJaccard = 0.3)
           .filter(col("a_id") % 5 === 0 || col("b_id") % 5 === 0)
