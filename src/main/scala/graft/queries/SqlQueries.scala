@@ -42,6 +42,20 @@ object SqlQueries {
         "GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 20"
     ),
     shared(
+      "q_sql_running_total",
+      // Windowed fixed-point sum in delegated text — the WINDOW shape of
+      // the shared overflow-safe recipe (the aggregate shape is
+      // q_sql_shipping etc.). In Spark this is the plan Sum128Rewrite's
+      // extracted-Window path serves (PlanAuditSpec pins graft_sum128
+      // here); DuckDB widens the same text to HUGEINT. o_orderkey is
+      // unique, so the running frame is a total order in both engines.
+      "SELECT o_custkey, o_orderkey, " +
+        "CAST(SUM(CAST(CAST(ROUND(o_totalprice * 10000) AS BIGINT) AS DECIMAL(38,0))) " +
+        "OVER (PARTITION BY o_custkey ORDER BY o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 10000 AS running_total " +
+        "FROM orders ORDER BY o_custkey, o_orderkey"
+    ),
+    shared(
       "q_sql_cte",
       "WITH nation_cust AS (" +
         "SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_cust FROM customer " +

@@ -317,7 +317,7 @@ class PlanAuditSpec extends SparkSpec {
     // the SQL tier spells the same recipe as SUM(CAST(.. AS
     // DECIMAL(38,0))) in engine-shared text — Sum128Rewrite must land
     // the identical accumulator there without editing the query.
-    for (q <- Seq("q_sql_shipping", "q_sql_mkt_share")) {
+    for (q <- Seq("q_sql_shipping", "q_sql_mkt_share", "q_sql_running_total")) {
       val p = planString(Registry.byName(q).run(spark, sf()))
       assert(p.contains("graft_sum128"),
         s"$q: Sum128Rewrite did not reach the delegated-SQL fixed-point sum:\n${p.take(1500)}")
