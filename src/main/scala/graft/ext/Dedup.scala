@@ -126,9 +126,12 @@ object Dedup {
     * the banded rows (id, sig, band_idx, band_hash) and every dedup
     * run — full-corpus pair sweep or delta probe — reads the artifact,
     * never the corpus text. nDocs rides along as the bounded scalar the
-    * sub-quadratic candidate contract is phrased against.
+    * sub-quadratic candidate contract is phrased against; nHashes is
+    * PART of the artifact (est-Jaccard normalizes by it), so a serving
+    * call cannot mis-normalize against an index built with different
+    * band geometry.
     */
-  private[graft] case class MinhashIndex(banded: DataFrame, nDocs: Long)
+  private[graft] case class MinhashIndex(banded: DataFrame, nDocs: Long, nHashes: Int)
 
   private val minhashIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, MinhashIndex]()
@@ -160,7 +163,7 @@ object Dedup {
             col("id"), col("sig"),
             posexplode(bandHashes(bands, rowsPerBand)).as(Seq("band_idx", "band_hash")))
           .localCheckpoint(true)
-        MinhashIndex(banded, docs.count())
+        MinhashIndex(banded, docs.count(), bands * rowsPerBand)
       })
 
   /** Drop every cached minhash index — the fixture-rebuild escape hatch
@@ -176,7 +179,7 @@ object Dedup {
     * touches zero corpus files (PlanAuditSpec asserts it).
     */
   private[graft] def minhashPairsServed(
-      index: MinhashIndex, nHashes: Int, minJaccard: Double): DataFrame = {
+      index: MinhashIndex, minJaccard: Double): DataFrame = {
     val a = index.banded.select(
       col("id").as("a_id"), col("sig").as("a_sig"), col("band_idx"), col("band_hash"))
     val b = index.banded.select(
@@ -185,7 +188,7 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
       .select(
         col("a_id"), col("b_id"),
-        estJaccard(col("a_sig"), col("b_sig"), nHashes).as("est_jaccard"))
+        estJaccard(col("a_sig"), col("b_sig"), index.nHashes).as("est_jaccard"))
       .distinct()
       .filter(col("est_jaccard") >= minJaccard)
   }
@@ -236,14 +239,13 @@ object Dedup {
   private[graft] def incrementalMinhashPairsServed(
       index: MinhashIndex,
       isDelta: Column,
-      nHashes: Int,
       minJaccard: Double): DataFrame = {
     val probe = index.banded
       .filter(isDelta)
       .select(col("id").as("a_id"), col("sig").as("a_sig"), col("band_idx"), col("band_hash"))
     val full = index.banded.select(
       col("id").as("b_id"), col("sig").as("b_sig"), col("band_idx"), col("band_hash"))
-    probeBandedPairs(probe, full, nHashes, minJaccard)
+    probeBandedPairs(probe, full, index.nHashes, minJaccard)
   }
 
   private def probeBandedPairs(

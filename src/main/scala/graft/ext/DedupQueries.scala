@@ -363,7 +363,7 @@ object DedupQueries {
       // inline build's exactly (same deterministic hash family).
       (s, d) => {
         val idx = Dedup.minhashIndexShared(s, d)
-        Dedup.minhashPairsServed(idx, nHashes = 32, minJaccard = 0.3)
+        Dedup.minhashPairsServed(idx, minJaccard = 0.3)
           .agg(count(lit(1)).as("n_found"))
           .select(
             lit(idx.nDocs).as("n_docs"),
@@ -398,8 +398,7 @@ object DedupQueries {
         // literal) — the from-scratch fullDelta recompute below stays,
         // so incr_equals_full now gates the registry boundary too
         val incr = Dedup.incrementalMinhashPairsServed(
-          Dedup.minhashIndexShared(s, d), col("id") % 5 === 0,
-          nHashes = 32, minJaccard = 0.3)
+          Dedup.minhashIndexShared(s, d), col("id") % 5 === 0, minJaccard = 0.3)
         val fullDelta = Dedup
           .minhashPairs(docs, "doc_id", "text", minJaccard = 0.3)
           .filter(col("a_id") % 5 === 0 || col("b_id") % 5 === 0)

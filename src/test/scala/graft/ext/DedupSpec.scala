@@ -123,7 +123,7 @@ class DedupSpec extends SparkSpec {
     val docs = graft.core.Tables(spark, sf(), "documents").select("doc_id", "text")
     val inline = Dedup.minhashPairs(docs, "doc_id", "text", minJaccard = 0.3)
     val served =
-      Dedup.minhashPairsServed(Dedup.minhashIndexShared(spark, sf()), nHashes = 32, minJaccard = 0.3)
+      Dedup.minhashPairsServed(Dedup.minhashIndexShared(spark, sf()), minJaccard = 0.3)
     assert(served.count() > 0, "served sweep returned no pairs — fixture degenerate?")
     assert(inline.exceptAll(served).count() == 0 && served.exceptAll(inline).count() == 0,
       "served pair set diverged from the inline build")
