@@ -39,6 +39,26 @@ class MediaSegSpec extends SparkSpec {
     }
   }
 
+  test("repeated shot patterns (the Stress media axis) keep the exact 0/64 margins") {
+    // the Stress tier grows frames-per-item by repeating the shot pattern
+    // (lens index folded by sh % nShots) — every block seam is still a
+    // consecutive-index direction flip, so the margins must not soften
+    for (id <- Seq(7L, 12L)) {
+      val w = 16 + (id % 4).toInt * 8
+      val h = 8 + (id % 2).toInt * 8
+      val nShots = 2 + (id % 4).toInt
+      val lens = (0 until nShots * 3).map(sh => 2 + ((id + sh % nShots) % 3).toInt)
+      val (pw, ph, frames) =
+        MediaCodec.lumaFrames(MediaCodec.buildShotY4m(w, h, lens, id)).get
+      val hashes = frames.map(Phash.dHashLuma(pw, ph, _))
+      val bounds = lens.scanLeft(0)(_ + _)
+      for (f <- 1 until frames.length) {
+        val ham = java.lang.Long.bitCount(hashes(f) ^ hashes(f - 1))
+        assert(ham == (if (bounds.contains(f)) 64 else 0), s"id=$id frame $f: hamming $ham")
+      }
+    }
+  }
+
   test("luma parser is strict: truncated frame and foreign payload reject to None") {
     val ok = MediaCodec.buildShotY4m(16, 8, Seq(2, 2), id = 3L)
     assert(MediaCodec.lumaFrames(ok).isDefined)
