@@ -329,6 +329,41 @@ object TextQueries {
           "true AS tokens_eq_train_audit, true AS tokens_ge_words FROM w WHERE nw > 0")
     ),
     Q(
+      "q_bpe_roundtrip",
+      // Tokenizer LOSSLESSNESS — the content-integrity contract every
+      // subword tokenizer must keep: concatenating a word's post-merge
+      // symbols must reproduce the word exactly (decode ∘ encode = id).
+      // True by construction only while mergeExpr strictly concatenates
+      // ADJACENT symbols; a slice/offset bug breaks it, and this is the
+      // gate that turns that bug into a nonzero n_fail instead of silent
+      // corpus corruption. n_vocab is a real cross-engine differential
+      // (distinct non-empty words); the fold runs once per distinct word,
+      // the same vocabulary dedup the trainer and encoder use.
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val merges = Bpe.train(s, docs, "text", merges = 6).collect()
+          .filter(_.getAs[String]("left") != "<total_symbols>")
+          .sortBy(_.getAs[Int]("merge_rank"))
+          .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
+          .toSeq
+        val vocab = docs
+          .select(explode(split(col("text"), " ")).as("word"))
+          .filter(col("word") =!= "")
+          .distinct()
+          .withColumn(
+            "syms",
+            merges.foldLeft(split(col("word"), "")) {
+              case (syms, (a, b)) => Bpe.mergeExpr(syms, a, b)
+            })
+        vocab.agg(
+          count(lit(1)).as("n_vocab"),
+          sum((concat_ws("", col("syms")) =!= col("word")).cast("long")).as("n_fail"))
+      },
+      Some(
+        "SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS n_vocab, CAST(0 AS BIGINT) AS n_fail " +
+          "FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) WHERE w <> ''")
+    ),
+    Q(
       "q_tfidf",
       // Per-document TF-IDF keyword extraction (top-3 terms per doc).
       // q_top_terms ranks LEXICOGRAPHICALLY (tf desc, then df asc) —
