@@ -46,6 +46,37 @@ import graft.core.Tables
   */
 object MediaSegQueries {
 
+  /** Planted shot geometry for video `id`: (width, height, per-shot
+    * frame counts) — the single source the fixture builder, the Stress
+    * tier, the streaming-twin staging, and both oracles' SQL mirror.
+    */
+  private[graft] def shotParams(id: Long, shotMult: Int): (Int, Int, Seq[Int]) = {
+    val nShots = 2 + (id % 4).toInt
+    (
+      16 + (id % 4).toInt * 8,
+      8 + (id % 2).toInt * 8,
+      (0 until nShots * shotMult).map(sh => 2 + ((id + sh % nShots) % 3).toInt))
+  }
+
+  /** The raw shot-structured payload for video `id`. */
+  private[graft] def videoPayload(id: Long, shotMult: Int = 1): Array[Byte] = {
+    val (w, h, lens) = shotParams(id, shotMult)
+    MediaCodec.buildShotY4m(w, h, lens, id)
+  }
+
+  /** (vid, payload) rows for the sf corpus's video items — what an
+    * ingest pipeline's arrivals look like ([[graft.streaming.MediaSegStream]]
+    * stages these as its stream source).
+    */
+  def videoPayloads(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    Tables(s, d, "documents")
+      .select(col("doc_id")).filter(col("doc_id") % 3 === 2).as[Long]
+      .mapPartitions(_.map(id => (id, videoPayload(id))))
+      .toDF("vid", "payload")
+  }
+
   /** Per-frame luma hashes for the planted shot fixture, `shotMult`
     * repetitions of each video's shot pattern (shotMult = 1 is the
     * registered query; the Stress media tier raises it to grow the
@@ -60,13 +91,9 @@ object MediaSegQueries {
       .select(col("doc_id")).filter(col("doc_id") % 3 === 2).as[Long]
     vids.mapPartitions { it =>
       it.flatMap { id =>
-        val w = 16 + (id % 4).toInt * 8
-        val h = 8 + (id % 2).toInt * 8
-        val nShots = 2 + (id % 4).toInt
-        val lens = (0 until nShots * shotMult).map(sh => 2 + ((id + sh % nShots) % 3).toInt)
         // build → parse real bytes: the differential pins the round-trip
         val (pw, ph, frames) =
-          MediaCodec.lumaFrames(MediaCodec.buildShotY4m(w, h, lens, id)).get
+          MediaCodec.lumaFrames(videoPayload(id, shotMult)).get
         frames.iterator.zipWithIndex.map { case (luma, f) =>
           (id, f, Phash.dHashLuma(pw, ph, luma))
         }
