@@ -364,6 +364,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("registered sparse cosine serves from the stored index only: zero corpus scans") {
+    // the registered q_sparse_cosine is championServe(sparseIndexShared)
+    // since the round-15 registry switch — probe and frozen side both
+    // come from the materialized artifact, so the plan must not open the
+    // corpus (the oracle still recomputes the whole chain from raw text,
+    // which is what keeps the differential covering build AND serve).
+    val df = Registry.byName("q_sparse_cosine").run(spark, sf())
+    assert(scans(df).isEmpty,
+      s"sparse serving touched the corpus: ${scans(df).size} parquet scan(s)")
+  }
+
   test("served minhash sweep reads the stored band index only: zero corpus scans") {
     // same serving bound for the dedup family: the MinhashIndex artifact
     // holds the banded signature rows, so the pair sweep's plan never
