@@ -120,6 +120,25 @@ object MediaSegQueries {
       .orderBy("vid", "scene_id")
   }
 
+  /** The raw activity-structured payload for audio item `id`. */
+  private[graft] def audioPayload(id: Long, secMult: Int = 1): Array[Byte] = {
+    val nSec = 3 + (id % 3).toInt
+    val lens = (0 until nSec * secMult).map(sc => 2 + ((id + sc % nSec) % 3).toInt)
+    MediaCodec.buildActivityWav(lens, 160, 16000, id)
+  }
+
+  /** (aid, payload) rows for the sf corpus's audio items — the audio
+    * staging source for [[graft.streaming.MediaSegStream]].
+    */
+  def audioPayloads(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    Tables(s, d, "documents")
+      .select(col("doc_id")).filter(col("doc_id") % 3 === 1).as[Long]
+      .mapPartitions(_.map(id => (id, audioPayload(id))))
+      .toDF("aid", "payload")
+  }
+
   /** Per-window PCM peaks for the planted activity fixture, `secMult`
     * repetitions of each item's section pattern (secMult = 1 is the
     * registered query; see [[frameHashes]]).
@@ -133,10 +152,7 @@ object MediaSegQueries {
       .select(col("doc_id")).filter(col("doc_id") % 3 === 1).as[Long]
     auds.mapPartitions { it =>
       it.flatMap { id =>
-        val nSec = 3 + (id % 3).toInt
-        val lens = (0 until nSec * secMult).map(sc => 2 + ((id + sc % nSec) % 3).toInt)
-        val pcm =
-          MediaCodec.pcmSamples(MediaCodec.buildActivityWav(lens, 160, 16000, id)).get
+        val pcm = MediaCodec.pcmSamples(audioPayload(id, secMult)).get
         (0 until pcm.length / 160).iterator.map { wi =>
           var p = 0
           var i = wi * 160

@@ -74,4 +74,63 @@ object MediaSegStream {
       .flatMap { case (vid, p) => sceneRows(vid, p) }
       .toDF("vid", "scene_id", "start_frame", "n_frames")
   }
+
+  /** Activity segments (aid, seg_id, is_active, start_window, n_windows,
+    * peak) for one audio payload — the audio leg of the same ingest
+    * twin: per-window peak walk + run-length rollup, identical rule set
+    * to the batch chain (threshold 1000, window = 160 samples). Empty
+    * for anything [[MediaCodec.pcmSamples]] rejects.
+    */
+  def activityRows(
+      aid: Long, payload: Array[Byte]): Iterator[(Long, Int, Boolean, Int, Long, Int)] =
+    MediaCodec.pcmSamples(payload) match {
+      case None => Iterator.empty
+      case Some(pcm) =>
+        val nW = pcm.length / 160
+        if (nW == 0) Iterator.empty
+        else {
+          def peak(wi: Int): Int = {
+            var p = 0
+            var i = wi * 160
+            while (i < (wi + 1) * 160) {
+              val a = math.abs(pcm(i).toInt)
+              if (a > p) p = a
+              i += 1
+            }
+            p
+          }
+          val out = Vector.newBuilder[(Long, Int, Boolean, Int, Long, Int)]
+          var segId = 0
+          var segStart = 0
+          var segPeak = peak(0)
+          var segActive = segPeak >= 1000
+          var wi = 1
+          while (wi < nW) {
+            val p = peak(wi)
+            val active = p >= 1000
+            if (active != segActive) {
+              out += ((aid, segId, segActive, segStart, (wi - segStart).toLong, segPeak))
+              segId += 1
+              segStart = wi
+              segPeak = p
+              segActive = active
+            } else if (p > segPeak) segPeak = p
+            wi += 1
+          }
+          out += ((aid, segId, segActive, segStart, (nW - segStart).toLong, segPeak))
+          out.result().iterator
+        }
+    }
+
+  /** Segment an (aid, payload) audio stream into activity segments —
+    * same stateless shape as [[sceneView]].
+    */
+  def activityView(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    media
+      .selectExpr("aid", "payload")
+      .as[(Long, Array[Byte])]
+      .flatMap { case (aid, p) => activityRows(aid, p) }
+      .toDF("aid", "seg_id", "is_active", "start_window", "n_windows", "peak")
+  }
 }

@@ -53,6 +53,31 @@ class MediaSegStreamSpec extends SparkSpec {
     assert(streamed == batch, "streamed scenes must equal the batch chain exactly")
   }
 
+  test("streamed audio activity segments equal the batch chain exactly") {
+    // the audio leg of the same twin — batch uses the lag/running-sum
+    // window over exploded window-peak rows, the twin walks peaks
+    // imperatively per payload
+    val root = Files.createTempDirectory("mediaseg-audio").toString
+    MediaSegQueries.audioPayloads(spark, sf()).repartition(1)
+      .write.mode("append").parquet(s"$root/in")
+    val audioSchema = StructType(Seq(
+      StructField("aid", LongType), StructField("payload", BinaryType)))
+    val stream = spark.readStream.schema(audioSchema).parquet(s"$root/in")
+    val q = MediaSegStream.activityView(stream)
+      .writeStream.format("parquet").outputMode("append")
+      .option("path", s"$root/out").option("checkpointLocation", s"$root/ck")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("aid", "seg_id", "is_active", "start_window", "n_windows", "peak")
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2), r.getInt(3),
+          r.getLong(4), r.getInt(5))).toSet
+    val streamed = rows(spark.read.parquet(s"$root/out"))
+    val batch = rows(Registry.byName("q_audio_activity").run(spark, sf()))
+    assert(streamed == batch, "streamed activity segments must equal the batch chain")
+  }
+
   test("malformed payloads are skipped without rows and without failing the batch") {
     import spark.implicits._
     val good = MediaSegQueries.videoPayload(2L)
