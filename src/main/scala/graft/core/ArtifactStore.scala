@@ -1,0 +1,174 @@
+package graft.core
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Disk tier under the trained-artifact registries — TRAIN-ONCE /
+  * SERVE-MANY across PROCESS RESTARTS (round-15 verdict #2).
+  *
+  * The per-JVM registries ([[graft.ext.Pq.shared]]/`sharedDf`,
+  * [[graft.ext.Ivf.trainShared]], `SearchQueries.sparseIndexShared`/
+  * `bm25IndexShared`, `Dedup.minhashIndexShared`) memoize materialized
+  * relations keyed on a corpus content fingerprint — correct, but
+  * "train-once" used to mean "per driver lifetime": a restarted driver
+  * silently retrained every codebook and index. This store completes the
+  * production lifecycle (FAISS index files, ColBERTv2 residual stores,
+  * Lucene segments — the artifact LIVES in storage, keyed by what built
+  * it): each registry key hashes to a slot directory holding the
+  * artifact's parquet parts and a small metadata file; a cold JVM whose
+  * key hashes to a complete slot loads the parts — never touching the
+  * corpus — and a changed corpus fingerprint hashes to a NEW slot, so
+  * staleness is structurally impossible rather than evicted.
+  *
+  * Layout per slot: `<root>/<urlsafe-md5(key)>/` containing `key.txt`
+  * (the clear-text key, for operators), `meta.properties` (scalar
+  * sidecars), one parquet dir per relation part, and `_OK` written LAST
+  * — a slot without `_OK` (a crashed build) is ignored and rebuilt.
+  * Builds go to a process-unique `.tmp` sibling and rename in, so
+  * concurrent builders race benignly (one rename wins; the loser serves
+  * the winner's slot — both built the same bytes from the same key).
+  *
+  * Root resolution: spark conf `graft.artifacts.dir`, else env
+  * `GRAFT_ARTIFACTS_DIR`, else `<java.io.tmpdir>/graft-artifacts`.
+  * Setting conf `graft.artifacts.persist=false` bypasses the disk tier
+  * entirely (build in memory) — the bench's cold-build timings use this
+  * so "index build cost" keeps measuring the build, not a disk load.
+  *
+  * Loaded relations are eagerly re-materialized (`localCheckpoint`) so a
+  * serving plan scans the executor blocks (`ExistingRDD`), keeping every
+  * zero-corpus-scan PlanAuditSpec pin intact; the one artifact-file read
+  * happens at load time, exactly once per process.
+  */
+object ArtifactStore {
+
+  /** Total completed builds this JVM — lets specs assert that a
+    * registry served from the persisted slot (counter unchanged) vs
+    * rebuilt (counter bumped).
+    */
+  val builds = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def persistEnabled(spark: SparkSession): Boolean =
+    spark.conf.get("graft.artifacts.persist", "true").toBoolean
+
+  private def rootDir(spark: SparkSession): File = {
+    val p = spark.conf.getOption("graft.artifacts.dir")
+      .orElse(sys.env.get("GRAFT_ARTIFACTS_DIR"))
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft-artifacts")
+    new File(p)
+  }
+
+  private def slotName(key: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    java.util.Base64.getUrlEncoder.withoutPadding
+      .encodeToString(md.digest(key.getBytes(StandardCharsets.UTF_8)))
+  }
+
+  /** Read-side view of a completed slot. */
+  final class Slot private[ArtifactStore] (dir: File, spark: SparkSession) {
+    /** Load a relation part, eagerly re-materialized so downstream plans
+      * stay zero-scan (`ExistingRDD`, no FileSourceScan).
+      */
+    def df(part: String): DataFrame =
+      spark.read.parquet(new File(dir, part).getPath).localCheckpoint(true)
+
+    lazy val meta: Map[String, String] = {
+      val props = new java.util.Properties()
+      val in = Files.newInputStream(new File(dir, "meta.properties").toPath)
+      try props.load(in) finally in.close()
+      import scala.jdk.CollectionConverters._
+      props.asScala.toMap
+    }
+  }
+
+  /** Write-side handle passed to builders. */
+  final class SlotWriter private[ArtifactStore] (dir: File) {
+    private[ArtifactStore] val metaMap = scala.collection.mutable.Map[String, String]()
+    /** Persist a relation part; parquet round-trips every engine type
+      * (incl. double bits and arrays) exactly.
+      */
+    def df(part: String, d: DataFrame): Unit =
+      d.write.mode("overwrite").parquet(new File(dir, part).getPath)
+    def meta(kv: (String, String)*): Unit = metaMap ++= kv
+  }
+
+  /** Serve `key`'s artifact from a completed slot, or run `build` and
+    * persist what it writes. `load` turns a completed slot back into the
+    * registry's artifact type; it runs for fresh builds too (after the
+    * rename), so both paths serve byte-identical, slot-backed relations.
+    */
+  def loadOrBuild[A](spark: SparkSession, key: String)(build: SlotWriter => Unit)(
+      load: Slot => A): A = {
+    if (!persistEnabled(spark)) {
+      // memory-only lifecycle: build into a throwaway slot under a temp
+      // root (the bench's cold-build timing path)
+      val tmp = Files.createTempDirectory("graft-artifact-mem").toFile
+      val w = new SlotWriter(tmp)
+      build(w)
+      writeMeta(tmp, w.metaMap)
+      builds.incrementAndGet()
+      return load(new Slot(tmp, spark))
+    }
+    val root = rootDir(spark)
+    root.mkdirs()
+    val slot = new File(root, slotName(key))
+    if (!completed(slot)) {
+      val tmp = new File(root, slotName(key) + s".tmp-${java.lang.ProcessHandle.current.pid}-${Thread.currentThread().getId}")
+      deleteRec(tmp)
+      tmp.mkdirs()
+      val w = new SlotWriter(tmp)
+      build(w)
+      Files.write(new File(tmp, "key.txt").toPath, key.getBytes(StandardCharsets.UTF_8))
+      writeMeta(tmp, w.metaMap)
+      Files.write(new File(tmp, "_OK").toPath, Array.emptyByteArray)
+      builds.incrementAndGet()
+      if (!completed(slot)) {
+        deleteRec(slot)
+        try Files.move(tmp.toPath, slot.toPath, StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileSystemException if completed(slot) =>
+            deleteRec(tmp) // concurrent builder won the rename; serve its slot
+        }
+      } else deleteRec(tmp)
+    }
+    load(new Slot(slot, spark))
+  }
+
+  private def completed(slot: File): Boolean = new File(slot, "_OK").isFile
+
+  private def writeMeta(dir: File, m: scala.collection.Map[String, String]): Unit = {
+    val props = new java.util.Properties()
+    m.foreach { case (k, v) => props.setProperty(k, v) }
+    val out = Files.newOutputStream(new File(dir, "meta.properties").toPath)
+    try props.store(out, null) finally out.close()
+  }
+
+  private def deleteRec(f: File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[File]).foreach(deleteRec)
+    Files.deleteIfExists(f.toPath); ()
+  }
+
+  // ---- scalar codebook codec -------------------------------------------
+  // Nested Seq[Seq[Seq[Double]]] (PQ: subspace → centroid → dims) and
+  // Seq[Seq[Double]] (IVF: centroid → dims) as line-oriented text.
+  // Double.toString emits the shortest representation that parses back
+  // to the SAME bits (Java spec), so the round trip is exact.
+
+  private[graft] def encodeBooks(books: Seq[Seq[Seq[Double]]]): String =
+    books.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (cent, c) =>
+        s"$j\t$c\t${cent.map(_.toString).mkString(",")}"
+      }
+    }.mkString("\n")
+
+  private[graft] def decodeBooks(s: String): Seq[Seq[Seq[Double]]] = {
+    if (s.isEmpty) return Seq.empty
+    val rows = s.split("\n").toSeq.map { line =>
+      val Array(j, c, vs) = line.split("\t", 3)
+      (j.toInt, c.toInt, if (vs.isEmpty) Seq.empty[Double] else vs.split(",").toSeq.map(_.toDouble))
+    }
+    rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, g) => g.sortBy(_._2).map(_._3) }
+  }
+}

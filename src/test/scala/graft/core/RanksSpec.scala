@@ -29,6 +29,48 @@ class RanksSpec extends SparkSpec {
     }
   }
 
+  test("globalIndex stays dense when a passthrough column is not a sort key") {
+    import spark.implicits._
+    // The round-16 regression: with lazy plans, column pruning made the
+    // offsets branch's range exchange canonically DIFFERENT from the data
+    // branch's whenever a passthrough column was absent from sortCols, so
+    // the exchange was not reused — and a re-executed repartitionByRange
+    // re-samples its boundaries with an RDD-id-seeded generator, skewing
+    // offsets against the per-partition sequences (observed at sf0.01:
+    // 15 000 rows → 14 675 distinct gidx). The checkpointed core makes
+    // this shape safe; this test pins it with a payload column that is
+    // prunable from the counting branch.
+    val rnd = new scala.util.Random(23)
+    val df = (0 until 4000)
+      .map(i => (i.toLong, rnd.nextLong(), s"payload_$i"))
+      .toDF("id", "key", "payload")
+    val got = Ranks.globalIndex(df, Seq(col("key"), col("id")), 32)
+    val gidx = got.select(col("gidx")).collect().map(_.getLong(0)).sorted
+    assert(gidx.toSeq == (0L until 4000L), "gidx lost density under pruning divergence")
+    // and the payload rides along unharmed, matched to the right rank
+    val pair = got.orderBy("gidx").select("id", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(pair.forall { case (id, pl) => pl == s"payload_$id" })
+  }
+
+  test("globalNtile equals SQL NTILE for uneven and degenerate bucket counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(37)
+    // (N, buckets): non-divisible, divisible, N < buckets, single bucket
+    for ((n, b) <- Seq((1003, 7), (1000, 5), (3, 8), (64, 1))) {
+      val df = (0 until n).map(i => (i.toLong, rnd.nextLong())).toDF("id", "key")
+      val got = Ranks.globalNtile(df, Seq(col("key"), col("id")), b, 16)
+        .select(col("id"), col("__ntile")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val want = df
+        .withColumn("t", ntile(b).over(Window.orderBy(col("key"), col("id"))).cast("long"))
+        .select(col("id"), col("t")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == want, s"ntile diverged at n=$n buckets=$b")
+    }
+  }
+
   test("globalIndex is a dense 0..N-1 permutation under heavy key skew") {
     import spark.implicits._
     // one dominant key value forces one fat range partition (+ ties broken
