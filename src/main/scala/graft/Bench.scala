@@ -324,8 +324,13 @@ object Bench {
     // so its bench series tracks SERVING cost, and index build has its
     // own numbers. clearShared() first so this measures a cold build
     // even if an earlier tier warmed the caches.
+    // graft.artifacts.persist=false for the cold-build timings: since
+    // round 16 the registries carry a disk tier (ArtifactStore), so a
+    // warm box would otherwise "build" by loading the persisted artifact
+    // — these numbers must keep measuring the BUILD.
     val (pqTrainSec, pqEncodeSec): (Option[Double], Option[Double]) =
       try {
+        spark.conf.set("graft.artifacts.persist", "false")
         graft.ext.Pq.clearShared()
         val t0 = System.nanoTime()
         graft.ext.SearchQueries.pqTokenBooks(spark, sfDir)
@@ -352,7 +357,7 @@ object Bench {
         case e: Throwable =>
           errors("__sparse_index__") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           None
-      }
+      } finally spark.conf.set("graft.artifacts.persist", "true")
     val extSamples = scala.collection.mutable.LinkedHashMap.empty[String, List[(Double, Double)]]
     val extQs = ExtTargets.flatMap(Registry.byName.get)
     var ep = 0

@@ -74,6 +74,10 @@ object ArtifactStore {
     def df(part: String): DataFrame =
       spark.read.parquet(new File(dir, part).getPath).localCheckpoint(true)
 
+    /** Load a text part (codebook codecs etc.). */
+    def text(part: String): String =
+      new String(Files.readAllBytes(new File(dir, part + ".txt").toPath), StandardCharsets.UTF_8)
+
     lazy val meta: Map[String, String] = {
       val props = new java.util.Properties()
       val in = Files.newInputStream(new File(dir, "meta.properties").toPath)
@@ -92,6 +96,9 @@ object ArtifactStore {
     def df(part: String, d: DataFrame): Unit =
       d.write.mode("overwrite").parquet(new File(dir, part).getPath)
     def meta(kv: (String, String)*): Unit = metaMap ++= kv
+    def text(part: String, content: String): Unit =
+      Files.write(
+        new File(dir, part + ".txt").toPath, content.getBytes(StandardCharsets.UTF_8)); ()
   }
 
   /** Serve `key`'s artifact from a completed slot, or run `build` and

@@ -155,16 +155,23 @@ object Dedup {
       rowsPerBand: Int = 4): MinhashIndex =
     minhashIndexCache.computeIfAbsent(
       s"$d|${graft.core.Tables.fingerprint(d, "documents")}|minhash|k=$shingleK|b=$bands|r=$rowsPerBand",
-      _ => {
-        val docs = graft.core.Tables(s, d, "documents")
-        val banded = minhashSignatures(
-          docs, "doc_id", "text", shingleK, bands * rowsPerBand)
-          .select(
-            col("id"), col("sig"),
-            posexplode(bandHashes(bands, rowsPerBand)).as(Seq("band_idx", "band_hash")))
-          .localCheckpoint(true)
-        MinhashIndex(banded, docs.count(), bands * rowsPerBand)
-      })
+      key =>
+        // in-memory miss → disk tier: a cold JVM loads the persisted
+        // band rows without touching the corpus; only a fingerprint
+        // never seen by any process actually recomputes signatures
+        // (round-15 verdict #2 — train-once/serve-many across restarts)
+        graft.core.ArtifactStore.loadOrBuild(s, key) { w =>
+          val docs = graft.core.Tables(s, d, "documents")
+          w.df(
+            "banded",
+            minhashSignatures(docs, "doc_id", "text", shingleK, bands * rowsPerBand)
+              .select(
+                col("id"), col("sig"),
+                posexplode(bandHashes(bands, rowsPerBand)).as(Seq("band_idx", "band_hash"))))
+          w.meta("nDocs" -> docs.count().toString)
+        } { slot =>
+          MinhashIndex(slot.df("banded"), slot.meta("nDocs").toLong, bands * rowsPerBand)
+        })
 
   /** Drop every cached minhash index — the fixture-rebuild escape hatch
     * and cold-build timing hook.

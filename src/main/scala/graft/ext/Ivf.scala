@@ -148,8 +148,8 @@ object Ivf {
     * k=16 quantizer inside half a dozen registered queries, so one Verify
     * run paid that fixed Lloyd cost per query. Training is deterministic
     * on a fixed corpus — sharing changes no output, it only removes
-    * repeated identical runs. The fingerprint (file count + bytes +
-    * mtime) keys out the stale-cache hazard when a long-lived JVM
+    * repeated identical runs. The fingerprint (a digest of every file's
+    * name/length/mtime) keys out the stale-cache hazard when a long-lived JVM
     * regenerates the fixture under the same path; [[clearShared]] is the
     * explicit hook for harnesses that rebuild in ways the fingerprint
     * could miss. Derived/filtered corpora must keep calling [[train]]
@@ -158,7 +158,20 @@ object Ivf {
   def trainShared(spark: SparkSession, dir: String, k: Int, iters: Int = 3): Seq[Seq[Double]] =
     sharedCache.computeIfAbsent(
       (s"$dir|${graft.core.Tables.fingerprint(dir, "embeddings")}", k, iters),
-      _ => train(spark, graft.core.Tables(spark, dir, "embeddings"), k, iters))
+      _ =>
+        // disk tier (ArtifactStore): centroids persist as exact-roundtrip
+        // text keyed on (fingerprint, k, iters) — a restarted driver
+        // serves the trained quantizer instead of re-running Lloyd.
+        graft.core.ArtifactStore.loadOrBuild(
+          spark,
+          s"$dir|${graft.core.Tables.fingerprint(dir, "embeddings")}|ivf-centroids|k=$k|iters=$iters") { w =>
+          w.text(
+            "centroids",
+            graft.core.ArtifactStore.encodeBooks(
+              Seq(train(spark, graft.core.Tables(spark, dir, "embeddings"), k, iters))))
+        } { slot =>
+          graft.core.ArtifactStore.decodeBooks(slot.text("centroids")).head
+        })
 
   /** Drop every cached quantizer (fixture-rebuild / bench-timing hook). */
   def clearShared(): Unit = sharedCache.clear()

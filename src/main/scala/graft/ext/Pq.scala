@@ -98,7 +98,19 @@ object Pq {
     * trainer fixed cost).
     */
   def shared(key: String)(trainOnce: => Seq[Seq[Seq[Double]]]): Seq[Seq[Seq[Double]]] =
-    sharedCache.computeIfAbsent(key, _ => trainOnce)
+    sharedCache.computeIfAbsent(
+      key,
+      k =>
+        // disk tier (ArtifactStore): codebooks persist as exact-roundtrip
+        // text, so a restarted driver serves the trained artifact instead
+        // of re-running Lloyd (round-15 verdict #2). Keys embed the
+        // corpus fingerprint, so staleness maps to a different slot.
+        graft.core.ArtifactStore.loadOrBuild(
+          org.apache.spark.sql.SparkSession.active, k) { w =>
+          w.text("books", graft.core.ArtifactStore.encodeBooks(trainOnce))
+        } { slot =>
+          graft.core.ArtifactStore.decodeBooks(slot.text("books"))
+        })
 
   private val sharedDfCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
@@ -118,7 +130,18 @@ object Pq {
     * (Verify/Bench/tests) fit; clear on session change.
     */
   def sharedDf(key: String)(build: => DataFrame): DataFrame =
-    sharedDfCache.computeIfAbsent(key, _ => build)
+    sharedDfCache.computeIfAbsent(
+      key,
+      k =>
+        // disk tier (ArtifactStore): the codes relation persists as
+        // parquet; a cold JVM loads it (then localCheckpoints — serving
+        // plans stay ExistingRDD) instead of re-encoding the corpus.
+        graft.core.ArtifactStore.loadOrBuild(
+          org.apache.spark.sql.SparkSession.active, k) { w =>
+          w.df("codes", build)
+        } { slot =>
+          slot.df("codes")
+        })
 
   /** Drop every cached codebook and codes relation — the hook for
     * harnesses that rebuild fixtures mid-JVM, and for benches that want

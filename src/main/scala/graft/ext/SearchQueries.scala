@@ -190,7 +190,22 @@ object SearchQueries {
       s: org.apache.spark.sql.SparkSession, d: String, c: Int = ChampionC): SparseIndex =
     sparseIndexCache.computeIfAbsent(
       s"$d|${Tables.fingerprint(d, "documents")}|sparse|sig=5|C=$c",
-      _ => sparseIndexBuild(Tables(s, d, "documents"), c))
+      key =>
+        // disk tier below the in-memory map (ArtifactStore): a cold JVM
+        // serves persisted signatures/champion lists without re-scanning
+        // the corpus; derived corpora keep calling sparseIndexBuild
+        graft.core.ArtifactStore.loadOrBuild(s, key) { w =>
+          val ix = sparseIndexBuild(Tables(s, d, "documents"), c)
+          w.df("sig", ix.sig)
+          w.df("sigarr", ix.sigArr)
+          w.df("champarr", ix.champArr)
+          w.df("df", ix.dfRel)
+          w.meta("nDocs" -> ix.nDocs.toString)
+        } { slot =>
+          SparseIndex(
+            slot.df("sig"), slot.df("sigarr"), slot.df("champarr"), slot.df("df"),
+            slot.meta("nDocs").toLong)
+        })
 
   /** Drop every cached sparse index — the bench's cold-build timing hook
     * and the fixture-rebuild escape hatch.
@@ -228,21 +243,28 @@ object SearchQueries {
       s: org.apache.spark.sql.SparkSession, d: String): Bm25Index =
     bm25IndexCache.computeIfAbsent(
       s"$d|${Tables.fingerprint(d, "documents")}|bm25-postings",
-      _ => {
-        val docs = Tables(s, d, "documents")
-        val postings = tokens(docs)
-          .groupBy(col("term"), col("doc_id"))
-          .agg(count(lit(1)).as("tf"))
-          .localCheckpoint(true)
-        val dfRel = postings
-          .groupBy(col("term")).agg(count(lit(1)).as("df"))
-          .localCheckpoint(true)
-        val docLens = docs
-          .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
-          .localCheckpoint(true)
-        val stats = docLens.agg(count(lit(1)), sum(col("dl"))).collect().head
-        Bm25Index(postings, dfRel, docLens, stats.getLong(0), stats.getLong(1))
-      })
+      key =>
+        // disk tier below the in-memory map (ArtifactStore): a cold JVM
+        // serves the persisted postings/df/doclens without a corpus scan
+        graft.core.ArtifactStore.loadOrBuild(s, key) { w =>
+          val docs = Tables(s, d, "documents")
+          val postings = tokens(docs)
+            .groupBy(col("term"), col("doc_id"))
+            .agg(count(lit(1)).as("tf"))
+            .localCheckpoint(true)
+          w.df("postings", postings)
+          w.df("df", postings.groupBy(col("term")).agg(count(lit(1)).as("df")))
+          val docLens = docs
+            .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
+            .localCheckpoint(true)
+          w.df("doclens", docLens)
+          val stats = docLens.agg(count(lit(1)), sum(col("dl"))).collect().head
+          w.meta("nDocs" -> stats.getLong(0).toString, "totalTok" -> stats.getLong(1).toString)
+        } { slot =>
+          Bm25Index(
+            slot.df("postings"), slot.df("df"), slot.df("doclens"),
+            slot.meta("nDocs").toLong, slot.meta("totalTok").toLong)
+        })
 
   /** Champion-list sparse TF-IDF cosine top-3 with cap `c` — the
     * q_sparse_cosine semantics, parametrized so the C-sensitivity
