@@ -2,7 +2,8 @@ package graft.engine
 
 import org.apache.spark.sql.catalyst.expressions.{
   Alias, AttributeReference, Cast, Expression, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{
+  AggregateExpression, Average, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
@@ -68,7 +69,41 @@ object Sum128Rewrite extends Rule[LogicalPlan] {
       case ae @ AggregateExpression(Sum(c: Cast, _), _, false, _, _)
           if c.dataType == DecimalType(38, 0) && asLong(c.child).isDefined =>
         ae.copy(aggregateFunction = Sum128(asLong(c.child).get))
+      case ae @ AggregateExpression(avg @ Average(c: Cast, _), _, false, _, _)
+          if c.dataType == DecimalType(38, 0) && asLong(c.child).isDefined =>
+        rewriteAvg(ae, avg, c)
     }.asInstanceOf[Aggregate]
+
+  /** `AVG(CAST(<integral> AS DECIMAL(38,0)))` — same per-row Decimal
+    * buffer cost as the SUM shape (Average's sum slot is
+    * DecimalType.bounded(48,0) = (38,0)). Bit-identity is BY
+    * CONSTRUCTION, not by reimplementation: the replacement is Spark's
+    * own `Average.evaluateExpression` — whatever division/rounding tree
+    * this Spark version builds — with its two buffer slots substituted:
+    * `sum` → a [[Sum128]] aggregate (result DecimalType(38,0), the same
+    * type as the slot it replaces on the reachable domain; Sum128Spec's
+    * differential covers 2^63-crossing totals) and `count` → `Count`
+    * over the same cast child (Average's count increments exactly on
+    * non-null children, which the cast preserves). Mode/filter clauses
+    * carry over to both replacement aggregates; the final expression is
+    * a plain projection over them, so the Aggregate's output schema and
+    * every parent are untouched.
+    */
+  private def rewriteAvg(
+      ae: AggregateExpression, avg: Average, c: Cast): Expression = {
+    val sumSlot = avg.aggBufferAttributes.head
+    val countSlot = avg.aggBufferAttributes(1)
+    val sumAgg = ae.copy(
+      aggregateFunction = Sum128(asLong(c.child).get),
+      resultId = NamedExpression.newExprId)
+    val countAgg = ae.copy(
+      aggregateFunction = Count(Seq(c)),
+      resultId = NamedExpression.newExprId)
+    avg.evaluateExpression.transform {
+      case a: AttributeReference if a.exprId == sumSlot.exprId => sumAgg
+      case a: AttributeReference if a.exprId == countSlot.exprId => countAgg
+    }
+  }
 
   /** The window shape arrives pre-extracted: the analyzer's
     * ExtractWindowExpressions pulls the cast into a Project below the
@@ -78,7 +113,7 @@ object Sum128Rewrite extends Rule[LogicalPlan] {
     * decimal alias stays for any other consumer (column pruning drops it
     * when orphaned).
     */
-  private def rewriteWindow(w: Window): Window = w.child match {
+  private def rewriteWindow(w: Window): LogicalPlan = w.child match {
     case p: Project =>
       val castSource = p.projectList.collect {
         case a @ Alias(c: Cast, _)
@@ -97,7 +132,19 @@ object Sum128Rewrite extends Rule[LogicalPlan] {
             ae.copy(aggregateFunction = Sum128(longAlias.toAttribute))
         }.asInstanceOf[Window]
         if (added.isEmpty) w
-        else newW.copy(child = p.copy(projectList = p.projectList ++ added.values))
+        else {
+          // Restore the ORIGINAL output attribute list above the widened
+          // Window: the synthesized _g128 columns widen the child
+          // Project and hence Window.output, and while
+          // ExtractWindowExpressions happens to leave a Project above
+          // every Window today, the rule itself must guarantee
+          // output-preservation — an arity-sensitive parent (Union /
+          // Except / Distinct) sitting directly on the Window would
+          // otherwise see a changed schema (round-15 advice).
+          Project(
+            w.output,
+            newW.copy(child = p.copy(projectList = p.projectList ++ added.values)))
+        }
       }
     case _ => w
   }

@@ -360,6 +360,31 @@ object SqlQueries {
         // GROUP/ORDER on the raw column: the `nation` alias would collide
         // with the nation TABLE name in DuckDB's binder.
         "GROUP BY n_name, o_year ORDER BY n_name, o_year"
+    ),
+    shared(
+      "q_sql_avg_fixed",
+      // The AVG spelling of the shared fixed-point recipe —
+      // `AVG(CAST(<integral> AS DECIMAL(38,0)))` — which delegated user
+      // SQL writes where this repo's own tier writes SUM/COUNT pairs.
+      // In Spark this is the shape Sum128Rewrite's Average path serves
+      // (PlanAuditSpec pins graft_sum128 + no avg() in this plan): the
+      // per-row accumulation runs on primitive int128 adds instead of a
+      // Decimal(38,0) sum buffer, with the division done once per group
+      // through Spark's own Average evaluate tree. Cross-engine hash
+      // contract: Spark's decimal AVG rounds at scale 4 while DuckDB's
+      // runs in double, so the HAVING restricts groups to line counts
+      // dividing 10^4 — there the scale-4 quotient is EXACT, and casting
+      // an exactly-represented rational to DOUBLE is the same correctly-
+      // rounded double as DuckDB's exact-sum/count division. Arbitrary
+      // counts (where the engines' rounding legitimately differs) are
+      // covered by Sum128RewriteSpec's on/off differential, not this
+      // oracle.
+      "SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines, " +
+        "CAST(AVG(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) AS avg_qty, " +
+        "CAST(AVG(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 100 AS avg_price " +
+        "FROM lineitem GROUP BY l_orderkey " +
+        "HAVING COUNT(*) IN (1, 2, 4, 5) " +
+        "ORDER BY l_orderkey"
     )
   )
 }

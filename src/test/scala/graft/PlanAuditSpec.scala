@@ -343,6 +343,14 @@ class PlanAuditSpec extends SparkSpec {
       assert(p.contains("graft_sum128"),
         s"$q: Sum128Rewrite did not reach the delegated-SQL fixed-point sum:\n${p.take(1500)}")
     }
+    // the AVG spelling (round-15 verdict #4): the Average must be GONE —
+    // its sum slot replaced by graft_sum128 and the division left as a
+    // per-group projection — not merely accompanied.
+    val pAvg = planString(Registry.byName("q_sql_avg_fixed").run(spark, sf()))
+    assert(pAvg.contains("graft_sum128"),
+      s"q_sql_avg_fixed: Average path of Sum128Rewrite did not fire:\n${pAvg.take(1500)}")
+    assert(!pAvg.toLowerCase.contains("avg("),
+      s"q_sql_avg_fixed: a Decimal-buffer Average survived:\n${pAvg.take(1500)}")
   }
 
   test("media segmentation: one pruned scan, windows and rollup share one shuffle") {

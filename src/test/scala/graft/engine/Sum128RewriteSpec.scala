@@ -29,8 +29,10 @@ class Sum128RewriteSpec extends SparkSpec {
   private lazy val fixturePath: String = {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("s128r").toString
-    (1L to 5000L).map(i => (i % 7, i * 1000003L % 2000000L - 1000000L, i.toInt, i * 0.5))
-      .toDF("k", "x", "xi", "d")
+    (1L to 5000L).map { i =>
+      val x = i * 1000003L % 2000000L - 1000000L
+      (i % 7, x, i.toInt, i * 0.5, if (i % 3 == 0) None else Some(x))
+    }.toDF("k", "x", "xi", "d", "xn")
       .write.mode("overwrite").parquet(dir)
     dir
   }
@@ -74,6 +76,51 @@ class Sum128RewriteSpec extends SparkSpec {
     assert(on.head().getDecimal(0).longValueExact == (1L to 5000L).sum)
   }
 
+  test("AVG aggregate shape rewrites: sum slot becomes graft_sum128, values bit-equal") {
+    fixture()
+    // Bit-identity is by construction — the rewrite substitutes Sum128 /
+    // Count into Spark's OWN Average.evaluateExpression, so whatever
+    // decimal division/rounding tree this Spark builds is reused
+    // verbatim. The differential still gates it end-to-end, on a domain
+    // with non-exact quotients (rounding exercised), a 2^63-crossing
+    // group sum (x*10^12 ≈ ±1e18 per row, 5000/7 rows per group), and
+    // per-row NULLs via the nullable xn column (Average's count slot
+    // must keep its non-null semantics through the Count substitution;
+    // a CASE-produced null would not exercise scope — the optimizer
+    // pushes the cast into the CASE branches, which is out of the
+    // spelled-shape domain).
+    val q = "SELECT k, " +
+      "AVG(CAST(x AS DECIMAL(38,0))) AS a, " +
+      "AVG(CAST(x * 1000000000000 AS DECIMAL(38,0))) AS abig, " +
+      "AVG(CAST(xn AS DECIMAL(38,0))) AS anull " +
+      "FROM s128r GROUP BY k ORDER BY k"
+    val on = spark.sql(q)
+    val p = planOf(on)
+    assert(p.contains("graft_sum128"),
+      s"default-on rewrite did not fire on the AVG shape:\n${p.take(1200)}")
+    assert(!p.toLowerCase.contains("avg("),
+      s"an Average survived in the rewritten plan:\n${p.take(1200)}")
+    val onRows = on.collect()
+      .map(r => (r.getLong(0), r.getDecimal(1), r.getDecimal(2), r.getDecimal(3)))
+    val offRows = withFlag(false) {
+      val off = spark.sql(q)
+      assert(!planOf(off).contains("graft_sum128"), "rewrite fired with the flag off")
+      off.collect().map(r => (r.getLong(0), r.getDecimal(1), r.getDecimal(2), r.getDecimal(3)))
+    }
+    // java.math.BigDecimal equality is value AND scale — decimal(38,4)
+    // must round-trip exactly, not approximately
+    assert(onRows.toSeq == offRows.toSeq)
+  }
+
+  test("AVG of an empty/all-null group returns NULL through the rewrite") {
+    fixture()
+    val q = "SELECT AVG(CAST(xn AS DECIMAL(38,0))) AS a FROM s128r WHERE xn IS NULL"
+    val on = spark.sql(q)
+    assert(planOf(on).contains("graft_sum128"))
+    assert(on.head().isNullAt(0), "all-null AVG must be NULL")
+    withFlag(false)(assert(spark.sql(q).head().isNullAt(0)))
+  }
+
   test("scope guards: DISTINCT, fractional casts, and plain decimal sums keep Spark's sum") {
     fixture()
     for (q <- Seq(
@@ -83,7 +130,13 @@ class Sum128RewriteSpec extends SparkSpec {
         // integral domain; Sum128 over a long cast would round differently
         "SELECT SUM(CAST(d AS DECIMAL(38,0))) FROM s128r",
         // decimal of any other precision is not the fixed-point recipe
-        "SELECT SUM(CAST(x AS DECIMAL(20,0))) FROM s128r")) {
+        "SELECT SUM(CAST(x AS DECIMAL(20,0))) FROM s128r",
+        // same guards for the AVG shape
+        "SELECT AVG(DISTINCT CAST(x AS DECIMAL(38,0))) FROM s128r",
+        "SELECT AVG(CAST(d AS DECIMAL(38,0))) FROM s128r",
+        "SELECT AVG(CAST(x AS DECIMAL(20,0))) FROM s128r",
+        // a plain integral AVG is not the decimal fixed-point spelling
+        "SELECT AVG(x) FROM s128r")) {
       assert(!planOf(spark.sql(q)).contains("graft_sum128"),
         s"rewrite overreached on out-of-scope shape: $q")
     }
