@@ -112,7 +112,12 @@ object BqLoad {
         case WriteAppend =>
           good.write.mode(SaveMode.Append).saveAsTable(table)
       }
-      LoadJobResult(outputRows = spark.table(table).count(), badRecords = badCount)
+      // output_rows = rows loaded BY THIS JOB (main.py:41-43) — for
+      // WriteAppend a destination count would report pre-existing rows
+      // too, diverging from the contract (round-15 advice). `good` is a
+      // filter over the cached validation relation, so this is a cheap
+      // second action, not a rescan.
+      LoadJobResult(outputRows = good.count(), badRecords = badCount)
     } finally {
       parsed.unpersist()
       ()

@@ -84,20 +84,27 @@ object Pipeline {
       .csv(layout.cleanCsv(table))
   }
 
-  /** Stage 4a — load to a warehouse parquet path, truncate-overwrite. */
-  def loadStage(spark: SparkSession, layout: Layout, table: String): DataFrame = {
-    val df = readClean(spark, layout, table)
-    df.write.mode(SaveMode.Overwrite).parquet(layout.warehouse(table))
-    spark.read.parquet(layout.warehouse(table))
+  /** Stage 4 — load through the pluggable [[WarehouseSink]] seam
+    * (round-15 verdict #5): default destination is the local parquet
+    * stand-in; a catalog table, the full BqLoad load-job contract, or a
+    * real BigQuery connector write are drop-ins — the stage logic never
+    * changes with the destination.
+    */
+  def loadStage(
+      spark: SparkSession,
+      layout: Layout,
+      table: String,
+      sink: WarehouseSink = ParquetWarehouseSink): DataFrame = {
+    sink.load(spark, layout, table)
+    sink.read(spark, layout, table)
   }
 
   /** Stage 4b — load to a catalog table (`WRITE_TRUNCATE` ≡
     * `mode(Overwrite).saveAsTable`, app/bq-importer/main.py:28-39).
+    * Returns the loaded row count (report parity, main.py:41-43).
     */
-  def loadToTable(spark: SparkSession, layout: Layout, table: String): Long = {
-    readClean(spark, layout, table).write.mode(SaveMode.Overwrite).saveAsTable(table)
-    spark.table(table).count() // row-count report parity (main.py:41-43)
-  }
+  def loadToTable(spark: SparkSession, layout: Layout, table: String): Long =
+    CatalogWarehouseSink.load(spark, layout, table)
 
   /** Full per-table pipeline: export → clean schema → clean data → load.
     * Schema stage runs strictly before data load (SURVEY §3 ordering hazard).
@@ -108,11 +115,12 @@ object Pipeline {
       mysqlTypes: Seq[SchemaColumn],
       layout: Layout,
       table: String,
-      compat: Boolean = true): DataFrame = {
+      compat: Boolean = true,
+      sink: WarehouseSink = ParquetWarehouseSink): DataFrame = {
     exportStage(spark, df, mysqlTypes, layout, table)
     cleanSchemaStage(spark, layout, table, compat)
     cleanDataStage(spark, layout, table)
-    loadStage(spark, layout, table)
+    loadStage(spark, layout, table, sink)
   }
 
   /** Dated-partition warehouse load (SURVEY §1.1 "dated partition
