@@ -55,7 +55,13 @@ object DsirStream {
         ((element_at(crLit, b) + 1L) * lit(st + 1024L)).cast("double")
     }
     val rs = transform(QualityQueries.dsirFeatureArr, f => r(f))
-    docs.select(
+    docs
+      // the batch chain (q_dsir_weights) DROPS a featureless doc at its
+      // explode — an empty/whitespace-only text must not surface here as
+      // an n_feat=0 row with a 0/0 = NaN score, or the bit-equality
+      // contract breaks on that edge (round-15 advice)
+      .filter(size(QualityQueries.dsirFeatureArr) > 0)
+      .select(
       col("doc_id"),
       size(QualityQueries.dsirFeatureArr).cast("long").as("n_feat"),
       // Agg.davg replayed per row: round-to-1e4 integers, exact sum,

@@ -79,7 +79,7 @@ class CdcAgeSpec extends SparkSpec {
       .writeStream.format("parquet").outputMode("append")
       .option("path", out).option("checkpointLocation", ck)
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    StreamDrain.boundedAwait(q)
     q
   }
 
@@ -192,16 +192,9 @@ class CdcAgeSpec extends SparkSpec {
       .writeStream.format("parquet").outputMode("append")
       .option("path", out).option("checkpointLocation", ck)
       .trigger(Trigger.ProcessingTime("200 milliseconds")).start()
-    try {
-      def sinkOk(): Boolean =
-        scala.util.Try(spark.read.parquet(out)).toOption.exists(done)
-      val deadline = System.currentTimeMillis() + 90000L
-      while (!sinkOk() && System.currentTimeMillis() < deadline) Thread.sleep(250L)
-      assert(sinkOk(), "TTL drain did not reach its expected sink state within 90 s")
-    } finally {
-      q.stop()
-      q.awaitTermination()
-    }
+    // the shared harness carries this drain now (round-15 verdict #6
+    // factored the round-15 fix into StreamDrain for every twin spec)
+    StreamDrain.untilSink(spark, q, out)(done)
   }
 
   /** Distinct keys carrying at least one non-heartbeat arrival in `df` —

@@ -40,7 +40,7 @@ class CdcStreamSpec extends SparkSpec {
       .writeStream.format("parquet").outputMode("append")
       .option("path", out).option("checkpointLocation", ck)
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    StreamDrain.boundedAwait(q)
     val rows = spark.read.parquet(out)
     val finals = rows
       .join(rows.groupBy("k").agg(max("upd").as("upd")), Seq("k", "upd"))

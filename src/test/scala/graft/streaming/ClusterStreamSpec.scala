@@ -50,7 +50,7 @@ class ClusterStreamSpec extends SparkSpec {
           .writeStream.format("parquet").outputMode("append")
           .option("path", out).option("checkpointLocation", ck)
           .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        StreamDrain.boundedAwait(q)
       }
       runPass()
       emb.filter(col("vec_id") % 3 === 2).repartition(1)
@@ -120,7 +120,7 @@ class ClusterStreamSpec extends SparkSpec {
         .writeStream.format("parquet").outputMode("append")
         .option("path", out).option("checkpointLocation", ck)
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      StreamDrain.boundedAwait(q)
 
       val rows = spark.read.parquet(out)
       val cellRows = rows

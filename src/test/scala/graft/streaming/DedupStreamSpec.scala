@@ -41,7 +41,7 @@ class DedupStreamSpec extends SparkSpec {
       .writeStream.format("parquet").outputMode("append")
       .option("path", out).option("checkpointLocation", ck)
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    StreamDrain.boundedAwait(q)
   }
 
   private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =

@@ -39,7 +39,7 @@ class DsirStreamSpec extends SparkSpec {
         .writeStream.format("parquet").outputMode("append")
         .option("path", s"$root/out").option("checkpointLocation", s"$root/ck")
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      StreamDrain.boundedAwait(q)
     }
     drain()
     // restart with the remaining third — the stored-artifact scorer
@@ -56,5 +56,31 @@ class DsirStreamSpec extends SparkSpec {
     assert(streamed.size == batch.size, "exactly one emission per document")
     assert(streamed == batch,
       "streamed scores must equal the batch chain bit-for-bit")
+  }
+
+  test("a featureless document is dropped, matching the batch explode (no NaN row)") {
+    // The batch chain drops an empty/whitespace-only text at its explode;
+    // the stream used to emit n_feat=0 with 0/0 = NaN, breaking the
+    // bit-equality contract on that edge (round-15 advice).
+    val root = Files.createTempDirectory("dsir-stream-empty").toString
+    import spark.implicits._
+    // note "   " (whitespace) is NOT featureless — the char-hash features
+    // include spaces, and the batch explode emits it too; only the empty
+    // string produces an empty feature array in both chains
+    Seq((900001L, "srcx", ""), (900003L, "srcx", "real words here"))
+      .toDF("doc_id", "source", "text")
+      .repartition(1).write.mode("append").parquet(s"$root/in")
+    val (model, sr, st) = QualityQueries.dsirModel(spark, sf())
+    val stream = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+    val q = DsirStream.scoredView(stream, model, sr, st)
+      .writeStream.format("parquet").outputMode("append")
+      .option("path", s"$root/out").option("checkpointLocation", s"$root/ck")
+      .trigger(Trigger.AvailableNow()).start()
+    StreamDrain.boundedAwait(q)
+    val out = spark.read.parquet(s"$root/out").collect()
+    assert(out.map(_.getLong(0)).toSet == Set(900003L),
+      s"featureless docs must produce NO row: ${out.mkString(",")}")
+    assert(!out.exists(r => r.getDouble(2).isNaN), "NaN score leaked")
   }
 }

@@ -90,7 +90,7 @@ class FileChainSpec extends SparkSpec {
         .option("checkpointLocation", ck)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      StreamDrain.boundedAwait(q)
     }
     // batch 1: events in hour-0 plus one at 01:10 → watermark 01:00 →
     // hour-0 window finalized on the NEXT run
@@ -140,7 +140,7 @@ class FileChainSpec extends SparkSpec {
         .option("checkpointLocation", ck)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      StreamDrain.boundedAwait(q)
     }
     // run 1: id=1 duplicated in-batch; watermark ends below any expiry
     Files.writeString(Paths.get(s"$in/b1.csv"),
@@ -182,7 +182,7 @@ class FileChainSpec extends SparkSpec {
         .writeStream.outputMode("append").format("parquet")
         .option("path", out).option("checkpointLocation", ck)
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      StreamDrain.boundedAwait(q)
     }
     // user 1: two events 10 min apart (one session), then a gap > 30 min
     // (second session); a final late-clock event pushes the watermark so

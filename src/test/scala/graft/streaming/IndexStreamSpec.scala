@@ -41,7 +41,7 @@ class IndexStreamSpec extends SparkSpec {
       .writeStream.format("parquet").outputMode("append")
       .option("path", out).option("checkpointLocation", ck)
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    StreamDrain.boundedAwait(q)
   }
 
   /** Final segment per term = the row at that term's max df (df is

@@ -35,7 +35,7 @@ class MediaSegStreamSpec extends SparkSpec {
         .writeStream.format("parquet").outputMode("append")
         .option("path", s"$root/out").option("checkpointLocation", s"$root/ck")
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      StreamDrain.boundedAwait(q)
     }
     drain()
     // restart with the remaining videos — the checkpoint must prevent
@@ -67,7 +67,7 @@ class MediaSegStreamSpec extends SparkSpec {
       .writeStream.format("parquet").outputMode("append")
       .option("path", s"$root/out").option("checkpointLocation", s"$root/ck")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    StreamDrain.boundedAwait(q)
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select("aid", "seg_id", "is_active", "start_window", "n_windows", "peak")
         .collect()

@@ -28,7 +28,7 @@ class PqStreamSpec extends SparkSpec {
     emb.filter(col("vec_id") % 3 === 0).repartition(1).write.mode("append").parquet(in)
     emb.filter(col("vec_id") % 3 === 1).repartition(1).write.mode("append").parquet(in)
     def runPass(): Unit =
-      PqStream.ingest(spark, in, emb.schema, books, coarse, out, ck).awaitTermination()
+      StreamDrain.boundedAwait(PqStream.ingest(spark, in, emb.schema, books, coarse, out, ck))
     runPass()
     // restart mid-corpus: the checkpointed source must pick up ONLY the
     // late third

@@ -51,7 +51,7 @@ class PricingStreamSpec extends SparkSpec {
           .writeStream.format("parquet").outputMode("append")
           .option("path", out).option("checkpointLocation", ck)
           .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        StreamDrain.boundedAwait(q)
       }
       runPass()
       thin.filter(col("l_quantity") > lit(35.0)).repartition(1)
@@ -132,7 +132,7 @@ class PricingStreamSpec extends SparkSpec {
           .writeStream.format("parquet").outputMode("append")
           .option("path", out).option("checkpointLocation", ck)
           .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        StreamDrain.boundedAwait(q)
       }
       // newest 70% first...
       thin.filter(col("__ship_s") >= lit(cut)).select(cols.map(col): _*)

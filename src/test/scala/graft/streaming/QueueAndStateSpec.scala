@@ -44,7 +44,7 @@ class QueueAndStateSpec extends SparkSpec {
       .writeStream.format("parquet")
       .option("path", out).option("checkpointLocation", s"$out-ck")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    StreamDrain.boundedAwait(q)
     val rows = spark.read.parquet(out).collect()
     assert(rows.length == 1)
     assert(rows.head.getAs[String]("payload") == "a,b")
@@ -90,16 +90,11 @@ class QueueAndStateSpec extends SparkSpec {
       .writeStream.format("memory").queryName("sock_twin")
       .outputMode("append")
       .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
-    try {
-      val deadline = System.currentTimeMillis() + 60000L
-      def delivered() = spark.table("sock_twin").count()
-      while (delivered() < 5 && System.currentTimeMillis() < deadline) Thread.sleep(200L)
-      assert(delivered() == 5, "expected 3 first-sends + 2 re-deliveries on the wire")
-    } finally {
-      testDone = true
-      q.stop()
-      q.awaitTermination()
-    }
+    // sink-conditioned drain via the shared harness (memory sink, so the
+    // general condition form): a socket source has no finite AvailableNow
+    // pass to await
+    try StreamDrain.untilCondition(q, 60000L)(() => spark.table("sock_twin").count() == 5)
+    finally testDone = true
 
     val log = spark.table("sock_twin").collect()
     // at-least-once, visibly: m2/m3 arrive twice, byte-identical
@@ -129,7 +124,7 @@ class QueueAndStateSpec extends SparkSpec {
         .writeStream.format("parquet").outputMode("append")
         .option("path", out).option("checkpointLocation", ck)
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      StreamDrain.boundedAwait(q)
     }
     Files.writeString(Paths.get(s"$in/b1.csv"), "1,click\n1,view\n2,click")
     run()
@@ -159,7 +154,7 @@ class QueueAndStateSpec extends SparkSpec {
           .writeStream.format("parquet").outputMode("append")
           .option("path", out).option("checkpointLocation", ck)
           .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        StreamDrain.boundedAwait(q)
       }
       Files.writeString(Paths.get(s"$in/b1.csv"), "1,click\n1,view\n2,click")
       run()
@@ -196,7 +191,7 @@ class QueueAndStateSpec extends SparkSpec {
           .writeStream.format("parquet").outputMode("append")
           .option("path", out).option("checkpointLocation", ck)
           .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        StreamDrain.boundedAwait(q)
       }
       Files.writeString(Paths.get(s"$in/b1.csv"), "a,1,5.0\na,2,7.0\na,3,1.0\nb,4,2.0")
       run()
@@ -247,7 +242,7 @@ class QueueAndStateSpec extends SparkSpec {
           .writeStream.format("parquet").outputMode("append")
           .option("path", out).option("checkpointLocation", ck)
           .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        StreamDrain.boundedAwait(q)
       }
       // id=1 submits twice in one batch; id=2 once — board must be
       // [(1, 7.0), (2, 6.0)], never id=1 at two ranks
@@ -288,7 +283,7 @@ class QueueAndStateSpec extends SparkSpec {
           .writeStream.format("parquet").outputMode("append")
           .option("path", out).option("checkpointLocation", ck)
           .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        StreamDrain.boundedAwait(q)
       }
       // user 1 gets 10 events split across two runs (ring must carry over
       // the restart AND stay bounded at 8); ts is written out of order

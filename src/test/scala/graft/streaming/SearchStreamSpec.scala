@@ -45,7 +45,7 @@ class SearchStreamSpec extends SparkSpec {
       .writeStream.format("parquet").outputMode("append")
       .option("path", out).option("checkpointLocation", ck)
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    StreamDrain.boundedAwait(q)
   }
 
   /** Each query's final board from the append sink: the rows carrying

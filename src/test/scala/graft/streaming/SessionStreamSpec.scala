@@ -58,7 +58,7 @@ class SessionStreamSpec extends SparkSpec {
           .writeStream.format("parquet").outputMode("append")
           .option("path", out).option("checkpointLocation", ck)
           .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        StreamDrain.boundedAwait(q)
       }
       // time-ordered replay: three disjoint time ranges, one run each so
       // the watermark only ever advances between batches (no late drops)
@@ -123,7 +123,7 @@ class SessionStreamSpec extends SparkSpec {
           .writeStream.format("parquet").outputMode("append")
           .option("path", out).option("checkpointLocation", ck)
           .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        StreamDrain.boundedAwait(q)
       }
       // batch 1: watermark advances to 10:29:59 — window 09:00 closes
       onTime.toDF("event_type", "ts", "value").repartition(1).write.mode("append").parquet(in)
@@ -196,7 +196,7 @@ class SessionStreamSpec extends SparkSpec {
           .writeStream.format("parquet").outputMode("append")
           .option("path", out).option("checkpointLocation", ck)
           .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        StreamDrain.boundedAwait(q)
       }
       onTime.toDF("user_id", "ts", "value").repartition(1).write.mode("append").parquet(in)
       runPass()
@@ -263,7 +263,7 @@ class SessionStreamSpec extends SparkSpec {
           .writeStream.format("parquet").outputMode("append")
           .option("path", out).option("checkpointLocation", ck)
           .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        StreamDrain.boundedAwait(q)
       }
       ev.filter(col("ts") < lit(tMid)).repartition(1).write.mode("append").parquet(in)
       runPass()
@@ -313,7 +313,7 @@ class SessionStreamSpec extends SparkSpec {
           .writeStream.format("parquet").outputMode("append")
           .option("path", out).option("checkpointLocation", ck)
           .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        StreamDrain.boundedAwait(q)
       }
       ev.filter(col("ts") < lit(tMid)).repartition(1).write.mode("append").parquet(in)
       runPass()

@@ -52,7 +52,7 @@ class SessionTimerStreamSpec extends SparkSpec {
           .writeStream.format("parquet").outputMode("append")
           .option("path", out).option("checkpointLocation", ck)
           .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        StreamDrain.boundedAwait(q)
       }
       // time-ordered replay, restart mid-stream (timers must survive the
       // checkpoint), and NO sentinel anywhere
@@ -127,7 +127,7 @@ class SessionTimerStreamSpec extends SparkSpec {
         .writeStream.format("parquet").outputMode("append")
         .option("path", outT).option("checkpointLocation", ckT)
         .trigger(Trigger.AvailableNow()).start()
-      qT.awaitTermination()
+      StreamDrain.boundedAwait(qT)
 
       // built-in twin: same replay plus the flush sentinel
       df.filter(col("ts") < lit(t("12:00"))).repartition(1).write.mode("append").parquet(inS)
@@ -140,7 +140,7 @@ class SessionTimerStreamSpec extends SparkSpec {
         .writeStream.format("parquet").outputMode("append")
         .option("path", outS).option("checkpointLocation", ckS)
         .trigger(Trigger.AvailableNow()).start()
-      qS.awaitTermination()
+      StreamDrain.boundedAwait(qS)
 
       def rows(path: String, dropUsers: Set[Long]): Set[(Long, String, Long, Double)] =
         spark.read.parquet(path).collect()

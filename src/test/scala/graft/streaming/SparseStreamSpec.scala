@@ -36,7 +36,7 @@ class SparseStreamSpec extends SparkSpec {
     def drain(): Unit = {
       val stream = spark.readStream.schema(docSchema)
         .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
-      SparseStream.run(stream, ix, s"$root/out", s"$root/ck").awaitTermination()
+      StreamDrain.boundedAwait(SparseStream.run(stream, ix, s"$root/out", s"$root/ck"))
     }
     drain()
     // restart with the remaining third: the checkpoint must resume

@@ -41,7 +41,7 @@ class StreamJoinSpec extends SparkSpec {
       .writeStream.outputMode("append").format("parquet")
       .option("path", out).option("checkpointLocation", ck)
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    StreamDrain.boundedAwait(q)
 
     val got = spark.read.parquet(out).collect()
       .map(r => (r.getLong(0), r.getTimestamp(2).toString)).toSet
@@ -75,7 +75,7 @@ class StreamJoinSpec extends SparkSpec {
       .writeStream.outputMode("append").format("parquet")
       .option("path", out).option("checkpointLocation", ck)
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    StreamDrain.boundedAwait(q)
 
     def asSet(df: org.apache.spark.sql.DataFrame) =
       df.collect()
@@ -112,7 +112,7 @@ class StreamJoinSpec extends SparkSpec {
       .writeStream.outputMode("append").format("parquet")
       .option("path", out).option("checkpointLocation", ck)
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    StreamDrain.boundedAwait(q)
     val got = spark.read.parquet(out).collect()
       .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet
     assert(got == Set(
