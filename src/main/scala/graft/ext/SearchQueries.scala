@@ -514,7 +514,9 @@ object SearchQueries {
     * fusion stage is identical; only the dense list's candidate engine
     * differs.
     */
-  private def rrfFuse(sparse: org.apache.spark.sql.DataFrame, dense: org.apache.spark.sql.DataFrame) = {
+  // package-private: SimilaritySpec's MoG hybrid curve drives the SAME
+  // registered fusion stage, not a reimplementation
+  private[graft] def rrfFuse(sparse: org.apache.spark.sql.DataFrame, dense: org.apache.spark.sql.DataFrame) = {
     val fw = Window.partitionBy(col("query_id")).orderBy(col("rrf_fp").desc, col("doc_id"))
     sparse
       .join(dense, Seq("query_id", "doc_id"), "full")

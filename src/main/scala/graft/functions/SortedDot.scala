@@ -24,6 +24,13 @@ object SortedDot {
     * sort_array a (doc, term)-grouped collect_list. A malformed input
     * (parallel arrays of different lengths) is rejected loudly rather
     * than scored wrong.
+    *
+    * Overflow FAILS LOUDLY, like the relational `SUM(wa*wb)` it
+    * replaced, which threw under ANSI past 2^63: `multiplyHigh` detects
+    * a product outside the long range (overflow-domain weights — e.g.
+    * tf·(n·1e6 div df) squares past 2^63 at large n with df=1) and
+    * `addExact` covers the accumulator, so a wrap can never silently
+    * become a wrong score (round-15 advice).
     */
   def compute(ta: ArrayData, wa: ArrayData, tb: ArrayData, wb: ArrayData): Long = {
     val na = ta.numElements()
@@ -37,7 +44,14 @@ object SortedDot {
     while (i < na && j < nb) {
       val cmp = ta.getUTF8String(i).compareTo(tb.getUTF8String(j))
       if (cmp == 0) {
-        acc += wa.getLong(i) * wb.getLong(j)
+        val a = wa.getLong(i)
+        val b = wb.getLong(j)
+        val lo = a * b
+        // exact iff the high 64 bits are the sign extension of the low
+        if (java.lang.Math.multiplyHigh(a, b) != (lo >> 63))
+          throw new ArithmeticException(
+            s"graft_sorted_dot: weight product $a * $b overflows long")
+        acc = java.lang.Math.addExact(acc, lo)
         i += 1
         j += 1
       } else if (cmp < 0) i += 1

@@ -416,4 +416,50 @@ class SimilaritySpec extends SparkSpec {
     }.toMap
     assert(mmrRec(4) >= 0.8, "MMR nprobe=4 floor on clustered data")
   }
+
+  test("MoG hybrid-RRF curve: fused top-10 overlap vs exact-dense fusion at three nprobe points") {
+    // Round-15 verdict #7: the hybrid fusion had recall gates only on the
+    // real-embeddings fixture; this measures the REGISTERED fusion stage
+    // (SearchQueries.rrfFuse — the q_hybrid_search_ivf composition) on
+    // the clustered mixture-of-Gaussians regime. The sparse list is the
+    // SHARED leg (identical in exact and served fusions, exactly as in
+    // the registered query, where both read the same BM25 board), built
+    // here as a deterministic md5 ranking so the curve isolates the one
+    // thing nprobe degrades: the dense candidate engine. Constants in
+    // PLANS.md (round-16).
+    val emb = MoGFixture.singles(spark, seed = 11L, n = 600, clusters = 12, dim = 16)
+      .localCheckpoint(true)
+    val queries = emb.filter(col("vec_id") < 12)
+    val centroids = Ivf.train(spark, emb, k = 16)
+    val indexed = Ivf.index(emb, centroids)
+    // shared sparse leg: per-query top-20 by md5(q||doc) — deterministic,
+    // engine-independent, uncorrelated with the embedding geometry
+    val sw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(md5(concat_ws("|",
+        col("query_id").cast("string"), col("doc_id").cast("string"))), col("doc_id"))
+    val sparse = queries.select(col("vec_id").cast("int").as("query_id"))
+      .crossJoin(emb.select(col("vec_id").as("doc_id")))
+      .filter(col("query_id") =!= col("doc_id"))
+      .withColumn("srnk", row_number().over(sw))
+      .filter(col("srnk") <= 20)
+      .localCheckpoint(true)
+    def denseOf(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("q_id").cast("int").as("query_id"), col("n_id").as("doc_id"), col("rank").as("drnk"))
+    def fusedPairs(dense: org.apache.spark.sql.DataFrame) =
+      SearchQueries.rrfFuse(sparse, denseOf(dense))
+        .select("query_id", "doc_id").collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSet
+    val exactFused = fusedPairs(Similarity.bruteForceTopK(queries, emb, 20))
+    val curve = Seq(1, 2, 4).map { np =>
+      val served = fusedPairs(Ivf.topK(queries, indexed, centroids, k = 20, nprobe = np))
+      val r = exactFused.count(served.contains).toDouble / exactFused.size
+      info(f"hybrid fused top-10 overlap nprobe=$np: $r%.3f")
+      np -> r
+    }.toMap
+    // the sparse leg is shared, so fusion overlap dominates raw dense
+    // recall; RRF tie-splits can wiggle single points, so monotonicity is
+    // asserted end-to-end rather than per step
+    assert(curve(1) <= curve(4) + 1e-9, "fused overlap degraded with MORE probes")
+    assert(curve(4) >= 0.9, "hybrid fusion nprobe=4 floor on clustered data")
+  }
 }

@@ -107,4 +107,30 @@ class SortedDotSpec extends SparkSpec {
     assert(wrongType.getMessage.contains("graft_sorted_dot") ||
       wrongType.getMessage.toLowerCase.contains("data type mismatch"))
   }
+
+  test("overflow fails loudly like the ANSI relational sum, never wraps into a score") {
+    import spark.implicits._
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    // product past 2^63: 2^32 * 2^32
+    val prodOverflow = Seq((Seq("a"), Seq(1L << 32), Seq("a"), Seq(1L << 32)))
+      .toDF("ta", "wa", "tb", "wb")
+      .select(expr("graft_sorted_dot(ta, wa, tb, wb)"))
+    val e1 = intercept[Exception] { prodOverflow.collect() }
+    assert(causes(e1).exists(c => c.getMessage != null && c.getMessage.contains("overflows long")))
+    // accumulator past 2^63: two in-range products of 2^62 each
+    val big = 1L << 62
+    val accOverflow = Seq((Seq("a", "b"), Seq(big, big), Seq("a", "b"), Seq(1L, 1L)))
+      .toDF("ta", "wa", "tb", "wb")
+      .select(expr("graft_sorted_dot(ta, wa, tb, wb)"))
+    val e2 = intercept[Exception] { accOverflow.collect() }
+    assert(causes(e2).exists(c =>
+      c.isInstanceOf[ArithmeticException] || (c.getMessage != null &&
+        (c.getMessage.contains("overflow") || c.getMessage.contains("long overflow")))))
+    // the guard is not over-eager: Long.MaxValue * 1 + 0 is fine
+    val edge = Seq((Seq("a"), Seq(Long.MaxValue), Seq("a"), Seq(1L)))
+      .toDF("ta", "wa", "tb", "wb")
+      .select(expr("graft_sorted_dot(ta, wa, tb, wb)").as("d")).collect().head
+    assert(edge.getLong(0) == Long.MaxValue)
+  }
 }
