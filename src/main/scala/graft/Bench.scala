@@ -69,6 +69,15 @@ import java.nio.file.{Files, Paths}
   * so its ext series is candidate+score+top-k serving cost. Cross-
   * version deltas partially reflect protocol, not engine, changes.
   *
+  * v9 IS FROZEN (round 16, closing round-15 verdict #8: v7→v9 landed
+  * mid-series and made round-over-round totals non-comparable, forcing
+  * the round-15 verdict onto quiet-box snapshots). The headline set,
+  * the ext set, the separately-reported build costs, and the sampling
+  * scheme above do not change again without a MAJOR version bump — and
+  * any future v10 must ship with one dual-protocol BRIDGE bench (the
+  * same box, same commit, both protocols, both JSON lines committed)
+  * so the longitudinal series stays continuous across the break.
+  *
   * EMISSION (v6): round 7's single line outgrew the driver's tail-capture
   * window (BENCH_r07 parsed: null). stdout now carries ONLY a compact
   * final line — totals, protocol, probe arrays, per-query mins, split

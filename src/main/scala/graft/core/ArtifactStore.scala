@@ -66,39 +66,69 @@ object ArtifactStore {
       .encodeToString(md.digest(key.getBytes(StandardCharsets.UTF_8)))
   }
 
-  /** Read-side view of a completed slot. */
-  final class Slot private[ArtifactStore] (dir: File, spark: SparkSession) {
+  /** Read-side view of a completed slot — disk-backed normally, or the
+    * builder's in-memory parts when persistence is off.
+    */
+  final class Slot private[ArtifactStore] (
+      dir: Option[File],
+      spark: SparkSession,
+      mem: Option[SlotWriter]) {
     /** Load a relation part, eagerly re-materialized so downstream plans
       * stay zero-scan (`ExistingRDD`, no FileSourceScan).
       */
-    def df(part: String): DataFrame =
-      spark.read.parquet(new File(dir, part).getPath).localCheckpoint(true)
+    def df(part: String): DataFrame = dir match {
+      case Some(d) => spark.read.parquet(new File(d, part).getPath).localCheckpoint(true)
+      case None => mem.get.memDfs(part)
+    }
 
     /** Load a text part (codebook codecs etc.). */
-    def text(part: String): String =
-      new String(Files.readAllBytes(new File(dir, part + ".txt").toPath), StandardCharsets.UTF_8)
+    def text(part: String): String = dir match {
+      case Some(d) =>
+        new String(Files.readAllBytes(new File(d, part + ".txt").toPath), StandardCharsets.UTF_8)
+      case None => mem.get.memTexts(part)
+    }
 
-    lazy val meta: Map[String, String] = {
-      val props = new java.util.Properties()
-      val in = Files.newInputStream(new File(dir, "meta.properties").toPath)
-      try props.load(in) finally in.close()
-      import scala.jdk.CollectionConverters._
-      props.asScala.toMap
+    lazy val meta: Map[String, String] = dir match {
+      case Some(d) =>
+        val props = new java.util.Properties()
+        val in = Files.newInputStream(new File(d, "meta.properties").toPath)
+        try props.load(in) finally in.close()
+        import scala.jdk.CollectionConverters._
+        props.asScala.toMap
+      case None => mem.get.metaMap.toMap
     }
   }
 
-  /** Write-side handle passed to builders. */
-  final class SlotWriter private[ArtifactStore] (dir: File) {
+  /** Write-side handle passed to builders. With a backing dir, parts go
+    * to disk (parquet round-trips every engine type, incl. double bits
+    * and arrays, exactly); with none — the `graft.artifacts.persist=
+    * false` path the bench's cold-BUILD timings use — relation parts are
+    * checkpointed in memory and nothing touches storage, so the timed
+    * cost stays the build itself (the frozen v9 metric), not an
+    * artifact write+readback.
+    */
+  final class SlotWriter private[ArtifactStore] (dir: Option[File]) {
     private[ArtifactStore] val metaMap = scala.collection.mutable.Map[String, String]()
-    /** Persist a relation part; parquet round-trips every engine type
-      * (incl. double bits and arrays) exactly.
-      */
-    def df(part: String, d: DataFrame): Unit =
-      d.write.mode("overwrite").parquet(new File(dir, part).getPath)
+    private[ArtifactStore] val memDfs = scala.collection.mutable.Map[String, DataFrame]()
+    private[ArtifactStore] val memTexts = scala.collection.mutable.Map[String, String]()
+    def df(part: String, d: DataFrame): Unit = dir match {
+      case Some(d0) => d.write.mode("overwrite").parquet(new File(d0, part).getPath)
+      case None =>
+        // builders that already checkpointed the part (root is a
+        // LogicalRDD) are stored as-is — a second materialization would
+        // inflate exactly the build cost this mode exists to measure
+        memDfs(part) = d.queryExecution.analyzed match {
+          case _: org.apache.spark.sql.execution.LogicalRDD => d
+          case _ => d.localCheckpoint(true)
+        }
+    }
     def meta(kv: (String, String)*): Unit = metaMap ++= kv
-    def text(part: String, content: String): Unit =
-      Files.write(
-        new File(dir, part + ".txt").toPath, content.getBytes(StandardCharsets.UTF_8)); ()
+    def text(part: String, content: String): Unit = dir match {
+      case Some(d0) =>
+        Files.write(
+          new File(d0, part + ".txt").toPath, content.getBytes(StandardCharsets.UTF_8)); ()
+      case None => memTexts(part) = content
+    }
   }
 
   /** Serve `key`'s artifact from a completed slot, or run `build` and
@@ -109,14 +139,12 @@ object ArtifactStore {
   def loadOrBuild[A](spark: SparkSession, key: String)(build: SlotWriter => Unit)(
       load: Slot => A): A = {
     if (!persistEnabled(spark)) {
-      // memory-only lifecycle: build into a throwaway slot under a temp
-      // root (the bench's cold-build timing path)
-      val tmp = Files.createTempDirectory("graft-artifact-mem").toFile
-      val w = new SlotWriter(tmp)
+      // memory-only lifecycle (the bench's cold-build timing path): the
+      // builder's parts stay as checkpointed in-memory relations
+      val w = new SlotWriter(None)
       build(w)
-      writeMeta(tmp, w.metaMap)
       builds.incrementAndGet()
-      return load(new Slot(tmp, spark))
+      return load(new Slot(None, spark, Some(w)))
     }
     val root = rootDir(spark)
     root.mkdirs()
@@ -125,7 +153,7 @@ object ArtifactStore {
       val tmp = new File(root, slotName(key) + s".tmp-${java.lang.ProcessHandle.current.pid}-${Thread.currentThread().getId}")
       deleteRec(tmp)
       tmp.mkdirs()
-      val w = new SlotWriter(tmp)
+      val w = new SlotWriter(Some(tmp))
       build(w)
       Files.write(new File(tmp, "key.txt").toPath, key.getBytes(StandardCharsets.UTF_8))
       writeMeta(tmp, w.metaMap)
@@ -140,7 +168,7 @@ object ArtifactStore {
         }
       } else deleteRec(tmp)
     }
-    load(new Slot(slot, spark))
+    load(new Slot(Some(slot), spark, None))
   }
 
   private def completed(slot: File): Boolean = new File(slot, "_OK").isFile
