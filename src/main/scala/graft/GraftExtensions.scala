@@ -104,6 +104,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
                 s"(array<string>, array<bigint>, array<string>, array<bigint>), got ${children.size}")
           SortedDotProduct(children(0), children(1), children(2), children(3))
         }))
+    // Count-Min sketch: the mergeable counting sketch (heavy hitters in
+    // fixed space — see functions/Cms.scala for the deterministic
+    // cross-engine hash that makes its estimates fully differential).
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_cms"),
+        new ExpressionInfo(classOf[graft.functions.CmsAggregate].getName, "graft_cms"),
+        (children: Seq[Expression]) => {
+          if (children.size != 1)
+            throw new IllegalArgumentException(
+              s"graft_cms requires exactly 1 string argument, got ${children.size}")
+          graft.functions.CmsAggregate(children.head)
+        }))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_cms_query"),
+        new ExpressionInfo(classOf[graft.functions.CmsQuery].getName, "graft_cms_query"),
+        (children: Seq[Expression]) => {
+          if (children.size != 2)
+            throw new IllegalArgumentException(
+              s"graft_cms_query requires exactly 2 arguments (array<bigint> sketch, string), got ${children.size}")
+          graft.functions.CmsQuery(children(0), children(1))
+        }))
     // Spark's runtime-filter bloom machinery (the expressions
     // InjectRuntimeFilter plants under AQE), exposed as first-class
     // session functions so a pipeline can BUILD a bloom filter over one

@@ -308,6 +308,81 @@ object DedupQueries {
           "FROM walk GROUP BY id ORDER BY doc_id")
     ),
     Q(
+      "q_split_leakage_safe",
+      // Duplication-aware train/eval splits — the step between dedup and
+      // fold assignment a serious training pipeline needs: a per-DOC
+      // hash split (q_fold_split_hash's recipe) puts near-duplicate
+      // documents on BOTH sides of the train/test boundary, which is
+      // contamination that survives exact dedup (the C4/Dodge-et-al.
+      // lesson). The leakage-safe assignment hashes the near-dup
+      // COMPONENT id instead, so every cluster lands wholesale in one
+      // fold. Output: per-fold (n_docs, n_components) plus the two
+      // leakage counters computed the same way on both assignments —
+      // leaked_components_naive is how many multi-doc clusters the
+      // per-doc split straddles (the damage being prevented, re-derived
+      // by the oracle, not asserted), leaked_components_safe the same
+      // count under the component split (0 by construction, but
+      // COMPUTED). Components and fold hashes are both proven
+      // cross-engine recipes (q_dedup_components' recursive-CTE closure;
+      // q_fold_split_hash's md5-prefix arithmetic), so the whole board
+      // hash-matches. Scale shape: components from the banded-pair edge
+      // set (never all-pairs), assignment a pure per-row expression,
+      // leakage counters two component-keyed hash-aggs.
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val edges = Dedup
+          .blockedJaccardPairs(
+            docs, "doc_id", "text", k = 3, minJac = 0.3,
+            blockCols = Seq("lang" -> col("lang"), "blk" -> substring(col("text"), 1, 50)))
+          .select(col("a_id").as("a"), col("b_id").as("b"))
+        val nodes = docs.select(col("doc_id").as("id"))
+        def foldOf(c: org.apache.spark.sql.Column) =
+          conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("long") % 5
+        val assigned = Dedup.connectedComponents(nodes, edges)
+          .select(
+            col("id").as("doc_id"), col("comp"),
+            foldOf(col("comp")).as("fold"), foldOf(col("id")).as("naive_fold"))
+          .localCheckpoint(true)
+        def leaked(byCol: String, as: String) =
+          assigned.groupBy(col("comp"))
+            .agg(countDistinct(col(byCol)).as("nf"))
+            .filter(col("nf") > 1)
+            .agg(count(lit(1)).as(as))
+        assigned
+          .groupBy(col("fold"))
+          .agg(count(lit(1)).as("n_docs"), countDistinct(col("comp")).as("n_components"))
+          .crossJoin(broadcast(leaked("naive_fold", "leaked_components_naive")))
+          .crossJoin(broadcast(leaked("fold", "leaked_components_safe")))
+          .orderBy("fold")
+      },
+      Some(
+        "WITH RECURSIVE " +
+          "docs AS (SELECT doc_id, lang, text, substring(text, 1, 50) AS blk, " +
+          "list_distinct(list_transform(generate_series(1, greatest(1, length(text) - 2)), " +
+          "i -> substring(text, i, 3))) AS grams FROM documents), " +
+          "e AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM docs a JOIN docs b " +
+          "ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id " +
+          "WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / " +
+          "len(list_distinct(list_concat(a.grams, b.grams))) >= 0.3), " +
+          "sym AS (SELECT a_id AS src, b_id AS dst FROM e UNION ALL SELECT b_id, a_id FROM e), " +
+          "walk(id, comp) AS (SELECT doc_id, doc_id FROM documents " +
+          "UNION SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.id), " +
+          "cc AS (SELECT id AS doc_id, MIN(comp) AS comp FROM walk GROUP BY id), " +
+          "a AS (SELECT doc_id, comp, " +
+          "CAST(concat('0x', substring(md5(CAST(comp AS VARCHAR)), 1, 4)) AS BIGINT) % 5 AS fold, " +
+          "CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 5 AS naive_fold " +
+          "FROM cc), " +
+          "ln_ AS (SELECT CAST(COUNT(*) AS BIGINT) AS leaked_components_naive FROM " +
+          "(SELECT comp FROM a GROUP BY comp HAVING COUNT(DISTINCT naive_fold) > 1)), " +
+          "ls AS (SELECT CAST(COUNT(*) AS BIGINT) AS leaked_components_safe FROM " +
+          "(SELECT comp FROM a GROUP BY comp HAVING COUNT(DISTINCT fold) > 1)) " +
+          "SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+          "CAST(COUNT(DISTINCT comp) AS BIGINT) AS n_components, " +
+          "leaked_components_naive, leaked_components_safe " +
+          "FROM a CROSS JOIN ln_ CROSS JOIN ls " +
+          "GROUP BY fold, leaked_components_naive, leaked_components_safe ORDER BY fold")
+    ),
+    Q(
       "q_dedup_minhash",
       // MinHash-LSH near-dup pairs: 32 hashes, 8 bands × 4 — candidates
       // only from band collisions (no cross join). The pair set is

@@ -17,6 +17,19 @@ import graft.core.Tables
   * error contract reduced to a boolean. A broken sketch flips the boolean
   * and fails the driver gate; SketchSpec additionally pins the numeric
   * bounds.
+  *
+  * Round 16 adds the engine's OWN Count-Min sketch
+  * ([[graft.functions.CmsAggregate]], the TypedImperativeAggregate tier
+  * SURVEY §4.3 anticipated) with a stronger differential story than the
+  * q_countmin invariant: its hash is the repo's cross-engine
+  * char-polynomial fold, so the DuckDB oracle reproduces the sketch
+  * RELATIONALLY — per hash row, bucket every occurrence and count;
+  * estimate = min over rows of collided mass — and the gate
+  * hash-compares exact estimate VALUES, proving the imperative
+  * update/merge/serialize path (through Spark's partial aggregation)
+  * against a from-scratch relational reconstruction. CmsSpec pins the
+  * monoid algebra, the all-terms one-sided contract, and the JVM≡SQL
+  * hash equivalence.
   */
 object SketchQueries {
 
@@ -47,7 +60,100 @@ object SketchQueries {
       .orderBy("token")
   }
 
+  /** DuckDB char-poly row-j bucket of `term` (j from a `rows_`
+    * relation): seed 7 + 13·j, fold (h·(31+10·j) + codepoint) % 1048573 (prime modulus, per-row multiplier — see CmsSketch scaladoc), then
+    * % 1024 — the exact arithmetic of
+    * [[graft.functions.CmsSketch.bucket]].
+    */
+  private val duckBucket =
+    "list_reduce(list_prepend(CAST(7 + 13 * j AS BIGINT), " +
+      "list_transform(range(1, CAST(len(term) AS BIGINT) + 1), " +
+      "i -> CAST(ascii(substring(term, CAST(i AS INT), 1)) AS BIGINT))), " +
+      "(h, c) -> (h * (31 + 10 * j) + c) % 1048573) % 1024"
+
   val queries: Seq[Q] = Seq(
+    Q(
+      "q_cms_heavy_hitters",
+      // One corpus-level graft_cms sketch (update on executors, merge
+      // through partial aggregation, one 4×1024-counter array out),
+      // probed for the true top-20 terms (graft_cms_query against the
+      // broadcast sketch). Exact counts ride alongside, so the output
+      // carries the one-sided-error contract as DATA — est ≥ true on
+      // every row by construction — and the est VALUES hash-match
+      // DuckDB's relational reconstruction: the full correctness
+      // differential for update, merge, and the hash. Scale shape: the
+      // sketch pass is a fixed-state aggregate (no vocabulary
+      // materialization); the exact side exists for the differential
+      // and is itself a plain top-k over a hash-agg.
+      (s, d) => {
+        val t = Tables(s, d, "documents")
+          .select(explode(filter(split(col("text"), " "), x => x =!= "")).as("term"))
+        val sketch = t.agg(expr("graft_cms(term)").as("sk"))
+        val top = t.groupBy(col("term"))
+          .agg(count(lit(1)).as("true_cnt"))
+          .orderBy(col("true_cnt").desc, col("term"))
+          .limit(20)
+        top
+          .crossJoin(broadcast(sketch))
+          .select(
+            col("term"),
+            col("true_cnt"),
+            expr("graft_cms_query(sk, term)").as("est"),
+            (expr("graft_cms_query(sk, term)") >= col("true_cnt")).as("overcount_only"))
+          .orderBy(col("true_cnt").desc, col("term"))
+      },
+      Some(
+        "WITH toks AS (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term FROM documents), " +
+          "rows_ AS (SELECT unnest(range(0, 4)) AS j), " +
+          s"hb AS (SELECT term, j, $duckBucket AS b FROM toks CROSS JOIN rows_), " +
+          "counters AS (SELECT j, b, CAST(COUNT(*) AS BIGINT) AS c FROM hb GROUP BY 1, 2), " +
+          "tt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS true_cnt FROM toks " +
+          "GROUP BY 1 ORDER BY true_cnt DESC, term LIMIT 20), " +
+          "qb AS (SELECT DISTINCT hb.term, hb.j, hb.b FROM hb JOIN tt USING (term)), " +
+          "est AS (SELECT term, MIN(c) AS est FROM qb JOIN counters USING (j, b) GROUP BY term) " +
+          "SELECT term, true_cnt, est, (est >= true_cnt) AS overcount_only " +
+          "FROM tt JOIN est USING (term) ORDER BY true_cnt DESC, term")
+    ),
+    Q(
+      "q_cms_grouped",
+      // Per-SOURCE sketches — the operational shape: one fixed-size
+      // sketch per stream/shard, merged later (the aggregate is a
+      // commutative monoid; CmsSpec pins shard-merge ≡ corpus sketch).
+      // Each source's sketch is probed for the corpus's global top-5
+      // terms, so columns stay bounded and fully differential. At
+      // 100 TB this is per-shard term telemetry without a vocabulary
+      // shuffle: the merge tree moves d·w longs per shard.
+      (s, d) => {
+        val st = Tables(s, d, "documents").select(
+          col("source"),
+          explode(filter(split(col("text"), " "), x => x =!= "")).as("term"))
+        val perSource = st.groupBy(col("source")).agg(expr("graft_cms(term)").as("sk"))
+        val top5 = st.groupBy(col("term"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("term"))
+          .limit(5)
+          .select(col("term"))
+        perSource
+          .crossJoin(broadcast(top5))
+          .select(
+            col("source"), col("term"),
+            expr("graft_cms_query(sk, term)").as("est"))
+          .orderBy(col("source"), col("term"))
+      },
+      Some(
+        "WITH toks AS (SELECT source, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term FROM documents), " +
+          "rows_ AS (SELECT unnest(range(0, 4)) AS j), " +
+          s"hb AS (SELECT source, term, j, $duckBucket AS b FROM toks CROSS JOIN rows_), " +
+          "counters AS (SELECT source, j, b, CAST(COUNT(*) AS BIGINT) AS c FROM hb GROUP BY 1, 2, 3), " +
+          "tt AS (SELECT term FROM (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks " +
+          "GROUP BY 1 ORDER BY cnt DESC, term LIMIT 5)), " +
+          "qb AS (SELECT DISTINCT s.source, t.term, r.j, " +
+          duckBucket.replace("term", "t.term") + " AS b " +
+          "FROM (SELECT DISTINCT source FROM toks) s CROSS JOIN tt t CROSS JOIN rows_ r) " +
+          "SELECT qb.source, qb.term, CAST(MIN(coalesce(c, 0)) AS BIGINT) AS est " +
+          "FROM qb LEFT JOIN counters ON counters.source = qb.source AND counters.j = qb.j AND counters.b = qb.b " +
+          "GROUP BY 1, 2 ORDER BY 1, 2")
+    ),
     Q(
       "q_countmin",
       // Gate = exact probe counts (differential) + the one-sided CMS error
