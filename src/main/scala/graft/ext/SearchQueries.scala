@@ -684,6 +684,38 @@ object SearchQueries {
         .localCheckpoint(true)
     }
 
+  /** The WIDE stored-codes artifact for ADC serving — one row per doc
+    * token: (vec_id, c0..c3, rn2), where rn2 = ‖reconstruction‖² =
+    * Σ_j ‖book_j[c_j]‖² is computed at ENCODE time and stored (the
+    * ColBERTv2/FAISS layout fact: serving never touches floats, so the
+    * norm the cosine needs must ride with the codes). Derived from the
+    * long codes artifact + the codebooks via one pivot — registered in
+    * its own [[Pq.sharedDf]] slot, so a cold JVM loads it from disk and
+    * a serving query's only corpus-wide scan is this relation.
+    */
+  def pqTokenCodesWide(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Pq.sharedDf(s"$d|${Tables.fingerprint(d, "documents")}|tokens-codes-wide|m=4|k=16|iters=6") {
+      val books = pqTokenBooks(s, d)
+      // per-(subspace, entry) squared norms as a literal lookup table
+      val n2Lit = array(books.map(cb =>
+        array(cb.map(c => lit(c.map(x => x * x).sum)): _*)): _*)
+      pqTokenCodes(s, d)
+        .groupBy(col("vec_id"))
+        .pivot("m", Seq(0, 1, 2, 3))
+        .agg(first(col("code")))
+        .select(
+          col("vec_id"),
+          col("0").cast("int").as("c0"), col("1").cast("int").as("c1"),
+          col("2").cast("int").as("c2"), col("3").cast("int").as("c3"))
+        .withColumn(
+          "rn2",
+          element_at(element_at(n2Lit, 1), col("c0") + 1) +
+            element_at(element_at(n2Lit, 2), col("c1") + 1) +
+            element_at(element_at(n2Lit, 3), col("c2") + 1) +
+            element_at(element_at(n2Lit, 4), col("c3") + 1))
+        .localCheckpoint(true)
+    }
+
   /** Exact maxsim scores (q_id, n_id, li_score) for a (q_id, n_id)
     * candidate relation over the [[tokenVecs]] corpus: Σ over the query's
     * first-4 token positions of the per-position max cosine, the 4-term
@@ -1439,22 +1471,44 @@ object SearchQueries {
         import org.apache.spark.sql.expressions.Window
         val vecs = tokenVecs(Tables(s, d, "documents"))
         val books = pqTokenBooks(s, d)
-        // the stored-codes artifact (train-once/encode-once registry —
-        // serving scans codes, it never re-encodes the corpus); feeds
-        // both the decode and the code-count differential
+        // the stored-codes artifacts (train-once/encode-once registry —
+        // serving scans codes, it never re-encodes or decodes the
+        // corpus): the LONG form feeds the code-count differential, the
+        // WIDE form (codes + stored reconstruction norms) is what the
+        // ADC stage scans.
         val enc = pqTokenCodes(s, d)
-        val rec = Pq.decode(enc, books)
-          .select(expr("vec_id div 16").as("n_id"), col("embedding").as("cv"))
-          .withColumn("cn2", Similarity.dot(col("cv"), col("cv")))
-          .localCheckpoint(true)
-        val q = vecs.filter(col("doc_id") < 3 && col("pos") < 4)
-          .select(col("doc_id").as("q_id"), col("pos").as("qi"),
-            col("tv").as("qv"), col("tn2").as("qn2"))
-        val shortlist = q.join(rec, col("q_id") =!= col("n_id"))
+        val wide = pqTokenCodesWide(s, d)
+        // ADC (round 16): each query token precomputes, per subspace,
+        // its dot product with every codebook entry — 4×16 doubles per
+        // query token, built DRIVER-side from the ≤12 collected query
+        // vectors (bounded state, centroid-class) — and a doc token's
+        // compressed dot is then 4 table lookups + 3 adds off its
+        // stored codes. Replaces the decode-reconstruct-checkpoint +
+        // 16-dim dot scan (0.7 s + full-width arithmetic per pair at
+        // sf0.1) with lookups against the wide artifact; the original
+        // floats are never touched at serving time, exactly the
+        // FAISS/ColBERTv2 contract.
+        val qRows = vecs.filter(col("doc_id") < 3 && col("pos") < 4)
+          .select(col("doc_id"), col("pos"), col("tv"), col("tn2"))
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toIndexedSeq, r.getDouble(3)))
+        val sub = 4
+        val qTabs = qRows.toSeq.map { case (qid, qi, qv, qn2) =>
+          val tabs = books.zipWithIndex.map { case (cb, j) =>
+            cb.map(entry =>
+              entry.indices.map(i => entry(i) * qv(j * sub + i)).sum)
+          }
+          (qid, qi, qn2, tabs(0), tabs(1), tabs(2), tabs(3))
+        }
+        import s.implicits._
+        val qDf = qTabs.toDF("q_id", "qi", "qn2", "tab0", "tab1", "tab2", "tab3")
+        def lk(tab: String, c: String) = element_at(col(tab), col(c) + 1)
+        val shortlist = broadcast(qDf)
+          .join(wide.withColumn("n_id", expr("vec_id div 16")), col("q_id") =!= col("n_id"))
           .select(
             col("q_id"), col("n_id"), col("qi"),
-            (Similarity.dot(col("qv"), col("cv")) /
-              (sqrt(col("qn2")) * sqrt(col("cn2")))).as("sim"))
+            ((lk("tab0", "c0") + lk("tab1", "c1") + lk("tab2", "c2") + lk("tab3", "c3")) /
+              (sqrt(col("qn2")) * sqrt(col("rn2")))).as("sim"))
           .groupBy(col("q_id"), col("n_id"), col("qi"))
           .agg(max(col("sim")).as("ms"))
           .groupBy(col("q_id"), col("n_id"))
