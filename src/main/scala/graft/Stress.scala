@@ -151,6 +151,7 @@ object Stress {
     else if (tier == "prefix") runPrefix(spark, sfDir, mult)
     else if (tier == "media") runMedia(spark, sfDir, mult)
     else if (tier == "pipeline") runPipelineTier(spark, sfDir, mult)
+    else if (tier == "sketch") runSketch(spark, sfDir, mult)
     else runFull(spark, sfDir, mult)
     spark.stop()
   }
@@ -943,6 +944,48 @@ object Stress {
       s"""{"tier":"pipeline","mult":$mult,"set_rows":$setRows,""" +
         stageJson("one", s1, wall1, n1, nT1) + "," +
         stageJson("many", sm, wallM, nM, nTM) + "}")
+  }
+
+  /** Sketch tier (round 16): Count-Min throughput on a replicated token
+    * stream vs the exact per-term GROUP BY it replaces. The sketch's
+    * 100 TB pitch is FIXED STATE (d·w longs per group, merged like any
+    * partial aggregate, no vocabulary materialization); this measures
+    * whether its per-token cost is competitive where the exact agg is
+    * still feasible, and the artifact sizes that stay constant while
+    * the exact side's key space grows with the corpus.
+    */
+  private def runSketch(spark: SparkSession, sfDir: String, mult: Int): Unit = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft-stress-sketch"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+    spark.range(mult).crossJoin(docs).drop("id")
+      .repartition(32).write.mode("overwrite").parquet(s"$out/docs")
+    val rep = spark.read.parquet(s"$out/docs")
+    val toks = rep.select(
+      col("source"),
+      explode(filter(split(col("text"), " "), t => t =!= "")).as("term"))
+    val nTok = toks.count()
+    def cmsGlobal(): Double = time {
+      toks.agg(expr("graft_cms(term)")).write.format("noop").mode("overwrite").save()
+    }
+    def cmsPerSource(): Double = time {
+      toks.groupBy(col("source")).agg(expr("graft_cms(term)"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    def exactAgg(): Double = time {
+      toks.groupBy(col("term")).agg(count(lit(1)))
+        .write.format("noop").mode("overwrite").save()
+    }
+    cmsGlobal(); exactAgg() // warm both shapes
+    val g = Seq(cmsGlobal(), cmsGlobal()).min
+    val p = Seq(cmsPerSource(), cmsPerSource()).min
+    val e = Seq(exactAgg(), exactAgg()).min
+    val num = (v: Double) => Timing.fmt3(v)
+    println(
+      s"""{"tier":"sketch","mult":$mult,"tokens":$nTok,""" +
+        s""""cms_global_sec":${num(g)},"cms_global_mtok_s":${num(rate(nTok, g))},""" +
+        s""""cms_per_source_sec":${num(p)},"cms_per_source_mtok_s":${num(rate(nTok, p))},""" +
+        s""""exact_groupby_sec":${num(e)},"exact_groupby_mtok_s":${num(rate(nTok, e))}}""")
   }
 
   private def runFull(spark: SparkSession, sfDir: String, mult: Int): Unit = {
