@@ -54,6 +54,74 @@ object SimilarityQueries {
       Seq("q_id", "n_id"), floor,
       countDistinct(col("q_id")), "n_queries")
 
+  /** The navigable serving graph of q_sim_graph_routed: out-degree-8
+    * exact kNN edges ∪ 4 deterministic long-range edges per node (the
+    * NSW navigability ingredient — without them greedy descent strands
+    * in local neighborhoods; measured 0.10 → 0.43 recall at sf0.1).
+    * Eagerly materialized: the walk consumes it once per hop.
+    */
+  def navGraph(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val n = emb.count()
+    val knn = Similarity.bruteForceTopK(emb, emb, 8)
+      .select(col("q_id").as("src"), col("n_id").as("dst"))
+    val longLinks = emb.select(col("vec_id").as("src"))
+      .crossJoin(broadcast(emb.sparkSession.range(4).select(col("id").as("j"))))
+      .select(
+        col("src"),
+        (conv(substring(md5(concat_ws(":", col("src"), col("j"))), 1, 8), 16, 10)
+          .cast("long") % n).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    knn.unionByName(longLinks).distinct().localCheckpoint(true)
+  }
+
+  /** Beam search over a navigable graph (the q_sim_graph_routed walk,
+    * shared with SimilaritySpec's MoG row): 8 fixed entry nodes, `hops`
+    * rounds of expand-neighbors → exact-score → keep the top-`beam`,
+    * answer = per-query top-3 of everything visited. Returns
+    * (routed top-3, full visited relation) — the visited count is the
+    * construction-bound evidence. Each hop's state is checkpointed (the
+    * PageRank loop-invariant lesson: a lazily-chained round re-executes
+    * every earlier one).
+    */
+  def graphRoutedTopK(
+      emb: org.apache.spark.sql.DataFrame,
+      queryPred: org.apache.spark.sql.Column,
+      graph: org.apache.spark.sql.DataFrame,
+      hops: Int = 6,
+      beam: Int = 12): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val c = emb
+      .select(col("vec_id").as("n_id"), col("embedding").cast("array<double>").as("cv"))
+      .withColumn("cn", sqrt(Similarity.dot(col("cv"), col("cv"))))
+      .localCheckpoint(true)
+    val qn = broadcast(
+      emb.filter(queryPred)
+        .select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("qv"))
+        .withColumn("qnrm", sqrt(Similarity.dot(col("qv"), col("qv")))))
+    val seeds = emb.orderBy("vec_id").limit(8).select(col("vec_id").as("n_id"))
+    def score(cands: org.apache.spark.sql.DataFrame) =
+      cands.join(c, "n_id").join(qn, Seq("q_id"))
+        .filter(col("q_id") =!= col("n_id"))
+        .select(
+          col("q_id"), col("n_id"),
+          (Similarity.dot(col("qv"), col("cv")) / (col("qnrm") * col("cn"))).as("cos"))
+    var visited = score(seeds.crossJoin(qn.select(col("q_id")))).localCheckpoint(true)
+    val wBeam = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    for (_ <- 1 to hops) {
+      val frontier = visited
+        .withColumn("rk", row_number().over(wBeam)).filter(col("rk") <= beam)
+        .select(col("q_id"), col("n_id"))
+      val expand = frontier
+        .join(graph, frontier("n_id") === graph("src"))
+        .select(col("q_id"), col("dst").as("n_id")).distinct()
+        .join(visited.select(col("q_id"), col("n_id")), Seq("q_id", "n_id"), "left_anti")
+      visited = visited.unionByName(score(expand)).localCheckpoint(true)
+    }
+    val routed = visited
+      .withColumn("rank", row_number().over(wBeam)).filter(col("rank") <= 3)
+    (routed, visited)
+  }
+
   /** MMR greedy selection (q_mmr_rerank's body, reusable for planted-corpus
     * specs): per query matching `queryPred`, take the top-20 exact-cosine
     * candidates and greedily select 5 maximizing mmr2 = rel − max-sim-to-
@@ -421,6 +489,60 @@ object SimilarityQueries {
       Some(
         "SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS recall_ge_floor " +
           "FROM embeddings WHERE vec_id < 10")
+    ),
+    Q(
+      "q_sim_graph_routed",
+      // Graph-routed ANN serving — the OTHER major ANN paradigm next to
+      // the IVF family (HNSW/NSW/NSG shape, Malkov & Yashunin 2018):
+      // route a query through a precomputed neighborhood graph instead
+      // of probing quantizer cells. Index artifact = the out-degree-8
+      // exact kNN graph UNIONED with 4 deterministic long-range edges
+      // per node — the navigability ingredient NSW discovered: a bare
+      // kNN graph on weak-gradient data strands greedy descent in local
+      // neighborhoods (measured here: recall 0.10 at sf0.1 without the
+      // long links, 0.43 with; the MoG spec shows the clustered regime
+      // where routing actually shines). Built once per corpus
+      // fingerprint through the stored-artifact registry (graph builds
+      // are offline by design; at corpus scale the kNN side swaps to
+      // the IVF-blocked candidate generation of q_knn_graph_ivf — the
+      // serving walk is unchanged). Serving = beam search: 8 fixed
+      // entry nodes, then 6 hops of expand-neighbors → exact-score →
+      // keep the top-12 beam, answering with the top-3 of everything
+      // visited. Scored-candidate volume is bounded BY CONSTRUCTION:
+      // ≤ seeds + hops·beam·maxdeg = 872 per query, INDEPENDENT of
+      // corpus size (the sub-linear-at-scale statement: the fixture is
+      // small enough that 872 is no saving, a 100 TB corpus is where a
+      // corpus-free bound is the whole game) — pinned in-plan as the
+      // candidates_bounded boolean. Greedy descent is float-tie and
+      // entry-point sensitive, so the gate is the ANN family's
+      // invariant shape: n_queries (real differential), recall vs the
+      // in-plan exact top-3 at the flat-fixture floor 0.4 (the
+      // q_sim_ivf convention; measured 0.70 at sf0.01, 0.43 at sf0.1 —
+      // near-uniform random 16-d vectors are greedy routing's worst
+      // case, and the MoG-clustered SimilaritySpec row measures the
+      // realistic regime), and the construction ceiling.
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") < 10)
+        val graph = Pq.sharedDf(
+          s"$d|${graft.core.Tables.fingerprint(d, "embeddings")}|nav-graph|deg=8+4") {
+          navGraph(emb)
+        }
+        val (routed, visited) = graphRoutedTopK(emb, col("vec_id") < 10, graph)
+        recallGate(Similarity.bruteForceTopK(q, emb, 3), routed, floor = 0.4)
+          .crossJoin(broadcast(visited.groupBy().agg(count(lit(1)).as("__n_scored"))))
+          .select(
+            col("n_queries"),
+            col("recall_ge_floor"),
+            // seeds + hops·beam·maxdeg = 8 + 6·12·12 — the walk's
+            // corpus-size-INDEPENDENT candidate bound (a dedup or
+            // expansion regression blows it immediately)
+            (col("__n_scored") <= col("n_queries") * lit(8L + 6L * 12L * 12L))
+              .as("candidates_bounded"))
+      },
+      Some(
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS recall_ge_floor, " +
+          "true AS candidates_bounded FROM embeddings WHERE vec_id < 10")
     ),
     Q(
       "q_dedup_embed",

@@ -417,6 +417,30 @@ class SimilaritySpec extends SparkSpec {
     assert(mmrRec(4) >= 0.8, "MMR nprobe=4 floor on clustered data")
   }
 
+  test("MoG graph-routed ANN: beam walk recall on clustered embeddings (the realistic regime)") {
+    // q_sim_graph_routed gates at the flat fixture's 0.4 floor because
+    // near-uniform random 16-d vectors are greedy routing's worst case
+    // (no similarity gradient to descend). This measures the SAME walk
+    // (SimilarityQueries.graphRoutedTopK over navGraph — shared code,
+    // not a reimplementation) on the mixture-of-Gaussians fixture where
+    // real embeddings live: cluster structure gives the descent its
+    // gradient, and the measured recall is the evidence the registered
+    // operator rests on. Constants in PLANS.md (round 16).
+    val emb = MoGFixture.singles(spark, seed = 11L, n = 600, clusters = 12, dim = 16)
+      .localCheckpoint(true)
+    val exact = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 12), emb, 3)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (routed, visited) = SimilarityQueries.graphRoutedTopK(
+      emb, col("vec_id") < 12, SimilarityQueries.navGraph(emb))
+    val got = routed.select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(got.contains).toDouble / exact.size
+    val scored = visited.count()
+    info(f"graph-routed recall@3 on MoG: $recall%.3f ($scored scored over 12 queries)")
+    assert(recall >= 0.85, f"clustered-regime recall $recall%.3f under the 0.85 floor")
+    assert(scored <= 12L * (8L + 6L * 12L * 12L), "walk exceeded its construction bound")
+  }
+
   test("MoG hybrid-RRF curve: fused top-10 overlap vs exact-dense fusion at three nprobe points") {
     // Round-15 verdict #7: the hybrid fusion had recall gates only on the
     // real-embeddings fixture; this measures the REGISTERED fusion stage
