@@ -21,7 +21,6 @@ object Registry {
       graft.queries.Graph.queries ++
       graft.queries.Audits.queries ++
       graft.queries.TopKQueries.queries ++
-      graft.ext.SketchQueries.queries ++
       graft.ext.TextQueries.queries ++
       graft.ext.DedupQueries.queries ++
       graft.ext.SimilarityQueries.queries ++
