@@ -88,17 +88,28 @@ object SimilarityQueries {
       queryPred: org.apache.spark.sql.Column,
       graph: org.apache.spark.sql.DataFrame,
       hops: Int = 6,
+      beam: Int = 12): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+    graphRoutedOver(emb, emb.filter(queryPred), graph, hops, beam)
+
+  /** The walk with corpus and queries decoupled — what the NSW INSERT
+    * path needs (delta vectors routed over the BASE corpus/graph).
+    */
+  def graphRoutedOver(
+      corpus: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame,
+      graph: org.apache.spark.sql.DataFrame,
+      hops: Int = 6,
       beam: Int = 12): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val c = emb
+    val c = corpus
       .select(col("vec_id").as("n_id"), col("embedding").cast("array<double>").as("cv"))
       .withColumn("cn", sqrt(Similarity.dot(col("cv"), col("cv"))))
       .localCheckpoint(true)
     val qn = broadcast(
-      emb.filter(queryPred)
+      queries
         .select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("qv"))
         .withColumn("qnrm", sqrt(Similarity.dot(col("qv"), col("qv")))))
-    val seeds = emb.orderBy("vec_id").limit(8).select(col("vec_id").as("n_id"))
+    val seeds = corpus.orderBy("vec_id").limit(8).select(col("vec_id").as("n_id"))
     def score(cands: org.apache.spark.sql.DataFrame) =
       cands.join(c, "n_id").join(qn, Seq("q_id"))
         .filter(col("q_id") =!= col("n_id"))
@@ -543,6 +554,69 @@ object SimilarityQueries {
       Some(
         "SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS recall_ge_floor, " +
           "true AS candidates_bounded FROM embeddings WHERE vec_id < 10")
+    ),
+    Q(
+      "q_sim_graph_incremental",
+      // Graph-ANN MAINTENANCE — the NSW insert half, completing the
+      // graph family the way q_sim_ivf_incremental completes IVF: new
+      // vectors (every tenth) enter the FROZEN base graph by routing
+      // themselves through it (the NSW insertion algorithm: a node's
+      // out-edges are its own beam-search results) and linking
+      // BIDIRECTIONALLY to their routed top-8 — per-delta work is one
+      // bounded walk (≤ 872 scored), no rebuild, no corpus scan beyond
+      // the stored artifact + the delta batch. The gate then serves the
+      // standard 10 queries over the GROWN graph and requires (a) the
+      // full-corpus recall floor still holds — new content is
+      // REACHABLE through the inserted links or recall on queries whose
+      // true neighbors are delta nodes collapses — and (b) the insert
+      // edge accounting is exact: 8 out-edges per delta node plus their
+      // reverses (n_delta × 16 rows, the real differential DuckDB
+      // recomputes from the corpus split). Floors follow the
+      // flat-fixture convention (0.4 — greedy routing's worst-case
+      // geometry; the MoG SimilaritySpec rows carry the realistic
+      // regime).
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val base = emb.filter(col("vec_id") % 10 =!= 0)
+        val delta = emb.filter(col("vec_id") % 10 === 0)
+        val baseGraph = Pq.sharedDf(
+          s"$d|${graft.core.Tables.fingerprint(d, "embeddings")}|nav-graph-base|deg=8+4") {
+          navGraph(base)
+        }
+        // NSW insert: each delta vector's out-edges = the top-8 of its
+        // own walk's visited set over the frozen base graph
+        val (_, visitedIns) =
+          graphRoutedOver(base, delta, baseGraph, hops = 6, beam = 12)
+        val wIns = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+        val insEdges = visitedIns
+          .withColumn("rk", row_number().over(wIns)).filter(col("rk") <= 8)
+          .select(col("q_id").as("src"), col("n_id").as("dst"))
+          .localCheckpoint(true)
+        val grown = baseGraph
+          .unionByName(insEdges)
+          .unionByName(insEdges.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct()
+          .localCheckpoint(true)
+        val (routed, _) = graphRoutedOver(emb, emb.filter(col("vec_id") < 10), grown)
+        recallGate(
+          Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, 3), routed,
+          floor = 0.4)
+          .crossJoin(broadcast(base.agg(count(lit(1)).as("n_base"))))
+          .crossJoin(broadcast(delta.agg(count(lit(1)).as("n_delta"))))
+          .crossJoin(broadcast(insEdges.agg(count(lit(1)).as("__n_ins"))))
+          .select(
+            col("n_base"), col("n_delta"), col("n_queries"), col("recall_ge_floor"),
+            // every delta node links to exactly its routed top-8 (the
+            // base corpus is far larger than 8, so the walk always
+            // finds a full list) — the exact insert accounting
+            (col("__n_ins") === col("n_delta") * 8).as("insert_edges_exact"))
+      },
+      Some(
+        "SELECT CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id % 10 <> 0) AS BIGINT) AS n_base, " +
+          "CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id % 10 = 0) AS BIGINT) AS n_delta, " +
+          "CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 10) AS BIGINT) AS n_queries, " +
+          "true AS recall_ge_floor, true AS insert_edges_exact")
     ),
     Q(
       "q_dedup_embed",

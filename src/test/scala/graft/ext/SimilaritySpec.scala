@@ -441,6 +441,41 @@ class SimilaritySpec extends SparkSpec {
     assert(scored <= 12L * (8L + 6L * 12L * 12L), "walk exceeded its construction bound")
   }
 
+  test("MoG graph insert: grown graph serves new content at clustered-regime recall") {
+    // The NSW-insert gate (q_sim_graph_incremental) on the realistic
+    // geometry: build the navigable graph on 90% of the MoG corpus,
+    // insert the remaining 10% by routing them (their walk top-8 become
+    // bidirectional links), then route the 12 standard queries over the
+    // GROWN graph against the FULL corpus truth — if inserted nodes were
+    // unreachable, every query whose true neighbors landed in the delta
+    // would miss.
+    val emb = MoGFixture.singles(spark, seed = 11L, n = 600, clusters = 12, dim = 16)
+      .localCheckpoint(true)
+    val base = emb.filter(col("vec_id") % 10 =!= 5)
+    val delta = emb.filter(col("vec_id") % 10 === 5)
+    val baseGraph = SimilarityQueries.navGraph(base)
+    val (_, visitedIns) = SimilarityQueries.graphRoutedOver(base, delta, baseGraph)
+    val wIns = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    val ins = visitedIns.withColumn("rk", row_number().over(wIns)).filter(col("rk") <= 8)
+      .select(col("q_id").as("src"), col("n_id").as("dst")).localCheckpoint(true)
+    val grown = baseGraph.unionByName(ins)
+      .unionByName(ins.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    val exact = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 12), emb, 3)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (routed, _) = SimilarityQueries.graphRoutedOver(emb, emb.filter(col("vec_id") < 12), grown)
+    val got = routed.select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(got.contains).toDouble / exact.size
+    val deltaTruth = exact.count(_._2 % 10 == 5)
+    val deltaHits = exact.filter(_._2 % 10 == 5).count(got.contains)
+    info(f"grown-graph recall@3 on MoG: $recall%.3f ($deltaHits/$deltaTruth delta-node truths found)")
+    assert(recall >= 0.85, f"grown-graph recall $recall%.3f under the 0.85 floor")
+    assert(deltaTruth == 0 || deltaHits.toDouble / deltaTruth >= 0.5,
+      "inserted nodes unreachable: delta-node truths missed")
+  }
+
   test("MoG hybrid-RRF curve: fused top-10 overlap vs exact-dense fusion at three nprobe points") {
     // Round-15 verdict #7: the hybrid fusion had recall gates only on the
     // real-embeddings fixture; this measures the REGISTERED fusion stage
