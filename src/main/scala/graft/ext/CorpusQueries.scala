@@ -173,8 +173,10 @@ object CorpusQueries {
       // sum assigns each doc to pack floor(cum_before/4096) — the
       // sequential greedy scan runs per bucket, not globally, so packing
       // scales out while staying deterministic (md5 order inside the
-      // bucket). The exact-global-greedy variant would be a single
-      // partition, same tradeoff as q_fold_split's NTILE.
+      // bucket). An exact-GLOBAL greedy pack would need the full running
+      // sum in one order — expressible via Ranks.globalRunningSum's
+      // two-level scan if a pipeline ever needs it; the per-bucket form
+      // is the right default.
       (s, d) => {
         val dd = Tables(s, d, "documents").select(
           col("doc_id"),

@@ -306,6 +306,15 @@ class PlanAuditSpec extends SparkSpec {
       }
       assert(globalWindows.isEmpty, s"$q: single-partition WindowExec present")
     }
+    // the 2-level skyline: both windows carry partition specs (the
+    // per-bucket pre-frontier hashes 32 ways; the global pass declares
+    // its bounded pre-frontier partition) — no unpartitioned WindowExec
+    // survives in the full-table query
+    val sky = Registry.byName("q_skyline").run(spark, sf())
+    val skyGlobal = sky.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(skyGlobal.isEmpty, "q_skyline: single-partition WindowExec present")
   }
 
   test("prefix-dedup dictionary rank is distributed: no row_number window, range-partitioned rid") {
