@@ -133,6 +133,50 @@ object SimilarityQueries {
     (routed, visited)
   }
 
+  /** NSW insert-edge derivation (q_sim_graph_incremental's body, shared
+    * with [[graft.streaming.GraphInsertStream]] so ingest-time and batch
+    * insertion cannot drift): each delta vector's out-edges are the
+    * top-8 of its OWN beam-search walk over the frozen base graph —
+    * (src, dst, cos) with src the delta node. Per-delta independence is
+    * structural: every join in the walk keys on q_id and the frontier
+    * window partitions by q_id, so inserting a delta set in one call
+    * equals inserting it in any micro-batch slicing — the property the
+    * streaming twin's bit-equality gate rests on.
+    */
+  /** The NSW-insert family's frozen inputs, shared between
+    * q_sim_graph_incremental and GraphInsertStreamSpec so the registry
+    * key and the base/delta split are single-sourced: (base corpus —
+    * nine of ten vectors, delta arrivals — the tenth, frozen base
+    * graph through the stored-artifact registry).
+    */
+  private[graft] def graphIncrementalParts(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = {
+    val emb = graft.core.Tables(s, d, "embeddings")
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val delta = emb.filter(col("vec_id") % 10 === 0)
+    val baseGraph = Pq.sharedDf(
+      s"$d|${graft.core.Tables.fingerprint(d, "embeddings")}|nav-graph-base|deg=8+4") {
+      navGraph(base)
+    }
+    (base, delta, baseGraph)
+  }
+
+  private[graft] def nswInsertEdges(
+      base: org.apache.spark.sql.DataFrame,
+      delta: org.apache.spark.sql.DataFrame,
+      baseGraph: org.apache.spark.sql.DataFrame,
+      hops: Int = 6,
+      beam: Int = 12): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (_, visited) = graphRoutedOver(base, delta, baseGraph, hops, beam)
+    val wIns = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    visited
+      .withColumn("rk", row_number().over(wIns)).filter(col("rk") <= 8)
+      .select(col("q_id").as("src"), col("n_id").as("dst"), col("cos"))
+  }
+
   /** MMR greedy selection (q_mmr_rerank's body, reusable for planted-corpus
     * specs): per query matching `queryPred`, take the top-20 exact-cosine
     * candidates and greedily select 5 maximizing mmr2 = rel − max-sim-to-
@@ -577,21 +621,13 @@ object SimilarityQueries {
       // regime).
       (s, d) => {
         val emb = Tables(s, d, "embeddings")
-        val base = emb.filter(col("vec_id") % 10 =!= 0)
-        val delta = emb.filter(col("vec_id") % 10 === 0)
-        val baseGraph = Pq.sharedDf(
-          s"$d|${graft.core.Tables.fingerprint(d, "embeddings")}|nav-graph-base|deg=8+4") {
-          navGraph(base)
-        }
+        val (base, delta, baseGraph) = graphIncrementalParts(s, d)
         // NSW insert: each delta vector's out-edges = the top-8 of its
-        // own walk's visited set over the frozen base graph
-        val (_, visitedIns) =
-          graphRoutedOver(base, delta, baseGraph, hops = 6, beam = 12)
-        val wIns = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-        val insEdges = visitedIns
-          .withColumn("rk", row_number().over(wIns)).filter(col("rk") <= 8)
-          .select(col("q_id").as("src"), col("n_id").as("dst"))
+        // own walk's visited set over the frozen base graph (shared
+        // chain with the ingest twin — GraphInsertStreamSpec pins the
+        // micro-batched form bit-equal to this one)
+        val insEdges = nswInsertEdges(base, delta, baseGraph)
+          .select(col("src"), col("dst"))
           .localCheckpoint(true)
         val grown = baseGraph
           .unionByName(insEdges)
