@@ -655,6 +655,56 @@ object SimilarityQueries {
           "true AS recall_ge_floor, true AS insert_edges_exact")
     ),
     Q(
+      "q_sim_graph_tombstone",
+      // Graph-ANN DELETION — the third lifecycle half (build → insert →
+      // delete), with the semantics every production navigable-graph
+      // index actually runs (FAISS/hnswlib mark-deleted): removed
+      // vectors are TOMBSTONED, not unlinked. They stay ROUTING
+      // WAYPOINTS — the walk may pass through them — and are filtered
+      // from ANSWERS only, because deletion must never rewrite the
+      // stored artifact: tombstoning is O(deletes) metadata against an
+      // immutable graph, unlinking rewrites the edge relation on every
+      // delete batch. SimilaritySpec measures the recall price of
+      // keeping the structure unchanged (waypoint 0.972 vs full-unlink
+      // 1.000 on the MoG fixture at 1/7 deleted — ≤3 points for a
+      // delete path that costs nothing at serving scale).
+      // Serving = the standard beam walk over the UNCHANGED stored
+      // graph artifact (no rebuild on delete — the point), answers =
+      // top-3 of the visited set minus tombstones; truth = exact top-3
+      // over the LIVE corpus only. Gates: n_queries + n_live (real
+      // differentials DuckDB recomputes from the corpus split), the
+      // flat-fixture recall floor 0.4, and the construction bound —
+      // tombstones add no candidates, so the ≤ 872/query ceiling is
+      // unchanged.
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val deadPred = col("vec_id") % 7 === 3
+        val graph = Pq.sharedDf(
+          s"$d|${graft.core.Tables.fingerprint(d, "embeddings")}|nav-graph|deg=8+4") {
+          navGraph(emb)
+        }
+        val (_, visited) = graphRoutedTopK(emb, col("vec_id") < 10, graph)
+        val wBeam = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+        val servedLive = visited
+          .filter(!(col("n_id") % 7 === 3))
+          .withColumn("rank", row_number().over(wBeam)).filter(col("rank") <= 3)
+        val live = emb.filter(!deadPred)
+        val q = emb.filter(col("vec_id") < 10)
+        recallGate(Similarity.bruteForceTopK(q, live, 3), servedLive, floor = 0.4)
+          .crossJoin(broadcast(live.agg(count(lit(1)).as("n_live"))))
+          .crossJoin(broadcast(visited.groupBy().agg(count(lit(1)).as("__n_scored"))))
+          .select(
+            col("n_queries"), col("n_live"), col("recall_ge_floor"),
+            (col("__n_scored") <= col("n_queries") * lit(8L + 6L * 12L * 12L))
+              .as("candidates_bounded"))
+      },
+      Some(
+        "SELECT CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 10) AS BIGINT) AS n_queries, " +
+          "CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id % 7 <> 3) AS BIGINT) AS n_live, " +
+          "true AS recall_ge_floor, true AS candidates_bounded")
+    ),
+    Q(
       "q_dedup_embed",
       // Embedding-cosine near-dup detection on the REAL scale block key:
       // IVF coarse-quantizer cells (k=16 deterministic k-means,

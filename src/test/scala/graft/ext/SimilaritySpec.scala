@@ -476,6 +476,47 @@ class SimilaritySpec extends SparkSpec {
       "inserted nodes unreachable: delta-node truths missed")
   }
 
+  test("MoG graph delete: tombstoned waypoints vs hard unlinking, side by side") {
+    // The q_sim_graph_tombstone policy choice measured on the clustered
+    // regime: deletion keeps dead nodes as ROUTING WAYPOINTS (walk the
+    // unchanged graph, filter answers — the FAISS/hnswlib mark-deleted
+    // shape) instead of unlinking them (drop every edge touching a dead
+    // node and walk the rewritten subgraph). What tombstoning buys is
+    // MAINTENANCE cost — O(deletes) metadata against an immutable
+    // stored artifact vs rewriting the edge relation every delete
+    // batch; what it pays is beam slots spent on dead nodes. Measured
+    // here: waypoint 0.972 vs unlinked 1.000 recall@3 at 1/7 deleted —
+    // the recall price of never touching the artifact is ≤3 points on
+    // clustered data, and this row is the tripwire if it ever grows
+    // past noise. Constants in PLANS.md (round 16).
+    val emb = MoGFixture.singles(spark, seed = 11L, n = 600, clusters = 12, dim = 16)
+      .localCheckpoint(true)
+    val live = emb.filter(!(col("vec_id") % 7 === 3)).localCheckpoint(true)
+    val graph = SimilarityQueries.navGraph(emb)
+    val exact = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 12), live, 3)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wBeam = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    // policy A (registered): unchanged graph, tombstones filtered from answers
+    val (_, visitedA) = SimilarityQueries.graphRoutedTopK(emb, col("vec_id") < 12, graph)
+    val gotA = visitedA.filter(!(col("n_id") % 7 === 3))
+      .withColumn("rank", row_number().over(wBeam)).filter(col("rank") <= 3)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // policy B (naive): every edge touching a dead node removed, walk the subgraph
+    val unlinked = graph
+      .filter(!(col("src") % 7 === 3) && !(col("dst") % 7 === 3)).localCheckpoint(true)
+    val (routedB, _) = SimilarityQueries.graphRoutedOver(
+      live, emb.filter(col("vec_id") < 12), unlinked)
+    val gotB = routedB.select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallA = exact.count(gotA.contains).toDouble / exact.size
+    val recallB = exact.count(gotB.contains).toDouble / exact.size
+    info(f"delete policies on MoG — waypoint recall@3: $recallA%.3f, unlinked: $recallB%.3f")
+    assert(recallA >= 0.85, f"waypoint-delete recall $recallA%.3f under the clustered floor")
+    assert(recallA >= recallB - 0.05,
+      "tombstone-as-waypoint routing lost to hard unlinking beyond noise")
+  }
+
   test("MoG hybrid-RRF curve: fused top-10 overlap vs exact-dense fusion at three nprobe points") {
     // Round-15 verdict #7: the hybrid fusion had recall gates only on the
     // real-embeddings fixture; this measures the REGISTERED fusion stage
