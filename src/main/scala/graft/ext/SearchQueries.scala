@@ -1139,6 +1139,64 @@ object SearchQueries {
           s"true AS candidates_subquadratic FROM embeddings WHERE vec_id IN $queryIdsInSql")
     ),
     Q(
+      "q_hybrid_search_graph",
+      // The hybrid pipeline on its SECOND dense engine: the dense list
+      // comes from the graph-routed beam walk (q_sim_graph_routed's
+      // stored navigable graph — no quantizer, no cells) and fuses
+      // through the IDENTICAL rrfFuse stage with the stored-postings
+      // sparse side. The two ANN paradigms trade differently at scale —
+      // IVF's candidate volume is (nprobe/k)·corpus per query, the
+      // walk's is a CONSTANT 872 per query regardless of corpus size —
+      // and hybrid retrieval must compose with either, which is what
+      // this query pins: rank-only fusion is agnostic to the candidate
+      // engine. Walk output is float/entry-point specific, so the gated
+      // output is the q_hybrid_search_ivf convention — fused-top-10
+      // overlap vs the exact-dense fusion computed in-plan (floor 0.5;
+      // the sparse list is shared, so fusion overlap sits well above
+      // raw walk recall) plus the graph family's corpus-size-free
+      // candidate bound in place of IVF's subquadratic ceiling.
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val docs = Tables(s, d, "documents")
+        val isQuery = col("vec_id").isin(queryIds: _*)
+        val graph = SimilarityQueries.navGraphShared(s, d)
+        val (_, visited) = SimilarityQueries.graphRoutedTopK(emb, isQuery, graph)
+        val wWalk = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+        val denseWalk = visited
+          .withColumn("drnk", row_number().over(wWalk)).filter(col("drnk") <= 20)
+          .select(
+            col("q_id").cast("int").as("query_id"),
+            col("n_id").as("doc_id"),
+            col("drnk"))
+        val fusedWalk = rrfFuse(sparseTopServed(s, d, 20), denseWalk)
+        val denseExact = Similarity
+          .bruteForceTopK(emb.filter(isQuery), emb, 20)
+          .select(
+            col("q_id").cast("int").as("query_id"),
+            col("n_id").as("doc_id"),
+            col("rank").as("drnk"))
+        val fusedExact = rrfFuse(sparseTop(s, docs, 20), denseExact)
+        SimilarityQueries
+          .recallFold(
+            fusedExact.select(col("query_id"), col("doc_id")),
+            fusedWalk.select(col("query_id"), col("doc_id")),
+            Seq("query_id", "doc_id"), 0.5,
+            countDistinct(col("query_id")), "n_queries")
+          .crossJoin(broadcast(visited.groupBy().agg(count(lit(1)).as("__n_scored"))))
+          .select(
+            col("n_queries"),
+            col("recall_ge_floor"),
+            (col("__n_scored") <= col("n_queries") * lit(8L + 6L * 12L * 12L))
+              .as("candidates_bounded"))
+      },
+      // Same oracle convention as q_hybrid_search_ivf: n_queries is the
+      // real differential; the walk-dependent booleans are Spark-side
+      // gates against the in-plan exact-fusion truth.
+      Some(
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS recall_ge_floor, " +
+          s"true AS candidates_bounded FROM embeddings WHERE vec_id IN $queryIdsInSql")
+    ),
+    Q(
       "q_sparse_cosine",
       // Sparse TF-IDF cosine kNN via CHAMPION LISTS — the sparse
       // counterpart of the dense ANN family (q_dedup_embed finds

@@ -143,6 +143,18 @@ object SimilarityQueries {
     * equals inserting it in any micro-batch slicing — the property the
     * streaming twin's bit-equality gate rests on.
     */
+  /** The full-corpus navigable graph through the stored-artifact
+    * registry — single-sourced key for every consumer of the serving
+    * graph (q_sim_graph_routed, q_sim_graph_tombstone, and the
+    * graph-densed hybrid fusion in [[SearchQueries]]).
+    */
+  private[graft] def navGraphShared(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Pq.sharedDf(
+      s"$d|${graft.core.Tables.fingerprint(d, "embeddings")}|nav-graph|deg=8+4") {
+      navGraph(graft.core.Tables(s, d, "embeddings"))
+    }
+
   /** The NSW-insert family's frozen inputs, shared between
     * q_sim_graph_incremental and GraphInsertStreamSpec so the registry
     * key and the base/delta split are single-sourced: (base corpus —
@@ -579,10 +591,7 @@ object SimilarityQueries {
       (s, d) => {
         val emb = Tables(s, d, "embeddings")
         val q = emb.filter(col("vec_id") < 10)
-        val graph = Pq.sharedDf(
-          s"$d|${graft.core.Tables.fingerprint(d, "embeddings")}|nav-graph|deg=8+4") {
-          navGraph(emb)
-        }
+        val graph = navGraphShared(s, d)
         val (routed, visited) = graphRoutedTopK(emb, col("vec_id") < 10, graph)
         recallGate(Similarity.bruteForceTopK(q, emb, 3), routed, floor = 0.4)
           .crossJoin(broadcast(visited.groupBy().agg(count(lit(1)).as("__n_scored"))))
@@ -679,10 +688,7 @@ object SimilarityQueries {
       (s, d) => {
         val emb = Tables(s, d, "embeddings")
         val deadPred = col("vec_id") % 7 === 3
-        val graph = Pq.sharedDf(
-          s"$d|${graft.core.Tables.fingerprint(d, "embeddings")}|nav-graph|deg=8+4") {
-          navGraph(emb)
-        }
+        val graph = navGraphShared(s, d)
         val (_, visited) = graphRoutedTopK(emb, col("vec_id") < 10, graph)
         val wBeam = org.apache.spark.sql.expressions.Window
           .partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
