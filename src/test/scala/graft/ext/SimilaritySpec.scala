@@ -476,6 +476,37 @@ class SimilaritySpec extends SparkSpec {
       "inserted nodes unreachable: delta-node truths missed")
   }
 
+  test("MoG scale-path build: the walk routes over an IVF-blocked kNN graph at full recall") {
+    // q_sim_graph_routed's scaladoc claims the O(n²) exact-kNN build
+    // side "swaps to the IVF-blocked candidate generation at corpus
+    // scale — the serving walk is unchanged". This row makes that claim
+    // code: build the navigable graph from Ivf.knnCandidates/knnTopK
+    // edges (sub-quadratic by the q_knn_graph_ivf ceiling) instead of
+    // the brute-force kNN, keep the long-range links and the beam walk
+    // byte-identical (navGraphFrom — shared composition, not a copy),
+    // and require clustered-regime recall to hold along with both
+    // volume bounds (build candidates sub-quadratic, walk candidates
+    // construction-bounded). Constants in PLANS.md (round 16).
+    val emb = MoGFixture.singles(spark, seed = 11L, n = 600, clusters = 12, dim = 16)
+      .localCheckpoint(true)
+    val cells = Ivf.indexMulti(emb, Ivf.train(spark, emb, k = 16), r = 2)
+    val cand = Ivf.knnCandidates(cells).localCheckpoint(true)
+    val knn = Ivf.knnTopK(cand, 8).select(col("src"), col("dst"))
+    val graph = SimilarityQueries.navGraphFrom(emb, knn)
+    val exact = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 12), emb, 3)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (routed, visited) = SimilarityQueries.graphRoutedTopK(emb, col("vec_id") < 12, graph)
+    val got = routed.select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(got.contains).toDouble / exact.size
+    val nCand = cand.count()
+    val scored = visited.count()
+    info(f"IVF-built graph — recall@3: $recall%.3f, build candidates: $nCand (n²=360000), walk scored: $scored")
+    assert(recall >= 0.85, f"IVF-built-graph recall $recall%.3f under the clustered floor")
+    assert(nCand < (0.6 * 600 * 600).toLong, "IVF-blocked build lost its sub-quadratic ceiling")
+    assert(scored <= 12L * (8L + 6L * 12L * 12L), "walk exceeded its construction bound")
+  }
+
   test("MoG graph delete: tombstoned waypoints vs hard unlinking, side by side") {
     // The q_sim_graph_tombstone policy choice measured on the clustered
     // regime: deletion keeps dead nodes as ROUTING WAYPOINTS (walk the
