@@ -130,7 +130,37 @@ class ArtifactRegistrySpec extends SparkSpec {
         }
         assert(scans.isEmpty, s"cold-served $name plan scans files: $scans")
       }
+
+      // the navigable-graph slot (the graph family's frozen base —
+      // twin #13's insert walks and the serving/tombstone queries all
+      // assume it survives a restart without an O(n²) rebuild)
+      writeEmbeddings(dir, 0L until 40L)
+      val warmGraph = SimilarityQueries.navGraphShared(spark, dir)
+        .orderBy("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      Pq.clearShared()
+      val graphBuildsBefore = graft.core.ArtifactStore.builds.get()
+      val coldGraph = SimilarityQueries.navGraphShared(spark, dir)
+      assert(graft.core.ArtifactStore.builds.get() == graphBuildsBefore,
+        "cold nav-graph serve re-ran the kNN build instead of loading the slot")
+      assert(coldGraph.orderBy("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq == warmGraph,
+        "persisted nav graph diverged from the built one")
+      val graphScans = coldGraph.queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(graphScans.isEmpty, s"cold-served nav graph plan scans files: $graphScans")
     } finally spark.conf.unset("graft.artifacts.dir")
+  }
+
+  private def writeEmbeddings(dir: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    // deterministic 16-d float vectors, id-skewed so the kNN structure
+    // is non-trivial
+    ids.map { id =>
+      (id, (0 until 16).map(i => (((id * 7 + i * 13) % 29).toInt / 29.0f)), (id % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
   }
 
   test("PQ codebooks and codes survive the restart boundary bit-exactly") {
