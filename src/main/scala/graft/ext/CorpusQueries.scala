@@ -173,10 +173,9 @@ object CorpusQueries {
       // sum assigns each doc to pack floor(cum_before/4096) — the
       // sequential greedy scan runs per bucket, not globally, so packing
       // scales out while staying deterministic (md5 order inside the
-      // bucket). An exact-GLOBAL greedy pack would need the full running
-      // sum in one order — expressible via Ranks.globalRunningSum's
-      // two-level scan if a pipeline ever needs it; the per-bucket form
-      // is the right default.
+      // bucket). The exact-GLOBAL greedy pack is q_pack_global (the
+      // two-level running-sum scan); the per-bucket form is the right
+      // default when packs don't need one global order.
       (s, d) => {
         val dd = Tables(s, d, "documents").select(
           col("doc_id"),
@@ -199,6 +198,42 @@ object CorpusQueries {
           // CAST: cum is SUM(BIGINT) → HUGEINT in DuckDB; // keeps HUGEINT
           "SELECT bucket, CAST((cum - n_tok) // 4096 AS BIGINT) AS pack_id, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
           "CAST(SUM(n_tok) AS BIGINT) AS total_tokens FROM c GROUP BY 1, 2 ORDER BY 1, 2")
+    ),
+    Q(
+      "q_pack_global",
+      // Exact-GLOBAL greedy context-window packing — q_pack_sequences'
+      // one-global-order variant, for pipelines where pack ids must be
+      // a function of the total corpus order (resumable sharded
+      // tokenization, deterministic epoch layouts). The naive form is a
+      // corpus-wide running sum in ONE window partition — the NTILE
+      // trap all over again. Ranks.globalRunningSum is the scale
+      // rewrite: range-partitioned two-pass global index, per-BLOCK
+      // exclusive prefix windows (blockSize rows each), and a bounded
+      // block-offset pass — every window partitioned, the corpus
+      // shuffled once (the same pattern that killed the q_window_rank /
+      // q_fold_split single-partition windows, applied to SUM instead
+      // of rank). DuckDB re-derives the identical packing with a plain
+      // one-window running sum, so the two-level decomposition is
+      // value-level differentially gated, not just plan-shaped.
+      (s, d) => {
+        val dd = Tables(s, d, "documents").select(
+          col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          md5(col("doc_id").cast("string")).as("ord"))
+        graft.core.Ranks
+          .globalRunningSum(dd, Seq(col("ord"), col("doc_id")), col("n_tok"), p = 32)
+          .groupBy(expr("cum_before DIV 4096").as("pack_id"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
+          .orderBy("pack_id")
+      },
+      Some(
+        "WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, " +
+          "md5(CAST(doc_id AS VARCHAR)) AS ord FROM documents), " +
+          "c AS (SELECT n_tok, SUM(n_tok) OVER (ORDER BY ord, doc_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cb FROM d) " +
+          "SELECT CAST(COALESCE(cb, 0) // 4096 AS BIGINT) AS pack_id, " +
+          "CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens " +
+          "FROM c GROUP BY 1 ORDER BY 1")
     ),
     Q(
       "q_bucket_pack",

@@ -315,6 +315,14 @@ class PlanAuditSpec extends SparkSpec {
       case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
     }
     assert(skyGlobal.isEmpty, "q_skyline: single-partition WindowExec present")
+    // the exact-global pack: the corpus-wide running sum decomposes
+    // into per-block windows + a bounded block-offset pass
+    // (Ranks.globalRunningSum) — no unpartitioned WindowExec anywhere
+    val pack = Registry.byName("q_pack_global").run(spark, sf())
+    val packGlobal = pack.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(packGlobal.isEmpty, "q_pack_global: single-partition WindowExec present")
   }
 
   test("prefix-dedup dictionary rank is distributed: no row_number window, range-partitioned rid") {

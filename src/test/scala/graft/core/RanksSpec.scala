@@ -11,6 +11,29 @@ import graft.SparkSpec
   */
 class RanksSpec extends SparkSpec {
 
+  test("globalRunningSum equals the one-window exclusive prefix on random values") {
+    // the q_pack_global core: two-level (in-block window + block-offset
+    // window) running sum must be VALUE-identical to the naive single
+    // global window, across partition counts and with a blockSize small
+    // enough that many blocks exist (exercising the offset pass)
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (p <- Seq(1, 4, 32)) {
+      val n = 300 + rnd.nextInt(200)
+      val df = (0 until n)
+        .map(i => (i.toLong, rnd.nextLong(), (rnd.nextInt(1000) + 1).toLong))
+        .toDF("id", "key", "v")
+      val got = Ranks.globalRunningSum(df, Seq(col("key"), col("id")), col("v"), p, blockSize = 16L)
+        .select(col("id"), col("cum_before")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      var acc = 0L
+      val want = df.orderBy(col("key"), col("id")).collect().map { r =>
+        val out = (r.getLong(0), acc); acc += r.getLong(2); out
+      }.toMap
+      assert(got == want, s"p=$p n=$n running sum diverged from the one-window form")
+    }
+  }
+
   test("globalIndex equals window row_number on random keys, any partition count") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
