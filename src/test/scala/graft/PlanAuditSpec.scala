@@ -178,6 +178,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TopKPerKeyFinal"), s"per-src top-k fell back to a window sort:\n${p.take(1500)}")
   }
 
+  test("nav-graph registered BUILD is cartesian-free: IVF-blocked kNN, no all-pairs join") {
+    // Round-16 verdict #1: the navigable graph's registered build must
+    // be the sub-quadratic IVF-blocked kNN, and the plan must prove it.
+    // navGraphPlan is the un-checkpointed form of exactly what
+    // navGraphShared registers (navGraph = navGraphFrom ∘ navKnnEdges).
+    // Allowed: ONE BroadcastNestedLoopJoin — the 4-row long-link range
+    // attach (broadcast of spark.range(4), bounded by construction).
+    // Any CartesianProduct, or a second BNLJ, means the kNN side
+    // regressed to the O(n²) all-pairs scoring this default replaced.
+    import graft.ext.SimilarityQueries
+    val emb = graft.core.Tables(spark, sf(), "embeddings")
+    val df = SimilarityQueries.navGraphPlan(emb, SimilarityQueries.navKnnEdges(emb))
+    df.collect() // pre-pass guard + AQE both need a live execution
+    // An executed AdaptiveSparkPlan stringifies BOTH the final and the
+    // initial plan — count joins in the final section only, or the one
+    // long-link BNLJ would double-count itself.
+    val p = planString(df).split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"),
+      s"nav-graph build planned a cartesian product:\n${p.take(1500)}")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1,
+      s"expected at most the 4-row long-link range broadcast cross, found $bnlj BNLJs:\n${p.take(1500)}")
+    assert(p.contains("TopKPerKeyFinal"),
+      s"per-src top-8 fell back to a window sort:\n${p.take(1500)}")
+  }
+
   test("IVF hybrid serving path: no corpus-wide cross join on the dense side") {
     // q_hybrid_search_ivf's SERVED composition (the registered gate wraps
     // it in an exact-fusion truth side that exists only to oracle recall):
