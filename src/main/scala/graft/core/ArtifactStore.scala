@@ -32,10 +32,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the winner's slot — both built the same bytes from the same key).
   *
   * Root resolution: spark conf `graft.artifacts.dir`, else env
-  * `GRAFT_ARTIFACTS_DIR`, else `<java.io.tmpdir>/graft-artifacts`.
-  * Setting conf `graft.artifacts.persist=false` bypasses the disk tier
-  * entirely (build in memory) — the bench's cold-build timings use this
-  * so "index build cost" keeps measuring the build, not a disk load.
+  * `GRAFT_ARTIFACTS_DIR`, else `<java.io.tmpdir>/graft-artifacts-<user>`
+  * (per-user — a shared default root would let checkouts of different
+  * users serve each other's slots on multi-user boxes). Slot names fold
+  * in [[FormatVersion]], every serve touches `_OK` (last-used signal),
+  * and [[retentionSweep]] ages out slots a corpus regeneration
+  * stranded. Setting conf `graft.artifacts.persist=false` bypasses the
+  * disk tier entirely (build in memory) — the bench's cold-build
+  * timings use this so "index build cost" keeps measuring the build,
+  * not a disk load.
   *
   * Loaded relations are eagerly re-materialized (`localCheckpoint`) so a
   * serving plan scans the executor blocks (`ExistingRDD`), keeping every
@@ -50,20 +55,36 @@ object ArtifactStore {
     */
   val builds = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Artifact FORMAT VERSION, folded into every slot name. Bump on ANY
+    * change to a registry's build logic or part encoding whose KEY
+    * STRING doesn't change (the CmsSketch-modulus class of edit): old
+    * slots then hash elsewhere and rebuild instead of silently serving
+    * bytes an older algorithm wrote. A `_OK` mark proves a build
+    * COMPLETED, not that today's code produced it — the version is what
+    * carries that second claim. History: (unversioned) rounds 15–16;
+    * fmt2 round 17 (versioned slots, per-user default root, IVF-blocked
+    * nav-graph build).
+    */
+  private[graft] val FormatVersion = "fmt2"
+
   private def persistEnabled(spark: SparkSession): Boolean =
     spark.conf.get("graft.artifacts.persist", "true").toBoolean
 
   private def rootDir(spark: SparkSession): File = {
+    // default root is PER-USER: a shared world-writable <tmpdir>/
+    // graft-artifacts would let checkouts of different users serve (and
+    // poison) each other's slots on multi-user/CI boxes
+    val user = sys.props.getOrElse("user.name", "anon").replaceAll("[^A-Za-z0-9._-]", "_")
     val p = spark.conf.getOption("graft.artifacts.dir")
       .orElse(sys.env.get("GRAFT_ARTIFACTS_DIR"))
-      .getOrElse(sys.props("java.io.tmpdir") + "/graft-artifacts")
+      .getOrElse(sys.props("java.io.tmpdir") + s"/graft-artifacts-$user")
     new File(p)
   }
 
   private def slotName(key: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     java.util.Base64.getUrlEncoder.withoutPadding
-      .encodeToString(md.digest(key.getBytes(StandardCharsets.UTF_8)))
+      .encodeToString(md.digest(s"$FormatVersion|$key".getBytes(StandardCharsets.UTF_8)))
   }
 
   /** Read-side view of a completed slot — disk-backed normally, or the
@@ -149,15 +170,22 @@ object ArtifactStore {
     val root = rootDir(spark)
     root.mkdirs()
     val slot = new File(root, slotName(key))
-    if (!completed(slot)) {
+    def buildSlot(): Unit = {
       val tmp = new File(root, slotName(key) + s".tmp-${java.lang.ProcessHandle.current.pid}-${Thread.currentThread().getId}")
       deleteRec(tmp)
       tmp.mkdirs()
-      val w = new SlotWriter(Some(tmp))
-      build(w)
-      Files.write(new File(tmp, "key.txt").toPath, key.getBytes(StandardCharsets.UTF_8))
-      writeMeta(tmp, w.metaMap)
-      Files.write(new File(tmp, "_OK").toPath, Array.emptyByteArray)
+      // A FAILED build must not strand its partial tmp dir: the
+      // pre-build deleteRec above only ever matches this process's own
+      // pid+tid name, which no future process reproduces — without the
+      // catch, every crashed build leaks a partial slot forever.
+      try {
+        val w = new SlotWriter(Some(tmp))
+        build(w)
+        Files.write(new File(tmp, "key.txt").toPath, key.getBytes(StandardCharsets.UTF_8))
+        w.metaMap("__format") = FormatVersion
+        writeMeta(tmp, w.metaMap)
+        Files.write(new File(tmp, "_OK").toPath, Array.emptyByteArray)
+      } catch { case e: Throwable => deleteRec(tmp); throw e }
       builds.incrementAndGet()
       if (!completed(slot)) {
         deleteRec(slot)
@@ -168,7 +196,55 @@ object ArtifactStore {
         }
       } else deleteRec(tmp)
     }
-    load(new Slot(Some(slot), spark, None))
+    if (!completed(slot)) buildSlot()
+    // serve-time touch: _OK's mtime becomes "last used", the signal
+    // retentionSweep ages out — a slot served daily never expires, a
+    // stranded one (corpus fingerprint moved on) does
+    touch(slot)
+    try load(new Slot(Some(slot), spark, None))
+    catch {
+      case _: Throwable if completed(slot) =>
+        // `_OK` proves the build COMPLETED, not that the parts are
+        // intact — a part deleted or truncated out-of-band otherwise
+        // poisons the key forever. Quarantine-delete and rebuild ONCE;
+        // a second failure propagates (the fault isn't the slot).
+        deleteRec(slot)
+        buildSlot()
+        load(new Slot(Some(slot), spark, None))
+    }
+  }
+
+  /** Storage-lifecycle sweep — the stored-artifact twin of
+    * [[graft.pipeline.Pipeline.retentionSweep]] (the reference's 32-day
+    * bucket lifecycle, main.tf:72-79). Slots accumulate forever
+    * otherwise: every corpus regeneration re-fingerprints its keys and
+    * strands the old slots on disk. Deletes (a) completed slots whose
+    * `_OK` was last TOUCHED (served or built — [[loadOrBuild]] touches
+    * on every serve) before the cutoff, (b) orphaned `.tmp-*` partials
+    * and never-completed slot dirs older than the cutoff (crashed
+    * builders from processes that won't return). Returns deleted dir
+    * names. `now` is injected so specs can plant ages without sleeping.
+    */
+  def retentionSweep(
+      spark: SparkSession,
+      maxAgeDays: Int = 32,
+      now: java.time.Instant = java.time.Instant.now()): Seq[String] = {
+    val root = rootDir(spark)
+    if (!root.isDirectory) return Seq.empty
+    val cutoff = now.minus(java.time.Duration.ofDays(maxAgeDays.toLong)).toEpochMilli
+    Option(root.listFiles()).getOrElse(Array.empty[File]).toSeq
+      .filter(_.isDirectory)
+      .filter { d =>
+        val ok = new File(d, "_OK")
+        val lastUsed = if (ok.isFile) ok.lastModified() else d.lastModified()
+        lastUsed < cutoff
+      }
+      .map { d => deleteRec(d); d.getName }
+  }
+
+  private def touch(slot: File): Unit = {
+    val ok = new File(slot, "_OK")
+    if (ok.isFile) { ok.setLastModified(System.currentTimeMillis()); () }
   }
 
   private def completed(slot: File): Boolean = new File(slot, "_OK").isFile

@@ -206,6 +206,74 @@ class ArtifactRegistrySpec extends SparkSpec {
     } finally spark.conf.unset("graft.artifacts.dir")
   }
 
+  test("retention sweep removes only stale slots and a live serve is unaffected") {
+    // Round-16 verdict #4: slots accumulate forever (every corpus
+    // fingerprint change strands the old slot). The sweep's contract:
+    // last-USE drives expiry (loadOrBuild touches _OK on every serve),
+    // fresh slots survive, swept keys rebuild cleanly on next demand.
+    val store = java.nio.file.Files.createTempDirectory("graft-artifact-sweep").toString
+    spark.conf.set("graft.artifacts.dir", store)
+    try {
+      import graft.core.ArtifactStore
+      def put(key: String, payload: String): String =
+        ArtifactStore.loadOrBuild(spark, key) { w => w.text("p", payload) } { s => s.text("p") }
+      assert(put("sweep-stale", "old") == "old")
+      assert(put("sweep-live", "live") == "live")
+      // plant age: the stale slot was last used 40 days ago
+      val slots = new java.io.File(store).listFiles().filter(_.isDirectory)
+      assert(slots.length == 2)
+      val staleDir = slots.find(d =>
+        new String(java.nio.file.Files.readAllBytes(
+          new java.io.File(d, "key.txt").toPath)) == "sweep-stale").get
+      val past = System.currentTimeMillis() - 40L * 24 * 3600 * 1000
+      assert(new java.io.File(staleDir, "_OK").setLastModified(past))
+      // plus an orphaned .tmp-* partial from a crashed foreign process
+      val orphan = new java.io.File(store, "deadbeef.tmp-99999-7")
+      orphan.mkdirs()
+      assert(orphan.setLastModified(past))
+      val swept = ArtifactStore.retentionSweep(spark, maxAgeDays = 32)
+      assert(swept.toSet == Set(staleDir.getName, orphan.getName),
+        s"sweep removed the wrong slots: $swept")
+      // the live slot still serves with ZERO builds...
+      val buildsBefore = ArtifactStore.builds.get()
+      assert(put("sweep-live", "MUST-NOT-RUN") == "live")
+      assert(ArtifactStore.builds.get() == buildsBefore,
+        "sweep disturbed a live slot: the serve re-built")
+      // ...and the swept key rebuilds on next demand
+      assert(put("sweep-stale", "new") == "new")
+      assert(ArtifactStore.builds.get() == buildsBefore + 1)
+    } finally spark.conf.unset("graft.artifacts.dir")
+  }
+
+  test("a corrupt _OK-marked slot is quarantined and rebuilt, and a failed build leaves no tmp dir") {
+    // ADVICE round 16: _OK proves a build completed, not that the parts
+    // are intact — and a builder that throws must not strand its
+    // process-unique .tmp dir forever.
+    val store = java.nio.file.Files.createTempDirectory("graft-artifact-corrupt").toString
+    spark.conf.set("graft.artifacts.dir", store)
+    try {
+      import graft.core.ArtifactStore
+      def put(key: String, payload: String): String =
+        ArtifactStore.loadOrBuild(spark, key) { w => w.text("p", payload) } { s => s.text("p") }
+      assert(put("corrupt-me", "v1") == "v1")
+      // corrupt the slot out-of-band: delete the part, keep _OK
+      val slot = new java.io.File(store).listFiles().filter(_.isDirectory).head
+      assert(new java.io.File(slot, "p.txt").delete())
+      val buildsBefore = ArtifactStore.builds.get()
+      assert(put("corrupt-me", "v2") == "v2",
+        "corrupt slot was served instead of quarantined")
+      assert(ArtifactStore.builds.get() == buildsBefore + 1)
+      // failed build: thrown through, and no .tmp-* partial remains
+      intercept[RuntimeException] {
+        ArtifactStore.loadOrBuild(spark, "always-fails") { _ =>
+          throw new RuntimeException("planted build failure")
+        } { s => s.text("p") }
+      }
+      val leaked = new java.io.File(store).listFiles().filter(_.getName.contains(".tmp-"))
+      assert(leaked.isEmpty, s"failed build leaked tmp dirs: ${leaked.mkString(",")}")
+    } finally spark.conf.unset("graft.artifacts.dir")
+  }
+
   test("PQ codes registry rebuilds when the corpus under the same path is regenerated") {
     val dir = java.nio.file.Files.createTempDirectory("graft-artifact-reg-pq").toString
     writeCorpus(dir, 0L until 20L, Seq("apple", "banana", "cherry", "date"))
