@@ -77,6 +77,12 @@ import java.nio.file.{Files, Paths}
   * any future v10 must ship with one dual-protocol BRIDGE bench (the
   * same box, same commit, both protocols, both JSON lines committed)
   * so the longitudinal series stays continuous across the break.
+  * One ADDITIVE bridge within v9 (round 17, closing the round-16
+  * verdict #3): round 16 folded the wide-ADC layout build into
+  * "pq_encode_sec" (0.507 → 1.09 without an encode change); it now
+  * reports as its own key "pq_wide_sec", so the encode series is
+  * continuous with its ≤r15 history and r16's reading bridges as
+  * encode + wide.
   *
   * EMISSION (v6): round 7's single line outgrew the driver's tail-capture
   * window (BENCH_r07 parsed: null). stdout now carries ONLY a compact
@@ -337,7 +343,8 @@ object Bench {
     // round 16 the registries carry a disk tier (ArtifactStore), so a
     // warm box would otherwise "build" by loading the persisted artifact
     // — these numbers must keep measuring the BUILD.
-    val (pqTrainSec, pqEncodeSec): (Option[Double], Option[Double]) =
+    val priorPersist = spark.conf.getOption("graft.artifacts.persist")
+    val (pqTrainSec, pqEncodeSec, pqWideSec): (Option[Double], Option[Double], Option[Double]) =
       try {
         spark.conf.set("graft.artifacts.persist", "false")
         graft.ext.Pq.clearShared()
@@ -345,18 +352,20 @@ object Bench {
         graft.ext.SearchQueries.pqTokenBooks(spark, sfDir)
         val t1 = System.nanoTime()
         graft.ext.SearchQueries.pqTokenCodes(spark, sfDir)
-        // the wide ADC layout (codes pivot + stored recon norms, round
-        // 16) is part of the encode/index-build cost — warm it here so
-        // the ext passes of q_late_interaction_pq measure serving;
-        // folded into pq_encode_sec (same artifact family, additive
-        // within the frozen v9 key set)
-        graft.ext.SearchQueries.pqTokenCodesWide(spark, sfDir)
         val t2 = System.nanoTime()
-        (Some((t1 - t0) / 1e9), Some((t2 - t1) / 1e9))
+        // the wide ADC layout (codes pivot + stored recon norms, round
+        // 16) is ALSO index-build cost, but its own series key: round 16
+        // folded it into pq_encode_sec, silently doubling a frozen-v9
+        // key (0.507 → 1.09) — round 17 splits it out as "pq_wide_sec"
+        // so the encode series stays continuous with its v9 history
+        // (bridge note in PLANS.md; r16's 1.09 ≈ encode + wide)
+        graft.ext.SearchQueries.pqTokenCodesWide(spark, sfDir)
+        val t3 = System.nanoTime()
+        (Some((t1 - t0) / 1e9), Some((t2 - t1) / 1e9), Some((t3 - t2) / 1e9))
       } catch {
         case e: Throwable =>
           errors("__pq_train__") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-          (None, None)
+          (None, None, None)
       }
     // Same lifecycle for the sparse retrieval index (v9): signatures +
     // champion lists are written at ingest in production; time the cold
@@ -372,7 +381,13 @@ object Bench {
         case e: Throwable =>
           errors("__sparse_index__") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           None
-      } finally spark.conf.set("graft.artifacts.persist", "true")
+      } finally priorPersist match {
+        // restore EXACTLY the pre-bench setting (ADVICE round 16): an
+        // unconditional "true" clobbered an operator's explicit
+        // persist=false session setting for the rest of the run
+        case Some(v) => spark.conf.set("graft.artifacts.persist", v)
+        case None => spark.conf.unset("graft.artifacts.persist")
+      }
     val extSamples = scala.collection.mutable.LinkedHashMap.empty[String, List[(Double, Double)]]
     val extQs = ExtTargets.flatMap(Registry.byName.get)
     var ep = 0
@@ -440,6 +455,7 @@ object Bench {
         s""""queries_ext":$eq,"total_ext":${num(extTotal)},"ext_passes":$ExtPasses,""" +
         s""""pq_train_sec":${pqTrainSec.map(num).getOrElse("null")},""" +
         s""""pq_encode_sec":${pqEncodeSec.map(num).getOrElse("null")},""" +
+        s""""pq_wide_sec":${pqWideSec.map(num).getOrElse("null")},""" +
         s""""sparse_index_sec":${sparseIndexSec.map(num).getOrElse("null")},""" +
         s""""split_files":$SplitFiles,"split_passes":$SplitPasses,"total_split":${num(splitTotal)},""" +
         s""""total_split_probe_norm":${num(normTotal(splitSamples))},""" +

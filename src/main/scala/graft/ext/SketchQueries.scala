@@ -60,15 +60,19 @@ object SketchQueries {
       .orderBy("token")
   }
 
-  /** DuckDB char-poly row-j bucket of `term` (j from a `rows_`
-    * relation): seed 7 + 13·j, fold (h·(31+10·j) + codepoint) % 1048573 (prime modulus, per-row multiplier — see CmsSketch scaladoc), then
-    * % 1024 — the exact arithmetic of
-    * [[graft.functions.CmsSketch.bucket]].
+  /** DuckDB char-poly row-j bucket of the given term column (j from a
+    * `rows_` relation): seed 7 + 13·j, fold (h·(31+10·j) + codepoint)
+    * % 1048573 (prime modulus, per-row multiplier — see CmsSketch
+    * scaladoc), then % 1024 — the exact arithmetic of
+    * [[graft.functions.CmsSketch.bucket]]. A FUNCTION of the column
+    * name (not a string-substituted constant — ADVICE round 16: a raw
+    * `.replace("term", …)` was correct only while no other identifier
+    * in the expression contained "term").
     */
-  private val duckBucket =
+  private def duckBucket(termCol: String): String =
     "list_reduce(list_prepend(CAST(7 + 13 * j AS BIGINT), " +
-      "list_transform(range(1, CAST(len(term) AS BIGINT) + 1), " +
-      "i -> CAST(ascii(substring(term, CAST(i AS INT), 1)) AS BIGINT))), " +
+      s"list_transform(range(1, CAST(len($termCol) AS BIGINT) + 1), " +
+      s"i -> CAST(ascii(substring($termCol, CAST(i AS INT), 1)) AS BIGINT))), " +
       "(h, c) -> (h * (31 + 10 * j) + c) % 1048573) % 1024"
 
   val queries: Seq[Q] = Seq(
@@ -105,7 +109,7 @@ object SketchQueries {
       Some(
         "WITH toks AS (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term FROM documents), " +
           "rows_ AS (SELECT unnest(range(0, 4)) AS j), " +
-          s"hb AS (SELECT term, j, $duckBucket AS b FROM toks CROSS JOIN rows_), " +
+          s"hb AS (SELECT term, j, ${duckBucket("term")} AS b FROM toks CROSS JOIN rows_), " +
           "counters AS (SELECT j, b, CAST(COUNT(*) AS BIGINT) AS c FROM hb GROUP BY 1, 2), " +
           "tt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS true_cnt FROM toks " +
           "GROUP BY 1 ORDER BY true_cnt DESC, term LIMIT 20), " +
@@ -143,12 +147,12 @@ object SketchQueries {
       Some(
         "WITH toks AS (SELECT source, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term FROM documents), " +
           "rows_ AS (SELECT unnest(range(0, 4)) AS j), " +
-          s"hb AS (SELECT source, term, j, $duckBucket AS b FROM toks CROSS JOIN rows_), " +
+          s"hb AS (SELECT source, term, j, ${duckBucket("term")} AS b FROM toks CROSS JOIN rows_), " +
           "counters AS (SELECT source, j, b, CAST(COUNT(*) AS BIGINT) AS c FROM hb GROUP BY 1, 2, 3), " +
           "tt AS (SELECT term FROM (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks " +
           "GROUP BY 1 ORDER BY cnt DESC, term LIMIT 5)), " +
           "qb AS (SELECT DISTINCT s.source, t.term, r.j, " +
-          duckBucket.replace("term", "t.term") + " AS b " +
+          duckBucket("t.term") + " AS b " +
           "FROM (SELECT DISTINCT source FROM toks) s CROSS JOIN tt t CROSS JOIN rows_ r) " +
           "SELECT qb.source, qb.term, CAST(MIN(coalesce(c, 0)) AS BIGINT) AS est " +
           "FROM qb LEFT JOIN counters ON counters.source = qb.source AND counters.j = qb.j AND counters.b = qb.b " +
