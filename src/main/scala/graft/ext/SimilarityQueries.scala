@@ -135,6 +135,55 @@ object SimilarityQueries {
     knn.unionByName(longLinks).distinct()
   }
 
+  /** Per-cell medoid waypoints — the coarse TOP LAYER of the
+    * hierarchical (HNSW-style) entry: one representative node per IVF
+    * cell, the in-cell vector closest to its own centroid. ≤ k rows
+    * total, so the layer broadcasts at serve time; the layer's job is
+    * exactly HNSW's upper-layer job (Malkov & Yashunin 2018) — put the
+    * beam's starting point NEAR the query so the bottom-layer walk
+    * spends its hops refining, not crossing the corpus.
+    */
+  private[graft] def cellMedoids(
+      corpus: org.apache.spark.sql.DataFrame,
+      centroids: Seq[Seq[Double]]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Ivf.index(corpus, centroids)
+      .withColumn("d2", Ivf.minDist2(col("cv"), centroids))
+      .withColumn(
+        "mrk",
+        row_number().over(Window.partitionBy(col("bucket")).orderBy(col("d2"), col("n_id"))))
+      .filter(col("mrk") === 1)
+      .select(col("n_id"), col("cv"))
+  }
+
+  /** Hierarchical entry seeds: each query's top-`s` WAYPOINTS by exact
+    * cosine over the broadcast medoid layer — O(n_q·k) scoring,
+    * corpus-size-free. Output (q_id, n_id) feeds [[graphRoutedOver]]'s
+    * `seeds`; with s = 8 the walk's construction bound is unchanged.
+    */
+  private[graft] def hierarchicalSeeds(
+      waypoints: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame,
+      s: Int = 8): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries
+      .select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("qv"))
+    val wp = waypoints
+      .select(col("n_id"), col("cv"))
+      .withColumn("wn", sqrt(Similarity.dot(col("cv"), col("cv"))))
+    q.crossJoin(broadcast(wp))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(
+        col("q_id"), col("n_id"),
+        (Similarity.dot(col("qv"), col("cv")) /
+          (sqrt(Similarity.dot(col("qv"), col("qv"))) * col("wn"))).as("wcos"))
+      .withColumn(
+        "wrk",
+        row_number().over(Window.partitionBy(col("q_id")).orderBy(col("wcos").desc, col("n_id"))))
+      .filter(col("wrk") <= s)
+      .select(col("q_id"), col("n_id"))
+  }
+
   /** Beam search over a navigable graph (the q_sim_graph_routed walk,
     * shared with SimilaritySpec's MoG row): 8 fixed entry nodes, `hops`
     * rounds of expand-neighbors → exact-score → keep the top-`beam`,
@@ -154,13 +203,18 @@ object SimilarityQueries {
 
   /** The walk with corpus and queries decoupled — what the NSW INSERT
     * path needs (delta vectors routed over the BASE corpus/graph).
+    * `seeds` overrides the default 8 fixed entry nodes with a PER-QUERY
+    * (q_id, n_id) entry relation — the hierarchical-entry hook
+    * ([[hierarchicalSeeds]]); at ≤ 8 seeds/query the construction bound
+    * is unchanged.
     */
   def graphRoutedOver(
       corpus: org.apache.spark.sql.DataFrame,
       queries: org.apache.spark.sql.DataFrame,
       graph: org.apache.spark.sql.DataFrame,
       hops: Int = 6,
-      beam: Int = 12): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+      beam: Int = 12,
+      seeds: Option[org.apache.spark.sql.DataFrame] = None): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val c = corpus
       .select(col("vec_id").as("n_id"), col("embedding").cast("array<double>").as("cv"))
@@ -170,14 +224,19 @@ object SimilarityQueries {
       queries
         .select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("qv"))
         .withColumn("qnrm", sqrt(Similarity.dot(col("qv"), col("qv")))))
-    val seeds = corpus.orderBy("vec_id").limit(8).select(col("vec_id").as("n_id"))
     def score(cands: org.apache.spark.sql.DataFrame) =
       cands.join(c, "n_id").join(qn, Seq("q_id"))
         .filter(col("q_id") =!= col("n_id"))
         .select(
           col("q_id"), col("n_id"),
           (Similarity.dot(col("qv"), col("cv")) / (col("qnrm") * col("cn"))).as("cos"))
-    var visited = score(seeds.crossJoin(qn.select(col("q_id")))).localCheckpoint(true)
+    val entry = seeds match {
+      case Some(sp) => sp.select(col("q_id"), col("n_id"))
+      case None =>
+        corpus.orderBy("vec_id").limit(8).select(col("vec_id").as("n_id"))
+          .crossJoin(qn.select(col("q_id")))
+    }
+    var visited = score(entry).localCheckpoint(true)
     val wBeam = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     for (_ <- 1 to hops) {
       val frontier = visited
@@ -214,6 +273,31 @@ object SimilarityQueries {
     Pq.sharedDf(
       s"$d|${graft.core.Tables.fingerprint(d, "embeddings")}|nav-graph|deg=8+4|build=ivf16x2") {
       navGraph(graft.core.Tables(s, d, "embeddings"))
+    }
+
+  /** The waypoint layer through the stored-artifact registry — built
+    * once per corpus fingerprint next to the graph it serves
+    * ([[navGraphShared]]): ≤ k medoid rows, broadcast at serve time.
+    */
+  private[graft] def waypointsShared(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Pq.sharedDf(
+      s"$d|${graft.core.Tables.fingerprint(d, "embeddings")}|nav-waypoints|k=16") {
+      cellMedoids(graft.core.Tables(s, d, "embeddings"), Ivf.trainShared(s, d, k = 16))
+        .localCheckpoint(true)
+    }
+
+  /** The COMPACTED serving graph — rebuilt from LIVE vectors only (the
+    * IVF-blocked default build) once the tombstone fraction crosses the
+    * compaction threshold. Its own registry slot: compaction is an
+    * offline maintenance job in production (hnswlib's resize/rebuild),
+    * and the tombstoned original stays untouched for readers mid-swap.
+    */
+  private[graft] def compactedNavGraphShared(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Pq.sharedDf(
+      s"$d|${graft.core.Tables.fingerprint(d, "embeddings")}|nav-graph-compact|dead=7m3|build=ivf16x2") {
+      navGraph(graft.core.Tables(s, d, "embeddings").filter(!(col("vec_id") % 7 === 3)))
     }
 
   /** The NSW-insert family's frozen inputs, shared between
@@ -773,6 +857,104 @@ object SimilarityQueries {
       Some(
         "SELECT CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 10) AS BIGINT) AS n_queries, " +
           "CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id % 7 <> 3) AS BIGINT) AS n_live, " +
+          "true AS recall_ge_floor, true AS candidates_bounded")
+    ),
+    Q(
+      "q_sim_graph_hier",
+      // HIERARCHICAL entry for the graph walk (round-16 verdict #6 —
+      // the HNSW layer idea, Malkov & Yashunin 2018): a coarse TOP
+      // LAYER of ≤ 16 IVF-cell medoid waypoints (stored artifact,
+      // broadcast at serve) seeds each query's beam at its top-8
+      // waypoints by exact cosine, so the bottom-layer walk starts
+      // NEAR the query and needs HALF the hops — 3 instead of the
+      // fixed-entry 6. That halves the driver-scheduled hop jobs
+      // (the per-rep floor of the flat-curve family) AND tightens the
+      // corpus-size-independent candidate ceiling to
+      // seeds + hops·beam·maxdeg = 8 + 3·12·12 = 440 per query (vs
+      // 872). Measured on MoG (SimilaritySpec): hier@3 recall 1.000 vs
+      // fixed@6 0.972 — fewer hops, better recall, because fixed seeds
+      // spend hops crossing the corpus that waypoint seeds don't need.
+      // Gate shape follows the family: n_queries differential, recall
+      // floor vs in-plan exact top-3 at the flat-fixture 0.4
+      // convention, and the (tighter) construction ceiling.
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") < 10)
+        val graph = navGraphShared(s, d)
+        val seeds = hierarchicalSeeds(waypointsShared(s, d), q)
+        val (routed, visited) =
+          graphRoutedOver(emb, q, graph, hops = 3, seeds = Some(seeds))
+        recallGate(Similarity.bruteForceTopK(q, emb, 3), routed, floor = 0.4)
+          .crossJoin(broadcast(visited.groupBy().agg(count(lit(1)).as("__n_scored"))))
+          .select(
+            col("n_queries"),
+            col("recall_ge_floor"),
+            (col("__n_scored") <= col("n_queries") * lit(8L + 3L * 12L * 12L))
+              .as("candidates_bounded"))
+      },
+      Some(
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS recall_ge_floor, " +
+          "true AS candidates_bounded FROM embeddings WHERE vec_id < 10")
+    ),
+    Q(
+      "q_graph_compaction",
+      // Graph-ANN COMPACTION — the maintenance trigger completing the
+      // delete path (round-16 verdict #7): tombstoning is O(deletes)
+      // metadata against an immutable artifact, but at sustained delete
+      // rates the graph decays (dead waypoints eat beam slots — the
+      // measured 0.972-vs-1.000 recall price at 1/7 deleted grows with
+      // the fraction). Policy: when tombstones cross the compaction
+      // threshold, re-derive the graph from LIVE vectors via the
+      // IVF-blocked default build into a NEW artifact slot (offline
+      // rebuild, the hnswlib shape; the tombstoned original stays
+      // untouched for readers mid-swap). The trigger decision is a
+      // bounded two-long aggregate. Gates: n_live / n_dead / n_queries
+      // (real differentials), BOTH SIDES of the threshold recomputed
+      // in-plan as integer-exact booleans — the planted 1/7 fraction
+      // FIRES the 1/8 threshold (8·n_dead ≥ n) and does NOT fire the
+      // 1/4 threshold (4·n_dead < n), both DuckDB-recomputed — plus
+      // the family's recall floor over the rebuilt graph (truth = live
+      // corpus) and the construction ceiling.
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val deadPred = col("vec_id") % 7 === 3
+        val st = emb.agg(
+          count(lit(1)).as("n"),
+          sum(when(deadPred, 1L).otherwise(0L)).as("nd")).head()
+        val fired = st.getLong(1) * 8 >= st.getLong(0)
+        val live = emb.filter(!deadPred)
+        val q = emb.filter(col("vec_id") < 10)
+        // fired at the planted fraction → serve the rebuilt live-only
+        // graph; the un-fired branch (tombstone serving) is what
+        // q_sim_graph_tombstone registers
+        val (corpus, graph) =
+          if (fired) (live, compactedNavGraphShared(s, d))
+          else (emb, navGraphShared(s, d))
+        val (_, visited) = graphRoutedOver(corpus, q, graph)
+        val wBeam = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+        val served = visited
+          .filter(!(col("n_id") % 7 === 3))
+          .withColumn("rank", row_number().over(wBeam)).filter(col("rank") <= 3)
+        recallGate(Similarity.bruteForceTopK(q, live, 3), served, floor = 0.4)
+          .crossJoin(broadcast(live.agg(count(lit(1)).as("n_live"))))
+          .crossJoin(broadcast(
+            emb.agg(sum(when(deadPred, 1L).otherwise(0L)).as("n_dead"))))
+          .crossJoin(broadcast(visited.groupBy().agg(count(lit(1)).as("__n_scored"))))
+          .select(
+            col("n_queries"), col("n_live"), col("n_dead"),
+            (col("n_dead") * 8 >= col("n_live") + col("n_dead")).as("fired_at_eighth"),
+            (col("n_dead") * 4 >= col("n_live") + col("n_dead")).as("fired_at_quarter"),
+            col("recall_ge_floor"),
+            (col("__n_scored") <= col("n_queries") * lit(8L + 6L * 12L * 12L))
+              .as("candidates_bounded"))
+      },
+      Some(
+        "SELECT CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 10) AS BIGINT) AS n_queries, " +
+          "CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id % 7 <> 3) AS BIGINT) AS n_live, " +
+          "CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id % 7 = 3) AS BIGINT) AS n_dead, " +
+          "(SELECT 8 * COUNT(*) FILTER (WHERE vec_id % 7 = 3) >= COUNT(*) FROM embeddings) AS fired_at_eighth, " +
+          "(SELECT 4 * COUNT(*) FILTER (WHERE vec_id % 7 = 3) >= COUNT(*) FROM embeddings) AS fired_at_quarter, " +
           "true AS recall_ge_floor, true AS candidates_bounded")
     ),
     Q(

@@ -509,6 +509,42 @@ class SimilaritySpec extends SparkSpec {
     assert(scored <= 12L * (8L + 6L * 12L * 12L), "walk exceeded its construction bound")
   }
 
+  test("MoG hierarchical entry: waypoint-seeded walk matches fixed-entry recall at HALF the hops") {
+    // Round-16 verdict #6: HNSW's layer hierarchy exists to cut the hop
+    // count at large n — the 13 driver-scheduled hop jobs dominate the
+    // per-rep floor today. The coarse top layer here is the IVF-cell
+    // medoid set (≤ k waypoints, broadcast): each query's beam starts at
+    // its top-8 waypoints by exact cosine instead of 8 FIXED nodes, so
+    // the walk spends hops refining, not crossing the corpus. Claim
+    // measured: at hops=3 (half the registered 6) the hierarchical
+    // entry reaches at least the fixed entry's hops=6 recall; at equal
+    // hops it is no worse.
+    val emb = MoGFixture.singles(spark, seed = 11L, n = 600, clusters = 12, dim = 16)
+      .localCheckpoint(true)
+    val graph = SimilarityQueries.navGraph(emb)
+    val exact = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 12), emb, 3)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(routed: org.apache.spark.sql.DataFrame): Double = {
+      val got = routed.select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      exact.count(got.contains).toDouble / exact.size
+    }
+    val queries = emb.filter(col("vec_id") < 12)
+    val waypoints = SimilarityQueries
+      .cellMedoids(emb, Ivf.train(spark, emb, k = 16)).localCheckpoint(true)
+    val seeds = SimilarityQueries.hierarchicalSeeds(waypoints, queries).localCheckpoint(true)
+    val recFixed6 = recallOf(SimilarityQueries.graphRoutedTopK(emb, col("vec_id") < 12, graph)._1)
+    val recHier3 = recallOf(
+      SimilarityQueries.graphRoutedOver(emb, queries, graph, hops = 3, seeds = Some(seeds))._1)
+    val recHier6 = recallOf(
+      SimilarityQueries.graphRoutedOver(emb, queries, graph, hops = 6, seeds = Some(seeds))._1)
+    info(f"hierarchical entry — fixed@6: $recFixed6%.3f, hier@3: $recHier3%.3f, hier@6: $recHier6%.3f")
+    assert(recHier3 >= recFixed6 - 1e-9,
+      f"half-hop hierarchical walk lost recall: $recHier3%.3f vs fixed@6 $recFixed6%.3f")
+    assert(recHier6 >= recFixed6 - 1e-9,
+      f"equal-hop hierarchical walk went backwards: $recHier6%.3f vs $recFixed6%.3f")
+  }
+
   test("MoG graph delete: tombstoned waypoints vs hard unlinking, side by side") {
     // The q_sim_graph_tombstone policy choice measured on the clustered
     // regime: deletion keeps dead nodes as ROUTING WAYPOINTS (walk the
@@ -548,6 +584,44 @@ class SimilaritySpec extends SparkSpec {
     assert(recallA >= 0.85, f"waypoint-delete recall $recallA%.3f under the clustered floor")
     assert(recallA >= recallB - 0.05,
       "tombstone-as-waypoint routing lost to hard unlinking beyond noise")
+  }
+
+  test("MoG compaction: the rebuilt live-only graph restores the waypoint-delete recall price") {
+    // Round-16 verdict #7: at sustained delete rates the tombstoned
+    // graph decays (dead waypoints eat beam slots). q_graph_compaction's
+    // policy — rebuild from live vectors via the IVF-blocked default
+    // build once the tombstone fraction crosses the threshold — must
+    // actually RESTORE recall, or compaction is churn. Trigger
+    // semantics are integer-exact and pinned both sides: the planted
+    // 1/7 fraction fires the 1/8 threshold, not the 1/4 one.
+    val emb = MoGFixture.singles(spark, seed = 11L, n = 600, clusters = 12, dim = 16)
+      .localCheckpoint(true)
+    val live = emb.filter(!(col("vec_id") % 7 === 3)).localCheckpoint(true)
+    val exact = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 12), live, 3)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wBeam = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    // decayed serving: tombstones as waypoints over the FULL graph
+    val (_, visitedT) = SimilarityQueries.graphRoutedTopK(
+      emb, col("vec_id") < 12, SimilarityQueries.navGraph(emb))
+    val gotT = visitedT.filter(!(col("n_id") % 7 === 3))
+      .withColumn("rank", row_number().over(wBeam)).filter(col("rank") <= 3)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // compacted serving: the rebuilt live-only graph (q_graph_compaction's fired branch)
+    val (routedC, _) = SimilarityQueries.graphRoutedOver(
+      live, emb.filter(col("vec_id") < 12), SimilarityQueries.navGraph(live))
+    val gotC = routedC.select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallT = exact.count(gotT.contains).toDouble / exact.size
+    val recallC = exact.count(gotC.contains).toDouble / exact.size
+    info(f"compaction on MoG — tombstoned: $recallT%.3f, rebuilt live-only: $recallC%.3f")
+    assert(recallC >= recallT - 1e-9,
+      f"compaction did not restore recall: rebuilt $recallC%.3f vs tombstoned $recallT%.3f")
+    assert(recallC >= 0.9, f"rebuilt-graph recall $recallC%.3f under the restoration floor")
+    // trigger arithmetic, both sides of the threshold (integer-exact,
+    // the same booleans the registered gate and its oracle recompute)
+    val n = 700L; val nd = 100L // a planted 1/7 corpus
+    assert(nd * 8 >= n && !(nd * 4 >= n), "threshold booleans lost their 1/8-fires-1/4-doesn't shape")
   }
 
   test("MoG hybrid-RRF curve: fused top-10 overlap vs exact-dense fusion at three nprobe points") {
