@@ -152,8 +152,66 @@ object Stress {
     else if (tier == "media") runMedia(spark, sfDir, mult)
     else if (tier == "pipeline") runPipelineTier(spark, sfDir, mult)
     else if (tier == "sketch") runSketch(spark, sfDir, mult)
+    else if (tier == "restart") runRestart(spark, sfDir)
     else runFull(spark, sfDir, mult)
     spark.stop()
+  }
+
+  /** Restart-contract gate in CI shape (round-16 verdict #8): the
+    * cross-JVM train-once/serve-many evidence was manual QTime runs —
+    * this tier makes it a command. Phase 1 (this JVM): serve every
+    * artifact-backed registry ([[ArtifactDrive.serveAll]]) against a
+    * FRESH store — all builds happen here. Phase 2: fork a REAL second
+    * JVM ([[RestartProbe]] — same classpath, same store root via env)
+    * that serves the same set and reports its own build count. Contract:
+    * the second process performs ZERO builds. Emits one JSON line; the
+    * round-close checklist runs `runMain graft.Stress <sfDir> 1 restart`
+    * and requires `"restart_contract_pass":true`.
+    */
+  private def runRestart(spark: SparkSession, sfDir: String): Unit = {
+    val store = java.nio.file.Files.createTempDirectory("graft-restart-store").toString
+    spark.conf.set("graft.artifacts.dir", store)
+    val num = (v: Double) => Timing.fmt3(v)
+    val b0 = core.ArtifactStore.builds.get()
+    val warmSec = time(ArtifactDrive.serveAll(spark, sfDir))
+    val warmBuilds = core.ArtifactStore.builds.get() - b0
+    // fork the probe with THIS JVM's classpath (run / fork := true, so
+    // java.class.path is the real application classpath) and the same
+    // JDK17 module opens Spark needs outside spark-submit (the
+    // org.apache.spark.launcher.JavaModuleOptions list build.sbt uses)
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx8g", "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.RestartProbe", sfDir)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.environment().put("GRAFT_ARTIFACTS_DIR", store)
+    pb.redirectErrorStream(true)
+    val t0 = System.nanoTime()
+    val p = pb.start()
+    val out = scala.io.Source.fromInputStream(p.getInputStream).getLines().toList
+    val rc = p.waitFor()
+    val coldSec = (System.nanoTime() - t0) / 1e9
+    val coldBuilds = out.collectFirst {
+      case l if l.startsWith("RESTART_PROBE_BUILDS=") =>
+        l.stripPrefix("RESTART_PROBE_BUILDS=").trim.toLong
+    }
+    val pass = rc == 0 && coldBuilds.contains(0L)
+    if (!pass) out.takeRight(30).foreach(l => System.err.println(s"[restart-probe] $l"))
+    println(
+      s"""{"metric":"restart_contract","warm_builds":$warmBuilds,""" +
+        s""""warm_sec":${num(warmSec)},"cold_builds":${coldBuilds.map(_.toString).getOrElse("null")},""" +
+        s""""cold_proc_sec":${num(coldSec)},"probe_rc":$rc,""" +
+        s""""restart_contract_pass":$pass,"store":"$store","sf":"$sfDir"}""")
   }
 
   /** Streaming-twin scale tier: throughput of the transformWithState
