@@ -1038,12 +1038,49 @@ object Stress {
     val g = Seq(cmsGlobal(), cmsGlobal()).min
     val p = Seq(cmsPerSource(), cmsPerSource()).min
     val e = Seq(exactAgg(), exactAgg()).min
+
+    // ---- WIDE-VOCABULARY phase (round-16 verdict #5): the corpus
+    // vocabulary above is ~31 words, the regime where the exact GROUP BY
+    // honestly wins — but the sketch's entire claim is HIGH cardinality:
+    // fixed 32 KB state per group vs a vocabulary-sized shuffle. This
+    // phase synthesizes a mult·1M-token stream over a 2^20-term
+    // vocabulary (Zipf-ish: half the tokens in a 1k-term hot head, half
+    // uniform over the full tail — the web-corpus shape) materialized to
+    // parquet so both sides scan identical input, then times the same
+    // two shapes. The crossover the JSON names: exact wins at toy
+    // vocabulary, CMS wins once the key space stops fitting the
+    // map-side hash — what a 100 TB per-shard term-telemetry job sees.
+    val vWide = 1 << 20
+    val nTokW = mult.toLong * (1L << 20)
+    spark.range(nTokW).select(
+      concat(
+        lit("w"),
+        when(pmod(col("id"), lit(2L)) === 0L, pmod(xxhash64(col("id")), lit(1000L)))
+          .otherwise(pmod(xxhash64(col("id") + 7L), lit(vWide.toLong)))).as("term"))
+      .repartition(32).write.mode("overwrite").parquet(s"$out/wide")
+    val wide = spark.read.parquet(s"$out/wide")
+    val nDistinct = wide.select(countDistinct(col("term"))).head().getLong(0)
+    def cmsWide(): Double = time {
+      wide.agg(expr("graft_cms(term)")).write.format("noop").mode("overwrite").save()
+    }
+    def exactWide(): Double = time {
+      wide.groupBy(col("term")).agg(count(lit(1)))
+        .write.format("noop").mode("overwrite").save()
+    }
+    cmsWide(); exactWide() // warm
+    val gw = Seq(cmsWide(), cmsWide()).min
+    val ew = Seq(exactWide(), exactWide()).min
+
     val num = (v: Double) => Timing.fmt3(v)
     println(
       s"""{"tier":"sketch","mult":$mult,"tokens":$nTok,""" +
         s""""cms_global_sec":${num(g)},"cms_global_mtok_s":${num(rate(nTok, g))},""" +
         s""""cms_per_source_sec":${num(p)},"cms_per_source_mtok_s":${num(rate(nTok, p))},""" +
-        s""""exact_groupby_sec":${num(e)},"exact_groupby_mtok_s":${num(rate(nTok, e))}}""")
+        s""""exact_groupby_sec":${num(e)},"exact_groupby_mtok_s":${num(rate(nTok, e))},""" +
+        s""""wide_tokens":$nTokW,"wide_distinct":$nDistinct,"cms_state_bytes":${4 * 1024 * 8},""" +
+        s""""cms_wide_sec":${num(gw)},"cms_wide_mtok_s":${num(rate(nTokW, gw))},""" +
+        s""""exact_wide_sec":${num(ew)},"exact_wide_mtok_s":${num(rate(nTokW, ew))},""" +
+        s""""cms_wide_speedup":${num(ew / gw)}}""")
   }
 
   private def runFull(spark: SparkSession, sfDir: String, mult: Int): Unit = {
