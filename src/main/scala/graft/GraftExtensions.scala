@@ -127,6 +127,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               s"graft_cms_query requires exactly 2 arguments (array<bigint> sketch, string), got ${children.size}")
           graft.functions.CmsQuery(children(0), children(1))
         }))
+    // KMV/theta sketch: the mergeable distinct-count sketch with SET
+    // OPERATIONS (intersection estimates HLL cannot give — see
+    // functions/Kmv.scala for the cross-engine md5-prefix hash that
+    // makes every estimate a full value differential).
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_kmv"),
+        new ExpressionInfo(classOf[graft.functions.KmvAggregate].getName, "graft_kmv"),
+        (children: Seq[Expression]) => {
+          if (children.size != 1)
+            throw new IllegalArgumentException(
+              s"graft_kmv requires exactly 1 string argument, got ${children.size}")
+          graft.functions.KmvAggregate(children.head)
+        }))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_kmv_est"),
+        new ExpressionInfo(classOf[graft.functions.KmvEstimate].getName, "graft_kmv_est"),
+        (children: Seq[Expression]) => {
+          if (children.size != 1)
+            throw new IllegalArgumentException(
+              s"graft_kmv_est requires exactly 1 argument (array<bigint> sketch), got ${children.size}")
+          graft.functions.KmvEstimate(children.head)
+        }))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_kmv_intersect"),
+        new ExpressionInfo(classOf[graft.functions.KmvIntersect].getName, "graft_kmv_intersect"),
+        (children: Seq[Expression]) => {
+          if (children.size != 2)
+            throw new IllegalArgumentException(
+              s"graft_kmv_intersect requires exactly 2 array<bigint> sketch arguments, got ${children.size}")
+          graft.functions.KmvIntersect(children(0), children(1))
+        }))
     // Spark's runtime-filter bloom machinery (the expressions
     // InjectRuntimeFilter plants under AQE), exposed as first-class
     // session functions so a pipeline can BUILD a bloom filter over one

@@ -70,6 +70,69 @@ object EmbedQueries {
       headline = true
     ),
     Q(
+      "q_quantize_binary",
+      // BINARY embedding quantization + Hamming serving — the 1-bit
+      // end of the compression spectrum (int8 above, PQ below): bit i
+      // of the packed words is sign(x_i) > 0, so a d-dim float vector
+      // becomes d/32 longs (the 32-dims-per-word convention keeps every
+      // shift < 2^32 — DuckDB range-checks 1<<63 where Spark wraps, so
+      // the cross-engine form never touches the sign bit) and candidate
+      // scoring is XOR + popcount — the cheapest distance a CPU can
+      // compute, and the first-pass filter modern retrieval stacks run
+      // before an exact rerank (composes with the IVF blocking for the
+      // candidate sweep at corpus scale; the fixture form scans). Every
+      // output column is a FULL cross-engine value differential: the
+      // pack is integer bit arithmetic (Spark shiftleft/^/bit_count ≡
+      // DuckDB <</xor/bit_count, 0- vs 1-based lambda index aligned),
+      // ranks tie-break on (hamming, n_id), and the rerank cosine rides
+      // the sequential fold ≡ list_dot_product chain.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        def word(lo: Int): String =
+          "aggregate(zip_with(slice(v, " + (lo + 1) + ", 32), sequence(0, 31), " +
+            "(x, i) -> IF(x IS NOT NULL AND x > 0D, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), " +
+            "CAST(0 AS BIGINT), (a, b) -> a + b)"
+        val packed = Tables(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .withColumn("w0", expr(word(0)))
+          .withColumn("w1", expr(word(32)))
+        val q = packed.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("w0").as("qw0"), col("w1").as("qw1"))
+        val c = packed
+          .select(col("vec_id").as("n_id"), col("v").as("cv"),
+            col("w0").as("cw0"), col("w1").as("cw1"))
+        val scored = q.join(c, col("q_id") =!= col("n_id"))
+          .select(
+            col("q_id"), col("n_id"), col("qv"), col("cv"),
+            expr("CAST(bit_count(qw0 ^ cw0) + bit_count(qw1 ^ cw1) AS BIGINT)").as("hamming"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("hamming"), col("n_id"))
+        scored
+          .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+          .select(
+            col("q_id"), col("rank"), col("n_id"), col("hamming"),
+            (Similarity.dot(col("qv"), col("cv")) /
+              (sqrt(Similarity.dot(col("qv"), col("qv"))) *
+                sqrt(Similarity.dot(col("cv"), col("cv"))))).as("cos"))
+          .orderBy("q_id", "rank")
+      },
+      Some(
+        "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+          "p AS (SELECT vec_id, v, " +
+          "CAST(COALESCE(list_sum(list_transform(list_slice(v, 1, 32), (x, i) -> " +
+          "CASE WHEN x > 0 THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT) AS w0, " +
+          "CAST(COALESCE(list_sum(list_transform(list_slice(v, 33, 64), (x, i) -> " +
+          "CASE WHEN x > 0 THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT) AS w1 FROM v), " +
+          "s AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id, q.v AS qv, c.v AS cv, " +
+          "CAST(bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1)) AS BIGINT) AS hamming " +
+          "FROM p q JOIN p c ON q.vec_id < 10 AND q.vec_id <> c.vec_id), " +
+          "r AS (SELECT q_id, n_id, qv, cv, hamming, " +
+          "CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY hamming, n_id) AS INT) AS rank FROM s) " +
+          "SELECT q_id, rank, n_id, hamming, list_dot_product(qv, cv) / " +
+          "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos " +
+          "FROM r WHERE rank <= 5 ORDER BY q_id, rank")
+    ),
+    Q(
       "q_semdedup",
       // SemDeDup: deterministic k-means (Ivf.train, seeded picks, fixed
       // rounds) buckets the corpus; within each cluster a vector is

@@ -248,6 +248,117 @@ object SketchQueries {
           "u AS (SELECT '__union__' AS source, CAST(COUNT(DISTINCT token) AS BIGINT) AS exact_distinct, " +
           "true AS est_ok FROM tok) " +
           "SELECT * FROM per UNION ALL SELECT * FROM u ORDER BY source")
+    ),
+    Q(
+      "q_kmv_distinct",
+      // KMV/theta sketch (graft_kmv — functions/Kmv.scala): per-source
+      // distinct-BIGRAM estimates from the K=64 smallest md5-prefix
+      // hashes. The vocabulary's ~700 distinct bigrams per source put
+      // every sketch in ESTIMATE mode (n_retained = 64), so the est
+      // column exercises the (K−1)/θ formula, not the exact-mode
+      // degenerate — and because the hash is the repo's cross-engine
+      // md5 prefix, DuckDB rebuilds the EXACT k-min sets relationally
+      // (DISTINCT hash → ROW_NUMBER ≤ K) and every est VALUE
+      // hash-matches: a full differential on the imperative
+      // update/merge/serialize path through partial aggregation.
+      (s, d) => kmvParts(s, d)._3,
+      Some(
+        kmvOracleCtes +
+          "k AS (SELECT source, COUNT(*) AS n_ret, MAX(CASE WHEN rk = 64 THEN h END) AS kth " +
+          "FROM r WHERE rk <= 64 GROUP BY source), " +
+          "e AS (SELECT source, CAST(COUNT(DISTINCT bg) AS BIGINT) AS n_exact FROM bi GROUP BY source) " +
+          "SELECT k.source, e.n_exact, CAST(n_ret AS BIGINT) AS n_retained, " +
+          "CASE WHEN n_ret < 64 THEN CAST(n_ret AS DOUBLE) " +
+          "ELSE CAST(63 AS DOUBLE) * 4294967296.0 / CAST(kth AS DOUBLE) END AS est " +
+          "FROM k JOIN e USING (source) ORDER BY source")
+    ),
+    Q(
+      "q_kmv_overlap",
+      // The theta-sketch SET OPERATION — what HLL structurally cannot
+      // answer: pairwise cross-source distinct-bigram INTERSECTION
+      // estimates by the inclusion rule (θ = min(θ_a, θ_b), est =
+      // |common k-min hashes below θ| / θ), next to the exact common
+      // counts. 190 source pairs, every est VALUE a cross-engine
+      // differential (DuckDB re-derives the k-min sets, the per-pair θ,
+      // the strict-below-θ common count, and the same two-op double
+      // division). At 100 TB this is shard-overlap / contamination
+      // telemetry from 512-byte-per-shard state — no pairwise corpus
+      // join anywhere near the data.
+      (s, d) => {
+        val (bi, sk, _) = kmvParts(s, d)
+        val pairs = sk.select(col("source").as("source_a"), col("sk").as("ska"))
+          .join(
+            sk.select(col("source").as("source_b"), col("sk").as("skb")),
+            col("source_a") < col("source_b"))
+        val dist = bi.distinct()
+        val common = dist.select(col("source").as("source_a"), col("bg"))
+          .join(dist.select(col("source").as("source_b"), col("bg")), "bg")
+          .filter(col("source_a") < col("source_b"))
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("n_exact_common"))
+        pairs
+          .join(common, Seq("source_a", "source_b"), "left")
+          .select(
+            col("source_a"), col("source_b"),
+            coalesce(col("n_exact_common"), lit(0L)).as("n_exact_common"),
+            expr("graft_kmv_intersect(ska, skb)").as("est_common"))
+          .orderBy("source_a", "source_b")
+      },
+      Some(
+        kmvOracleCtes +
+          "t AS (SELECT source, CASE WHEN COUNT(*) < 64 THEN CAST(4294967296 AS BIGINT) " +
+          "ELSE MAX(CASE WHEN rk = 64 THEN h END) END AS theta FROM r WHERE rk <= 64 GROUP BY source), " +
+          "m AS (SELECT source, h FROM r WHERE rk <= 64), " +
+          "p AS (SELECT ta.source AS source_a, tb.source AS source_b, LEAST(ta.theta, tb.theta) AS th " +
+          "FROM t ta JOIN t tb ON ta.source < tb.source), " +
+          "cm AS (SELECT ma.source AS source_a, mb.source AS source_b, ma.h " +
+          "FROM m ma JOIN m mb ON ma.h = mb.h AND ma.source < mb.source), " +
+          "c AS (SELECT p.source_a, p.source_b, p.th, " +
+          "COUNT(cm.h) FILTER (WHERE cm.h < p.th) AS cnt " +
+          "FROM p LEFT JOIN cm ON cm.source_a = p.source_a AND cm.source_b = p.source_b " +
+          "GROUP BY 1, 2, 3), " +
+          "dist AS (SELECT DISTINCT source, bg FROM bi), " +
+          "ex AS (SELECT a.source AS source_a, b.source AS source_b, CAST(COUNT(*) AS BIGINT) AS nec " +
+          "FROM dist a JOIN dist b ON a.bg = b.bg AND a.source < b.source GROUP BY 1, 2) " +
+          "SELECT c.source_a, c.source_b, COALESCE(ex.nec, 0) AS n_exact_common, " +
+          "CAST(cnt AS DOUBLE) * 4294967296.0 / CAST(th AS DOUBLE) AS est_common " +
+          "FROM c LEFT JOIN ex ON ex.source_a = c.source_a AND ex.source_b = c.source_b " +
+          "ORDER BY 1, 2")
     )
   )
+
+  /** Shared KMV inputs: (per-source bigram relation, per-source
+    * graft_kmv sketches, the q_kmv_distinct output) — one definition so
+    * the distinct and overlap gates aggregate the identical stream.
+    * Bigrams via equal-length slice zip (no `sequence(1, 0)` descending
+    * trap on short docs).
+    */
+  private def kmvParts(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = {
+    val bi = Tables(s, d, "documents")
+      .select(col("source"), filter(split(col("text"), " "), x => x =!= "").as("t"))
+      .select(col("source"), explode(expr(
+        "zip_with(slice(t, 1, greatest(size(t) - 1, 0)), " +
+          "slice(t, 2, greatest(size(t) - 1, 0)), (a, b) -> concat(a, '_', b))")).as("bg"))
+    val sk = bi.groupBy(col("source")).agg(expr("graft_kmv(bg)").as("sk"))
+    val out = sk
+      .join(bi.groupBy(col("source")).agg(countDistinct(col("bg")).as("n_exact")), "source")
+      .select(
+        col("source"), col("n_exact"),
+        size(col("sk")).cast("long").as("n_retained"),
+        expr("graft_kmv_est(sk)").as("est"))
+      .orderBy("source")
+    (bi, sk, out)
+  }
+
+  /** The oracle's shared k-min reconstruction CTEs: bigrams (1-based
+    * index arithmetic mirroring the slice-zip), DISTINCT md5-prefix
+    * hashes, per-source hash ranks.
+    */
+  private def kmvOracleCtes: String =
+    "WITH toks AS (SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents), " +
+      "bi AS (SELECT source, unnest(list_transform(range(1, len(t)), i -> t[i] || '_' || t[i+1])) AS bg FROM toks), " +
+      "hh AS (SELECT DISTINCT source, CAST('0x' || substring(md5(bg), 1, 8) AS BIGINT) AS h FROM bi), " +
+      "r AS (SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk FROM hh), "
 }

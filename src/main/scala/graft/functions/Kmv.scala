@@ -1,0 +1,227 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** K-Minimum-Values (theta) sketch over a string stream — the mergeable
+  * DISTINCT-COUNT sketch that, unlike HLL, supports SET OPERATIONS
+  * (Beyer et al. 2007; the Apache DataSketches theta family): keep the
+  * K smallest distinct hash values; the K-th smallest normalized hash
+  * estimates density, so distinct ≈ (K−1)/θ. Two sketches INTERSECT by
+  * the inclusion rule — θ = min(θ_a, θ_b), estimate = |{h ∈ S_a ∩ S_b :
+  * h < θ}| / θ — which is exactly the question HLL cannot answer
+  * without inclusion-exclusion error blowup: "how many distinct items
+  * do these two shards SHARE?" (cross-source vocabulary overlap,
+  * audience intersection, contamination between corpus slices). State
+  * is K longs per group regardless of cardinality; merge = union +
+  * truncate (a commutative idempotent monoid), so partial aggregation
+  * and shuffles work like any sketch.
+  *
+  * Like [[CmsSketch]], this sketch is deliberately DETERMINISTIC and
+  * RELATIONAL-EMULABLE: the hash is the repo's cross-engine md5 prefix
+  * — Spark `conv(substring(md5(x),1,8),16,10)`, DuckDB
+  * `CAST('0x'||substring(md5(x),1,8) AS BIGINT)`, JVM first-4-bytes of
+  * the digest — a 32-bit value both engines reproduce bit-for-bit, so
+  * the DuckDB oracle rebuilds the EXACT k-min sets relationally
+  * (DISTINCT hash → ROW_NUMBER ≤ K) and the correctness gates are full
+  * value differentials on sketch OUTPUT (estimates included: the
+  * division is a fixed two-op double chain both engines evaluate
+  * identically), not probabilistic invariants.
+  */
+object KmvSketch {
+  /** Retained minimum hashes per sketch — 64 longs = 512 bytes. */
+  val K = 64
+  /** Hash range: [0, 2^32) from the md5 8-hex-char prefix. */
+  val HashSpace = 4294967296.0
+
+  /** Cross-engine 32-bit hash (see scaladoc): first 4 digest bytes of
+    * md5 over UTF-8, as an unsigned 32-bit value in a long.
+    */
+  def hash32(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** θ in RAW hash units: the K-th smallest retained hash once the
+    * sketch filled, else the full hash space (exact mode — every
+    * distinct hash seen is retained).
+    */
+  def thetaRaw(mins: Array[Long]): Double =
+    if (mins.length < K) HashSpace else mins(K - 1).toDouble
+
+  /** Distinct estimate: exact count in exact mode; else (K−1)/θ — the
+    * two-op double chain `(K−1)·2^32 / h_K` both engines evaluate in
+    * the same order.
+    */
+  def estimate(mins: Array[Long]): Double =
+    if (mins.length < K) mins.length.toDouble
+    else (K - 1).toDouble * HashSpace / mins(K - 1).toDouble
+
+  /** Theta-intersection estimate over two k-min sets (both sorted
+    * ascending): θ = min(θ_a, θ_b); count common hashes STRICTLY below
+    * θ; estimate = cnt·2^32/θ_raw... in raw units, cnt / (θ/2^32).
+    * In mutual exact mode this degenerates to the exact distinct
+    * intersection of the hash sets — the right answer.
+    */
+  def intersectEstimate(a: Array[Long], b: Array[Long]): Double = {
+    val theta = math.min(thetaRaw(a), thetaRaw(b))
+    var i = 0; var j = 0; var cnt = 0L
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { if (a(i).toDouble < theta) cnt += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    cnt.toDouble * HashSpace / theta
+  }
+}
+
+/** `graft_kmv(term)` → sorted `array<bigint>` of the ≤K smallest
+  * distinct term hashes. Nulls are skipped; the empty group yields the
+  * empty array. Partial aggregation exercises [[merge]] (union +
+  * truncate); shuffles move the buffer as little-endian longs.
+  */
+case class KmvAggregate(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+  import KmvSketch.K
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def add(buffer: java.util.TreeSet[java.lang.Long], h: Long): Unit = {
+    if (buffer.size < K) { buffer.add(h); () }
+    else if (h < buffer.last()) {
+      if (buffer.add(h)) { buffer.remove(buffer.last()); () }
+    }
+  }
+
+  override def update(
+      buffer: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) add(buffer, KmvSketch.hash32(v.asInstanceOf[UTF8String].toString))
+    buffer
+  }
+
+  override def merge(
+      buffer: java.util.TreeSet[java.lang.Long],
+      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = other.iterator()
+    while (it.hasNext) add(buffer, it.next())
+    buffer
+  }
+
+  override def eval(buffer: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Long](buffer.size)
+    val it = buffer.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buffer: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buffer.size * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val it = buffer.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val out = new java.util.TreeSet[java.lang.Long]()
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    while (bb.hasRemaining) out.add(bb.getLong())
+    out
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"graft_kmv requires a string column, got ${other.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "graft_kmv"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KmvAggregate =
+    copy(child = newChildren.head)
+}
+
+/** Scalar `graft_kmv_est(sketch)` → double distinct estimate. */
+case class KmvEstimate(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_kmv_est requires array<bigint>, got ${other.sql}")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_kmv_est"
+
+  override def nullSafeEval(sketch: Any): Any =
+    KmvSketch.estimate(
+      sketch.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray())
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.KmvSketch.estimate($c.toLongArray())")
+
+  override protected def withNewChildInternal(newChild: Expression): KmvEstimate =
+    copy(child = newChild)
+}
+
+/** Scalar `graft_kmv_intersect(a, b)` → double intersection estimate. */
+case class KmvIntersect(first: Expression, second: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def left: Expression = first
+  override def right: Expression = second
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (a, b) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_kmv_intersect requires (array<bigint>, array<bigint>), got (${a.sql}, ${b.sql})")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_kmv_intersect"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    KmvSketch.intersectEstimate(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray(),
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray())
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.KmvSketch.intersectEstimate($a.toLongArray(), $b.toLongArray())")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KmvIntersect =
+    copy(first = newLeft, second = newRight)
+}

@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Unit gates for the KMV/theta sketch beyond the q_kmv_* oracles: the
+  * union monoid (partition layout and shard splits cannot change the
+  * k-min set — the property partial aggregation rests on), exact-mode
+  * degeneration (under-filled sketches estimate exactly), the
+  * JVM-hash ≡ SQL-hash equivalence underwriting the relational DuckDB
+  * reconstruction, and intersection-estimate semantics at both ends
+  * (exact mode = exact distinct intersection of hashes; estimate mode
+  * within the theta family's published error envelope).
+  */
+class KmvSpec extends SparkSpec {
+
+  private def sketchOf(df: org.apache.spark.sql.DataFrame): Array[Long] =
+    df.agg(expr("graft_kmv(term)").as("sk"))
+      .head().getSeq[Long](0).toArray
+
+  test("partition layout and shard-union cannot change the k-min set") {
+    import spark.implicits._
+    val terms = (0 until 6000).map(i => s"tok${i % 811}").toDF("term")
+    val one = sketchOf(terms.repartition(1))
+    val many = sketchOf(terms.repartition(32))
+    assert(one.toSeq == many.toSeq, "32-partition partial-merge diverged from single-partition")
+    assert(one.length == KmvSketch.K && one.toSeq == one.sorted.toSeq,
+      "filled sketch must be exactly K sorted hashes")
+    // hand-merged shard sketches ≡ corpus sketch: union + truncate
+    val a = sketchOf(terms.filter($"term".substr(4, 1) < "5"))
+    val b = sketchOf(terms.filter($"term".substr(4, 1) >= "5"))
+    val merged = (a ++ b).distinct.sorted.take(KmvSketch.K)
+    assert(merged.toSeq == one.toSeq, "shard-merged k-min set diverged from the corpus sketch")
+  }
+
+  test("exact mode: an under-filled sketch retains every distinct hash and estimates exactly") {
+    import spark.implicits._
+    // 17 distinct terms, heavy duplication: distinctness comes from the
+    // TreeSet, not chance
+    val terms = (0 until 900).map(i => s"only${i % 17}").toDF("term")
+    val sk = sketchOf(terms)
+    assert(sk.length == 17, s"exact-mode sketch retained ${sk.length} of 17 hashes")
+    assert(KmvSketch.estimate(sk) == 17.0, "exact-mode estimate must equal the retained count")
+    val expected = (0 until 17).map(i => KmvSketch.hash32(s"only$i")).toSet
+    assert(sk.toSet == expected, "retained hashes diverged from the per-term md5-prefix hashes")
+  }
+
+  test("JVM hash32 equals the SQL md5-prefix chain (the oracle's reconstruction hash)") {
+    import spark.implicits._
+    val terms = Seq("alpha", "beta_gamma", "", "Ω_snow☃", "with space").toDF("t")
+    val viaSql = terms
+      .select(col("t"), expr("CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT)").as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    viaSql.foreach { case (t, h) =>
+      assert(KmvSketch.hash32(t) == h, s"hash mismatch for '$t': jvm=${KmvSketch.hash32(t)} sql=$h")
+    }
+  }
+
+  test("estimate accuracy: (K-1)/theta lands within the theta family's envelope at 1k and 10k") {
+    import spark.implicits._
+    for (n <- Seq(1000, 10000)) {
+      val sk = sketchOf((0 until n).map(i => s"card$i").toDF("term"))
+      val est = KmvSketch.estimate(sk)
+      // rse ≈ 1/sqrt(K-2) ≈ 12.7%; gate at 4σ ≈ 50% to stay
+      // deterministic-fixture-safe while catching a broken formula
+      assert(math.abs(est / n - 1.0) <= 0.5, f"estimate $est%.1f too far from true $n")
+    }
+  }
+
+  test("intersection: exact mode returns the exact hash intersection; estimate mode tracks overlap") {
+    import spark.implicits._
+    // exact mode: two 40-distinct sets sharing 10 terms (< K each)
+    val a40 = sketchOf((0 until 40).map(i => s"ia$i").toDF("term"))
+    val shared = (0 until 10).map(i => s"ia$i")
+    val b40 = sketchOf((shared ++ (0 until 30).map(i => s"ib$i")).toDF("term"))
+    assert(KmvSketch.intersectEstimate(a40, b40) == 10.0,
+      "mutual exact mode must return the exact distinct intersection")
+    // estimate mode: 1000-term sets with 500 shared
+    val aBig = sketchOf((0 until 1000).map(i => s"x$i").toDF("term"))
+    val bBig = sketchOf((500 until 1500).map(i => s"x$i").toDF("term"))
+    val est = KmvSketch.intersectEstimate(aBig, bBig)
+    assert(est > 100.0 && est < 1000.0,
+      f"intersection estimate $est%.1f implausible for true overlap 500")
+    // disjoint sets: zero regardless of mode
+    val cBig = sketchOf((0 until 1000).map(i => s"y$i").toDF("term"))
+    assert(KmvSketch.intersectEstimate(aBig, cBig) == 0.0)
+  }
+}
