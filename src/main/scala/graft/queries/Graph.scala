@@ -168,6 +168,58 @@ object Graph {
           iter("2", "3").stripSuffix(", ") + " " +
           "SELECT id, r FROM r3 ORDER BY r DESC, id LIMIT 20"
       }
+    ),
+    Q(
+      "q_bfs_hops",
+      // Single-source BFS hop distances over the part co-purchase graph
+      // — the iterative FRONTIER dataflow (delta iteration) that
+      // completes the graph family next to the fixed-round PageRank and
+      // the wedge-join triangles: label propagation, reachability,
+      // influence radius, and the dedup-component closure all reduce to
+      // this shape. Scale property: each round joins ONLY the previous
+      // frontier (the delta) against the edge list — never the full
+      // visited set — so round cost tracks the frontier wave, not the
+      // graph; each round's state is eagerly checkpointed (the PageRank
+      // loop-invariant lesson: a lazily-chained round re-executes every
+      // earlier one). Source = MIN part id (deterministic), hops
+      // bounded at 4 (a fixed linear plan, no driver convergence loop).
+      // Output is the full (pk, dist) reachability relation — integer
+      // hop distances, so the differential is exact; DuckDB re-derives
+      // it with a recursive CTE bounded at the same depth.
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val e0 = li.as("x")
+          .join(li.as("y"), col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+          .distinct()
+        val edges = e0
+          .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+          .localCheckpoint(true)
+        val src = li.agg(min(col("pk"))).head().getLong(0)
+        var dist = s.range(1)
+          .select(lit(src).as("pk"), lit(0).cast("int").as("dist"))
+          .localCheckpoint(true)
+        for (h <- 1 to 4) {
+          val next = dist.filter(col("dist") === h - 1)
+            .join(edges, col("pk") === col("src"))
+            .select(col("dst").as("pk"), lit(h).cast("int").as("dist"))
+          dist = dist.unionByName(next)
+            .groupBy(col("pk")).agg(min(col("dist")).as("dist"))
+            .localCheckpoint(true)
+        }
+        dist.orderBy("pk")
+      },
+      Some(
+        "WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
+          "e0 AS (SELECT DISTINCT x.pk AS src, y.pk AS dst FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk), " +
+          "e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0), " +
+          "bfs(pk, dist) AS (" +
+          "SELECT src, 0 FROM (SELECT MIN(pk) AS src FROM li) " +
+          "UNION " +
+          "SELECT e.dst, b.dist + 1 FROM bfs b JOIN e ON e.src = b.pk WHERE b.dist < 4) " +
+          "SELECT pk, CAST(MIN(dist) AS INT) AS dist FROM bfs GROUP BY pk ORDER BY pk")
     )
   )
 
