@@ -333,14 +333,22 @@ object SketchQueries {
     * Bigrams via equal-length slice zip (no `sequence(1, 0)` descending
     * trap on short docs).
     */
-  private def kmvParts(s: org.apache.spark.sql.SparkSession, d: String)
-      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
-        org.apache.spark.sql.DataFrame) = {
-    val bi = Tables(s, d, "documents")
+  /** The (source, bg) bigram relation — ONE spelling shared by the
+    * batch gates and the ingest twin ([[graft.streaming.KmvStream]]),
+    * so stream and batch cannot drift. Streamable: pure per-row
+    * expressions.
+    */
+  private[graft] def kmvBigrams(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
       .select(col("source"), filter(split(col("text"), " "), x => x =!= "").as("t"))
       .select(col("source"), explode(expr(
         "zip_with(slice(t, 1, greatest(size(t) - 1, 0)), " +
           "slice(t, 2, greatest(size(t) - 1, 0)), (a, b) -> concat(a, '_', b))")).as("bg"))
+
+  private def kmvParts(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = {
+    val bi = kmvBigrams(Tables(s, d, "documents"))
     val sk = bi.groupBy(col("source")).agg(expr("graft_kmv(bg)").as("sk"))
     val out = sk
       .join(bi.groupBy(col("source")).agg(countDistinct(col("bg")).as("n_exact")), "source")
