@@ -220,6 +220,108 @@ object Graph {
           "UNION " +
           "SELECT e.dst, b.dist + 1 FROM bfs b JOIN e ON e.src = b.pk WHERE b.dist < 4) " +
           "SELECT pk, CAST(MIN(dist) AS INT) AS dist FROM bfs GROUP BY pk ORDER BY pk")
+    ),
+    Q(
+      "q_label_prop",
+      // Synchronous min-label propagation, 3 fixed rounds — the
+      // community-seeding iteration (label propagation / the Pregel
+      // "hash-min" connected-components kernel) as the third iterative
+      // dataflow shape next to BFS (frontier) and PageRank (weighted
+      // contributions): every node's next label is the min of its own
+      // and all neighbors'. Deterministic integers end to end, so the
+      // gate is the FULL (pk, label) relation after round 3 — a
+      // partial-convergence snapshot (3 rounds ≡ labels within 3 hops),
+      // which is also what makes it oracle-able: DuckDB unrolls the
+      // same three joins. Per-round state is eagerly checkpointed; at
+      // scale each round is one shuffle keyed on the edge join.
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val e0 = li.as("x")
+          .join(li.as("y"), col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+          .distinct()
+        val edges = e0
+          .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+          .localCheckpoint(true)
+        var labels = edges.select(col("src").as("pk")).distinct()
+          .select(col("pk"), col("pk").as("label"))
+          .localCheckpoint(true)
+        for (_ <- 1 to 3) {
+          val fromNbr = edges
+            .join(labels, col("src") === col("pk"))
+            .select(col("dst").as("pk"), col("label"))
+          labels = labels.unionByName(fromNbr)
+            .groupBy(col("pk")).agg(min(col("label")).as("label"))
+            .localCheckpoint(true)
+        }
+        labels.orderBy("pk")
+      },
+      Some {
+        def round(prev: String, out: String) =
+          s"l$out AS (SELECT pk, MIN(label) AS label FROM (" +
+            s"SELECT pk, label FROM l$prev UNION ALL " +
+            s"SELECT e.dst AS pk, l$prev.label FROM e JOIN l$prev ON e.src = l$prev.pk" +
+            ") GROUP BY pk), "
+        "WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
+          "e0 AS (SELECT DISTINCT x.pk AS src, y.pk AS dst FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk), " +
+          "e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0), " +
+          "l0 AS (SELECT DISTINCT src AS pk, src AS label FROM e), " +
+          round("0", "1") + round("1", "2") +
+          round("2", "3").stripSuffix(", ") + " " +
+          "SELECT pk, label FROM l3 ORDER BY pk"
+      }
+    ),
+    Q(
+      "q_sssp_weighted",
+      // Bounded Bellman-Ford — weighted single-source shortest paths,
+      // 4 relaxation rounds, completing the iterative trio's WEIGHTED
+      // member: unlike BFS's unit hops, each edge carries a
+      // deterministic integer weight (1 + (src+dst) % 5 — synthetic but
+      // engine-identical arithmetic) and a round relaxes EVERY settled
+      // node's cost through every edge (the textbook full-relaxation
+      // form; the delta-optimized variant joins only improved nodes —
+      // the q_bfs_hops shape — when the wave is sparse). After R rounds
+      // the cost is exactly min over paths of ≤ R edges — integer math,
+      // so the full (pk, cost) relation gates exactly against DuckDB's
+      // depth-bounded recursive enumeration.
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val e0 = li.as("x")
+          .join(li.as("y"), col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+          .distinct()
+        val edges = e0
+          .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+          .withColumn("w", lit(1L) + pmod(col("src") + col("dst"), lit(5L)))
+          .localCheckpoint(true)
+        val src = li.agg(min(col("pk"))).head().getLong(0)
+        var dist = s.range(1)
+          .select(lit(src).as("pk"), lit(0L).as("cost"))
+          .localCheckpoint(true)
+        for (_ <- 1 to 4) {
+          val relaxed = dist
+            .join(edges, col("pk") === col("src"))
+            .select(col("dst").as("pk"), (col("cost") + col("w")).as("cost"))
+          dist = dist.unionByName(relaxed)
+            .groupBy(col("pk")).agg(min(col("cost")).as("cost"))
+            .localCheckpoint(true)
+        }
+        dist.orderBy("pk")
+      },
+      Some(
+        "WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
+          "e0 AS (SELECT DISTINCT x.pk AS src, y.pk AS dst FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk), " +
+          "e AS (SELECT src, dst, 1 + (src + dst) % 5 AS w FROM " +
+          "(SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)), " +
+          "walk(pk, cost, hops) AS (" +
+          "SELECT src, CAST(0 AS BIGINT), 0 FROM (SELECT MIN(pk) AS src FROM li) " +
+          "UNION " +
+          "SELECT e.dst, b.cost + e.w, b.hops + 1 FROM walk b JOIN e ON e.src = b.pk WHERE b.hops < 4) " +
+          "SELECT pk, CAST(MIN(cost) AS BIGINT) AS cost FROM walk GROUP BY pk ORDER BY pk")
     )
   )
 
