@@ -387,20 +387,6 @@ object SqlQueries {
         "ORDER BY l_orderkey"
     ),
     shared(
-      "q_sql_lateral",
-      // LATERAL correlated derived table — the per-group top-N idiom in
-      // delegated text (each nation's two richest customers): the
-      // subquery re-evaluates per outer row with the correlation pushed
-      // into it. Spark plans this as a lateral join (decorrelated);
-      // DuckDB runs the same text natively.
-      "SELECT n_name, t.c_name, t.c_acctbal " +
-        "FROM nation, LATERAL (" +
-        "SELECT c_name, c_acctbal FROM customer " +
-        "WHERE c_nationkey = n_nationkey " +
-        "ORDER BY c_acctbal DESC, c_name LIMIT 2) t " +
-        "ORDER BY n_name, t.c_acctbal DESC, t.c_name"
-    ),
-    shared(
       "q_sql_filter_agg",
       // Aggregate FILTER clauses — conditional aggregation without CASE
       // pivots, one scan, shared text; the money sum rides the
@@ -412,16 +398,6 @@ object SqlQueries {
         "CAST(SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DECIMAL(38,0))) " +
         "FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS cents_open " +
         "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
-    ),
-    shared(
-      "q_sql_intersect_all",
-      // Set operation with MULTISET semantics: INTERSECT ALL keeps
-      // min(multiplicity) per row — the DataFrame tier's q_intersect
-      // covers the distinct form; this is the bag form in shared text.
-      "SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 40 " +
-        "INTERSECT ALL " +
-        "SELECT l_suppkey FROM lineitem WHERE l_discount > 0.05 " +
-        "ORDER BY k LIMIT 50"
     ),
     shared(
       "q_sql_grouping_id",
