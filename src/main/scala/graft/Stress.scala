@@ -153,8 +153,59 @@ object Stress {
     else if (tier == "pipeline") runPipelineTier(spark, sfDir, mult)
     else if (tier == "sketch") runSketch(spark, sfDir, mult)
     else if (tier == "restart") runRestart(spark, sfDir)
+    else if (tier == "graph") runGraph(spark, sfDir, mult)
     else runFull(spark, sfDir, mult)
     spark.stop()
+  }
+
+  /** Iterative-graph scale tier (round 17): the frontier claim made
+    * numbers. Replicating lineitem with shifted order/part keys creates
+    * `mult` DISJOINT copies of the co-purchase graph — edges grow ×mult
+    * while a single-source BFS wave still explores exactly ONE copy. So
+    * the A/B isolates the two cost regimes of iterative dataflow:
+    * frontier BFS (per-round work = frontier ⋈ edges — broadcast-able
+    * frontier, edge scan dominated) should grow far SLOWER than ×mult,
+    * while synchronous label propagation (per-round work = ALL labels ⋈
+    * edges) is the honest O(E)-per-round baseline that tracks the
+    * corpus. Emits one JSON line with both curves and the edge counts.
+    */
+  private def runGraph(spark: SparkSession, sfDir: String, mult: Int): Unit = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft-stress-graph"
+    val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+    replicate(spark, li0, "l_orderkey", mult)
+      .withColumn(
+        "l_partkey",
+        col("l_partkey") + expr("l_orderkey div 100000000") * 10000000L)
+      .repartition(32).write.mode("overwrite").parquet(s"$out/li")
+    def basket(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val b1 = basket(li0)
+    val bm = basket(spark.read.parquet(s"$out/li"))
+    val e1 = queries.Graph.coPurchaseEdges(b1)
+    val em = queries.Graph.coPurchaseEdges(bm)
+    val (ne1, nem) = (e1.count(), em.count())
+    val src = b1.agg(min(col("pk"))).head().getLong(0)
+    def bfs(edges: org.apache.spark.sql.DataFrame): (Double, Long) = {
+      var n = 0L
+      val t = time { n = queries.Graph.bfsFrom(spark, edges, src, hops = 4).count() }
+      (t, n)
+    }
+    def lp(edges: org.apache.spark.sql.DataFrame): (Double, Long) = {
+      var n = 0L
+      val t = time { n = queries.Graph.labelProp(edges, rounds = 3).count() }
+      (t, n)
+    }
+    bfs(e1); lp(e1) // warm the shapes
+    val (tb1, nb1) = bfs(e1); val (tbm, nbm) = bfs(em)
+    val (tl1, nl1) = lp(e1); val (tlm, nlm) = lp(em)
+    val num = (v: Double) => Timing.fmt3(v)
+    println(
+      s"""{"tier":"graph","mult":$mult,"edges_1x":$ne1,"edges_mx":$nem,""" +
+        s""""bfs_sec_1x":${num(tb1)},"bfs_sec_mx":${num(tbm)},"bfs_reached_1x":$nb1,"bfs_reached_mx":$nbm,""" +
+        s""""bfs_growth":${num(tbm / tb1)},""" +
+        s""""lp_sec_1x":${num(tl1)},"lp_sec_mx":${num(tlm)},"lp_nodes_1x":$nl1,"lp_nodes_mx":$nlm,""" +
+        s""""lp_growth":${num(tlm / tl1)}}""")
   }
 
   /** Restart-contract gate in CI shape (round-16 verdict #8): the

@@ -190,26 +190,9 @@ object Graph {
         val li = Tables(s, d, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .distinct()
-        val e0 = li.as("x")
-          .join(li.as("y"), col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-          .select(col("x.pk").as("src"), col("y.pk").as("dst"))
-          .distinct()
-        val edges = e0
-          .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
-          .localCheckpoint(true)
+        val edges = coPurchaseEdges(li)
         val src = li.agg(min(col("pk"))).head().getLong(0)
-        var dist = s.range(1)
-          .select(lit(src).as("pk"), lit(0).cast("int").as("dist"))
-          .localCheckpoint(true)
-        for (h <- 1 to 4) {
-          val next = dist.filter(col("dist") === h - 1)
-            .join(edges, col("pk") === col("src"))
-            .select(col("dst").as("pk"), lit(h).cast("int").as("dist"))
-          dist = dist.unionByName(next)
-            .groupBy(col("pk")).agg(min(col("dist")).as("dist"))
-            .localCheckpoint(true)
-        }
-        dist.orderBy("pk")
+        bfsFrom(s, edges, src, hops = 4).orderBy("pk")
       },
       Some(
         "WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
@@ -238,25 +221,7 @@ object Graph {
         val li = Tables(s, d, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .distinct()
-        val e0 = li.as("x")
-          .join(li.as("y"), col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-          .select(col("x.pk").as("src"), col("y.pk").as("dst"))
-          .distinct()
-        val edges = e0
-          .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
-          .localCheckpoint(true)
-        var labels = edges.select(col("src").as("pk")).distinct()
-          .select(col("pk"), col("pk").as("label"))
-          .localCheckpoint(true)
-        for (_ <- 1 to 3) {
-          val fromNbr = edges
-            .join(labels, col("src") === col("pk"))
-            .select(col("dst").as("pk"), col("label"))
-          labels = labels.unionByName(fromNbr)
-            .groupBy(col("pk")).agg(min(col("label")).as("label"))
-            .localCheckpoint(true)
-        }
-        labels.orderBy("pk")
+        labelProp(coPurchaseEdges(li), rounds = 3).orderBy("pk")
       },
       Some {
         def round(prev: String, out: String) =
@@ -290,12 +255,7 @@ object Graph {
         val li = Tables(s, d, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .distinct()
-        val e0 = li.as("x")
-          .join(li.as("y"), col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-          .select(col("x.pk").as("src"), col("y.pk").as("dst"))
-          .distinct()
-        val edges = e0
-          .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+        val edges = coPurchaseEdges(li)
           .withColumn("w", lit(1L) + pmod(col("src") + col("dst"), lit(5L)))
           .localCheckpoint(true)
         val src = li.agg(min(col("pk"))).head().getLong(0)
@@ -324,6 +284,62 @@ object Graph {
           "SELECT pk, CAST(MIN(cost) AS BIGINT) AS cost FROM walk GROUP BY pk ORDER BY pk")
     )
   )
+
+  /** Undirected co-purchase edges (both directions) from a distinct
+    * (ok, pk) basket relation — the shared substrate of the iterative
+    * trio (q_bfs_hops / q_label_prop / q_sssp_weighted) and the Stress
+    * graph tier. Eagerly materialized: every iteration consumes it.
+    */
+  private[graft] def coPurchaseEdges(
+      li: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val e0 = li.as("x")
+      .join(li.as("y"), col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+      .distinct()
+    e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+  }
+
+  /** Frontier BFS: `hops` rounds, each joining ONLY the previous
+    * frontier against `edges`; per-round state eagerly checkpointed.
+    */
+  private[graft] def bfsFrom(
+      s: org.apache.spark.sql.SparkSession,
+      edges: org.apache.spark.sql.DataFrame,
+      src: Long,
+      hops: Int): org.apache.spark.sql.DataFrame = {
+    var dist = s.range(1)
+      .select(lit(src).as("pk"), lit(0).cast("int").as("dist"))
+      .localCheckpoint(true)
+    for (h <- 1 to hops) {
+      val next = dist.filter(col("dist") === h - 1)
+        .join(edges, col("pk") === col("src"))
+        .select(col("dst").as("pk"), lit(h).cast("int").as("dist"))
+      dist = dist.unionByName(next)
+        .groupBy(col("pk")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
+  /** Synchronous min-label propagation for `rounds` rounds (the Pregel
+    * hash-min kernel); labels init to node ids.
+    */
+  private[graft] def labelProp(
+      edges: org.apache.spark.sql.DataFrame, rounds: Int): org.apache.spark.sql.DataFrame = {
+    var labels = edges.select(col("src").as("pk")).distinct()
+      .select(col("pk"), col("pk").as("label"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val fromNbr = edges
+        .join(labels, col("src") === col("pk"))
+        .select(col("dst").as("pk"), col("label"))
+      labels = labels.unionByName(fromNbr)
+        .groupBy(col("pk")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
 
   /** Count closed triangles over a degree-ORIENTED edge list (src, dst).
     * Orientation guarantees each triangle a<b<c appears as exactly the
