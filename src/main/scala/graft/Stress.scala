@@ -1121,6 +1121,24 @@ object Stress {
     cmsWide(); exactWide() // warm
     val gw = Seq(cmsWide(), cmsWide()).min
     val ew = Seq(exactWide(), exactWide()).min
+    // KMV vs exact COUNT(DISTINCT) on the same wide stream — the
+    // distinct-count face of the same trade: 512 B of sketch state vs a
+    // distinct shuffle of the full key space. Honest caveat measured
+    // here: the KMV buffer is a TreeSet (object state, not primitive
+    // counters like CMS), so its per-token cost is the price of the
+    // set-operation capability — the claim is state size + mergeability
+    // + intersection, not raw update speed.
+    def kmvWide(): Double = time {
+      wide.agg(expr("graft_kmv_est(graft_kmv(term))"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    def exactDistinctWide(): Double = time {
+      wide.agg(countDistinct(col("term"))).write.format("noop").mode("overwrite").save()
+    }
+    kmvWide(); exactDistinctWide() // warm
+    val kw = Seq(kmvWide(), kmvWide()).min
+    val dw = Seq(exactDistinctWide(), exactDistinctWide()).min
+    val KmvBytes = graft.functions.KmvSketch.K * 8
 
     val num = (v: Double) => Timing.fmt3(v)
     println(
@@ -1131,7 +1149,9 @@ object Stress {
         s""""wide_tokens":$nTokW,"wide_distinct":$nDistinct,"cms_state_bytes":${4 * 1024 * 8},""" +
         s""""cms_wide_sec":${num(gw)},"cms_wide_mtok_s":${num(rate(nTokW, gw))},""" +
         s""""exact_wide_sec":${num(ew)},"exact_wide_mtok_s":${num(rate(nTokW, ew))},""" +
-        s""""cms_wide_speedup":${num(ew / gw)}}""")
+        s""""cms_wide_speedup":${num(ew / gw)},""" +
+        s""""kmv_wide_sec":${num(kw)},"kmv_state_bytes":${KmvBytes},""" +
+        s""""exact_distinct_wide_sec":${num(dw)}}""")
   }
 
   private def runFull(spark: SparkSession, sfDir: String, mult: Int): Unit = {

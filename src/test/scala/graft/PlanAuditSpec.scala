@@ -204,6 +204,27 @@ class PlanAuditSpec extends SparkSpec {
       s"per-src top-8 fell back to a window sort:\n${p.take(1500)}")
   }
 
+  test("hierarchical entry: waypoint scoring broadcasts the tiny layer, no corpus-wide cross join") {
+    // q_sim_graph_hier's seed stage: queries × the ≤k medoid waypoint
+    // layer. The waypoint side must reach the scoring through a
+    // BROADCAST of the tiny relation — one BNLJ (the inequality
+    // query×waypoint attach over ≤16 broadcast rows) is the expected
+    // shape; a CartesianProduct or a second nested loop means the
+    // corpus leaked into the seed scoring.
+    import org.apache.spark.sql.functions.col
+    import graft.ext.{Ivf, SimilarityQueries}
+    val emb = graft.core.Tables(spark, sf(), "embeddings")
+    val wp = SimilarityQueries.cellMedoids(emb, Ivf.train(spark, emb, k = 16))
+      .localCheckpoint(true)
+    val seeds = SimilarityQueries.hierarchicalSeeds(wp, emb.filter(col("vec_id") < 10))
+    seeds.collect()
+    val p = planString(seeds).split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"),
+      s"seed scoring planned a cartesian product:\n${p.take(1200)}")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"expected at most the broadcast waypoint attach, found $bnlj BNLJs")
+  }
+
   test("IVF hybrid serving path: no corpus-wide cross join on the dense side") {
     // q_hybrid_search_ivf's SERVED composition (the registered gate wraps
     // it in an exact-fusion truth side that exists only to oracle recall):
