@@ -153,6 +153,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }))
     ext.injectFunction(
       (
+        FunctionIdentifier("graft_kmv_union"),
+        new ExpressionInfo(classOf[graft.functions.KmvUnion].getName, "graft_kmv_union"),
+        (children: Seq[Expression]) => {
+          if (children.size != 2)
+            throw new IllegalArgumentException(
+              s"graft_kmv_union requires exactly 2 array<bigint> sketch arguments, got ${children.size}")
+          graft.functions.KmvUnion(children(0), children(1))
+        }))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_kmv_diff"),
+        new ExpressionInfo(classOf[graft.functions.KmvDiff].getName, "graft_kmv_diff"),
+        (children: Seq[Expression]) => {
+          if (children.size != 2)
+            throw new IllegalArgumentException(
+              s"graft_kmv_diff requires exactly 2 array<bigint> sketch arguments, got ${children.size}")
+          graft.functions.KmvDiff(children(0), children(1))
+        }))
+    ext.injectFunction(
+      (
         FunctionIdentifier("graft_kmv_intersect"),
         new ExpressionInfo(classOf[graft.functions.KmvIntersect].getName, "graft_kmv_intersect"),
         (children: Seq[Expression]) => {

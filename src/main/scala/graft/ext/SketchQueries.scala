@@ -324,6 +324,85 @@ object SketchQueries {
           "CAST(cnt AS DOUBLE) * 4294967296.0 / CAST(th AS DOUBLE) AS est_common " +
           "FROM c LEFT JOIN ex ON ex.source_a = c.source_a AND ex.source_b = c.source_b " +
           "ORDER BY 1, 2")
+    ),
+    Q(
+      "q_kmv_setops",
+      // The REST of the theta set algebra over STORED sketches
+      // (DataSketches' union / AnotB shapes): per source pair,
+      // graft_kmv_union composes the two 512-byte artifacts into the
+      // pair's union sketch (scalar twin of the aggregate's merge —
+      // downstream composition without touching data), and
+      // graft_kmv_diff estimates |A \ B| by the inclusion rule (every
+      // A-hash below θ = min(θ_a,θ_b) is decidably in/not-in B's
+      // retained set). Exact counts ride alongside; every estimate
+      // VALUE hash-matches DuckDB's relational reconstruction — union:
+      // re-rank the combined distinct hash sets to K; diff: A's k-min
+      // rows below θ anti-joined against B's. Same 190 pairs as
+      // q_kmv_overlap.
+      (s, d) => {
+        val (bi, sk, _) = kmvParts(s, d)
+        val pairs = sk.select(col("source").as("source_a"), col("sk").as("ska"))
+          .join(
+            sk.select(col("source").as("source_b"), col("sk").as("skb")),
+            col("source_a") < col("source_b"))
+        val dist = bi.distinct()
+        // exact sides by inclusion-exclusion over two small grouped
+        // relations: |A ∪ B| = n_a + n_b − n_common, |A \ B| = n_a −
+        // n_common — no per-pair corpus join beyond the common counts
+        val perSrc = dist.groupBy(col("source")).agg(count(lit(1)).as("nd"))
+        val common = dist.select(col("source").as("source_a"), col("bg"))
+          .join(dist.select(col("source").as("source_b"), col("bg")), "bg")
+          .filter(col("source_a") < col("source_b"))
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("ncom"))
+        pairs
+          .join(perSrc.select(col("source").as("source_a"), col("nd").as("na")), "source_a")
+          .join(perSrc.select(col("source").as("source_b"), col("nd").as("nb")), "source_b")
+          .join(common, Seq("source_a", "source_b"), "left")
+          .select(
+            col("source_a"), col("source_b"),
+            (col("na") + col("nb") - coalesce(col("ncom"), lit(0L))).as("n_exact_union"),
+            (col("na") - coalesce(col("ncom"), lit(0L))).as("n_exact_only_a"),
+            expr("graft_kmv_est(graft_kmv_union(ska, skb))").as("est_union"),
+            expr("graft_kmv_diff(ska, skb)").as("est_only_a"))
+          .orderBy("source_a", "source_b")
+      },
+      Some(
+        kmvOracleCtes +
+          "t AS (SELECT source, CASE WHEN COUNT(*) < 64 THEN CAST(4294967296 AS BIGINT) " +
+          "ELSE MAX(CASE WHEN rk = 64 THEN h END) END AS theta FROM r WHERE rk <= 64 GROUP BY source), " +
+          "m AS (SELECT source, h FROM r WHERE rk <= 64), " +
+          "p AS (SELECT ta.source AS source_a, tb.source AS source_b, LEAST(ta.theta, tb.theta) AS th " +
+          "FROM t ta JOIN t tb ON ta.source < tb.source), " +
+          // union sketch: re-rank the pair's combined DISTINCT hash space to K
+          "uhh AS (SELECT DISTINCT a.source_a, a.source_b, x.h FROM " +
+          "(SELECT source_a, source_b FROM p) a JOIN hh x ON x.source IN (a.source_a, a.source_b)), " +
+          "uh AS (SELECT source_a, source_b, h, " +
+          "ROW_NUMBER() OVER (PARTITION BY source_a, source_b ORDER BY h) AS rk FROM uhh), " +
+          "uk AS (SELECT source_a, source_b, COUNT(*) AS n_ret, MAX(CASE WHEN rk = 64 THEN h END) AS kth " +
+          "FROM uh WHERE rk <= 64 GROUP BY 1, 2), " +
+          // A\B: A's k-min hashes below θ, anti-joined against B's retained set
+          "dn AS (SELECT p.source_a, p.source_b, " +
+          "COUNT(*) FILTER (WHERE ma.h < p.th AND mb.h IS NULL) AS cnt " +
+          "FROM p JOIN m ma ON ma.source = p.source_a " +
+          "LEFT JOIN m mb ON mb.source = p.source_b AND mb.h = ma.h " +
+          "GROUP BY 1, 2), " +
+          "dist AS (SELECT DISTINCT source, bg FROM bi), " +
+          "ps AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nd FROM dist GROUP BY source), " +
+          "ex AS (SELECT a.source AS source_a, b.source AS source_b, CAST(COUNT(*) AS BIGINT) AS ncom " +
+          "FROM dist a JOIN dist b ON a.bg = b.bg AND a.source < b.source GROUP BY 1, 2) " +
+          "SELECT p.source_a, p.source_b, " +
+          "pa.nd + pb.nd - COALESCE(ex.ncom, 0) AS n_exact_union, " +
+          "pa.nd - COALESCE(ex.ncom, 0) AS n_exact_only_a, " +
+          "CASE WHEN uk.n_ret < 64 THEN CAST(uk.n_ret AS DOUBLE) " +
+          "ELSE CAST(63 AS DOUBLE) * 4294967296.0 / CAST(uk.kth AS DOUBLE) END AS est_union, " +
+          "CAST(dn.cnt AS DOUBLE) * 4294967296.0 / CAST(p.th AS DOUBLE) AS est_only_a " +
+          "FROM p " +
+          "JOIN uk ON uk.source_a = p.source_a AND uk.source_b = p.source_b " +
+          "JOIN dn ON dn.source_a = p.source_a AND dn.source_b = p.source_b " +
+          "JOIN ps pa ON pa.source = p.source_a JOIN ps pb ON pb.source = p.source_b " +
+          "LEFT JOIN ex ON ex.source_a = p.source_a AND ex.source_b = p.source_b " +
+          "ORDER BY 1, 2")
     )
   )
 

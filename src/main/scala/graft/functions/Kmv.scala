@@ -79,6 +79,44 @@ object KmvSketch {
     }
     cnt.toDouble * HashSpace / theta
   }
+
+  /** Sketch UNION: merge-distinct two sorted k-min sets, truncate to K
+    * — exactly what the aggregate's [[KmvAggregate.merge]] computes, as
+    * a SCALAR over stored sketch columns (the DataSketches set-ops
+    * shape: artifacts combine downstream without touching the data).
+    */
+  def union(a: Array[Long], b: Array[Long]): Array[Long] = {
+    val out = new Array[Long](math.min(a.length + b.length, K))
+    var i = 0; var j = 0; var n = 0
+    while (n < K && (i < a.length || j < b.length)) {
+      val take =
+        if (i >= a.length) { val v = b(j); j += 1; v }
+        else if (j >= b.length) { val v = a(i); i += 1; v }
+        else if (a(i) == b(j)) { val v = a(i); i += 1; j += 1; v }
+        else if (a(i) < b(j)) { val v = a(i); i += 1; v }
+        else { val v = b(j); j += 1; v }
+      out(n) = take; n += 1
+    }
+    if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+  }
+
+  /** Theta A-NOT-B estimate (DataSketches AnotB): θ = min(θ_a, θ_b);
+    * count hashes of A strictly below θ that are NOT in B — every such
+    * hash, if present in B's stream, would be retained in B's k-min set
+    * (it is below θ ≤ θ_b), so set membership is decidable from the
+    * sketches alone. In mutual exact mode this is the exact distinct
+    * hash difference.
+    */
+  def diffEstimate(a: Array[Long], b: Array[Long]): Double = {
+    val theta = math.min(thetaRaw(a), thetaRaw(b))
+    val bs = b.toSet
+    var i = 0; var cnt = 0L
+    while (i < a.length) {
+      if (a(i).toDouble < theta && !bs.contains(a(i))) cnt += 1
+      i += 1
+    }
+    cnt.toDouble * HashSpace / theta
+  }
 }
 
 /** `graft_kmv(term)` → sorted `array<bigint>` of the ≤K smallest
@@ -189,6 +227,72 @@ case class KmvEstimate(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): KmvEstimate =
     copy(child = newChild)
+}
+
+/** Scalar `graft_kmv_union(a, b)` → merged (truncated) k-min array —
+  * the set-ops composition over STORED sketches.
+  */
+case class KmvUnion(first: Expression, second: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def left: Expression = first
+  override def right: Expression = second
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (a, b) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_kmv_union requires (array<bigint>, array<bigint>), got (${a.sql}, ${b.sql})")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_kmv_union"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    new GenericArrayData(KmvSketch.union(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray(),
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()))
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KmvUnion =
+    copy(first = newLeft, second = newRight)
+}
+
+/** Scalar `graft_kmv_diff(a, b)` → double A-not-B estimate. */
+case class KmvDiff(first: Expression, second: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def left: Expression = first
+  override def right: Expression = second
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (a, b) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_kmv_diff requires (array<bigint>, array<bigint>), got (${a.sql}, ${b.sql})")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_kmv_diff"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    KmvSketch.diffEstimate(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray(),
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray())
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.KmvSketch.diffEstimate($a.toLongArray(), $b.toLongArray())")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KmvDiff =
+    copy(first = newLeft, second = newRight)
 }
 
 /** Scalar `graft_kmv_intersect(a, b)` → double intersection estimate. */

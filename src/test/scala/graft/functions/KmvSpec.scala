@@ -68,6 +68,43 @@ class KmvSpec extends SparkSpec {
     }
   }
 
+  test("union: scalar merge-truncate equals the aggregate over the concatenated stream") {
+    import spark.implicits._
+    // the KMV union theorem: the K smallest of A∪B are each within
+    // their own source's K smallest, so merging two truncated sets
+    // loses nothing
+    val aTerms = (0 until 900).map(i => s"ua$i")
+    val bTerms = (300 until 1200).map(i => s"ua$i") // overlap 300..899
+    val a = sketchOf(aTerms.toDF("term"))
+    val b = sketchOf(bTerms.toDF("term"))
+    val direct = sketchOf((aTerms ++ bTerms).toDF("term"))
+    assert(KmvSketch.union(a, b).toSeq == direct.toSeq,
+      "scalar union diverged from the aggregate over the combined stream")
+    // exact-mode pair: union is the exact distinct hash set
+    val sa = sketchOf((0 until 20).map(i => s"su$i").toDF("term"))
+    val sb = sketchOf((10 until 30).map(i => s"su$i").toDF("term"))
+    assert(KmvSketch.union(sa, sb).length == 30)
+    assert(KmvSketch.estimate(KmvSketch.union(sa, sb)) == 30.0)
+  }
+
+  test("difference: exact mode returns the exact hash difference; A∖B + A∩B ≈ A in estimate mode") {
+    import spark.implicits._
+    val sa = sketchOf((0 until 40).map(i => s"da$i").toDF("term"))
+    val sb = sketchOf(((0 until 10).map(i => s"da$i") ++ (0 until 30).map(i => s"db$i")).toDF("term"))
+    assert(KmvSketch.diffEstimate(sa, sb) == 30.0,
+      "mutual exact mode must return the exact distinct difference")
+    // estimate mode: the theta identity |A∖B| + |A∩B| = |A below θ| / θ
+    // holds EXACTLY on the sketches (same θ, partitioned count)
+    val aBig = sketchOf((0 until 1000).map(i => s"z$i").toDF("term"))
+    val bBig = sketchOf((500 until 1500).map(i => s"z$i").toDF("term"))
+    val theta = math.min(KmvSketch.thetaRaw(aBig), KmvSketch.thetaRaw(bBig))
+    val below = aBig.count(_.toDouble < theta)
+    val sum = KmvSketch.diffEstimate(aBig, bBig) + KmvSketch.intersectEstimate(aBig, bBig)
+    val expected = below.toDouble * KmvSketch.HashSpace / theta
+    assert(math.abs(sum - expected) < 1e-6,
+      f"diff+intersect $sum%.3f diverged from the partition identity $expected%.3f")
+  }
+
   test("intersection: exact mode returns the exact hash intersection; estimate mode tracks overlap") {
     import spark.implicits._
     // exact mode: two 40-distinct sets sharing 10 terms (< K each)
