@@ -191,21 +191,29 @@ object Stress {
       val t = time { n = queries.Graph.bfsFrom(spark, edges, src, hops = 4).count() }
       (t, n)
     }
-    def lp(edges: org.apache.spark.sql.DataFrame): (Double, Long) = {
+    def lpFull(edges: org.apache.spark.sql.DataFrame): (Double, Long) = {
+      var n = 0L
+      val t = time { n = queries.Graph.labelPropFull(edges, rounds = 3).count() }
+      (t, n)
+    }
+    def lpDelta(edges: org.apache.spark.sql.DataFrame): (Double, Long) = {
       var n = 0L
       val t = time { n = queries.Graph.labelProp(edges, rounds = 3).count() }
       (t, n)
     }
-    bfs(e1); lp(e1) // warm the shapes
+    bfs(e1); lpFull(e1); lpDelta(e1) // warm the shapes
     val (tb1, nb1) = bfs(e1); val (tbm, nbm) = bfs(em)
-    val (tl1, nl1) = lp(e1); val (tlm, nlm) = lp(em)
+    val (tl1, nl1) = lpFull(e1); val (tlm, nlm) = lpFull(em)
+    val (td1, _) = lpDelta(e1); val (tdm, _) = lpDelta(em)
     val num = (v: Double) => Timing.fmt3(v)
     println(
       s"""{"tier":"graph","mult":$mult,"edges_1x":$ne1,"edges_mx":$nem,""" +
         s""""bfs_sec_1x":${num(tb1)},"bfs_sec_mx":${num(tbm)},"bfs_reached_1x":$nb1,"bfs_reached_mx":$nbm,""" +
         s""""bfs_growth":${num(tbm / tb1)},""" +
-        s""""lp_sec_1x":${num(tl1)},"lp_sec_mx":${num(tlm)},"lp_nodes_1x":$nl1,"lp_nodes_mx":$nlm,""" +
-        s""""lp_growth":${num(tlm / tl1)}}""")
+        s""""lp_full_sec_1x":${num(tl1)},"lp_full_sec_mx":${num(tlm)},"lp_nodes_1x":$nl1,"lp_nodes_mx":$nlm,""" +
+        s""""lp_full_growth":${num(tlm / tl1)},""" +
+        s""""lp_delta_sec_1x":${num(td1)},"lp_delta_sec_mx":${num(tdm)},""" +
+        s""""lp_delta_growth":${num(tdm / td1)}}""")
   }
 
   /** Restart-contract gate in CI shape (round-16 verdict #8): the
