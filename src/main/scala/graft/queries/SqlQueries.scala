@@ -400,6 +400,18 @@ object SqlQueries {
         "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
     ),
     shared(
+      "q_sql_percentile_disc",
+      // Ordered-set aggregate in delegated text: percentile_disc
+      // RETURNS AN ELEMENT of the group (the first value whose
+      // cumulative distribution reaches p), so unlike the interpolating
+      // percentile_cont its result is cross-engine exact by
+      // construction — no float-interpolation op-order hazard.
+      "SELECT l_returnflag, " +
+        "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE) AS med_qty, " +
+        "CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE) AS p90_qty " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+    ),
+    shared(
       "q_sql_grouping_id",
       // GROUPING SETS with the GROUPING() marker — the rollup-report
       // shape where the consumer must distinguish "NULL because
