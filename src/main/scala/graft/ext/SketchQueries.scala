@@ -403,7 +403,8 @@ object SketchQueries {
           "JOIN ps pa ON pa.source = p.source_a JOIN ps pb ON pb.source = p.source_b " +
           "LEFT JOIN ex ON ex.source_a = p.source_a AND ex.source_b = p.source_b " +
           "ORDER BY 1, 2")
-    )
+    ),
+    kmvJaccardQ
   )
 
   /** Shared KMV inputs: (per-source bigram relation, per-source
@@ -412,6 +413,92 @@ object SketchQueries {
     * Bigrams via equal-length slice zip (no `sequence(1, 0)` descending
     * trap on short docs).
     */
+  private def kmvJaccardQ: Q = Q(
+    "q_kmv_jaccard",
+    // Similarity TELEMETRY from stored sketches — the chart a shard
+    // monitor actually draws: per source pair, Jaccard =
+    // intersect/union and containment-in-A = intersect/est_A, every
+    // term derived from the SAME two 512-byte artifacts through the
+    // already-differential estimators (the divisions are single double
+    // ops over values both engines compute bit-equal, so the ratios
+    // hash-match too). Exact counterparts ride alongside via
+    // inclusion-exclusion. At 100 TB: pairwise corpus similarity from
+    // K longs per shard, no co-scan.
+    (s, d) => {
+      val (bi, sk, _) = kmvParts(s, d)
+      val pairs = sk.select(col("source").as("source_a"), col("sk").as("ska"))
+        .join(
+          sk.select(col("source").as("source_b"), col("sk").as("skb")),
+          col("source_a") < col("source_b"))
+      val dist = bi.distinct()
+      val perSrc = dist.groupBy(col("source")).agg(count(lit(1)).as("nd"))
+      val common = dist.select(col("source").as("source_a"), col("bg"))
+        .join(dist.select(col("source").as("source_b"), col("bg")), "bg")
+        .filter(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("ncom"))
+      pairs
+        .join(perSrc.select(col("source").as("source_a"), col("nd").as("na")), "source_a")
+        .join(perSrc.select(col("source").as("source_b"), col("nd").as("nb")), "source_b")
+        .join(common, Seq("source_a", "source_b"), "left")
+        .select(
+          col("source_a"), col("source_b"),
+          (coalesce(col("ncom"), lit(0L)).cast("double") /
+            (col("na") + col("nb") - coalesce(col("ncom"), lit(0L))).cast("double"))
+            .as("exact_jaccard"),
+          (coalesce(col("ncom"), lit(0L)).cast("double") / col("na").cast("double"))
+            .as("exact_containment_a"),
+          (expr("graft_kmv_intersect(ska, skb)") /
+            expr("graft_kmv_est(graft_kmv_union(ska, skb))")).as("est_jaccard"),
+          (expr("graft_kmv_intersect(ska, skb)") /
+            expr("graft_kmv_est(ska)")).as("est_containment_a"))
+        .orderBy("source_a", "source_b")
+    },
+    Some(
+      kmvOracleCtes +
+        "t AS (SELECT source, CASE WHEN COUNT(*) < 64 THEN CAST(4294967296 AS BIGINT) " +
+        "ELSE MAX(CASE WHEN rk = 64 THEN h END) END AS theta FROM r WHERE rk <= 64 GROUP BY source), " +
+        "k AS (SELECT source, COUNT(*) AS n_ret, MAX(CASE WHEN rk = 64 THEN h END) AS kth " +
+        "FROM r WHERE rk <= 64 GROUP BY source), " +
+        "ea AS (SELECT source, CASE WHEN n_ret < 64 THEN CAST(n_ret AS DOUBLE) " +
+        "ELSE CAST(63 AS DOUBLE) * 4294967296.0 / CAST(kth AS DOUBLE) END AS esta FROM k), " +
+        "m AS (SELECT source, h FROM r WHERE rk <= 64), " +
+        "p AS (SELECT ta.source AS source_a, tb.source AS source_b, LEAST(ta.theta, tb.theta) AS th " +
+        "FROM t ta JOIN t tb ON ta.source < tb.source), " +
+        "cm AS (SELECT ma.source AS source_a, mb.source AS source_b, ma.h " +
+        "FROM m ma JOIN m mb ON ma.h = mb.h AND ma.source < mb.source), " +
+        "c AS (SELECT p.source_a, p.source_b, p.th, " +
+        "COUNT(cm.h) FILTER (WHERE cm.h < p.th) AS cnt " +
+        "FROM p LEFT JOIN cm ON cm.source_a = p.source_a AND cm.source_b = p.source_b " +
+        "GROUP BY 1, 2, 3), " +
+        "uhh AS (SELECT DISTINCT a.source_a, a.source_b, x.h FROM " +
+        "(SELECT source_a, source_b FROM p) a JOIN hh x ON x.source IN (a.source_a, a.source_b)), " +
+        "uh AS (SELECT source_a, source_b, h, " +
+        "ROW_NUMBER() OVER (PARTITION BY source_a, source_b ORDER BY h) AS rk FROM uhh), " +
+        "uk AS (SELECT source_a, source_b, COUNT(*) AS n_ret, MAX(CASE WHEN rk = 64 THEN h END) AS kth " +
+        "FROM uh WHERE rk <= 64 GROUP BY 1, 2), " +
+        "eu AS (SELECT source_a, source_b, CASE WHEN n_ret < 64 THEN CAST(n_ret AS DOUBLE) " +
+        "ELSE CAST(63 AS DOUBLE) * 4294967296.0 / CAST(kth AS DOUBLE) END AS estu FROM uk), " +
+        "ei AS (SELECT c.source_a, c.source_b, " +
+        "CAST(cnt AS DOUBLE) * 4294967296.0 / CAST(th AS DOUBLE) AS esti FROM c), " +
+        "dist AS (SELECT DISTINCT source, bg FROM bi), " +
+        "ps AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nd FROM dist GROUP BY source), " +
+        "ex AS (SELECT a.source AS source_a, b.source AS source_b, CAST(COUNT(*) AS BIGINT) AS ncom " +
+        "FROM dist a JOIN dist b ON a.bg = b.bg AND a.source < b.source GROUP BY 1, 2) " +
+        "SELECT p.source_a, p.source_b, " +
+        "CAST(COALESCE(ex.ncom, 0) AS DOUBLE) / CAST(pa.nd + pb.nd - COALESCE(ex.ncom, 0) AS DOUBLE) AS exact_jaccard, " +
+        "CAST(COALESCE(ex.ncom, 0) AS DOUBLE) / CAST(pa.nd AS DOUBLE) AS exact_containment_a, " +
+        "ei.esti / eu.estu AS est_jaccard, " +
+        "ei.esti / ea.esta AS est_containment_a " +
+        "FROM p " +
+        "JOIN ei ON ei.source_a = p.source_a AND ei.source_b = p.source_b " +
+        "JOIN eu ON eu.source_a = p.source_a AND eu.source_b = p.source_b " +
+        "JOIN ea ON ea.source = p.source_a " +
+        "JOIN ps pa ON pa.source = p.source_a JOIN ps pb ON pb.source = p.source_b " +
+        "LEFT JOIN ex ON ex.source_a = p.source_a AND ex.source_b = p.source_b " +
+        "ORDER BY 1, 2")
+  )
+
   /** The (source, bg) bigram relation — ONE spelling shared by the
     * batch gates and the ingest twin ([[graft.streaming.KmvStream]]),
     * so stream and batch cannot drift. Streamable: pure per-row
