@@ -73,5 +73,10 @@ object PipelineMain {
     // on the topic for the next invocation
     MessageQueue.ack(topic, peeked.map(_._1))
     Pipeline.retentionSweep(spark, root, java.time.LocalDate.now())
+    // the stored-artifact twin of the same lifecycle (round 17): age out
+    // sketch/index/graph slots a corpus regeneration stranded — every
+    // serve touches _OK, so live artifacts never expire
+    val swept = graft.core.ArtifactStore.retentionSweep(spark)
+    if (swept.nonEmpty) println(s"[pipeline] artifact sweep removed ${swept.size} stale slots")
   }
 }

@@ -32,6 +32,33 @@ class CronKickoffSpec extends SparkSpec {
     assert(PipelineMain.tick(root, None, spark).isDefined)
   }
 
+  test("a scheduler tick sweeps stale artifact slots and spares live ones") {
+    // Round-17: the stored-artifact retention sweep runs inside the
+    // same scheduled flow as the staging-dir sweep (the reference's one
+    // lifecycle, main.tf:72-79). Planted: one slot last used 40 days
+    // ago, one fresh — the tick must remove exactly the stale one.
+    val root = freshRoot()
+    val store = java.nio.file.Files.createTempDirectory("cron-artifacts").toString
+    spark.conf.set("graft.artifacts.dir", store)
+    try {
+      import graft.core.ArtifactStore
+      def put(key: String): Unit =
+        ArtifactStore.loadOrBuild(spark, key) { w => w.text("p", key) } { s => s.text("p") }
+      put("cron-stale"); put("cron-live")
+      val staleDir = new java.io.File(store).listFiles().filter(_.isDirectory)
+        .find(d => new String(java.nio.file.Files.readAllBytes(
+          new java.io.File(d, "key.txt").toPath)) == "cron-stale").get
+      val past = System.currentTimeMillis() - 40L * 24 * 3600 * 1000
+      assert(new java.io.File(staleDir, "_OK").setLastModified(past))
+      assert(PipelineMain.tick(root, None, spark).isDefined)
+      val left = new java.io.File(store).listFiles().filter(_.isDirectory).map(d =>
+        new String(java.nio.file.Files.readAllBytes(
+          new java.io.File(d, "key.txt").toPath))).toSet
+      assert(left == Set("cron-live"),
+        s"tick swept the wrong slots — remaining: $left")
+    } finally spark.conf.unset("graft.artifacts.dir")
+  }
+
   test("a tick fired while another run holds the lock yields cleanly") {
     val root = freshRoot()
     val held = RunLock.tryAcquire(root)
