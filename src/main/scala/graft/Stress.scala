@@ -201,10 +201,18 @@ object Stress {
       val t = time { n = queries.Graph.labelProp(edges, rounds = 3).count() }
       (t, n)
     }
-    bfs(e1); lpFull(e1); lpDelta(e1) // warm the shapes
+    def sssp(edges: org.apache.spark.sql.DataFrame): (Double, Long) = {
+      val we = edges.withColumn("w", lit(1L) + pmod(col("src") + col("dst"), lit(5L)))
+        .localCheckpoint(true)
+      var n = 0L
+      val t = time { n = queries.Graph.ssspFrom(spark, we, src, rounds = 4).count() }
+      (t, n)
+    }
+    bfs(e1); lpFull(e1); lpDelta(e1); sssp(e1) // warm the shapes
     val (tb1, nb1) = bfs(e1); val (tbm, nbm) = bfs(em)
     val (tl1, nl1) = lpFull(e1); val (tlm, nlm) = lpFull(em)
     val (td1, _) = lpDelta(e1); val (tdm, _) = lpDelta(em)
+    val (ts1, ns1) = sssp(e1); val (tsm, nsm) = sssp(em)
     val num = (v: Double) => Timing.fmt3(v)
     println(
       s"""{"tier":"graph","mult":$mult,"edges_1x":$ne1,"edges_mx":$nem,""" +
@@ -213,7 +221,10 @@ object Stress {
         s""""lp_full_sec_1x":${num(tl1)},"lp_full_sec_mx":${num(tlm)},"lp_nodes_1x":$nl1,"lp_nodes_mx":$nlm,""" +
         s""""lp_full_growth":${num(tlm / tl1)},""" +
         s""""lp_delta_sec_1x":${num(td1)},"lp_delta_sec_mx":${num(tdm)},""" +
-        s""""lp_delta_growth":${num(tdm / td1)}}""")
+        s""""lp_delta_growth":${num(tdm / td1)},""" +
+        s""""sssp_sec_1x":${num(ts1)},"sssp_sec_mx":${num(tsm)},""" +
+        s""""sssp_reached_1x":$ns1,"sssp_reached_mx":$nsm,""" +
+        s""""sssp_growth":${num(tsm / ts1)}}""")
   }
 
   /** Restart-contract gate in CI shape (round-16 verdict #8): the

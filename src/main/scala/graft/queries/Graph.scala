@@ -264,26 +264,7 @@ object Graph {
           .withColumn("w", lit(1L) + pmod(col("src") + col("dst"), lit(5L)))
           .localCheckpoint(true)
         val src = li.agg(min(col("pk"))).head().getLong(0)
-        var dist = s.range(1)
-          .select(lit(src).as("pk"), lit(0L).as("cost"))
-          .localCheckpoint(true)
-        var delta = dist
-        for (_ <- 1 to 4) {
-          val relaxed = delta
-            .join(edges, col("pk") === col("src"))
-            .select(col("dst").as("pk"), (col("cost") + col("w")).as("cost"))
-            .groupBy(col("pk")).agg(min(col("cost")).as("cost"))
-          val improved = relaxed
-            .join(dist.select(col("pk"), col("cost").as("__old")), Seq("pk"), "left")
-            .filter(col("__old").isNull || col("cost") < col("__old"))
-            .select(col("pk"), col("cost"))
-            .localCheckpoint(true)
-          dist = dist.unionByName(improved)
-            .groupBy(col("pk")).agg(min(col("cost")).as("cost"))
-            .localCheckpoint(true)
-          delta = improved
-        }
-        dist.orderBy("pk")
+        ssspFrom(s, edges, src, rounds = 4).orderBy("pk")
       },
       Some(
         "WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
@@ -366,6 +347,38 @@ object Graph {
       delta = improved
     }
     labels
+  }
+
+  /** Delta-optimized bounded Bellman-Ford (SPFA shape) over a weighted
+    * edge relation (src, dst, w): each round relaxes only last round's
+    * improved nodes; after R rounds the cost is exactly min over
+    * ≤R-edge paths.
+    */
+  private[graft] def ssspFrom(
+      s: org.apache.spark.sql.SparkSession,
+      edges: org.apache.spark.sql.DataFrame,
+      src: Long,
+      rounds: Int): org.apache.spark.sql.DataFrame = {
+    var dist = s.range(1)
+      .select(lit(src).as("pk"), lit(0L).as("cost"))
+      .localCheckpoint(true)
+    var delta = dist
+    for (_ <- 1 to rounds) {
+      val relaxed = delta
+        .join(edges, col("pk") === col("src"))
+        .select(col("dst").as("pk"), (col("cost") + col("w")).as("cost"))
+        .groupBy(col("pk")).agg(min(col("cost")).as("cost"))
+      val improved = relaxed
+        .join(dist.select(col("pk"), col("cost").as("__old")), Seq("pk"), "left")
+        .filter(col("__old").isNull || col("cost") < col("__old"))
+        .select(col("pk"), col("cost"))
+        .localCheckpoint(true)
+      dist = dist.unionByName(improved)
+        .groupBy(col("pk")).agg(min(col("cost")).as("cost"))
+        .localCheckpoint(true)
+      delta = improved
+    }
+    dist
   }
 
   /** The textbook FULL-relation propagation (every node re-propagates
