@@ -170,7 +170,11 @@ object Stress {
     * corpus. Emits one JSON line with both curves and the edge counts.
     */
   private def runGraph(spark: SparkSession, sfDir: String, mult: Int): Unit = {
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft-stress-graph"
+    // per-user output dir (the artifact-root convention): a fixed
+    // shared path would let concurrent runs by different users on one
+    // box clobber each other's replicated corpus mid-measure
+    val user = sys.props.getOrElse("user.name", "anon").replaceAll("[^A-Za-z0-9._-]", "_")
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft-stress-graph-$user"
     val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select(col("l_orderkey"), col("l_partkey"))
     replicate(spark, li0, "l_orderkey", mult)
@@ -275,12 +279,22 @@ object Stress {
       case l if l.startsWith("RESTART_PROBE_BUILDS=") =>
         l.stripPrefix("RESTART_PROBE_BUILDS=").trim.toLong
     }
-    val pass = rc == 0 && coldBuilds.contains(0L)
+    // lifecycle telemetry (round-17 verdict #8): run the retention
+    // sweep against the store both phases just served and surface
+    // swept/kept counts in the round-close JSON — every slot here was
+    // used seconds ago, so ANY swept slot is a lifecycle regression
+    // (an over-eager cutoff or a lost last-used signal), visible in
+    // the checklist rather than only in ArtifactRegistrySpec
+    val swept = core.ArtifactStore.retentionSweep(spark)
+    val kept = Option(new java.io.File(store).listFiles())
+      .map(_.count(_.isDirectory)).getOrElse(0)
+    val pass = rc == 0 && coldBuilds.contains(0L) && swept.isEmpty
     if (!pass) out.takeRight(30).foreach(l => System.err.println(s"[restart-probe] $l"))
     println(
       s"""{"metric":"restart_contract","warm_builds":$warmBuilds,""" +
         s""""warm_sec":${num(warmSec)},"cold_builds":${coldBuilds.map(_.toString).getOrElse("null")},""" +
         s""""cold_proc_sec":${num(coldSec)},"probe_rc":$rc,""" +
+        s""""swept_slots":${swept.size},"kept_slots":$kept,""" +
         s""""restart_contract_pass":$pass,"store":"$store","sf":"$sfDir"}""")
   }
 

@@ -203,11 +203,16 @@ object ArtifactStore {
     touch(slot)
     try load(new Slot(Some(slot), spark, None))
     catch {
-      case _: Throwable if completed(slot) =>
+      case _: Throwable =>
         // `_OK` proves the build COMPLETED, not that the parts are
         // intact — a part deleted or truncated out-of-band otherwise
-        // poisons the key forever. Quarantine-delete and rebuild ONCE;
-        // a second failure propagates (the fault isn't the slot).
+        // poisons the key forever. The retry is unconditional on the
+        // slot's state: a slot REMOVED between the completed() check
+        // and load() (a concurrent retentionSweep racing a server is
+        // exactly this window) is as self-healable as a corrupt one,
+        // and gating on a stale `_OK` would propagate that race as a
+        // serve failure. Quarantine-delete and rebuild ONCE; a second
+        // failure propagates (the fault isn't the slot).
         deleteRec(slot)
         buildSlot()
         load(new Slot(Some(slot), spark, None))
@@ -236,7 +241,10 @@ object ArtifactStore {
       .filter(_.isDirectory)
       .filter { d =>
         val ok = new File(d, "_OK")
-        val lastUsed = if (ok.isFile) ok.lastModified() else d.lastModified()
+        val used = new File(d, "_USED") // touch()'s mtime-rejected fallback
+        val lastUsed =
+          if (ok.isFile) math.max(ok.lastModified(), if (used.isFile) used.lastModified() else 0L)
+          else d.lastModified()
         lastUsed < cutoff
       }
       .map { d => deleteRec(d); d.getName }
@@ -244,7 +252,20 @@ object ArtifactStore {
 
   private def touch(slot: File): Unit = {
     val ok = new File(slot, "_OK")
-    if (ok.isFile) { ok.setLastModified(System.currentTimeMillis()); () }
+    // setLastModified returns false where the filesystem (or another
+    // user's ownership of the slot under a shared GRAFT_ARTIFACTS_DIR)
+    // rejects mtime updates — silently losing the last-used signal
+    // would let retentionSweep delete actively-served slots. Fall back
+    // to (re)writing a small `_USED` sidecar inside the slot: a fresh
+    // write stamps its own mtime, and the sweep reads the NEWEST of
+    // `_OK`/`_USED`. Best-effort throughout (a slot swept mid-touch
+    // must not fail the serve — the load-retry above handles it).
+    try {
+      if (ok.isFile && !ok.setLastModified(System.currentTimeMillis())) {
+        Files.write(new File(slot, "_USED").toPath, Array.emptyByteArray)
+        ()
+      }
+    } catch { case _: java.io.IOException => () }
   }
 
   private def completed(slot: File): Boolean = new File(slot, "_OK").isFile

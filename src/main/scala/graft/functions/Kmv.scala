@@ -39,13 +39,51 @@ object KmvSketch {
   /** Hash range: [0, 2^32) from the md5 8-hex-char prefix. */
   val HashSpace = 4294967296.0
 
+  // One digest per thread, reset per call — getInstance("MD5") allocates
+  // (provider lookup + digest object) and hash32 sits on the PER-TOKEN
+  // hot path of KmvAggregate.update, the per-token cost the sketch
+  // stress tier names as KMV's weak spot.
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** Cross-engine 32-bit hash (see scaladoc): first 4 digest bytes of
     * md5 over UTF-8, as an unsigned 32-bit value in a long.
     */
   def hash32(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** Decode an `array<bigint>` sketch column to primitive longs, SKIPPING
+    * null elements: sketches this library writes never contain them
+    * (`containsNull=false`), but a stored sketch re-read through parquet
+    * or a user-supplied `array<bigint>` may carry the nullable element
+    * type — `ArrayData.toLongArray()` then throws MID-QUERY on the first
+    * null. Defined semantics instead: a null element is no hash, so the
+    * sketch is the set of its non-null members (order preserved — a
+    * sorted input stays sorted). The no-null fast path is the bulk
+    * `toLongArray()` copy.
+    */
+  def longs(ad: org.apache.spark.sql.catalyst.util.ArrayData): Array[Long] = {
+    val n = ad.numElements()
+    var i = 0
+    var nulls = 0
+    while (i < n) { if (ad.isNullAt(i)) nulls += 1; i += 1 }
+    if (nulls == 0) ad.toLongArray()
+    else {
+      val out = new Array[Long](n - nulls)
+      var j = 0
+      i = 0
+      while (i < n) {
+        if (!ad.isNullAt(i)) { out(j) = ad.getLong(i); j += 1 }
+        i += 1
+      }
+      out
+    }
   }
 
   /** θ in RAW hash units: the K-th smallest retained hash once the
@@ -119,6 +157,38 @@ object KmvSketch {
   }
 }
 
+/** Mutable sorted k-min insertion buffer — `mins(0 until n)` ascending,
+  * distinct, primitive longs (the CmsSketch flat-primitive-state
+  * convention): one 512-byte array per group, binary-search insert with
+  * a bounded `System.arraycopy` shift, zero boxing/allocation per
+  * update. Replaces the round-17 `java.util.TreeSet[java.lang.Long]`
+  * state (boxed node per retained hash, allocation on the hot
+  * aggregation path) with bit-identical retained sets: both keep
+  * exactly the K smallest distinct hashes.
+  */
+final class KmvBuffer {
+  import KmvSketch.K
+  val mins = new Array[Long](K)
+  var n = 0
+
+  def add(h: Long): Unit = {
+    // full buffer: anything at or above the current max can't enter
+    if (n == K && h >= mins(n - 1)) return
+    var lo = 0
+    var hi = n
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (mins(mid) < h) lo = mid + 1 else hi = mid
+    }
+    if (lo < n && mins(lo) == h) return // already retained
+    // shift right from the insertion point; a full buffer drops its max
+    val tail = math.min(n, K - 1)
+    System.arraycopy(mins, lo, mins, lo + 1, tail - lo)
+    mins(lo) = h
+    if (n < K) n += 1
+  }
+}
+
 /** `graft_kmv(term)` → sorted `array<bigint>` of the ≤K smallest
   * distinct term hashes. Nulls are skipped; the empty group yields the
   * empty array. Partial aggregation exercises [[merge]] (union +
@@ -128,56 +198,39 @@ case class KmvAggregate(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+    extends TypedImperativeAggregate[KmvBuffer] {
 
-  import KmvSketch.K
+  override def createAggregationBuffer(): KmvBuffer = new KmvBuffer
 
-  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
-    new java.util.TreeSet[java.lang.Long]()
-
-  private def add(buffer: java.util.TreeSet[java.lang.Long], h: Long): Unit = {
-    if (buffer.size < K) { buffer.add(h); () }
-    else if (h < buffer.last()) {
-      if (buffer.add(h)) { buffer.remove(buffer.last()); () }
-    }
-  }
-
-  override def update(
-      buffer: java.util.TreeSet[java.lang.Long],
-      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+  override def update(buffer: KmvBuffer, input: InternalRow): KmvBuffer = {
     val v = child.eval(input)
-    if (v != null) add(buffer, KmvSketch.hash32(v.asInstanceOf[UTF8String].toString))
+    if (v != null) buffer.add(KmvSketch.hash32(v.asInstanceOf[UTF8String].toString))
     buffer
   }
 
-  override def merge(
-      buffer: java.util.TreeSet[java.lang.Long],
-      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
-    val it = other.iterator()
-    while (it.hasNext) add(buffer, it.next())
-    buffer
-  }
-
-  override def eval(buffer: java.util.TreeSet[java.lang.Long]): Any = {
-    val out = new Array[Long](buffer.size)
-    val it = buffer.iterator()
+  override def merge(buffer: KmvBuffer, other: KmvBuffer): KmvBuffer = {
     var i = 0
-    while (it.hasNext) { out(i) = it.next(); i += 1 }
-    new GenericArrayData(out)
+    while (i < other.n) { buffer.add(other.mins(i)); i += 1 }
+    buffer
   }
 
-  override def serialize(buffer: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(buffer.size * 8)
+  override def eval(buffer: KmvBuffer): Any =
+    new GenericArrayData(java.util.Arrays.copyOf(buffer.mins, buffer.n))
+
+  override def serialize(buffer: KmvBuffer): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buffer.n * 8)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    val it = buffer.iterator()
-    while (it.hasNext) bb.putLong(it.next())
+    var i = 0
+    while (i < buffer.n) { bb.putLong(buffer.mins(i)); i += 1 }
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
-    val out = new java.util.TreeSet[java.lang.Long]()
+  override def deserialize(bytes: Array[Byte]): KmvBuffer = {
+    // serialize() wrote an ascending distinct ≤K sequence — copy it
+    // straight into a fresh buffer, no re-insertion needed
+    val out = new KmvBuffer
     val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    while (bb.hasRemaining) out.add(bb.getLong())
+    while (bb.hasRemaining) { out.mins(out.n) = bb.getLong(); out.n += 1 }
     out
   }
 
@@ -217,13 +270,13 @@ case class KmvEstimate(child: Expression)
 
   override def nullSafeEval(sketch: Any): Any =
     KmvSketch.estimate(
-      sketch.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray())
+      KmvSketch.longs(sketch.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]))
 
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.KmvSketch.estimate($c.toLongArray())")
+    defineCodeGen(ctx, ev, c => s"graft.functions.KmvSketch.estimate(graft.functions.KmvSketch.longs($c))")
 
   override protected def withNewChildInternal(newChild: Expression): KmvEstimate =
     copy(child = newChild)
@@ -252,8 +305,8 @@ case class KmvUnion(first: Expression, second: Expression)
 
   override def nullSafeEval(a: Any, b: Any): Any =
     new GenericArrayData(KmvSketch.union(
-      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray(),
-      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()))
+      KmvSketch.longs(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]),
+      KmvSketch.longs(b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])))
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): KmvUnion =
@@ -280,15 +333,15 @@ case class KmvDiff(first: Expression, second: Expression)
 
   override def nullSafeEval(a: Any, b: Any): Any =
     KmvSketch.diffEstimate(
-      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray(),
-      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray())
+      KmvSketch.longs(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]),
+      KmvSketch.longs(b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]))
 
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.KmvSketch.diffEstimate($a.toLongArray(), $b.toLongArray())")
+      s"graft.functions.KmvSketch.diffEstimate(graft.functions.KmvSketch.longs($a), graft.functions.KmvSketch.longs($b))")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): KmvDiff =
@@ -315,15 +368,15 @@ case class KmvIntersect(first: Expression, second: Expression)
 
   override def nullSafeEval(a: Any, b: Any): Any =
     KmvSketch.intersectEstimate(
-      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray(),
-      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray())
+      KmvSketch.longs(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]),
+      KmvSketch.longs(b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]))
 
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.KmvSketch.intersectEstimate($a.toLongArray(), $b.toLongArray())")
+      s"graft.functions.KmvSketch.intersectEstimate(graft.functions.KmvSketch.longs($a), graft.functions.KmvSketch.longs($b))")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): KmvIntersect =

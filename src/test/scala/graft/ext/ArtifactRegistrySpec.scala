@@ -274,6 +274,71 @@ class ArtifactRegistrySpec extends SparkSpec {
     } finally spark.conf.unset("graft.artifacts.dir")
   }
 
+  test("a slot swept between the completed() check and load() is rebuilt, not a serve failure") {
+    // ADVICE round 17 (medium): the corrupt-slot retry was gated on a
+    // stale _OK still existing — a slot DELETED in the window between
+    // completed() and load() (a concurrent retentionSweep racing a
+    // server against the same root) propagated the load failure for a
+    // self-healable condition. The retry is now unconditional on slot
+    // state; a second failure still propagates.
+    val store = java.nio.file.Files.createTempDirectory("graft-artifact-race").toString
+    spark.conf.set("graft.artifacts.dir", store)
+    try {
+      import graft.core.ArtifactStore
+      assert(ArtifactStore.loadOrBuild(spark, "race-key") { w =>
+        w.text("p", "v1")
+      } { s => s.text("p") } == "v1")
+      val slot = new java.io.File(store).listFiles().filter(_.isDirectory).head
+      // simulate the sweep firing mid-serve: the FIRST load sees the
+      // slot vanish under it; the retry must rebuild and serve
+      var loads = 0
+      val buildsBefore = ArtifactStore.builds.get()
+      val got = ArtifactStore.loadOrBuild(spark, "race-key") { w =>
+        w.text("p", "v2")
+      } { s =>
+        loads += 1
+        if (loads == 1) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete(); ()
+          }
+          rm(slot)
+        }
+        s.text("p")
+      }
+      assert(got == "v2", s"race retry served '$got' instead of rebuilding")
+      assert(loads == 2, "retry path did not re-load after the rebuild")
+      assert(ArtifactStore.builds.get() == buildsBefore + 1)
+    } finally spark.conf.unset("graft.artifacts.dir")
+  }
+
+  test("a _USED sidecar keeps a slot alive when _OK's mtime cannot advance") {
+    // ADVICE round 17 (low): where setLastModified silently fails (slot
+    // owned by another user under a shared root), touch() falls back to
+    // (re)writing a _USED sidecar — and the sweep reads the NEWEST of
+    // _OK/_USED, so a daily-served slot with a frozen _OK survives.
+    val store = java.nio.file.Files.createTempDirectory("graft-artifact-used").toString
+    spark.conf.set("graft.artifacts.dir", store)
+    try {
+      import graft.core.ArtifactStore
+      def put(payload: String): String =
+        ArtifactStore.loadOrBuild(spark, "used-key") { w => w.text("p", payload) } { s => s.text("p") }
+      assert(put("v1") == "v1")
+      val slot = new java.io.File(store).listFiles().filter(_.isDirectory).head
+      // plant: _OK frozen 40 days in the past, _USED stamped fresh (what
+      // the touch fallback writes when the mtime update is rejected)
+      val past = System.currentTimeMillis() - 40L * 24 * 3600 * 1000
+      assert(new java.io.File(slot, "_OK").setLastModified(past))
+      java.nio.file.Files.write(
+        new java.io.File(slot, "_USED").toPath, Array.emptyByteArray)
+      assert(ArtifactStore.retentionSweep(spark, maxAgeDays = 32).isEmpty,
+        "sweep deleted a slot whose _USED sidecar proves recent serves")
+      // with BOTH signals stale the slot ages out as before
+      assert(new java.io.File(slot, "_USED").setLastModified(past))
+      assert(ArtifactStore.retentionSweep(spark, maxAgeDays = 32) == Seq(slot.getName))
+    } finally spark.conf.unset("graft.artifacts.dir")
+  }
+
   test("PQ codes registry rebuilds when the corpus under the same path is regenerated") {
     val dir = java.nio.file.Files.createTempDirectory("graft-artifact-reg-pq").toString
     writeCorpus(dir, 0L until 20L, Seq("apple", "banana", "cherry", "date"))

@@ -123,4 +123,23 @@ class KmvSpec extends SparkSpec {
     val cBig = sketchOf((0 until 1000).map(i => s"y$i").toDF("term"))
     assert(KmvSketch.intersectEstimate(aBig, cBig) == 0.0)
   }
+
+  test("null elements in user-supplied sketch arrays are skipped, not a runtime crash") {
+    // ADVICE round 17: the scalars accept array<bigint> with nullable
+    // elements at analysis (parquet round-trips widen containsNull),
+    // but toLongArray() threw at runtime on the first null. Defined
+    // semantics now: a null element is no hash — the sketch is the set
+    // of its non-null members.
+    import spark.implicits._
+    val df = Seq(1).toDF("one").select(
+      expr("graft_kmv_est(array(CAST(NULL AS BIGINT), 5L, 9L))").as("est"),
+      expr("graft_kmv_union(array(CAST(NULL AS BIGINT), 5L), array(3L, CAST(NULL AS BIGINT), 9L))").as("un"),
+      expr("graft_kmv_intersect(array(CAST(NULL AS BIGINT), 5L, 9L), array(5L, CAST(NULL AS BIGINT)))").as("ix"),
+      expr("graft_kmv_diff(array(CAST(NULL AS BIGINT), 5L, 9L), array(5L, CAST(NULL AS BIGINT)))").as("dx"))
+    val r = df.head()
+    assert(r.getDouble(0) == 2.0, s"est over [null,5,9] must see 2 hashes, got ${r.getDouble(0)}")
+    assert(r.getSeq[Long](1) == Seq(3L, 5L, 9L), s"union must merge non-null members, got ${r.getSeq[Long](1)}")
+    assert(r.getDouble(2) == 1.0, "intersect over null-bearing exact sketches must be exact")
+    assert(r.getDouble(3) == 1.0, "diff over null-bearing exact sketches must be exact")
+  }
 }
