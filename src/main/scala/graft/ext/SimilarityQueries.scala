@@ -71,15 +71,30 @@ object SimilarityQueries {
     navGraphFrom(emb, navKnnEdges(emb))
 
   /** The sub-quadratic kNN edge relation behind [[navGraph]]: the
-    * q_knn_graph_ivf machinery (multi-probe IVF cells k=16 r=2 →
-    * in-cell exact cosine → per-src top-8). Candidate volume is
-    * ≈ r²·n²/k for balanced cells; at corpus scale k grows with n
-    * (k ≈ √n keeps cells √n-sized) while the fixture-scale form pins
-    * k=16 — the same ceiling q_knn_graph_ivf gates in-plan.
+    * q_knn_graph_ivf machinery (multi-probe IVF cells, r=2 →
+    * in-cell exact cosine → per-src top-8). k is CORPUS-ADAPTIVE by
+    * default (round-17 verdict #1): k = ⌈√n⌉ uncapped
+    * ([[Ivf.cellCountScaled]] — past 64 cells the assignment rides the
+    * broadcast-join argmin), so candidate volume r²·n²/k stays
+    * ~r²·n^1.5 at ANY corpus size instead of flattening into a
+    * constant-factor n² at a pinned k. Pass `k` explicitly only for
+    * A/B harnesses.
     */
   private[graft] def navKnnEdges(
-      emb: org.apache.spark.sql.DataFrame, k: Int = 16): org.apache.spark.sql.DataFrame = {
-    val cells = Ivf.indexMulti(emb, Ivf.train(emb.sparkSession, emb, k), r = 2)
+      emb: org.apache.spark.sql.DataFrame, k: Int = -1): org.apache.spark.sql.DataFrame = {
+    val kk = if (k > 0) k else Ivf.cellCountScaled(emb.count())
+    navKnnEdgesWith(emb, Ivf.trainK(emb.sparkSession, emb, kk))
+  }
+
+  /** [[navKnnEdges]] with a caller-supplied coarse quantizer — the
+    * shared-artifact composition ([[navGraphShared]] trains through
+    * [[Ivf.trainSharedAdaptive]] so the graph build and q_knn_graph_ivf
+    * reuse one stored quantizer instead of running Lloyd twice).
+    */
+  private[graft] def navKnnEdgesWith(
+      emb: org.apache.spark.sql.DataFrame,
+      centroids: Seq[Seq[Double]]): org.apache.spark.sql.DataFrame = {
+    val cells = Ivf.indexMulti(emb, centroids, r = 2)
     Ivf.knnTopK(Ivf.knnCandidates(cells), 8).select(col("src"), col("dst"))
   }
 
@@ -147,8 +162,7 @@ object SimilarityQueries {
       corpus: org.apache.spark.sql.DataFrame,
       centroids: Seq[Seq[Double]]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    Ivf.index(corpus, centroids)
-      .withColumn("d2", Ivf.minDist2(col("cv"), centroids))
+    Ivf.indexWithDist(corpus, centroids)
       .withColumn(
         "mrk",
         row_number().over(Window.partitionBy(col("bucket")).orderBy(col("d2"), col("n_id"))))
@@ -184,14 +198,46 @@ object SimilarityQueries {
       .select(col("q_id"), col("n_id"))
   }
 
-  /** Beam search over a navigable graph (the q_sim_graph_routed walk,
-    * shared with SimilaritySpec's MoG row): 8 fixed entry nodes, `hops`
-    * rounds of expand-neighbors → exact-score → keep the top-`beam`,
-    * answer = per-query top-3 of everything visited. Returns
-    * (routed top-3, full visited relation) — the visited count is the
-    * construction-bound evidence. Each hop's state is checkpointed (the
-    * PageRank loop-invariant lesson: a lazily-chained round re-executes
-    * every earlier one).
+  /** The graph family's SERVING DEFAULT (round-17 verdict #2): the
+    * hierarchical waypoint-seeded walk at HALF the fixed-entry hops.
+    * Seeds come from the stored waypoint layer (each query's top-8
+    * medoids by exact cosine — corpus-size-free scoring over a
+    * broadcast layer), so the bottom-layer walk starts NEAR the query
+    * and 3 hops suffice where 8 fixed entries needed 6 (MoG: recall
+    * 1.000 vs 0.972, serving −34%). Every registered serving row —
+    * routed, tombstone, compaction, hybrid-graph — walks through this
+    * helper; the fixed-entry walk survives as SimilaritySpec's
+    * documented baseline rows and as the NSW INSERT walk (insertion
+    * enters the graph cold by design — its contract is shared
+    * bit-exactly with the streaming twin).
+    */
+  private[graft] val ServeHops = 3
+  private[graft] val ServeBound: Long = 8L + ServeHops.toLong * 12L * 12L // 440/query
+
+  private[graft] def hierRoutedOver(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+      corpus: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame,
+      graph: org.apache.spark.sql.DataFrame,
+      waypoints: Option[org.apache.spark.sql.DataFrame] = None,
+      hops: Int = ServeHops)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val wp = waypoints.getOrElse(waypointsShared(s, d))
+    graphRoutedOver(
+      corpus, queries, graph, hops = hops,
+      seeds = Some(hierarchicalSeeds(wp, queries)))
+  }
+
+  /** Beam search over a navigable graph with FIXED entry (the
+    * pre-round-18 serving shape, now the spec-side baseline and the
+    * NSW-insert walk; registered serving rides [[hierRoutedOver]]):
+    * 8 fixed entry nodes, `hops` rounds of expand-neighbors →
+    * exact-score → keep the top-`beam`, answer = per-query top-3 of
+    * everything visited. Returns (routed top-3, full visited relation)
+    * — the visited count is the construction-bound evidence. Each
+    * hop's state is checkpointed (the PageRank loop-invariant lesson:
+    * a lazily-chained round re-executes every earlier one).
     */
   def graphRoutedTopK(
       emb: org.apache.spark.sql.DataFrame,
@@ -269,23 +315,33 @@ object SimilarityQueries {
     * graph-densed hybrid fusion in [[SearchQueries]]).
     */
   private[graft] def navGraphShared(
-      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    // corpus-adaptive blocking (round-17 verdict #1): k = ⌈√n⌉ rides
+    // the artifact key, so a grown corpus re-keys its graph instead of
+    // serving a stale (coarser) cell geometry; the quantizer itself is
+    // the shared stored artifact (one Lloyd run per corpus fingerprint
+    // across this build AND q_knn_graph_ivf/q_dedup_embed)
+    val k = Ivf.adaptiveK(s, d)
     Pq.sharedDf(
-      s"$d|${graft.core.Tables.fingerprint(d, "embeddings")}|nav-graph|deg=8+4|build=ivf16x2") {
-      navGraph(graft.core.Tables(s, d, "embeddings"))
+      s"$d|${graft.core.Tables.fingerprint(d, "embeddings")}|nav-graph|deg=8+4|build=ivfx2|k=$k") {
+      val emb = graft.core.Tables(s, d, "embeddings")
+      navGraphFrom(emb, navKnnEdgesWith(emb, Ivf.trainSharedAdaptive(s, d)))
     }
+  }
 
   /** The waypoint layer through the stored-artifact registry — built
     * once per corpus fingerprint next to the graph it serves
     * ([[navGraphShared]]): ≤ k medoid rows, broadcast at serve time.
     */
   private[graft] def waypointsShared(
-      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val k = Ivf.adaptiveK(s, d)
     Pq.sharedDf(
-      s"$d|${graft.core.Tables.fingerprint(d, "embeddings")}|nav-waypoints|k=16") {
-      cellMedoids(graft.core.Tables(s, d, "embeddings"), Ivf.trainShared(s, d, k = 16))
+      s"$d|${graft.core.Tables.fingerprint(d, "embeddings")}|nav-waypoints|k=$k") {
+      cellMedoids(graft.core.Tables(s, d, "embeddings"), Ivf.trainSharedAdaptive(s, d))
         .localCheckpoint(true)
     }
+  }
 
   /** The COMPACTED serving graph — rebuilt from LIVE vectors only (the
     * IVF-blocked default build) once the tombstone fraction crosses the
@@ -293,10 +349,28 @@ object SimilarityQueries {
     * offline maintenance job in production (hnswlib's resize/rebuild),
     * and the tombstoned original stays untouched for readers mid-swap.
     */
+  /** The waypoint layer REBUILT from live vectors only — the serving
+    * layer of the compacted graph ([[compactedNavGraphShared]]): a
+    * compaction that rebuilds the bottom layer from live vectors must
+    * rebuild its entry layer from the same corpus, or dead medoids keep
+    * seeding walks into a graph that no longer contains them.
+    */
+  private[graft] def compactedWaypointsShared(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Pq.sharedDf(
+      s"$d|${graft.core.Tables.fingerprint(d, "embeddings")}|nav-waypoints-compact|dead=7m3|build=adaptive") {
+      val live = graft.core.Tables(s, d, "embeddings").filter(!(col("vec_id") % 7 === 3))
+      cellMedoids(live, Ivf.trainK(s, live, Ivf.cellCountScaled(live.count())))
+        .localCheckpoint(true)
+    }
+
   private[graft] def compactedNavGraphShared(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
     Pq.sharedDf(
-      s"$d|${graft.core.Tables.fingerprint(d, "embeddings")}|nav-graph-compact|dead=7m3|build=ivf16x2") {
+      s"$d|${graft.core.Tables.fingerprint(d, "embeddings")}|nav-graph-compact|dead=7m3|build=ivfAdaptiveX2") {
+      // derived (live-only) corpus: navGraph picks its own adaptive k
+      // from the live count — the quantizer is re-trained on exactly
+      // the vectors the compacted graph indexes
       navGraph(graft.core.Tables(s, d, "embeddings").filter(!(col("vec_id") % 7 === 3)))
     }
 
@@ -314,7 +388,7 @@ object SimilarityQueries {
     val base = emb.filter(col("vec_id") % 10 =!= 0)
     val delta = emb.filter(col("vec_id") % 10 === 0)
     val baseGraph = Pq.sharedDf(
-      s"$d|${graft.core.Tables.fingerprint(d, "embeddings")}|nav-graph-base|deg=8+4|build=ivf16x2") {
+      s"$d|${graft.core.Tables.fingerprint(d, "embeddings")}|nav-graph-base|deg=8+4|build=ivfAdaptiveX2") {
       navGraph(base)
     }
     (base, delta, baseGraph)
@@ -636,7 +710,9 @@ object SimilarityQueries {
       // nested-loop join (PlanAuditSpec).
       (s, d) => {
         val emb = Tables(s, d, "embeddings")
-        val cells = Ivf.indexMulti(emb, Ivf.trainShared(s, d, k = 16), r = 2)
+        // corpus-adaptive k = ⌈√n⌉ (round-17 verdict #1): candidate
+        // volume r²·n²/k tracks ~r²·n^1.5 as the corpus grows
+        val cells = Ivf.indexMulti(emb, Ivf.trainSharedAdaptive(s, d), r = 2)
         val cand = Ivf.knnCandidates(cells)
         val approx = Ivf.knnTopK(cand, 3)
           .select(col("src").as("q_id"), col("dst").as("n_id"))
@@ -721,13 +797,17 @@ object SimilarityQueries {
       // top-8, recall-equal to the exact O(n²) build (MoG: 0.972 both
       // ways at 0.22·n² candidates; SimilaritySpec carries the A/B) —
       // the exact build survives only as spec-side evidence
-      // (navGraphExact). Serving = beam search: 8 fixed
-      // entry nodes, then 6 hops of expand-neighbors → exact-score →
-      // keep the top-12 beam, answering with the top-3 of everything
-      // visited. Scored-candidate volume is bounded BY CONSTRUCTION:
-      // ≤ seeds + hops·beam·maxdeg = 872 per query, INDEPENDENT of
+      // (navGraphExact). Serving = the family's HIERARCHICAL default
+      // (round-17 verdict #2 closed): each query's beam seeds at its
+      // top-8 stored waypoints, then 3 hops of expand-neighbors →
+      // exact-score → keep the top-12 beam, answering with the top-3
+      // of everything visited — half the fixed-entry walk's hops at
+      // equal-or-better recall (MoG: 1.000 vs 0.972, −34% serving;
+      // the 8-fixed-seeds/6-hop baseline lives in SimilaritySpec). Scored-candidate volume is bounded BY CONSTRUCTION:
+      // ≤ seeds + hops·beam·maxdeg = 440 per query (the hierarchical
+      // serving default's 3-hop walk — round 18), INDEPENDENT of
       // corpus size (the sub-linear-at-scale statement: the fixture is
-      // small enough that 872 is no saving, a 100 TB corpus is where a
+      // small enough that 440 is no saving, a 100 TB corpus is where a
       // corpus-free bound is the whole game) — pinned in-plan as the
       // candidates_bounded boolean. Greedy descent is float-tie and
       // entry-point sensitive, so the gate is the ANN family's
@@ -741,16 +821,20 @@ object SimilarityQueries {
         val emb = Tables(s, d, "embeddings")
         val q = emb.filter(col("vec_id") < 10)
         val graph = navGraphShared(s, d)
-        val (routed, visited) = graphRoutedTopK(emb, col("vec_id") < 10, graph)
+        // round-17 verdict #2: serving DEFAULT = hierarchical entry
+        // (waypoint seeds, 3 hops) — same oracle shape, the bound
+        // tightens 872 → 440/query; the fixed-entry 6-hop walk is the
+        // SimilaritySpec baseline row
+        val (routed, visited) = hierRoutedOver(s, d, emb, q, graph)
         recallGate(Similarity.bruteForceTopK(q, emb, 3), routed, floor = 0.4)
           .crossJoin(broadcast(visited.groupBy().agg(count(lit(1)).as("__n_scored"))))
           .select(
             col("n_queries"),
             col("recall_ge_floor"),
-            // seeds + hops·beam·maxdeg = 8 + 6·12·12 — the walk's
+            // seeds + hops·beam·maxdeg = 8 + 3·12·12 — the walk's
             // corpus-size-INDEPENDENT candidate bound (a dedup or
             // expansion regression blows it immediately)
-            (col("__n_scored") <= col("n_queries") * lit(8L + 6L * 12L * 12L))
+            (col("__n_scored") <= col("n_queries") * lit(ServeBound))
               .as("candidates_bounded"))
       },
       Some(
@@ -765,7 +849,10 @@ object SimilarityQueries {
       // themselves through it (the NSW insertion algorithm: a node's
       // out-edges are its own beam-search results) and linking
       // BIDIRECTIONALLY to their routed top-8 — per-delta work is one
-      // bounded walk (≤ 872 scored), no rebuild, no corpus scan beyond
+      // bounded walk (≤ 872 scored — insertion enters COLD by design,
+      // fixed entry, 6 hops; the serving rows' hierarchical default
+      // does not apply to a vector not yet in the layer), no rebuild,
+      // no corpus scan beyond
       // the stored artifact + the delta batch. The gate then serves the
       // standard 10 queries over the GROWN graph and requires (a) the
       // full-corpus recall floor still holds — new content is
@@ -832,26 +919,29 @@ object SimilarityQueries {
       // over the LIVE corpus only. Gates: n_queries + n_live (real
       // differentials DuckDB recomputes from the corpus split), the
       // flat-fixture recall floor 0.4, and the construction bound —
-      // tombstones add no candidates, so the ≤ 872/query ceiling is
-      // unchanged.
+      // tombstones add no candidates, so the serving default's
+      // ≤ 440/query ceiling is unchanged.
       (s, d) => {
         val emb = Tables(s, d, "embeddings")
         val deadPred = col("vec_id") % 7 === 3
         val graph = navGraphShared(s, d)
-        val (_, visited) = graphRoutedTopK(emb, col("vec_id") < 10, graph)
+        val q = emb.filter(col("vec_id") < 10)
+        // family serving default (hierarchical entry, 3 hops): dead
+        // waypoints may still SEED the walk — that IS the tombstone
+        // contract (dead nodes stay routing structure, answers filter)
+        val (_, visited) = hierRoutedOver(s, d, emb, q, graph)
         val wBeam = org.apache.spark.sql.expressions.Window
           .partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
         val servedLive = visited
           .filter(!(col("n_id") % 7 === 3))
           .withColumn("rank", row_number().over(wBeam)).filter(col("rank") <= 3)
         val live = emb.filter(!deadPred)
-        val q = emb.filter(col("vec_id") < 10)
         recallGate(Similarity.bruteForceTopK(q, live, 3), servedLive, floor = 0.4)
           .crossJoin(broadcast(live.agg(count(lit(1)).as("n_live"))))
           .crossJoin(broadcast(visited.groupBy().agg(count(lit(1)).as("__n_scored"))))
           .select(
             col("n_queries"), col("n_live"), col("recall_ge_floor"),
-            (col("__n_scored") <= col("n_queries") * lit(8L + 6L * 12L * 12L))
+            (col("__n_scored") <= col("n_queries") * lit(ServeBound))
               .as("candidates_bounded"))
       },
       Some(
@@ -877,24 +967,49 @@ object SimilarityQueries {
       // Gate shape follows the family: n_queries differential, recall
       // floor vs in-plan exact top-3 at the flat-fixture 0.4
       // convention, and the (tighter) construction ceiling.
+      // Round 18: the hierarchical walk became the family's serving
+      // DEFAULT (q_sim_graph_routed serves through it), so this row's
+      // distinct job is the ENTRY LAYER's structural contract — the
+      // gates a regressed layer build trips before the walk's recall
+      // ever moves: the layer stays broadcast-sized (≤ ⌈√n⌉ medoids —
+      // DuckDB recomputes that bound from the corpus count), every
+      // waypoint IS a corpus vector (a medoid that isn't a member
+      // cannot be walked from), and each query seeds 7–8 waypoints
+      // (8 exactly unless the layer is at its 8-cell floor and the
+      // query is itself a medoid). The walk + recall floor + 440 bound
+      // stay as the end-to-end half, single-sourced with the serving
+      // default through hierRoutedOver.
       (s, d) => {
         val emb = Tables(s, d, "embeddings")
         val q = emb.filter(col("vec_id") < 10)
         val graph = navGraphShared(s, d)
-        val seeds = hierarchicalSeeds(waypointsShared(s, d), q)
-        val (routed, visited) =
-          graphRoutedOver(emb, q, graph, hops = 3, seeds = Some(seeds))
+        val wp = waypointsShared(s, d)
+        val seeds = hierarchicalSeeds(wp, q)
+        val (routed, visited) = hierRoutedOver(s, d, emb, q, graph)
         recallGate(Similarity.bruteForceTopK(q, emb, 3), routed, floor = 0.4)
           .crossJoin(broadcast(visited.groupBy().agg(count(lit(1)).as("__n_scored"))))
+          .crossJoin(broadcast(wp.agg(count(lit(1)).as("__n_wp"))))
+          .crossJoin(broadcast(
+            wp.join(emb.select(col("vec_id").as("n_id")), Seq("n_id"), "left_anti")
+              .agg(count(lit(1)).as("__n_wp_orphan"))))
+          .crossJoin(broadcast(seeds.agg(count(lit(1)).as("__n_seeds"))))
+          .crossJoin(broadcast(emb.agg(count(lit(1)).as("__n_corpus"))))
           .select(
             col("n_queries"),
             col("recall_ge_floor"),
-            (col("__n_scored") <= col("n_queries") * lit(8L + 3L * 12L * 12L))
-              .as("candidates_bounded"))
+            (col("__n_scored") <= col("n_queries") * lit(ServeBound))
+              .as("candidates_bounded"),
+            (col("__n_wp").cast("double") <= ceil(sqrt(col("__n_corpus").cast("double"))))
+              .as("waypoints_bounded"),
+            (col("__n_wp_orphan") === 0L).as("waypoints_are_members"),
+            (col("__n_seeds") <= col("n_queries") * 8 &&
+              col("__n_seeds") >= col("n_queries") * 7).as("seeds_bounded"))
       },
       Some(
         "SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS recall_ge_floor, " +
-          "true AS candidates_bounded FROM embeddings WHERE vec_id < 10")
+          "true AS candidates_bounded, true AS waypoints_bounded, " +
+          "true AS waypoints_are_members, true AS seeds_bounded " +
+          "FROM embeddings WHERE vec_id < 10")
     ),
     Q(
       "q_graph_compaction",
@@ -925,12 +1040,23 @@ object SimilarityQueries {
         val live = emb.filter(!deadPred)
         val q = emb.filter(col("vec_id") < 10)
         // fired at the planted fraction → serve the rebuilt live-only
-        // graph; the un-fired branch (tombstone serving) is what
-        // q_sim_graph_tombstone registers
-        val (corpus, graph) =
-          if (fired) (live, compactedNavGraphShared(s, d))
-          else (emb, navGraphShared(s, d))
-        val (_, visited) = graphRoutedOver(corpus, q, graph)
+        // graph THROUGH ITS REBUILT WAYPOINT LAYER (a compaction that
+        // rebuilt the bottom layer but kept dead medoids seeding would
+        // be half a compaction); the un-fired branch (tombstone
+        // serving) is what q_sim_graph_tombstone registers. Both
+        // branches ride the family's hierarchical serving default.
+        val (corpus, graph, wp) =
+          if (fired)
+            (live, compactedNavGraphShared(s, d), Some(compactedWaypointsShared(s, d)))
+          else (emb, navGraphShared(s, d), None)
+        // hierarchical seeds, but at the CONSERVATIVE 6-hop depth: a
+        // just-rebuilt graph is exactly when serving must not thin its
+        // envelope (measured at sf0.1: the rebuilt live-only graph on
+        // the worst-case flat geometry sits AT the 0.40 recall floor
+        // at depth 6 under every entry policy — 0.333 at depth 3
+        // regardless of seed count/beam; the depth, not the entry, is
+        // what that geometry pays for). Bound = 8 + 6·12·12 = 872.
+        val (_, visited) = hierRoutedOver(s, d, corpus, q, graph, wp, hops = 6)
         val wBeam = org.apache.spark.sql.expressions.Window
           .partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
         val served = visited
@@ -960,7 +1086,8 @@ object SimilarityQueries {
     Q(
       "q_dedup_embed",
       // Embedding-cosine near-dup detection on the REAL scale block key:
-      // IVF coarse-quantizer cells (k=16 deterministic k-means,
+      // IVF coarse-quantizer cells (corpus-adaptive k = ⌈√n⌉
+      // deterministic k-means — candidate volume ~r²·n^1.5,
       // multi-probe r=2 so Voronoi-boundary pairs still collide), exact
       // cosine >= 0.3 within a shared cell — per-cell O(cell²) pair work,
       // never all-pairs. The cell assignment is float/partition-order
@@ -980,7 +1107,8 @@ object SimilarityQueries {
             Similarity.cosine(col("av"), col("bv")).as("cos"))
           .filter(col("cos") >= 0.3)
           .select(col("a_id"), col("b_id"))
-        val cells = Ivf.indexMulti(emb, Ivf.trainShared(s, d, k = 16), r = 2)
+        // corpus-adaptive blocking k (round-17 verdict #1)
+        val cells = Ivf.indexMulti(emb, Ivf.trainSharedAdaptive(s, d), r = 2)
         val found = cells.select(col("bucket"), col("n_id").as("a_id"), col("cv").as("av"))
           .join(
             cells.select(col("bucket"), col("n_id").as("b_id"), col("cv").as("bv")),

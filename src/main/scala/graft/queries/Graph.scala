@@ -276,8 +276,103 @@ object Graph {
           "UNION " +
           "SELECT e.dst, b.cost + e.w, b.hops + 1 FROM walk b JOIN e ON e.src = b.pk WHERE b.hops < 4) " +
           "SELECT pk, CAST(MIN(cost) AS BIGINT) AS cost FROM walk GROUP BY pk ORDER BY pk")
+    ),
+    Q(
+      "q_cc_converged",
+      // RUN-TO-FIXPOINT connected components (round-17 verdict #4) —
+      // the termination-correct shape a 100 TB graph job actually runs:
+      // the trio above proves fixed-round semantics; this row proves the
+      // CONVERGENCE LOOP (iterate min-label propagation until the
+      // improved-delta is EMPTY, bounded by a runaway cap the fixture
+      // never hits). The loop's per-round work is the delta form's —
+      // only last round's improved labels join the edge list, so late
+      // rounds (the long tail a fixed-round job must over-provision
+      // for) cost ~nothing; the per-round driver decision is one
+      // bounded count on a checkpointed delta. Graph = the co-purchase
+      // graph induced on pk < 500 (multiple non-trivial components —
+      // a giant component would make the fixpoint trivial at depth 2),
+      // nodes = every part in the induced basket relation, INCLUDING
+      // isolated ones (their component is themselves — the off-by-one
+      // a src-only label init silently drops). Integer min labels are
+      // engine-exact, so the FULL (pk, label) relation gates against
+      // DuckDB's UNBOUNDED recursive CTE: the monotone walk
+      // (propagate lbl across an edge only while lbl < dst) reaches
+      // every node from its component minimum — the component min is
+      // below every other member, so no step of its spanning walk is
+      // pruned — and MIN(lbl) per node is exactly the component id.
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .filter(col("pk") < 500)
+          .distinct()
+        val nodes = li.select(col("pk")).distinct()
+        val (labels, rounds, _) = ccConverged(nodes, coPurchaseEdges(li))
+        labels
+          .withColumn("converged", lit(rounds < CcMaxRounds))
+          .orderBy("pk")
+      },
+      Some(
+        "WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk " +
+          "FROM lineitem WHERE l_partkey < 500), " +
+          "e0 AS (SELECT DISTINCT x.pk AS src, y.pk AS dst FROM li x " +
+          "JOIN li y ON x.ok = y.ok AND x.pk < y.pk), " +
+          "e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0), " +
+          "walk(pk, lbl) AS (" +
+          "SELECT pk, pk FROM (SELECT DISTINCT pk FROM li) " +
+          "UNION " +
+          "SELECT e.dst, w.lbl FROM walk w JOIN e ON e.src = w.pk WHERE w.lbl < e.dst) " +
+          "SELECT pk, CAST(MIN(lbl) AS BIGINT) AS label, true AS converged " +
+          "FROM walk GROUP BY pk ORDER BY pk")
     )
   )
+
+  /** Runaway cap for [[ccConverged]] — far above any fixture diameter;
+    * the registered row gates `converged` = the loop exited on an EMPTY
+    * delta, not on this cap.
+    */
+  private[graft] val CcMaxRounds = 64
+
+  /** Min-label propagation TO FIXPOINT: delta rounds until no label
+    * improves (or `maxRounds` as the runaway backstop). Returns
+    * (labels, rounds run, per-round improved counts — the wave profile
+    * the Stress graph tier charts: late-round deltas shrink toward
+    * empty, which is exactly the work a fixed-round job wastes).
+    * Per-round driver state is ONE long (the improved count on a
+    * checkpointed delta); labels never leave the cluster.
+    */
+  private[graft] def ccConverged(
+      nodes: org.apache.spark.sql.DataFrame,
+      edges: org.apache.spark.sql.DataFrame,
+      maxRounds: Int = CcMaxRounds)
+      : (org.apache.spark.sql.DataFrame, Int, Seq[Long]) = {
+    var labels = nodes.select(col("pk"), col("pk").as("label")).localCheckpoint(true)
+    var delta = labels
+    var rounds = 0
+    val waves = scala.collection.mutable.ArrayBuffer[Long]()
+    var done = false
+    while (!done && rounds < maxRounds) {
+      val fromNbr = edges
+        .join(delta, col("src") === col("pk"))
+        .select(col("dst").as("pk"), col("label"))
+        .groupBy(col("pk")).agg(min(col("label")).as("label"))
+      val improved = fromNbr
+        .join(labels.select(col("pk"), col("label").as("__old")), Seq("pk"), "left")
+        .filter(col("label") < col("__old"))
+        .select(col("pk"), col("label"))
+        .localCheckpoint(true)
+      rounds += 1
+      val n = improved.count()
+      waves += n
+      if (n == 0L) done = true
+      else {
+        labels = labels.unionByName(improved)
+          .groupBy(col("pk")).agg(min(col("label")).as("label"))
+          .localCheckpoint(true)
+        delta = improved
+      }
+    }
+    (labels, rounds, waves.toSeq)
+  }
 
   /** Undirected co-purchase edges (both directions) from a distinct
     * (ok, pk) basket relation — the shared substrate of the iterative

@@ -353,6 +353,53 @@ class SimilaritySpec extends SparkSpec {
     assert(viaJoin == viaKernel, "join-path assignment diverged from the kernel path")
   }
 
+  test("join-path indexMulti/probeCells/indexWithDist are bit-identical to the literal paths") {
+    // Round-17 verdict #1: the corpus-adaptive blocked builds must keep
+    // working past the literal-codebook size, so indexMulti/probeCells/
+    // indexWithDist auto-route through the broadcast pair relation at
+    // k > literalMaxK. This row pins the two paths bit-equal at an
+    // overlapping k on the real corpus — same (d2, cid-asc) tie order,
+    // same winning bucket, same carried vectors — so the switchover is
+    // a plan change, never a result change.
+    val emb = graft.core.Tables(spark, sf(), "embeddings")
+    val cs = Ivf.trainShared(spark, sf(), k = 16)
+    def multiSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("bucket", "n_id").collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(
+      multiSet(Ivf.indexMultiJoin(emb, cs, 2)) == multiSet(Ivf.indexMultiLiteral(emb, cs, 2)),
+      "join-path indexMulti diverged from the literal path")
+    def probeSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "bucket", "qn").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    val q = emb.filter(col("vec_id") < 10)
+    assert(
+      probeSet(Ivf.probeCellsJoin(q, cs, 4)) == probeSet(Ivf.probeCellsLiteral(q, cs, 4)),
+      "join-path probeCells diverged from the literal path")
+    def distMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("n_id", "bucket", "d2").collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    assert(
+      distMap(Ivf.indexWithDistJoin(emb, cs)) == distMap(Ivf.indexWithDistLiteral(emb, cs)),
+      "join-path indexWithDist diverged from the literal path")
+  }
+
+  test("join-path Lloyd training matches the kernel-path training at an overlapping k") {
+    // trainK routes to trainJoin past literalMaxK; at an overlapping k
+    // the per-round assignments are bit-identical (previous row), so
+    // the trained centroids agree to float-fold noise (avg() order is
+    // plan-dependent — tolerance, not bit-equality, is the contract).
+    val emb = graft.core.Tables(spark, sf(), "embeddings")
+    val viaKernel = Ivf.train(spark, emb, k = 12, iters = 2)
+    val viaJoin = Ivf.trainJoin(spark, emb, k = 12, iters = 2)
+    assert(viaKernel.size == viaJoin.size)
+    viaKernel.zip(viaJoin).zipWithIndex.foreach { case ((a, b), i) =>
+      a.zip(b).foreach { case (x, y) =>
+        assert(math.abs(x - y) <= math.max(math.abs(x), 1.0) * 1e-9,
+          f"centroid $i diverged across Lloyd paths: $x vs $y")
+      }
+    }
+  }
+
   test("MoG nprobe-recall curve: IVF, hard-negative, and MMR serving on clustered embeddings") {
     // FIXTURES.md A7 extension (round-14 verdict #6): the served
     // coarse-IVF family measured on the REALISTIC clustered regime —
