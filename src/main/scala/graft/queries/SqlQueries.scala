@@ -421,6 +421,31 @@ object SqlQueries {
         "CAST(COUNT(*) AS BIGINT) AS n FROM nation " +
         "GROUP BY GROUPING SETS ((n_regionkey), (n_regionkey, n_name)) " +
         "ORDER BY n_regionkey, g, n_name"
+    ),
+    shared(
+      "q_sql_except_all",
+      // bag-semantics difference (multiplicity = max(0, m_a − m_b) per
+      // value) — the remaining set-op next to q_sql_intersect_all:
+      // EXCEPT (distinct) would hide a multiplicity bug that EXCEPT ALL
+      // surfaces, and both engines plan it as an anti-bag join.
+      "SELECT c_nationkey AS nk FROM customer EXCEPT ALL " +
+        "SELECT s_nationkey FROM supplier ORDER BY nk"
+    ),
+    shared(
+      "q_sql_nulls_order",
+      // Explicit NULL-ordering differential: the engines DISAGREE by
+      // default (Spark ASC = NULLS FIRST, DuckDB ASC = NULLS LAST), so
+      // a shared ORDER BY over nullable keys is only deterministic when
+      // every key pins its null position — this row exercises BOTH
+      // clauses in one sort (ASC NULLS LAST + DESC NULLS FIRST) over
+      // planted NULLs, with the unique key as the final total-order
+      // tiebreak. A regression that drops either clause re-diverges the
+      // engines' defaults and hash-mismatches immediately.
+      "SELECT nk1, nk2, c_custkey FROM (" +
+        "SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_nationkey END AS nk1, " +
+        "CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_custkey % 11 END AS nk2, " +
+        "c_custkey FROM customer) t " +
+        "ORDER BY nk1 ASC NULLS LAST, nk2 DESC NULLS FIRST, c_custkey"
     )
   )
 }
