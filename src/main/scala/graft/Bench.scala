@@ -118,6 +118,24 @@ import java.nio.file.{Files, Paths}
   * totals is preserved. Round 13 is the ext tier's first recorded round,
   * so its 4-query membership is the series baseline.
   *
+  * HOT-BOX GATE (round 18, additive within v9 — closing the round-17
+  * verdict #3): the committed round-17 official artifact was a hot-box
+  * run (probe32_max 0.522, total 1.77× the prior round) rescued only by
+  * side-channel quiet reruns — the committed line must adjudicate
+  * itself. The bench now compares its own parallel-capacity probe
+  * against its single-thread floor: the box reads HOT when probe32_min
+  * > probe_ceiling = 1.6 × probe1_min (on a quiet 32-core box the two
+  * probes are ≈ equal by construction). A hot read triggers up to 2
+  * EXTRA full interleaved passes ("hot_retry_passes"), each re-probed,
+  * stopping as soon as some pass's probes read quiet — so a transient
+  * spike ends with quiet-pass samples in every per-query min. If the
+  * run STAYS hot, "box_hot":true is the in-band verdict: readers (and
+  * the round-over-round series) must treat the totals as
+  * box-contaminated and fall back to total_probe_norm. On a quiet box
+  * zero extra passes run and the emitted numbers are bit-comparable to
+  * v9 history; on a hot box v9 totals were never comparable anyway —
+  * the extra passes only improve the odds the mins reflect the engine.
+  *
   * EMISSION (round 11): the round-9 self-adjudication additions grew the
   * stdout line past the driver's tail-capture window AGAIN (BENCH_r09 and
   * BENCH_r10 both carry parsed: null — the captured tail starts mid-line,
@@ -130,6 +148,8 @@ import java.nio.file.{Files, Paths}
   */
 object Bench {
   private val Samples = 3
+  private val HotFactor = 1.6
+  private val MaxHotRetryPasses = 2
   private val RescueTop = 5
   private val MaxRescuePasses = 2
   private val RescueWallCapSec = 720.0
@@ -272,6 +292,19 @@ object Bench {
       }
       pass += 1
     }
+
+    // ---- hot-box gate (round 18, see scaladoc) ----
+    def probeCeiling: Double = (if (p1.nonEmpty) p1.min else 1.0) * HotFactor
+    def boxHotNow: Boolean = p32.nonEmpty && p32.min > probeCeiling
+    var hotRetryPasses = 0
+    while (boxHotNow && hotRetryPasses < MaxHotRetryPasses) {
+      runProbes()
+      targets.foreach { q =>
+        if (!errors.contains(q.name)) timeOne(q, sfDir, samples, q.name)
+      }
+      hotRetryPasses += 1
+    }
+    val boxHot = boxHotNow
 
     val runStart = System.nanoTime()
     def elapsedSinceMainSec: Double = (System.nanoTime() - runStart) / 1e9
@@ -448,6 +481,7 @@ object Bench {
     val head =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","samples":$Samples,"rescue_passes":$rescuePasses,""" +
         s""""protocol":"interleaved-passes-v9",""" +
+        s""""box_hot":$boxHot,"hot_retry_passes":$hotRetryPasses,"probe_ceiling":${num(probeCeiling)},""" +
         s""""probe1_min":${num(if (p1.nonEmpty) p1.min else 0.0)},""" +
         s""""probe32_min":${num(if (p32.nonEmpty) p32.min else 0.0)},"probe32_max":${num(if (p32.nonEmpty) p32.max else 0.0)},""" +
         s""""queries":$qs,"total_median":${num(totalMedian)},""" +
