@@ -212,12 +212,38 @@ object Stress {
       val t = time { n = queries.Graph.ssspFrom(spark, we, src, rounds = 4).count() }
       (t, n)
     }
+    // convergence-depth measurement (round-17 verdict #4's stress half):
+    // run min-label propagation TO FIXPOINT and chart the wave — the
+    // per-round improved counts shrink toward zero, so the delta form's
+    // late rounds cost ~nothing while a fixed-round full propagation
+    // burns O(E) on every one of them. Emitted: rounds to fixpoint,
+    // the full wave profile, and the tail fraction (improved rows in
+    // the second half of the rounds / total) — near-zero tail is the
+    // claim made measurable.
+    def ccFix(edges: org.apache.spark.sql.DataFrame, nodes: org.apache.spark.sql.DataFrame)
+        : (Double, Int, Seq[Long]) = {
+      var r = 0
+      var w: Seq[Long] = Nil
+      val t = time {
+        val (labels, rounds, waves) = queries.Graph.ccConverged(nodes, edges)
+        labels.write.format("noop").mode("overwrite").save()
+        r = rounds; w = waves
+      }
+      (t, r, w)
+    }
     bfs(e1); lpFull(e1); lpDelta(e1); sssp(e1) // warm the shapes
     val (tb1, nb1) = bfs(e1); val (tbm, nbm) = bfs(em)
     val (tl1, nl1) = lpFull(e1); val (tlm, nlm) = lpFull(em)
     val (td1, _) = lpDelta(e1); val (tdm, _) = lpDelta(em)
     val (ts1, ns1) = sssp(e1); val (tsm, nsm) = sssp(em)
+    val n1 = b1.select(col("pk")).distinct()
+    val nm = bm.select(col("pk")).distinct()
+    val (tc1, rc1, wc1) = ccFix(e1, n1)
+    val (tcm, rcm, wcm) = ccFix(em, nm)
+    def tailFrac(w: Seq[Long]): Double =
+      if (w.isEmpty || w.sum == 0) 0.0 else w.drop(w.size / 2).sum.toDouble / w.sum
     val num = (v: Double) => Timing.fmt3(v)
+    def jarr(vs: Seq[Long]): String = vs.mkString("[", ",", "]")
     println(
       s"""{"tier":"graph","mult":$mult,"edges_1x":$ne1,"edges_mx":$nem,""" +
         s""""bfs_sec_1x":${num(tb1)},"bfs_sec_mx":${num(tbm)},"bfs_reached_1x":$nb1,"bfs_reached_mx":$nbm,""" +
@@ -228,7 +254,12 @@ object Stress {
         s""""lp_delta_growth":${num(tdm / td1)},""" +
         s""""sssp_sec_1x":${num(ts1)},"sssp_sec_mx":${num(tsm)},""" +
         s""""sssp_reached_1x":$ns1,"sssp_reached_mx":$nsm,""" +
-        s""""sssp_growth":${num(tsm / ts1)}}""")
+        s""""sssp_growth":${num(tsm / ts1)},""" +
+        s""""cc_sec_1x":${num(tc1)},"cc_sec_mx":${num(tcm)},""" +
+        s""""cc_rounds_1x":$rc1,"cc_rounds_mx":$rcm,""" +
+        s""""cc_wave_1x":${jarr(wc1)},"cc_wave_mx":${jarr(wcm)},""" +
+        s""""cc_tail_frac_1x":${num(tailFrac(wc1))},"cc_tail_frac_mx":${num(tailFrac(wcm))},""" +
+        s""""cc_growth":${num(tcm / tc1)}}""")
   }
 
   /** Restart-contract gate in CI shape (round-16 verdict #8): the
