@@ -323,6 +323,77 @@ object Graph {
           "SELECT e.dst, w.lbl FROM walk w JOIN e ON e.src = w.pk WHERE w.lbl < e.dst) " +
           "SELECT pk, CAST(MIN(lbl) AS BIGINT) AS label, true AS converged " +
           "FROM walk GROUP BY pk ORDER BY pk")
+    ),
+    Q(
+      "q_cc_incremental",
+      // INCREMENTAL connected components — the maintenance half of
+      // q_cc_converged, the way tombstone/insert complete the NSW
+      // family: a delta edge batch arrives (here: the odd orders'
+      // baskets, on a pk domain disjoint in shape from q_cc_converged's
+      // — every fourth part, so the induced graph exists at EVERY
+      // fixture scale including sf0.001's 200-part domain) and the
+      // stored component labels are REPAIRED, not recomputed — warm
+      // start from the stored labels (new nodes self-labeled) with the
+      // improvement wave SEEDED at exactly the changed neighborhoods
+      // (delta-edge endpoints + new nodes). Correctness is structural:
+      // every stored label is a member of its component, so the merged
+      // component's minimum still labels itself at init and min-label
+      // propagation converges to the same fixpoint a cold run reaches —
+      // which the gate enforces BOTH ways: matches_cold compares the
+      // repaired relation against an in-plan cold recompute
+      // (gate-scale-only truth), and the full (pk, label) relation
+      // gates against DuckDB's unbounded CTE on the merged graph. At
+      // 100 TB this is the difference between a per-batch global CC
+      // job and touching only components the batch's wave reaches:
+      // warm_wave_le_cold pins that the warm run's total improvement
+      // volume never exceeds the cold run's.
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .filter(col("pk") % 4 === 1)
+          .distinct()
+        val liBase = li.filter(col("ok") % 2 === 0)
+        val liDelta = li.filter(col("ok") % 2 === 1)
+        val nodesAll = li.select(col("pk")).distinct()
+        val nodesBase = liBase.select(col("pk")).distinct()
+        val eAll = coPurchaseEdges(li)
+        val eBase = coPurchaseEdges(liBase)
+        val eDelta = coPurchaseEdges(liDelta)
+        // the "stored artifact": labels of the base graph
+        val (labels0, _, _) = ccConverged(nodesBase, eBase)
+        val newNodes = nodesAll.join(nodesBase, Seq("pk"), "left_anti")
+        val init = labels0.unionByName(newNodes.select(col("pk"), col("pk").as("label")))
+        val seed = eDelta.select(col("src").as("pk")).unionByName(newNodes).distinct()
+        val (labelsInc, rInc, wavesInc) =
+          ccConvergedFrom(init, eAll, seed = Some(seed))
+        // in-plan cold truth (gate-scale-only — it IS the contract)
+        val (labelsCold, _, wavesCold) = ccConverged(nodesAll, eAll)
+        val mismatches = labelsInc
+          .join(
+            labelsCold.select(col("pk"), col("label").as("__cold")),
+            Seq("pk"), "full_outer")
+          .filter(col("label").isNull || col("__cold").isNull ||
+            col("label") =!= col("__cold"))
+          .count()
+        labelsInc
+          .withColumn("converged", lit(rInc < CcMaxRounds))
+          .withColumn("matches_cold", lit(mismatches == 0L))
+          .withColumn("warm_wave_le_cold", lit(wavesInc.sum <= wavesCold.sum))
+          .orderBy("pk")
+      },
+      Some(
+        "WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk " +
+          "FROM lineitem WHERE l_partkey % 4 = 1), " +
+          "e0 AS (SELECT DISTINCT x.pk AS src, y.pk AS dst FROM li x " +
+          "JOIN li y ON x.ok = y.ok AND x.pk < y.pk), " +
+          "e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0), " +
+          "walk(pk, lbl) AS (" +
+          "SELECT pk, pk FROM (SELECT DISTINCT pk FROM li) " +
+          "UNION " +
+          "SELECT e.dst, w.lbl FROM walk w JOIN e ON e.src = w.pk WHERE w.lbl < e.dst) " +
+          "SELECT pk, CAST(MIN(lbl) AS BIGINT) AS label, true AS converged, " +
+          "true AS matches_cold, true AS warm_wave_le_cold " +
+          "FROM walk GROUP BY pk ORDER BY pk")
     )
   )
 
@@ -344,9 +415,36 @@ object Graph {
       nodes: org.apache.spark.sql.DataFrame,
       edges: org.apache.spark.sql.DataFrame,
       maxRounds: Int = CcMaxRounds)
+      : (org.apache.spark.sql.DataFrame, Int, Seq[Long]) =
+    ccConvergedFrom(nodes.select(col("pk"), col("pk").as("label")), edges, maxRounds)
+
+  /** [[ccConverged]] from an ARBITRARY initial labeling — the warm-start
+    * entry the incremental form uses. Correctness requirement on `init`:
+    * every label value must itself be a node of the component it labels
+    * (self-labels and previously-converged component minima both
+    * qualify) — then min-label propagation still converges to each
+    * merged component's minimum node id, because that minimum m labels
+    * ITSELF in init (any smaller stored label would name a smaller
+    * member) and every smaller foreign label would contradict m's
+    * minimality.
+    */
+  private[graft] def ccConvergedFrom(
+      init: org.apache.spark.sql.DataFrame,
+      edges: org.apache.spark.sql.DataFrame,
+      maxRounds: Int = CcMaxRounds,
+      seed: Option[org.apache.spark.sql.DataFrame] = None)
       : (org.apache.spark.sql.DataFrame, Int, Seq[Long]) = {
-    var labels = nodes.select(col("pk"), col("pk").as("label")).localCheckpoint(true)
-    var delta = labels
+    var labels = init.select(col("pk"), col("label")).localCheckpoint(true)
+    // warm starts pass `seed` = the nodes whose neighborhoods actually
+    // changed (delta-edge endpoints + new nodes): the improvement wave
+    // can only START at a changed neighborhood, so round 1 joins the
+    // seed — not the corpus — against the edges, and every later round
+    // tracks improvements exactly as the cold form does
+    var delta = seed match {
+      case Some(sd) =>
+        labels.join(sd.select(col("pk")).distinct(), Seq("pk")).localCheckpoint(true)
+      case None => labels
+    }
     var rounds = 0
     val waves = scala.collection.mutable.ArrayBuffer[Long]()
     var done = false

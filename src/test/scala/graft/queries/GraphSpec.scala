@@ -52,6 +52,43 @@ class GraphSpec extends SparkSpec {
     assert(triangles(Seq((0L, 1L), (1L, 0L), (0L, 2L), (1L, 2L), (2L, 1L))) == 1L)
   }
 
+  test("incremental CC: one delta edge repairs only the merged components, untouched ones never re-propagate") {
+    // planted graph: three chains A = {0-1-2}, B = {10-11-12}, and a
+    // far component C = {100-101-102-103}. Stored labels = cold CC on
+    // that base. Delta batch = ONE edge (2, 10) merging A and B.
+    // Contract: (a) the repaired labels equal a cold recompute on the
+    // merged graph; (b) the warm wave only ever improves nodes of the
+    // merged component — C's labels never re-enter the delta (its
+    // total improvement volume excludes them), which is the entire
+    // point of seeding at the changed neighborhoods.
+    import spark.implicits._
+    def undirected(pairs: Seq[(Long, Long)]) = {
+      val e0 = pairs.toDF("src", "dst")
+      e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint(true)
+    }
+    val base = undirected(Seq((0L, 1L), (1L, 2L), (10L, 11L), (11L, 12L),
+      (100L, 101L), (101L, 102L), (102L, 103L)))
+    val nodes = base.select(col("src").as("pk")).distinct()
+    val (labels0, _, _) = Graph.ccConverged(nodes, base)
+    val delta = undirected(Seq((2L, 10L)))
+    val merged = base.unionByName(delta).distinct().localCheckpoint(true)
+    val (warm, warmRounds, warmWaves) = Graph.ccConvergedFrom(
+      labels0, merged, seed = Some(delta.select(col("src").as("pk"))))
+    val (cold, _, coldWaves) = Graph.ccConverged(nodes, merged)
+    val warmMap = warm.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val coldMap = cold.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(warmMap == coldMap, "warm repair diverged from the cold recompute")
+    assert(Seq(10L, 11L, 12L).forall(warmMap(_) == 0L), "B did not merge into A's component")
+    assert(Seq(100L, 101L, 102L, 103L).forall(warmMap(_) == 100L))
+    // the warm wave improves exactly B's three nodes (labels 10/11/12 → 0),
+    // never C's — cold re-derives every non-minimal node at least once
+    assert(warmWaves.sum == 3L,
+      s"warm wave should improve exactly B's 3 nodes, improved ${warmWaves.sum}")
+    assert(warmWaves.sum < coldWaves.sum)
+    assert(warmRounds < Graph.CcMaxRounds)
+  }
+
   test("q_triangle_count invariants on the fixture: closure bound and handshake parity") {
     val row = Registry.byName("q_triangle_count").run(spark, sf()).head()
     val nodes = row.getAs[Long]("n_nodes")
