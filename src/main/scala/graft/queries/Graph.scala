@@ -463,9 +463,27 @@ object Graph {
       waves += n
       if (n == 0L) done = true
       else {
-        labels = labels.unionByName(improved)
-          .groupBy(col("pk")).agg(min(col("label")).as("label"))
-          .localCheckpoint(true)
+        // label update, shape picked by the wave the loop just counted
+        // (a control decision on a long already at the driver): a SMALL
+        // improved set merges by broadcast left-join + coalesce — the
+        // corpus-sized labels relation is SCANNED, never shuffled, so a
+        // long convergence tail costs one map-side pass per round; a
+        // LARGE set (the early flood rounds) takes the union+min
+        // hash-agg, which shuffles once but partial-aggregates map-side.
+        // Results are identical either way: `improved` is unique per pk
+        // (it comes out of a per-pk min) and strictly below the stored
+        // label, so coalesce(new, old) ≡ min over the union.
+        labels =
+          (if (n <= 100000L)
+            labels.join(
+              org.apache.spark.sql.functions.broadcast(
+                improved.select(col("pk"), col("label").as("__new"))),
+              Seq("pk"), "left")
+              .select(col("pk"), coalesce(col("__new"), col("label")).as("label"))
+          else
+            labels.unionByName(improved)
+              .groupBy(col("pk")).agg(min(col("label")).as("label")))
+            .localCheckpoint(true)
         delta = improved
       }
     }
