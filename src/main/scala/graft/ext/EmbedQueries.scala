@@ -25,6 +25,60 @@ import graft.core.Tables
   */
 object EmbedQueries {
 
+  /** The served binary-quantization funnel (q_quantize_binary_ivf's
+    * body, shared with PlanAuditSpec so the audited plan IS the
+    * registered plan): IVF probe pool (equi-join on the cell id) →
+    * in-cell XOR+popcount Hamming top-`keep` → exact-cosine rerank
+    * top-3. Returns (served top-3, pool) — the pool count feeds the
+    * sub-quadratic ceiling gate.
+    */
+  private[graft] def binaryIvfServed(
+      s: org.apache.spark.sql.SparkSession,
+      emb: org.apache.spark.sql.DataFrame,
+      queryPred: org.apache.spark.sql.Column,
+      centroids: Seq[Seq[Double]],
+      nprobe: Int = 8,
+      keep: Int = 100)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    def word(lo: Int): String =
+      "aggregate(zip_with(slice(v, " + (lo + 1) + ", 32), sequence(0, 31), " +
+        "(x, i) -> IF(x IS NOT NULL AND x > 0D, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), " +
+        "CAST(0 AS BIGINT), (a, b) -> a + b)"
+    val packed = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("w0", expr(word(0)))
+      .withColumn("w1", expr(word(32)))
+      .localCheckpoint(true)
+    val pool = Ivf.probeCells(emb.filter(queryPred), centroids, nprobe)
+      .select(col("q_id"), col("bucket"))
+      .join(Ivf.index(emb, centroids).select(col("n_id"), col("bucket")), Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"))
+    val ham = pool
+      .join(
+        packed.select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("w0").as("qw0"), col("w1").as("qw1")), Seq("q_id"))
+      .join(
+        packed.select(col("vec_id").as("n_id"), col("v").as("cv"),
+          col("w0").as("cw0"), col("w1").as("cw1")), Seq("n_id"))
+      .select(
+        col("q_id"), col("n_id"), col("qv"), col("cv"),
+        expr("CAST(bit_count(qw0 ^ cw0) + bit_count(qw1 ^ cw1) AS BIGINT)").as("hamming"))
+    val wHam = Window.partitionBy(col("q_id")).orderBy(col("hamming"), col("n_id"))
+    val reranked = ham
+      .withColumn("hrk", row_number().over(wHam)).filter(col("hrk") <= keep)
+      .select(
+        col("q_id"), col("n_id"),
+        (Similarity.dot(col("qv"), col("cv")) /
+          (sqrt(Similarity.dot(col("qv"), col("qv"))) *
+            sqrt(Similarity.dot(col("cv"), col("cv"))))).as("cos"))
+    val wCos = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    val served = reranked
+      .withColumn("rank", row_number().over(wCos)).filter(col("rank") <= 3)
+    (served, pool)
+  }
+
   val queries: Seq[Q] = Seq(
     Q(
       "q_quantize_embed",
@@ -153,44 +207,9 @@ object EmbedQueries {
       // vectors), the pool's sub-quadratic candidate ceiling, and
       // full serving (3 answers per query).
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val emb = Tables(s, d, "embeddings")
-        def word(lo: Int): String =
-          "aggregate(zip_with(slice(v, " + (lo + 1) + ", 32), sequence(0, 31), " +
-            "(x, i) -> IF(x IS NOT NULL AND x > 0D, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), " +
-            "CAST(0 AS BIGINT), (a, b) -> a + b)"
-        val packed = emb
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-          .withColumn("w0", expr(word(0)))
-          .withColumn("w1", expr(word(32)))
-          .localCheckpoint(true)
-        val centroids = Ivf.trainShared(s, d, k = 16)
-        val pool = Ivf.probeCells(emb.filter(col("vec_id") < 10), centroids, nprobe = 8)
-          .select(col("q_id"), col("bucket"))
-          .join(Ivf.index(emb, centroids).select(col("n_id"), col("bucket")), Seq("bucket"))
-          .filter(col("q_id") =!= col("n_id"))
-          .select(col("q_id"), col("n_id"))
-        val ham = pool
-          .join(
-            packed.select(col("vec_id").as("q_id"), col("v").as("qv"),
-              col("w0").as("qw0"), col("w1").as("qw1")), Seq("q_id"))
-          .join(
-            packed.select(col("vec_id").as("n_id"), col("v").as("cv"),
-              col("w0").as("cw0"), col("w1").as("cw1")), Seq("n_id"))
-          .select(
-            col("q_id"), col("n_id"), col("qv"), col("cv"),
-            expr("CAST(bit_count(qw0 ^ cw0) + bit_count(qw1 ^ cw1) AS BIGINT)").as("hamming"))
-        val wHam = Window.partitionBy(col("q_id")).orderBy(col("hamming"), col("n_id"))
-        val reranked = ham
-          .withColumn("hrk", row_number().over(wHam)).filter(col("hrk") <= 100)
-          .select(
-            col("q_id"), col("n_id"),
-            (Similarity.dot(col("qv"), col("cv")) /
-              (sqrt(Similarity.dot(col("qv"), col("qv"))) *
-                sqrt(Similarity.dot(col("cv"), col("cv"))))).as("cos"))
-        val wCos = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-        val served = reranked
-          .withColumn("rank", row_number().over(wCos)).filter(col("rank") <= 3)
+        val (served, pool) = binaryIvfServed(
+          s, emb, col("vec_id") < 10, Ivf.trainShared(s, d, k = 16))
         val q = emb.filter(col("vec_id") < 10)
         SimilarityQueries
           .recallGate(

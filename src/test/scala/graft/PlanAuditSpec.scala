@@ -576,6 +576,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(pr.contains("bucket"), s"cell key vanished from the residual join plan")
   }
 
+  test("binary-quant IVF funnel: pool reached through the cell equi-join, no cartesian anywhere") {
+    // q_quantize_binary_ivf's served funnel (binaryIvfServed is the
+    // registered body): cells → bits → floats. The pool must reach the
+    // index through an EQUI join on the cell id and the Hamming/rerank
+    // stages through equi joins on q_id/n_id — a cartesian or nested
+    // loop anywhere means the funnel regressed to the corpus scan the
+    // fixture-form q_quantize_binary deliberately keeps.
+    import graft.ext.{EmbedQueries, Ivf}
+    val emb = graft.core.Tables(spark, sf(), "embeddings")
+    val (served, pool) = EmbedQueries.binaryIvfServed(
+      spark, emb, org.apache.spark.sql.functions.col("vec_id") < 10,
+      Ivf.train(spark, emb, k = 16))
+    Seq("served" -> planString(served), "pool" -> planString(pool)).foreach {
+      case (name, p) =>
+        assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+          s"binary-IVF $name plan contains an all-pairs join:\n${p.take(1500)}")
+    }
+    assert(planString(pool).contains("bucket"), "cell key vanished from the pool join")
+  }
+
   test("minhash recall gate: both the LSH side and the truth side join on bounded keys") {
     val p = planString(Registry.byName("q_dedup_minhash").run(spark, sf()))
     // candidate generation joins on (band_idx, band_hash); the truth side
