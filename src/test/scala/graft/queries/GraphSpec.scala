@@ -89,6 +89,42 @@ class GraphSpec extends SparkSpec {
     assert(warmRounds < Graph.CcMaxRounds)
   }
 
+  test("star-contraction CC: log rounds on the chain where hash-min pays the diameter") {
+    // THE case star contraction exists for: a path graph of diameter
+    // d forces min-label propagation to d rounds (the component min
+    // crawls one hop per round), while alternating large-star/
+    // small-star collapses it in O(log n). Both must produce the
+    // identical component-minimum labeling; the round counts are the
+    // measured claim.
+    import spark.implicits._
+    val n = 64L
+    val chain = (0L until n - 1).map(i => (i, i + 1))
+    val e0 = chain.toDF("src", "dst")
+    val edges = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    val nodes = spark.range(n).select(col("id").as("pk"))
+    val (starLabels, starRounds) = Graph.ccStar(nodes, edges, maxRounds = 64)
+    val sm = starLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sm == (0L until n).map(_ -> 0L).toMap, "chain is one component rooted at 0")
+    info(s"chain n=$n: star-contraction converged in $starRounds rounds")
+    assert(starRounds <= 16, s"star contraction lost its log bound: $starRounds rounds")
+    // hash-min's diameter cost is proven by NON-convergence under a cap
+    // well past star's rounds — running all 63 rounds would only burn
+    // per-round fixed costs to learn the same fact
+    val hmCap = 16
+    val (_, hmRounds, hmWaves) = Graph.ccConverged(nodes, edges, maxRounds = hmCap)
+    assert(hmRounds == hmCap && hmWaves.last > 0L,
+      s"hash-min converged within $hmRounds rounds on a diameter-63 chain — " +
+        "the label wave should still be crawling")
+    // two components + an isolated node: labels stay per-component minima
+    val e2 = (Seq((0L, 1L), (1L, 2L), (10L, 11L))).toDF("src", "dst")
+    val edges2 = e2.unionByName(e2.select(col("dst").as("src"), col("src").as("dst")))
+    val nodes2 = Seq(0L, 1L, 2L, 10L, 11L, 99L).toDF("pk")
+    val (l2, _) = Graph.ccStar(nodes2, edges2)
+    val m2 = l2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m2 == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 10L -> 10L, 11L -> 10L, 99L -> 99L))
+  }
+
   test("q_triangle_count invariants on the fixture: closure bound and handshake parity") {
     val row = Registry.byName("q_triangle_count").run(spark, sf()).head()
     val nodes = row.getAs[Long]("n_nodes")
