@@ -240,6 +240,25 @@ object Stress {
     val nm = bm.select(col("pk")).distinct()
     val (tc1, rc1, wc1) = ccFix(e1, n1)
     val (tcm, rcm, wcm) = ccFix(em, nm)
+    // the HIGH-DIAMETER leg (the geometry hash-min structurally cannot
+    // run): a 200k-node chain — min-label propagation would need
+    // 199,999 rounds; star contraction (queries.Graph.ccStar) takes
+    // O(log n). Emits rounds + wall time; the co-purchase legs above
+    // are diameter-4, so this is where the log-round algorithm earns
+    // its registration.
+    val chainN = 200000L
+    val ch0 = spark.range(chainN - 1)
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+    val chainEdges = ch0
+      .unionByName(ch0.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(32).localCheckpoint(true)
+    val chainNodes = spark.range(chainN).select(col("id").as("pk"))
+    var rStar = 0
+    val tStar = time {
+      val (l, rr) = queries.Graph.ccStar(chainNodes, chainEdges)
+      l.write.format("noop").mode("overwrite").save()
+      rStar = rr
+    }
     def tailFrac(w: Seq[Long]): Double =
       if (w.isEmpty || w.sum == 0) 0.0 else w.drop(w.size / 2).sum.toDouble / w.sum
     val num = (v: Double) => Timing.fmt3(v)
@@ -259,7 +278,9 @@ object Stress {
         s""""cc_rounds_1x":$rc1,"cc_rounds_mx":$rcm,""" +
         s""""cc_wave_1x":${jarr(wc1)},"cc_wave_mx":${jarr(wcm)},""" +
         s""""cc_tail_frac_1x":${num(tailFrac(wc1))},"cc_tail_frac_mx":${num(tailFrac(wcm))},""" +
-        s""""cc_growth":${num(tcm / tc1)}}""")
+        s""""cc_growth":${num(tcm / tc1)},""" +
+        s""""chain_n":$chainN,"chain_star_rounds":$rStar,"chain_star_sec":${num(tStar)},""" +
+        s""""chain_hashmin_rounds_needed":${chainN - 1}}""")
   }
 
   /** Restart-contract gate in CI shape (round-16 verdict #8): the
