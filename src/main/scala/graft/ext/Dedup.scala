@@ -268,34 +268,53 @@ object Dedup {
       .select(col("p_a").as("a_id"), col("p_b").as("b_id"))
       .distinct()
 
-  /** Connected components by min-label propagation — the cluster step
-    * after near-dup pair detection (keep one doc per component). Each
-    * iteration: every node adopts the min of its own and its neighbors'
-    * labels — two shuffles (neighbor join + min agg); converges in
-    * O(component diameter) rounds, which for near-dup clusters is small.
-    * Labels persist per round to truncate lineage (else the plan doubles
-    * each iteration); the driver only reads the CHANGED COUNT — a control
-    * decision, not data — so the computation stays distributed. Same shape
-    * scales to 100 TB: it is label propagation à la GraphX/Pregel without
-    * the RDD API.
+  /** Connected components — the cluster step after near-dup pair
+    * detection (keep one doc per component). Round 18: delegates to the
+    * STAR-CONTRACTION kernel ([[graft.queries.Graph.ccStar]], Kiveris
+    * et al.'s alternating large-star/small-star) — O(log n) rounds on
+    * ANY component shape, where the previous min-label loop needed
+    * DIAMETER-many rounds and THREW past `maxIters`. That failure mode
+    * was real for dedup specifically: transitive near-dup CHAINS
+    * (A~B~C~…, each link above threshold, ends unrelated) are the
+    * textbook long-diameter component, and a 100 TB corpus will
+    * contain one longer than any fixed cap. Output contract unchanged
+    * — (id, comp = min node id of the component), a deterministic
+    * integer labeling — so every downstream oracle is unaffected;
+    * DedupSpec's hand graphs pin the delegation.
     *
     * @param nodes (id) one row per node
     * @param edges (a, b) undirected pairs
     * @return (id, comp) where comp = min node id of the component
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIters: Int = 50): DataFrame = {
-    // Persist the (possibly expensive) edge derivation — it is re-joined
-    // every round; without this the whole pair-detection subtree would
-    // recompute per iteration.
+    val (labels, rounds) = graft.queries.Graph.ccStar(
+      nodes.select(col("id").as("pk")),
+      edges.select(col("a").as("src"), col("b").as("dst")),
+      maxRounds = maxIters)
+    if (rounds >= maxIters)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters star-contraction rounds — " +
+          "with the log-round kernel this indicates a bug, not a long component")
+    labels.select(col("pk").as("id"), col("label").as("comp"))
+  }
+
+  /** The pre-round-18 min-label loop — kept for the DedupSpec A/B that
+    * pins the star-contraction delegation label-equal to it, and as the
+    * honest baseline whose diameter-bounded round count motivated the
+    * switch.
+    */
+  private[ext] def connectedComponentsHashMin(
+      nodes: DataFrame, edges: DataFrame, maxIters: Int = 50): DataFrame = {
+    // localCheckpoint (not persist) per round: persist caches BLOCKS but
+    // the LOGICAL plan still nests one level per iteration, and on a
+    // long-diameter component (the 21-round chain the A/B spec plants)
+    // the nested join tree goes exponential — the pre-round-18 persist
+    // form OOMed building its own explain string there before a single
+    // extra row moved. Checkpointing truncates the plan each round.
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
-      .persist()
-    var labels = nodes.select(col("id"), col("id").as("comp")).persist()
-    labels.count()
-    // `cached` tracks the PERSISTED frame backing `labels` — unpersist must
-    // be called on the exact Dataset that was persisted, not a projection
-    // over it, or the cache block leaks for the loop's lifetime.
-    var cached = labels
+      .localCheckpoint(true)
+    var labels = nodes.select(col("id"), col("id").as("comp")).localCheckpoint(true)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIters) {
@@ -304,38 +323,29 @@ object Dedup {
         .groupBy(col("id"))
         .agg(min(col("comp")).as("nb_comp"))
       // Convergence detection is folded into the SAME pass that computes
-      // the new labels: a per-row `chg` flag summed by the materializing
-      // action, instead of a second join of next-vs-previous labels — one
-      // fewer shuffle join per round, and the changed-count (a control
-      // decision) is all that reaches the driver.
+      // the new labels: a per-row `chg` flag summed after the
+      // materializing checkpoint, instead of a second join of
+      // next-vs-previous labels — one fewer shuffle join per round, and
+      // the changed-count (a control decision) is all that reaches the
+      // driver.
       val next = labels
         .join(nb, Seq("id"), "left")
         .select(
           col("id"),
           least(col("comp"), coalesce(col("nb_comp"), col("comp"))).as("comp"),
           (coalesce(col("nb_comp"), col("comp")) < col("comp")).cast("long").as("chg"))
-        .persist()
+        .localCheckpoint(true)
       changed = next.agg(coalesce(sum(col("chg")), lit(0L))).first().getLong(0)
-      cached.unpersist()
-      cached = next
       labels = next.select(col("id"), col("comp"))
       i += 1
     }
-    if (changed > 0) {
-      cached.unpersist() // don't pin caches on the failure path
-      sym.unpersist()
+    if (changed > 0)
       throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIters rounds " +
+        s"connectedComponentsHashMin did not converge in $maxIters rounds " +
           s"($changed labels still changing) — a component's diameter exceeds " +
-          "maxIters; raise it (rounds needed = max component diameter)")
-    }
-    // localCheckpoint: truncates lineage like persist but its blocks are
-    // released by the ContextCleaner once unreferenced — no per-call cache
-    // leak; then drop the loop's explicit caches.
-    val out = labels.localCheckpoint(true)
-    cached.unpersist()
-    sym.unpersist()
-    out
+          "maxIters (rounds needed = max component diameter; the registered " +
+          "connectedComponents delegates to the log-round star kernel instead)")
+    labels
   }
 
   /** Blocked exact k-gram Jaccard candidate pairs — the shared shape for

@@ -96,6 +96,25 @@ class DedupSpec extends SparkSpec {
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
   }
 
+  test("connectedComponents star delegation is label-equal to the hash-min baseline") {
+    // Round 18 swapped the kernel to star contraction; both algorithms
+    // compute the same deterministic component-minimum labeling, pinned
+    // here on a deliberately awkward graph: a 20-link chain (the
+    // diameter shape that motivated the swap), a clique, a pair sharing
+    // ids across decades, and singletons.
+    import spark.implicits._
+    val chain = (100L until 120L).map(i => (i, i + 1))
+    val clique = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val edges = (chain ++ clique ++ Seq((50L, 70L))).toDF("a", "b")
+    val nodes = ((0L to 3L) ++ (100L to 120L) ++ Seq(50L, 70L, 999L)).toDF("id")
+    val star = Dedup.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hm = Dedup.connectedComponentsHashMin(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == hm, "star kernel diverged from the hash-min baseline")
+    assert((100L to 120L).forall(star(_) == 100L) && star(999L) == 999L && star(70L) == 50L)
+  }
+
   test("minhash LSH recall vs exact 3-gram jaccard on real documents (sf0.001)") {
     val docs = graft.core.Tables(spark, sf(), "documents").select("doc_id", "text")
     // ground truth: exact jaccard >= 0.6 among prefix-blocked candidates
