@@ -442,8 +442,109 @@ object Graph {
           "SELECT pk, CAST(MIN(lbl) AS BIGINT) AS label, " +
           "true AS matches_hashmin, true AS rounds_logarithmic " +
           "FROM walk GROUP BY pk ORDER BY pk")
+    ),
+    Q(
+      "q_kcore",
+      // k-CORE decomposition by iterative peeling (Seidman 1983; the
+      // graph-quality curation primitive — spam/link-farm filtering
+      // keeps the k-core, influence analyses bucket by coreness): drop
+      // every node with fewer than k neighbors, recompute degrees over
+      // the SURVIVORS, repeat until stable — the unique maximal
+      // subgraph of minimum degree ≥ k. Deterministic set arithmetic,
+      // so the FULL surviving relation (pk, deg_in_core) is a value
+      // differential: the oracle unrolls the peel as fixed nested CTE
+      // rounds (the q_label_prop unrolling trick — peeling is
+      // idempotent at the fixpoint, so unrolling PAST convergence
+      // changes nothing), and the registered loop asserts it converged
+      // within the unroll depth (more rounds would value-mismatch the
+      // relation anyway — the boolean just names the contract). Scale
+      // shape: each round is one self-join degree count over current
+      // survivors + a filter — O(E) a round, rounds bounded by the
+      // degeneracy peel depth; per-round driver state is one long.
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .filter(col("pk") % 4 === 0)
+          .distinct()
+        val edges = coPurchaseEdges(li)
+        val (core, rounds) = kCore(edges, k = 3, maxRounds = KcoreUnroll)
+        core
+          .withColumn("rounds_le_unroll", lit(rounds <= KcoreUnroll))
+          .orderBy("pk")
+      },
+      Some {
+        // unrolled peel: k0 = all endpoints; each round keeps nodes
+        // with >= 3 surviving neighbors; 8 rounds (the Spark loop
+        // asserts convergence within that depth; extra rounds no-op)
+        val k = 3
+        val base =
+          "li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem " +
+            "WHERE l_partkey % 4 = 0), " +
+            "e0 AS (SELECT DISTINCT x.pk AS src, y.pk AS dst FROM li x " +
+            "JOIN li y ON x.ok = y.ok AND x.pk < y.pk), " +
+            "e AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0), " +
+            "k0 AS MATERIALIZED (SELECT DISTINCT src AS pk FROM e)"
+        // AS MATERIALIZED (DuckDB-only syntax — oracle text never runs
+        // in Spark): each round references the previous one TWICE, and
+        // DuckDB inlines plain CTEs, which would expand the peel into
+        // 2^8 copies of the base subtree (measured: minutes at sf0.1
+        // vs sub-second materialized)
+        val rounds = (1 to 8).map { r =>
+          s"k$r AS MATERIALIZED (SELECT e.src AS pk FROM e " +
+            s"JOIN k${r - 1} a ON a.pk = e.src JOIN k${r - 1} b ON b.pk = e.dst " +
+            s"GROUP BY e.src HAVING COUNT(*) >= $k)"
+        }.mkString(", ")
+        s"WITH $base, $rounds, " +
+          "f AS (SELECT e.src AS pk, CAST(COUNT(*) AS BIGINT) AS deg_in_core FROM e " +
+          "JOIN k8 a ON a.pk = e.src JOIN k8 b ON b.pk = e.dst GROUP BY e.src) " +
+          "SELECT pk, deg_in_core, true AS rounds_le_unroll FROM f ORDER BY pk"
+      }
     )
   )
+
+  /** Unroll depth the q_kcore oracle carries — the registered loop must
+    * converge within it (asserted as the gated boolean; a deeper peel
+    * would value-mismatch the surviving relation regardless).
+    */
+  private[graft] val KcoreUnroll = 8
+
+  /** Iterative k-core peeling over a symmetric (src, dst) edge list:
+    * keep nodes whose degree AMONG SURVIVORS is ≥ k, to fixpoint.
+    * Returns (survivors with their in-core degree, rounds run — one
+    * bounded count per round reaches the driver).
+    */
+  private[graft] def kCore(
+      edges: org.apache.spark.sql.DataFrame,
+      k: Int,
+      maxRounds: Int): (org.apache.spark.sql.DataFrame, Int) = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    var keep = e.select(col("src").as("pk")).distinct().localCheckpoint(true)
+    var nKeep = keep.count()
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxRounds) {
+      val next = e
+        .join(keep.select(col("pk").as("src")), Seq("src"))
+        .join(keep.select(col("pk").as("dst")), Seq("dst"))
+        .groupBy(col("src"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("src").as("pk"))
+        .localCheckpoint(true)
+      rounds += 1
+      val n = next.count()
+      if (n == nKeep) done = true
+      keep = next
+      nKeep = n
+    }
+    val core = e
+      .join(keep.select(col("pk").as("src")), Seq("src"))
+      .join(keep.select(col("pk").as("dst")), Seq("dst"))
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("deg_in_core"))
+      .select(col("src").as("pk"), col("deg_in_core"))
+    (core, rounds)
+  }
 
   /** Runaway cap for [[ccConverged]] — far above any fixture diameter;
     * the registered row gates `converged` = the loop exited on an EMPTY
