@@ -225,7 +225,7 @@ object Stress {
       var r = 0
       var w: Seq[Long] = Nil
       val t = time {
-        val (labels, rounds, waves) = queries.Graph.ccConverged(nodes, edges)
+        val (labels, rounds, waves, _) = queries.Graph.ccConverged(nodes, edges)
         labels.write.format("noop").mode("overwrite").save()
         r = rounds; w = waves
       }
@@ -255,7 +255,7 @@ object Stress {
     val chainNodes = spark.range(chainN).select(col("id").as("pk"))
     var rStar = 0
     val tStar = time {
-      val (l, rr) = queries.Graph.ccStar(chainNodes, chainEdges)
+      val (l, rr, _) = queries.Graph.ccStar(chainNodes, chainEdges)
       l.write.format("noop").mode("overwrite").save()
       rStar = rr
     }

@@ -203,7 +203,12 @@ object ArtifactStore {
     touch(slot)
     try load(new Slot(Some(slot), spark, None))
     catch {
-      case _: Throwable =>
+      // NonFatal ONLY (round-18 ADVICE): an OutOfMemoryError or an
+      // interrupt is not slot corruption — quarantine-deleting a
+      // healthy slot and re-running the build under the same fatal
+      // condition amplifies the fault and swallows interrupt status.
+      // Fatals and interrupts propagate; decode/IO failures retry.
+      case scala.util.control.NonFatal(_) =>
         // `_OK` proves the build COMPLETED, not that the parts are
         // intact — a part deleted or truncated out-of-band otherwise
         // poisons the key forever. The retry is unconditional on the
@@ -237,35 +242,88 @@ object ArtifactStore {
     val root = rootDir(spark)
     if (!root.isDirectory) return Seq.empty
     val cutoff = now.minus(java.time.Duration.ofDays(maxAgeDays.toLong)).toEpochMilli
-    Option(root.listFiles()).getOrElse(Array.empty[File]).toSeq
-      .filter(_.isDirectory)
+    val all = Option(root.listFiles()).getOrElse(Array.empty[File]).toSeq
+    // every user's marker dirs (touch()'s foreign-owner fallback) —
+    // NOT slot candidates themselves
+    val markerDirs = all.filter(d => d.isDirectory && d.getName.startsWith("_used-"))
+    def newestMarker(slotName: String): Long =
+      markerDirs.map { md =>
+        val f = new File(md, slotName)
+        if (f.isFile) f.lastModified() else 0L
+      }.foldLeft(0L)(math.max)
+    all
+      .filter(d => d.isDirectory && !d.getName.startsWith("_used-"))
       .filter { d =>
         val ok = new File(d, "_OK")
         val used = new File(d, "_USED") // touch()'s mtime-rejected fallback
         val lastUsed =
-          if (ok.isFile) math.max(ok.lastModified(), if (used.isFile) used.lastModified() else 0L)
+          if (ok.isFile)
+            math.max(
+              math.max(ok.lastModified(), if (used.isFile) used.lastModified() else 0L),
+              newestMarker(d.getName))
           else d.lastModified()
         lastUsed < cutoff
       }
-      .map { d => deleteRec(d); d.getName }
+      .map { d =>
+        deleteRec(d)
+        // drop this user's stale marker with the slot (other users'
+        // dirs may be unwritable — best-effort)
+        try Files.deleteIfExists(new File(userMarkerDir(root), d.getName).toPath)
+        catch { case _: java.io.IOException => () }
+        d.getName
+      }
   }
+
+  /** Per-user last-used sidecar directory under the store root —
+    * `_used-<user>/<slotName>` marker files. The THIRD touch signal:
+    * when a slot is owned by another user under a shared
+    * GRAFT_ARTIFACTS_DIR, BOTH the `_OK` mtime update AND a `_USED`
+    * write INSIDE the slot are typically rejected (the slot dir itself
+    * is unwritable) — the round-18 ADVICE gap. The store root, by
+    * contrast, is shared-writable in that deployment (every user
+    * builds slots into it), so a per-user subdirectory is always
+    * writable by its owner; [[retentionSweep]] reads the newest of
+    * `_OK`/`_USED`/every user's marker for the slot name.
+    */
+  private def userMarkerDir(root: File): File =
+    new File(root, "_used-" +
+      System.getProperty("user.name", "unknown").replaceAll("[^A-Za-z0-9._-]", "_"))
 
   private def touch(slot: File): Unit = {
     val ok = new File(slot, "_OK")
     // setLastModified returns false where the filesystem (or another
     // user's ownership of the slot under a shared GRAFT_ARTIFACTS_DIR)
     // rejects mtime updates — silently losing the last-used signal
-    // would let retentionSweep delete actively-served slots. Fall back
-    // to (re)writing a small `_USED` sidecar inside the slot: a fresh
-    // write stamps its own mtime, and the sweep reads the NEWEST of
-    // `_OK`/`_USED`. Best-effort throughout (a slot swept mid-touch
-    // must not fail the serve — the load-retry above handles it).
+    // would let retentionSweep delete actively-served slots. Fallback
+    // chain: (1) a `_USED` sidecar inside the slot (fresh write stamps
+    // its own mtime); (2) if the slot dir itself is unwritable — the
+    // foreign-owner case, where (1) fails for the same reason the
+    // mtime update did — a marker in the CURRENT USER's sidecar dir
+    // under the store root ([[userMarkerDir]]). Only when all three
+    // fail is the signal lost, and that is logged rather than
+    // swallowed. Best-effort throughout (a slot swept mid-touch must
+    // not fail the serve — the load-retry above handles it).
     try {
       if (ok.isFile && !ok.setLastModified(System.currentTimeMillis())) {
-        Files.write(new File(slot, "_USED").toPath, Array.emptyByteArray)
-        ()
+        try {
+          Files.write(new File(slot, "_USED").toPath, Array.emptyByteArray)
+          ()
+        } catch {
+          case _: java.io.IOException =>
+            val dir = userMarkerDir(slot.getParentFile)
+            dir.mkdirs()
+            Files.write(new File(dir, slot.getName).toPath, Array.emptyByteArray)
+            ()
+        }
       }
-    } catch { case _: java.io.IOException => () }
+    } catch {
+      case e: java.io.IOException =>
+        // every signal path failed: say so — a silent miss here is a
+        // slot retentionSweep may reap while it is actively served
+        System.err.println(
+          s"[graft] WARN: could not record last-used for artifact slot " +
+            s"${slot.getName} (${e.getMessage}) — retention may age it out")
+    }
   }
 
   private def completed(slot: File): Boolean = new File(slot, "_OK").isFile

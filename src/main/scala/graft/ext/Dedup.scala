@@ -287,11 +287,15 @@ object Dedup {
     * @return (id, comp) where comp = min node id of the component
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIters: Int = 50): DataFrame = {
-    val (labels, rounds) = graft.queries.Graph.ccStar(
+    val (labels, _, converged) = graft.queries.Graph.ccStar(
       nodes.select(col("id").as("pk")),
       edges.select(col("a").as("src"), col("b").as("dst")),
       maxRounds = maxIters)
-    if (rounds >= maxIters)
+    // gate on the kernel's explicit flag, not `rounds >= maxIters`: a
+    // run whose fixpoint lands exactly on the last permitted round is
+    // converged yet reports rounds == maxIters (round-18 ADVICE — the
+    // old comparison raised a spurious IllegalStateException there)
+    if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters star-contraction rounds — " +
           "with the log-round kernel this indicates a bug, not a long component")

@@ -306,9 +306,9 @@ object Graph {
           .filter(col("pk") < 500)
           .distinct()
         val nodes = li.select(col("pk")).distinct()
-        val (labels, rounds, _) = ccConverged(nodes, coPurchaseEdges(li))
+        val (labels, _, _, done) = ccConverged(nodes, coPurchaseEdges(li))
         labels
-          .withColumn("converged", lit(rounds < CcMaxRounds))
+          .withColumn("converged", lit(done))
           .orderBy("pk")
       },
       Some(
@@ -360,14 +360,14 @@ object Graph {
         val eBase = coPurchaseEdges(liBase)
         val eDelta = coPurchaseEdges(liDelta)
         // the "stored artifact": labels of the base graph
-        val (labels0, _, _) = ccConverged(nodesBase, eBase)
+        val (labels0, _, _, _) = ccConverged(nodesBase, eBase)
         val newNodes = nodesAll.join(nodesBase, Seq("pk"), "left_anti")
         val init = labels0.unionByName(newNodes.select(col("pk"), col("pk").as("label")))
         val seed = eDelta.select(col("src").as("pk")).unionByName(newNodes).distinct()
-        val (labelsInc, rInc, wavesInc) =
+        val (labelsInc, _, wavesInc, doneInc) =
           ccConvergedFrom(init, eAll, seed = Some(seed))
         // in-plan cold truth (gate-scale-only — it IS the contract)
-        val (labelsCold, _, wavesCold) = ccConverged(nodesAll, eAll)
+        val (labelsCold, _, wavesCold, _) = ccConverged(nodesAll, eAll)
         val mismatches = labelsInc
           .join(
             labelsCold.select(col("pk"), col("label").as("__cold")),
@@ -376,7 +376,7 @@ object Graph {
             col("label") =!= col("__cold"))
           .count()
         labelsInc
-          .withColumn("converged", lit(rInc < CcMaxRounds))
+          .withColumn("converged", lit(doneInc))
           .withColumn("matches_cold", lit(mismatches == 0L))
           .withColumn("warm_wave_le_cold", lit(wavesInc.sum <= wavesCold.sum))
           .orderBy("pk")
@@ -416,8 +416,8 @@ object Graph {
           .distinct()
         val nodes = li.select(col("pk")).distinct()
         val edges = coPurchaseEdges(li)
-        val (labels, rounds) = ccStar(nodes, edges)
-        val (labelsHm, _, _) = ccConverged(nodes, edges)
+        val (labels, rounds, doneStar) = ccStar(nodes, edges)
+        val (labelsHm, _, _, _) = ccConverged(nodes, edges)
         val mismatches = labels
           .join(labelsHm.select(col("pk"), col("label").as("__hm")), Seq("pk"), "full_outer")
           .filter(col("label").isNull || col("__hm").isNull || col("label") =!= col("__hm"))
@@ -426,7 +426,9 @@ object Graph {
         val logBound = 2 * (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n))) + 4
         labels
           .withColumn("matches_hashmin", lit(mismatches == 0L))
-          .withColumn("rounds_logarithmic", lit(rounds <= logBound))
+          // converged folded in: a cap-capped run is not "logarithmic",
+          // it's unfinished (the flag, not the round count, is truth)
+          .withColumn("rounds_logarithmic", lit(doneStar && rounds <= logBound))
           .orderBy("pk")
       },
       Some(
@@ -455,21 +457,26 @@ object Graph {
       // differential: the oracle unrolls the peel as fixed nested CTE
       // rounds (the q_label_prop unrolling trick — peeling is
       // idempotent at the fixpoint, so unrolling PAST convergence
-      // changes nothing), and the registered loop asserts it converged
-      // within the unroll depth (more rounds would value-mismatch the
-      // relation anyway — the boolean just names the contract). Scale
-      // shape: each round is one self-join degree count over current
-      // survivors + a filter — O(E) a round, rounds bounded by the
-      // degeneracy peel depth; per-round driver state is one long.
+      // changes nothing), and the registered loop asserts it CONVERGED
+      // within the unroll depth via kCore's explicit flag — NOT via
+      // `rounds <= KcoreUnroll`, which is vacuously true when the loop
+      // is capped AT the unroll depth: a peel deeper than the unroll
+      // would stop at the same intermediate survivor set the oracle's
+      // 8 rounds compute, and a non-k-core relation would pass every
+      // gate silently (round-18 ADVICE; GraphSpec plants exactly that
+      // deep-peel graph and pins the flag false). Scale shape: each
+      // round is one self-join degree count over current survivors +
+      // a filter — O(E) a round, rounds bounded by the degeneracy
+      // peel depth; per-round driver state is one long.
       (s, d) => {
         val li = Tables(s, d, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .filter(col("pk") % 4 === 0)
           .distinct()
         val edges = coPurchaseEdges(li)
-        val (core, rounds) = kCore(edges, k = 3, maxRounds = KcoreUnroll)
+        val (core, _, done) = kCore(edges, k = 3, maxRounds = KcoreUnroll)
         core
-          .withColumn("rounds_le_unroll", lit(rounds <= KcoreUnroll))
+          .withColumn("converged_in_unroll", lit(done))
           .orderBy("pk")
       },
       Some {
@@ -497,7 +504,7 @@ object Graph {
         s"WITH $base, $rounds, " +
           "f AS (SELECT e.src AS pk, CAST(COUNT(*) AS BIGINT) AS deg_in_core FROM e " +
           "JOIN k8 a ON a.pk = e.src JOIN k8 b ON b.pk = e.dst GROUP BY e.src) " +
-          "SELECT pk, deg_in_core, true AS rounds_le_unroll FROM f ORDER BY pk"
+          "SELECT pk, deg_in_core, true AS converged_in_unroll FROM f ORDER BY pk"
       }
     )
   )
@@ -511,12 +518,17 @@ object Graph {
   /** Iterative k-core peeling over a symmetric (src, dst) edge list:
     * keep nodes whose degree AMONG SURVIVORS is ≥ k, to fixpoint.
     * Returns (survivors with their in-core degree, rounds run — one
-    * bounded count per round reaches the driver).
+    * bounded count per round reaches the driver, converged — the loop
+    * exited on a NO-CHANGE round, not on the `maxRounds` cap). The
+    * explicit flag exists because "rounds ≤ cap" cannot distinguish
+    * convergence from cap exhaustion: a peel deeper than the cap stops
+    * at the cap's intermediate survivor set, which is NOT a k-core
+    * (round-18 ADVICE — the registered gate rides this flag).
     */
   private[graft] def kCore(
       edges: org.apache.spark.sql.DataFrame,
       k: Int,
-      maxRounds: Int): (org.apache.spark.sql.DataFrame, Int) = {
+      maxRounds: Int): (org.apache.spark.sql.DataFrame, Int, Boolean) = {
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     var keep = e.select(col("src").as("pk")).distinct().localCheckpoint(true)
     var nKeep = keep.count()
@@ -543,7 +555,7 @@ object Graph {
       .groupBy(col("src"))
       .agg(count(lit(1)).as("deg_in_core"))
       .select(col("src").as("pk"), col("deg_in_core"))
-    (core, rounds)
+    (core, rounds, done)
   }
 
   /** Runaway cap for [[ccConverged]] — far above any fixture diameter;
@@ -556,7 +568,11 @@ object Graph {
     * improves (or `maxRounds` as the runaway backstop). Returns
     * (labels, rounds run, per-round improved counts — the wave profile
     * the Stress graph tier charts: late-round deltas shrink toward
-    * empty, which is exactly the work a fixed-round job wastes).
+    * empty, which is exactly the work a fixed-round job wastes,
+    * converged — the loop SAW the empty wave rather than hitting the
+    * cap; `rounds < cap` is NOT equivalent, because a run whose empty
+    * wave lands exactly on the last permitted round converged but
+    * reads rounds == cap — round-18 ADVICE).
     * Per-round driver state is ONE long (the improved count on a
     * checkpointed delta); labels never leave the cluster.
     */
@@ -564,7 +580,7 @@ object Graph {
       nodes: org.apache.spark.sql.DataFrame,
       edges: org.apache.spark.sql.DataFrame,
       maxRounds: Int = CcMaxRounds)
-      : (org.apache.spark.sql.DataFrame, Int, Seq[Long]) =
+      : (org.apache.spark.sql.DataFrame, Int, Seq[Long], Boolean) =
     ccConvergedFrom(nodes.select(col("pk"), col("pk").as("label")), edges, maxRounds)
 
   /** [[ccConverged]] from an ARBITRARY initial labeling — the warm-start
@@ -582,7 +598,7 @@ object Graph {
       edges: org.apache.spark.sql.DataFrame,
       maxRounds: Int = CcMaxRounds,
       seed: Option[org.apache.spark.sql.DataFrame] = None)
-      : (org.apache.spark.sql.DataFrame, Int, Seq[Long]) = {
+      : (org.apache.spark.sql.DataFrame, Int, Seq[Long], Boolean) = {
     var labels = init.select(col("pk"), col("label")).localCheckpoint(true)
     // warm starts pass `seed` = the nodes whose neighborhoods actually
     // changed (delta-edge endpoints + new nodes): the improvement wave
@@ -636,7 +652,7 @@ object Graph {
         delta = improved
       }
     }
-    (labels, rounds, waves.toSeq)
+    (labels, rounds, waves.toSeq, done)
   }
 
   /** Star-contraction connected components (Kiveris et al. 2014,
@@ -665,13 +681,18 @@ object Graph {
     * list itself, and the list shrinks as stars collapse.
     *
     * Returns (labels over `nodes` — isolated nodes label themselves,
-    * rounds run). The convergence probe is one bounded count per
-    * round (edge-set size + changed-edge count via a join).
+    * rounds run, converged — the fixpoint was DETECTED, not the cap
+    * hit; a run that stabilizes exactly on the last permitted round
+    * reads rounds == maxRounds AND converged = true, so callers must
+    * gate on the flag, never on the round count — round-18 ADVICE).
+    * The convergence probe is one bounded count per round (edge-set
+    * size + changed-edge count via a join).
     */
   private[graft] def ccStar(
       nodes: org.apache.spark.sql.DataFrame,
       edges: org.apache.spark.sql.DataFrame,
-      maxRounds: Int = CcMaxRounds): (org.apache.spark.sql.DataFrame, Int) = {
+      maxRounds: Int = CcMaxRounds)
+      : (org.apache.spark.sql.DataFrame, Int, Boolean) = {
     // canonical down-directed form (u > v), self-loops dropped
     def canon(e: org.apache.spark.sql.DataFrame) =
       e.filter(col("src") =!= col("dst"))
@@ -711,7 +732,7 @@ object Graph {
     val labels = nodes
       .join(cur.select(col("u").as("pk"), col("v").as("label")), Seq("pk"), "left")
       .select(col("pk"), coalesce(col("label"), col("pk")).as("label"))
-    (labels, rounds)
+    (labels, rounds, done)
   }
 
   /** Undirected co-purchase edges (both directions) from a distinct

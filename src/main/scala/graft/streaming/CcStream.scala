@@ -72,8 +72,13 @@ object CcStream {
     val seed = batchEdges.select(col("src").as("pk"))
       .unionByName(batchEdges.select(col("dst").as("pk")))
       .distinct()
-    val (labels, rounds, _) =
+    val (labels, rounds, _, converged) =
       graft.queries.Graph.ccConvergedFrom(init, sym, seed = Some(seed))
+    // a capped (non-converged) repair would snapshot WRONG labels the
+    // next batch warm-starts from — fail loudly instead
+    if (!converged)
+      throw new IllegalStateException(
+        s"CC repair for batch $batchId hit the round cap without converging")
     labels.write.mode("overwrite").parquet(s"$labelsRoot/v=$batchId")
     rounds
   }

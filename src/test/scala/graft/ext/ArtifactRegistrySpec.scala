@@ -339,6 +339,42 @@ class ArtifactRegistrySpec extends SparkSpec {
     } finally spark.conf.unset("graft.artifacts.dir")
   }
 
+  test("a per-user marker under the store root keeps a foreign-owned slot alive") {
+    // ADVICE round 18 (low): when the slot dir itself is unwritable
+    // (another user's slot under a shared root), BOTH the _OK mtime
+    // update and the in-slot _USED write fail — touch() then stamps
+    // `<root>/_used-<user>/<slotName>`, and the sweep reads the newest
+    // of all three signals. Planted directly (we can't drop privileges
+    // in-test): _OK 40 days stale, no _USED, fresh per-user marker.
+    val store = java.nio.file.Files.createTempDirectory("graft-artifact-marker").toString
+    spark.conf.set("graft.artifacts.dir", store)
+    try {
+      import graft.core.ArtifactStore
+      def put(payload: String): String =
+        ArtifactStore.loadOrBuild(spark, "marker-key") { w => w.text("p", payload) } { s => s.text("p") }
+      assert(put("v1") == "v1")
+      val slot = new java.io.File(store).listFiles().filter(_.isDirectory).head
+      val past = System.currentTimeMillis() - 40L * 24 * 3600 * 1000
+      assert(new java.io.File(slot, "_OK").setLastModified(past))
+      val markerDir = new java.io.File(
+        store, "_used-" + System.getProperty("user.name", "unknown")
+          .replaceAll("[^A-Za-z0-9._-]", "_"))
+      assert(markerDir.mkdirs() || markerDir.isDirectory)
+      java.nio.file.Files.write(
+        new java.io.File(markerDir, slot.getName).toPath, Array.emptyByteArray)
+      assert(ArtifactStore.retentionSweep(spark, maxAgeDays = 32).isEmpty,
+        "sweep deleted a slot whose per-user marker proves recent serves")
+      // the marker dir itself must never be treated as a slot candidate
+      // even when stale, and a stale marker no longer protects the slot
+      assert(new java.io.File(markerDir, slot.getName).setLastModified(past))
+      val swept = ArtifactStore.retentionSweep(spark, maxAgeDays = 32)
+      assert(swept == Seq(slot.getName), s"expected only the slot swept, got $swept")
+      assert(markerDir.isDirectory, "sweep must not delete per-user marker dirs")
+      assert(!new java.io.File(markerDir, slot.getName).exists(),
+        "the swept slot's own-user marker should be dropped with it")
+    } finally spark.conf.unset("graft.artifacts.dir")
+  }
+
   test("PQ codes registry rebuilds when the corpus under the same path is regenerated") {
     val dir = java.nio.file.Files.createTempDirectory("graft-artifact-reg-pq").toString
     writeCorpus(dir, 0L until 20L, Seq("apple", "banana", "cherry", "date"))

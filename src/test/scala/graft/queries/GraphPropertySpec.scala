@@ -56,16 +56,16 @@ class GraphPropertySpec extends SparkSpec {
         .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
         .localCheckpoint(true)
       val nodes = spark.range(n.toLong).select(col("id").as("pk"))
-      val (starLabels, starRounds) = Graph.ccStar(nodes, edges)
+      val (starLabels, starRounds, starDone) = Graph.ccStar(nodes, edges)
       val star = starLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(star == expected,
         s"trial $trial (n=$n, m=${pairs.size}): star contraction != union-find")
-      assert(starRounds < Graph.CcMaxRounds, s"trial $trial: star hit the runaway cap")
-      val (hmLabels, hmRounds, _) = Graph.ccConverged(nodes, edges)
+      assert(starDone && starRounds < Graph.CcMaxRounds, s"trial $trial: star hit the runaway cap")
+      val (hmLabels, hmRounds, _, hmDone) = Graph.ccConverged(nodes, edges)
       val hm = hmLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(hm == expected,
         s"trial $trial (n=$n, m=${pairs.size}): hash-min fixpoint != union-find")
-      assert(hmRounds < Graph.CcMaxRounds, s"trial $trial: hash-min hit the runaway cap")
+      assert(hmDone && hmRounds < Graph.CcMaxRounds, s"trial $trial: hash-min hit the runaway cap")
     }
   }
 
@@ -85,9 +85,9 @@ class GraphPropertySpec extends SparkSpec {
             .localCheckpoint(true)
         }
         val nodes = spark.range(n.toLong).select(col("id").as("pk"))
-        val (labels0, _, _) = Graph.ccConverged(nodes, und(basePairs))
+        val (labels0, _, _, _) = Graph.ccConverged(nodes, und(basePairs))
         val seed = und(deltaPairs).select(col("src").as("pk")).distinct()
-        val (warm, _, _) = Graph.ccConvergedFrom(
+        val (warm, _, _, _) = Graph.ccConvergedFrom(
           labels0, und(all), seed = Some(seed))
         val got = warm.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         assert(got == unionFind(n, all),

@@ -70,12 +70,12 @@ class GraphSpec extends SparkSpec {
     val base = undirected(Seq((0L, 1L), (1L, 2L), (10L, 11L), (11L, 12L),
       (100L, 101L), (101L, 102L), (102L, 103L)))
     val nodes = base.select(col("src").as("pk")).distinct()
-    val (labels0, _, _) = Graph.ccConverged(nodes, base)
+    val (labels0, _, _, _) = Graph.ccConverged(nodes, base)
     val delta = undirected(Seq((2L, 10L)))
     val merged = base.unionByName(delta).distinct().localCheckpoint(true)
-    val (warm, warmRounds, warmWaves) = Graph.ccConvergedFrom(
+    val (warm, warmRounds, warmWaves, warmDone) = Graph.ccConvergedFrom(
       labels0, merged, seed = Some(delta.select(col("src").as("pk"))))
-    val (cold, _, coldWaves) = Graph.ccConverged(nodes, merged)
+    val (cold, _, coldWaves, _) = Graph.ccConverged(nodes, merged)
     val warmMap = warm.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val coldMap = cold.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(warmMap == coldMap, "warm repair diverged from the cold recompute")
@@ -86,7 +86,7 @@ class GraphSpec extends SparkSpec {
     assert(warmWaves.sum == 3L,
       s"warm wave should improve exactly B's 3 nodes, improved ${warmWaves.sum}")
     assert(warmWaves.sum < coldWaves.sum)
-    assert(warmRounds < Graph.CcMaxRounds)
+    assert(warmDone && warmRounds < Graph.CcMaxRounds)
   }
 
   test("star-contraction CC: log rounds on the chain where hash-min pays the diameter") {
@@ -103,16 +103,17 @@ class GraphSpec extends SparkSpec {
     val edges = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
     val nodes = spark.range(n).select(col("id").as("pk"))
-    val (starLabels, starRounds) = Graph.ccStar(nodes, edges, maxRounds = 64)
+    val (starLabels, starRounds, starDone) = Graph.ccStar(nodes, edges, maxRounds = 64)
     val sm = starLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sm == (0L until n).map(_ -> 0L).toMap, "chain is one component rooted at 0")
     info(s"chain n=$n: star-contraction converged in $starRounds rounds")
+    assert(starDone, "ccStar must report detected convergence, not a cap exit")
     assert(starRounds <= 16, s"star contraction lost its log bound: $starRounds rounds")
     // hash-min's diameter cost is proven by NON-convergence under a cap
     // well past star's rounds — running all 63 rounds would only burn
     // per-round fixed costs to learn the same fact
     val hmCap = 16
-    val (_, hmRounds, hmWaves) = Graph.ccConverged(nodes, edges, maxRounds = hmCap)
+    val (_, hmRounds, hmWaves, _) = Graph.ccConverged(nodes, edges, maxRounds = hmCap)
     assert(hmRounds == hmCap && hmWaves.last > 0L,
       s"hash-min converged within $hmRounds rounds on a diameter-63 chain — " +
         "the label wave should still be crawling")
@@ -120,9 +121,38 @@ class GraphSpec extends SparkSpec {
     val e2 = (Seq((0L, 1L), (1L, 2L), (10L, 11L))).toDF("src", "dst")
     val edges2 = e2.unionByName(e2.select(col("dst").as("src"), col("src").as("dst")))
     val nodes2 = Seq(0L, 1L, 2L, 10L, 11L, 99L).toDF("pk")
-    val (l2, _) = Graph.ccStar(nodes2, edges2)
+    val (l2, _, _) = Graph.ccStar(nodes2, edges2)
     val m2 = l2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(m2 == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 10L -> 10L, 11L -> 10L, 99L -> 99L))
+  }
+
+  test("kCore: planted 2-core survives, and a capped peel reports converged = false") {
+    // chain 0-1-…-9 (peels completely at k=2, two endpoints per round,
+    // 6 rounds to the empty fixpoint) + triangle {100,101,102} (every
+    // node keeps degree 2 — THE 2-core). The capped run is the exact
+    // round-18 ADVICE scenario: at maxRounds=4 the survivor set still
+    // holds chain nodes 4 and 5 with in-core degree 1 — a relation that
+    // is NOT a k-core — and only the explicit flag exposes it.
+    import spark.implicits._
+    def und(p: Seq[(Long, Long)]) = {
+      val e0 = p.toDF("src", "dst")
+      e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint(true)
+    }
+    val edges = und((0L until 9L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (101L, 102L), (100L, 102L)))
+    val (core, rounds, done) = Graph.kCore(edges, k = 2, maxRounds = 8)
+    assert(done, "full peel must report convergence")
+    assert(rounds <= 8)
+    val m = core.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(100L -> 2L, 101L -> 2L, 102L -> 2L),
+      s"2-core must be exactly the triangle, got $m")
+    val (capped, cappedRounds, cappedDone) = Graph.kCore(edges, k = 2, maxRounds = 4)
+    assert(!cappedDone, "capped peel must NOT report convergence")
+    assert(cappedRounds == 4)
+    val cm = capped.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cm.contains(4L) && cm(4L) < 2L,
+      "the capped survivor set should still hold a sub-k node — the relation the flag guards against")
   }
 
   test("q_triangle_count invariants on the fixture: closure bound and handshake parity") {

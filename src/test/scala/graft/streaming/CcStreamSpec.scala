@@ -53,7 +53,7 @@ class CcStreamSpec extends SparkSpec {
     val e0 = pairs.select("src", "dst")
     val sym = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
     val nodes = sym.select(col("src").as("pk")).distinct()
-    val (batchLabels, _, _) = graft.queries.Graph.ccConverged(nodes, sym)
+    val (batchLabels, _, _, _) = graft.queries.Graph.ccConverged(nodes, sym)
     val oneShot = labelMap(batchLabels)
     assert(streamed.nonEmpty && streamed == oneShot,
       "micro-batched label repair must equal the one-shot fixpoint bit-for-bit")
