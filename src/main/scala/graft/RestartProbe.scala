@@ -30,8 +30,12 @@ object RestartProbe {
   */
 object ArtifactDrive {
   def serveAll(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
-    ext.Ivf.trainShared(s, d, k = 16) // the nprobe-serving rows' quantizer
-    ext.Ivf.trainSharedAdaptive(s, d) // the blocked builds' k=⌈√n⌉ quantizer
+    // ONE shared quantizer since round 19: serving rows AND blocked
+    // builds all ride the corpus-adaptive k = ⌈√(n/8)⌉ (= 16 at
+    // fixture scale, so the artifact key is the same one the old
+    // fixed-k serving rows used)
+    ext.Ivf.trainSharedAdaptive(s, d)
+    ext.Ivf.trainShared(s, d, k = 8) // q_ivf_split's deliberately-coarse layer
     ext.SearchQueries.bm25IndexShared(s, d)
     ext.SearchQueries.sparseIndexShared(s, d)
     ext.Dedup.minhashIndexShared(s, d)

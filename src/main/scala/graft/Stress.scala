@@ -963,6 +963,43 @@ object Stress {
     val candExp =
       math.log(nCand.toDouble / nCandBase) / math.log(nVecs.toDouble / nBase)
 
+    // ---- nprobe-SERVING at the adaptive k (round-18 verdict #1's
+    // measurement half): with k = cellCountScaled(n) and a CONSTANT
+    // nprobe, the per-query scanned FRACTION pool/(q·n) must SHRINK as
+    // the corpus grows — nprobe=8 of kBase=16 cells is ~0.5 of the
+    // base corpus, ~8/78 ≈ 0.10 at 24× — while a pinned k would hold
+    // it constant (the linear-scan asymptotic class the serving rows
+    // escaped this round). Recall@3 vs in-plan brute force rides
+    // alongside so the shrink is never mistaken for free. Queries =
+    // the 16 rep-0 vectors, identical ids on both corpora.
+    def servingLeg(corpus: org.apache.spark.sql.DataFrame, k: Int)
+        : (Double, Double, Double) = {
+      val cents = ext.Ivf.trainK(spark, corpus, k)
+      val q = corpus.filter(col("vec_id") < 16)
+      val nq = q.count()
+      val n = corpus.count()
+      val indexed = ext.Ivf.index(corpus, cents)
+      val pool = ext.Ivf.probeCells(q, cents, nprobe = 8)
+        .join(indexed.select(col("n_id"), col("bucket")), Seq("bucket"))
+        .filter(col("q_id") =!= col("n_id"))
+        .count()
+      val exact = ext.Similarity.bruteForceTopK(q, corpus, 3)
+        .select(col("q_id"), col("n_id")).localCheckpoint(true)
+      def serve(): Double = time {
+        ext.Ivf.topK(q, indexed, cents, k = 3, nprobe = 8)
+          .write.format("noop").mode("overwrite").save()
+      }
+      serve()
+      val serveSec = Seq(serve(), serve()).min
+      val hits = exact.join(
+        ext.Ivf.topK(q, indexed, cents, k = 3, nprobe = 8)
+          .select(col("q_id"), col("n_id")),
+        Seq("q_id", "n_id"), "left_semi").count()
+      (pool.toDouble / (nq * n), hits.toDouble / exact.count(), serveSec)
+    }
+    val (sfrB, srecB, ssecB) = servingLeg(emb, kBase)
+    val (sfrM, srecM, ssecM) = servingLeg(embBig, k)
+
     // ---- triangle counting on disjoint replicated basket graphs ----
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select(col("l_orderkey"), col("l_partkey"))
@@ -992,6 +1029,9 @@ object Stress {
         s""""vecs":$nVecs,"ivf_k":$k,"vecs_base":$nBase,"ivf_k_base":$kBase,""" +
         s""""knn_sec":${num(knnSec)},"knn_candidates":$nCand,"knn_cand_base":$nCandBase,""" +
         s""""knn_cand_growth_exponent":${num(candExp)},""" +
+        s""""serve_nprobe":8,"serve_frac_base":${num(sfrB)},"serve_recall_base":${num(srecB)},""" +
+        s""""serve_sec_base":${num(ssecB)},"serve_frac_big":${num(sfrM)},""" +
+        s""""serve_recall_big":${num(srecM)},"serve_sec_big":${num(ssecM)},""" +
         s""""knn_mrows_s":${num(rate(nVecs, knnSec))},"knn_mcand_s":${num(rate(nCand, knnSec))},""" +
         s""""lineitem_rows":$nLi,"tri_sec":${num(triSec)},"tri_edges":$nEdges,""" +
         s""""tri_mrows_s":${num(rate(nLi, triSec))},"tri_medges_s":${num(rate(nEdges, triSec))}}""")

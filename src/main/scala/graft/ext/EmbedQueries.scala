@@ -191,7 +191,8 @@ object EmbedQueries {
       // The SERVED binary-quantization composition q_quantize_binary's
       // scaladoc promises (round-17 verdict #6): candidates come from
       // the stored IVF coarse quantizer (probeCells ⋈ index on bucket,
-      // k=16 / nprobe=8 — the nprobe-serving convention, like
+      // corpus-adaptive k — 16 at fixture scale — / nprobe=8, the
+      // nprobe-serving convention, like
       // q_hard_negatives_ivf), the 1-bit XOR+popcount Hamming filter
       // keeps each query's top-100 INSIDE the probed cells, and the
       // exact-cosine rerank answers top-3 — the three-stage funnel
@@ -204,12 +205,19 @@ object EmbedQueries {
       // nprobe=8/keep=100; the two-point sensitivity behind the
       // constants: nprobe=6/keep=20 reads 0.533/0.333 — the 1-bit
       // filter needs a generous rerank budget on near-uniform
-      // vectors), the pool's sub-quadratic candidate ceiling, and
+      // vectors), the pool's nprobe/k-PROPORTIONAL candidate ceiling
+      // (poolCeilingFrac — 0.75·q·corpus at the sf0.1 tier's k=16,
+      // vacuous-by-design at sf0.01's 500-vector/k=8 tier where
+      // nprobe=8 is exhaustive, ~0.15 at the 24x Stress tier's k=78;
+      // the previous flat 0.6·q·corpus could never tighten with k —
+      // round-18 verdict #1), and
       // full serving (3 answers per query).
       (s, d) => {
         val emb = Tables(s, d, "embeddings")
+        val coarse = Ivf.trainSharedAdaptive(s, d)
+        val frac = Ivf.poolCeilingFrac(coarse.size, nprobe = 8)
         val (served, pool) = binaryIvfServed(
-          s, emb, col("vec_id") < 10, Ivf.trainShared(s, d, k = 16))
+          s, emb, col("vec_id") < 10, coarse)
         val q = emb.filter(col("vec_id") < 10)
         SimilarityQueries
           .recallGate(
@@ -221,7 +229,8 @@ object EmbedQueries {
           .select(
             col("n_queries"),
             col("recall_ge_floor"),
-            (col("__n_pool") * 5 <= col("n_queries") * col("n_corpus") * 3)
+            (col("__n_pool").cast("double") <=
+              lit(frac) * col("n_queries").cast("double") * col("n_corpus").cast("double"))
               .as("cand_sub_quadratic"),
             (col("__n_served") === col("n_queries") * 3).as("full_serving"))
       },
@@ -338,28 +347,33 @@ object EmbedQueries {
       // The COMPOSED IVF×PQ serving layout (round-12 verdict #1 — the
       // FAISS IVFPQ shape): PQ codes stored per coarse cell
       // ([[Pq.encodeCells]], one narrow map), queries build their ADC
-      // distance table once and scan ONLY their nprobe=4 of 16 cells'
-      // codes, shortlist-64, exact re-rank to top-10. Both the cell
+      // distance table once and scan ONLY their nprobe=6 of the
+      // corpus-adaptive k cells' codes (k=16 at sf0.1, so 3/8 of the
+      // corpus; near-exhaustive at the 500-vector tiers' k=8 by
+      // design), shortlist-128, exact re-rank to top-10. Knobs
+      // re-measured against the round-19 fixture re-roll: the old
+      // nprobe=4/shortlist-64 read 0.36 recall at sf0.1 (0.58 on the
+      // r18 fixture); nprobe=6/128 reads 0.55 sf0.1 / 0.80 sf0.01.
+      // Both the cell
       // assignment and the PQ codebooks are float/partition-order
       // sensitive, so the gated output is recall@10 vs the in-plan exact
       // L2 top-10 (floor 0.5, same as q_pq_adc) PLUS the sub-linear
-      // candidate ceiling: scored (q_id, vec_id) pairs must stay under
-      // 0.6 · n_queries · n_docs — balanced cells give ≈ nprobe/k = 1/4,
-      // so the ceiling holds with slack while a full-corpus ADC
-      // regression (≈ n_queries · n_docs) trips it. The exact side is
+      // candidate ceiling at the nprobe/k-proportional
+      // Ivf.poolCeilingFrac bound (0.5625·q·docs at k=16) — a
+      // full-corpus ADC regression (≈ n_queries · n_docs) trips it. The exact side is
       // gate-scale-only (it IS the oracle); the served plan is
       // probe → cell-equi-join → hash-agg → shortlist → re-rank,
       // plan-audited to contain no cartesian (PlanAuditSpec).
       (s, d) => {
         val emb = Tables(s, d, "embeddings")
         val queries = emb.filter(col("vec_id") < 10)
-        val coarse = Ivf.trainShared(s, d, k = 16)
+        val coarse = Ivf.trainSharedAdaptive(s, d)
         val books = Pq.shared(
           s"$d|${Tables.fingerprint(d, "embeddings")}|raw|m=8|k=16|iters=6")(
           Pq.train(s, emb, m = 8, k = 16, iters = 6))
         val enc = Pq.encodeCells(emb, books, coarse)
-        val cand = Pq.adcCandidatesIvf(queries, enc, books, coarse, nprobe = 4)
-        val approx = Pq.exactRerank(Pq.shortlistTopK(cand, 64), queries, emb, k = 10)
+        val cand = Pq.adcCandidatesIvf(queries, enc, books, coarse, nprobe = 6)
+        val approx = Pq.exactRerank(Pq.shortlistTopK(cand, 128), queries, emb, k = 10)
         // exact L2 top-10 (broadcast × corpus — the deliberate exact side)
         val v = col("embedding").cast("array<double>")
         val q = queries.select(col("vec_id").as("q_id"), v.as("qv"))
@@ -391,7 +405,8 @@ object EmbedQueries {
             (col("__n_hit").cast("double") >= col("__n_truth").cast("double") * 0.5)
               .as("recall_ge_floor"),
             (col("__n_cand").cast("double") <=
-              lit(0.6) * col("n_queries").cast("double") * col("__n_docs").cast("double"))
+              lit(Ivf.poolCeilingFrac(coarse.size, nprobe = 6)) *
+                col("n_queries").cast("double") * col("__n_docs").cast("double"))
               .as("candidates_sublinear"))
       },
       Some(
@@ -407,11 +422,13 @@ object EmbedQueries {
       // query now builds one distance table PER PROBED CELL over its own
       // residual to that cell (‖q−(c+r̂)‖² = ‖(q−c)−r̂‖²) — nprobe small
       // tables, still query-side-tiny; the codes-only cell equi-join and
-      // the shortlist-64 → exact re-rank are unchanged. Gates: residual
+      // the shortlist-128 → exact re-rank are unchanged (knobs shared
+      // with q_pq_adc_ivf, re-measured on the round-19 fixture:
+      // 0.58 sf0.1 / 0.77 sf0.01). Gates: residual
       // recall@10 vs in-plan exact L2 (floor 0.5) + the sub-linear
       // scanned-candidate ceiling. The A/B against raw-space codes runs
-      // in EmbedSpec (residual hits ≥ raw hits; on the small fixture the
-      // two tie at 58/100 — the residual win grows with within-cell
+      // in EmbedSpec (residual hits ≥ raw hits; near-tied on the flat
+      // fixture — the residual win grows with within-cell
       // spread, which the synthetic fixture's near-isotropic cells
       // barely have; the contract asserted is no-regression, not a
       // fixture-specific lift) — doubling the trained pipelines inside
@@ -421,13 +438,16 @@ object EmbedQueries {
       (s, d) => {
         val emb = Tables(s, d, "embeddings")
         val queries = emb.filter(col("vec_id") < 10)
-        val coarse = Ivf.trainShared(s, d, k = 16)
+        val coarse = Ivf.trainSharedAdaptive(s, d)
+        // the residual codebooks are trained AGAINST this coarse layer,
+        // so the artifact key carries its cell count — a corpus that
+        // grows re-keys both quantizer and residual books together
         val booksRes = Pq.shared(
-          s"$d|${Tables.fingerprint(d, "embeddings")}|residual-k16|m=8|k=16|iters=6")(
+          s"$d|${Tables.fingerprint(d, "embeddings")}|residual-k${coarse.size}|m=8|k=16|iters=6")(
           Pq.trainResidual(s, emb, coarse, m = 8, k = 16, iters = 6))
         val encRes = Pq.encodeCellsResidual(emb, booksRes, coarse)
-        val candRes = Pq.adcCandidatesIvfResidual(queries, encRes, booksRes, coarse, nprobe = 4)
-        val topRes = Pq.exactRerank(Pq.shortlistTopK(candRes, 64), queries, emb, k = 10)
+        val candRes = Pq.adcCandidatesIvfResidual(queries, encRes, booksRes, coarse, nprobe = 6)
+        val topRes = Pq.exactRerank(Pq.shortlistTopK(candRes, 128), queries, emb, k = 10)
         val v = col("embedding").cast("array<double>")
         val q = queries.select(col("vec_id").as("q_id"), v.as("qv"))
         val c = emb.select(col("vec_id").as("n_id"), v.as("cv"))
@@ -457,7 +477,8 @@ object EmbedQueries {
             (col("__n_hit").cast("double") >= col("__n_truth").cast("double") * 0.5)
               .as("recall_ge_floor"),
             (col("__n_cand").cast("double") <=
-              lit(0.6) * col("n_queries").cast("double") * col("__n_docs").cast("double"))
+              lit(Ivf.poolCeilingFrac(coarse.size, nprobe = 6)) *
+                col("n_queries").cast("double") * col("__n_docs").cast("double"))
               .as("candidates_sublinear"))
       },
       Some(

@@ -531,8 +531,9 @@ object SearchQueries {
   }
 
   /** The SERVED IVF hybrid composition (round-10 verdict #2): the dense
-    * list comes from the stored coarse quantizer ([[Ivf.topK]], k=16
-    * cells, nprobe=4 — the q_sim_ivf serving recipe) instead of the
+    * list comes from the stored coarse quantizer ([[Ivf.topK]], corpus-
+    * adaptive k — 16 cells at fixture scale — nprobe=4, the q_sim_ivf
+    * serving recipe) instead of the
     * brute-force scan, then the identical RRF fusion. Returns the fused
     * top-10 plus the scored dense candidate relation (probes ⋈ index on
     * bucket) so the registered gate — and PlanAuditSpec — can bound the
@@ -544,7 +545,7 @@ object SearchQueries {
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val emb = Tables(s, d, "embeddings")
     val q = emb.filter(col("vec_id").isin(queryIds: _*))
-    val centroids = Ivf.trainShared(s, d, k = 16)
+    val centroids = Ivf.trainSharedAdaptive(s, d)
     val indexed = Ivf.index(emb, centroids)
     val cand = Ivf.probeCells(q, centroids, nprobe = 4)
       .join(indexed, Seq("bucket"))
@@ -1095,10 +1096,11 @@ object SearchQueries {
       // the gated output is the recall of the fused top-10 vs the
       // exact-dense fusion computed in-plan (floor 0.5 — the sparse list
       // is shared, so fusion overlap sits well above the raw dense
-      // recall) PLUS the sub-quadratic candidate ceiling: scored dense
-      // candidates must stay under 0.6·n_docs·n_queries, while the
-      // brute-force dense scan is n_docs·n_queries by definition
-      // (nprobe/k = 1/4 of the corpus per query ≈ 0.25). The exact
+      // recall) PLUS the nprobe/k-PROPORTIONAL candidate ceiling
+      // (Ivf.poolCeilingFrac — 0.375·n_docs·n_queries at the fixture's
+      // k=16, tightening with k at scale), while the brute-force dense
+      // scan is n_docs·n_queries by definition
+      // (balanced cells give nprobe/k = 1/4 of the corpus per query ≈ 0.25). The exact
       // fusion side is gate-scale-only (it IS the oracle); the served
       // composition is hybridServedIvf, plan-audited to contain no
       // corpus-wide cross join on the dense side (PlanAuditSpec).
@@ -1125,7 +1127,8 @@ object SearchQueries {
             col("n_queries"),
             col("recall_ge_floor"),
             (col("__n_cand").cast("double") <=
-              col("__n_docs").cast("double") * col("n_queries").cast("double") * 0.6)
+              col("__n_docs").cast("double") * col("n_queries").cast("double") *
+                Ivf.poolCeilingFrac(Ivf.adaptiveK(s, d), nprobe = 4))
               .as("candidates_subquadratic"))
       },
       // The oracle re-derives ONLY n_queries (from the same queryIds set
