@@ -29,6 +29,12 @@ object Sessions {
       .config("spark.driver.host", "127.0.0.1")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // reliable-checkpoint seam (graft.core.Ckpt): set from the
+    // environment so the mains (Stress/Bench/Verify) can run the
+    // iterative kernels under fault-tolerant checkpointing without a
+    // code fork — unset keeps localCheckpoint, the local-mode default
+    sys.env.get("GRAFT_CHECKPOINT_DIR").filter(_.nonEmpty)
+      .foreach(dir => s.conf.set(graft.core.Ckpt.DirKey, dir))
     s
   }
 }

@@ -3,6 +3,7 @@ package graft.core
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.core.Ckpt.TruncateOps
 
 /** Dense global ordered ranking WITHOUT a one-partition window sort — the
   * distributed primitive behind `q_global_index` and the ring-based
@@ -150,8 +151,9 @@ object Ranks {
     * pid→offset map lookup: no window, no join, nothing left to re-plan.
     * On a multi-executor cluster `localCheckpoint` trades fault-tolerance
     * for speed (blocks die with an executor); a 100 TB run with long
-    * stages would use `checkpoint()` to reliable storage at the same
-    * call site.
+    * stages sets `graft.checkpoint.dir` and this call site (like every
+    * iterative kernel's — [[graft.core.Ckpt]]) switches to reliable
+    * `checkpoint()` storage.
     */
   private[graft] def indexedCounted(
       df: DataFrame,
@@ -164,7 +166,7 @@ object Ranks {
       .select(
         passthrough :+ spark_partition_id().as("__pid")
           :+ monotonically_increasing_id().as("__mid"): _*)
-      .localCheckpoint(true)
+      .truncateLineage()
     val counts = sorted
       .groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)

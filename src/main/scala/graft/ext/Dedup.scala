@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.core.Ckpt.TruncateOps
 
 /** Deduplication building blocks for the training-data pipeline: exact
   * (hash groupBy), MinHash+LSH (shingle → minhash signature → banded
@@ -317,8 +318,8 @@ object Dedup {
     // extra row moved. Checkpointing truncates the plan each round.
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint(true)
-    var labels = nodes.select(col("id"), col("id").as("comp")).localCheckpoint(true)
+      .truncateLineage()
+    var labels = nodes.select(col("id"), col("id").as("comp")).truncateLineage()
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIters) {
@@ -338,7 +339,7 @@ object Dedup {
           col("id"),
           least(col("comp"), coalesce(col("nb_comp"), col("comp"))).as("comp"),
           (coalesce(col("nb_comp"), col("comp")) < col("comp")).cast("long").as("chg"))
-        .localCheckpoint(true)
+        .truncateLineage()
       changed = next.agg(coalesce(sum(col("chg")), lit(0L))).first().getLong(0)
       labels = next.select(col("id"), col("comp"))
       i += 1

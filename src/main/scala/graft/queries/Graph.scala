@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Q
 import graft.core.{Agg, Tables}
+import graft.core.Ckpt.TruncateOps
 
 /** Graph analytics beyond near-dup connected components
   * (`graft.ext.Dedup.connectedComponents`): deterministic fixed-iteration
@@ -262,7 +263,7 @@ object Graph {
           .distinct()
         val edges = coPurchaseEdges(li)
           .withColumn("w", lit(1L) + pmod(col("src") + col("dst"), lit(5L)))
-          .localCheckpoint(true)
+          .truncateLineage()
         val src = li.agg(min(col("pk"))).head().getLong(0)
         ssspFrom(s, edges, src, rounds = 4).orderBy("pk")
       },
@@ -529,8 +530,8 @@ object Graph {
       edges: org.apache.spark.sql.DataFrame,
       k: Int,
       maxRounds: Int): (org.apache.spark.sql.DataFrame, Int, Boolean) = {
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
-    var keep = e.select(col("src").as("pk")).distinct().localCheckpoint(true)
+    val e = edges.select(col("src"), col("dst")).truncateLineage()
+    var keep = e.select(col("src").as("pk")).distinct().truncateLineage()
     var nKeep = keep.count()
     var rounds = 0
     var done = false
@@ -542,7 +543,7 @@ object Graph {
         .agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select(col("src").as("pk"))
-        .localCheckpoint(true)
+        .truncateLineage()
       rounds += 1
       val n = next.count()
       if (n == nKeep) done = true
@@ -599,7 +600,7 @@ object Graph {
       maxRounds: Int = CcMaxRounds,
       seed: Option[org.apache.spark.sql.DataFrame] = None)
       : (org.apache.spark.sql.DataFrame, Int, Seq[Long], Boolean) = {
-    var labels = init.select(col("pk"), col("label")).localCheckpoint(true)
+    var labels = init.select(col("pk"), col("label")).truncateLineage()
     // warm starts pass `seed` = the nodes whose neighborhoods actually
     // changed (delta-edge endpoints + new nodes): the improvement wave
     // can only START at a changed neighborhood, so round 1 joins the
@@ -607,7 +608,7 @@ object Graph {
     // tracks improvements exactly as the cold form does
     var delta = seed match {
       case Some(sd) =>
-        labels.join(sd.select(col("pk")).distinct(), Seq("pk")).localCheckpoint(true)
+        labels.join(sd.select(col("pk")).distinct(), Seq("pk")).truncateLineage()
       case None => labels
     }
     var rounds = 0
@@ -622,7 +623,7 @@ object Graph {
         .join(labels.select(col("pk"), col("label").as("__old")), Seq("pk"), "left")
         .filter(col("label") < col("__old"))
         .select(col("pk"), col("label"))
-        .localCheckpoint(true)
+        .truncateLineage()
       rounds += 1
       val n = improved.count()
       waves += n
@@ -648,7 +649,7 @@ object Graph {
           else
             labels.unionByName(improved)
               .groupBy(col("pk")).agg(min(col("label")).as("label")))
-            .localCheckpoint(true)
+            .truncateLineage()
         delta = improved
       }
     }
@@ -716,11 +717,11 @@ object Graph {
         .select(col("v").as("src"), col("m").as("dst"))
         .unionByName(m.select(col("u").as("src"), col("m").as("dst")))
     }
-    var cur = canon(edges).localCheckpoint(true)
+    var cur = canon(edges).truncateLineage()
     var rounds = 0
     var done = cur.isEmpty
     while (!done && rounds < maxRounds) {
-      val next = canon(smallStar(canon(largeStar(cur)))).localCheckpoint(true)
+      val next = canon(smallStar(canon(largeStar(cur)))).truncateLineage()
       rounds += 1
       // fixpoint: the canonical edge set is unchanged (counts equal and
       // no row of `next` outside `cur` — two bounded driver longs)
@@ -747,7 +748,7 @@ object Graph {
       .select(col("x.pk").as("src"), col("y.pk").as("dst"))
       .distinct()
     e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
+      .truncateLineage()
   }
 
   /** Frontier BFS: `hops` rounds, each joining ONLY the previous
@@ -760,14 +761,14 @@ object Graph {
       hops: Int): org.apache.spark.sql.DataFrame = {
     var dist = s.range(1)
       .select(lit(src).as("pk"), lit(0).cast("int").as("dist"))
-      .localCheckpoint(true)
+      .truncateLineage()
     for (h <- 1 to hops) {
       val next = dist.filter(col("dist") === h - 1)
         .join(edges, col("pk") === col("src"))
         .select(col("dst").as("pk"), lit(h).cast("int").as("dist"))
       dist = dist.unionByName(next)
         .groupBy(col("pk")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint(true)
+        .truncateLineage()
     }
     dist
   }
@@ -785,7 +786,7 @@ object Graph {
       edges: org.apache.spark.sql.DataFrame, rounds: Int): org.apache.spark.sql.DataFrame = {
     var labels = edges.select(col("src").as("pk")).distinct()
       .select(col("pk"), col("pk").as("label"))
-      .localCheckpoint(true)
+      .truncateLineage()
     var delta = labels
     for (_ <- 1 to rounds) {
       val fromNbr = edges
@@ -796,10 +797,10 @@ object Graph {
         .join(labels.select(col("pk"), col("label").as("__old")), Seq("pk"), "left")
         .filter(col("label") < col("__old"))
         .select(col("pk"), col("label"))
-        .localCheckpoint(true)
+        .truncateLineage()
       labels = labels.unionByName(improved)
         .groupBy(col("pk")).agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
+        .truncateLineage()
       delta = improved
     }
     labels
@@ -817,7 +818,7 @@ object Graph {
       rounds: Int): org.apache.spark.sql.DataFrame = {
     var dist = s.range(1)
       .select(lit(src).as("pk"), lit(0L).as("cost"))
-      .localCheckpoint(true)
+      .truncateLineage()
     var delta = dist
     for (_ <- 1 to rounds) {
       val relaxed = delta
@@ -828,10 +829,10 @@ object Graph {
         .join(dist.select(col("pk"), col("cost").as("__old")), Seq("pk"), "left")
         .filter(col("__old").isNull || col("cost") < col("__old"))
         .select(col("pk"), col("cost"))
-        .localCheckpoint(true)
+        .truncateLineage()
       dist = dist.unionByName(improved)
         .groupBy(col("pk")).agg(min(col("cost")).as("cost"))
-        .localCheckpoint(true)
+        .truncateLineage()
       delta = improved
     }
     dist
@@ -846,14 +847,14 @@ object Graph {
       edges: org.apache.spark.sql.DataFrame, rounds: Int): org.apache.spark.sql.DataFrame = {
     var labels = edges.select(col("src").as("pk")).distinct()
       .select(col("pk"), col("pk").as("label"))
-      .localCheckpoint(true)
+      .truncateLineage()
     for (_ <- 1 to rounds) {
       val fromNbr = edges
         .join(labels, col("src") === col("pk"))
         .select(col("dst").as("pk"), col("label"))
       labels = labels.unionByName(fromNbr)
         .groupBy(col("pk")).agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
+        .truncateLineage()
     }
     labels
   }

@@ -5,6 +5,7 @@ import java.io.File
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.core.Ckpt.TruncateOps
 
 /** Streaming twin #15: connected-component labels maintained at INGEST —
   * the graph-maintenance lifecycle q_cc_incremental proves in batch,
@@ -57,7 +58,7 @@ object CcStream {
     val all = spark.read.parquet(edgesRoot).select(col("src"), col("dst"))
     val sym = all
       .unionByName(all.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
+      .truncateLineage()
     val nodes = sym.select(col("src").as("pk")).distinct()
     val stored = latestVersion(labelsRoot) match {
       case Some(v) => spark.read.parquet(s"$labelsRoot/v=$v")

@@ -126,6 +126,38 @@ class GraphSpec extends SparkSpec {
     assert(m2 == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 10L -> 10L, 11L -> 10L, 99L -> 99L))
   }
 
+  test("reliable-checkpoint seam: ccStar labels are bit-equal under graft.checkpoint.dir") {
+    // round-18 verdict #2: all iterative kernels truncated lineage with
+    // localCheckpoint (executor-local, unrecoverable after executor
+    // loss). With graft.checkpoint.dir set, graft.core.Ckpt routes the
+    // SAME call sites through reliable checkpoint() — this pins the two
+    // paths label-equal (and round-equal) on the diameter-63 chain, the
+    // most checkpoint-intensive planted case (every star round truncates).
+    import spark.implicits._
+    val n = 64L
+    val chain = (0L until n - 1).map(i => (i, i + 1))
+    val e0 = chain.toDF("src", "dst")
+    val edges = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    val nodes = spark.range(n).select(col("id").as("pk"))
+    val (localLabels, localRounds, localDone) = Graph.ccStar(nodes, edges)
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt-seam").toString
+    spark.conf.set(graft.core.Ckpt.DirKey, ckptDir)
+    val (relLabels, relRounds, relDone) =
+      try Graph.ccStar(nodes, edges)
+      finally spark.conf.unset(graft.core.Ckpt.DirKey)
+    assert(relDone && localDone)
+    assert(relRounds == localRounds,
+      s"reliable path took $relRounds rounds vs local $localRounds")
+    val lm = localLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rm = relLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rm == lm, "reliable-checkpoint labels diverged from the local path")
+    // the reliable path actually wrote checkpoint state to the dir
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(wrote > 0, "reliable path left no checkpoint files — the seam did not engage")
+  }
+
   test("kCore: planted 2-core survives, and a capped peel reports converged = false") {
     // chain 0-1-…-9 (peels completely at k=2, two endpoints per round,
     // 6 rounds to the empty fixpoint) + triangle {100,101,102} (every
