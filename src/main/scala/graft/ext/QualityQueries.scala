@@ -26,6 +26,14 @@ object QualityQueries {
 
   private val toks = split(col("text"), " ")
 
+  // LangID constants — declared BEFORE `queries`: the oracle SQL strings
+  // are interpolated eagerly while the `queries` val initializes, and a
+  // val declared later in the object body still reads 0/null then
+  // (bitten in round 19: the oracle hashed `% 0` and bucketed NULL)
+  private val LangAlpha = "abcdefghijklmnopqrstuvwxyz"
+  private val LangRot = "nopqrstuvwxyzabcdefghijklm"
+  private val LangB = 4096
+
   val queries: Seq[Q] = Seq(
     Q(
       "q_gopher_quality",
@@ -374,8 +382,161 @@ object QualityQueries {
         "SELECT b.source, b.n_docs, COALESCE(s.n_selected, 0) AS n_selected, " +
         "CAST(COALESCE(s.n_selected, 0) AS DOUBLE) / CAST(b.n_docs AS DOUBLE) AS sel_rate " +
         "FROM bysrc b LEFT JOIN selsrc s USING (source) ORDER BY source")
+    ),
+    Q(
+      "q_langid",
+      // Language identification — the curation stage every public LLM
+      // data pipeline (CCNet's fastText shape) runs BEFORE quality
+      // filtering, and the one the text-quality family (Gopher, DSIR,
+      // surprisal, GD probe) was missing (round-18 verdict #4). Model =
+      // hashed char-TRIGRAM Naive-Bayes-style likelihood ratio, trained
+      // on a held slice ((doc_id div 20) % 4 = 0 — doc_ids round-robin
+      // the 20 sources, so a plain doc_id % 4 slice would see only
+      // even sources, i.e. ONE class; the div-20 form takes whole
+      // source rounds) labeled by the PLANTED
+      // bilingual structure: odd-numbered sources' text is rot13'd
+      // in-plan (the fixture's own `lang` column is a random label —
+      // measured 0.20 NB accuracy at 5 classes, i.e. chance — so the
+      // separation a LangID must demonstrate is planted
+      // deterministically, like the Stress docs tier's rotation
+      // trick). Arithmetic is the q_dsir_weights recipe end to end —
+      // char-polynomial bucket hash (B = 4096 — the planted classes'
+      // trigram sets are fully disjoint, so the only cross-class mass
+      // is hash collisions: at B = 256 the ~1200 distinct trigrams
+      // piled ~5 per bucket and accuracy washed to 0.56; 4096 keeps
+      // buckets near-singleton and reads 1.00/0.99), Laplace-smoothed
+      // INTEGER-RATIO likelihoods r(b) = ((c0+1)·(S1+B)) /
+      // ((c1+1)·(S0+B)) (every product < 2^53, one IEEE division — no
+      // engine-dependent ln()), fixed-point davg fold per doc — so the
+      // FULL (doc_id, truth, prediction, score) relation is a
+      // cross-engine value differential, predictions included. Scale
+      // shape: one explode, a ≤B-row broadcast model, one doc hash-agg;
+      // the trained model is ≤ 4096 rows — the artifact a 100 TB
+      // ingest scorer broadcasts.
+      (s, d) => langScores(s, d)
+        .select(col("doc_id"), col("lang_true"), col("lang_pred"),
+          col("n_feat"), col("lr_score"))
+        .orderBy("doc_id"),
+      Some(langSqlWith +
+        " SELECT doc_id, lang_true, lang_pred, n_feat, lr_score FROM scored ORDER BY doc_id")
+    ),
+    Q(
+      "q_langid_mix",
+      // The per-source language-mix rollup a multi-source ingest
+      // actually consumes (which crawls/feeds are in which language,
+      // and how confidently): per source, total docs, predicted-class
+      // counts, and the prediction-vs-plant agreement. Full value
+      // differential (the predictions are cross-engine exact — see
+      // q_langid); the planted structure makes the separation VISIBLE
+      // in the gated values themselves — odd sources roll up ~all-l1,
+      // even sources ~all-l0, n_correct ≈ n_docs (LangIdSpec pins the
+      // accuracy floor).
+      (s, d) => langScores(s, d)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("lang_pred") === "l0", 1L).otherwise(0L)).as("n_pred_l0"),
+          sum(when(col("lang_pred") === "l1", 1L).otherwise(0L)).as("n_pred_l1"),
+          sum(when(col("lang_pred") === col("lang_true"), 1L).otherwise(0L)).as("n_correct"))
+        .orderBy("source"),
+      Some(langSqlWith +
+        " SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(CASE WHEN lang_pred = 'l0' THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_l0, " +
+        "CAST(SUM(CASE WHEN lang_pred = 'l1' THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_l1, " +
+        "CAST(SUM(CASE WHEN lang_pred = lang_true THEN 1 ELSE 0 END) AS BIGINT) AS n_correct " +
+        "FROM scored GROUP BY source ORDER BY source")
     )
   )
+
+  // ---- LangID building blocks (defs below; the consts live above the
+  // eagerly-initialized `queries` val) --------------------------------
+
+  /** The planted bilingual corpus: sources with an ODD numeric suffix
+    * carry rot13'd text (language `l1`), even ones the original (`l0`).
+    * Deterministic and engine-shared — the plant is part of the oracle.
+    */
+  private def langCorpus(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val odd = substring(col("source"), 4, 10).cast("int") % 2 === 1
+    Tables(s, d, "documents").select(
+      col("doc_id"), col("source"),
+      when(odd, translate(col("text"), LangAlpha, LangRot))
+        .otherwise(col("text")).as("text"),
+      when(odd, lit("l1")).otherwise(lit("l0")).as("lang_true"))
+  }
+
+  /** Char-trigram features, bucket-hashed with the proven cross-engine
+    * char-polynomial fold (the dsirBucket recipe at B = 256).
+    */
+  private def langBucket(f: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(
+      transform(sequence(lit(1), length(f)), i => ascii(f.substr(i, lit(1))).cast("long")),
+      lit(7L),
+      (h, c) => (h * 31 + c) % 1048576) % LangB
+
+  /** Per-doc LangID scores: (doc_id, source, lang_true, n_feat,
+    * lr_score, lang_pred). Train slice = (doc_id div 20) % 4 = 0 —
+    * whole rounds of the 20-source round-robin, so BOTH classes are
+    * present (the plant is by source parity; a doc_id % 4 slice would
+    * be single-class); buckets the train slice never saw fall back to
+    * the (0+1)-smoothed ratio via the LEFT join + coalesce.
+    */
+  private[graft] def langScores(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val trigrams = transform(
+      sequence(lit(1), greatest(lit(1), length(col("text")) - 2)),
+      i => col("text").substr(i, lit(3)))
+    val feats = langCorpus(s, d)
+      .select(col("doc_id"), col("source"), col("lang_true"),
+        explode(trigrams).as("feat"))
+      .withColumn("bucket", langBucket(col("feat")))
+    val model = feats.filter((col("doc_id") / 20).cast("long") % 4 === 0)
+      .groupBy(col("bucket"))
+      .agg(
+        sum(when(col("lang_true") === "l0", 1L).otherwise(0L)).as("c0"),
+        sum(when(col("lang_true") === "l1", 1L).otherwise(0L)).as("c1"))
+      .localCheckpoint(true) // ≤ B (4096) rows — the trained artifact
+    val totals = model.agg(sum(col("c0")).as("s0"), sum(col("c1")).as("s1"))
+    feats
+      .join(broadcast(model), Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .select(
+        col("doc_id"), col("source"), col("lang_true"),
+        (((coalesce(col("c0"), lit(0L)) + 1L) * (col("s1") + lit(LangB.toLong))).cast("double") /
+          ((coalesce(col("c1"), lit(0L)) + 1L) * (col("s0") + lit(LangB.toLong))).cast("double"))
+          .as("r"))
+      .groupBy(col("doc_id"), col("source"), col("lang_true"))
+      .agg(count(lit(1)).as("n_feat"), Agg.davg(col("r")).as("lr_score"))
+      .withColumn("lang_pred", when(col("lr_score") >= 1.0, "l0").otherwise("l1"))
+  }
+
+  /** DuckDB mirror of [[langScores]] as a WITH prefix ending in `scored`. */
+  private def langSqlWith: String =
+    "WITH c AS (SELECT doc_id, source, " +
+      "CASE WHEN CAST(substring(source, 4) AS INT) % 2 = 1 " +
+      s"THEN translate(text, '$LangAlpha', '$LangRot') ELSE text END AS text, " +
+      "CASE WHEN CAST(substring(source, 4) AS INT) % 2 = 1 THEN 'l1' ELSE 'l0' END AS lang_true " +
+      "FROM documents), " +
+      "f AS (SELECT doc_id, source, lang_true, " +
+      "unnest(list_transform(generate_series(1, greatest(1, len(text) - 2)), " +
+      "i -> substring(text, CAST(i AS INT), 3))) AS feat FROM c), " +
+      "fb AS (SELECT doc_id, source, lang_true, list_reduce(list_prepend(CAST(7 AS BIGINT), " +
+      "list_transform(range(1, CAST(len(feat) AS BIGINT) + 1), " +
+      "i -> CAST(ascii(substring(feat, CAST(i AS INT), 1)) AS BIGINT))), " +
+      s"(h, c) -> (h * 31 + c) % 1048576) % $LangB AS bucket FROM f), " +
+      "m AS (SELECT bucket, " +
+      "CAST(SUM(CASE WHEN lang_true = 'l0' THEN 1 ELSE 0 END) AS BIGINT) AS c0, " +
+      "CAST(SUM(CASE WHEN lang_true = 'l1' THEN 1 ELSE 0 END) AS BIGINT) AS c1 " +
+      "FROM fb WHERE (doc_id // 20) % 4 = 0 GROUP BY 1), " +
+      "tot AS (SELECT CAST(SUM(c0) AS BIGINT) AS s0, CAST(SUM(c1) AS BIGINT) AS s1 FROM m), " +
+      "r AS (SELECT fb.doc_id, fb.source, fb.lang_true, " +
+      s"CAST((COALESCE(m.c0, 0) + 1) * (tot.s1 + $LangB) AS DOUBLE) / " +
+      s"CAST((COALESCE(m.c1, 0) + 1) * (tot.s0 + $LangB) AS DOUBLE) AS r " +
+      "FROM fb LEFT JOIN m USING (bucket) CROSS JOIN tot), " +
+      "sc AS (SELECT doc_id, source, lang_true, CAST(COUNT(*) AS BIGINT) AS n_feat, " +
+      Agg.davgSql("r") + " AS lr_score FROM r GROUP BY 1, 2, 3), " +
+      "scored AS (SELECT doc_id, source, lang_true, n_feat, lr_score, " +
+      "CASE WHEN lr_score >= 1.0 THEN 'l0' ELSE 'l1' END AS lang_pred FROM sc)"
 
   /** DSIR building blocks, shared with the streaming ingest twin
     * ([[graft.streaming.DsirStream]]) so the two cannot drift: the

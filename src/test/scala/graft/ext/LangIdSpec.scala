@@ -1,0 +1,42 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+/** LangID (q_langid / q_langid_mix) — the planted-separation teeth the
+  * registered differential can't carry as a float-free boolean: the
+  * hashed char-trigram likelihood-ratio model must actually SEPARATE
+  * the planted bilingual corpus (rot13'd odd sources), not just be
+  * cross-engine deterministic.
+  */
+class LangIdSpec extends graft.SparkSpec {
+
+  test("planted bilingual corpus separates: accuracy >= 0.95, every source majority-correct") {
+    val rows = QualityQueries.langScores(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val correct = rows.count(r => r.getAs[String]("lang_pred") == r.getAs[String]("lang_true"))
+    val acc = correct.toDouble / rows.length
+    info(s"LangID accuracy on the planted corpus: $acc (${rows.length} docs)")
+    assert(acc >= 0.95, s"LangID failed to separate the planted languages: accuracy $acc")
+    // every source's majority prediction matches its planted language —
+    // the q_langid_mix rollup's visible separation
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    bySource.foreach { case (src, docs) =>
+      val truth = docs.head.getAs[String]("lang_true")
+      val majority = docs.count(_.getAs[String]("lang_pred") == truth)
+      assert(majority * 2 > docs.length,
+        s"source $src: planted $truth but only $majority/${docs.length} predicted so")
+    }
+  }
+
+  test("held-out docs (not in the train slice) classify correctly too") {
+    // the model trains on (doc_id div 20) % 4 = 0; generalization to
+    // unseen docs is what makes this language ID rather than memorization
+    val rows = QualityQueries.langScores(spark, sf())
+      .filter((col("doc_id") / 20).cast("long") % 4 =!= 0).collect()
+    assert(rows.nonEmpty)
+    val acc = rows.count(r =>
+      r.getAs[String]("lang_pred") == r.getAs[String]("lang_true")).toDouble / rows.length
+    info(s"held-out accuracy: $acc (${rows.length} docs)")
+    assert(acc >= 0.9, s"held-out accuracy $acc below floor")
+  }
+}
