@@ -118,6 +118,14 @@ import java.nio.file.{Files, Paths}
   * totals is preserved. Round 13 is the ext tier's first recorded round,
   * so its 4-query membership is the series baseline.
   *
+  * GRAPH TIER (round 19, additive within v9 — closing the round-18
+  * verdict #3): "queries_graph"/"total_graph" time the iterative
+  * graph family (q_cc_converged, q_cc_star, q_kcore, q_label_prop) as
+  * their own 2-pass section on the main layout — a NEW key set, so
+  * every frozen v9 series (core, ext, split, build costs) is
+  * untouched. Round 19 is the graph tier's first recorded round; its
+  * 4-query membership is the series baseline.
+  *
   * HOT-BOX GATE (round 18, additive within v9 — closing the round-17
   * verdict #3): the committed round-17 official artifact was a hot-box
   * run (probe32_max 0.522, total 1.77× the prior round) rescued only by
@@ -182,6 +190,22 @@ object Bench {
   private val ExtTargets = Seq(
     "q_bm25", "q_sparse_cosine", "q_kmeans_fused", "q_gd_train",
     "q_late_interaction_mv", "q_late_interaction_served", "q_late_interaction_pq")
+
+  private val GraphPasses = 2
+
+  /** Graph/iterative tier (round-18 verdict #3): the CC/peeling family
+    * is the most iteration-heavy code in the repo and had no BENCH_rN
+    * drift tracking — regressions surfaced only in ad-hoc Stress JSON.
+    * Timed as its own section ("queries_graph"/"total_graph", the
+    * total_ext pattern) so the frozen v9 core and ext series stay
+    * bit-comparable; same interleaved-pass + per-query-min protocol.
+    * The set is the four REGISTERED iterative rows whose cost is the
+    * loop itself (q_cc_incremental is excluded: its registered plan
+    * pays the in-plan cold gate, so its wall time tracks oracle cost,
+    * not the warm repair — round-18 verdict minor #3).
+    */
+  private val GraphTargets = Seq(
+    "q_cc_converged", "q_cc_star", "q_kcore", "q_label_prop")
 
   /** Primary scanned table per headline — the denominator input for the
     * split tier's Mrows/s (the table whose rows the query must read end
@@ -433,6 +457,19 @@ object Bench {
     }
     val extTimes = extSamples.map { case (k, v) => k -> v.map(_._1).min }
 
+    // ---- graph/iterative tier (round-18 verdict #3) ----
+    val graphSamples = scala.collection.mutable.LinkedHashMap.empty[String, List[(Double, Double)]]
+    val graphQs = GraphTargets.flatMap(Registry.byName.get)
+    var gp = 0
+    while (gp < GraphPasses) {
+      runProbes()
+      graphQs.foreach { q =>
+        if (!errors.contains(s"graph:${q.name}")) timeOne(q, sfDir, graphSamples, s"graph:${q.name}")
+      }
+      gp += 1
+    }
+    val graphTimes = graphSamples.map { case (k, v) => k -> v.map(_._1).min }
+
     val splitTimes = splitSamples.map { case (k, v) => k -> v.map(_._1).min }
     val splitMrows = splitTimes.flatMap { case (k, t) =>
       primaryTable.get(k).flatMap(splitRows.get).map(rows => k -> rows / 1e6 / t)
@@ -469,6 +506,9 @@ object Bench {
     val eq = extTimes.map { case (k, v) => s"${jstr(k)}:${num(v)}" }.mkString("{", ",", "}")
     val eqAll = extSamples.map { case (k, v) => s"${jstr(k)}:${arr(v.map(_._1))}" }.mkString("{", ",", "}")
     val extTotal = extTimes.values.sum
+    val gq = graphTimes.map { case (k, v) => s"${jstr(k)}:${num(v)}" }.mkString("{", ",", "}")
+    val gqAll = graphSamples.map { case (k, v) => s"${jstr(k)}:${arr(v.map(_._1))}" }.mkString("{", ",", "}")
+    val graphTotal = graphTimes.values.sum
     val sq = splitTimes.map { case (k, v) => s"${jstr(k)}:${num(v)}" }.mkString("{", ",", "}")
     val sqAll = splitSamples.map { case (k, v) => s"${jstr(k)}:${arr(v.map(_._1))}" }.mkString("{", ",", "}")
     val sMrows = splitMrows.map { case (k, v) => s"${jstr(k)}:${num(v)}" }.mkString("{", ",", "}")
@@ -487,6 +527,7 @@ object Bench {
         s""""queries":$qs,"total_median":${num(totalMedian)},""" +
         s""""total_probe_norm":${num(normTotal(samples))},""" +
         s""""queries_ext":$eq,"total_ext":${num(extTotal)},"ext_passes":$ExtPasses,""" +
+        s""""queries_graph":$gq,"total_graph":${num(graphTotal)},"graph_passes":$GraphPasses,""" +
         s""""pq_train_sec":${pqTrainSec.map(num).getOrElse("null")},""" +
         s""""pq_encode_sec":${pqEncodeSec.map(num).getOrElse("null")},""" +
         s""""pq_wide_sec":${pqWideSec.map(num).getOrElse("null")},""" +
@@ -505,7 +546,7 @@ object Bench {
       s""""probe1_sec":${arr(p1.toSeq)},"probe32_sec":${arr(p32.toSeq)},""" +
       s""""queries_median":$qsMed,"mrows_per_sec_split":$sMrows,""" +
       s""""queries_all":$qsAll,"queries_split":$sq,"queries_split_all":$sqAll,""" +
-      s""""queries_ext_all":$eqAll}"""
+      s""""queries_ext_all":$eqAll,"queries_graph_all":$gqAll}"""
     Files.writeString(Paths.get(detailFile), detail + "\n")
     println(head)
     spark.stop()

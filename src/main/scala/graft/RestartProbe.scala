@@ -44,6 +44,7 @@ object ArtifactDrive {
     ext.SearchQueries.pqTokenCodesWide(s, d).count()
     ext.SimilarityQueries.navGraphShared(s, d).count()
     ext.SimilarityQueries.waypointsShared(s, d).count()
+    queries.Graph.storedBaseLabels(s, d).count() // q_cc_repair_served's snapshot
     ()
   }
 }

@@ -240,6 +240,33 @@ object Stress {
     val nm = bm.select(col("pk")).distinct()
     val (tc1, rc1, wc1) = ccFix(e1, n1)
     val (tcm, rcm, wcm) = ccFix(em, nm)
+    // warm-repair cost tracks the DELTA, not the graph (round-18
+    // verdict #5's stress half): a FIXED 50-edge delta over stored
+    // labels — the q_cc_repair_served serving shape — repaired on the
+    // 1x and mult-x graphs; with seeding at the changed neighborhoods
+    // the wall time should stay near-flat while the graph grows xmult
+    // (the cold fixpoint above is the contrast that grows with it).
+    def ccRepair(edges: org.apache.spark.sql.DataFrame, nodes: org.apache.spark.sql.DataFrame)
+        : Double = {
+      val (labels0, _, _, _) = queries.Graph.ccConverged(nodes, edges)
+      val ids = nodes.orderBy(col("pk")).limit(100).collect().map(_.getLong(0))
+      val pairs = ids.grouped(2).collect { case Array(a, b) => (a, b) }.toSeq
+      import spark.implicits._
+      val d0 = pairs.toDF("src", "dst")
+      val delta = d0.unionByName(d0.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint(true)
+      val merged = edges.unionByName(delta).localCheckpoint(true)
+      val seed = delta.select(col("src").as("pk")).distinct()
+      time {
+        val (l, _, _, done) =
+          queries.Graph.ccConvergedFrom(labels0, merged, seed = Some(seed))
+        require(done)
+        l.write.format("noop").mode("overwrite").save()
+      }
+    }
+    ccRepair(e1, n1) // warm the shape
+    val tr1 = ccRepair(e1, n1)
+    val trm = ccRepair(em, nm)
     // the HIGH-DIAMETER leg (the geometry hash-min structurally cannot
     // run): a 200k-node chain — min-label propagation would need
     // 199,999 rounds; star contraction (queries.Graph.ccStar) takes
@@ -279,6 +306,8 @@ object Stress {
         s""""cc_wave_1x":${jarr(wc1)},"cc_wave_mx":${jarr(wcm)},""" +
         s""""cc_tail_frac_1x":${num(tailFrac(wc1))},"cc_tail_frac_mx":${num(tailFrac(wcm))},""" +
         s""""cc_growth":${num(tcm / tc1)},""" +
+        s""""ccrepair_delta_edges":50,"ccrepair_sec_1x":${num(tr1)},""" +
+        s""""ccrepair_sec_mx":${num(trm)},"ccrepair_growth":${num(trm / tr1)},""" +
         s""""chain_n":$chainN,"chain_star_rounds":$rStar,"chain_star_sec":${num(tStar)},""" +
         s""""chain_hashmin_rounds_needed":${chainN - 1}}""")
   }

@@ -44,8 +44,8 @@ object Ckpt {
     * otherwise. Both are EAGER — callers count on the materialization
     * barrier (per-round driver decisions read counts off the result).
     */
-  def truncate(df: DataFrame): DataFrame =
-    df.sparkSession.conf.getOption(DirKey).filter(_.nonEmpty) match {
+  def truncate(df: DataFrame): DataFrame = {
+    val cp = df.sparkSession.conf.getOption(DirKey).filter(_.nonEmpty) match {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
         if (lastDir != dir) {
@@ -55,6 +55,13 @@ object Ckpt {
         df.checkpoint()
       case None => df.localCheckpoint(true)
     }
+    // drop the origin stats the checkpoint carries: self-join loop
+    // rounds otherwise CUBE the sizeInBytes estimate per round across
+    // checkpoint boundaries, and Catalyst's BigInt stats arithmetic
+    // becomes the bottleneck (a measured 28-minute planning hang at
+    // ~100 accumulated rounds — see GraftShim.dropStats)
+    org.apache.spark.sql.GraftShim.dropStats(cp)
+  }
 
   /** `.truncateLineage()` as a drop-in for `.localCheckpoint(true)` at
     * the iterative-kernel call sites.

@@ -507,6 +507,130 @@ object Graph {
           "JOIN k8 a ON a.pk = e.src JOIN k8 b ON b.pk = e.dst GROUP BY e.src) " +
           "SELECT pk, deg_in_core, true AS converged_in_unroll FROM f ORDER BY pk"
       }
+    ),
+    Q(
+      "q_coreness",
+      // CORENESS decomposition (round-18 verdict #6) — q_kcore answers
+      // membership at ONE k; the curation-grade signal is each node's
+      // CORE NUMBER (Seidman 1983 degeneracy ordering: bucket docs/
+      // domains by how deeply they sit in the link graph — spam farms
+      // and boilerplate hubs live in the deep cores, the long tail in
+      // the shallow ones). Computed as nested peels: the k-cores are
+      // nested, so phase k peels at threshold k STARTING FROM phase
+      // (k−1)'s survivors (the production shape — each phase touches
+      // only the shrinking core, never the full graph again), and
+      // core_number(v) = the number of phases v survives. Domain
+      // pk % 10 = 3: measured degeneracy 8 with per-phase peel depth
+      // ≤ 9 at both gate tiers — the 12-round phase unroll the oracle
+      // carries has headroom, and the loop's converged flags (not
+      // round counts — the q_kcore ADVICE lesson) gate that every
+      // phase found its fixpoint within it. Deterministic set
+      // arithmetic end to end, so the FULL (pk, core_number) relation
+      // is the differential; a fixture whose degeneracy outgrows the
+      // oracle's k-breadth (9) mismatches loudly rather than passing.
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .filter(col("pk") % 10 === 3)
+          .distinct()
+        val (labels, _, ok) = coreness(coPurchaseEdges(li))
+        labels
+          .withColumn("phases_converged", lit(ok))
+          .orderBy("pk")
+      },
+      Some {
+        val kMax = 9       // oracle k-breadth: fixture degeneracy 8 + 1
+        val unroll = 12    // per-phase peel unroll: measured depth ≤ 9
+        val base =
+          "li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem " +
+            "WHERE l_partkey % 10 = 3), " +
+            "e0 AS (SELECT DISTINCT x.pk AS src, y.pk AS dst FROM li x " +
+            "JOIN li y ON x.ok = y.ok AND x.pk < y.pk), " +
+            "e AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0), " +
+            "s1_0 AS MATERIALIZED (SELECT DISTINCT src AS pk FROM e)"
+        // nested phases: s{k}_r = survivors with >= k neighbors among
+        // s{k}_{r-1}; phase k+1 starts from s{k}_{unroll} (idempotent
+        // past each phase's fixpoint, so over-unrolling is a no-op —
+        // the q_kcore MATERIALIZED lesson applies 9x here)
+        val phases = (1 to kMax).flatMap { k =>
+          val start = if (k == 1) "s1_0" else s"s${k - 1}_$unroll"
+          (1 to unroll).map { r =>
+            val prev = if (r == 1) start else s"s${k}_${r - 1}"
+            s"s${k}_$r AS MATERIALIZED (SELECT e.src AS pk FROM e " +
+              s"JOIN $prev a ON a.pk = e.src JOIN $prev b ON b.pk = e.dst " +
+              s"GROUP BY e.src HAVING COUNT(*) >= $k)"
+          }
+        }.mkString(", ")
+        val membership = (1 to kMax)
+          .map(k => s"SELECT pk FROM s${k}_$unroll")
+          .mkString(" UNION ALL ")
+        s"WITH $base, $phases, f AS ($membership) " +
+          "SELECT pk, CAST(COUNT(*) AS BIGINT) AS core_number, " +
+          "true AS phases_converged FROM f GROUP BY pk ORDER BY pk"
+      }
+    ),
+    Q(
+      "q_cc_repair_served",
+      // WARM-ONLY incremental-CC serving (round-18 verdict #5):
+      // q_cc_incremental proves repair ≡ cold by running the cold
+      // recompute IN-PLAN as its gate, so no registered row showed the
+      // warm path's actual cost shape. Here the base labeling is a
+      // STORED ARTIFACT (built once per corpus fingerprint through the
+      // Pq.sharedDf registry — the CcStream snapshot shape), and the
+      // registered plan runs ONLY the warm wave: stored labels + delta
+      // batch → ccConvergedFrom seeded at the changed neighborhoods.
+      // No cold ccConverged anywhere in the serve path (GraphSpec pins
+      // the second invocation build-free via the ArtifactStore build
+      // counter). Gates: the full (pk, label) relation vs the unbounded
+      // recursive-CTE oracle on the MERGED graph (the real truth — same
+      // contract as the cold rows), converged from the kernel's
+      // explicit flag, and a wave-volume ceiling: total improvements ≤
+      // (nodes of seed-touched components) × rounds — the warm wave
+      // can only ever improve nodes in components the delta reaches,
+      // so a repair that floods the whole graph trips the boolean.
+      // Domain = q_cc_incremental's (pk % 4 = 1; base even orders,
+      // delta odd) so the two rows' oracles cross-check each other.
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .filter(col("pk") % 4 === 1)
+          .distinct()
+        val nodesAll = li.select(col("pk")).distinct()
+        val eAll = coPurchaseEdges(li)
+        val eDelta = coPurchaseEdges(li.filter(col("ok") % 2 === 1))
+        val labels0 = storedBaseLabels(s, d)
+        val newNodes = nodesAll
+          .join(labels0.select(col("pk")), Seq("pk"), "left_anti")
+        val init = labels0.unionByName(newNodes.select(col("pk"), col("pk").as("label")))
+        val seed = eDelta.select(col("src").as("pk")).unionByName(newNodes).distinct()
+        val (labels, rounds, waves, done) =
+          ccConvergedFrom(init, eAll, seed = Some(seed))
+        // affected = nodes of components containing a seed node (read
+        // off the REPAIRED labels — two bounded aggregates, no cold run)
+        val seedLabels = labels
+          .join(seed, Seq("pk"), "left_semi")
+          .select(col("label")).distinct()
+        val affected = labels.join(seedLabels, Seq("label"), "left_semi").count()
+        labels
+          .withColumn("converged", lit(done))
+          .withColumn(
+            "wave_le_affected",
+            lit(waves.sum <= affected * math.max(1L, rounds.toLong)))
+          .orderBy("pk")
+      },
+      Some(
+        "WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk " +
+          "FROM lineitem WHERE l_partkey % 4 = 1), " +
+          "e0 AS (SELECT DISTINCT x.pk AS src, y.pk AS dst FROM li x " +
+          "JOIN li y ON x.ok = y.ok AND x.pk < y.pk), " +
+          "e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0), " +
+          "walk(pk, lbl) AS (" +
+          "SELECT pk, pk FROM (SELECT DISTINCT pk FROM li) " +
+          "UNION " +
+          "SELECT e.dst, w.lbl FROM walk w JOIN e ON e.src = w.pk WHERE w.lbl < e.dst) " +
+          "SELECT pk, CAST(MIN(lbl) AS BIGINT) AS label, true AS converged, " +
+          "true AS wave_le_affected " +
+          "FROM walk GROUP BY pk ORDER BY pk")
     )
   )
 
@@ -515,6 +639,80 @@ object Graph {
     * would value-mismatch the surviving relation regardless).
     */
   private[graft] val KcoreUnroll = 8
+
+  /** Per-phase peel unroll the q_coreness oracle carries (measured
+    * fixture phase depth ≤ 9; see the q_coreness scaladoc) and the
+    * outer-phase runaway cap.
+    */
+  private[graft] val CorenessUnroll = 12
+  private[graft] val CorenessMaxK = 32
+
+  /** Coreness (core number) by nested peeling: phase k runs [[kCore]]
+    * at threshold k over the PREVIOUS phase's surviving subgraph (the
+    * k-cores are nested, so this equals peeling the full graph at k —
+    * and each phase's work shrinks with the core instead of rescanning
+    * the graph). core_number(v) = phases survived. Returns (labels over
+    * the edge relation's endpoints, highest non-empty phase, converged
+    * — EVERY phase's peel found its fixpoint within [[CorenessUnroll]]
+    * AND the outer loop emptied the core before [[CorenessMaxK]]).
+    * Driver state per phase: one survivor count; the accumulated
+    * membership union is label-width, truncated per phase.
+    */
+  private[graft] def coreness(
+      edges: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, Int, Boolean) = {
+    var cur = edges.select(col("src"), col("dst")).truncateLineage()
+    var acc: Option[org.apache.spark.sql.DataFrame] = None
+    var k = 0
+    var allDone = true
+    var survivors = -1L
+    while (survivors != 0L && k < CorenessMaxK) {
+      k += 1
+      val (core, _, done) = kCore(cur, k, CorenessUnroll)
+      allDone &&= done
+      val members = core.select(col("pk")).truncateLineage()
+      survivors = members.count()
+      if (survivors > 0L) {
+        acc = Some(acc match {
+          case Some(a) => a.unionByName(members).truncateLineage()
+          case None => members
+        })
+        cur = cur
+          .join(members.select(col("pk").as("src")), Seq("src"))
+          .join(members.select(col("pk").as("dst")), Seq("dst"))
+          .select(col("src"), col("dst"))
+          .truncateLineage()
+      }
+    }
+    val labels = acc
+      .getOrElse(edges.sparkSession.emptyDataFrame.sparkSession
+        .range(0).select(col("id").as("pk")))
+      .groupBy(col("pk"))
+      .agg(count(lit(1)).as("core_number"))
+    (labels, k - 1, allDone && survivors == 0L)
+  }
+
+  /** The stored base-graph CC labeling behind q_cc_repair_served: built
+    * once per corpus fingerprint (cold fixpoint, converged-gated) and
+    * persisted through the DataFrame artifact registry — the snapshot a
+    * CcStream-style maintainer would have written; every later serve
+    * loads parquet, never re-runs the cold CC (GraphSpec pins the
+    * build counter).
+    */
+  private[graft] def storedBaseLabels(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    graft.ext.Pq.sharedDf(
+      s"$d|${Tables.fingerprint(d, "lineitem")}|cc-labels|dom=pk%4=1|base=ok%2=0") {
+      val liBase = Tables(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .filter(col("pk") % 4 === 1 && col("l_orderkey") % 2 === 0)
+        .distinct()
+      val (l, _, _, done) = ccConverged(
+        liBase.select(col("pk")).distinct(), coPurchaseEdges(liBase))
+      if (!done)
+        throw new IllegalStateException("base CC labeling hit the round cap")
+      l
+    }
 
   /** Iterative k-core peeling over a symmetric (src, dst) edge list:
     * keep nodes whose degree AMONG SURVIVORS is ≥ k, to fixpoint.

@@ -12,4 +12,32 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Rebuild a checkpointed DataFrame's [[execution.LogicalRDD]] WITHOUT
+    * its origin statistics. `Dataset.localCheckpoint` deliberately
+    * carries the optimized source plan's stats into the LogicalRDD —
+    * usually what you want, but fatal for long iterative self-join
+    * loops: a k-core round's survivors⋈edges⋈survivors estimate is
+    * (size)³, so sizeInBytes grows as 3^rounds across checkpoint
+    * boundaries, and after ~100 rounds (the coreness decomposition's
+    * phases × peels) Catalyst's stats visitor is multiplying BigInts
+    * with millions of bits — a measured 28-minute PLANNING hang at
+    * sf0.01 (round 19). Dropping origin stats resets each round to the
+    * conservative default (joins of checkpointed state stay
+    * SortMergeJoin — the shape the PLANS notes already document; the
+    * hot-loop broadcasts are explicit hints, unaffected). No-op on
+    * non-LogicalRDD plans.
+    */
+  def dropStats(df: DataFrame): DataFrame = {
+    val d = df.asInstanceOf[classic.Dataset[Row]]
+    d.queryExecution.analyzed match {
+      case l: execution.LogicalRDD =>
+        classic.Dataset.ofRows(
+          d.sparkSession,
+          execution.LogicalRDD(
+            l.output, l.rdd, l.outputPartitioning, l.outputOrdering,
+            l.isStreaming, l.stream)(d.sparkSession, None, None))
+      case _ => df
+    }
+  }
 }

@@ -158,6 +158,45 @@ class GraphSpec extends SparkSpec {
     assert(wrote > 0, "reliable path left no checkpoint files — the seam did not engage")
   }
 
+  test("q_cc_repair_served: repaired labels equal a cold recompute, and the serve path builds nothing") {
+    // the registered row's contract is WARM-ONLY serving: base labels
+    // come from the stored artifact, the plan runs just the repair wave.
+    // Spec-side we (a) compare against a cold CC on the merged graph —
+    // the truth q_cc_incremental pays for in-plan and this row must NOT,
+    // and (b) pin that a second invocation (JVM memo cleared, disk slot
+    // present) serves without an ArtifactStore build.
+    val store = java.nio.file.Files.createTempDirectory("graft-cc-serve").toString
+    spark.conf.set("graft.artifacts.dir", store)
+    try {
+      val q = Registry.byName("q_cc_repair_served")
+      val first = q.run(spark, sf()).collect()
+      assert(first.nonEmpty)
+      assert(first.forall(_.getAs[Boolean]("converged")))
+      assert(first.forall(_.getAs[Boolean]("wave_le_affected")))
+      // cold truth on the merged graph
+      val li = graft.core.Tables(spark, sf(), "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .filter(col("pk") % 4 === 1)
+        .distinct()
+      val (cold, _, _, _) = Graph.ccConverged(
+        li.select(col("pk")).distinct(), Graph.coPurchaseEdges(li))
+      val coldMap = cold.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val warmMap = first.map(r => r.getAs[Long]("pk") -> r.getAs[Long]("label")).toMap
+      assert(warmMap == coldMap, "warm-served repair diverged from the cold fixpoint")
+      // serve path: clear the JVM memo so the disk slot is the only
+      // warm state — the rerun must LOAD, not rebuild
+      graft.ext.Pq.clearShared()
+      val buildsBefore = graft.core.ArtifactStore.builds.get()
+      val second = q.run(spark, sf()).collect()
+      assert(second.map(r => r.getAs[Long]("pk") -> r.getAs[Long]("label")).toMap == coldMap)
+      assert(graft.core.ArtifactStore.builds.get() == buildsBefore,
+        "second q_cc_repair_served run re-built the stored base labels")
+    } finally {
+      spark.conf.unset("graft.artifacts.dir")
+      graft.ext.Pq.clearShared()
+    }
+  }
+
   test("kCore: planted 2-core survives, and a capped peel reports converged = false") {
     // chain 0-1-…-9 (peels completely at k=2, two endpoints per round,
     // 6 rounds to the empty fixpoint) + triangle {100,101,102} (every
