@@ -404,7 +404,77 @@ object SketchQueries {
           "LEFT JOIN ex ON ex.source_a = p.source_a AND ex.source_b = p.source_b " +
           "ORDER BY 1, 2")
     ),
-    kmvJaccardQ
+    kmvJaccardQ,
+    Q(
+      "q_kmv_windowed",
+      // WINDOWED KMV serving (round-18 verdict #8): the ingest twin
+      // keeps ONE per-source sketch forever, but real telemetry asks
+      // "distinct overlap in the last N windows" — so the stored state
+      // becomes one 512-byte sketch per (source, window) (window =
+      // doc_id div 140, the 7-round "week" of the 20-source
+      // round-robin), and any trailing-window question is answered by
+      // graft_kmv_union over the stored window sketches, never the
+      // data. The union of per-window k-min sets re-ranked to K IS the
+      // k-min set of the combined stream (every global top-K hash is
+      // within its own window's top-K), so windowed state loses
+      // NOTHING vs the monolithic sketch — that identity is what the
+      // full value differential certifies: DuckDB re-derives the
+      // per-window k-min sets, the last-2-window union re-rank, and
+      // the same (K−1)/θ arithmetic, and every est VALUE hash-matches.
+      // Exact trailing-window distinct counts ride alongside. At 100 TB
+      // this is per-(shard, day) sketch state with union-served
+      // retention questions — bytes per window, no rescans.
+      (s, d) => {
+        val biW = kmvBigramsWindowed(Tables(s, d, "documents"))
+        val sk = biW.groupBy(col("source"), col("w")).agg(expr("graft_kmv(bg)").as("sk"))
+        val wm = sk.groupBy(col("source"))
+          .agg(max(col("w")).as("wmax"), count(lit(1)).as("n_windows"))
+        val last = sk.join(wm, "source").filter(col("w") === col("wmax"))
+          .select(col("source"), col("n_windows"), col("sk").as("sk_last"))
+        val prev = sk.join(wm, "source").filter(col("w") === col("wmax") - 1)
+          .select(col("source"), col("sk").as("sk_prev"))
+        val exact2 = biW.join(wm, "source").filter(col("w") >= col("wmax") - 1)
+          .groupBy(col("source")).agg(countDistinct(col("bg")).as("n_exact_last2"))
+        last.join(prev, "source").join(exact2, "source")
+          .select(
+            col("source"), col("n_windows"), col("n_exact_last2"),
+            expr("graft_kmv_est(sk_prev)").as("est_prev"),
+            expr("graft_kmv_est(sk_last)").as("est_last"),
+            expr("graft_kmv_est(graft_kmv_union(sk_prev, sk_last))").as("est_last2"))
+          .orderBy("source")
+      },
+      Some(
+        "WITH toks AS (SELECT source, CAST(doc_id // 140 AS BIGINT) AS w, " +
+          "list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents), " +
+          "bi AS (SELECT source, w, unnest(list_transform(range(1, len(t)), " +
+          "i -> t[i] || '_' || t[i+1])) AS bg FROM toks), " +
+          "hh AS (SELECT DISTINCT source, w, CAST('0x' || substring(md5(bg), 1, 8) AS BIGINT) AS h FROM bi), " +
+          "wm AS (SELECT source, MAX(w) AS wmax, CAST(COUNT(DISTINCT w) AS BIGINT) AS n_windows " +
+          "FROM hh GROUP BY source), " +
+          "r AS (SELECT source, w, h, ROW_NUMBER() OVER (PARTITION BY source, w ORDER BY h) AS rk FROM hh), " +
+          "k AS (SELECT source, w, COUNT(*) AS n_ret, MAX(CASE WHEN rk = 64 THEN h END) AS kth " +
+          "FROM r WHERE rk <= 64 GROUP BY 1, 2), " +
+          "u0 AS (SELECT DISTINCT hh.source, hh.h FROM hh JOIN wm ON wm.source = hh.source " +
+          "AND hh.w >= wm.wmax - 1), " +
+          "ur AS (SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk FROM u0), " +
+          "uk AS (SELECT source, COUNT(*) AS n_ret, MAX(CASE WHEN rk = 64 THEN h END) AS kth " +
+          "FROM ur WHERE rk <= 64 GROUP BY 1), " +
+          "ex AS (SELECT bi.source, CAST(COUNT(DISTINCT bg) AS BIGINT) AS n_exact_last2 " +
+          "FROM bi JOIN wm ON wm.source = bi.source AND bi.w >= wm.wmax - 1 GROUP BY 1) " +
+          "SELECT wm.source, wm.n_windows, ex.n_exact_last2, " +
+          "CASE WHEN kp.n_ret < 64 THEN CAST(kp.n_ret AS DOUBLE) " +
+          "ELSE CAST(63 AS DOUBLE) * 4294967296.0 / CAST(kp.kth AS DOUBLE) END AS est_prev, " +
+          "CASE WHEN kl.n_ret < 64 THEN CAST(kl.n_ret AS DOUBLE) " +
+          "ELSE CAST(63 AS DOUBLE) * 4294967296.0 / CAST(kl.kth AS DOUBLE) END AS est_last, " +
+          "CASE WHEN uk.n_ret < 64 THEN CAST(uk.n_ret AS DOUBLE) " +
+          "ELSE CAST(63 AS DOUBLE) * 4294967296.0 / CAST(uk.kth AS DOUBLE) END AS est_last2 " +
+          "FROM wm " +
+          "JOIN k kp ON kp.source = wm.source AND kp.w = wm.wmax - 1 " +
+          "JOIN k kl ON kl.source = wm.source AND kl.w = wm.wmax " +
+          "JOIN uk ON uk.source = wm.source " +
+          "JOIN ex ON ex.source = wm.source " +
+          "ORDER BY wm.source")
+    )
   )
 
   /** Shared KMV inputs: (per-source bigram relation, per-source
@@ -504,6 +574,20 @@ object SketchQueries {
     * so stream and batch cannot drift. Streamable: pure per-row
     * expressions.
     */
+  /** The windowed bigram relation behind q_kmv_windowed and the
+    * stream twin's windowed view — single-sourced (the kmvBigrams
+    * discipline) so the registered row, the oracle, and the ingest
+    * path cannot drift on window arithmetic or bigram spelling.
+    */
+  private[graft] def kmvBigramsWindowed(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(
+        col("source"), expr("CAST(doc_id DIV 140 AS BIGINT)").as("w"),
+        filter(split(col("text"), " "), x => x =!= "").as("t"))
+      .select(col("source"), col("w"), explode(expr(
+        "zip_with(slice(t, 1, greatest(size(t) - 1, 0)), " +
+          "slice(t, 2, greatest(size(t) - 1, 0)), (a, b) -> concat(a, '_', b))")).as("bg"))
+
   private[graft] def kmvBigrams(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs
       .select(col("source"), filter(split(col("text"), " "), x => x =!= "").as("t"))

@@ -442,6 +442,39 @@ object SqlQueries {
         "CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_custkey % 11 END AS nk2, " +
         "c_custkey FROM customer) t " +
         "ORDER BY nk1 ASC NULLS LAST, nk2 DESC NULLS FIRST, c_custkey"
-    )
+    ),
+    {
+      // IGNORE NULLS window frames over planted NULLs (round-18 verdict
+      // #7 — the q_sql_nulls_order recipe applied to frames): dropping
+      // the clause diverges results immediately (lag/lead/first_value
+      // then return the planted NULLs instead of skipping to the
+      // nearest non-null). NOT a shared() row, and that is itself the
+      // finding: the two grammars REJECT each other's clause placement
+      // (measured on Spark 4.1 + DuckDB — Spark parses only
+      // `lag(v) IGNORE NULLS OVER …`, DuckDB only
+      // `lag(v IGNORE NULLS) OVER …`; each errors on the other's form),
+      // so this is the one window feature the delegated-SQL surface
+      // must TRANSLATE rather than pass through. Same semantics, same
+      // planted data, full value differential; unique o_orderkey is
+      // the total-order tiebreak. The feature's Column-expr form
+      // already serves in the Events gap-fill chain — this row gates
+      // the SQL-text route.
+      def body(ignorePlacement: String => String) =
+        "SELECT o_custkey, o_orderkey, " +
+          s"${ignorePlacement("lag")} AS prev_v, " +
+          s"${ignorePlacement("lead")} AS next_v, " +
+          s"${ignorePlacement("first_value")} AS first_v " +
+          "FROM (SELECT o_custkey, o_orderkey, " +
+          "CAST(CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderkey % 97 END AS BIGINT) AS v " +
+          "FROM orders) t " +
+          "ORDER BY o_custkey, o_orderkey"
+      val w = "OVER (PARTITION BY o_custkey ORDER BY o_orderkey)"
+      val sparkSql = body(f => s"$f(v) IGNORE NULLS $w")
+      val duckSql = body(f => s"$f(v IGNORE NULLS) $w")
+      Q(
+        "q_sql_ignore_nulls",
+        (s, d) => QueryRunner.run(s, d, sparkSql),
+        Some(duckSql))
+    }
   )
 }

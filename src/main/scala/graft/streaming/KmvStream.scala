@@ -80,4 +80,26 @@ object KmvStream {
       .groupByKey(_.source)
       .transformWithState(new KmvProcessor, TimeMode.None(), OutputMode.Append())
   }
+
+  /** WINDOWED ingest state (q_kmv_windowed's stream half): one k-min
+    * sketch per (source, window) — the key is the composite
+    * "source|window" string, the processor is the UNCHANGED
+    * [[KmvProcessor]] (it is key-agnostic; the monoid algebra that
+    * makes per-source folding slicing-invariant applies per key
+    * verbatim). Window arithmetic and bigram spelling come from
+    * [[graft.ext.SketchQueries.kmvBigramsWindowed]], so the batch row,
+    * its oracle, and this view cannot drift.
+    */
+  def viewWindowed(spark: SparkSession, docs: DataFrame): Dataset[SourceKmv] = {
+    import spark.implicits._
+    graft.ext.SketchQueries.kmvBigramsWindowed(docs)
+      .select(
+        org.apache.spark.sql.functions.concat_ws(
+          "|", org.apache.spark.sql.functions.col("source"),
+          org.apache.spark.sql.functions.col("w")).as("source"),
+        org.apache.spark.sql.functions.col("bg"))
+      .as[BigramArrival]
+      .groupByKey(_.source)
+      .transformWithState(new KmvProcessor, TimeMode.None(), OutputMode.Append())
+  }
 }

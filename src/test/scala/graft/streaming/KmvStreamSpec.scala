@@ -81,4 +81,66 @@ class KmvStreamSpec extends SparkSpec {
       }
     }
   }
+
+  test("windowed view: per-(source,window) sketches equal batch, and their union folds to the whole-source sketch") {
+    // the q_kmv_windowed contract at ingest: one sketch per (source,
+    // window) key, maintained micro-batch by micro-batch in ANY slicing
+    // — and because the k-min set is a union monoid, folding a source's
+    // window sketches with KmvSketch.union reproduces its monolithic
+    // whole-source sketch bit-for-bit (windowed state loses nothing).
+    withRocksDb {
+      val root = Files.createTempDirectory("kmv-stream-win").toString
+      val in = s"$root/in"; val out = s"$root/out"; val ck = s"$root/ck"
+      val docs = graft.core.Tables(spark, sf(), "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      // slice ACROSS windows (doc_id mod), so every micro-batch touches
+      // several window keys — the adversarial slicing for window state
+      docs.filter(col("doc_id") % 3 === 0).repartition(1).write.mode("append").parquet(in)
+      docs.filter(col("doc_id") % 3 === 1).repartition(1).write.mode("append").parquet(in)
+      docs.filter(col("doc_id") % 3 === 2).repartition(1).write.mode("append").parquet(in)
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val q = KmvStream.viewWindowed(spark, stream)
+        .toDF()
+        .writeStream.format("parquet").outputMode("append")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      StreamDrain.boundedAwait(q)
+
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("upd").desc)
+      val streamed = spark.read.parquet(out)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("source", "mins").collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+
+      val batchWin = graft.ext.SketchQueries
+        .kmvBigramsWindowed(docs)
+        .groupBy(col("source"), col("w")).agg(expr("graft_kmv(bg)").as("sk"))
+        .collect()
+        .map(r => s"${r.getString(0)}|${r.getLong(1)}" -> r.getSeq[Long](2).toSeq).toMap
+      assert(streamed.keySet == batchWin.keySet, "(source,window) key sets diverged")
+      streamed.foreach { case (k, mins) =>
+        assert(mins == batchWin(k), s"windowed k-min set for $k diverged from batch")
+      }
+
+      // union-across-windows ≡ the monolithic per-source sketch
+      val whole = graft.ext.SketchQueries
+        .kmvBigrams(docs)
+        .groupBy(col("source")).agg(expr("graft_kmv(bg)").as("sk"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+      val folded = streamed.toSeq
+        .groupBy(_._1.split('|')(0))
+        .map { case (src, wins) =>
+          src -> wins.map(_._2.toArray)
+            .reduce(graft.functions.KmvSketch.union).toSeq
+        }
+      assert(folded.keySet == whole.keySet)
+      folded.foreach { case (src, mins) =>
+        assert(mins == whole(src),
+          s"union of $src's window sketches diverged from the whole-source sketch")
+      }
+    }
+  }
 }
