@@ -34,6 +34,9 @@ object QualityQueries {
   private val LangRot = "nopqrstuvwxyzabcdefghijklm"
   private val LangB = 4096
 
+  /** [[LangB]] for the ingest scorer's literal-array sizing. */
+  private[graft] def LangBPublic: Int = LangB
+
   val queries: Seq[Q] = Seq(
     Q(
       "q_gopher_quality",
@@ -455,24 +458,62 @@ object QualityQueries {
     * carry rot13'd text (language `l1`), even ones the original (`l0`).
     * Deterministic and engine-shared — the plant is part of the oracle.
     */
-  private def langCorpus(
-      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+  /** The planted-bilingual transform applied to a raw (doc_id, source,
+    * text) relation — shared with the ingest scorer
+    * ([[graft.streaming.LangIdStream]]) so the fixture plant cannot
+    * drift between batch and stream.
+    */
+  private[graft] def langPlant(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val odd = substring(col("source"), 4, 10).cast("int") % 2 === 1
-    Tables(s, d, "documents").select(
+    docs.select(
       col("doc_id"), col("source"),
       when(odd, translate(col("text"), LangAlpha, LangRot))
         .otherwise(col("text")).as("text"),
       when(odd, lit("l1")).otherwise(lit("l0")).as("lang_true"))
   }
 
-  /** Char-trigram features, bucket-hashed with the proven cross-engine
-    * char-polynomial fold (the dsirBucket recipe at B = 256).
+  private def langCorpus(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    langPlant(Tables(s, d, "documents"))
+
+  /** Char-trigram feature array of a `text` column — shared builder
+    * (the dsirFeatureArr discipline).
     */
-  private def langBucket(f: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[graft] def langTrigrams: org.apache.spark.sql.Column =
+    transform(
+      sequence(lit(1), greatest(lit(1), length(col("text")) - 2)),
+      i => col("text").substr(i, lit(3)))
+
+  /** Char-trigram features, bucket-hashed with the proven cross-engine
+    * char-polynomial fold (the dsirBucket recipe at B = [[LangB]]).
+    */
+  private[graft] def langBucket(f: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     aggregate(
       transform(sequence(lit(1), length(f)), i => ascii(f.substr(i, lit(1))).cast("long")),
       lit(7L),
       (h, c) => (h * 31 + c) % 1048576) % LangB
+
+  /** The trained LangID model collected to the driver (what the ingest
+    * scorer bakes into per-row expressions — the dsirModel shape):
+    * bucket → (c0, c1) plus the class totals; ≤ [[LangB]] rows, the
+    * entire artifact.
+    */
+  def langModel(
+      s: org.apache.spark.sql.SparkSession, d: String): (Map[Int, (Long, Long)], Long, Long) = {
+    val rows = langCorpus(s, d)
+      .filter((col("doc_id") / 20).cast("long") % 4 === 0)
+      .select(col("lang_true"), explode(langTrigrams).as("feat"))
+      .withColumn("bucket", langBucket(col("feat")))
+      .groupBy(col("bucket"))
+      .agg(
+        sum(when(col("lang_true") === "l0", 1L).otherwise(0L)).as("c0"),
+        sum(when(col("lang_true") === "l1", 1L).otherwise(0L)).as("c1"))
+      .collect()
+      .map(r => r.getAs[Long]("bucket").toInt ->
+        ((r.getAs[Long]("c0"), r.getAs[Long]("c1"))))
+      .toMap
+    (rows, rows.values.map(_._1).sum, rows.values.map(_._2).sum)
+  }
 
   /** Per-doc LangID scores: (doc_id, source, lang_true, n_feat,
     * lr_score, lang_pred). Train slice = (doc_id div 20) % 4 = 0 —
@@ -483,12 +524,9 @@ object QualityQueries {
     */
   private[graft] def langScores(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
-    val trigrams = transform(
-      sequence(lit(1), greatest(lit(1), length(col("text")) - 2)),
-      i => col("text").substr(i, lit(3)))
     val feats = langCorpus(s, d)
       .select(col("doc_id"), col("source"), col("lang_true"),
-        explode(trigrams).as("feat"))
+        explode(langTrigrams).as("feat"))
       .withColumn("bucket", langBucket(col("feat")))
     val model = feats.filter((col("doc_id") / 20).cast("long") % 4 === 0)
       .groupBy(col("bucket"))
