@@ -596,6 +596,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(planString(pool).contains("bucket"), "cell key vanished from the pool join")
   }
 
+  test("langid scoring joins the broadcast model, never a cartesian or corpus self-join") {
+    // q_langid's serving shape: explode trigrams, LEFT-join the <=4096-row
+    // model (broadcast), one doc hash-agg. A cartesian or a sort-merge
+    // join against the model means the broadcast hint regressed and the
+    // per-feature lookup became a shuffle of the exploded corpus.
+    val p = planString(Registry.byName("q_langid").run(spark, sf()))
+    assert(!p.contains("CartesianProduct"),
+      s"langid plan contains a cartesian:\n${p.take(1500)}")
+    // exactly ONE BroadcastNestedLoopJoin is expected: the one-row class
+    // TOTALS crossJoin (the repo's broadcast-gate-column idiom); a second
+    // would mean the 4096-row model itself regressed to a nested loop
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 1, s"langid plan has $bnlj nested-loop joins (1 one-row totals join allowed)")
+    assert(p.contains("BroadcastHashJoin"),
+      "the trained model should reach the feature stream as a broadcast hash join")
+  }
+
   test("minhash recall gate: both the LSH side and the truth side join on bounded keys") {
     val p = planString(Registry.byName("q_dedup_minhash").run(spark, sf()))
     // candidate generation joins on (band_idx, band_hash); the truth side
