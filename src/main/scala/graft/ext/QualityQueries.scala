@@ -424,6 +424,28 @@ object QualityQueries {
         " SELECT doc_id, lang_true, lang_pred, n_feat, lr_score FROM scored ORDER BY doc_id")
     ),
     Q(
+      "q_langid3",
+      // MULTI-CLASS LangID (generalizing q_langid's binary likelihood
+      // ratio — real language ID is N-way): three planted classes by
+      // source index mod 3 (l0 identity, l1 rot13, l2 REVERSED text —
+      // reverse() is engine-shared, and reversal scrambles the trigram
+      // distribution as thoroughly as a new alphabet). Per class, the
+      // score is the class-vs-POOL lift — s_c = davg over features of
+      // r_c(b) = ((c_c+1)·(S_pool+B)) / ((c_pool+1)·(S_c+B)) — the
+      // same Laplace-smoothed integer-ratio arithmetic (products
+      // < 2^53, one IEEE division per feature, no ln()), and the
+      // prediction is the DETERMINISTIC argmax (ties to the lowest
+      // class id; the scores are bit-identical cross-engine, so the
+      // comparisons are too). Full (doc, truth, pred, 3 scores)
+      // differential; LangIdSpec pins 3-way separation.
+      (s, d) => langScores3(s, d)
+        .select(col("doc_id"), col("lang_true"), col("lang_pred"),
+          col("s_l0"), col("s_l1"), col("s_l2"))
+        .orderBy("doc_id"),
+      Some(lang3SqlWith +
+        " SELECT doc_id, lang_true, lang_pred, s_l0, s_l1, s_l2 FROM scored ORDER BY doc_id")
+    ),
+    Q(
       "q_langid_mix",
       // The per-source language-mix rollup a multi-source ingest
       // actually consumes (which crawls/feeds are in which language,
@@ -546,6 +568,102 @@ object QualityQueries {
       .groupBy(col("doc_id"), col("source"), col("lang_true"))
       .agg(count(lit(1)).as("n_feat"), Agg.davg(col("r")).as("lr_score"))
       .withColumn("lang_pred", when(col("lr_score") >= 1.0, "l0").otherwise("l1"))
+  }
+
+  /** The 3-class plant: source index mod 3 picks identity / rot13 /
+    * reversed text.
+    */
+  private def langPlant3(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cls = substring(col("source"), 4, 10).cast("int") % 3
+    docs.select(
+      col("doc_id"), col("source"),
+      when(cls === 1, translate(col("text"), LangAlpha, LangRot))
+        .when(cls === 2, reverse(col("text")))
+        .otherwise(col("text")).as("text"),
+      concat(lit("l"), cls.cast("string")).as("lang_true"))
+  }
+
+  /** Per-doc 3-class LangID scores (see q_langid3). */
+  private[graft] def langScores3(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val feats = langPlant3(Tables(s, d, "documents"))
+      .select(col("doc_id"), col("source"), col("lang_true"),
+        explode(langTrigrams).as("feat"))
+      .withColumn("bucket", langBucket(col("feat")))
+    val model = feats.filter((col("doc_id") / 20).cast("long") % 4 === 0)
+      .groupBy(col("bucket"))
+      .agg(
+        sum(when(col("lang_true") === "l0", 1L).otherwise(0L)).as("c0"),
+        sum(when(col("lang_true") === "l1", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("lang_true") === "l2", 1L).otherwise(0L)).as("c2"))
+      .localCheckpoint(true)
+    val totals = model.agg(
+      sum(col("c0")).as("s0"), sum(col("c1")).as("s1"), sum(col("c2")).as("s2"))
+    val b = lit(LangB.toLong)
+    def lift(cc: org.apache.spark.sql.Column, sc: org.apache.spark.sql.Column) = {
+      val cPool = coalesce(col("c0"), lit(0L)) + coalesce(col("c1"), lit(0L)) +
+        coalesce(col("c2"), lit(0L))
+      val sPool = col("s0") + col("s1") + col("s2")
+      (((coalesce(cc, lit(0L)) + 1L) * (sPool + b)).cast("double") /
+        ((cPool + 1L) * (sc + b)).cast("double"))
+    }
+    feats
+      .join(broadcast(model), Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .select(
+        col("doc_id"), col("source"), col("lang_true"),
+        lift(col("c0"), col("s0")).as("r0"),
+        lift(col("c1"), col("s1")).as("r1"),
+        lift(col("c2"), col("s2")).as("r2"))
+      .groupBy(col("doc_id"), col("source"), col("lang_true"))
+      .agg(
+        Agg.davg(col("r0")).as("s_l0"),
+        Agg.davg(col("r1")).as("s_l1"),
+        Agg.davg(col("r2")).as("s_l2"))
+      .withColumn(
+        "lang_pred",
+        when(col("s_l0") >= col("s_l1") && col("s_l0") >= col("s_l2"), "l0")
+          .when(col("s_l1") >= col("s_l2"), "l1")
+          .otherwise("l2"))
+  }
+
+  /** DuckDB mirror of [[langScores3]] as a WITH prefix ending in `scored`. */
+  private def lang3SqlWith: String = {
+    def liftSql(c: String, s: String): String =
+      s"CAST((COALESCE(m.$c, 0) + 1) * (tot.s0 + tot.s1 + tot.s2 + $LangB) AS DOUBLE) / " +
+        s"CAST((COALESCE(m.c0, 0) + COALESCE(m.c1, 0) + COALESCE(m.c2, 0) + 1) * (tot.$s + $LangB) AS DOUBLE)"
+    "WITH c AS (SELECT doc_id, source, " +
+      "CASE WHEN CAST(substring(source, 4) AS INT) % 3 = 1 " +
+      s"THEN translate(text, '$LangAlpha', '$LangRot') " +
+      "WHEN CAST(substring(source, 4) AS INT) % 3 = 2 THEN reverse(text) " +
+      "ELSE text END AS text, " +
+      "'l' || CAST(CAST(substring(source, 4) AS INT) % 3 AS VARCHAR) AS lang_true " +
+      "FROM documents), " +
+      "f AS (SELECT doc_id, source, lang_true, " +
+      "unnest(list_transform(generate_series(1, greatest(1, len(text) - 2)), " +
+      "i -> substring(text, CAST(i AS INT), 3))) AS feat FROM c), " +
+      "fb AS (SELECT doc_id, source, lang_true, list_reduce(list_prepend(CAST(7 AS BIGINT), " +
+      "list_transform(range(1, CAST(len(feat) AS BIGINT) + 1), " +
+      "i -> CAST(ascii(substring(feat, CAST(i AS INT), 1)) AS BIGINT))), " +
+      s"(h, c) -> (h * 31 + c) % 1048576) % $LangB AS bucket FROM f), " +
+      "m AS (SELECT bucket, " +
+      "CAST(SUM(CASE WHEN lang_true = 'l0' THEN 1 ELSE 0 END) AS BIGINT) AS c0, " +
+      "CAST(SUM(CASE WHEN lang_true = 'l1' THEN 1 ELSE 0 END) AS BIGINT) AS c1, " +
+      "CAST(SUM(CASE WHEN lang_true = 'l2' THEN 1 ELSE 0 END) AS BIGINT) AS c2 " +
+      "FROM fb WHERE (doc_id // 20) % 4 = 0 GROUP BY 1), " +
+      "tot AS (SELECT CAST(SUM(c0) AS BIGINT) AS s0, CAST(SUM(c1) AS BIGINT) AS s1, " +
+      "CAST(SUM(c2) AS BIGINT) AS s2 FROM m), " +
+      "r AS (SELECT fb.doc_id, fb.source, fb.lang_true, " +
+      liftSql("c0", "s0") + " AS r0, " +
+      liftSql("c1", "s1") + " AS r1, " +
+      liftSql("c2", "s2") + " AS r2 " +
+      "FROM fb LEFT JOIN m USING (bucket) CROSS JOIN tot), " +
+      "sc AS (SELECT doc_id, source, lang_true, " +
+      Agg.davgSql("r0") + " AS s_l0, " + Agg.davgSql("r1") + " AS s_l1, " +
+      Agg.davgSql("r2") + " AS s_l2 FROM r GROUP BY 1, 2, 3), " +
+      "scored AS (SELECT doc_id, source, lang_true, s_l0, s_l1, s_l2, " +
+      "CASE WHEN s_l0 >= s_l1 AND s_l0 >= s_l2 THEN 'l0' " +
+      "WHEN s_l1 >= s_l2 THEN 'l1' ELSE 'l2' END AS lang_pred FROM sc)"
   }
 
   /** DuckDB mirror of [[langScores]] as a WITH prefix ending in `scored`. */

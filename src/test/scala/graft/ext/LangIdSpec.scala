@@ -28,6 +28,18 @@ class LangIdSpec extends graft.SparkSpec {
     }
   }
 
+  test("3-class variant separates identity / rot13 / reversed text") {
+    val rows = QualityQueries.langScores3(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val acc = rows.count(r =>
+      r.getAs[String]("lang_pred") == r.getAs[String]("lang_true")).toDouble / rows.length
+    info(s"3-class accuracy on the planted corpus: $acc (${rows.length} docs)")
+    assert(acc >= 0.95, s"3-class LangID failed to separate: accuracy $acc")
+    // every class actually present and predicted
+    val preds = rows.map(_.getAs[String]("lang_pred")).toSet
+    assert(preds == Set("l0", "l1", "l2"), s"predicted classes: $preds")
+  }
+
   test("held-out docs (not in the train slice) classify correctly too") {
     // the model trains on (doc_id div 20) % 4 = 0; generalization to
     // unseen docs is what makes this language ID rather than memorization
