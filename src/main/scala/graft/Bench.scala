@@ -126,6 +126,14 @@ import java.nio.file.{Files, Paths}
   * untouched. Round 19 is the graph tier's first recorded round; its
   * 4-query membership is the series baseline.
   *
+  * DATA-PATH PROBES (round 19, additive within v9): a late-session
+  * rerun read 1.5× slower at IDENTICAL probe1/probe32 readings — the
+  * CPU probes are blind to read-path/memory-side degradation. Each
+  * pass now also records "probe_io_sec" (read+fold every byte of the
+  * fixture's lineitem files — the actual scan input) and
+  * "probe_mem_sec" (allocate+touch 128 MB); min/max land in-band so a
+  * drifted total adjudicates itself against the data path too.
+  *
   * HOT-BOX GATE (round 18, additive within v9 — closing the round-17
   * verdict #3): the committed round-17 official artifact was a hot-box
   * run (probe32_max 0.522, total 1.77× the prior round) rescued only by
@@ -265,6 +273,50 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Seconds to read + fold every byte of the fixture's lineitem files
+    * (the bench's actual scan input) — the I/O/page-cache-side noise
+    * probe the CPU-bound pair above cannot see. Round-19 lesson: a
+    * late-session rerun read 1.5× slower at IDENTICAL probe1/probe32
+    * readings — the box's bulk throughput had drifted on the read/
+    * memory side. On a healthy box this is single-digit ms (page
+    * cache); an elevated reading says "the box's data path, not the
+    * code" for that pass. Additive key within frozen v9.
+    */
+  private def probeIo(sfDir: String): Double = {
+    val dir = new java.io.File(s"$sfDir/lineitem.parquet")
+    val files = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val t0 = System.nanoTime()
+    var h = 0L
+    files.foreach { f =>
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      var i = 0
+      while (i < bytes.length) { h = h * 31 + bytes(i); i += 997 }
+    }
+    val dt = (System.nanoTime() - t0) / 1e9
+    if (h == 42L) println() // un-eliminable
+    dt
+  }
+
+  /** Seconds to allocate and touch 128 MB — the memory-subsystem noise
+    * probe (shuffle/agg-heavy queries are bandwidth-bound; memory
+    * pressure that never shows in the CPU probes shows here).
+    */
+  private def probeMem(): Double = {
+    val t0 = System.nanoTime()
+    val chunks = Array.ofDim[Array[Long]](16)
+    var c = 0
+    while (c < 16) {
+      val a = new Array[Long](1 << 20) // 8 MB
+      var i = 0
+      while (i < a.length) { a(i) = i.toLong; i += 64 }
+      chunks(c) = a; c += 1
+    }
+    val dt = (System.nanoTime() - t0) / 1e9
+    if (chunks(15)(0) == 42L) println() // un-eliminable
+    dt
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.build("graft-bench")
@@ -283,11 +335,15 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val p1 = scala.collection.mutable.ArrayBuffer.empty[Double]
     val p32 = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val pIo = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val pMem = scala.collection.mutable.ArrayBuffer.empty[Double]
     var curP32 = 0.0
     def runProbes(): Unit = {
       p1 += probe1()
       curP32 = probe32()
       p32 += curP32
+      pIo += probeIo(sfDir)
+      pMem += probeMem()
     }
     // ONE timing body for all three tiers (main passes, rescue passes,
     // split tier) so the protocol cannot drift between them.
@@ -524,6 +580,8 @@ object Bench {
         s""""box_hot":$boxHot,"hot_retry_passes":$hotRetryPasses,"probe_ceiling":${num(probeCeiling)},""" +
         s""""probe1_min":${num(if (p1.nonEmpty) p1.min else 0.0)},""" +
         s""""probe32_min":${num(if (p32.nonEmpty) p32.min else 0.0)},"probe32_max":${num(if (p32.nonEmpty) p32.max else 0.0)},""" +
+        s""""probe_io_min":${num(if (pIo.nonEmpty) pIo.min else 0.0)},"probe_io_max":${num(if (pIo.nonEmpty) pIo.max else 0.0)},""" +
+        s""""probe_mem_min":${num(if (pMem.nonEmpty) pMem.min else 0.0)},"probe_mem_max":${num(if (pMem.nonEmpty) pMem.max else 0.0)},""" +
         s""""queries":$qs,"total_median":${num(totalMedian)},""" +
         s""""total_probe_norm":${num(normTotal(samples))},""" +
         s""""queries_ext":$eq,"total_ext":${num(extTotal)},"ext_passes":$ExtPasses,""" +
@@ -544,6 +602,7 @@ object Bench {
     val detail = head.dropRight(1) +
       s""","note":"queries/errors keysets may overlap (timed-then-errored); totals comparable only within one protocol string",""" +
       s""""probe1_sec":${arr(p1.toSeq)},"probe32_sec":${arr(p32.toSeq)},""" +
+      s""""probe_io_sec":${arr(pIo.toSeq)},"probe_mem_sec":${arr(pMem.toSeq)},""" +
       s""""queries_median":$qsMed,"mrows_per_sec_split":$sMrows,""" +
       s""""queries_all":$qsAll,"queries_split":$sq,"queries_split_all":$sqAll,""" +
       s""""queries_ext_all":$eqAll,"queries_graph_all":$gqAll}"""
