@@ -288,10 +288,24 @@ object Bench {
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
     val t0 = System.nanoTime()
     var h = 0L
+    // stream over a fixed 8 MB buffer (round-19 ADVICE): readAllBytes
+    // materialized whole files on the driver heap — it hard-fails past
+    // 2 GB and the probe itself could OOM/distort the bench at bigger
+    // fixtures. Same stride-997 byte touch, bounded memory at any size.
+    val buf = new Array[Byte](8 << 20)
     files.foreach { f =>
-      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
-      var i = 0
-      while (i < bytes.length) { h = h * 31 + bytes(i); i += 997 }
+      val in = new java.io.FileInputStream(f)
+      try {
+        var off = 0L // file offset of the buffer start, keeps the global stride
+        var read = in.read(buf)
+        while (read > 0) {
+          // first strided index ≥ off within this buffer
+          var i = (((off + 996) / 997) * 997 - off).toInt
+          while (i < read) { h = h * 31 + buf(i); i += 997 }
+          off += read
+          read = in.read(buf)
+        }
+      } finally in.close()
     }
     val dt = (System.nanoTime() - t0) / 1e9
     if (h == 42L) println() // un-eliminable

@@ -23,6 +23,13 @@ object Sessions {
         "spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
       .config("spark.sql.adaptive.enabled", "true")
+      // reclaim superseded reliable checkpoints (graft.core.Ckpt
+      // retention note): with graft.checkpoint.dir set, every kernel
+      // round writes a new checkpoint dir; this lets the
+      // ContextCleaner delete a round's files once its RDD is GC'd —
+      // reference-safe, unlike eager deletion (some kernels hold
+      // earlier rounds alive). Must be a SparkConf at context build.
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -31,13 +31,35 @@ import org.apache.spark.sql.DataFrame
   */
 object Ckpt {
 
-  /** The session conf key naming the reliable checkpoint directory. */
+  /** The session conf key naming the reliable checkpoint directory.
+    *
+    * RETENTION (round-19 ADVICE): every loop round writes a NEW
+    * checkpoint directory and Spark never deletes superseded rounds on
+    * its own — a ~100-phase coreness run would accumulate rounds ×
+    * relation-size on the fault-tolerant store. Superseded rounds
+    * cannot simply be deleted eagerly either: some kernels (coreness's
+    * membership union, the warm-CC seed labels) legitimately hold
+    * earlier checkpointed relations alive across later rounds. The
+    * reference-safe reclaim is Spark's own ContextCleaner:
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` deletes a
+    * checkpoint's files when its RDD is garbage-collected — i.e.
+    * exactly when no kernel can still read it. [[graft.Sessions]]
+    * sets it at context build; a cluster job bringing its own session
+    * must set it alongside [[DirKey]] (it is a SparkConf read at
+    * SparkContext creation, not a runtime SQL conf).
+    */
   val DirKey = "graft.checkpoint.dir"
 
-  // last directory pushed to SparkContext (setCheckpointDir qualifies
-  // the path, so the raw conf value can't be compared against
-  // sc.getCheckpointDir) — per-JVM, like the session itself
-  @volatile private var lastDir: String = null
+  // last directory pushed to SparkContext, as the (raw conf value,
+  // qualified form setCheckpointDir produced) pair: the raw value
+  // detects a DirKey change, the qualified form detects an EXTERNAL
+  // sc.setCheckpointDir (getCheckpointDir returns the qualified path,
+  // so the raw string alone can't be compared against it). Per-JVM,
+  // like the shared SparkContext; writes and the paired checkpoint
+  // happen under `lock` (below).
+  @volatile private var lastRaw: String = null
+  @volatile private var lastQualified: Option[String] = None
+  private val lock = new Object
 
   /** Truncate `df`'s lineage: reliable `checkpoint()` under
     * [[DirKey]]'s directory when configured, `localCheckpoint(true)`
@@ -48,11 +70,24 @@ object Ckpt {
     val cp = df.sparkSession.conf.getOption(DirKey).filter(_.nonEmpty) match {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
-        if (lastDir != dir) {
-          sc.setCheckpointDir(dir)
-          lastDir = dir
+        // set-and-checkpoint under one lock (round-19 ADVICE): two
+        // sessions on the shared SparkContext with DIFFERENT DirKey
+        // values could otherwise interleave between the dir check and
+        // df.checkpoint(), landing a checkpoint in the other session's
+        // directory. The lock serializes reliable checkpoints only —
+        // the kernels are driver-sequential per session, and the
+        // default localCheckpoint path below is untouched. An
+        // externally cleared/changed sc.setCheckpointDir is re-detected
+        // via getCheckpointDir (prefix-qualified, so compared by
+        // suffix), not just the cached raw string.
+        lock.synchronized {
+          if (lastRaw != dir || sc.getCheckpointDir != lastQualified) {
+            sc.setCheckpointDir(dir)
+            lastRaw = dir
+            lastQualified = sc.getCheckpointDir
+          }
+          df.checkpoint()
         }
-        df.checkpoint()
       case None => df.localCheckpoint(true)
     }
     // drop the origin stats the checkpoint carries: self-join loop

@@ -510,10 +510,17 @@ object QualityQueries {
     * char-polynomial fold (the dsirBucket recipe at B = [[LangB]]).
     */
   private[graft] def langBucket(f: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    aggregate(
-      transform(sequence(lit(1), length(f)), i => ascii(f.substr(i, lit(1))).cast("long")),
-      lit(7L),
-      (h, c) => (h * 31 + c) % 1048576) % LangB
+    // empty-feature guard (round-19 ADVICE): an empty-text doc yields
+    // one "" feature, and Spark's sequence(1, 0) is the DESCENDING
+    // [1, 0] (two fold steps over ascii('') = 0) while the oracle's
+    // range(1, len+1) is an empty list (hash stays at the base 7) —
+    // pin the empty case to the fold base so the two engines agree on
+    // any fixture, not just non-empty texts
+    when(length(f) === 0, lit(7L) % LangB)
+      .otherwise(aggregate(
+        transform(sequence(lit(1), length(f)), i => ascii(f.substr(i, lit(1))).cast("long")),
+        lit(7L),
+        (h, c) => (h * 31 + c) % 1048576) % LangB)
 
   /** The trained LangID model collected to the driver (what the ingest
     * scorer bakes into per-row expressions — the dsirModel shape):

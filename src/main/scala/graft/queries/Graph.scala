@@ -689,7 +689,12 @@ object Graph {
         .range(0).select(col("id").as("pk")))
       .groupBy(col("pk"))
       .agg(count(lit(1)).as("core_number"))
-    (labels, k - 1, allDone && survivors == 0L)
+    // highest non-empty phase: k−1 when the loop exited because phase k
+    // peeled to empty; on a CorenessMaxK cap-exit phase k itself still
+    // had survivors, so k is the last non-empty phase (round-19 ADVICE
+    // — callers all drop the value on converged=false, but the tuple's
+    // documented meaning must hold on both exit paths)
+    (labels, if (survivors == 0L) k - 1 else k, allDone && survivors == 0L)
   }
 
   /** The stored base-graph CC labeling behind q_cc_repair_served: built

@@ -40,6 +40,24 @@ class LangIdSpec extends graft.SparkSpec {
     assert(preds == Set("l0", "l1", "l2"), s"predicted classes: $preds")
   }
 
+  test("langBucket pins the empty feature to the fold base (oracle's empty-list semantics)") {
+    // round-19 ADVICE: an empty-text doc yields one "" trigram feature;
+    // Spark's sequence(1, 0) is the DESCENDING [1, 0] (hash 6727) while
+    // the DuckDB oracle's range(1, len+1) is empty (hash stays 7) — the
+    // guard must pin "" to 7 while leaving non-empty features untouched
+    import spark.implicits._
+    val rows = Seq("", "abc", "a").toDF("f")
+      .select(col("f"), QualityQueries.langBucket(col("f")).as("b"))
+      .collect()
+      .map(r => r.getAs[String]("f") -> r.getAs[Long]("b")).toMap
+    assert(rows("") == 7L, s"empty feature bucketed to ${rows("")}, oracle says 7")
+    // non-empty: the char-polynomial fold, unchanged by the guard
+    def fold(s: String): Long =
+      (s.foldLeft(7L)((h, c) => (h * 31 + c.toLong) % 1048576)) % QualityQueries.LangBPublic
+    assert(rows("abc") == fold("abc"))
+    assert(rows("a") == fold("a"))
+  }
+
   test("held-out docs (not in the train slice) classify correctly too") {
     // the model trains on (doc_id div 20) % 4 = 0; generalization to
     // unseen docs is what makes this language ID rather than memorization
