@@ -152,6 +152,24 @@ import java.nio.file.{Files, Paths}
   * v9 history; on a hot box v9 totals were never comparable anyway —
   * the extra passes only improve the odds the mins reflect the engine.
   *
+  * GATE EXTENSION (round 20, closing the round-19 verdict #1 weak
+  * mark): BENCH_r19 shipped a 2.13× contended official run stamped
+  * `box_hot:false` — the CPU-only criterion was blind to a memory-side
+  * burst its OWN probe_mem recorded at a 555× spread in the same line.
+  * The criterion now reads ALL the probes ([[BenchGate]], pure and
+  * unit-tested): a pass is QUIET when probe32/probe_io/probe_mem each
+  * sit under their ceiling (CPU: 1.6 × probe1_min; io/mem: 8 × the
+  * run's floored min, mem also absolutely capped at 1 s);
+  * "box_hot" = no pass was quiet, and the new "box_drift" = some
+  * per-query MIN was sampled in a non-quiet pass (the exact r19
+  * failure: quiet-mem passes existed, but the committed numbers came
+  * from the loud ones). Retries fire on either verdict; the io probe's
+  * page cache is warmed before pass 1 so a legitimate cold first read
+  * doesn't adjudicate as contention. Timing semantics are unchanged
+  * (same per-query mins over interleaved passes), so v9 totals stay
+  * comparable — only WHEN retries fire and what the verdict keys say
+  * changed; "pass_quiet" in the detail file audits per-pass state.
+  *
   * EMISSION (round 11): the round-9 self-adjudication additions grew the
   * stdout line past the driver's tail-capture window AGAIN (BENCH_r09 and
   * BENCH_r10 both carry parsed: null — the captured tail starts mid-line,
@@ -164,7 +182,6 @@ import java.nio.file.{Files, Paths}
   */
 object Bench {
   private val Samples = 3
-  private val HotFactor = 1.6
   private val MaxHotRetryPasses = 2
   private val RescueTop = 5
   private val MaxRescuePasses = 2
@@ -342,34 +359,44 @@ object Bench {
     // Best-effort: a missing dir must still produce the JSON error report.
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case _: Throwable => () }
+    // Warm the io probe's page cache too (round 20): the first cold read
+    // of the fixture is legitimately 10×+ a cached one on a perfectly
+    // quiet box — without this, the io spread criterion would read the
+    // cache warmup itself as contention.
+    try probeIo(sfDir) catch { case _: Throwable => () }
 
-    // each sample is (seconds, probe32-of-its-pass) — the probe tag feeds
-    // the probe-normalized totals
-    val samples = scala.collection.mutable.LinkedHashMap.empty[String, List[(Double, Double)]]
+    // each sample is (seconds, pass index into the probe arrays) — the
+    // pass tag feeds both the probe-normalized totals and the per-query
+    // drift adjudication (BenchGate)
+    val samples = scala.collection.mutable.LinkedHashMap.empty[String, List[(Double, Int)]]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val p1 = scala.collection.mutable.ArrayBuffer.empty[Double]
     val p32 = scala.collection.mutable.ArrayBuffer.empty[Double]
     val pIo = scala.collection.mutable.ArrayBuffer.empty[Double]
     val pMem = scala.collection.mutable.ArrayBuffer.empty[Double]
-    var curP32 = 0.0
+    var curPass = -1
     def runProbes(): Unit = {
       p1 += probe1()
-      curP32 = probe32()
-      p32 += curP32
+      p32 += probe32()
       pIo += probeIo(sfDir)
       pMem += probeMem()
+      curPass = p1.length - 1
     }
+    def quietNow: Seq[Boolean] =
+      BenchGate.quietFlags(p1.toSeq, p32.toSeq, pIo.toSeq, pMem.toSeq)
+    def minPasses(m: scala.collection.mutable.LinkedHashMap[String, List[(Double, Int)]])
+        : Iterable[Int] = m.values.map(_.minBy(_._1)._2)
     // ONE timing body for all three tiers (main passes, rescue passes,
     // split tier) so the protocol cannot drift between them.
     def timeOne(
         q: Q,
         dir: String,
-        into: scala.collection.mutable.LinkedHashMap[String, List[(Double, Double)]],
+        into: scala.collection.mutable.LinkedHashMap[String, List[(Double, Int)]],
         errKey: String): Unit = {
       val t0 = System.nanoTime()
       try {
         q.run(spark, dir).write.format("noop").mode("overwrite").save()
-        into(q.name) = into.getOrElse(q.name, Nil) :+ ((System.nanoTime() - t0) / 1e9, curP32)
+        into(q.name) = into.getOrElse(q.name, Nil) :+ ((System.nanoTime() - t0) / 1e9, curPass)
       } catch {
         case e: Throwable =>
           errors(errKey) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
@@ -387,18 +414,22 @@ object Bench {
       pass += 1
     }
 
-    // ---- hot-box gate (round 18, see scaladoc) ----
-    def probeCeiling: Double = (if (p1.nonEmpty) p1.min else 1.0) * HotFactor
-    def boxHotNow: Boolean = p32.nonEmpty && p32.min > probeCeiling
+    // ---- hot-box gate (round 18; extended to the data-path probes in
+    // round 20 — BenchGate has the criterion story). Retry while the
+    // run has seen NO quiet pass (box_hot) OR some per-query min was
+    // sampled in a non-quiet pass (box_drift): a retry landing on a
+    // calm box clears both — the quiet pass normally wins the min too.
+    def probeCeiling: Double = BenchGate.cpuCeiling(if (p1.nonEmpty) p1.min else 1.0)
+    def boxHotNow: Boolean = BenchGate.boxHot(quietNow)
+    def boxDriftNow: Boolean = BenchGate.drift(minPasses(samples), quietNow)
     var hotRetryPasses = 0
-    while (boxHotNow && hotRetryPasses < MaxHotRetryPasses) {
+    while ((boxHotNow || boxDriftNow) && hotRetryPasses < MaxHotRetryPasses) {
       runProbes()
       targets.foreach { q =>
         if (!errors.contains(q.name)) timeOne(q, sfDir, samples, q.name)
       }
       hotRetryPasses += 1
     }
-    val boxHot = boxHotNow
 
     val runStart = System.nanoTime()
     def elapsedSinceMainSec: Double = (System.nanoTime() - runStart) / 1e9
@@ -424,7 +455,7 @@ object Bench {
     val times = samples.map { case (k, v) => k -> v.map(_._1).min }
 
     // ---- split-layout tier (v5) ----
-    val splitSamples = scala.collection.mutable.LinkedHashMap.empty[String, List[(Double, Double)]]
+    val splitSamples = scala.collection.mutable.LinkedHashMap.empty[String, List[(Double, Int)]]
     val splitRows = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val splitSetup: Option[String] =
       try {
@@ -515,7 +546,7 @@ object Bench {
         case Some(v) => spark.conf.set("graft.artifacts.persist", v)
         case None => spark.conf.unset("graft.artifacts.persist")
       }
-    val extSamples = scala.collection.mutable.LinkedHashMap.empty[String, List[(Double, Double)]]
+    val extSamples = scala.collection.mutable.LinkedHashMap.empty[String, List[(Double, Int)]]
     val extQs = ExtTargets.flatMap(Registry.byName.get)
     var ep = 0
     while (ep < ExtPasses) {
@@ -528,7 +559,7 @@ object Bench {
     val extTimes = extSamples.map { case (k, v) => k -> v.map(_._1).min }
 
     // ---- graph/iterative tier (round-18 verdict #3) ----
-    val graphSamples = scala.collection.mutable.LinkedHashMap.empty[String, List[(Double, Double)]]
+    val graphSamples = scala.collection.mutable.LinkedHashMap.empty[String, List[(Double, Int)]]
     val graphQs = GraphTargets.flatMap(Registry.byName.get)
     var gp = 0
     while (gp < GraphPasses) {
@@ -556,8 +587,11 @@ object Bench {
     // this box showed; scaling each sample by bestP1/probe32-of-its-pass
     // divides uniform oversubscription back out (≈ no-op on a quiet box)
     val bestP1 = if (p1.nonEmpty) p1.min else 1.0
-    def normTotal(m: scala.collection.mutable.LinkedHashMap[String, List[(Double, Double)]]): Double =
-      m.values.map(v => v.map { case (t, p) => t * (bestP1 / math.max(p, 1e-9)) }.min).sum
+    def normTotal(m: scala.collection.mutable.LinkedHashMap[String, List[(Double, Int)]]): Double =
+      m.values.map(v => v.map { case (t, pi) =>
+        val p = if (pi >= 0 && pi < p32.length) p32(pi) else bestP1
+        t * (bestP1 / math.max(p, 1e-9))
+      }.min).sum
 
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -584,6 +618,18 @@ object Bench {
     val sMrows = splitMrows.map { case (k, v) => s"${jstr(k)}:${num(v)}" }.mkString("{", ",", "}")
     val splitTotal = splitTimes.values.sum
     val detailFile = sys.env.getOrElse("GRAFT_BENCH_DETAIL", "BENCH_OFFICIAL.json")
+    // Final adjudication over EVERY pass of the run (main + retries +
+    // rescue + split + ext + graph — ceilings tighten as later passes
+    // lower the probe floors): box_hot = no quiet pass anywhere;
+    // box_drift / drift_* = that tier committed a min sampled in a
+    // non-quiet pass (see the GATE EXTENSION scaladoc / BenchGate).
+    val quietFinal = quietNow
+    val boxHot = BenchGate.boxHot(quietFinal)
+    val boxDrift = BenchGate.drift(minPasses(samples), quietFinal)
+    val driftExt = BenchGate.drift(minPasses(extSamples), quietFinal)
+    val driftGraph = BenchGate.drift(minPasses(graphSamples), quietFinal)
+    val driftSplit = BenchGate.drift(minPasses(splitSamples), quietFinal)
+
     // stdout line: driver contract (metric/value/unit/queries/sf) plus
     // SCALAR adjudication summaries only — every per-query map beyond the
     // mins, and the raw probe arrays, would push the line past the
@@ -591,7 +637,10 @@ object Bench {
     val head =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","samples":$Samples,"rescue_passes":$rescuePasses,""" +
         s""""protocol":"interleaved-passes-v9",""" +
-        s""""box_hot":$boxHot,"hot_retry_passes":$hotRetryPasses,"probe_ceiling":${num(probeCeiling)},""" +
+        s""""box_hot":$boxHot,"box_drift":$boxDrift,"drift_ext":$driftExt,"drift_graph":$driftGraph,""" +
+        s""""drift_split":$driftSplit,"hot_retry_passes":$hotRetryPasses,"probe_ceiling":${num(probeCeiling)},""" +
+        s""""io_ceiling":${num(if (pIo.nonEmpty) BenchGate.ioCeiling(pIo.min) else 0.0)},""" +
+        s""""mem_ceiling":${num(if (pMem.nonEmpty) BenchGate.memCeiling(pMem.min) else 0.0)},""" +
         s""""probe1_min":${num(if (p1.nonEmpty) p1.min else 0.0)},""" +
         s""""probe32_min":${num(if (p32.nonEmpty) p32.min else 0.0)},"probe32_max":${num(if (p32.nonEmpty) p32.max else 0.0)},""" +
         s""""probe_io_min":${num(if (pIo.nonEmpty) pIo.min else 0.0)},"probe_io_max":${num(if (pIo.nonEmpty) pIo.max else 0.0)},""" +
@@ -616,6 +665,7 @@ object Bench {
     val detail = head.dropRight(1) +
       s""","note":"queries/errors keysets may overlap (timed-then-errored); totals comparable only within one protocol string",""" +
       s""""probe1_sec":${arr(p1.toSeq)},"probe32_sec":${arr(p32.toSeq)},""" +
+      s""""pass_quiet":${quietFinal.map(_.toString).mkString("[", ",", "]")},""" +
       s""""probe_io_sec":${arr(pIo.toSeq)},"probe_mem_sec":${arr(pMem.toSeq)},""" +
       s""""queries_median":$qsMed,"mrows_per_sec_split":$sMrows,""" +
       s""""queries_all":$qsAll,"queries_split":$sq,"queries_split_all":$sqAll,""" +
