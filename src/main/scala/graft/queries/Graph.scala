@@ -405,11 +405,15 @@ object Graph {
       // diameter (GraphSpec measures the gap on a planted chain:
       // 6 rounds where hash-min needs 63 at diameter 63 and would trip
       // its runaway cap past it). Same component-minimum labeling, so
-      // the gates compose: the full (pk, label) relation vs the shared
-      // unbounded-CTE oracle contract on its own induced domain
-      // (pk % 4 = 2), in-plan equality against the hash-min fixpoint
-      // (two independent algorithms agreeing on every label), and the
-      // logarithmic round bound as a boolean.
+      // the full (pk, label) relation rides the shared unbounded-CTE
+      // oracle contract on its own induced domain (pk % 4 = 2), plus
+      // the logarithmic round bound as a boolean. The star ≡ hash-min
+      // A/B (two independent algorithms agreeing on every label) lives
+      // in GraphSpec — on the planted chain AND this exact co-purchase
+      // domain — NOT in this plan: in-plan it roughly doubled the
+      // row's benched time, so the graph-tier series tracked gate
+      // cost, not kernel cost (round-19 verdict minor #2; same class
+      // as the deliberately-unbenched q_cc_incremental).
       (s, d) => {
         val li = Tables(s, d, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
@@ -418,15 +422,9 @@ object Graph {
         val nodes = li.select(col("pk")).distinct()
         val edges = coPurchaseEdges(li)
         val (labels, rounds, doneStar) = ccStar(nodes, edges)
-        val (labelsHm, _, _, _) = ccConverged(nodes, edges)
-        val mismatches = labels
-          .join(labelsHm.select(col("pk"), col("label").as("__hm")), Seq("pk"), "full_outer")
-          .filter(col("label").isNull || col("__hm").isNull || col("label") =!= col("__hm"))
-          .count()
         val n = nodes.count()
         val logBound = 2 * (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n))) + 4
         labels
-          .withColumn("matches_hashmin", lit(mismatches == 0L))
           // converged folded in: a cap-capped run is not "logarithmic",
           // it's unfinished (the flag, not the round count, is truth)
           .withColumn("rounds_logarithmic", lit(doneStar && rounds <= logBound))
@@ -443,7 +441,7 @@ object Graph {
           "UNION " +
           "SELECT e.dst, w.lbl FROM walk w JOIN e ON e.src = w.pk WHERE w.lbl < e.dst) " +
           "SELECT pk, CAST(MIN(lbl) AS BIGINT) AS label, " +
-          "true AS matches_hashmin, true AS rounds_logarithmic " +
+          "true AS rounds_logarithmic " +
           "FROM walk GROUP BY pk ORDER BY pk")
     ),
     Q(

@@ -126,6 +126,28 @@ class GraphSpec extends SparkSpec {
     assert(m2 == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 10L -> 10L, 11L -> 10L, 99L -> 99L))
   }
 
+  test("ccStar ≡ ccConverged on the q_cc_star co-purchase domain (the gate moved out of the benched plan)") {
+    // round-19 verdict minor #2: the star ≡ hash-min equality used to
+    // run INSIDE q_cc_star's registered plan, so its bench number was
+    // ~2x kernel cost. The registered row now runs the star kernel
+    // alone (its labels are still fully oracle-differentialed against
+    // the unbounded CTE); the two-independent-algorithms cross-check
+    // lives here, on the SAME induced domain (pk % 4 = 2) at gate scale.
+    val li = graft.core.Tables(spark, sf(), "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .filter(col("pk") % 4 === 2)
+      .distinct()
+    val nodes = li.select(col("pk")).distinct()
+    val edges = Graph.coPurchaseEdges(li).localCheckpoint(true)
+    val (starLabels, _, starDone) = Graph.ccStar(nodes, edges)
+    val (hmLabels, _, _, hmDone) = Graph.ccConverged(nodes, edges)
+    assert(starDone && hmDone)
+    val sm = starLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hm = hmLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sm.nonEmpty)
+    assert(sm == hm, "star-contraction labels diverged from the hash-min fixpoint")
+  }
+
   test("reliable-checkpoint seam: ccStar labels are bit-equal under graft.checkpoint.dir") {
     // round-18 verdict #2: all iterative kernels truncated lineage with
     // localCheckpoint (executor-local, unrecoverable after executor
