@@ -215,9 +215,10 @@ object EmbedQueries {
       (s, d) => {
         val emb = Tables(s, d, "embeddings")
         val coarse = Ivf.trainSharedAdaptive(s, d)
-        val frac = Ivf.poolCeilingFrac(coarse.size, nprobe = 8)
+        val np = Ivf.adaptiveNprobe(8, coarse.size) // = 8 at both gate tiers
+        val frac = Ivf.poolCeilingFrac(coarse.size, np)
         val (served, pool) = binaryIvfServed(
-          s, emb, col("vec_id") < 10, coarse)
+          s, emb, col("vec_id") < 10, coarse, nprobe = np)
         val q = emb.filter(col("vec_id") < 10)
         SimilarityQueries
           .recallGate(
@@ -372,7 +373,8 @@ object EmbedQueries {
           s"$d|${Tables.fingerprint(d, "embeddings")}|raw|m=8|k=16|iters=6")(
           Pq.train(s, emb, m = 8, k = 16, iters = 6))
         val enc = Pq.encodeCells(emb, books, coarse)
-        val cand = Pq.adcCandidatesIvf(queries, enc, books, coarse, nprobe = 6)
+        val np = Ivf.adaptiveNprobe(6, coarse.size) // = 6 at both gate tiers
+        val cand = Pq.adcCandidatesIvf(queries, enc, books, coarse, nprobe = np)
         val approx = Pq.exactRerank(Pq.shortlistTopK(cand, 128), queries, emb, k = 10)
         // exact L2 top-10 (broadcast × corpus — the deliberate exact side)
         val v = col("embedding").cast("array<double>")
@@ -405,7 +407,7 @@ object EmbedQueries {
             (col("__n_hit").cast("double") >= col("__n_truth").cast("double") * 0.5)
               .as("recall_ge_floor"),
             (col("__n_cand").cast("double") <=
-              lit(Ivf.poolCeilingFrac(coarse.size, nprobe = 6)) *
+              lit(Ivf.poolCeilingFrac(coarse.size, np)) *
                 col("n_queries").cast("double") * col("__n_docs").cast("double"))
               .as("candidates_sublinear"))
       },
@@ -446,7 +448,8 @@ object EmbedQueries {
           s"$d|${Tables.fingerprint(d, "embeddings")}|residual-k${coarse.size}|m=8|k=16|iters=6")(
           Pq.trainResidual(s, emb, coarse, m = 8, k = 16, iters = 6))
         val encRes = Pq.encodeCellsResidual(emb, booksRes, coarse)
-        val candRes = Pq.adcCandidatesIvfResidual(queries, encRes, booksRes, coarse, nprobe = 6)
+        val npRes = Ivf.adaptiveNprobe(6, coarse.size) // = 6 at both gate tiers
+        val candRes = Pq.adcCandidatesIvfResidual(queries, encRes, booksRes, coarse, nprobe = npRes)
         val topRes = Pq.exactRerank(Pq.shortlistTopK(candRes, 128), queries, emb, k = 10)
         val v = col("embedding").cast("array<double>")
         val q = queries.select(col("vec_id").as("q_id"), v.as("qv"))
@@ -477,7 +480,7 @@ object EmbedQueries {
             (col("__n_hit").cast("double") >= col("__n_truth").cast("double") * 0.5)
               .as("recall_ge_floor"),
             (col("__n_cand").cast("double") <=
-              lit(Ivf.poolCeilingFrac(coarse.size, nprobe = 6)) *
+              lit(Ivf.poolCeilingFrac(coarse.size, npRes)) *
                 col("n_queries").cast("double") * col("__n_docs").cast("double"))
               .as("candidates_sublinear"))
       },

@@ -317,6 +317,36 @@ object Ivf {
   def poolCeilingFrac(k: Int, nprobe: Int): Double =
     math.min(1.5 * nprobe / k, 1.0)
 
+  /** The cell count the per-site base nprobes were tuned/measured at —
+    * the sf0.1 gate tier's k (adaptiveK = 16 there; 8 at sf0.01).
+    */
+  val NprobeTunedK = 16
+
+  /** Corpus-adaptive probe count (round-19 verdict #2 — the last manual
+    * knob in the serving asymptotics): with k = Θ(√n) cells, a CONSTANT
+    * nprobe makes the scanned fraction nprobe/k shrink as the corpus
+    * grows — which is the point — but recall decays with it until a
+    * human re-tunes nprobe (measured on the 24× Stress tier: recall
+    * 0.81 → 0.52 at nprobe=8 as k grew 16 → 78; hand re-tuned nprobe=16
+    * read 0.83 at scan fraction 0.14). Serving now picks
+    *
+    *   nprobe(k) = max(base, ⌊base · √(k / NprobeTunedK)⌋)
+    *
+    * — probes grow ∝ √k (so the scanned fraction still SHRINKS, as
+    * nprobe/k ∝ 1/√k ∝ n^(−1/4), while the probed volume tracks the
+    * per-cell population's growth), calibrated to the measured curve:
+    * at the 24× tier it yields ⌊8·√(78/16)⌋ = 17 ≈ the hand-tuned 16
+    * that restored recall. The max(base, ·) floor makes BOTH gate
+    * tiers bit-unchanged by construction (k = 8 and k = 16 both yield
+    * the site's base), so every recall floor measured at the gates
+    * survives the policy swap; the Stress serving leg measures the
+    * zero-knob big-tier point every round. Pool ceilings stay
+    * [[poolCeilingFrac]](k, adaptive nprobe) — still proportional, so
+    * an all-pairs regression trips them at any k.
+    */
+  def adaptiveNprobe(base: Int, k: Int): Int =
+    math.max(base, math.floor(base * math.sqrt(k.toDouble / NprobeTunedK)).toInt)
+
   /** The (n_id, cv) × broadcast(cid, cvv) pair relation with the
     * per-pair squared distance — the shared candidate row of every
     * join-path variant. The d2 fold is the same sequential IEEE

@@ -547,11 +547,12 @@ object SearchQueries {
     val q = emb.filter(col("vec_id").isin(queryIds: _*))
     val centroids = Ivf.trainSharedAdaptive(s, d)
     val indexed = Ivf.index(emb, centroids)
-    val cand = Ivf.probeCells(q, centroids, nprobe = 4)
+    val np = Ivf.adaptiveNprobe(4, centroids.size) // = 4 at both gate tiers
+    val cand = Ivf.probeCells(q, centroids, np)
       .join(indexed, Seq("bucket"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"))
-    val dense = Ivf.topK(q, indexed, centroids, k = 20, nprobe = 4)
+    val dense = Ivf.topK(q, indexed, centroids, k = 20, nprobe = np)
       .select(
         col("q_id").cast("int").as("query_id"),
         col("n_id").as("doc_id"),
@@ -1128,7 +1129,8 @@ object SearchQueries {
             col("recall_ge_floor"),
             (col("__n_cand").cast("double") <=
               col("__n_docs").cast("double") * col("n_queries").cast("double") *
-                Ivf.poolCeilingFrac(Ivf.adaptiveK(s, d), nprobe = 4))
+                Ivf.poolCeilingFrac(Ivf.adaptiveK(s, d),
+                  Ivf.adaptiveNprobe(4, Ivf.adaptiveK(s, d))))
               .as("candidates_subquadratic"))
       },
       // The oracle re-derives ONLY n_queries (from the same queryIds set

@@ -763,10 +763,12 @@ object SimilarityQueries {
       // corpus-adaptive k = ⌈√(n/8)⌉ (= 16 at fixture scale, so the
       // measured floor is unchanged by construction — round-18 verdict
       // #1: a pinned k made the per-query serve cost a constant
-      // nprobe/k = 1/4 of the corpus at ANY size), nprobe=4 probe +
-      // exact re-score. k-means float averaging is partition-order
-      // sensitive, so the gated output is the recall invariant vs
-      // exact top-3 (floor 0.4, matching SimilaritySpec).
+      // nprobe/k = 1/4 of the corpus at ANY size), corpus-adaptive
+      // nprobe (base 4 at the gate tiers, ∝√k past them —
+      // Ivf.adaptiveNprobe, round-19 verdict #2) + exact re-score.
+      // k-means float averaging is partition-order sensitive, so the
+      // gated output is the recall invariant vs exact top-3 (floor
+      // 0.4, matching SimilaritySpec).
       (s, d) => {
         val emb = Tables(s, d, "embeddings")
         val q = emb.filter(col("vec_id") < 10)
@@ -774,7 +776,8 @@ object SimilarityQueries {
         val indexed = Ivf.index(emb, centroids)
         recallGate(
           Similarity.bruteForceTopK(q, emb, 3),
-          Ivf.topK(q, indexed, centroids, k = 3, nprobe = 4),
+          Ivf.topK(q, indexed, centroids, k = 3,
+            nprobe = Ivf.adaptiveNprobe(4, centroids.size)),
           floor = 0.4)
       },
       Some(
@@ -1439,8 +1442,9 @@ object SimilarityQueries {
       (s, d) => {
         val emb = Tables(s, d, "embeddings")
         val centroids = Ivf.trainSharedAdaptive(s, d)
-        val frac = Ivf.poolCeilingFrac(centroids.size, nprobe = 6)
-        val pairs = Ivf.probeCells(emb.filter(col("vec_id") < 20), centroids, nprobe = 6)
+        val np = Ivf.adaptiveNprobe(6, centroids.size) // = 6 at both gate tiers
+        val frac = Ivf.poolCeilingFrac(centroids.size, np)
+        val pairs = Ivf.probeCells(emb.filter(col("vec_id") < 20), centroids, np)
           .join(Ivf.index(emb, centroids), Seq("bucket"))
           .filter(col("q_id") =!= col("n_id"))
           .select(col("q_id"), col("n_id"))
@@ -1599,9 +1603,10 @@ object SimilarityQueries {
       (s, d) => {
         val emb = Tables(s, d, "embeddings")
         val coarse = Ivf.trainSharedAdaptive(s, d)
-        val frac = Ivf.poolCeilingFrac(coarse.size, nprobe = 6)
+        val np = Ivf.adaptiveNprobe(6, coarse.size) // = 6 at both gate tiers
+        val frac = Ivf.poolCeilingFrac(coarse.size, np)
         val (ivfSel, pairs) = mmrServedIvf(
-          s, emb, col("vec_id") < 5, k = coarse.size, nprobe = 6,
+          s, emb, col("vec_id") < 5, k = coarse.size, nprobe = np,
           coarse = Some(coarse))
         val exactSel = mmrSelect(emb, col("vec_id") < 5)
         val exact20 = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, 20)
