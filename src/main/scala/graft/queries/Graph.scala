@@ -25,6 +25,24 @@ object Graph {
   private val Damping = 0.85
   private val Iters = 3
 
+  /** Unroll depth the q_kcore oracle carries — the registered loop must
+    * converge within it (asserted as the gated boolean; a deeper peel
+    * would value-mismatch the surviving relation regardless). GraphSpec
+    * measures the fixture's ACTUAL peel depth and asserts headroom ≥ 1
+    * against this (round-19 verdict #5): a data-tier change fails in
+    * the suite with this constant named, not first at verify time.
+    */
+  private[graft] val KcoreUnroll = 8
+
+  /** Per-phase peel unroll the q_coreness oracle carries (measured
+    * fixture phase depth ≤ 9 at sf0.01/sf0.1; GraphSpec asserts
+    * headroom), the oracle's k-breadth (fixture degeneracy 8 + 1,
+    * headroom asserted likewise), and the outer-phase runaway cap.
+    */
+  private[graft] val CorenessUnroll = 12
+  private[graft] val CorenessOracleKMax = 9
+  private[graft] val CorenessMaxK = 32
+
   val queries: Seq[Q] = Seq(
     Q(
       "q_triangle_count",
@@ -495,14 +513,14 @@ object Graph {
         // DuckDB inlines plain CTEs, which would expand the peel into
         // 2^8 copies of the base subtree (measured: minutes at sf0.1
         // vs sub-second materialized)
-        val rounds = (1 to 8).map { r =>
+        val rounds = (1 to KcoreUnroll).map { r =>
           s"k$r AS MATERIALIZED (SELECT e.src AS pk FROM e " +
             s"JOIN k${r - 1} a ON a.pk = e.src JOIN k${r - 1} b ON b.pk = e.dst " +
             s"GROUP BY e.src HAVING COUNT(*) >= $k)"
         }.mkString(", ")
         s"WITH $base, $rounds, " +
           "f AS (SELECT e.src AS pk, CAST(COUNT(*) AS BIGINT) AS deg_in_core FROM e " +
-          "JOIN k8 a ON a.pk = e.src JOIN k8 b ON b.pk = e.dst GROUP BY e.src) " +
+          s"JOIN k$KcoreUnroll a ON a.pk = e.src JOIN k$KcoreUnroll b ON b.pk = e.dst GROUP BY e.src) " +
           "SELECT pk, deg_in_core, true AS converged_in_unroll FROM f ORDER BY pk"
       }
     ),
@@ -537,8 +555,8 @@ object Graph {
           .orderBy("pk")
       },
       Some {
-        val kMax = 9       // oracle k-breadth: fixture degeneracy 8 + 1
-        val unroll = 12    // per-phase peel unroll: measured depth ≤ 9
+        val kMax = CorenessOracleKMax // oracle k-breadth: fixture degeneracy + 1
+        val unroll = CorenessUnroll   // per-phase peel unroll: measured depth ≤ 9
         val base =
           "li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem " +
             "WHERE l_partkey % 10 = 3), " +
@@ -632,18 +650,10 @@ object Graph {
     )
   )
 
-  /** Unroll depth the q_kcore oracle carries — the registered loop must
-    * converge within it (asserted as the gated boolean; a deeper peel
-    * would value-mismatch the surviving relation regardless).
-    */
-  private[graft] val KcoreUnroll = 8
-
-  /** Per-phase peel unroll the q_coreness oracle carries (measured
-    * fixture phase depth ≤ 9; see the q_coreness scaladoc) and the
-    * outer-phase runaway cap.
-    */
-  private[graft] val CorenessUnroll = 12
-  private[graft] val CorenessMaxK = 32
+  // (KcoreUnroll / CorenessUnroll / CorenessOracleKMax / CorenessMaxK
+  // moved ABOVE the `queries` val: the oracle-SQL blocks reference them
+  // EAGERLY at Seq construction — declared after, Scala's in-order
+  // object init would have them read 0 there.)
 
   /** Coreness (core number) by nested peeling: phase k runs [[kCore]]
     * at threshold k over the PREVIOUS phase's surviving subgraph (the

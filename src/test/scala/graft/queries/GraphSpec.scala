@@ -126,6 +126,65 @@ class GraphSpec extends SparkSpec {
     assert(m2 == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 10L -> 10L, 11L -> 10L, 99L -> 99L))
   }
 
+  test("oracle headroom: fixture degeneracy/peel depth leave >= 1 round against the pinned unroll constants") {
+    // round-19 verdict #5: kMax/unroll in the q_coreness and q_kcore
+    // oracles are fixture-calibrated — a deeper fixture fails LOUDLY at
+    // verify time, which is correct but late. This measures the gate
+    // fixture's actual depths with UNCAPPED peels (maxRounds = 64, far
+    // past any constant) and asserts headroom >= 1, so a data-tier
+    // change fails here first, with the constant to bump named.
+    // Gate scale = sf0.01, the tier the driver's correctness gate runs
+    // (sf0.1 re-measured green at r19: degeneracy 8, phase depth <= 9).
+    val d = sf("sf0.01")
+    // q_kcore domain: pk % 4 = 0, threshold k = 3
+    val liK = graft.core.Tables(spark, d, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .filter(col("pk") % 4 === 0)
+      .distinct()
+    val (_, kcoreRounds, kcoreDone) =
+      Graph.kCore(Graph.coPurchaseEdges(liK).localCheckpoint(true), 3, maxRounds = 64)
+    assert(kcoreDone)
+    info(s"q_kcore domain: peel depth $kcoreRounds (unroll ${Graph.KcoreUnroll})")
+    assert(kcoreRounds + 1 <= Graph.KcoreUnroll,
+      s"fixture peel depth $kcoreRounds leaves no headroom — bump Graph.KcoreUnroll " +
+        s"(currently ${Graph.KcoreUnroll}) and the q_kcore oracle with it")
+    // q_coreness domain: pk % 10 = 3 — nested peels, uncapped
+    val liC = graft.core.Tables(spark, d, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .filter(col("pk") % 10 === 3)
+      .distinct()
+    var cur = Graph.coPurchaseEdges(liC).localCheckpoint(true)
+    var k = 0
+    var survivors = -1L
+    var maxDepth = 0
+    while (survivors != 0L && k < 64) {
+      k += 1
+      val (core, rounds, done) = Graph.kCore(cur, k, maxRounds = 64)
+      assert(done, s"phase $k failed to converge within 64 peel rounds")
+      maxDepth = math.max(maxDepth, rounds)
+      val members = core.select(col("pk")).localCheckpoint(true)
+      survivors = members.count()
+      if (survivors > 0L) {
+        cur = cur
+          .join(members.select(col("pk").as("src")), Seq("src"))
+          .join(members.select(col("pk").as("dst")), Seq("dst"))
+          .select(col("src"), col("dst"))
+          .localCheckpoint(true)
+      }
+    }
+    val degeneracy = k - 1
+    info(s"q_coreness domain: degeneracy $degeneracy (oracle kMax ${Graph.CorenessOracleKMax}), " +
+      s"max per-phase depth $maxDepth (unroll ${Graph.CorenessUnroll})")
+    assert(degeneracy + 1 <= Graph.CorenessOracleKMax,
+      s"fixture degeneracy $degeneracy leaves no headroom — bump Graph.CorenessOracleKMax " +
+        s"(currently ${Graph.CorenessOracleKMax})")
+    assert(maxDepth + 1 <= Graph.CorenessUnroll,
+      s"fixture phase depth $maxDepth leaves no headroom — bump Graph.CorenessUnroll " +
+        s"(currently ${Graph.CorenessUnroll})")
+    assert(degeneracy + 1 <= Graph.CorenessMaxK,
+      s"degeneracy $degeneracy approaches the CorenessMaxK runaway cap (${Graph.CorenessMaxK})")
+  }
+
   test("ccStar ≡ ccConverged on the q_cc_star co-purchase domain (the gate moved out of the benched plan)") {
     // round-19 verdict minor #2: the star ≡ hash-min equality used to
     // run INSIDE q_cc_star's registered plan, so its bench number was
