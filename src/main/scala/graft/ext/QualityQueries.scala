@@ -470,6 +470,30 @@ object QualityQueries {
         "CAST(SUM(CASE WHEN lang_pred = 'l1' THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_l1, " +
         "CAST(SUM(CASE WHEN lang_pred = lang_true THEN 1 ELSE 0 END) AS BIGINT) AS n_correct " +
         "FROM scored GROUP BY source ORDER BY source")
+    ),
+    Q(
+      "q_langid_confusion",
+      // The LangID serving-telemetry rollup (round-19 verdict #7): the
+      // per-(truth, prediction) CONFUSION MATRIX over the 3-class
+      // chain — what a production LangID stage actually monitors
+      // (mixture confusion between near languages), where q_langid_mix
+      // watches per-source composition. The 3-class predictions are
+      // cross-engine exact (argmax over bit-identical integer-ratio
+      // lifts — see q_langid3), so the full matrix of exact integer
+      // counts is the differential, the q_rank_eval recipe. Cells with
+      // zero count are absent on BOTH engines identically (shared
+      // group-by semantics). On the planted fixture the matrix is
+      // ~diagonal — LangIdSpec pins the separation; the row's value at
+      // scale is the SHAPE: one narrow groupBy over the scored docs,
+      // ≤ |classes|² rows out, the per-ingest drift artifact a 100 TB
+      // pipeline alerts on.
+      (s, d) => langScores3(s, d)
+        .groupBy(col("lang_true"), col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang_true", "lang_pred"),
+      Some(lang3SqlWith +
+        " SELECT lang_true, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs " +
+        "FROM scored GROUP BY lang_true, lang_pred ORDER BY lang_true, lang_pred")
     )
   )
 
