@@ -154,6 +154,7 @@ object Stress {
     else if (tier == "sketch") runSketch(spark, sfDir, mult)
     else if (tier == "restart") runRestart(spark, sfDir)
     else if (tier == "graph") runGraph(spark, sfDir, mult)
+    else if (tier == "powerlaw") runPowerLaw(spark, mult)
     else runFull(spark, sfDir, mult)
     spark.stop()
   }
@@ -310,6 +311,137 @@ object Stress {
         s""""ccrepair_sec_mx":${num(trm)},"ccrepair_growth":${num(trm / tr1)},""" +
         s""""chain_n":$chainN,"chain_star_rounds":$rStar,"chain_star_sec":${num(tStar)},""" +
         s""""chain_hashmin_rounds_needed":${chainN - 1}}""")
+  }
+
+  /** Power-law / skew tier (round-19 verdict #6): the CC family's gates
+    * run on co-purchase graphs (near-uniform degree) and a planted
+    * chain; a 100 TB web graph is power-law, and as contraction
+    * proceeds the join keys become component MINIMA — hub keys. This
+    * tier builds a synthetic Zipf-degree graph with planted giant
+    * components and measures, for ccStar and hash-min ccConverged:
+    * wall time, rounds, per-round improvement waves (hash-min), the
+    * final component-size concentration, and TASK-level skew — max/avg
+    * task duration and shuffle-read bytes per stage, collected by a
+    * SparkListener over exactly the kernel run — the direct evidence
+    * for whether hub keys translate into straggler tasks. The
+    * kernel-shaped hot join (edges ⋈ labels, keyed by a column whose
+    * value distribution IS the giant component) is then re-run as a
+    * probe and its final ADAPTIVE plan scanned in-band for
+    * SortMergeJoin/skew markers — whether AQE's skew split engaged or
+    * the join resolved to broadcast (where per-key skew is moot).
+    *
+    * Construction (deterministic, no RNG): G disjoint replicas of an
+    * n-node graph where node `off` (1 ≤ off < n) attaches to
+    * parent = min(off−1, ⌊H^u⌋−1), u = xxhash64-uniform in [0,1) —
+    * the inverse-CDF of Zipf(s=1) over H hubs, so hub r's degree ∝ 1/r
+    * (hub 0 collects ~n/ln H edges; measured max/avg degree skew lands
+    * in-band) and every replica is ONE planted giant component by
+    * induction (every parent < its node).
+    */
+  private def runPowerLaw(spark: SparkSession, mult: Int): Unit = {
+    val num = (v: Double) => Timing.fmt3(v)
+    val G = 4L
+    val nPer = math.max(10000L, mult.toLong * 100000L / G)
+    val H = 1024
+    val base = spark.range(G * nPer)
+      .select(
+        (col("id") / nPer).cast("long").as("g"),
+        (col("id") % nPer).as("off"),
+        ((abs(xxhash64(col("id"))) % 1048576L).cast("double") / 1048576.0).as("u"))
+      .filter(col("off") >= 1)
+      .select(
+        (col("g") * nPer + col("off")).as("src"),
+        (col("g") * nPer +
+          least(
+            col("off") - 1,
+            greatest(lit(0L), floor(pow(lit(H.toDouble), col("u"))).cast("long") - 1L)))
+          .as("dst"))
+    val eSym = base
+      .unionByName(base.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(32)
+      .localCheckpoint(true)
+    val nodes = spark.range(G * nPer).select(col("id").as("pk")).localCheckpoint(true)
+    val nNodes = G * nPer
+    val nEdges = eSym.count()
+    val degRow = eSym.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .agg(max(col("d")).as("mx"), avg(col("d")).as("av")).collect()(0)
+    val degSkew = degRow.getAs[Long]("mx").toDouble / degRow.getAs[Double]("av")
+
+    final class SkewListener extends org.apache.spark.scheduler.SparkListener {
+      val byStage = scala.collection.mutable.HashMap
+        .empty[Int, scala.collection.mutable.ArrayBuffer[(Long, Long)]]
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        synchronized {
+          val m = te.taskMetrics
+          if (m != null && te.taskInfo != null)
+            byStage.getOrElseUpdate(te.stageId, scala.collection.mutable.ArrayBuffer.empty) +=
+              ((te.taskInfo.duration, m.shuffleReadMetrics.totalBytesRead))
+        }
+      /** (worst max/avg task-duration ratio, worst max/avg shuffle-read
+        * ratio, stages counted): stages with ≥ 8 tasks; the shuffle
+        * ratio only over stages reading ≥ 1 MB total (below that the
+        * "skew" is constant-overhead noise).
+        */
+      def worst(): (Double, Double, Int) = synchronized {
+        val st = byStage.values.filter(_.length >= 8).toSeq
+        def ratio(xs: Seq[Long]): Double = {
+          val av = xs.sum.toDouble / xs.length
+          if (av <= 0) 1.0 else xs.max / av
+        }
+        val dur = st.map(s => ratio(s.map(_._1).toSeq))
+        val shf = st.filter(_.map(_._2).sum >= (1L << 20)).map(s => ratio(s.map(_._2).toSeq))
+        (if (dur.isEmpty) 1.0 else dur.max, if (shf.isEmpty) 1.0 else shf.max, st.length)
+      }
+    }
+    def measured[T](body: => T): (T, Double, Double, Int, Double) = {
+      val l = new SkewListener
+      spark.sparkContext.addSparkListener(l)
+      val t0 = System.nanoTime()
+      val r = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.sql.GraftShim.drainListenerBus(spark)
+      spark.sparkContext.removeSparkListener(l)
+      val (d, s, n) = l.worst()
+      (r, d, s, n, sec)
+    }
+
+    val ((starLabels, starRounds, starDone), starDurSkew, starShfSkew, starStages, starSec) =
+      measured(queries.Graph.ccStar(nodes, eSym))
+    val compRow = starLabels.groupBy(col("label")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("ncomp"), max(col("c")).as("mx")).collect()(0)
+    val ((hmRes), hmDurSkew, hmShfSkew, hmStages, hmSec) =
+      measured(queries.Graph.ccConverged(nodes, eSym))
+    val (hmLabels, hmRounds, hmWaves, hmDone) = hmRes
+    val mismatches = starLabels
+      .join(hmLabels.withColumnRenamed("label", "l2"), Seq("pk"))
+      .filter(col("label") =!= col("l2")).count()
+
+    // AQE adjudication on the kernel-shaped hot join: every src key of a
+    // replica aggregates into ONE hub label — the skewed shape the
+    // kernels shuffle. The probe's executed (adaptive) plan says whether
+    // the join went SortMergeJoin (skew split visible as skew=true) or
+    // broadcast (per-key skew moot for the join; the groupBy's partial
+    // aggregation absorbs the hot key map-side).
+    val probe = eSym
+      .join(starLabels.withColumnRenamed("pk", "src"), Seq("src"))
+      .groupBy(col("label")).agg(count(lit(1)).as("c"))
+    probe.write.format("noop").mode("overwrite").save()
+    val planStr = probe.queryExecution.executedPlan.toString
+    val jarr = (xs: Seq[Long]) => xs.mkString("[", ",", "]")
+    println(
+      s"""{"tier":"powerlaw","mult":$mult,"nodes":$nNodes,"edges":$nEdges,""" +
+        s""""replicas":$G,"hubs":$H,"deg_skew_max_over_avg":${num(degSkew)},""" +
+        s""""star_sec":${num(starSec)},"star_rounds":$starRounds,"star_converged":$starDone,""" +
+        s""""star_task_dur_skew":${num(starDurSkew)},"star_shuffle_skew":${num(starShfSkew)},""" +
+        s""""star_stages_measured":$starStages,""" +
+        s""""components":${compRow.getAs[Long]("ncomp")},"max_component":${compRow.getAs[Long]("mx")},""" +
+        s""""hashmin_sec":${num(hmSec)},"hashmin_rounds":$hmRounds,"hashmin_converged":$hmDone,""" +
+        s""""hashmin_task_dur_skew":${num(hmDurSkew)},"hashmin_shuffle_skew":${num(hmShfSkew)},""" +
+        s""""hashmin_stages_measured":$hmStages,"hashmin_waves":${jarr(hmWaves)},""" +
+        s""""labels_mismatch":$mismatches,""" +
+        s""""probe_join_sortmerge":${planStr.contains("SortMergeJoin")},""" +
+        s""""probe_join_skew_split":${planStr.contains("skew=true")},""" +
+        s""""probe_join_broadcast":${planStr.contains("BroadcastHashJoin")}}""")
   }
 
   /** Restart-contract gate in CI shape (round-16 verdict #8): the
@@ -1028,10 +1160,18 @@ object Stress {
     }
     val (sfrB, srecB, ssecB) = servingLeg(emb, kBase, nprobe = 8)
     val (sfrM, srecM, ssecM) = servingLeg(embBig, k, nprobe = 8)
-    // the documented production knob, MEASURED: a deployment that wants
-    // its recall back at the grown k re-tunes nprobe — 2x the probes at
-    // k=78 still scans ~1/5 the fraction the pinned-k=16 layout did
-    val (sfrM16, srecM16, ssecM16) = servingLeg(embBig, k, nprobe = 16)
+    // the AUTO-TUNED point (round-19 verdict #2): serving everywhere now
+    // picks nprobe = Ivf.adaptiveNprobe(base, k) — base at the gate
+    // tiers by construction, ∝√k past them — so the pinned-nprobe
+    // recall decay above (the two legs preceding this) is the
+    // counterfactual, and THIS leg is what a deployment actually runs
+    // with zero manual knob edits. Contract measured every round:
+    // recall ≥ the base tier's at a scanned fraction that still
+    // SHRINKS vs base (nprobe/k ∝ 1/√k).
+    val npAuto = ext.Ivf.adaptiveNprobe(8, k)
+    val (sfrMA, srecMA, ssecMA) = servingLeg(embBig, k, nprobe = npAuto)
+    val autoRecallHolds = srecMA >= srecB - 1e-9
+    val autoFracShrinks = sfrMA < sfrB / 2.0
 
     // ---- triangle counting on disjoint replicated basket graphs ----
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -1065,8 +1205,9 @@ object Stress {
         s""""serve_nprobe":8,"serve_frac_base":${num(sfrB)},"serve_recall_base":${num(srecB)},""" +
         s""""serve_sec_base":${num(ssecB)},"serve_frac_big":${num(sfrM)},""" +
         s""""serve_recall_big":${num(srecM)},"serve_sec_big":${num(ssecM)},""" +
-        s""""serve_frac_big_np16":${num(sfrM16)},"serve_recall_big_np16":${num(srecM16)},""" +
-        s""""serve_sec_big_np16":${num(ssecM16)},""" +
+        s""""serve_nprobe_auto":$npAuto,"serve_frac_big_auto":${num(sfrMA)},""" +
+        s""""serve_recall_big_auto":${num(srecMA)},"serve_sec_big_auto":${num(ssecMA)},""" +
+        s""""serve_auto_recall_holds":$autoRecallHolds,"serve_auto_frac_shrinks":$autoFracShrinks,""" +
         s""""knn_mrows_s":${num(rate(nVecs, knnSec))},"knn_mcand_s":${num(rate(nCand, knnSec))},""" +
         s""""lineitem_rows":$nLi,"tri_sec":${num(triSec)},"tri_edges":$nEdges,""" +
         s""""tri_mrows_s":${num(rate(nLi, triSec))},"tri_medges_s":${num(rate(nEdges, triSec))}}""")
