@@ -170,6 +170,13 @@ import java.nio.file.{Files, Paths}
   * comparable — only WHEN retries fire and what the verdict keys say
   * changed; "pass_quiet" in the detail file audits per-pass state.
   *
+  * SERIES ANCHOR (round 20): the driver regenerated the testdata
+  * between r18 and r19, so the raw r≤18 series is not comparable to
+  * r19+ readings. The committed BENCH_ANCHOR_r19fixture.json carries
+  * the quiet-box per-query anchor, the graph-tier quiet band, and the
+  * r18↔r19 same-fixture bridge A/B — diff new officials against THAT,
+  * not the pre-regeneration BENCH_rN files.
+  *
   * EMISSION (round 11): the round-9 self-adjudication additions grew the
   * stdout line past the driver's tail-capture window AGAIN (BENCH_r09 and
   * BENCH_r10 both carry parsed: null — the captured tail starts mid-line,
