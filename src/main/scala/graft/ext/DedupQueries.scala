@@ -23,6 +23,24 @@ object DedupQueries {
     */
   val SegIdxBits = 20
 
+  /** Estimated-Jaccard threshold of the REGISTERED minhash serving rows
+    * (q_dedup_minhash / _pairs / _served / _incremental). Round 20: the
+    * driver's per-round fixture regeneration produced a far more
+    * template-dense documents table — at the old 0.3 the sf0.1 candidate
+    * volume read 77 pairs/doc (384,898 pairs for 256 truth pairs),
+    * blowing the 10×n_docs anti-degeneracy ceiling the rows gate; the
+    * truth recall the rows ALSO gate never moved (1.000 at every
+    * threshold measured). Re-measured sweep on the r20 fixture
+    * (MeasureGates2, both tiers): 0.3 → 77.0/doc sf0.1, 7.9/doc sf0.01;
+    * 0.4 → 33.1/0.49... the calibration: **0.5 → 4.46/doc sf0.1,
+    * 0.49/doc sf0.01, truth recall 1.000 at both** — the standard
+    * near-dup operating point, comfortably inside the ceiling with the
+    * recall floor's full margin intact. The library default
+    * (Dedup.minhashPairs's 0.4) is unchanged — this constant calibrates
+    * the GATED rows to the gate fixture's duplicate density.
+    */
+  private[ext] val MinJacServe = 0.5
+
   /** Ground-truth near-dup pairs: exact 3-gram Jaccard >= 0.6 among
     * 30-char-prefix-blocked candidates (the same truth set DedupSpec uses;
     * oracle-computable in DuckDB list algebra). Blocking keeps the exact
@@ -396,7 +414,7 @@ object DedupQueries {
       (s, d) =>
         pairRecallGate(
           truthPairs(s, d),
-          Dedup.minhashPairs(Tables(s, d, "documents"), "doc_id", "text", minJaccard = 0.3),
+          Dedup.minhashPairs(Tables(s, d, "documents"), "doc_id", "text", minJaccard = MinJacServe),
           Tables(s, d, "documents").agg(count(lit(1)).as("n_docs")),
           floor = 0.5),
       Some(truthCountSql)
@@ -411,7 +429,7 @@ object DedupQueries {
       // This is the bench headliner for the minhash family (round 8+).
       (s, d) => {
         val docs = Tables(s, d, "documents")
-        Dedup.minhashPairs(docs, "doc_id", "text", minJaccard = 0.3)
+        Dedup.minhashPairs(docs, "doc_id", "text", minJaccard = MinJacServe)
           .agg(count(lit(1)).as("n_found"))
           .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
           .select(
@@ -438,7 +456,7 @@ object DedupQueries {
       // inline build's exactly (same deterministic hash family).
       (s, d) => {
         val idx = Dedup.minhashIndexShared(s, d)
-        Dedup.minhashPairsServed(idx, minJaccard = 0.3)
+        Dedup.minhashPairsServed(idx, minJaccard = MinJacServe)
           .agg(count(lit(1)).as("n_found"))
           .select(
             lit(idx.nDocs).as("n_docs"),
@@ -473,9 +491,9 @@ object DedupQueries {
         // literal) — the from-scratch fullDelta recompute below stays,
         // so incr_equals_full now gates the registry boundary too
         val incr = Dedup.incrementalMinhashPairsServed(
-          Dedup.minhashIndexShared(s, d), col("id") % 5 === 0, minJaccard = 0.3)
+          Dedup.minhashIndexShared(s, d), col("id") % 5 === 0, minJaccard = MinJacServe)
         val fullDelta = Dedup
-          .minhashPairs(docs, "doc_id", "text", minJaccard = 0.3)
+          .minhashPairs(docs, "doc_id", "text", minJaccard = MinJacServe)
           .filter(col("a_id") % 5 === 0 || col("b_id") % 5 === 0)
           .select(col("a_id"), col("b_id"))
         val truthDelta = truthPairsOf(docs)
@@ -590,7 +608,13 @@ object DedupQueries {
       "q_dedup_simhash",
       // SimHash fingerprints via the custom codegen expression
       // (graft.functions.SimHash64): near-dup pairs = same 16-bit chunk
-      // (banding) AND Hamming distance <= 12 of the 64-bit fingerprint.
+      // (banding) AND Hamming distance <= 8 of the 64-bit fingerprint
+      // (12 until round 20 — the r20 fixture regeneration packed the
+      // template-dense corpus's fingerprints closer: at <= 12 the sf0.1
+      // candidate volume read 27.9/doc, past the 10x ceiling, while
+      // every truth pair the banding catches sits at hamming <= 8 —
+      // measured recall IDENTICAL at 12 and 8 on both tiers, 0.938
+      // sf0.1 / 0.840 sf0.01, volume 6.79/0.78 per doc at 8).
       // DuckDB can't express simhash64, so the gated output is the recall
       // invariant over the same oracle-computable truth set as
       // q_dedup_minhash.
@@ -609,7 +633,7 @@ object DedupQueries {
           .filter(col("a_id") < col("b_id"))
           .select(col("a_id"), col("b_id"), expr("bit_count(a_fp ^ b_fp)").as("hamming"))
           .distinct()
-          .filter(col("hamming") <= 12)
+          .filter(col("hamming") <= 8)
         pairRecallGate(
           truthPairs(s, d), found,
           Tables(s, d, "documents").agg(count(lit(1)).as("n_docs")),

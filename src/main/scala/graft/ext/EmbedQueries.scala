@@ -306,8 +306,13 @@ object EmbedQueries {
       "q_pq_adc",
       // PQ search via asymmetric distance computation + exact re-rank:
       // queries carry 8×16 distance tables, corpus vectors are matched
-      // through their stored codes alone; the ADC shortlist (64) is then
-      // exactly re-ranked ([[Pq.adcRerankTopK]]) — the FAISS-style
+      // through their stored codes alone; the ADC shortlist (128 — 64
+      // until round 20: the driver's fixture regeneration read 0.490 at
+      // 64/sf0.1, a hair under the floor; the re-measured sweep on the
+      // r20 fixture is 64→0.490 / 128→0.600 / 192→0.690 at sf0.1 and
+      // 0.740/0.850/0.930 at sf0.01, so 128 restores the floor's
+      // margin at both tiers for one extra constant-size re-rank) is
+      // then exactly re-ranked ([[Pq.adcRerankTopK]]) — the FAISS-style
       // serving shape where the full-corpus pass never touches floats.
       // k-means float means are partition-order sensitive, so the gated
       // output is recall@10 vs the in-plan exact L2 top-10, floor 0.5
@@ -319,7 +324,7 @@ object EmbedQueries {
           s"$d|${Tables.fingerprint(d, "embeddings")}|raw|m=8|k=16|iters=6")(
           Pq.train(s, emb, m = 8, k = 16, iters = 6))
         val enc = Pq.encode(emb, books).select(col("vec_id"), col("m"), col("code"))
-        val approx = Pq.adcRerankTopK(queries, enc, books, emb, k = 10, shortlist = 64)
+        val approx = Pq.adcRerankTopK(queries, enc, books, emb, k = 10, shortlist = 128)
         // exact L2 top-10 (broadcast × corpus — the deliberate exact side)
         val v = col("embedding").cast("array<double>")
         val q = queries.select(col("vec_id").as("q_id"), v.as("qv"))
