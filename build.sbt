@@ -29,5 +29,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default (round 21, guide §5): at 8g the bench JVM's own GC
+  // stalls read as 1.2-2.5 s probe_mem spikes mid-run (the hot-box gate
+  // then burns retry passes on self-inflicted pressure); local[32]
+  // runs 32 concurrent tasks in ONE JVM, so 16g is ~500 MB/task —
+  // still conservative for a 128 GiB box. Parameterized for smaller
+  // hosts via SPARK_DRIVER_MEM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

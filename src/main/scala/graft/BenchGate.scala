@@ -85,6 +85,13 @@ private[graft] object BenchGate {
   /** Per-pass quiet flags for parallel probe arrays (all same length). */
   def quietFlags(p1: Seq[Double], p32: Seq[Double], pIo: Seq[Double], pMem: Seq[Double])
       : Seq[Boolean] = {
+    // advertised as the pure, reusable criterion: misuse with
+    // length-mismatched probe arrays must fail loudly, not index past
+    // an array or silently mis-adjudicate (round-20 ADVICE)
+    require(
+      p1.length == p32.length && p32.length == pIo.length && pIo.length == pMem.length,
+      s"probe arrays must be parallel: p1=${p1.length} p32=${p32.length} " +
+        s"io=${pIo.length} mem=${pMem.length}")
     if (p1.isEmpty) Seq.empty
     else {
       val (p1Min, ioMin, memMin) = (p1.min, pIo.min, pMem.min)

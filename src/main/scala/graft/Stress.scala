@@ -425,8 +425,26 @@ object Stress {
     val probe = eSym
       .join(starLabels.withColumnRenamed("pk", "src"), Seq("src"))
       .groupBy(col("label")).agg(count(lit(1)).as("c"))
-    probe.write.format("noop").mode("overwrite").save()
-    val planStr = probe.queryExecution.executedPlan.toString
+    // Execute and inspect through the SAME QueryExecution (round-20
+    // ADVICE): DataFrameWriter.save() runs a separate QueryExecution, so
+    // the probe's own AdaptiveSparkPlanExec was never executed
+    // (isFinalPlan=false) and the inspected string reflected the STATIC
+    // initial plan — skew-split could never report true. collect() is
+    // bounded: the groupBy leaves one row per component label. The
+    // adaptive plan hides executed subtrees behind
+    // AdaptiveSparkPlanExec.executedPlan / QueryStageExec.plan — walk
+    // both (the scanOutputRows recipe) before stringifying.
+    probe.collect()
+    val planStr = {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+        case q: QueryStageExec => q +: allNodes(q.plan)
+        case _ => p +: p.children.flatMap(allNodes)
+      }
+      allNodes(probe.queryExecution.executedPlan).map(_.toString).mkString("\n")
+    }
     val jarr = (xs: Seq[Long]) => xs.mkString("[", ",", "]")
     println(
       s"""{"tier":"powerlaw","mult":$mult,"nodes":$nNodes,"edges":$nEdges,""" +

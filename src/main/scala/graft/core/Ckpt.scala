@@ -78,8 +78,10 @@ object Ckpt {
         // the kernels are driver-sequential per session, and the
         // default localCheckpoint path below is untouched. An
         // externally cleared/changed sc.setCheckpointDir is re-detected
-        // via getCheckpointDir (prefix-qualified, so compared by
-        // suffix), not just the cached raw string.
+        // by comparing getCheckpointDir against the cached qualified
+        // path the last setCheckpointDir produced (exact Option
+        // equality — setCheckpointDir appends a UUID subdir, so the
+        // raw string alone can't be compared against it).
         lock.synchronized {
           if (lastRaw != dir || sc.getCheckpointDir != lastQualified) {
             sc.setCheckpointDir(dir)

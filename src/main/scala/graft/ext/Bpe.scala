@@ -78,7 +78,6 @@ object Bpe {
     import spark.implicits._
     var words = wordSymbols(docs, textCol)
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    var prevTmp: Option[String] = None
     for (rank <- 1 to merges) {
       // deterministic argmax: highest count, then lexicographic pair
       val top = pairCounts(words)
@@ -91,13 +90,11 @@ object Bpe {
         val merged = words.withColumn("syms", mergeExpr(col("syms"), a, b))
         // materialize each round: the rewrite lineage would otherwise
         // re-run every earlier merge per round (same O(rounds²) trap as
-        // q_pagerank)
-        val tmp = graft.core.Tmp.dir("graft_bpe")
-        merged.write.mode("overwrite").parquet(tmp)
-        words = spark.read.parquet(tmp)
-        // the previous round's snapshot is dead once the new one is written
-        prevTmp.foreach(graft.core.Tmp.release)
-        prevTmp = Some(tmp)
+        // q_pagerank). Round 21: the per-round parquet write+read-back
+        // (a disk round trip per merge) is replaced by the shared
+        // lineage-truncation seam — localCheckpoint by default, the
+        // reliable checkpoint dir on a cluster (graft.core.Ckpt).
+        words = graft.core.Ckpt.truncate(merged)
       }
     }
     val totalSyms = words

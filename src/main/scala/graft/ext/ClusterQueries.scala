@@ -95,7 +95,8 @@ object ClusterQueries {
     * driver-state bound).
     */
   private def history(emb: DataFrame): Seq[Seq[Seq[Double]]] = {
-    val v = fpVecs(emb)
+    // loop-invariant — materialize once (round 21, see inertiaFused)
+    val v = fpVecs(emb).localCheckpoint(true)
     var cents: Seq[Seq[Double]] = seedCents(v)
     val hist = scala.collection.mutable.ArrayBuffer[Seq[Seq[Double]]](cents)
     for (_ <- 0 until Updates) {
@@ -128,7 +129,10 @@ object ClusterQueries {
     * state per round stays K×Dims group rows.
     */
   private def inertiaFused(emb: DataFrame): Seq[Long] = {
-    val v = fpVecs(emb)
+    // loop-invariant fixed-point vectors, materialized ONCE (round 21):
+    // every Lloyd round re-ran the scan + transform (the PageRank
+    // loop-invariant lesson)
+    val v = fpVecs(emb).localCheckpoint(true)
     var cents: Seq[Seq[Double]] = seedCents(v)
     val inertias = scala.collection.mutable.ArrayBuffer[Long]()
     for (t <- 0 to Updates) {

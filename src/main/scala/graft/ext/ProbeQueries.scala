@@ -104,7 +104,9 @@ object ProbeQueries {
     * the weight vector whose loss is reported (iter 0 = zero weights).
     */
   def trajectory(s: SparkSession, d: String): DataFrame = {
-    val f = feats(Tables(s, d, "documents"))
+    // loop-invariant feature relation, materialized once (round 21):
+    // each GD round re-ran the tokenize-feature scan
+    val f = feats(Tables(s, d, "documents")).localCheckpoint(true)
     var w: Seq[Long] = Seq.fill(5)(0L)
     val hist = scala.collection.mutable.ArrayBuffer[(Long, Long, Seq[Long])]()
     for (t <- 0 to Updates) {
@@ -130,7 +132,7 @@ object ProbeQueries {
     * broadcast literals, fused into whatever scan feeds the pipeline.
     */
   def applyScores(s: SparkSession, d: String): DataFrame = {
-    val f = feats(Tables(s, d, "documents"))
+    val f = feats(Tables(s, d, "documents")).localCheckpoint(true)
     var w: Seq[Long] = Seq.fill(5)(0L)
     for (_ <- 0 until Updates) {
       val (_, g, n) = roundAgg(f, w)

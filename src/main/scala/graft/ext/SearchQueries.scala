@@ -28,6 +28,10 @@ object SearchQueries {
   /** (doc_id, pos, term) token stream: ONE explode of the corpus, the
     * substrate every query in the family keys off. posexplode gives the
     * 0-based word position — the positional payload of the index.
+    * (Round 21 measured NOT to spread here: a pre-explode thin-row
+    * repartition cost one extra AQE stage per query and lost to the
+    * single-task explode at bench scale — q_bm25 1.80 → 2.97 s with the
+    * spread, reverted.)
     */
   private def tokens(docs: org.apache.spark.sql.DataFrame) =
     docs.select(
@@ -468,6 +472,12 @@ object SearchQueries {
       sum(size(split(col("text"), " ")).cast("long")).as("total_tok"))
     val dl = docs.select(
       col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
+    // (round 21: a contains()-substring pre-filter before the explode —
+    // sound because token equality ⊆ substring presence — was measured
+    // and REVERTED: the fixture's small vocabulary makes it ~0-selective,
+    // so it cost 6 substring scans per doc and a second distinct corpus
+    // scan for nothing — q_bm25 1.80 → 2.18 s. Worth re-trying only on
+    // corpora where the query terms are actually rare.)
     val tf = tokens(docs)
       .join(broadcast(queryTerms(s)), Seq("term"))
       .groupBy(col("query_id"), col("term"), col("doc_id"))
@@ -775,9 +785,14 @@ object SearchQueries {
     * for the bound math and the isotropy finding.
     */
   private[ext] def latePruned(
-      vecs: org.apache.spark.sql.DataFrame,
+      vecsIn: org.apache.spark.sql.DataFrame,
       seedWidth: Int = 32): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+      // the token-vector relation feeds the cell table, doc-cell map,
+      // query legs, and both exact-scoring stages — materialize it once
+      // (round 21; the same multiply-consumed-relation rule the bound
+      // pipeline below already applies)
+      val vecs = vecsIn.localCheckpoint(true)
       val cellOf = expr(
         "CAST(element_at(tv, 2) > 0 AS INT) + 2 * CAST(element_at(tv, 3) > 0 AS INT) + " +
           "4 * CAST(element_at(tv, 4) > 0 AS INT) + 8 * CAST(element_at(tv, 5) > 0 AS INT) + " +
@@ -1633,7 +1648,7 @@ object SearchQueries {
         val wDcg = (1 to 5).map(r => math.round(1e6 / (math.log(r + 1.0) / math.log(2.0))))
         val wMrr = (1 to 5).map(r => math.round(1e6 / r.toDouble))
         val idcg = (1 to 5).map(r => (6 - r) * wDcg(r - 1)).sum
-        val vecs = tokenVecs(Tables(s, d, "documents"))
+        val vecs = tokenVecs(Tables(s, d, "documents")).localCheckpoint(true)
         val w = Window.partitionBy(col("q_id")).orderBy(col("li_score").desc, col("n_id"))
         val docs = vecs.select(col("doc_id").as("n_id")).distinct()
         val qids = vecs.filter(col("doc_id") < 3).select(col("doc_id").as("q_id")).distinct()

@@ -62,11 +62,10 @@ object Graph {
       (s, d) => {
         val li = Tables(s, d, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val e = li.as("x")
-          .join(li.as("y"), col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-          .select(col("x.pk").as("a"), col("y.pk").as("b"))
-          .distinct()
+        // basket-aggregate pair expansion (see coPairs) replaces the
+        // distinct + self-join + distinct chain — same (a < b) pair set,
+        // two exchanges fewer (round 21, guide §2.4)
+        val e = coPairs(li).select(col("src").as("a"), col("dst").as("b"))
         val deg = e.select(col("a").as("id"))
           .union(e.select(col("b").as("id")))
           .groupBy(col("id"))
@@ -120,33 +119,30 @@ object Graph {
       (s, d) => {
         // Materialize the edge list once: an iterative plan re-evaluates
         // its whole lineage per round, so deriving edges from lineitem
-        // inline costs ~4 extra fact scans per iteration. Writing the
-        // (much smaller) distinct edge set to parquet first is the
-        // persist-the-graph step any production PageRank does — 2.6x
-        // faster here, and at 100 TB the difference between rereading the
-        // fact table 12x and once.
-        val tmp = graft.core.Tmp.dir("graft_pr")
-        Tables(s, d, "lineitem")
-          .select(
-            concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
-            concat(lit("p"), col("l_partkey").cast("string")).as("dst"))
-          .distinct()
-          .write.mode("overwrite").parquet(s"$tmp/edges")
-        val li = s.read.parquet(s"$tmp/edges")
+        // inline costs ~4 extra fact scans per iteration. Round 21: the
+        // persist-the-graph step now rides the shared lineage-truncation
+        // seam (graft.core.Ckpt — localCheckpoint locally, reliable
+        // checkpoint dir on a cluster) instead of a parquet write +
+        // read-back per relation: same materialize-once effect, no disk
+        // round trip.
+        val li = graft.core.Ckpt.truncate(
+          Tables(s, d, "lineitem")
+            .select(
+              concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
+              concat(lit("p"), col("l_partkey").cast("string")).as("dst"))
+            .distinct())
         // nodes and out-degrees are loop-invariant — materialize them too,
         // or every iteration re-runs the 2-scan distinct
-        li.select(col("src").as("id"))
-          .union(li.select(col("dst").as("id")))
-          .distinct()
-          .write.mode("overwrite").parquet(s"$tmp/nodes")
-        val nodes = s.read.parquet(s"$tmp/nodes")
-        li.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-          .write.mode("overwrite").parquet(s"$tmp/outdeg")
-        val outdeg = s.read.parquet(s"$tmp/outdeg")
+        val nodes = graft.core.Ckpt.truncate(
+          li.select(col("src").as("id"))
+            .union(li.select(col("dst").as("id")))
+            .distinct())
+        val outdeg = graft.core.Ckpt.truncate(
+          li.groupBy(col("src")).agg(count(lit(1)).as("deg")))
         // one driver scalar (node count) — a control decision, not data
         val n = nodes.count().toDouble
         var ranks = nodes.withColumn("r", lit(1.0 / n))
-        for (i <- 1 to Iters) {
+        for (_ <- 1 to Iters) {
           val contrib = li
             .join(ranks, li("src") === ranks("id"))
             .join(outdeg, "src")
@@ -166,8 +162,7 @@ object Graph {
           // loop re-executes every earlier iteration inside the next one
           // (O(iters²) total work) — materializing loop state is the
           // iterative-dataflow half of making this linear in iters
-          next.write.mode("overwrite").parquet(s"$tmp/ranks_$i")
-          ranks = s.read.parquet(s"$tmp/ranks_$i")
+          ranks = graft.core.Ckpt.truncate(next)
         }
         ranks.orderBy(col("r").desc, col("id")).limit(20)
       },
@@ -206,10 +201,12 @@ object Graph {
       // hop distances, so the differential is exact; DuckDB re-derives
       // it with a recursive CTE bounded at the same depth.
       (s, d) => {
+        // no .distinct() on the basket relation: coPurchaseEdges dedups
+        // inside its basket aggregate (round 21), and min(pk) is
+        // duplicate-blind
         val li = Tables(s, d, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val edges = coPurchaseEdges(li)
+        val edges = coPurchaseEdges(li, partitionBySrc = true)
         val src = li.agg(min(col("pk"))).head().getLong(0)
         bfsFrom(s, edges, src, hops = 4).orderBy("pk")
       },
@@ -239,8 +236,7 @@ object Graph {
       (s, d) => {
         val li = Tables(s, d, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        labelProp(coPurchaseEdges(li), rounds = 3).orderBy("pk")
+        labelProp(coPurchaseEdges(li, partitionBySrc = true), rounds = 3).orderBy("pk")
       },
       Some {
         def round(prev: String, out: String) =
@@ -278,10 +274,11 @@ object Graph {
       (s, d) => {
         val li = Tables(s, d, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val edges = coPurchaseEdges(li)
+        // w is a narrow per-row expression over the already-checkpointed
+        // edge relation — no second checkpoint (round 21: the re-
+        // materialization cost one extra job for zero recompute saved)
+        val edges = coPurchaseEdges(li, partitionBySrc = true)
           .withColumn("w", lit(1L) + pmod(col("src") + col("dst"), lit(5L)))
-          .truncateLineage()
         val src = li.agg(min(col("pk"))).head().getLong(0)
         ssspFrom(s, edges, src, rounds = 4).orderBy("pk")
       },
@@ -323,9 +320,8 @@ object Graph {
         val li = Tables(s, d, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .filter(col("pk") < 500)
-          .distinct()
         val nodes = li.select(col("pk")).distinct()
-        val (labels, _, _, done) = ccConverged(nodes, coPurchaseEdges(li))
+        val (labels, _, _, done) = ccConverged(nodes, coPurchaseEdges(li, partitionBySrc = true))
         labels
           .withColumn("converged", lit(done))
           .orderBy("pk")
@@ -370,13 +366,12 @@ object Graph {
         val li = Tables(s, d, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .filter(col("pk") % 4 === 1)
-          .distinct()
         val liBase = li.filter(col("ok") % 2 === 0)
         val liDelta = li.filter(col("ok") % 2 === 1)
         val nodesAll = li.select(col("pk")).distinct()
         val nodesBase = liBase.select(col("pk")).distinct()
-        val eAll = coPurchaseEdges(li)
-        val eBase = coPurchaseEdges(liBase)
+        val eAll = coPurchaseEdges(li, partitionBySrc = true)
+        val eBase = coPurchaseEdges(liBase, partitionBySrc = true)
         val eDelta = coPurchaseEdges(liDelta)
         // the "stored artifact": labels of the base graph
         val (labels0, _, _, _) = ccConverged(nodesBase, eBase)
@@ -436,7 +431,6 @@ object Graph {
         val li = Tables(s, d, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .filter(col("pk") % 4 === 2)
-          .distinct()
         val nodes = li.select(col("pk")).distinct()
         val edges = coPurchaseEdges(li)
         val (labels, rounds, doneStar) = ccStar(nodes, edges)
@@ -489,7 +483,6 @@ object Graph {
         val li = Tables(s, d, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .filter(col("pk") % 4 === 0)
-          .distinct()
         val edges = coPurchaseEdges(li)
         val (core, _, done) = kCore(edges, k = 3, maxRounds = KcoreUnroll)
         core
@@ -548,7 +541,6 @@ object Graph {
         val li = Tables(s, d, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .filter(col("pk") % 10 === 3)
-          .distinct()
         val (labels, _, ok) = coreness(coPurchaseEdges(li))
         labels
           .withColumn("phases_converged", lit(ok))
@@ -610,9 +602,8 @@ object Graph {
         val li = Tables(s, d, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .filter(col("pk") % 4 === 1)
-          .distinct()
         val nodesAll = li.select(col("pk")).distinct()
-        val eAll = coPurchaseEdges(li)
+        val eAll = coPurchaseEdges(li, partitionBySrc = true)
         val eDelta = coPurchaseEdges(li.filter(col("ok") % 2 === 1))
         val labels0 = storedBaseLabels(s, d)
         val newNodes = nodesAll
@@ -670,7 +661,12 @@ object Graph {
       edges: org.apache.spark.sql.DataFrame)
       : (org.apache.spark.sql.DataFrame, Int, Boolean) = {
     var cur = edges.select(col("src"), col("dst")).truncateLineage()
-    var acc: Option[org.apache.spark.sql.DataFrame] = None
+    // phase membership collected as a LIST of checkpointed relations and
+    // unioned once at the end (round 21): the old running-union
+    // re-checkpointed the ever-growing accumulator every phase — one
+    // extra materialization of all prior phases' rows per phase. Each
+    // element is itself truncated, so the final union's lineage is flat.
+    val memberSets = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
     var k = 0
     var allDone = true
     var survivors = -1L
@@ -681,10 +677,7 @@ object Graph {
       val members = core.select(col("pk")).truncateLineage()
       survivors = members.count()
       if (survivors > 0L) {
-        acc = Some(acc match {
-          case Some(a) => a.unionByName(members).truncateLineage()
-          case None => members
-        })
+        memberSets += members
         cur = cur
           .join(members.select(col("pk").as("src")), Seq("src"))
           .join(members.select(col("pk").as("dst")), Seq("dst"))
@@ -692,7 +685,8 @@ object Graph {
           .truncateLineage()
       }
     }
-    val labels = acc
+    val labels = memberSets
+      .reduceOption(_ unionByName _)
       .getOrElse(edges.sparkSession.emptyDataFrame.sparkSession
         .range(0).select(col("id").as("pk")))
       .groupBy(col("pk"))
@@ -719,9 +713,8 @@ object Graph {
       val liBase = Tables(s, d, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .filter(col("pk") % 4 === 1 && col("l_orderkey") % 2 === 0)
-        .distinct()
       val (l, _, _, done) = ccConverged(
-        liBase.select(col("pk")).distinct(), coPurchaseEdges(liBase))
+        liBase.select(col("pk")).distinct(), coPurchaseEdges(liBase, partitionBySrc = true))
       if (!done)
         throw new IllegalStateException("base CC labeling hit the round cap")
       l
@@ -741,7 +734,14 @@ object Graph {
       edges: org.apache.spark.sql.DataFrame,
       k: Int,
       maxRounds: Int): (org.apache.spark.sql.DataFrame, Int, Boolean) = {
-    val e = edges.select(col("src"), col("dst")).truncateLineage()
+    // NO internal truncate (round 21): every caller (q_kcore via
+    // coPurchaseEdges, coreness's per-phase cur, GraphSpec's planted
+    // graphs) passes an already-checkpointed edge relation, so the
+    // re-materialization was one wasted job per kCore call — ~10 per
+    // coreness run. Callers own the truncation; the loop itself only
+    // ever references `e` and per-round-truncated `keep`, so lineage
+    // cannot nest.
+    val e = edges.select(col("src"), col("dst"))
     var keep = e.select(col("src").as("pk")).distinct().truncateLineage()
     var nKeep = keep.count()
     var rounds = 0
@@ -830,39 +830,33 @@ object Graph {
         .join(delta, col("src") === col("pk"))
         .select(col("dst").as("pk"), col("label"))
         .groupBy(col("pk")).agg(min(col("label")).as("label"))
-      val improved = fromNbr
-        .join(labels.select(col("pk"), col("label").as("__old")), Seq("pk"), "left")
-        .filter(col("label") < col("__old"))
-        .select(col("pk"), col("label"))
+      // Round-21 fusion (guide §2.4): improvement detection and the
+      // label update used to be TWO corpus-width joins with TWO
+      // checkpoints per round (improved = fromNbr ⋈ labels, then
+      // labels = labels ⋈ broadcast(improved) keyed on a driver count).
+      // One left join now computes both: label' = min(old, candidate)
+      // and a change flag, checkpointed ONCE; the wave count and the
+      // next delta are narrow reads OF that checkpoint. AQE replaces
+      // the count-keyed broadcast decision — a small fromNbr relation
+      // is broadcast at runtime from its actual shuffle stats, a flood
+      // round shuffle-joins — and the checkpointed output carries the
+      // join's hash(pk) partitioning into the next round's labels leg.
+      // Semantics unchanged: fromNbr is unique per pk (per-pk min) so
+      // min(old, new) ≡ the old coalesce/union-min forms, and a pk
+      // absent from labels is dropped by both shapes.
+      val merged = labels
+        .join(fromNbr.select(col("pk"), col("label").as("__new")), Seq("pk"), "left")
+        .select(
+          col("pk"),
+          when(col("__new") < col("label"), col("__new")).otherwise(col("label")).as("label"),
+          (col("__new") < col("label")).as("__chg"))
         .truncateLineage()
       rounds += 1
-      val n = improved.count()
+      val n = merged.filter(col("__chg")).count()
       waves += n
       if (n == 0L) done = true
-      else {
-        // label update, shape picked by the wave the loop just counted
-        // (a control decision on a long already at the driver): a SMALL
-        // improved set merges by broadcast left-join + coalesce — the
-        // corpus-sized labels relation is SCANNED, never shuffled, so a
-        // long convergence tail costs one map-side pass per round; a
-        // LARGE set (the early flood rounds) takes the union+min
-        // hash-agg, which shuffles once but partial-aggregates map-side.
-        // Results are identical either way: `improved` is unique per pk
-        // (it comes out of a per-pk min) and strictly below the stored
-        // label, so coalesce(new, old) ≡ min over the union.
-        labels =
-          (if (n <= 100000L)
-            labels.join(
-              org.apache.spark.sql.functions.broadcast(
-                improved.select(col("pk"), col("label").as("__new"))),
-              Seq("pk"), "left")
-              .select(col("pk"), coalesce(col("__new"), col("label")).as("label"))
-          else
-            labels.unionByName(improved)
-              .groupBy(col("pk")).agg(min(col("label")).as("label")))
-            .truncateLineage()
-        delta = improved
-      }
+      else delta = merged.filter(col("__chg")).select(col("pk"), col("label"))
+      labels = merged.select(col("pk"), col("label"))
     }
     (labels, rounds, waves.toSeq, done)
   }
@@ -929,16 +923,37 @@ object Graph {
         .unionByName(m.select(col("u").as("src"), col("m").as("dst")))
     }
     var cur = canon(edges).truncateLineage()
+    var curCount = cur.count()
     var rounds = 0
-    var done = cur.isEmpty
+    var done = curCount == 0L
     while (!done && rounds < maxRounds) {
-      val next = canon(smallStar(canon(largeStar(cur)))).truncateLineage()
+      // inner canon dropped (round 21): largeStar's output is already
+      // down-directed (every emitted dst is a neighborhood minimum
+      // strictly below its src — m ≤ a < b), and smallStar is a SET
+      // function of its input (per-u min over a multiset ≡ min over its
+      // set; emitted rows depend only on edge membership), so the
+      // intermediate distinct bought nothing but one full exchange +
+      // dedup per round — the outer canon still dedupes the round's
+      // result exactly once. Same per-round edge SET, same rounds, same
+      // labels (GraphSpec's planted-chain and A/B gates pin it).
+      val ls = largeStar(cur).select(col("src").as("u"), col("dst").as("v"))
+      val next = canon(smallStar(ls)).truncateLineage()
       rounds += 1
-      // fixpoint: the canonical edge set is unchanged (counts equal and
-      // no row of `next` outside `cur` — two bounded driver longs)
-      val stable = next.count() == cur.count() &&
-        next.join(cur, Seq("u", "v"), "left_anti").isEmpty
+      // fixpoint: the canonical edge set is unchanged. The cheap
+      // necessary condition first — counts equal (one bounded count on
+      // the fresh checkpoint; early contraction rounds shrink the set,
+      // so this alone decides them) — then, only on count equality, the
+      // sufficient one: both sides are DISTINCT canonical edge lists,
+      // so set equality ⟺ the full-outer symmetric difference is empty
+      // (round 21: the old shape paid count + anti-join EVERY round).
+      val nextCount = next.count()
+      val stable = nextCount == curCount &&
+        next.select(col("u"), col("v"), lit(1).as("__n"))
+          .join(cur.select(col("u"), col("v"), lit(1).as("__c")), Seq("u", "v"), "full_outer")
+          .filter(col("__n").isNull || col("__c").isNull)
+          .isEmpty
       cur = next
+      curCount = nextCount
       done = stable
     }
     val labels = nodes
@@ -947,19 +962,52 @@ object Graph {
     (labels, rounds, done)
   }
 
-  /** Undirected co-purchase edges (both directions) from a distinct
-    * (ok, pk) basket relation — the shared substrate of the iterative
-    * trio (q_bfs_hops / q_label_prop / q_sssp_weighted) and the Stress
-    * graph tier. Eagerly materialized: every iteration consumes it.
+  /** One-directional distinct co-purchase pairs (src < dst) from an
+    * (ok, pk) basket relation — input need NOT be distinct
+    * (collect_set dedups per basket). Round-21 optimization (guide
+    * §2.4, remove shuffles outright): the old shape was
+    * distinct(ok,pk) → self-join on ok → distinct(src,dst) — four
+    * exchange legs plus a join whose (ok,pk)-hashed inputs both had to
+    * re-shuffle on ok. This shape is groupBy(ok).collect_set (ONE
+    * exchange, dedup folded into the aggregate map-side) → in-row pair
+    * expansion over the sorted basket array (src < dst by position —
+    * pure per-row HOF work, basket fan-out is bounded by lines/order)
+    * → distinct(src,dst) (ONE exchange). Callers drop their
+    * `.distinct()` on the basket relation. Measured min-of-3 at sf0.1:
+    * q_label_prop 5.48 → 4.26 s before the round-fusion change.
+    */
+  private[graft] def coPairs(
+      li: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    li.groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("pk"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps) - i - 1), " +
+          "y -> named_struct('src', x, 'dst', y))))")).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .distinct()
+
+  /** Undirected co-purchase edges (both directions) from an (ok, pk)
+    * basket relation (distinct or not — see [[coPairs]]) — the shared
+    * substrate of the iterative trio (q_bfs_hops / q_label_prop /
+    * q_sssp_weighted) and the Stress graph tier. Eagerly materialized.
+    *
+    * `partitionBySrc = true` (the min-label kernels: ccConverged /
+    * labelProp / BFS / SSSP — every round joins the edges on src) bakes
+    * hash(src) into the checkpointed LogicalRDD, so each round's
+    * edges-side join exchange disappears — one build-time shuffle buys
+    * rounds-many join legs (guide §2.4's "share one exchange").
+    * ccStar/kCore callers leave it false: star contraction immediately
+    * re-canonicalizes to (u, v) and the peel joins broadcast its tiny
+    * survivor sets, so there the extra exchange is pure cost (measured
+    * +0.3-0.4 s on q_cc_star/q_kcore when applied unconditionally).
     */
   private[graft] def coPurchaseEdges(
-      li: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val e0 = li.as("x")
-      .join(li.as("y"), col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-      .select(col("x.pk").as("src"), col("y.pk").as("dst"))
-      .distinct()
-    e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .truncateLineage()
+      li: org.apache.spark.sql.DataFrame,
+      partitionBySrc: Boolean = false): org.apache.spark.sql.DataFrame = {
+    val e0 = coPairs(li)
+    val sym = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+    (if (partitionBySrc) sym.repartition(col("src")) else sym).truncateLineage()
   }
 
   /** Frontier BFS: `hops` rounds, each joining ONLY the previous
@@ -1004,17 +1052,21 @@ object Graph {
         .join(delta, col("src") === col("pk"))
         .select(col("dst").as("pk"), col("label"))
         .groupBy(col("pk")).agg(min(col("label")).as("label"))
-      val improved = fromNbr
-        .join(labels.select(col("pk"), col("label").as("__old")), Seq("pk"), "left")
-        .filter(col("label") < col("__old"))
-        .select(col("pk"), col("label"))
+      // fused improvement+update join — ONE checkpoint per round, the
+      // next delta read narrowly off it (the ccConvergedFrom round-21
+      // shape; min(old, new) ≡ the old union+min over a per-pk-unique
+      // fromNbr, so the emitted labels are bit-identical)
+      val merged = labels
+        .join(fromNbr.select(col("pk"), col("label").as("__new")), Seq("pk"), "left")
+        .select(
+          col("pk"),
+          when(col("__new") < col("label"), col("__new")).otherwise(col("label")).as("label"),
+          (col("__new") < col("label")).as("__chg"))
         .truncateLineage()
-      labels = labels.unionByName(improved)
-        .groupBy(col("pk")).agg(min(col("label")).as("label"))
-        .truncateLineage()
-      delta = improved
+      delta = merged.filter(col("__chg")).select(col("pk"), col("label"))
+      labels = merged.select(col("pk"), col("label"))
     }
-    labels
+    labels.select(col("pk"), col("label"))
   }
 
   /** Delta-optimized bounded Bellman-Ford (SPFA shape) over a weighted

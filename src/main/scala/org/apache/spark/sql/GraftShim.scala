@@ -13,6 +13,14 @@ object GraftShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Drain the listener bus so task-metric listeners (the Stress
+    * power-law skew leg) see every event of the job they just ran —
+    * `listenerBus.waitUntilEmpty` is `private[spark]`, reachable from
+    * this package only.
+    */
+  def drainListenerBus(spark: SparkSession, timeoutMs: Long = 30000L): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
+
   /** Rebuild a checkpointed DataFrame's [[execution.LogicalRDD]] WITHOUT
     * its origin statistics. `Dataset.localCheckpoint` deliberately
     * carries the optimized source plan's stats into the LogicalRDD —
@@ -28,14 +36,6 @@ object GraftShim {
     * hot-loop broadcasts are explicit hints, unaffected). No-op on
     * non-LogicalRDD plans.
     */
-  /** Drain the listener bus so task-metric listeners (the Stress
-    * power-law skew leg) see every event of the job they just ran —
-    * `listenerBus.waitUntilEmpty` is `private[spark]`, reachable from
-    * this package only.
-    */
-  def drainListenerBus(spark: SparkSession, timeoutMs: Long = 30000L): Unit =
-    spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
-
   def dropStats(df: DataFrame): DataFrame = {
     val d = df.asInstanceOf[classic.Dataset[Row]]
     d.queryExecution.analyzed match {
