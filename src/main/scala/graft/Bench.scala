@@ -170,6 +170,14 @@ import java.nio.file.{Files, Paths}
   * comparable — only WHEN retries fire and what the verdict keys say
   * changed; "pass_quiet" in the detail file audits per-pass state.
   *
+  * PER-QUERY PROBE NORMALIZATION (round 21, detail-file only —
+  * additive within frozen v9): queries_probe_norm /
+  * queries_ext_probe_norm / queries_graph_probe_norm /
+  * queries_split_probe_norm decompose the probe-normalized totals per
+  * query (same scaling as total_probe_norm), closing the round-20
+  * adjudication gap: a contended official run can now be CORRECTED
+  * per query from its own detail file, not just flagged.
+  *
   * SERIES ANCHOR (round 20): the driver regenerated the testdata
   * between r18 and r19, so the raw r≤18 series is not comparable to
   * r19+ readings. The committed BENCH_ANCHOR_r19fixture.json carries
@@ -594,11 +602,22 @@ object Bench {
     // this box showed; scaling each sample by bestP1/probe32-of-its-pass
     // divides uniform oversubscription back out (≈ no-op on a quiet box)
     val bestP1 = if (p1.nonEmpty) p1.min else 1.0
-    def normTotal(m: scala.collection.mutable.LinkedHashMap[String, List[(Double, Int)]]): Double =
-      m.values.map(v => v.map { case (t, pi) =>
+    def normOne(v: List[(Double, Int)]): Double =
+      v.map { case (t, pi) =>
         val p = if (pi >= 0 && pi < p32.length) p32(pi) else bestP1
         t * (bestP1 / math.max(p, 1e-9))
-      }.min).sum
+      }.min
+    def normTotal(m: scala.collection.mutable.LinkedHashMap[String, List[(Double, Int)]]): Double =
+      m.values.map(normOne).sum
+    // per-query probe-normalized mins (round 21, detail-file only —
+    // additive within frozen v9): the round-20 verdict's adjudication
+    // gap was that a contended official run could only be FLAGGED, not
+    // corrected — the normalized total existed but not its per-query
+    // decomposition, so a reader couldn't tell which committed numbers
+    // the contention owned. Same normalization as total_probe_norm.
+    def normMap(m: scala.collection.mutable.LinkedHashMap[String, List[(Double, Int)]])
+        : scala.collection.immutable.Seq[(String, Double)] =
+      m.map { case (k, v) => k -> normOne(v) }.toList
 
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -669,12 +688,18 @@ object Bench {
     // target is BENCH_OFFICIAL.json (gitignored) so a driver run never
     // dirties the committed BENCH_LOCAL.json snapshot; builders refresh
     // that snapshot with GRAFT_BENCH_DETAIL=BENCH_LOCAL.json.
+    def normJson(m: scala.collection.mutable.LinkedHashMap[String, List[(Double, Int)]]): String =
+      normMap(m).map { case (k, v) => s"${jstr(k)}:${num(v)}" }.mkString("{", ",", "}")
     val detail = head.dropRight(1) +
       s""","note":"queries/errors keysets may overlap (timed-then-errored); totals comparable only within one protocol string",""" +
       s""""probe1_sec":${arr(p1.toSeq)},"probe32_sec":${arr(p32.toSeq)},""" +
       s""""pass_quiet":${quietFinal.map(_.toString).mkString("[", ",", "]")},""" +
       s""""probe_io_sec":${arr(pIo.toSeq)},"probe_mem_sec":${arr(pMem.toSeq)},""" +
       s""""queries_median":$qsMed,"mrows_per_sec_split":$sMrows,""" +
+      s""""queries_probe_norm":${normJson(samples)},""" +
+      s""""queries_ext_probe_norm":${normJson(extSamples)},""" +
+      s""""queries_graph_probe_norm":${normJson(graphSamples)},""" +
+      s""""queries_split_probe_norm":${normJson(splitSamples)},""" +
       s""""queries_all":$qsAll,"queries_split":$sq,"queries_split_all":$sqAll,""" +
       s""""queries_ext_all":$eqAll,"queries_graph_all":$gqAll}"""
     Files.writeString(Paths.get(detailFile), detail + "\n")

@@ -742,6 +742,12 @@ object SearchQueries {
       .select(col("doc_id").as("q_id"), col("pos").as("qi"),
         col("tv").as("qv"), col("tn2").as("qn2"))
     val c = vecs.select(col("doc_id").as("n_id"), col("tv").as("cv"), col("tn2").as("cn2"))
+    // ONE aggregation (round 21, guide §2.4): the old shape grouped by
+    // (q_id, n_id, qi) for the per-position max and then again by
+    // (q_id, n_id) for the pivot — but max(when(qi = j, sim)) over the
+    // raw sims IS the per-position max (max of maxes ≡ max), so the
+    // intermediate exchange+agg bought nothing. Bit-identical: max is
+    // order-free and the null/coalesce semantics are unchanged.
     pairs
       .join(q, Seq("q_id"))
       .join(c, Seq("n_id"))
@@ -749,14 +755,12 @@ object SearchQueries {
         col("q_id"), col("n_id"), col("qi"),
         (Similarity.dot(col("qv"), col("cv")) /
           (sqrt(col("qn2")) * sqrt(col("cn2")))).as("sim"))
-      .groupBy(col("q_id"), col("n_id"), col("qi"))
-      .agg(max(col("sim")).as("ms"))
       .groupBy(col("q_id"), col("n_id"))
       .agg(
-        max(when(col("qi") === 0, col("ms"))).as("m0"),
-        max(when(col("qi") === 1, col("ms"))).as("m1"),
-        max(when(col("qi") === 2, col("ms"))).as("m2"),
-        max(when(col("qi") === 3, col("ms"))).as("m3"))
+        max(when(col("qi") === 0, col("sim"))).as("m0"),
+        max(when(col("qi") === 1, col("sim"))).as("m1"),
+        max(when(col("qi") === 2, col("sim"))).as("m2"),
+        max(when(col("qi") === 3, col("sim"))).as("m3"))
       .select(
         col("q_id"), col("n_id"),
         (coalesce(col("m0"), lit(0.0)) + coalesce(col("m1"), lit(0.0)) +
@@ -831,20 +835,20 @@ object SearchQueries {
       // lesson) or the whole bound pipeline re-executes per consumer —
       // measured 8 copies of the cell-cross subtree in the un-cut plan,
       // enforced down to 1 by PlanAuditSpec.
+      // one aggregation — max(when(qi = j, ub)) over the raw bounds ≡
+      // the per-position max (max of maxes; round 21). Coalesce each qi
+      // term to 0, exactly as maxsimOver does: a query doc with fewer
+      // than 4 tokens otherwise nulls EVERY ub, so the escape filter
+      // matches nothing and the "provably exact" top-5 silently
+      // degrades to seed-only (both engines alike, so the differential
+      // can't catch it).
       val ubs = qcb.join(docCells, Seq("cell"))
         .filter(col("q_id") =!= col("n_id"))
-        .groupBy(col("q_id"), col("n_id"), col("qi"))
-        .agg(max(col("ub")).as("mu"))
         .groupBy(col("q_id"), col("n_id"))
-        // coalesce each qi term to 0, exactly as maxsimOver does: a query
-        // doc with fewer than 4 tokens otherwise nulls EVERY ub, so the
-        // escape filter matches nothing and the "provably exact" top-5
-        // silently degrades to seed-only (both engines alike, so the
-        // differential can't catch it).
-        .agg((coalesce(max(when(col("qi") === 0, col("mu"))), lit(0.0)) +
-          coalesce(max(when(col("qi") === 1, col("mu"))), lit(0.0)) +
-          coalesce(max(when(col("qi") === 2, col("mu"))), lit(0.0)) +
-          coalesce(max(when(col("qi") === 3, col("mu"))), lit(0.0)))
+        .agg((coalesce(max(when(col("qi") === 0, col("ub"))), lit(0.0)) +
+          coalesce(max(when(col("qi") === 1, col("ub"))), lit(0.0)) +
+          coalesce(max(when(col("qi") === 2, col("ub"))), lit(0.0)) +
+          coalesce(max(when(col("qi") === 3, col("ub"))), lit(0.0)))
           .as("ub"))
         .localCheckpoint(true)
       val seed = ubs
@@ -1350,20 +1354,19 @@ object SearchQueries {
             col("tv").as("qv"), col("tn2").as("qn2"))
         val c = vecs
           .select(col("doc_id").as("n_id"), col("tv").as("cv"), col("tn2").as("cn2"))
-        val maxsim = q.join(c, col("q_id") =!= col("n_id"))
+        // one aggregation — max(when(qi = j, sim)) over raw sims ≡ the
+        // per-position max (see maxsimOver, round 21)
+        val scored = q.join(c, col("q_id") =!= col("n_id"))
           .select(
             col("q_id"), col("n_id"), col("qi"),
             (Similarity.dot(col("qv"), col("cv")) /
               (sqrt(col("qn2")) * sqrt(col("cn2")))).as("sim"))
-          .groupBy(col("q_id"), col("n_id"), col("qi"))
-          .agg(max(col("sim")).as("ms"))
-        val scored = maxsim
           .groupBy(col("q_id"), col("n_id"))
           .agg(
-            max(when(col("qi") === 0, col("ms"))).as("m0"),
-            max(when(col("qi") === 1, col("ms"))).as("m1"),
-            max(when(col("qi") === 2, col("ms"))).as("m2"),
-            max(when(col("qi") === 3, col("ms"))).as("m3"))
+            max(when(col("qi") === 0, col("sim"))).as("m0"),
+            max(when(col("qi") === 1, col("sim"))).as("m1"),
+            max(when(col("qi") === 2, col("sim"))).as("m2"),
+            max(when(col("qi") === 3, col("sim"))).as("m3"))
           .select(
             col("q_id"), col("n_id"),
             (coalesce(col("m0"), lit(0.0)) + coalesce(col("m1"), lit(0.0)) +
@@ -1590,16 +1593,15 @@ object SearchQueries {
             col("q_id"), col("n_id"), col("qi"),
             ((lk("tab0", "c0") + lk("tab1", "c1") + lk("tab2", "c2") + lk("tab3", "c3")) /
               (sqrt(col("qn2")) * sqrt(col("rn2")))).as("sim"))
-          .groupBy(col("q_id"), col("n_id"), col("qi"))
-          .agg(max(col("sim")).as("ms"))
+          // one aggregation — max(when(qi = j, sim)) over raw sims ≡ the
+          // per-position max (see maxsimOver, round 21); coalesce to 0
+          // per qi as before: a <4-token query doc must shortlist by the
+          // sum of its PRESENT positions, not null out every candidate.
           .groupBy(col("q_id"), col("n_id"))
-          // coalesce to 0 per qi (as in maxsimOver): a <4-token query doc
-          // must shortlist by the sum of its PRESENT positions, not null
-          // out every candidate's compressed score.
-          .agg((coalesce(max(when(col("qi") === 0, col("ms"))), lit(0.0)) +
-            coalesce(max(when(col("qi") === 1, col("ms"))), lit(0.0)) +
-            coalesce(max(when(col("qi") === 2, col("ms"))), lit(0.0)) +
-            coalesce(max(when(col("qi") === 3, col("ms"))), lit(0.0)))
+          .agg((coalesce(max(when(col("qi") === 0, col("sim"))), lit(0.0)) +
+            coalesce(max(when(col("qi") === 1, col("sim"))), lit(0.0)) +
+            coalesce(max(when(col("qi") === 2, col("sim"))), lit(0.0)) +
+            coalesce(max(when(col("qi") === 3, col("sim"))), lit(0.0)))
             .as("li_c"))
           .withColumn("rk", row_number().over(
             Window.partitionBy(col("q_id")).orderBy(col("li_c").desc, col("n_id"))))

@@ -1302,20 +1302,20 @@ object SimilarityQueries {
           .select(col("q_id"), col("qi"), col("tv").as("qv"), col("tn2").as("qn2"))
         val c = toks(emb, "n_id", "di")
           .select(col("n_id"), col("di"), col("tv").as("cv"), col("tn2").as("cn2"))
-        val maxsim = q.join(c, col("q_id") =!= col("n_id"))
+        // one aggregation — max(when(qi = j, sim)) over raw sims ≡ the
+        // per-position max (max of maxes; SearchQueries.maxsimOver,
+        // round 21), so the intermediate (q, n, qi) exchange+agg is gone
+        val scored = q.join(c, col("q_id") =!= col("n_id"))
           .select(
             col("q_id"), col("n_id"), col("qi"),
             (Similarity.dot(col("qv"), col("cv")) /
               (sqrt(col("qn2")) * sqrt(col("cn2")))).as("sim"))
-          .groupBy(col("q_id"), col("n_id"), col("qi"))
-          .agg(max(col("sim")).as("ms"))
-        val scored = maxsim
           .groupBy(col("q_id"), col("n_id"))
           .agg(
-            max(when(col("qi") === 0, col("ms"))).as("m0"),
-            max(when(col("qi") === 1, col("ms"))).as("m1"),
-            max(when(col("qi") === 2, col("ms"))).as("m2"),
-            max(when(col("qi") === 3, col("ms"))).as("m3"))
+            max(when(col("qi") === 0, col("sim"))).as("m0"),
+            max(when(col("qi") === 1, col("sim"))).as("m1"),
+            max(when(col("qi") === 2, col("sim"))).as("m2"),
+            max(when(col("qi") === 3, col("sim"))).as("m3"))
           .select(
             col("q_id"), col("n_id"),
             (col("m0") + col("m1") + col("m2") + col("m3")).as("li_score"))

@@ -432,8 +432,12 @@ object Graph {
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .filter(col("pk") % 4 === 2)
         val nodes = li.select(col("pk")).distinct()
-        val edges = coPurchaseEdges(li)
-        val (labels, rounds, doneStar) = ccStar(nodes, edges)
+        // feed ccStar the ONE-DIRECTIONAL distinct pair set (round 21):
+        // its canon() re-canonicalizes to (u = max, v = min) anyway, so
+        // the symmetric-union checkpoint coPurchaseEdges builds — and
+        // the doubled rows through canon's dedup — were pure waste for
+        // this kernel; the canonical edge set is identical.
+        val (labels, rounds, doneStar) = ccStar(nodes, coPairs(li))
         val n = nodes.count()
         val logBound = 2 * (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n))) + 4
         labels
