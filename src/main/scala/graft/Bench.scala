@@ -198,6 +198,22 @@ import java.nio.file.{Files, Paths}
 object Bench {
   private val Samples = 3
   private val MaxHotRetryPasses = 2
+
+  /** Per-tier drift retries (round 22, closing the round-21 verdict #1:
+    * `drift_graph:true` was the round's only uncertifiable tier and the
+    * ONLY retry mechanism — the hot-box gate — re-runs just the main
+    * 22-query set, so a contended ext/graph/split pass could never
+    * self-heal). After each tier's interleaved passes, if that tier's
+    * per-query MINS include a sample from a non-quiet pass, up to this
+    * many extra passes of THAT TIER run (probes recorded as always).
+    * Additive within frozen v9 by the same argument as the round-18
+    * hot-box gate: on a quiet run zero extra passes fire and the
+    * numbers are bit-comparable; on a drifted run the old numbers were
+    * box-contaminated anyway and extra samples only improve the odds
+    * the committed min reflects the engine. Counts land in-band as
+    * `ext_retry_passes`/`graph_retry_passes`/`split_retry_passes`.
+    */
+  private val MaxTierRetryPasses = 2
   private val RescueTop = 5
   private val MaxRescuePasses = 2
   private val RescueWallCapSec = 720.0
@@ -490,6 +506,7 @@ object Bench {
             Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           None
       }
+    var splitRetryPasses = 0
     splitSetup.foreach { dir =>
       var sp = 0
       while (sp < SplitPasses) {
@@ -501,6 +518,16 @@ object Bench {
             timeOne(q, dir, splitSamples, s"split:${q.name}")
         }
         sp += 1
+      }
+      // tier drift retry (round 22 — see MaxTierRetryPasses)
+      while (BenchGate.drift(minPasses(splitSamples), quietNow) &&
+        splitRetryPasses < MaxTierRetryPasses) {
+        runProbes()
+        targets.foreach { q =>
+          if (!errors.contains(q.name) && !errors.contains(s"split:${q.name}"))
+            timeOne(q, dir, splitSamples, s"split:${q.name}")
+        }
+        splitRetryPasses += 1
       }
     }
     // ---- extended tier (round-12 verdict #6) ----
@@ -571,6 +598,16 @@ object Bench {
       }
       ep += 1
     }
+    // tier drift retry (round 22 — see MaxTierRetryPasses)
+    var extRetryPasses = 0
+    while (BenchGate.drift(minPasses(extSamples), quietNow) &&
+      extRetryPasses < MaxTierRetryPasses) {
+      runProbes()
+      extQs.foreach { q =>
+        if (!errors.contains(s"ext:${q.name}")) timeOne(q, sfDir, extSamples, s"ext:${q.name}")
+      }
+      extRetryPasses += 1
+    }
     val extTimes = extSamples.map { case (k, v) => k -> v.map(_._1).min }
 
     // ---- graph/iterative tier (round-18 verdict #3) ----
@@ -583,6 +620,17 @@ object Bench {
         if (!errors.contains(s"graph:${q.name}")) timeOne(q, sfDir, graphSamples, s"graph:${q.name}")
       }
       gp += 1
+    }
+    // tier drift retry (round 22 — see MaxTierRetryPasses): the graph
+    // tier was the r21 verdict's only uncertifiable official reading
+    var graphRetryPasses = 0
+    while (BenchGate.drift(minPasses(graphSamples), quietNow) &&
+      graphRetryPasses < MaxTierRetryPasses) {
+      runProbes()
+      graphQs.foreach { q =>
+        if (!errors.contains(s"graph:${q.name}")) timeOne(q, sfDir, graphSamples, s"graph:${q.name}")
+      }
+      graphRetryPasses += 1
     }
     val graphTimes = graphSamples.map { case (k, v) => k -> v.map(_._1).min }
 
@@ -664,7 +712,9 @@ object Bench {
       s"""{"metric":"total","value":${num(total)},"unit":"sec","samples":$Samples,"rescue_passes":$rescuePasses,""" +
         s""""protocol":"interleaved-passes-v9",""" +
         s""""box_hot":$boxHot,"box_drift":$boxDrift,"drift_ext":$driftExt,"drift_graph":$driftGraph,""" +
-        s""""drift_split":$driftSplit,"hot_retry_passes":$hotRetryPasses,"probe_ceiling":${num(probeCeiling)},""" +
+        s""""drift_split":$driftSplit,"hot_retry_passes":$hotRetryPasses,""" +
+        s""""ext_retry_passes":$extRetryPasses,"graph_retry_passes":$graphRetryPasses,""" +
+        s""""split_retry_passes":$splitRetryPasses,"probe_ceiling":${num(probeCeiling)},""" +
         s""""io_ceiling":${num(if (pIo.nonEmpty) BenchGate.ioCeiling(pIo.min) else 0.0)},""" +
         s""""mem_ceiling":${num(if (pMem.nonEmpty) BenchGate.memCeiling(pMem.min) else 0.0)},""" +
         s""""probe1_min":${num(if (p1.nonEmpty) p1.min else 0.0)},""" +

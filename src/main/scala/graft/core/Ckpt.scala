@@ -100,6 +100,45 @@ object Ckpt {
     org.apache.spark.sql.GraftShim.dropStats(cp)
   }
 
+  /** Eager truncation that ALSO returns aggregate metrics computed
+    * DURING the materialization job (`observe`/CollectMetrics): the
+    * iterative kernels' per-round driver decisions (wave count,
+    * survivor count, edge-set size) used to be a SECOND job reading the
+    * fresh checkpoint — one bounded count per round, but a whole
+    * scheduler round trip each (job + stage + task launch), and the
+    * graph tier's cost is per-round fixed cost × rounds (round-21
+    * verdict #2). The metric accumulators are filled by the checkpoint
+    * job itself on BOTH truncation paths (localCheckpoint and reliable
+    * checkpoint both execute the observed plan exactly once), so the
+    * returned row reflects exactly the materialized rows, and each
+    * kernel round is ONE job (guide §1.2, per-round fixed cost).
+    * `metrics` must be aggregate expressions (observe's contract).
+    */
+  def truncateObserved(df: DataFrame, metrics: org.apache.spark.sql.Column*)
+      : (DataFrame, org.apache.spark.sql.Row) = {
+    val name = s"graft_ckpt_m${obsCounter.incrementAndGet()}"
+    val observed = df.observe(name, metrics.head, metrics.tail: _*)
+    val cp = truncate(observed)
+    val row = org.apache.spark.sql.GraftShim.observedMetric(observed, name).getOrElse(
+      throw new IllegalStateException(
+        s"Ckpt.truncateObserved: metric $name missing after eager checkpoint " +
+          "(the truncation action did not execute the observed plan?)"))
+    (cp, row)
+  }
+
+  /** [[truncateObserved]] specialized to the commonest kernel decision:
+    * rows satisfying `pred` (all rows when `pred` is `lit(true)`),
+    * counted inside the checkpoint job.
+    */
+  def truncateCounted(df: DataFrame, pred: org.apache.spark.sql.Column): (DataFrame, Long) = {
+    val (cp, row) = truncateObserved(
+      df, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.when(pred, org.apache.spark.sql.functions.lit(1))))
+    (cp, row.getLong(0))
+  }
+
+  private val obsCounter = new java.util.concurrent.atomic.AtomicLong()
+
   /** `.truncateLineage()` as a drop-in for `.localCheckpoint(true)` at
     * the iterative-kernel call sites.
     */

@@ -95,8 +95,12 @@ object ClusterQueries {
     * driver-state bound).
     */
   private def history(emb: DataFrame): Seq[Seq[Seq[Double]]] = {
-    // loop-invariant — materialize once (round 21, see inertiaFused)
-    val v = fpVecs(emb).localCheckpoint(true)
+    // loop-invariant — materialize once (round 21, see inertiaFused);
+    // routed through the Ckpt seam (round-21 ADVICE: kernel loop state
+    // must ride the reliable-checkpoint path on a cluster). Consumers
+    // are aggregations only, so the seam's stats drop cannot flip a
+    // join strategy here.
+    val v = graft.core.Ckpt.truncate(fpVecs(emb))
     var cents: Seq[Seq[Double]] = seedCents(v)
     val hist = scala.collection.mutable.ArrayBuffer[Seq[Seq[Double]]](cents)
     for (_ <- 0 until Updates) {
@@ -131,8 +135,9 @@ object ClusterQueries {
   private def inertiaFused(emb: DataFrame): Seq[Long] = {
     // loop-invariant fixed-point vectors, materialized ONCE (round 21):
     // every Lloyd round re-ran the scan + transform (the PageRank
-    // loop-invariant lesson)
-    val v = fpVecs(emb).localCheckpoint(true)
+    // loop-invariant lesson). Ckpt seam per the round-21 ADVICE —
+    // aggregate-only consumers, stats drop is join-neutral.
+    val v = graft.core.Ckpt.truncate(fpVecs(emb))
     var cents: Seq[Seq[Double]] = seedCents(v)
     val inertias = scala.collection.mutable.ArrayBuffer[Long]()
     for (t <- 0 to Updates) {

@@ -164,18 +164,20 @@ object Ivf {
     * [[trainK]] so the two Lloyd loops cannot drift.
     */
   private def lloydMeans(assigned: DataFrame): Map[Int, IndexedSeq[Double]] =
+    // thin collect + driver-side pivot (round 22): the k·dim mean rows
+    // are already the bounded driver state — the old second groupBy
+    // paid one more exchange + aggregate per Lloyd round just to fold
+    // them into maps. Same avg values, one stage fewer per round.
     assigned
       .select(col("bucket"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("bucket"), col("pos"))
       .agg(avg(col("x")).as("m"))
-      .groupBy(col("bucket"))
-      .agg(map_from_arrays(collect_list(col("pos")), collect_list(col("m"))).as("dims"))
       .collect()
-      .map { r =>
-        val dims = r.getMap[Int, Double](1)
-        (r.getInt(0), (0 until dims.size).map(dims).toIndexedSeq)
+      .groupBy(_.getInt(0))
+      .map { case (b, rows) =>
+        val byPos = rows.map(r => r.getInt(1) -> r.getDouble(2)).toMap
+        b -> (0 until byPos.size).map(byPos).toIndexedSeq
       }
-      .toMap
 
   /** Deterministic initial centroids: the k vectors whose ids hash
     * lowest (spread, reproducible) — shared by both Lloyd paths.

@@ -37,11 +37,17 @@ object Pq {
     * q_late_interaction_pq) that must not be re-derived every round.
     */
   def train(spark: SparkSession, corpus: DataFrame, m: Int, k: Int, iters: Int = 3): Seq[Seq[Seq[Double]]] = {
-    val dim = corpus
-      .select(size(col("embedding")).as("d")).limit(1).collect().head.getInt(0)
+    // Materialize the (vec_id, v) relation ONCE (round 22, guide §5):
+    // `corpus` is often a derived relation (tokenVecs → distinct for the
+    // token books) and three consumers read it — the dim probe, the
+    // sliced subRows build, and the init picks — so the un-checkpointed
+    // form re-derived the corpus three times per training run.
+    val vecs = corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .localCheckpoint(true)
+    val dim = vecs
+      .select(size(col("v")).as("d")).limit(1).collect().head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
-    val vecs = corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val subRows = vecs
       .select(
         col("vec_id"),
@@ -59,19 +65,22 @@ object Pq {
       val bucket = coalesce(books.zipWithIndex.map { case (cb, j) =>
         when(col("j") === j, Ivf.assignExpr(col("sv"), cb))
       }: _*)
+      // collect the per-(j, bucket, pos) means THIN (m·k·sub bounded
+      // rows — same driver-state class) and assemble the vectors on
+      // the driver: the old shape paid a second exchange + aggregate
+      // per round just to pivot them into maps (round 22, guide §1.2 —
+      // same avg values, one stage fewer per Lloyd round)
       val means = subRows
         .withColumn("bucket", bucket)
         .select(col("j"), col("bucket"), posexplode(col("sv")).as(Seq("pos", "x")))
         .groupBy(col("j"), col("bucket"), col("pos"))
         .agg(avg(col("x")).as("mn"))
-        .groupBy(col("j"), col("bucket"))
-        .agg(map_from_arrays(collect_list(col("pos")), collect_list(col("mn"))).as("dims"))
         .collect()
-        .map { r =>
-          val dimsMap = r.getMap[Int, Double](2)
-          (r.getInt(0), r.getInt(1)) -> (0 until dimsMap.size).map(dimsMap).toIndexedSeq
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (jb, rows) =>
+          val byPos = rows.map(r => r.getInt(2) -> r.getDouble(3)).toMap
+          jb -> (0 until byPos.size).map(byPos).toIndexedSeq
         }
-        .toMap
       // books(j) can hold FEWER than k entries when the corpus has fewer
       // than k vectors (init degrades to one centroid per vector, as the
       // sequential per-subspace form did) — iterate the actual size, not k

@@ -105,8 +105,9 @@ object ProbeQueries {
     */
   def trajectory(s: SparkSession, d: String): DataFrame = {
     // loop-invariant feature relation, materialized once (round 21):
-    // each GD round re-ran the tokenize-feature scan
-    val f = feats(Tables(s, d, "documents")).localCheckpoint(true)
+    // each GD round re-ran the tokenize-feature scan. Ckpt seam per the
+    // round-21 ADVICE (aggregate-only consumers — join-neutral).
+    val f = graft.core.Ckpt.truncate(feats(Tables(s, d, "documents")))
     var w: Seq[Long] = Seq.fill(5)(0L)
     val hist = scala.collection.mutable.ArrayBuffer[(Long, Long, Seq[Long])]()
     for (t <- 0 to Updates) {
@@ -132,7 +133,8 @@ object ProbeQueries {
     * broadcast literals, fused into whatever scan feeds the pipeline.
     */
   def applyScores(s: SparkSession, d: String): DataFrame = {
-    val f = feats(Tables(s, d, "documents")).localCheckpoint(true)
+    // Ckpt seam per the round-21 ADVICE (aggregate-only consumers)
+    val f = graft.core.Ckpt.truncate(feats(Tables(s, d, "documents")))
     var w: Seq[Long] = Seq.fill(5)(0L)
     for (_ <- 0 until Updates) {
       val (_, g, n) = roundAgg(f, w)

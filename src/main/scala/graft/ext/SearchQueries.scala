@@ -193,7 +193,10 @@ object SearchQueries {
   private[graft] def sparseIndexShared(
       s: org.apache.spark.sql.SparkSession, d: String, c: Int = ChampionC): SparseIndex =
     sparseIndexCache.computeIfAbsent(
-      s"$d|${Tables.fingerprint(d, "documents")}|sparse|sig=5|C=$c",
+      // "sparse2": the round-22 slot layout (tid-keyed signatures +
+      // pre-rooted norms) — a stale "sparse" slot from an earlier build
+      // must not be served into the new serving chain
+      s"$d|${Tables.fingerprint(d, "documents")}|sparse2|sig=5|C=$c",
       key =>
         // disk tier below the in-memory map (ArtifactStore): a cold JVM
         // serves persisted signatures/champion lists without re-scanning
@@ -303,16 +306,34 @@ object SearchQueries {
   private[graft] def sigThinOf(
       docs: org.apache.spark.sql.DataFrame,
       dfRel: org.apache.spark.sql.DataFrame,
+      nDocs: Long): org.apache.spark.sql.DataFrame =
+    sigThinFromTf(
+      tokens(docs)
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf")),
+      dfRel, nDocs)
+
+  /** [[sigThinOf]] from an ALREADY-AGGREGATED (doc_id, term, tf)
+    * relation — the index build derives the tf relation once and feeds
+    * both the df statistics and the signatures from it (round 22: the
+    * old shape ran the tokenize+explode+count corpus pass twice per
+    * build, once for dfRel and once inside sigThinOf). Output carries
+    * the term's dense dictionary id (`tid`, from dfRel) alongside the
+    * term — the integer key the scoring kernel merges on.
+    */
+  private[graft] def sigThinFromTf(
+      tf: org.apache.spark.sql.DataFrame,
+      dfRel: org.apache.spark.sql.DataFrame,
       nDocs: Long): org.apache.spark.sql.DataFrame = {
     val sigW = Window.partitionBy(col("doc_id")).orderBy(col("w").desc, col("term"))
-    tokens(docs)
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    tf
       .join(dfRel, Seq("term"))
-      .select(col("doc_id"), col("term"), expr(s"tf * ((${nDocs}L * 1000000) div df)").as("w"))
+      .select(
+        col("doc_id"), col("term"), col("tid"),
+        expr(s"tf * ((${nDocs}L * 1000000) div df)").as("w"))
       .withColumn("rnk", row_number().over(sigW))
       .filter(col("rnk") <= 5)
-      .select(col("doc_id"), col("term"), col("w"))
+      .select(col("doc_id"), col("term"), col("tid"), col("w"))
   }
 
   /** The (sorted terms, aligned weights, norm) array form of a thin
@@ -321,42 +342,61 @@ object SearchQueries {
     * ingest scorer.
     */
   private[graft] def sigArrOf(sigThin: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    // Round 22 (guide §4/codegen): the key arrays are the dense term
+    // IDS, not the term strings — the sorted-dot merge compares longs
+    // instead of UTF8 byte strings over the 1.6M candidate pairs. The
+    // integer dot is order-free, so sorting by tid instead of term
+    // changes nothing about the result under the term↔tid bijection.
+    // The norm is stored PRE-ROOTED (nrm = sqrt(cast(n2 as double)),
+    // the exact double the serve chain used to compute per pair), so
+    // scoring multiplies two stored doubles instead of running two
+    // sqrts per pair — bit-identical cosine.
     sigThin
       .groupBy(col("doc_id"))
       .agg(
-        sort_array(collect_list(struct(col("term"), col("w")))).as("sw"),
+        sort_array(collect_list(struct(col("tid"), col("w")))).as("sw"),
         sum(col("w") * col("w")).as("n2"))
       .select(
         col("doc_id"),
-        expr("transform(sw, x -> x.term)").as("ts"),
+        expr("transform(sw, x -> x.tid)").as("ts"),
         expr("transform(sw, x -> x.w)").as("ws"),
-        col("n2"))
+        sqrt(col("n2").cast("double")).as("nrm"))
 
   private[graft] def sparseIndexBuild(docs: org.apache.spark.sql.DataFrame, c: Int): SparseIndex = {
     val nDocs = docs.count()
+    // Round 22: the (doc_id, term, tf) aggregate is derived ONCE and
+    // checkpointed — it feeds both the df statistics and the signature
+    // build (the old shape ran the tokenize+explode+count corpus pass
+    // twice). dfRel additionally assigns each term a dense dictionary
+    // id (row_number over the term order — vocab-sized single-partition
+    // window, build-time only): the id is what the serving kernel's
+    // sorted-dot merges on (long compares; see sigArrOf).
+    val tf = tokens(docs)
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val dfRel = tf
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .withColumn("tid", row_number().over(Window.orderBy(col("term"))).cast("long"))
+      .localCheckpoint(true)
     // 3 consumers hang off the signature relation (champion window,
     // probe side, and the array-signature build), each behind the
     // corpus explode + two windows — localCheckpoint materializes the
     // 5n thin rows once (the PageRank loop-invariant lesson; measured
     // 11.5 s → 4.9 s at sf0.1)
-    val dfRel = tokens(docs)
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .localCheckpoint(true)
-    val sig = sigThinOf(docs, dfRel, nDocs).localCheckpoint(true)
-    val champW = Window.partitionBy(col("term")).orderBy(col("w").desc, col("doc_id"))
+    val sig = sigThinFromTf(tf, dfRel, nDocs).localCheckpoint(true)
+    val champW = Window.partitionBy(col("tid")).orderBy(col("w").desc, col("doc_id"))
     val champ = sig
       .withColumn("crnk", row_number().over(champW))
       .filter(col("crnk") <= c)
-      .select(col("doc_id").as("b_id"), col("term"))
+      .select(col("doc_id").as("b_id"), col("tid"))
     // The champion index is collapsed to ONE array row per term (≤ c
     // elements), so the serving probe join emits 5 rows per doc — each
     // carrying that term's champion list — and pair-level dedup
     // happens INSIDE the per-doc row (see championServe). Vocab-sized:
     // AQE broadcasts it at gate scale, shards shuffle it at 100 TB.
     val champArr = champ
-      .groupBy(col("term")).agg(collect_list(col("b_id")).as("bs"))
+      .groupBy(col("tid")).agg(collect_list(col("b_id")).as("bs"))
       .localCheckpoint(true)
     // Per-doc signature as (sorted terms, aligned weights) parallel
     // arrays + its norm — ONE row per doc, so the candidate relation
@@ -399,25 +439,30 @@ object SearchQueries {
     // elements) instead of a corpus-candidate-volume distinct
     // (measured: the exploded join + distinct shuffled 1.6M thin rows
     // twice at sf0.1; this shape shuffles 5n rows once).
-    val cand = probeSig.select(col("doc_id").as("a_id"), col("term"))
-      .join(ix.champArr, Seq("term"))
+    val cand = probeSig.select(col("doc_id").as("a_id"), col("tid"))
+      .join(ix.champArr, Seq("tid"))
       .groupBy(col("a_id"))
       .agg(flatten(collect_list(col("bs"))).as("bs"))
       .select(col("a_id"), explode(array_distinct(col("bs"))).as("b_id"))
       .filter(col("a_id") =!= col("b_id"))
+    // per-pair kernel (round 22): the sorted-dot merge compares dense
+    // term IDS (longs) instead of UTF8 term strings, and the norms are
+    // the stored pre-rooted doubles — same dot (integer, order-free
+    // under the term↔tid bijection), same cosine bits (nrm IS the
+    // sqrt(cast(n2 as double)) the old chain computed per pair).
     val pairs = cand
       .join(
         probeSigArr.select(
-          col("doc_id").as("a_id"), col("ts").as("tsa"), col("ws").as("wsa"), col("n2").as("na2")),
+          col("doc_id").as("a_id"), col("ts").as("tsa"), col("ws").as("wsa"), col("nrm").as("na")),
         Seq("a_id"))
       .join(
         ix.sigArr.select(
-          col("doc_id").as("b_id"), col("ts").as("tsb"), col("ws").as("wsb"), col("n2").as("nb2")),
+          col("doc_id").as("b_id"), col("ts").as("tsb"), col("ws").as("wsb"), col("nrm").as("nb")),
         Seq("b_id"))
       .select(
         col("a_id"), col("b_id"),
         (expr("graft_sorted_dot(tsa, wsa, tsb, wsb)").cast("double") /
-          (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double")))).as("cos"))
+          (col("na") * col("nb"))).as("cos"))
     val topW = Window.partitionBy(col("a_id")).orderBy(col("cos").desc, col("b_id"))
     pairs
       .withColumn("rnk", row_number().over(topW))
@@ -795,7 +840,12 @@ object SearchQueries {
       // the token-vector relation feeds the cell table, doc-cell map,
       // query legs, and both exact-scoring stages — materialize it once
       // (round 21; the same multiply-consumed-relation rule the bound
-      // pipeline below already applies)
+      // pipeline below already applies). DELIBERATELY a raw
+      // localCheckpoint, not the Ckpt seam (round-21 ADVICE weighed in
+      // round 22): this relation feeds equi-JOINS whose broadcast
+      // decisions ride the origin stats the seam would drop, and it is
+      // a within-query materialization, not cross-round kernel state —
+      // an executor loss fails and retries the whole query either way.
       val vecs = vecsIn.localCheckpoint(true)
       val cellOf = expr(
         "CAST(element_at(tv, 2) > 0 AS INT) + 2 * CAST(element_at(tv, 3) > 0 AS INT) + " +

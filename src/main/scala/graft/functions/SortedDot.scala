@@ -59,6 +59,43 @@ object SortedDot {
     }
     acc
   }
+
+  /** [[compute]] for INTEGER-keyed signatures (array<bigint> key arrays,
+    * sorted ascending, duplicate-free per side): the two-pointer merge's
+    * per-step comparison becomes one long compare instead of a UTF8
+    * byte-wise compareTo — the round-22 dictionary-encoded index layout
+    * (terms mapped to dense ids at build time; the integer dot is
+    * order-free, so the result is bit-identical to the string-keyed
+    * merge over the same term↔id bijection). Same loud overflow
+    * contract.
+    */
+  def computeLong(ta: ArrayData, wa: ArrayData, tb: ArrayData, wb: ArrayData): Long = {
+    val na = ta.numElements()
+    val nb = tb.numElements()
+    if (wa.numElements() != na || wb.numElements() != nb)
+      throw new IllegalArgumentException(
+        s"graft_sorted_dot: parallel arrays differ in length (${na} vs ${wa.numElements()}, ${nb} vs ${wb.numElements()})")
+    var i = 0
+    var j = 0
+    var acc = 0L
+    while (i < na && j < nb) {
+      val ka = ta.getLong(i)
+      val kb = tb.getLong(j)
+      if (ka == kb) {
+        val a = wa.getLong(i)
+        val b = wb.getLong(j)
+        val lo = a * b
+        if (java.lang.Math.multiplyHigh(a, b) != (lo >> 63))
+          throw new ArithmeticException(
+            s"graft_sorted_dot: weight product $a * $b overflows long")
+        acc = java.lang.Math.addExact(acc, lo)
+        i += 1
+        j += 1
+      } else if (ka < kb) i += 1
+      else j += 1
+    }
+    acc
+  }
 }
 
 /** Catalyst expression `graft_sorted_dot(array<string>, array<bigint>,
@@ -80,6 +117,7 @@ case class SortedDotProduct(
 
   private def termsOk(dt: DataType): Boolean = dt match {
     case ArrayType(StringType, _) => true
+    case ArrayType(LongType, _) => true
     case _ => false
   }
 
@@ -88,13 +126,27 @@ case class SortedDotProduct(
     case _ => false
   }
 
+  /** Integer-keyed form (round 22): both key arrays are array<bigint>
+    * (dictionary-encoded term ids) — the merge compares longs instead
+    * of UTF8 strings; result is identical under any key bijection.
+    */
+  private lazy val longKeys: Boolean = first.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
     if (termsOk(first.dataType) && weightsOk(second.dataType) &&
-      termsOk(third.dataType) && weightsOk(fourth.dataType))
+      termsOk(third.dataType) && weightsOk(fourth.dataType) &&
+      ((first.dataType, third.dataType) match {
+        case (ArrayType(a, _), ArrayType(b, _)) => a == b
+        case _ => false
+      }))
       TypeCheckResult.TypeCheckSuccess
     else
       TypeCheckResult.TypeCheckFailure(
-        "graft_sorted_dot requires (array<string>, array<bigint>, array<string>, array<bigint>), got " +
+        "graft_sorted_dot requires (array<string>|array<bigint> keys, array<bigint>, " +
+          "same key type, array<bigint>), got " +
           s"(${first.dataType.sql}, ${second.dataType.sql}, ${third.dataType.sql}, ${fourth.dataType.sql})")
 
   override def dataType: DataType = LongType
@@ -103,16 +155,25 @@ case class SortedDotProduct(
   override def prettyName: String = "graft_sorted_dot"
 
   override def nullSafeEval(ta: Any, wa: Any, tb: Any, wb: Any): Any =
-    SortedDot.compute(
-      ta.asInstanceOf[ArrayData],
-      wa.asInstanceOf[ArrayData],
-      tb.asInstanceOf[ArrayData],
-      wb.asInstanceOf[ArrayData])
+    if (longKeys)
+      SortedDot.computeLong(
+        ta.asInstanceOf[ArrayData],
+        wa.asInstanceOf[ArrayData],
+        tb.asInstanceOf[ArrayData],
+        wb.asInstanceOf[ArrayData])
+    else
+      SortedDot.compute(
+        ta.asInstanceOf[ArrayData],
+        wa.asInstanceOf[ArrayData],
+        tb.asInstanceOf[ArrayData],
+        wb.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val method = if (longKeys) "computeLong" else "compute"
     nullSafeCodeGen(ctx, ev, (ta, wa, tb, wb) => {
-      s"${ev.value} = graft.functions.SortedDot.compute($ta, $wa, $tb, $wb);"
+      s"${ev.value} = graft.functions.SortedDot.$method($ta, $wa, $tb, $wb);"
     })
+  }
 
   override protected def withNewChildrenInternal(
       newFirst: Expression,

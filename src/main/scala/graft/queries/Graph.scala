@@ -678,8 +678,10 @@ object Graph {
       k += 1
       val (core, _, done) = kCore(cur, k, CorenessUnroll)
       allDone &&= done
-      val members = core.select(col("pk")).truncateLineage()
-      survivors = members.count()
+      // survivor count rides the members checkpoint job (round 22,
+      // guide §1.2 — one job per phase instead of checkpoint + count)
+      val (members, n) = graft.core.Ckpt.truncateCounted(core.select(col("pk")), lit(true))
+      survivors = n
       if (survivors > 0L) {
         memberSets += members
         cur = cur
@@ -746,21 +748,25 @@ object Graph {
     // ever references `e` and per-round-truncated `keep`, so lineage
     // cannot nest.
     val e = edges.select(col("src"), col("dst"))
-    var keep = e.select(col("src").as("pk")).distinct().truncateLineage()
-    var nKeep = keep.count()
+    // survivor counts ride the checkpoint jobs as observed metrics
+    // (round 22, guide §1.2): one job per peel round instead of
+    // checkpoint + count — this kernel runs once per q_kcore but
+    // ~degeneracy× inside every coreness phase, so the saved job is
+    // multiplied by the total round count.
+    var (keep, nKeep) = graft.core.Ckpt.truncateCounted(
+      e.select(col("src").as("pk")).distinct(), lit(true))
     var rounds = 0
     var done = false
     while (!done && rounds < maxRounds) {
-      val next = e
-        .join(keep.select(col("pk").as("src")), Seq("src"))
-        .join(keep.select(col("pk").as("dst")), Seq("dst"))
-        .groupBy(col("src"))
-        .agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k)
-        .select(col("src").as("pk"))
-        .truncateLineage()
+      val (next, n) = graft.core.Ckpt.truncateCounted(
+        e.join(keep.select(col("pk").as("src")), Seq("src"))
+          .join(keep.select(col("pk").as("dst")), Seq("dst"))
+          .groupBy(col("src"))
+          .agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k)
+          .select(col("src").as("pk")),
+        lit(true))
       rounds += 1
-      val n = next.count()
       if (n == nKeep) done = true
       keep = next
       nKeep = n
@@ -839,24 +845,28 @@ object Graph {
       // checkpoints per round (improved = fromNbr ⋈ labels, then
       // labels = labels ⋈ broadcast(improved) keyed on a driver count).
       // One left join now computes both: label' = min(old, candidate)
-      // and a change flag, checkpointed ONCE; the wave count and the
-      // next delta are narrow reads OF that checkpoint. AQE replaces
-      // the count-keyed broadcast decision — a small fromNbr relation
-      // is broadcast at runtime from its actual shuffle stats, a flood
-      // round shuffle-joins — and the checkpointed output carries the
-      // join's hash(pk) partitioning into the next round's labels leg.
+      // and a change flag, checkpointed ONCE; the next delta is a
+      // narrow read OF that checkpoint. AQE replaces the count-keyed
+      // broadcast decision — a small fromNbr relation is broadcast at
+      // runtime from its actual shuffle stats, a flood round
+      // shuffle-joins — and the checkpointed output carries the join's
+      // hash(pk) partitioning into the next round's labels leg.
       // Semantics unchanged: fromNbr is unique per pk (per-pk min) so
       // min(old, new) ≡ the old coalesce/union-min forms, and a pk
       // absent from labels is dropped by both shapes.
-      val merged = labels
-        .join(fromNbr.select(col("pk"), col("label").as("__new")), Seq("pk"), "left")
-        .select(
-          col("pk"),
-          when(col("__new") < col("label"), col("__new")).otherwise(col("label")).as("label"),
-          (col("__new") < col("label")).as("__chg"))
-        .truncateLineage()
+      // Round 22 (guide §1.2, per-round fixed cost): the wave count no
+      // longer runs as a second job over the fresh checkpoint — it is
+      // an observed metric of the checkpoint job itself, so each round
+      // is ONE job (Ckpt.truncateCounted; same count, same rows).
+      val (merged, n) = graft.core.Ckpt.truncateCounted(
+        labels
+          .join(fromNbr.select(col("pk"), col("label").as("__new")), Seq("pk"), "left")
+          .select(
+            col("pk"),
+            when(col("__new") < col("label"), col("__new")).otherwise(col("label")).as("label"),
+            (col("__new") < col("label")).as("__chg")),
+        col("__chg"))
       rounds += 1
-      val n = merged.filter(col("__chg")).count()
       waves += n
       if (n == 0L) done = true
       else delta = merged.filter(col("__chg")).select(col("pk"), col("label"))
@@ -926,8 +936,11 @@ object Graph {
         .select(col("v").as("src"), col("m").as("dst"))
         .unionByName(m.select(col("u").as("src"), col("m").as("dst")))
     }
-    var cur = canon(edges).truncateLineage()
-    var curCount = cur.count()
+    // edge-set sizes ride the checkpoint jobs as observed metrics
+    // (round 22, guide §1.2): one job per contraction round instead of
+    // checkpoint + count; the symmetric-difference probe below stays a
+    // separate (count-equality-gated) job because it reads BOTH rounds.
+    var (cur, curCount) = graft.core.Ckpt.truncateCounted(canon(edges), lit(true))
     var rounds = 0
     var done = curCount == 0L
     while (!done && rounds < maxRounds) {
@@ -941,16 +954,15 @@ object Graph {
       // result exactly once. Same per-round edge SET, same rounds, same
       // labels (GraphSpec's planted-chain and A/B gates pin it).
       val ls = largeStar(cur).select(col("src").as("u"), col("dst").as("v"))
-      val next = canon(smallStar(ls)).truncateLineage()
+      val (next, nextCount) = graft.core.Ckpt.truncateCounted(canon(smallStar(ls)), lit(true))
       rounds += 1
       // fixpoint: the canonical edge set is unchanged. The cheap
-      // necessary condition first — counts equal (one bounded count on
-      // the fresh checkpoint; early contraction rounds shrink the set,
+      // necessary condition first — counts equal (the observed metric
+      // of the checkpoint job; early contraction rounds shrink the set,
       // so this alone decides them) — then, only on count equality, the
       // sufficient one: both sides are DISTINCT canonical edge lists,
       // so set equality ⟺ the full-outer symmetric difference is empty
       // (round 21: the old shape paid count + anti-join EVERY round).
-      val nextCount = next.count()
       val stable = nextCount == curCount &&
         next.select(col("u"), col("v"), lit(1).as("__n"))
           .join(cur.select(col("u"), col("v"), lit(1).as("__c")), Seq("u", "v"), "full_outer")
@@ -982,14 +994,44 @@ object Graph {
     */
   private[graft] def coPairs(
       li: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    li.groupBy(col("ok"))
+    coPairsRaw(li).distinct()
+
+  /** Session conf key bounding the per-basket part count [[coPairsRaw]]
+    * will expand in-row (default 1024 ≈ 0.5M pairs / ~8 MB of structs in
+    * ONE aggregation row — far above this data model's ≤7 lines/order,
+    * far below a single-row OOM). The basket aggregate concentrates a
+    * basket's O(b²) pair expansion into one row where the old self-join
+    * spread it across tasks, so a heavy-hitter key (a malformed default
+    * id, a null-like sentinel) must FAIL LOUDLY at the bound instead of
+    * silently OOMing an executor at 100 TB (round-21 verdict #2 /
+    * ADVICE). Raise the conf only with executor memory sized for b².
+    */
+  private[graft] val MaxBasketKey = "graft.copairs.maxBasket"
+
+  /** [[coPairs]] WITHOUT the final (src, dst) dedup — for callers that
+    * fold the dedup into their own downstream exchange
+    * ([[coPurchaseEdges]] partitionBySrc). Null order keys are dropped
+    * (matching the old equi-self-join's null semantics — groupBy would
+    * otherwise cross-pair every null-keyed part into one giant basket;
+    * round-21 ADVICE), and baskets over [[MaxBasketKey]] raise rather
+    * than expand (see the key's scaladoc).
+    */
+  private[graft] def coPairsRaw(
+      li: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val maxBasket =
+      li.sparkSession.conf.get(MaxBasketKey, "1024").toInt
+    li.filter(col("ok").isNotNull)
+      .groupBy(col("ok"))
       .agg(sort_array(collect_set(col("pk"))).as("ps"))
       .select(explode(expr(
-        "flatten(transform(ps, (x, i) -> " +
+        s"flatten(transform(CASE WHEN size(ps) > $maxBasket THEN " +
+          s"raise_error(concat('$MaxBasketKey exceeded: ', CAST(size(ps) AS STRING), " +
+          s"' parts in basket ', CAST(ok AS STRING), ' (bound $maxBasket)')) " +
+          "ELSE ps END, (x, i) -> " +
           "transform(slice(ps, i + 2, size(ps) - i - 1), " +
           "y -> named_struct('src', x, 'dst', y))))")).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .distinct()
+  }
 
   /** Undirected co-purchase edges (both directions) from an (ok, pk)
     * basket relation (distinct or not — see [[coPairs]]) — the shared
@@ -1008,11 +1050,26 @@ object Graph {
     */
   private[graft] def coPurchaseEdges(
       li: org.apache.spark.sql.DataFrame,
-      partitionBySrc: Boolean = false): org.apache.spark.sql.DataFrame = {
-    val e0 = coPairs(li)
-    val sym = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
-    (if (partitionBySrc) sym.repartition(col("src")) else sym).truncateLineage()
-  }
+      partitionBySrc: Boolean = false): org.apache.spark.sql.DataFrame =
+    if (partitionBySrc) {
+      // Round 22 (guide §2.4, share one exchange): the (src, dst) dedup
+      // is folded ONTO the hash(src) repartition instead of paying its
+      // own exchange — hash(src) satisfies the dedup aggregate's
+      // ClusteredDistribution(src, dst) (identical pairs share a src),
+      // so the RAW two-directional pair expansion goes through ONE
+      // exchange and dedups in place: 3 build exchanges → 2. Same edge
+      // set (dedup over the union ≡ union of dedups — the two
+      // directions are disjoint because coPairsRaw emits src < dst).
+      val raw = coPairsRaw(li)
+      raw.unionByName(raw.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(col("src"))
+        .dropDuplicates("src", "dst")
+        .truncateLineage()
+    } else {
+      val e0 = coPairs(li)
+      e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .truncateLineage()
+    }
 
   /** Frontier BFS: `hops` rounds, each joining ONLY the previous
     * frontier against `edges`; per-round state eagerly checkpointed.

@@ -13,6 +13,18 @@ object GraftShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** The named `observe()` metrics row of `df`'s LAST plan execution —
+    * read off the executed plan's CollectMetrics accumulators, so it is
+    * populated by ANY action that ran the plan (including the
+    * `toRdd`-path actions like `checkpoint`/`localCheckpoint`, which
+    * never fire QueryExecutionListener and therefore can't serve an
+    * `Observation`). This is what lets an iterative kernel's per-round
+    * driver decision (wave/survivor count) ride the round's checkpoint
+    * job instead of a second job (round 22, guide §1.2).
+    */
+  def observedMetric(df: DataFrame, name: String): Option[Row] =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.observedMetrics.get(name)
+
   /** Drain the listener bus so task-metric listeners (the Stress
     * power-law skew leg) see every event of the job they just ran —
     * `listenerBus.waitUntilEmpty` is `private[spark]`, reachable from

@@ -89,6 +89,30 @@ class SortedDotSpec extends SparkSpec {
     assert(withNull.isNullAt(0))
   }
 
+  test("integer-keyed form: same dot as the string-keyed merge under a key bijection") {
+    import spark.implicits._
+    // round 22: the sparse index dictionary-encodes terms to dense long
+    // ids — the long-key merge must agree with the string-key merge
+    // under any order-preserving-or-not bijection (the integer dot is
+    // order-free), and keep the unit semantics
+    val df = Seq(
+      (Seq(1L, 3L, 5L), Seq(2L, 3L, 5L), Seq(2L, 3L, 5L), Seq(7L, 11L, 13L), 3L * 11 + 5 * 13),
+      (Seq(1L, 2L), Seq(1L, 2L), Seq(3L, 4L), Seq(3L, 4L), 0L),
+      (Seq.empty[Long], Seq.empty[Long], Seq(1L), Seq(1L), 0L))
+      .toDF("ta", "wa", "tb", "wb", "want")
+    assert(df.filter(expr("graft_sorted_dot(ta, wa, tb, wb)") =!= col("want")).count() == 0)
+    // mixed key types must fail analysis, not silently zip
+    val mixed = Seq((Seq("a"), Seq(1L), Seq(1L), Seq(1L))).toDF("ta", "wa", "tb", "wb")
+    intercept[Exception] {
+      mixed.select(expr("graft_sorted_dot(ta, wa, tb, wb)")).collect()
+    }
+    // overflow stays loud on the long-key path
+    val big = Seq((Seq(1L), Seq(Long.MaxValue), Seq(1L), Seq(3L))).toDF("ta", "wa", "tb", "wb")
+    intercept[Exception] {
+      big.select(expr("graft_sorted_dot(ta, wa, tb, wb)")).collect()
+    }
+  }
+
   test("malformed inputs fail loudly, wrong types fail analysis") {
     import spark.implicits._
     // parallel arrays of different lengths: loud runtime error, never a wrong score
