@@ -782,10 +782,24 @@ object SearchQueries {
     */
   private[ext] def maxsimOver(
       vecs: org.apache.spark.sql.DataFrame,
+      pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    maxsimOverQ(
+      vecs.filter(col("doc_id") < 3 && col("pos") < 4)
+        .select(col("doc_id").as("q_id"), col("pos").as("qi"),
+          col("tv").as("qv"), col("tn2").as("qn2")),
+      vecs, pairs)
+
+  /** [[maxsimOver]] with an EXPLICIT query-token relation (q_id, qi, qv,
+    * qn2) — for callers that already hold the ≤12 query-token rows
+    * (q_late_interaction_pq collects them for its ADC tables): feeding
+    * them back as a literal relation saves one corpus scan per scoring
+    * stage (round 22, guide §5 — the driver already paid for these
+    * rows).
+    */
+  private[ext] def maxsimOverQ(
+      q: org.apache.spark.sql.DataFrame,
+      vecs: org.apache.spark.sql.DataFrame,
       pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val q = vecs.filter(col("doc_id") < 3 && col("pos") < 4)
-      .select(col("doc_id").as("q_id"), col("pos").as("qi"),
-        col("tv").as("qv"), col("tn2").as("qn2"))
     val c = vecs.select(col("doc_id").as("n_id"), col("tv").as("cv"), col("tn2").as("cn2"))
     // ONE aggregation (round 21, guide §2.4): the old shape grouped by
     // (q_id, n_id, qi) for the per-position max and then again by
@@ -1603,6 +1617,17 @@ object SearchQueries {
       // reads codes; exact re-rank touches 10 docs/query.
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        // DELIBERATELY NOT checkpointed (root-caused in round 22, twice
+        // measured): the remaining corpus-wide consumers are the two
+        // exact maxsim c-legs, which are INDEPENDENT single-task
+        // subtrees of the one final job — Spark runs them concurrently,
+        // so the duplicated derivation costs ~max(leg, leg) wall-clock,
+        // while an eager checkpoint serializes the same derivation into
+        // a blocking barrier BEFORE the job (QTime min 1.83 → 2.13 s
+        // with the checkpoint, stage probe full-query 2.47 → 2.94 s;
+        // the r21 attempt lost the same way at 7 consumers). On a
+        // multi-row-group layout the trade flips — revisit if the
+        // fixture ever splits.
         val vecs = tokenVecs(Tables(s, d, "documents"))
         val books = pqTokenBooks(s, d)
         // the stored-codes artifacts (train-once/encode-once registry —
@@ -1657,13 +1682,26 @@ object SearchQueries {
             Window.partitionBy(col("q_id")).orderBy(col("li_c").desc, col("n_id"))))
           .filter(col("rk") <= 10)
           .select(col("q_id"), col("n_id"))
-        val reranked = maxsimOver(vecs, shortlist)
+        // Scan dedup (round 22, guide §5): the query-token relation was
+        // ALREADY collected (qRows, for the ADC tables) — feed it back
+        // as a literal to both exact maxsim stages instead of two more
+        // pushed-down corpus scans; and the doc-id domain is read off
+        // the stored WIDE artifact (one row per token instance with
+        // vec_id = doc_id·16 + pos, so `vec_id div 16` recovers exactly
+        // tokenVecs' doc set — the n_code_rows differential pins the
+        // correspondence) instead of two corpus scans. 7 corpus
+        // derivations drop to 3 (qRows collect + the two exact-stage
+        // c-legs); every derived relation is value-identical.
+        val qLit = qRows.toSeq
+          .toDF("q_id", "qi", "qv", "qn2")
+          .select(col("q_id"), col("qi"), col("qv").cast("array<double>").as("qv"), col("qn2"))
+        val reranked = maxsimOverQ(qLit, vecs, shortlist)
           .withColumn("rank", row_number().over(
             Window.partitionBy(col("q_id")).orderBy(col("li_score").desc, col("n_id"))))
           .filter(col("rank") <= 5)
-        val docs = vecs.select(col("doc_id").as("n_id")).distinct()
-        val qids = vecs.filter(col("doc_id") < 3).select(col("doc_id").as("q_id")).distinct()
-        val exactTop5 = maxsimOver(vecs, qids.crossJoin(docs).filter(col("q_id") =!= col("n_id")))
+        val docs = wide.select(expr("vec_id div 16").as("n_id")).distinct()
+        val qids = docs.filter(col("n_id") < 3).select(col("n_id").as("q_id"))
+        val exactTop5 = maxsimOverQ(qLit, vecs, qids.crossJoin(docs).filter(col("q_id") =!= col("n_id")))
           .withColumn("rank", row_number().over(
             Window.partitionBy(col("q_id")).orderBy(col("li_score").desc, col("n_id"))))
           .filter(col("rank") <= 5)

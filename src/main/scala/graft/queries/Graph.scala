@@ -432,12 +432,13 @@ object Graph {
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .filter(col("pk") % 4 === 2)
         val nodes = li.select(col("pk")).distinct()
-        // feed ccStar the ONE-DIRECTIONAL distinct pair set (round 21):
-        // its canon() re-canonicalizes to (u = max, v = min) anyway, so
-        // the symmetric-union checkpoint coPurchaseEdges builds — and
-        // the doubled rows through canon's dedup — were pure waste for
-        // this kernel; the canonical edge set is identical.
-        val (labels, rounds, doneStar) = ccStar(nodes, coPairs(li))
+        // feed ccStar the RAW one-directional pair expansion (round 21
+        // fed the distinct pair set; round 22 drops that distinct too):
+        // ccStar's canon() maps to (u = max, v = min) AND dedups, so
+        // both the symmetric-union checkpoint coPurchaseEdges builds and
+        // a pre-dedup of the raw pairs were pure waste for this kernel —
+        // one exchange fewer, identical canonical edge set.
+        val (labels, rounds, doneStar) = ccStar(nodes, coPairsRaw(li))
         val n = nodes.count()
         val logBound = 2 * (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n))) + 4
         labels
@@ -1016,6 +1017,15 @@ object Graph {
     * round-21 ADVICE), and baskets over [[MaxBasketKey]] raise rather
     * than expand (see the key's scaladoc).
     */
+  /** The basket array under the [[MaxBasketKey]] guard: over-bound
+    * baskets raise instead of expanding O(b²) pairs in one row.
+    */
+  private def guardedBasket(maxBasket: Int): String =
+    s"CASE WHEN size(ps) > $maxBasket THEN " +
+      s"raise_error(concat('$MaxBasketKey exceeded: ', CAST(size(ps) AS STRING), " +
+      s"' parts in basket ', CAST(ok AS STRING), ' (bound $maxBasket)')) " +
+      "ELSE ps END"
+
   private[graft] def coPairsRaw(
       li: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val maxBasket =
@@ -1024,10 +1034,7 @@ object Graph {
       .groupBy(col("ok"))
       .agg(sort_array(collect_set(col("pk"))).as("ps"))
       .select(explode(expr(
-        s"flatten(transform(CASE WHEN size(ps) > $maxBasket THEN " +
-          s"raise_error(concat('$MaxBasketKey exceeded: ', CAST(size(ps) AS STRING), " +
-          s"' parts in basket ', CAST(ok AS STRING), ' (bound $maxBasket)')) " +
-          "ELSE ps END, (x, i) -> " +
+        s"flatten(transform(${guardedBasket(maxBasket)}, (x, i) -> " +
           "transform(slice(ps, i + 2, size(ps) - i - 1), " +
           "y -> named_struct('src', x, 'dst', y))))")).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
@@ -1052,16 +1059,27 @@ object Graph {
       li: org.apache.spark.sql.DataFrame,
       partitionBySrc: Boolean = false): org.apache.spark.sql.DataFrame =
     if (partitionBySrc) {
-      // Round 22 (guide §2.4, share one exchange): the (src, dst) dedup
-      // is folded ONTO the hash(src) repartition instead of paying its
-      // own exchange — hash(src) satisfies the dedup aggregate's
-      // ClusteredDistribution(src, dst) (identical pairs share a src),
-      // so the RAW two-directional pair expansion goes through ONE
-      // exchange and dedups in place: 3 build exchanges → 2. Same edge
-      // set (dedup over the union ≡ union of dedups — the two
-      // directions are disjoint because coPairsRaw emits src < dst).
-      val raw = coPairsRaw(li)
-      raw.unionByName(raw.select(col("dst").as("src"), col("src").as("dst")))
+      // Round 22 (guide §2.4, share one exchange): BOTH edge directions
+      // come out of one in-row expansion over the basket array (x ≠ y
+      // ordered pairs — the old shape ran the basket-aggregate subtree
+      // TWICE through a union, one leg per direction), and the
+      // (src, dst) dedup is folded ONTO the hash(src) repartition
+      // instead of paying its own exchange — hash(src) satisfies the
+      // dedup aggregate's ClusteredDistribution(src, dst) (identical
+      // pairs share a src), so the raw two-directional expansion goes
+      // through ONE exchange and dedups in place: 3 build exchanges +
+      // 2 aggregate passes → 2 exchanges + 1 pass. Same edge set (the
+      // basket array is distinct, so ordered x ≠ y pairs ≡ the
+      // symmetric closure of the x < y pairs).
+      val maxBasket = li.sparkSession.conf.get(MaxBasketKey, "1024").toInt
+      li.filter(col("ok").isNotNull)
+        .groupBy(col("ok"))
+        .agg(sort_array(collect_set(col("pk"))).as("ps"))
+        .select(explode(expr(
+          s"flatten(transform(${guardedBasket(maxBasket)}, x -> " +
+            "transform(filter(ps, y -> y != x), " +
+            "y -> named_struct('src', x, 'dst', y))))")).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .repartition(col("src"))
         .dropDuplicates("src", "dst")
         .truncateLineage()
